@@ -1,0 +1,392 @@
+"""Registry of driver-checkable queries: each entry has a Spark callable
+(spark, sf_dir) -> DataFrame and (where SQL-expressible) a DuckDB oracle SQL
+string over the same parquet views.
+
+Determinism rules (the driver hash-compares values):
+- counts / bins / ids: exact integers — always safe.
+- ratios & products: computed from exact integer counts with a FIXED
+  multiplication order on both sides -> bit-identical IEEE doubles.
+- big sums/averages (Q1-style): rounded to a fixed number of decimals on
+  both sides (summation order differs between engines).
+
+The seeded workload is generated once from WORKLOAD_SF (sf0.01 — the driver's
+correctness SF) so predicate literals embedded in the SQL strings match the
+Spark side byte-for-byte; the Spark callables still run against whatever
+``sf_dir`` they are handed (bench reuses them at sf0.1).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from naru_spark.predicates import Query, spark_predicate, sql_predicate
+from naru_spark.sources.registry import ESTIMATOR_COLUMNS
+from naru_spark.workload import generate_workload, load_table_pandas
+from naru_spark.meta import ColumnMeta, TableMeta
+
+WORKLOAD_SF = "/root/testdata/sf0.01"
+WORKLOAD_N = 30
+WORKLOAD_SEED = 1234
+LINEITEM_COLS = ESTIMATOR_COLUMNS["lineitem"]
+
+
+# --------------------------------------------------------------------------
+# Workload (generated once, engine-independent via pyarrow/pandas)
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=1)
+def _lineitem_meta_pandas() -> TableMeta:
+    """Domain sizes via pandas — only used for workload generation
+    (sensible_to_do_range rule), so no Spark needed at import time."""
+    pdf = load_table_pandas(WORKLOAD_SF, "lineitem", LINEITEM_COLS)
+    cols = []
+    for c in LINEITEM_COLS:
+        n = int(pdf[c].nunique(dropna=True)) + int(pdf[c].isnull().any())
+        cols.append(ColumnMeta(c, str(pdf[c].dtype), n, bool(pdf[c].isnull().any())))
+    return TableMeta("lineitem", cols, len(pdf))
+
+
+@lru_cache(maxsize=1)
+def workload() -> tuple[Query, ...]:
+    meta = _lineitem_meta_pandas()
+    return tuple(
+        generate_workload(WORKLOAD_SF, meta, "lineitem", WORKLOAD_N, seed=WORKLOAD_SEED)
+    )
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from naru_spark.sources import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# B1 Oracle: exact conjunctive counts, one-pass batch (SURVEY §2 B1)
+# --------------------------------------------------------------------------
+def q_workload_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.estimators import Oracle
+
+    df = _load(spark, sf_dir, "lineitem")
+    cards = Oracle(df).query_batch(list(workload()))
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle() -> str:
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# B2 Heuristic: independence-assumption estimates (SURVEY §2 B2)
+# --------------------------------------------------------------------------
+def q_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Heuristic
+
+    df = _load(spark, sf_dir, "lineitem").select(*LINEITEM_COLS)
+    card = df.count()
+    meta = TableMeta("lineitem", [], card)
+    ests = Heuristic(df, meta).query_batch(list(workload()))
+    return spark.createDataFrame(
+        [(i, int(e)) for i, e in enumerate(ests)], "query_id int, est_card bigint"
+    )
+
+
+def sql_heuristic() -> str:
+    parts = []
+    for i, q in enumerate(workload()):
+        sel_terms = " * ".join(
+            f"((SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(Query(q.table, [c], [op], [v]))})"
+            f" / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE))"
+            for c, op, v in zip(q.cols, q.ops, q.vals)
+        )
+        parts.append(
+            f"SELECT {i} AS query_id, CAST(CEIL({sel_terms} * (SELECT COUNT(*) FROM lineitem)) AS BIGINT) AS est_card"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# B9 QueryRegionSize: bin-space hyper-rectangle volume (SURVEY §2 B9)
+# --------------------------------------------------------------------------
+def q_region_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import QueryRegionSize
+
+    df = _load(spark, sf_dir, "lineitem").select(*LINEITEM_COLS)
+    enc = DictionaryEncoder(LINEITEM_COLS).fit(df)
+    meta = enc.table_meta(df, "lineitem", cardinality=0)
+    est = QueryRegionSize(meta)
+    vals = [est.query(q) for q in workload()]
+    # Compare in log10 space rounded to 6 decimals: the raw product of 11
+    # domain sizes (~1e20) is association-sensitive in its last float bits.
+    logs = [(-1.0 if v == 0 else round(math.log10(v), 6)) for v in vals]
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(logs)], "query_id int, region_size_log10 double"
+    )
+
+
+def sql_region_size() -> str:
+    parts = []
+    for i, q in enumerate(workload()):
+        filtered = dict(zip(q.cols, zip(q.ops, q.vals)))
+        terms = ["1.0"]
+        for c in LINEITEM_COLS:
+            if c in filtered:
+                op, v = filtered[c]
+                pred = sql_predicate(Query(q.table, [c], [op], [v]))
+                terms.append(f"(SELECT COUNT(DISTINCT {c}) FROM lineitem WHERE {pred})")
+            else:
+                terms.append(
+                    f"(SELECT COUNT(DISTINCT {c}) + CASE WHEN SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END FROM lineitem)"
+                )
+        prod = " * ".join(terms)
+        parts.append(
+            f"SELECT {i} AS query_id, CASE WHEN {prod} = 0 THEN -1.0 ELSE ROUND(LOG10({prod}), 6) END AS region_size_log10"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# A5/A7 dictionary encode: (value, bin) for selected columns (SURVEY §1.4)
+# --------------------------------------------------------------------------
+def _q_encode(col: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from naru_spark.encoding import DictionaryEncoder
+
+        import numpy as np
+        import pandas as pd
+
+        df = _load(spark, sf_dir, "lineitem")
+        enc = DictionaryEncoder([col]).fit(df)
+        d = enc.dictionaries[col]
+
+        def to_py(v):
+            if v is None:
+                return None
+            if isinstance(v, np.datetime64):
+                return pd.Timestamp(v).to_pydatetime()
+            if isinstance(v, np.integer):
+                return int(v)
+            if isinstance(v, np.floating):
+                return float(v)
+            return v
+
+        rows = [(to_py(d.bin_to_val(b)), int(b)) for b in range(d.distribution_size)]
+        pdf_schema_type = {
+            "l_returnflag": "string",
+            "l_linestatus": "string",
+            "l_shipdate": "timestamp",
+            "l_quantity": "double",
+            "l_linenumber": "int",
+        }[col]
+        return spark.createDataFrame(rows, f"value {pdf_schema_type}, bin int")
+
+    return fn
+
+
+def _sql_encode(col: str) -> str:
+    return (
+        f"SELECT {col} AS value, CAST(ROW_NUMBER() OVER (ORDER BY {col} ASC NULLS FIRST) - 1 AS INT) AS bin "
+        f"FROM (SELECT DISTINCT {col} FROM lineitem)"
+    )
+
+
+# --------------------------------------------------------------------------
+# A7+A12: encoded joint histogram over two encoded columns
+# --------------------------------------------------------------------------
+def q_encoded_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.encoding import DictionaryEncoder
+
+    df = _load(spark, sf_dir, "lineitem")
+    enc = DictionaryEncoder(["l_returnflag", "l_linestatus"]).fit(df)
+    encoded = enc.transform(df.select("l_returnflag", "l_linestatus"))
+    return (
+        encoded.groupBy(
+            F.col("l_returnflag__bin").alias("rf_bin"),
+            F.col("l_linestatus__bin").alias("ls_bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def sql_encoded_histogram() -> str:
+    return """
+WITH rf AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST) - 1 AS INT) AS bin
+            FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem)),
+     ls AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST) - 1 AS INT) AS bin
+            FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem))
+SELECT rf.bin AS rf_bin, ls.bin AS ls_bin, COUNT(*) AS cnt
+FROM lineitem l JOIN rf ON l.l_returnflag = rf.v JOIN ls ON l.l_linestatus = ls.v
+GROUP BY rf.bin, ls.bin
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 value counts; A12 entropy (SURVEY §2 A6/A12)
+# --------------------------------------------------------------------------
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+
+
+def sql_value_counts() -> str:
+    return "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+
+
+def q_table_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the joint distribution over three columns
+    (reference train_model.py:112-123, 340-343)."""
+    df = _load(spark, sf_dir, "lineitem")
+    counts = df.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    total = df.count()
+    ent = counts.agg(
+        F.round(
+            (-F.sum((F.col("cnt") / F.lit(total)) * F.log2(F.col("cnt") / F.lit(total)))),
+            4,
+        ).alias("entropy_bits")
+    )
+    return ent
+
+
+def sql_table_entropy() -> str:
+    return """
+SELECT ROUND(-SUM((cnt / CAST(total AS DOUBLE)) * LOG2(cnt / CAST(total AS DOUBLE))), 4) AS entropy_bits
+FROM (
+  SELECT COUNT(*) AS cnt, (SELECT COUNT(*) FROM lineitem) AS total
+  FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Flagship relational query: TPC-H Q1-style pricing summary
+# --------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference relational coverage: join + group (platform completeness)
+# --------------------------------------------------------------------------
+def q_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_revenue_by_priority() -> str:
+    return """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: tumbling-window aggregation (batch form of the streaming op)
+# --------------------------------------------------------------------------
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events")
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+def build_registry():
+    queries = {
+        "workload_oracle_counts": q_workload_oracle,
+        "heuristic_estimates": q_heuristic,
+        "region_size": q_region_size,
+        "encode_returnflag": _q_encode("l_returnflag"),
+        "encode_linestatus": _q_encode("l_linestatus"),
+        "encode_shipdate": _q_encode("l_shipdate"),
+        "encoded_histogram": q_encoded_histogram,
+        "value_counts_returnflag": q_value_counts,
+        "table_entropy": q_table_entropy,
+        "pricing_summary_q1": q_pricing_summary,
+        "revenue_by_priority": q_revenue_by_priority,
+        "events_hourly": q_events_hourly,
+    }
+    oracles = {
+        "workload_oracle_counts": sql_workload_oracle(),
+        "heuristic_estimates": sql_heuristic(),
+        "region_size": sql_region_size(),
+        "encode_returnflag": _sql_encode("l_returnflag"),
+        "encode_linestatus": _sql_encode("l_linestatus"),
+        "encode_shipdate": _sql_encode("l_shipdate"),
+        "encoded_histogram": sql_encoded_histogram(),
+        "value_counts_returnflag": sql_value_counts(),
+        "table_entropy": sql_table_entropy(),
+        "pricing_summary_q1": sql_pricing_summary(),
+        "revenue_by_priority": sql_revenue_by_priority(),
+        "events_hourly": sql_events_hourly(),
+    }
+    return queries, oracles

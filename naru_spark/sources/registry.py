@@ -1,0 +1,107 @@
+"""Dataset registry (reference ``datasets.py:9-20`` — named loaders with
+column projection and type casts; here: parquet-first, CSV fallback).
+
+The estimator tables mirror the reference's single-table usage: ``lineitem``
+plays the role of DMV (11 mixed-type columns incl. two low-domain strings and
+a timestamp — same shape class).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns used when a table is treated as an estimator target
+# (reference analog: datasets.py:11-15 picks 11 DMV columns).
+ESTIMATOR_COLUMNS = {
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value"],
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan with column projection (reference CsvTable._load,
+    common.py:186-193). Projection happens before any action so Catalyst
+    prunes the parquet ReadSchema to exactly these columns."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        csv_path = os.path.join(sf_dir, f"{name}.csv")
+        if os.path.exists(csv_path):
+            df = spark.read.csv(csv_path, header=True, inferSchema=True)
+        else:
+            raise FileNotFoundError(path)
+    else:
+        df = _read_parquet_nanos_safe(spark, path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns, which Spark
+    rejects by default ([PARQUET_TYPE_ILLEGAL]). With
+    ``spark.sql.legacy.parquet.nanosAsLong`` the nanos column arrives as
+    LongType; we convert back to a microsecond timestamp so downstream
+    operators see a normal TimestampType. Parquet footer metadata tells us
+    which columns are nanos — no data pass needed."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        pass
+    schema = pq.read_schema(path)
+    nanos_cols = [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if str(typ) == "timestamp[ns]"
+    ]
+    # Leave the conf set: it is read again at scan execution time, and it
+    # only affects how TIMESTAMP(NANOS) columns surface (as long).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in TABLE_NAMES}

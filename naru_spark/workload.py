@@ -1,0 +1,84 @@
+"""Seeded random workload generator + golden-card utilities.
+
+Reference (/root/reference/eval_model.py):
+- ``GenerateQuery``        (209-217): num_filters = rng.randint(5, 12).
+- ``SampleTupleThenRandom`` (175-206): sample ONE real row uniformly; choose
+  num_filters distinct columns; ops ~ {'<=', '>=', '='} but forced '=' when
+  the column's domain size < 10 ("sensible_to_do_range",
+  eval_model.py:194-195); values = the sampled row's values (guarantees
+  true card >= 1 when the row has no NULLs in the chosen columns).
+- RNG discipline: ``np.random.RandomState(seed)``, seed 1234 default
+  (eval_model.py:278, 593). We preserve the exact draw ORDER (row, columns,
+  ops) so a workload is reproducible from (table, sf, seed, n).
+
+The row sample is read via pyarrow (engine-independent), so Spark queries and
+the DuckDB oracle see byte-identical predicate values. At 100 TB you would
+draw the row sample with ``df.sample()`` first; a driver-side full read is
+faithful to the reference (``table.data.iloc[...]``) and fine at test SFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from naru_spark.meta import TableMeta
+from naru_spark.predicates import Query
+
+RANGE_OPS = ["<=", ">=", "="]
+MIN_DOMAIN_FOR_RANGE = 10  # eval_model.py:194-195
+
+
+def load_table_pandas(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    t = pq.read_table(path, columns=columns)
+    return t.to_pandas()
+
+
+def _normalize_value(v):
+    """numpy/pandas scalar -> plain python for Spark lit() / SQL literal."""
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
+
+
+def generate_query(
+    pdf: pd.DataFrame, meta: TableMeta, rng: np.random.RandomState, table_name: str
+) -> Query:
+    """One query, reference draw order (eval_model.py:175-217)."""
+    all_cols = meta.column_names
+    num_filters = int(rng.randint(5, 12))
+    num_filters = min(num_filters, len(all_cols))
+
+    row = pdf.iloc[int(rng.randint(0, len(pdf)))]
+    idxs = rng.choice(len(all_cols), replace=False, size=num_filters)
+    cols = [all_cols[i] for i in idxs]
+    ops = rng.choice(RANGE_OPS, size=num_filters)
+    sensible = np.array([meta.column(c).distribution_size >= MIN_DOMAIN_FOR_RANGE for c in cols])
+    ops = list(np.where(sensible, ops, "="))
+    vals = [_normalize_value(row[c]) for c in cols]
+
+    # NULL values in the sampled row would make a never-true predicate
+    # (common.py:11-24); the reference keeps them and the eval loop skips
+    # true-card-0 queries (eval_model.py:238-239). We keep them too.
+    return Query(table=table_name, cols=cols, ops=[str(o) for o in ops], vals=vals)
+
+
+def generate_workload(
+    sf_dir: str,
+    meta: TableMeta,
+    table_name: str,
+    num_queries: int,
+    seed: int = 1234,
+    columns: list[str] | None = None,
+) -> list[Query]:
+    pdf = load_table_pandas(sf_dir, table_name, columns or meta.column_names)
+    rng = np.random.RandomState(seed)
+    return [generate_query(pdf, meta, rng, table_name) for _ in range(num_queries)]

@@ -1,0 +1,112 @@
+"""Estimator tests vs DuckDB oracle on sf0.001 (smoke) — mirrors the driver's
+t2 check shape: Spark result == DuckDB result on the same parquet."""
+
+import numpy as np
+import pytest
+
+from naru_spark.encoding import DictionaryEncoder
+from naru_spark.estimators import Const, Heuristic, Oracle, QueryRegionSize, Sampling, q_error
+from naru_spark.predicates import Query, sql_predicate
+from naru_spark.sources import load_table
+from naru_spark.sources.registry import ESTIMATOR_COLUMNS
+from naru_spark.workload import generate_workload
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    df = load_table(spark, "lineitem", SF_SMOKE, ESTIMATOR_COLUMNS["lineitem"]).cache()
+    enc = DictionaryEncoder(ESTIMATOR_COLUMNS["lineitem"]).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    return df, meta
+
+
+@pytest.fixture(scope="module")
+def workload(lineitem):
+    _, meta = lineitem
+    return generate_workload(SF_SMOKE, meta, "lineitem", num_queries=20, seed=1234)
+
+
+def test_workload_shape(workload, lineitem):
+    _, meta = lineitem
+    for q in workload:
+        assert 5 <= len(q.cols) <= 11
+        assert len(set(q.cols)) == len(q.cols)
+        for c, op in zip(q.cols, q.ops):
+            if meta.column(c).distribution_size < 10:
+                assert op == "="  # eval_model.py:194-195
+
+
+def test_workload_deterministic(lineitem):
+    _, meta = lineitem
+    w1 = generate_workload(SF_SMOKE, meta, "lineitem", 5, seed=1234)
+    w2 = generate_workload(SF_SMOKE, meta, "lineitem", 5, seed=1234)
+    for a, b in zip(w1, w2):
+        assert a.cols == b.cols and a.ops == b.ops and list(a.vals) == list(b.vals)
+
+
+def test_oracle_matches_duckdb(lineitem, workload, duck_smoke):
+    df, _ = lineitem
+    oracle = Oracle(df)
+    ests = oracle.query_batch(workload)
+    for q, est in zip(workload, ests):
+        truth = duck_smoke.execute(
+            f"SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(q)}"
+        ).fetchone()[0]
+        assert est == truth, q
+
+
+def test_oracle_single_equals_batch(lineitem, workload):
+    df, _ = lineitem
+    oracle = Oracle(df)
+    batch = oracle.query_batch(workload[:5])
+    singles = [oracle.query(q) for q in workload[:5]]
+    assert batch == singles
+
+
+def test_heuristic_matches_duckdb_formula(lineitem, workload, duck_smoke):
+    df, meta = lineitem
+    h = Heuristic(df, meta)
+    ests = h.query_batch(workload[:8])
+    for q, est in zip(workload[:8], ests):
+        sel = 1.0
+        for c, op, v in zip(q.cols, q.ops, q.vals):
+            cnt = duck_smoke.execute(
+                f"SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(Query(q.table, [c], [op], [v]))}"
+            ).fetchone()[0]
+            sel *= cnt / meta.cardinality
+        assert est == int(np.ceil(sel * meta.cardinality))
+
+
+def test_sampling_reasonable(lineitem, workload):
+    df, meta = lineitem
+    s = Sampling(df, meta, p=0.2, seed=42)
+    oracle = Oracle(df)
+    truths = oracle.query_batch(workload)
+    ests = s.query_batch(workload)
+    errs = [q_error(e, t) for e, t in zip(ests, truths) if t > 0]
+    assert np.median(errs) < 100  # sanity, not precision
+
+
+def test_region_size_positive_and_wildcards(lineitem, workload):
+    _, meta = lineitem
+    r = QueryRegionSize(meta)
+    for q in workload[:5]:
+        v = r.query(q)
+        assert v >= 0
+    full = QueryRegionSize(meta).query(Query("lineitem", [], [], []))
+    expected = float(np.prod([float(c.distribution_size) for c in meta.columns]))
+    assert full == expected
+
+
+def test_const(workload):
+    c = Const(7.0)
+    assert c.query(workload[0]) == 7.0
+
+
+def test_q_error_zero_handling():
+    assert q_error(0, 0) == 1.0
+    assert q_error(5, 0) == 5
+    assert q_error(0, 7) == 7
+    assert q_error(10, 5) == 2.0
+    assert q_error(5, 10) == 2.0
