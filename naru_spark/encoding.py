@@ -172,15 +172,24 @@ class DictionaryEncoder:
 
     # ---------------------------------------------------------------- fit
     def fit(self, df: DataFrame) -> "DictionaryEncoder":
-        for c in self.columns:
-            # One job per column: pull at most max+1 distincts; only if the
-            # domain overflows do we fall back to a distributed dictionary.
+        # One job per column (at most max+1 distincts pulled; only if the
+        # domain overflows do we fall back to a distributed dictionary).
+        # Columns are fit CONCURRENTLY — Spark schedules independent jobs
+        # from separate driver threads in parallel, so fit wall-clock is
+        # ~the slowest column, not the sum.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fit_one(c: str):
             probe = df.select(c).distinct().limit(self.max_collect_domain + 1)
             values, has_null = _collect_distinct(probe, c)
-            if len(values) + int(has_null) <= self.max_collect_domain:
-                self.dictionaries[c] = ColumnDictionary(c, values, has_null)
-            else:
-                self._big_dicts[c] = self._rank_distributed(df, c)
+            return c, values, has_null
+
+        with ThreadPoolExecutor(max_workers=min(8, len(self.columns))) as ex:
+            for c, values, has_null in ex.map(fit_one, self.columns):
+                if len(values) + int(has_null) <= self.max_collect_domain:
+                    self.dictionaries[c] = ColumnDictionary(c, values, has_null)
+                else:
+                    self._big_dicts[c] = self._rank_distributed(df, c)
         return self
 
     @staticmethod

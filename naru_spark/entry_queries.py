@@ -203,17 +203,20 @@ def _sql_encode(col: str) -> str:
 # A7+A12: encoded joint histogram over two encoded columns
 # --------------------------------------------------------------------------
 def q_encoded_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-encode: the groupBy shrinks the table to |domain_a x
+    domain_b| rows BEFORE the encode step touches it — at 100 TB the encode
+    cost is per-group, not per-row (the raw-row encode path is exercised by
+    tests/test_encoding.py instead)."""
     from naru_spark.encoding import DictionaryEncoder
 
     df = _load(spark, sf_dir, "lineitem")
     enc = DictionaryEncoder(["l_returnflag", "l_linestatus"]).fit(df)
-    encoded = enc.transform(df.select("l_returnflag", "l_linestatus"))
-    return (
-        encoded.groupBy(
-            F.col("l_returnflag__bin").alias("rf_bin"),
-            F.col("l_linestatus__bin").alias("ls_bin"),
-        )
-        .agg(F.count("*").alias("cnt"))
+    grouped = df.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+    encoded = enc.transform(grouped)
+    return encoded.select(
+        F.col("l_returnflag__bin").alias("rf_bin"),
+        F.col("l_linestatus__bin").alias("ls_bin"),
+        F.col("cnt"),
     )
 
 
