@@ -1,0 +1,294 @@
+"""Driver-gate entries for the LLM-pipeline extension operators (dedup,
+similarity, text analysis, multimodal, streaming).
+
+Same determinism rules as entry_queries.py. SQL-expressible ops carry a
+DuckDB oracle; hash-based LSH internals (minhash/simhash/hyperplane
+signatures) are engine-specific (xxhash64) and are gated rows-only here but
+verified against exact algorithms in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from naru_spark.pipeline.text import LANG_ORDER, LANG_STOPWORDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.sources import load_table
+
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.sources import load_table
+
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# SQL fragment: whitespace tokens of trimmed text (DuckDB side of
+# naru_spark.pipeline.text.tokens_col)
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKS}, x -> list_contains([{words}], x)))"
+
+
+# --------------------------------------------------------------------- text
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import with_text_stats
+
+    return with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_chars_calc", "n_punct", "n_digit"
+    )
+
+
+def sql_text_stats() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n_tokens,
+       length(text) AS n_chars_calc,
+       length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", *[f"score_{lang}" for lang in LANG_ORDER]
+    )
+
+
+def sql_lang_id() -> str:
+    s = {lang: _sql_stopword_hits(lang) for lang in LANG_ORDER}
+    return f"""
+SELECT doc_id,
+       CASE
+         WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         WHEN s_es > 0 THEN 'es'
+         ELSE 'und'
+       END AS lang_pred,
+       s_en AS score_en, s_de AS score_de, s_fr AS score_fr, s_es AS score_es
+FROM (
+  SELECT doc_id, {s['en']} AS s_en, {s['de']} AS s_de, {s['fr']} AS s_fr, {s['es']} AS s_es
+  FROM documents
+)
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+def sql_fingerprint() -> str:
+    return "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import token_histogram
+
+    return token_histogram(_docs(spark, sf_dir))
+
+
+def sql_token_histogram() -> str:
+    return f"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT UNNEST({_SQL_TOKS}) AS token FROM documents WHERE length(trim(text)) > 0)
+GROUP BY token
+"""
+
+
+# -------------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id").select("doc_id", "dup_group_size")
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT doc_id, dup_group_size FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS dup_group_size
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.5)
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b, i.inter, sa.set_size AS size_a, sb.set_size AS size_b,
+       ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate (xxhash64-based LSH is engine-specific); verified
+    against exact jaccard in tests/test_pipeline.py."""
+    from naru_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate; hamming<=3 of 62-bit token-frequency simhash."""
+    from naru_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", max_hamming=3)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def sql_embedding_dups() -> str:
+    return """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------- similarity
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+def sql_similarity_topk() -> str:
+    return """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e, embeddings q WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate (hyperplane signatures); recall vs brute force is
+    asserted in tests/test_pipeline.py."""
+    from naru_spark.pipeline.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=10, bits=16, bands=8)
+
+
+# --------------------------------------------------------------- multimodal
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the full binary-column path: text -> binary blob ->
+    mapInPandas fake-decode -> per-blob byte stats."""
+    from naru_spark.pipeline.multimodal import attach_fake_blobs, decode_features
+
+    return decode_features(attach_fake_blobs(_docs(spark, sf_dir))).select("blob_id", "n_bytes")
+
+
+def sql_multimodal_bytes() -> str:
+    return "SELECT doc_id AS blob_id, CAST(strlen(text) AS INT) AS n_bytes FROM documents"
+
+
+# ---------------------------------------------------------------- streaming
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg, driven availableNow into a
+    memory sink. Oracle: identical SQL as the batch events_hourly (stream ==
+    batch parity)."""
+    from naru_spark.streaming.events import (
+        events_stream,
+        hourly_aggregate_stream,
+        run_stream_to_memory,
+    )
+
+    out = run_stream_to_memory(
+        spark, hourly_aggregate_stream(events_stream(spark, sf_dir))
+    )
+    return out
+
+
+def sql_events_hourly_stream() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# ----------------------------------------------------------------- registry
+def build_pipeline_registry():
+    queries = {
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "token_histogram": q_token_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash_pairs,
+        "dedup_simhash": q_simhash_pairs,
+        "dedup_embedding": q_embedding_dups,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_lsh": q_similarity_lsh,
+        "multimodal_bytes": q_multimodal_bytes,
+        "events_hourly_stream": q_events_hourly_stream,
+    }
+    oracles = {
+        "text_stats": sql_text_stats(),
+        "lang_id": sql_lang_id(),
+        "doc_fingerprint": sql_fingerprint(),
+        "token_histogram": sql_token_histogram(),
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "dedup_embedding": sql_embedding_dups(),
+        "similarity_topk": sql_similarity_topk(),
+        "multimodal_bytes": sql_multimodal_bytes(),
+        "events_hourly_stream": sql_events_hourly_stream(),
+        # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh: rows-only
+    }
+    return queries, oracles

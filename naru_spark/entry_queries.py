@@ -392,4 +392,13 @@ def build_registry():
         "revenue_by_priority": sql_revenue_by_priority(),
         "events_hourly": sql_events_hourly(),
     }
+    from naru_spark.entry_pipeline import build_pipeline_registry
+    from naru_spark.entry_model import build_model_registry
+
+    pq, po = build_pipeline_registry()
+    queries.update(pq)
+    oracles.update(po)
+    mq, mo = build_model_registry()
+    queries.update(mq)
+    oracles.update(mo)
     return queries, oracles

@@ -1,0 +1,141 @@
+"""ProgressiveSampling — the reference's core estimator (B4), numpy edition.
+
+Reference ``estimators.py:134-418``: per column in model order, softmax the
+column's logits, multiply by the predicate's valid-bin vector, sum -> the
+conditional selectivity of that predicate given the sampled prefix;
+renormalize, multinomial-sample the next value, write its encoding into the
+input buffer, forward again. Estimate = mean over samples of the product of
+per-column masked sums x cardinality (estimators.py:356-363).
+
+Differences from the reference (documented):
+- natural column ordering only (multi-order ensembles are a later round);
+- no wildcard short-circuit (needs masked-input training, made.py:186-191);
+  wildcard columns are sampled from the unmasked conditional instead —
+  the original semantics, just fewer skipped forwards;
+- domains above ``max_model_domain`` are equal-freq binned with fractional
+  boundary masks (see model/binning.py) — the reference's BN estimator does
+  the same re-discretization (estimators.py:683-740).
+
+Batch scoring (``estimate_batch``): queries ship to executors via
+``mapInPandas`` with the (small) model broadcast — the Spark replacement for
+the reference's Ray-parallel eval (eval_model.py:303-375).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from naru_spark.estimators.base import CardEst
+from naru_spark.model.train import NaruModel
+from naru_spark.predicates import Query
+
+
+class ProgressiveSampling(CardEst):
+    name = "psample"
+
+    def __init__(self, model: NaruModel, num_samples: int = 512, seed: int = 0):
+        super().__init__()
+        self.model = model
+        self.num_samples = num_samples
+        self.seed = seed
+        self.name = f"psample_{num_samples}"
+
+    def _masks(self, q: Query) -> list[np.ndarray | None]:
+        """Per-column fractional model-bin masks; None for wildcards."""
+        masks: list[np.ndarray | None] = [None] * len(self.model.columns)
+        for c, op, v in zip(q.cols, q.ops, q.vals):
+            i = self.model.columns.index(c)
+            m = self.model.binnings[c].predicate_mask(op, v)
+            masks[i] = m if masks[i] is None else masks[i] * m
+        return masks
+
+    def query(self, q: Query) -> float:
+        rng = np.random.RandomState(self.seed)
+        made = self.model.made
+        S = self.num_samples
+        masks = self._masks(q)
+
+        bits = np.zeros((S, made.n_bits), dtype=made.dtype)
+        p = np.ones(S, dtype=np.float64)
+        for c in range(made.D):
+            h = made.hidden_nograd(bits)
+            lg = made.logits_for_col(c, h)
+            mx = lg.max(axis=1, keepdims=True)
+            probs = np.exp(lg - mx)
+            probs /= probs.sum(axis=1, keepdims=True)
+            mask = masks[c]
+            if mask is not None:
+                masked = probs * mask[None, :]
+                s = masked.sum(axis=1)
+                p *= s
+                # guard vanished paths (estimators.py:278-279)
+                safe = np.where(s > 0, s, 1.0)
+                dist = masked / safe[:, None]
+                dist[s <= 0] = 0
+                dist[s <= 0, 0] = 1.0
+            else:
+                dist = probs
+            cum = dist.cumsum(axis=1)
+            u = rng.rand(S, 1)
+            choice = np.minimum((u > cum).sum(axis=1), dist.shape[1] - 1)
+            made._write_bits(bits, c, choice)
+        sel = float(p.mean())
+        return float(np.ceil(sel * self.model.meta.cardinality))
+
+    # ------------------------------------------------------- batch scoring
+    def estimate_batch(self, spark, queries: list[Query], partitions: int | None = None):
+        """Distribute query scoring: each executor gets the broadcast model
+        and scores its partition of queries via mapInPandas."""
+        import pandas as pd
+
+        model_bc = spark.sparkContext.broadcast(self.model)
+        S, seed = self.num_samples, self.seed
+        payload = [
+            (i, list(q.cols), list(q.ops), [str(v) for v in q.vals], q.table)
+            for i, q in enumerate(queries)
+        ]
+        # values as strings + re-parse is lossy for timestamps/floats; ship
+        # the original objects via a broadcast keyed by query id instead.
+        q_bc = spark.sparkContext.broadcast({i: q for i, q in enumerate(queries)})
+        n_part = partitions or min(len(queries), 32)
+        idx_df = spark.createDataFrame([(i,) for i in range(len(queries))], "qid int").repartition(
+            n_part
+        )
+
+        def score(batches):
+            model = model_bc.value
+            est = ProgressiveSampling(model, num_samples=S, seed=seed)
+            qmap = q_bc.value
+            for pdf in batches:
+                out = []
+                for qid in pdf["qid"]:
+                    out.append({"qid": int(qid), "est_card": est.query(qmap[int(qid)])})
+                yield pd.DataFrame(out)
+
+        res = idx_df.mapInPandas(score, schema="qid int, est_card double").collect()
+        by_id = {r.qid: r.est_card for r in res}
+        return [by_id[i] for i in range(len(queries))]
+
+
+class SampleFromModel(CardEst):
+    """Monte-Carlo baseline (reference estimators.py:421-477): draw N full
+    tuples from the model, evaluate the predicate on the samples, scale."""
+
+    name = "sample_from_model"
+
+    def __init__(self, model: NaruModel, num_samples: int = 2000, seed: int = 0):
+        super().__init__()
+        self.model = model
+        self.num_samples = num_samples
+        self.seed = seed
+        self.rng = np.random.RandomState(seed)
+        self._samples = self.model.made.sample(num_samples, self.rng)
+
+    def query(self, q: Query) -> float:
+        masks = ProgressiveSampling(self.model)._masks(q)
+        keep = np.ones(self.num_samples, dtype=np.float64)
+        for i, m in enumerate(masks):
+            if m is not None:
+                keep *= m[self._samples[:, i]]
+        frac = keep.mean()
+        return float(np.ceil(frac * self.model.meta.cardinality))

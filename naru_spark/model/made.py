@@ -1,0 +1,280 @@
+"""ResMADE — masked autoregressive density model, pure numpy.
+
+Re-expression of the reference's MADE/ResMADE (made.py:54-707 in
+/root/reference): masked linear layers (made.py:11-28), residual blocks
+(made.py:31-51), sequential degree assignment, per-column output heads sized
+by domain (made.py:645-674), binary input encoding (made.py:508-593), and
+summed per-column cross-entropy NLL (made.py:676-694). PyTorch is not
+available in this environment, so forward/backward/Adam are hand-rolled
+numpy; matmuls hit BLAS so training at test scale is minutes.
+
+Autoregressive invariant (the property the reference self-tests,
+made.py:710-753): logits of column i depend only on inputs of columns < i
+in the natural ordering. Enforced by degree masks:
+  input bit of column c      -> degree c+1
+  hidden unit k              -> degree (k % (D-1)) + 1   (D = #columns)
+  connection j->k allowed    iff deg(k) >= deg(j)
+  output head of column c    iff deg(c)=c+1 >  deg(hidden)
+Column 0's head connects to nothing — its distribution is the learned bias.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _relu(x):
+    return np.maximum(x, 0.0)
+
+
+class MaskedLinear:
+    """y = x @ (W*M) + b with cached masked weight (reference made.py:11-28
+    caches mask-multiplied weights for inference: same trick here)."""
+
+    def __init__(self, n_in: int, n_out: int, mask: np.ndarray, rng: np.random.RandomState, dtype=np.float64):
+        assert mask.shape == (n_in, n_out)
+        bound = np.sqrt(6.0 / (n_in + n_out))  # Xavier (train_model.py:322-327)
+        self.W = rng.uniform(-bound, bound, size=(n_in, n_out)).astype(dtype)
+        self.b = np.zeros(n_out, dtype=dtype)
+        self.M = mask.astype(dtype)
+        self.dW = np.zeros_like(self.W)
+        self.db = np.zeros_like(self.b)
+        self._x = None
+
+    @property
+    def Wm(self):
+        return self.W * self.M
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        self._x = x
+        return x @ self.Wm + self.b
+
+    def forward_nograd(self, x: np.ndarray) -> np.ndarray:
+        return x @ self.Wm + self.b
+
+    def backward(self, dy: np.ndarray) -> np.ndarray:
+        self.dW += (self._x.T @ dy) * self.M
+        self.db += dy.sum(axis=0)
+        return dy @ self.Wm.T
+
+    def params_grads(self):
+        return [(self.W, self.dW), (self.b, self.db)]
+
+
+class ResMADE:
+    """Masked autoregressive MLP with residual blocks over binary-encoded
+    model-bin inputs; per-column softmax heads."""
+
+    def __init__(
+        self,
+        domains: list[int],
+        hidden: int = 256,
+        blocks: int = 2,
+        seed: int = 0,
+        dtype=np.float64,
+    ):
+        self.domains = list(domains)
+        self.D = len(domains)
+        self.hidden = hidden
+        self.dtype = dtype
+        rng = np.random.RandomState(seed)
+
+        # binary input encoding layout
+        self.col_bits = [max(1, int(np.ceil(np.log2(max(d, 2))))) for d in domains]
+        self.bit_offsets = np.concatenate([[0], np.cumsum(self.col_bits)]).astype(int)
+        self.n_bits = int(self.bit_offsets[-1])
+        # output logits layout
+        self.out_offsets = np.concatenate([[0], np.cumsum(domains)]).astype(int)
+        self.n_out = int(self.out_offsets[-1])
+
+        # degrees
+        in_deg = np.concatenate(
+            [np.full(self.col_bits[c], c + 1) for c in range(self.D)]
+        )
+        hid_deg = (np.arange(hidden) % max(self.D - 1, 1)) + 1
+        out_deg = np.concatenate(
+            [np.full(domains[c], c + 1) for c in range(self.D)]
+        )
+
+        def mask(din, dout, strict=False):
+            if strict:
+                return (dout[None, :] > din[:, None]).astype(np.float64)
+            return (dout[None, :] >= din[:, None]).astype(np.float64)
+
+        self.lin_in = MaskedLinear(self.n_bits, hidden, mask(in_deg, hid_deg), rng, dtype)
+        self.blocks = []
+        for _ in range(blocks):
+            l1 = MaskedLinear(hidden, hidden, mask(hid_deg, hid_deg), rng, dtype)
+            l2 = MaskedLinear(hidden, hidden, mask(hid_deg, hid_deg), rng, dtype)
+            self.blocks.append((l1, l2))
+        self.lin_out = MaskedLinear(hidden, self.n_out, mask(hid_deg, out_deg, strict=True), rng, dtype)
+
+    # ------------------------------------------------------------ encoding
+    def encode_bits(self, x_bins: np.ndarray) -> np.ndarray:
+        """[B, D] int model bins -> [B, n_bits] float binary encoding
+        (reference ToBinaryAsOneHot, made.py:508-593)."""
+        B = x_bins.shape[0]
+        out = np.zeros((B, self.n_bits), dtype=self.dtype)
+        for c in range(self.D):
+            bits = self.col_bits[c]
+            vals = x_bins[:, c].astype(np.int64)
+            for k in range(bits):
+                out[:, self.bit_offsets[c] + k] = (vals >> k) & 1
+        return out
+
+    # ------------------------------------------------------------- forward
+    def _hidden_forward(self, bits: np.ndarray, grad: bool) -> np.ndarray:
+        fwd = (lambda l, v: l.forward(v)) if grad else (lambda l, v: l.forward_nograd(v))
+        self._caches = []
+        h = fwd(self.lin_in, bits)
+        self._h_in = h
+        for l1, l2 in self.blocks:
+            a_pre = fwd(l1, _relu(h))
+            a = _relu(a_pre)
+            b = fwd(l2, a)
+            if grad:
+                self._caches.append((h.copy(), a_pre))
+            h = h + b
+        return h
+
+    def forward(self, x_bins: np.ndarray, grad: bool = True) -> np.ndarray:
+        bits = self.encode_bits(x_bins)
+        self._bits = bits
+        h = self._hidden_forward(bits, grad)
+        self._h_final = h
+        if grad:
+            return self.lin_out.forward(_relu(h))
+        return self.lin_out.forward_nograd(_relu(h))
+
+    def hidden_nograd(self, bits: np.ndarray) -> np.ndarray:
+        return self._hidden_forward(bits, grad=False)
+
+    def logits_for_col(self, c: int, h: np.ndarray) -> np.ndarray:
+        """Slice the output head of one column (made.py:645-674) — computes
+        only hidden x domain_c work, which is what makes progressive
+        sampling affordable per step."""
+        lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+        return _relu(h) @ self.lin_out.Wm[:, lo:hi] + self.lin_out.b[lo:hi]
+
+    # ----------------------------------------------------------------- nll
+    def nll(self, logits: np.ndarray, x_bins: np.ndarray) -> tuple[float, np.ndarray]:
+        """Mean (over rows) summed per-column CE in nats; also returns
+        dlogits for backward (softmax - onehot)/B."""
+        B = x_bins.shape[0]
+        dlogits = np.zeros_like(logits)
+        total = 0.0
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            lg = logits[:, lo:hi]
+            m = lg.max(axis=1, keepdims=True)
+            ex = np.exp(lg - m)
+            z = ex.sum(axis=1, keepdims=True)
+            probs = ex / z
+            tgt = x_bins[:, c].astype(np.int64)
+            logp = (lg - m - np.log(z))[np.arange(B), tgt]
+            total += -logp.sum()
+            grad = probs
+            grad[np.arange(B), tgt] -= 1.0
+            dlogits[:, lo:hi] = grad / B
+        return total / B, dlogits
+
+    # ------------------------------------------------------------ backward
+    def backward(self, dlogits: np.ndarray):
+        dh = self.lin_out.backward(dlogits)
+        dh = dh * (self._h_final > 0)  # relu before output
+        for (l1, l2), (h_pre, a_pre) in zip(reversed(self.blocks), reversed(self._caches)):
+            db = dh  # gradient wrt block output (h + b)
+            da = l2.backward(db)
+            da = da * (a_pre > 0)
+            dh_inner = l1.backward(da)
+            dh = dh + dh_inner * (h_pre > 0)
+        self.lin_in.backward(dh)
+
+    def zero_grad(self):
+        for l in self.layers():
+            l.dW[:] = 0
+            l.db[:] = 0
+
+    def layers(self):
+        out = [self.lin_in, self.lin_out]
+        for l1, l2 in self.blocks:
+            out += [l1, l2]
+        return out
+
+    def num_params(self) -> int:
+        return sum(l.W.size + l.b.size for l in self.layers())
+
+    # -------------------------------------------------------- sample (B5)
+    def sample(self, n: int, rng: np.random.RandomState) -> np.ndarray:
+        """Ancestral sampling of full tuples (reference made.py:696-707)."""
+        x = np.zeros((n, self.D), dtype=np.int64)
+        bits = np.zeros((n, self.n_bits), dtype=self.dtype)
+        for c in range(self.D):
+            h = self.hidden_nograd(bits)
+            lg = self.logits_for_col(c, h)
+            m = lg.max(axis=1, keepdims=True)
+            p = np.exp(lg - m)
+            p /= p.sum(axis=1, keepdims=True)
+            cum = p.cumsum(axis=1)
+            u = rng.rand(n, 1)
+            choice = (u > cum).sum(axis=1)
+            x[:, c] = choice
+            self._write_bits(bits, c, choice)
+        return x
+
+    def _write_bits(self, bits: np.ndarray, c: int, vals: np.ndarray):
+        off, nb = self.bit_offsets[c], self.col_bits[c]
+        v = vals.astype(np.int64)
+        for k in range(nb):
+            bits[:, off + k] = (v >> k) & 1
+
+    # ------------------------------------------------------------ save/load
+    def save(self, path: str, extra: dict | None = None):
+        arrays = {}
+        for i, l in enumerate(self.layers()):
+            arrays[f"W{i}"] = l.W
+            arrays[f"b{i}"] = l.b
+        meta = dict(
+            domains=np.array(self.domains),
+            hidden=self.hidden,
+            blocks=len(self.blocks),
+        )
+        np.savez_compressed(path, **arrays, **meta, **(extra or {}))
+
+    @classmethod
+    def load(cls, path: str) -> "ResMADE":
+        z = np.load(path, allow_pickle=True)
+        model = cls(
+            domains=list(z["domains"]),
+            hidden=int(z["hidden"]),
+            blocks=int(z["blocks"]),
+        )
+        for i, l in enumerate(model.layers()):
+            l.W = z[f"W{i}"]
+            l.b = z[f"b{i}"]
+        return model
+
+
+class Adam:
+    """Adam (train_model.py:375-383: lr 2e-4 default)."""
+
+    def __init__(self, model: ResMADE, lr: float = 2e-4, betas=(0.9, 0.999), eps: float = 1e-8):
+        self.model = model
+        self.lr = lr
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.t = 0
+        self.m = [np.zeros_like(p) for l in model.layers() for p, _ in l.params_grads()]
+        self.v = [np.zeros_like(p) for l in model.layers() for p, _ in l.params_grads()]
+
+    def step(self):
+        self.t += 1
+        i = 0
+        for l in self.model.layers():
+            for p, g in l.params_grads():
+                self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
+                self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * (g * g)
+                mhat = self.m[i] / (1 - self.b1**self.t)
+                vhat = self.v[i] / (1 - self.b2**self.t)
+                p -= self.lr * mhat / (np.sqrt(vhat) + self.eps)
+                i += 1

@@ -1,0 +1,131 @@
+"""Training pipeline: Spark-encoded data -> numpy ResMADE.
+
+MLlib-style Estimator/Model pair (the north star's "MLlib pipeline + custom
+estimator"): ``NaruEstimator.fit(df)`` runs the Spark side (dictionary fit,
+model-bin encode, optional sample) and then the driver-side training loop
+(reference RunEpoch, train_model.py:126-253).
+
+Scale path: the training matrix is collected through ``sample_rows`` — at
+100 TB you train on a uniform sample (the estimator's accuracy depends on
+rows seen, not on epoch-ing the full table; the reference trains single-node
+on the full 11.6M-row DMV, which a 1%% sample of 1B rows matches). The
+encode stage itself is fully distributed (DictionaryEncoder.transform).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from naru_spark.encoding import DictionaryEncoder
+from naru_spark.meta import TableMeta
+from naru_spark.model.binning import ModelBinning
+from naru_spark.model.made import Adam, ResMADE
+
+
+class NaruModel:
+    """Fitted model: ResMADE + per-column binnings + meta."""
+
+    def __init__(self, made: ResMADE, binnings: dict[str, ModelBinning], meta: TableMeta, columns: list[str]):
+        self.made = made
+        self.binnings = binnings
+        self.meta = meta
+        self.columns = columns
+
+    def size_mb(self) -> float:
+        """Param count x 4 bytes (reference train_model.py:256-265)."""
+        return self.made.num_params() * 4 / 1024**2
+
+
+class NaruEstimator:
+    """Fit an AR density model over a table's columns."""
+
+    def __init__(
+        self,
+        columns: list[str],
+        hidden: int = 64,
+        blocks: int = 2,
+        max_model_domain: int = 256,
+        epochs: int = 10,
+        batch_size: int = 1024,
+        lr: float = 5e-3,
+        sample_rows: int | None = 200_000,
+        seed: int = 0,
+        verbose: bool = False,
+    ):
+        self.columns = columns
+        self.hidden = hidden
+        self.blocks = blocks
+        self.max_model_domain = max_model_domain
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.lr = lr
+        self.sample_rows = sample_rows
+        self.seed = seed
+        self.verbose = verbose
+
+    def fit(self, df: DataFrame, meta: TableMeta | None = None, encoder: DictionaryEncoder | None = None) -> NaruModel:
+        t0 = time.time()
+        if encoder is None:
+            encoder = DictionaryEncoder(self.columns).fit(df)
+        if meta is None:
+            meta = encoder.table_meta(df, "table")
+        binnings = {
+            c: ModelBinning(encoder.dictionaries[c], self.max_model_domain) for c in self.columns
+        }
+
+        # Spark side: encode to raw bins, optionally uniform-sample, collect
+        # the [N, D] int32 training matrix (reference TableDataset,
+        # common.py:237-251 — there the full table; here sample-bounded).
+        encoded = encoder.transform(df.select(*self.columns))
+        bin_cols = [f"{c}__bin" for c in self.columns]
+        sel = encoded.select(*bin_cols)
+        if self.sample_rows is not None and meta.cardinality > self.sample_rows:
+            frac = min(1.0, self.sample_rows / meta.cardinality * 1.1)
+            sel = sel.sample(fraction=frac, seed=self.seed)
+        pdf = sel.toPandas()
+        raw = pdf.to_numpy(dtype=np.int64)
+        data = np.stack(
+            [binnings[c].encode(raw[:, i]) for i, c in enumerate(self.columns)], axis=1
+        )
+
+        made = ResMADE(
+            [binnings[c].model_size for c in self.columns],
+            hidden=self.hidden,
+            blocks=self.blocks,
+            seed=self.seed,
+            dtype=np.float32,  # sgemm: ~2x the float64 training throughput
+        )
+        opt = Adam(made, lr=self.lr)
+        rng = np.random.RandomState(self.seed)
+        N = len(data)
+        loss = float("nan")
+        for epoch in range(self.epochs):
+            perm = rng.permutation(N)
+            tot, nb = 0.0, 0
+            for lo in range(0, N, self.batch_size):
+                b = data[perm[lo : lo + self.batch_size]]
+                logits = made.forward(b)
+                loss, dl = made.nll(logits, b)
+                made.zero_grad()
+                made.backward(dl)
+                opt.step()
+                tot += loss
+                nb += 1
+            if self.verbose:
+                bits = tot / nb / np.log(2)
+                print(f"epoch {epoch}: nll {tot/nb:.4f} nats ({bits:.3f} bits/tuple) [{time.time()-t0:.0f}s]")
+        return NaruModel(made, binnings, meta, list(self.columns))
+
+
+def table_bits(df: DataFrame, columns: list[str]) -> float:
+    """Empirical joint entropy in bits (reference Entropy,
+    train_model.py:112-123, 340-343) — one groupBy job."""
+    counts = df.groupBy(*columns).agg(F.count("*").alias("cnt"))
+    total = df.count()
+    row = counts.agg(
+        (-F.sum((F.col("cnt") / total) * F.log2(F.col("cnt") / total))).alias("H")
+    ).collect()[0]
+    return float(row["H"])

@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- exact: one shuffle on the content hash; the window is per-hash-group
+  (tiny partitions), no global sort.
+- n-gram Jaccard: |doc| x |shingle| explode -> self-join on shingle. The
+  join key is the shingle hash; hot shingles are the skew risk — we drop
+  shingles occurring in > max_df docs (stopword-shingles add no signal and
+  quadratic-blowup the join), which is also what large-scale dedup pipelines
+  do in practice.
+- MinHash LSH: signatures via ONE groupBy(doc) with k min-aggregates;
+  banding turns candidate generation into an equi-join on (band, bucket) —
+  shuffle volume is #docs x #bands rows, never #docs^2.
+- SimHash: per-token 32-bit hashes vote per bit; near-dup = same signature
+  in >= 1 of (hamming_k+1) bit-blocks, then exact hamming verify.
+- embedding: brute-force O(n^2) verify for tests; the LSH path (random
+  hyperplanes) is the scale route.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from naru_spark.pipeline.text import tokens_col
+
+# Mersenne prime 2^31-1: modulus for the universal hash family
+# h_i(x) = (a_i * x + b_i) mod p. Parameters and inputs are < 2^31 so the
+# product stays < 2^62 — no long overflow under Spark's ANSI arithmetic
+# (same scheme as MLlib MinHashLSH, which also uses a 32-bit prime).
+_MERSENNE = (1 << 31) - 1
+
+
+# --------------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content (lowest id wins); adds
+    ``dup_group_size``. One shuffle on md5(text)."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_group_size", F.count("*").over(Window.partitionBy("__fp")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+# ----------------------------------------------------------------- shingles
+def shingle_df(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct token n-grams per document."""
+    toks = tokens_col(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over token n-gram sets for all pairs with
+    jaccard >= threshold (a < b). Self-join on shingle; intersection by
+    groupBy pair; |A|,|B| joined back. ``max_df`` drops ubiquitous shingles
+    (skew + noise control at scale)."""
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt")).filter(
+            F.col("df_cnt") > max_df
+        )
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) via ONE aggregation:
+    shingle -> base hash (xxhash64 -> non-negative) -> k universal hashes
+    -> min per doc. No per-row Python; k min-aggregates in one groupBy."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    # base shingle hash reduced mod p so a*base < 2^62 (ANSI-safe)
+    sh = shingle_df(df, id_col, text_col, n)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    hashed = sh.select(
+        "id",
+        *[
+            F.pmod(F.lit(int(a[i])) * base + F.lit(int(b[i])), F.lit(_MERSENNE)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard on the
+    shingle sets. bands=16/rows=4 targets t ~ (1/16)^(1/4) ~ 0.5."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[bi * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 62) -> DataFrame:
+    """(id, simhash bigint): per-token 32-bit hash votes per bit position;
+    bit set iff positive vote sum. explode + one groupBy; bit arithmetic
+    stays JVM-side."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
+    h = F.pmod(F.xxhash64("token"), F.lit(1 << bits)).alias("h")
+    toks = toks.select("id", h)
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 62, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
+    (max_hamming+1)-block banding (pigeonhole: some block must match),
+    verified with exact popcount."""
+    sig = simhash_signatures(df, id_col, text_col, bits).cache()
+    blocks = max_hamming + 1
+    width = bits // blocks
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftright(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.block", "bb.key")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["block", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- embedding
+def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
+    Brute-force O(n^2) — correct baseline; use similarity.lsh_topk's
+    hyperplane bucketing for the scale path."""
+    from naru_spark.pipeline.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,116 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All JVM-side (built-in pyspark.sql.functions — no Python UDFs), so they
+stay inside whole-stage codegen and scale linearly with executors. Counts
+are exact integers; ratios are a single division of two exact integers
+rounded to 6 decimals — bit-reproducible against any engine that computes
+the same integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+# Tokenization: whitespace split of trimmed text (empty -> zero tokens).
+TOKEN_SPLIT_RE = "\\s+"
+
+# Minimal stopword lists for the n-gram/stopword language-ID heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # tie-break order (first wins)
+
+
+def tokens_col(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, TOKEN_SPLIT_RE)
+    )
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    """#tokens that are in `words` (duplicates counted — array_intersect
+    would dedup and change the statistic)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char count, punctuation/digit/space counts, stopword
+    hits, and a quality score in [0,1] (length/punct/stopword heuristics —
+    same family as Gopher/C4-style quality rules)."""
+    toks = tokens_col(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, "\\p{Punct}", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text, " ", ""))
+    sw_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    mean_tok_len = F.when(n_tokens > 0, F.round((n_chars - n_space) / n_tokens, 6)).otherwise(F.lit(0.0))
+    # quality: penalize extreme length, high punct ratio, zero stopwords
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 6)).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, F.round(sw_hits / n_tokens, 6)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_digit", n_digit)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score from exact-integer components, fixed op order."""
+    d = with_text_stats(df, text_col)
+    score = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("mean_token_len").between(2.0, 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return d.withColumn("quality_score", F.round(score, 2))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: score per language = #tokens in that
+    language's stopword list; argmax with fixed tie order (LANG_ORDER,
+    'und' when all zero). Pure JVM expressions."""
+    toks = tokens_col(text_col)
+    scores = {lang: _stopword_hits(toks, LANG_STOPWORDS[lang]) for lang in LANG_ORDER}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # forward order + strict '>' means the FIRST language in LANG_ORDER wins
+    # ties (a later language only replaces with a strictly higher score)
+    for lang in LANG_ORDER:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    out = df.withColumn("lang_pred", best)
+    for lang in LANG_ORDER:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 (cross-engine) and a 64-bit
+    xxhash64 (Spark-native, for shuffle-friendly joins)."""
+    return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
+        "fp_xxh64", F.xxhash64(F.col(text_col))
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Global token frequency (explode -> groupBy): the canonical
+    shuffle-bounded text aggregation; reduce side is |vocab|."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -84,16 +84,14 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        pass
     schema = pq.read_schema(path)
     nanos_cols = [
         name
         for name, typ in zip(schema.names, schema.types)
         if str(typ) == "timestamp[ns]"
     ]
+    if not nanos_cols:
+        return spark.read.parquet(path)
     # Leave the conf set: it is read again at scan execution time, and it
     # only affects how TIMESTAMP(NANOS) columns surface (as long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,156 @@
+"""Model tests: autoregressive property (ports the reference's self-test,
+made.py:710-753), gradient check, binning invariants, end-to-end q-error."""
+
+import numpy as np
+import pytest
+
+from naru_spark.model.made import Adam, ResMADE
+from naru_spark.model.binning import ModelBinning
+from naru_spark.encoding import ColumnDictionary
+
+
+# configs in the spirit of the reference's test matrix (made.py:713-725)
+AR_CONFIGS = [
+    dict(domains=[5, 3, 7, 4], hidden=16, blocks=1),
+    dict(domains=[2, 2, 2], hidden=8, blocks=2),
+    dict(domains=[10, 10], hidden=32, blocks=2),
+    dict(domains=[4, 9, 2, 6, 3], hidden=24, blocks=3),
+]
+
+
+@pytest.mark.parametrize("cfg", AR_CONFIGS)
+def test_autoregressive_property(cfg):
+    """Logits of column i must not depend on inputs of columns >= i."""
+    rng = np.random.RandomState(0)
+    m = ResMADE(seed=1, **cfg)
+    D = len(cfg["domains"])
+    x = np.stack([rng.randint(0, d, size=4) for d in cfg["domains"]], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(D):
+        for _ in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, cfg["domains"][j], size=4)
+            lg = m.forward(x2, grad=False)
+            for i in range(j + 1):
+                lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (
+                    f"col {i} logits depend on col {j}"
+                )
+
+
+def test_gradient_check():
+    rng = np.random.RandomState(3)
+    m = ResMADE([4, 5, 3], hidden=12, blocks=1, seed=2)
+    xb = np.stack([rng.randint(0, d, size=6) for d in [4, 5, 3]], axis=1)
+    logits = m.forward(xb)
+    _, dl = m.nll(logits, xb)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    checked = 0
+    for layer in m.layers():
+        nz = np.argwhere(layer.M if hasattr(layer, "M") else np.ones_like(layer.W))
+        for i, j in nz[:: max(1, len(nz) // 5)][:5]:
+            orig = layer.W[i, j]
+            layer.W[i, j] = orig + eps
+            lp, _ = m.nll(m.forward(xb), xb)
+            layer.W[i, j] = orig - eps
+            lm, _ = m.nll(m.forward(xb), xb)
+            layer.W[i, j] = orig
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - layer.dW[i, j]) < 1e-5, (i, j, num, layer.dW[i, j])
+            checked += 1
+    assert checked >= 10
+
+
+def test_training_reaches_entropy():
+    """NLL should approach the true joint entropy (reference's 'entropy
+    gap' quality gate, train_model.py:232-238)."""
+    rng = np.random.RandomState(0)
+    N = 4000
+    x0 = rng.randint(0, 8, N)
+    x1 = (x0 + rng.binomial(1, 0.1, N)) % 8
+    data = np.stack([x0, x1], axis=1)
+    m = ResMADE([8, 8], hidden=64, blocks=2, seed=3)
+    opt = Adam(m, lr=5e-3)
+    loss = None
+    for _ in range(25):
+        perm = rng.permutation(N)
+        for lo in range(0, N, 512):
+            b = data[perm[lo : lo + 512]]
+            logits = m.forward(b)
+            loss, dl = m.nll(logits, b)
+            m.zero_grad()
+            m.backward(dl)
+            opt.step()
+    true_entropy_nats = (3 + 0.469) * np.log(2)  # H(x0)+H(x1|x0)
+    assert loss < true_entropy_nats * 1.15
+
+
+def test_binning_invariants():
+    d = ColumnDictionary("c", np.arange(1000, dtype=np.int64), has_null=True)
+    b = ModelBinning(d, max_domain=11)
+    assert b.model_size == 11
+    assert b.raw_to_model[0] == 0  # NULL alone in model bin 0
+    assert (b.raw_to_model[1:] >= 1).all()
+    assert b.bin_counts[0] == 1
+    # fractional mask: <= 499 covers exactly half the values
+    mask = b.predicate_mask("<=", 499)
+    assert mask[0] == 0.0  # NULL never matches
+    frac_total = (mask * b.bin_counts).sum() / 1000
+    assert abs(frac_total - 0.5) < 1e-9
+    # equality predicate hits exactly one value's fraction
+    eq = b.predicate_mask("=", 123)
+    assert abs((eq * b.bin_counts).sum() - 1.0) < 1e-9
+
+
+def test_identity_binning_small_domain():
+    d = ColumnDictionary("c", np.array(["a", "b", "c"], dtype=object), has_null=False)
+    b = ModelBinning(d, max_domain=10)
+    assert b.model_size == 3
+    assert (b.raw_to_model == np.arange(3)).all()
+    assert (b.predicate_mask("=", "b") == np.array([0.0, 1.0, 0.0])).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    m = ResMADE([5, 6], hidden=16, blocks=1, seed=4)
+    x = np.array([[1, 2], [3, 4]])
+    before = m.forward(x, grad=False)
+    p = str(tmp_path / "model.npz")
+    m.save(p)
+    m2 = ResMADE.load(p)
+    after = m2.forward(x, grad=False)
+    assert np.allclose(before, after)
+
+
+def test_progressive_sampling_e2e(spark):
+    """Train on sf0.001 lineitem; psample median q-error must beat a
+    loose sanity bound and estimates must be >= 1."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling, SampleFromModel
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.sources.registry import ESTIMATOR_COLUMNS
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ESTIMATOR_COLUMNS["lineitem"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    model = NaruEstimator(
+        cols, hidden=64, blocks=2, max_model_domain=256, epochs=8, lr=5e-3, seed=0
+    ).fit(df, meta, enc)
+
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 12, seed=1234)
+    truths = Oracle(df).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    ests = [ps.query(q) for q in wl]
+    errs = [q_error(e, t) for e, t in zip(ests, truths) if t > 0]
+    assert np.median(errs) <= 3.0
+    assert all(e >= 1 for e in ests)
+
+    sfm = SampleFromModel(model, num_samples=1000, seed=7)
+    errs2 = [q_error(sfm.query(q), t) for q, t in zip(wl, truths) if t > 0]
+    assert np.isfinite(errs2).all()
