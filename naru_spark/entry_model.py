@@ -45,5 +45,79 @@ def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's eval driver (eval_model.py:479-601) end-to-end: every
+    estimator over the seeded workload -> per-estimator q-error quantiles +
+    mean per-query latency (ReportEsts, eval_model.py:258-265). Rows-only
+    gate (timings + stochastic estimators)."""
+    import time
+
+    import numpy as np
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.entry_queries import LINEITEM_COLS, workload
+    from naru_spark.estimators import Const, Heuristic, Oracle, QueryRegionSize, Sampling, q_error
+    from naru_spark.estimators.bayes import BayesNet
+    from naru_spark.estimators.catalyst import CatalystCBO
+    from naru_spark.estimators.histogram import MaxDiffHistogram
+    from naru_spark.estimators.progressive import ProgressiveSampling, SampleFromModel
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+
+    df = load_table(spark, "lineitem", sf_dir, LINEITEM_COLS).cache()
+    enc = DictionaryEncoder(LINEITEM_COLS).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    wl = list(workload())
+    truths = Oracle(df).query_batch(wl)
+
+    # shared encoded sample for the model-based estimators
+    sample_rows = 100_000
+    sel = enc.transform(df.select(*LINEITEM_COLS)).select(
+        *[f"{c}__bin" for c in LINEITEM_COLS]
+    )
+    if meta.cardinality > sample_rows:
+        sel = sel.sample(fraction=min(1.0, sample_rows / meta.cardinality * 1.1), seed=0)
+    data = sel.toPandas().to_numpy(dtype="int64")
+    scale = meta.cardinality / len(data)
+
+    model = NaruEstimator(
+        LINEITEM_COLS, hidden=64, blocks=2, max_model_domain=256, epochs=5, lr=5e-3, seed=0
+    ).fit(df, meta, enc)
+
+    ests = [
+        Heuristic(df, meta),
+        Sampling(df, meta, p=0.0013 * 10),
+        QueryRegionSize(meta),
+        Const(1.0),
+        ProgressiveSampling(model, num_samples=256, seed=7),
+        SampleFromModel(model, num_samples=2000, seed=7),
+        MaxDiffHistogram(data, meta, LINEITEM_COLS, limit=1000, scale=scale),
+        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256, scale=scale),
+        CatalystCBO(spark, f"{sf_dir}/lineitem.parquet", "cbo_lineitem"),
+    ]
+    rows = []
+    for est in ests:
+        t0 = time.time()
+        vals = est.query_batch(wl)
+        ms = (time.time() - t0) * 1e3 / len(wl)
+        errs = [q_error(max(e, 1.0), t) for e, t in zip(vals, truths) if t > 0]
+        rows.append(
+            (
+                est.name,
+                float(np.median(errs)),
+                float(np.quantile(errs, 0.95)),
+                float(np.quantile(errs, 0.99)),
+                float(np.max(errs)),
+                float(ms),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "est string, median double, p95 double, p99 double, max double, mean_ms double"
+    )
+
+
 def build_model_registry():
-    return {"psample_estimates": q_psample_estimates}, {}
+    return {
+        "psample_estimates": q_psample_estimates,
+        "estimator_report": q_estimator_report,
+    }, {}

@@ -15,4 +15,9 @@ __all__ = [
     "Sampling",
     "QueryRegionSize",
     "Const",
+    # heavier estimators live in their own modules to keep import light:
+    # naru_spark.estimators.progressive (ProgressiveSampling, SampleFromModel)
+    # naru_spark.estimators.histogram   (MaxDiffHistogram)
+    # naru_spark.estimators.bayes      (BayesNet)
+    # naru_spark.estimators.catalyst   (CatalystCBO)
 ]

@@ -1,0 +1,66 @@
+"""Catalyst-CBO baseline estimator — the Spark analog of the reference's
+Postgres estimator (estimators.py:619-677), which reads the external
+optimizer's row estimate from EXPLAIN after ANALYZE. Here: register the
+parquet as a catalog table, ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+COLUMNS`` (histogram-less ndv/min/max column stats), enable CBO, and read
+``optimizedPlan().stats().rowCount`` of the filtered plan.
+
+This is also the "surface our estimates to Spark" story in reverse — the
+parity target only requires *reading* the optimizer's estimate, exactly as
+the reference never rewires Postgres either (SURVEY §4 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from naru_spark.estimators.base import CardEst
+from naru_spark.predicates import Query, spark_predicate
+
+
+class CatalystCBO(CardEst):
+    name = "catalyst_cbo"
+
+    def __init__(self, spark: SparkSession, parquet_path: str, table_alias: str = "cbo_tbl"):
+        super().__init__()
+        self.spark = spark
+        self.alias = table_alias
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+        spark.sql(f"DROP TABLE IF EXISTS {table_alias}")
+        spark.sql(f"CREATE TABLE {table_alias} USING parquet LOCATION '{parquet_path}'")
+        spark.sql(f"ANALYZE TABLE {table_alias} COMPUTE STATISTICS FOR ALL COLUMNS")
+        self.df = spark.table(table_alias)
+
+    def query(self, q: Query) -> float:
+        try:
+            return self._row_estimate(q)
+        except Exception:
+            # Spark 4 FilterEstimation throws MatchError on TimestampNTZType
+            # predicates (unsupported in CBO selectivity math). Drop the
+            # timestamp conjuncts and estimate the rest — an over-estimate,
+            # reported as the baseline's best effort.
+            ntz_cols = {
+                f.name for f in self.df.schema.fields if f.dataType.typeName().startswith("timestamp")
+            }
+            kept = [
+                (c, o, v) for c, o, v in zip(q.cols, q.ops, q.vals) if c not in ntz_cols
+            ]
+            if not kept:
+                return float(self.df.count())
+            q2 = Query(q.table, [c for c, _, _ in kept], [o for _, o, _ in kept], [v for _, _, v in kept])
+            try:
+                return self._row_estimate(q2)
+            except Exception:
+                return 1.0
+
+    def _row_estimate(self, q: Query) -> float:
+        plan = self.df.filter(spark_predicate(q))._jdf.queryExecution().optimizedPlan()
+        rc = plan.stats().rowCount()
+        if rc is None or rc.isEmpty():
+            return 1.0
+        return float(str(rc.get()))
+
+    def query_exact(self, q: Query) -> int:
+        """QueryByExec analog (estimators.py:663-677): actually run it."""
+        return self.df.filter(spark_predicate(q)).count()

@@ -1,0 +1,103 @@
+"""MaxDiff histogram, Chow-Liu BN, and Catalyst-CBO baseline estimators."""
+
+import numpy as np
+import pytest
+
+from naru_spark.encoding import DictionaryEncoder
+from naru_spark.estimators import Oracle, q_error
+from naru_spark.estimators.bayes import BayesNet, chow_liu_tree, mutual_information, pairwise_mi_spark
+from naru_spark.estimators.catalyst import CatalystCBO
+from naru_spark.estimators.histogram import MaxDiffHistogram
+from naru_spark.sources import load_table
+from naru_spark.sources.registry import ESTIMATOR_COLUMNS
+from naru_spark.workload import generate_workload
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def lineitem_setup(spark):
+    cols = ESTIMATOR_COLUMNS["lineitem"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    encoded = enc.transform(df).select(*[f"{c}__bin" for c in cols]).toPandas()
+    data = encoded.to_numpy(dtype=np.int64)
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 15, seed=1234)
+    truths = Oracle(df).query_batch(wl)
+    return df, enc, meta, data, cols, wl, truths
+
+
+def test_maxdiff_sanity(lineitem_setup):
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    hist = MaxDiffHistogram(data, meta, cols, limit=500)
+    assert len(hist.partitions) > 1
+    assert hist.size_bytes() > 0
+    errs = [q_error(max(hist.query(q), 1.0), t) for q, t in zip(wl, truths) if t > 0]
+    # histogram on 11 dims is coarse; just require bounded blowup
+    assert np.median(errs) < 100
+
+
+def test_maxdiff_single_column_exact():
+    """1-D maxdiff with enough buckets reproduces exact counts."""
+    from naru_spark.encoding import ColumnDictionary
+    from naru_spark.meta import ColumnMeta, TableMeta
+    from naru_spark.predicates import Query
+
+    rng = np.random.RandomState(0)
+    vals = rng.randint(0, 20, size=2000)
+    d = ColumnDictionary("c", np.arange(20, dtype=np.int64), has_null=False)
+    meta = TableMeta("t", [ColumnMeta("c", "bigint", 20, False)], 2000, {"c": d})
+    hist = MaxDiffHistogram(vals[:, None], meta, ["c"], limit=25)
+    for v in [0, 5, 19]:
+        est = hist.query(Query("t", ["c"], ["="], [int(v)]))
+        true = int((vals == v).sum())
+        assert q_error(max(est, 1), max(true, 1)) < 1.5, (v, est, true)
+
+
+def test_chow_liu_recovers_chain():
+    """x0 -> x1 -> x2 chain: MST must pick edges (0,1), (1,2)."""
+    rng = np.random.RandomState(1)
+    n = 5000
+    x0 = rng.randint(0, 4, n)
+    x1 = (x0 + rng.binomial(1, 0.05, n)) % 4
+    x2 = (x1 + rng.binomial(1, 0.05, n)) % 4
+    xr = rng.randint(0, 4, n)  # independent
+    cols = [x0, x1, x2, xr]
+    D = 4
+    mi = np.zeros((D, D))
+    for i in range(D):
+        for j in range(i + 1, D):
+            joint = np.zeros((4, 4))
+            np.add.at(joint, (cols[i], cols[j]), 1.0)
+            mi[i, j] = mi[j, i] = mutual_information(joint)
+    edges = set(map(tuple, chow_liu_tree(mi)))
+    assert (0, 1) in edges
+    assert (1, 2) in edges
+
+
+def test_pairwise_mi_spark_matches_numpy(spark, lineitem_setup):
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    got = pairwise_mi_spark(df, "l_returnflag", "l_linestatus")
+    i, j = cols.index("l_returnflag"), cols.index("l_linestatus")
+    joint = np.zeros((meta.column("l_returnflag").distribution_size,
+                      meta.column("l_linestatus").distribution_size))
+    np.add.at(joint, (data[:, i], data[:, j]), 1.0)
+    assert abs(got - mutual_information(joint)) < 1e-9
+
+
+def test_bayesnet_sanity(lineitem_setup):
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    bn = BayesNet(data, meta, cols, max_model_domain=128, num_samples=256, seed=0)
+    errs = [q_error(bn.query(q), t) for q, t in zip(wl, truths) if t > 0]
+    assert np.median(errs) < 20
+
+
+def test_catalyst_cbo(spark, lineitem_setup):
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    cbo = CatalystCBO(spark, f"{SF_SMOKE}/lineitem.parquet", "li_cbo_test")
+    ests = [cbo.query(q) for q in wl[:8]]
+    assert all(e >= 0 for e in ests)
+    errs = [q_error(max(e, 1), t) for e, t in zip(ests, truths[:8]) if t > 0]
+    assert np.isfinite(errs).all()
+    # exact path agrees with oracle
+    assert cbo.query_exact(wl[0]) == truths[0]
