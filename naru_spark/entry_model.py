@@ -7,17 +7,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# One trained model per sf_dir per process: psample_estimates and
+# estimator_report share it (training twice per bench run is pure waste).
+_MODEL_CACHE: dict = {}
 
-def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train ResMADE on lineitem at sf_dir, score the seeded workload with
-    ProgressiveSampling, and report per-query (est, true, q_err)."""
+
+def _fitted(spark: SparkSession, sf_dir: str):
     from naru_spark.encoding import DictionaryEncoder
-    from naru_spark.entry_queries import LINEITEM_COLS, workload
-    from naru_spark.estimators import Oracle, q_error
-    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.entry_queries import LINEITEM_COLS
     from naru_spark.model.train import NaruEstimator
     from naru_spark.sources import load_table
 
+    if sf_dir in _MODEL_CACHE:
+        return _MODEL_CACHE[sf_dir]
     df = load_table(spark, "lineitem", sf_dir, LINEITEM_COLS).cache()
     enc = DictionaryEncoder(LINEITEM_COLS).fit(df)
     meta = enc.table_meta(df, "lineitem")
@@ -26,12 +28,24 @@ def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         hidden=64,
         blocks=2,
         max_model_domain=256,
-        epochs=5,
-        lr=5e-3,
+        epochs=4,
+        batch_size=2048,
+        lr=7e-3,
         sample_rows=100_000,
         seed=0,
     ).fit(df, meta, enc)
+    _MODEL_CACHE[sf_dir] = (df, enc, meta, model)
+    return _MODEL_CACHE[sf_dir]
 
+
+def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ResMADE on lineitem at sf_dir, score the seeded workload with
+    ProgressiveSampling, and report per-query (est, true, q_err)."""
+    from naru_spark.entry_queries import workload
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+
+    df, enc, meta, model = _fitted(spark, sf_dir)
     wl = list(workload())
     truths = Oracle(df).query_batch(wl)
     ps = ProgressiveSampling(model, num_samples=256, seed=7)
@@ -54,19 +68,14 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    from naru_spark.encoding import DictionaryEncoder
     from naru_spark.entry_queries import LINEITEM_COLS, workload
     from naru_spark.estimators import Const, Heuristic, Oracle, QueryRegionSize, Sampling, q_error
     from naru_spark.estimators.bayes import BayesNet
     from naru_spark.estimators.catalyst import CatalystCBO
     from naru_spark.estimators.histogram import MaxDiffHistogram
     from naru_spark.estimators.progressive import ProgressiveSampling, SampleFromModel
-    from naru_spark.model.train import NaruEstimator
-    from naru_spark.sources import load_table
 
-    df = load_table(spark, "lineitem", sf_dir, LINEITEM_COLS).cache()
-    enc = DictionaryEncoder(LINEITEM_COLS).fit(df)
-    meta = enc.table_meta(df, "lineitem")
+    df, enc, meta, model = _fitted(spark, sf_dir)
     wl = list(workload())
     truths = Oracle(df).query_batch(wl)
 
@@ -79,10 +88,6 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = sel.sample(fraction=min(1.0, sample_rows / meta.cardinality * 1.1), seed=0)
     data = sel.toPandas().to_numpy(dtype="int64")
     scale = meta.cardinality / len(data)
-
-    model = NaruEstimator(
-        LINEITEM_COLS, hidden=64, blocks=2, max_model_domain=256, epochs=5, lr=5e-3, seed=0
-    ).fit(df, meta, enc)
 
     ests = [
         Heuristic(df, meta),

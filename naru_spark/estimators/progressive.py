@@ -55,9 +55,19 @@ class ProgressiveSampling(CardEst):
         S = self.num_samples
         masks = self._masks(q)
 
-        bits = np.zeros((S, made.n_bits), dtype=made.dtype)
+        made.begin_sampling(S)
+        bits = made.new_input_buffer(S)
         p = np.ones(S, dtype=np.float64)
-        for c in range(made.D):
+        # resolve the variable ordering from the model (reference
+        # estimators.py:370-389) — natural for default models
+        for c in made.order:
+            if masks[c] is None and made.column_masking:
+                # wildcard short-circuit (estimators.py:238-255): the model
+                # was trained with masked inputs, so writing the MASK token
+                # and skipping this column's forward + sampling is sound —
+                # forwards per query = #filtered columns, not #columns.
+                made.write_mask_token(bits, c)
+                continue
             h = made.hidden_nograd(bits)
             lg = made.logits_for_col(c, h)
             mx = lg.max(axis=1, keepdims=True)
@@ -115,6 +125,25 @@ class ProgressiveSampling(CardEst):
         res = idx_df.mapInPandas(score, schema="qid int, est_card double").collect()
         by_id = {r.qid: r.est_card for r in res}
         return [by_id[i] for i in range(len(queries))]
+
+
+class MultiOrderEnsemble(CardEst):
+    """Multi-ordering ensemble (reference estimators.py:409-418 and the
+    multi-order NLL of train_model.py:208-228): average the estimates of K
+    models trained with different autoregressive orderings, each given
+    num_samples/K progressive samples. Orderings decorrelate the sampling
+    error of highly-selective conjunctions."""
+
+    name = "psample_multiorder"
+
+    def __init__(self, models, num_samples: int = 512, seed: int = 0):
+        super().__init__()
+        total = max(1, num_samples // len(models))
+        self.subs = [ProgressiveSampling(m, num_samples=total, seed=seed + i) for i, m in enumerate(models)]
+        self.name = f"psample_{len(models)}orders_{num_samples}"
+
+    def query(self, q: Query) -> float:
+        return float(np.mean([s.query(q) for s in self.subs]))
 
 
 class SampleFromModel(CardEst):

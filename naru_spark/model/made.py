@@ -72,28 +72,47 @@ class ResMADE:
         blocks: int = 2,
         seed: int = 0,
         dtype=np.float64,
+        column_masking: bool = False,
+        order: list[int] | None = None,
     ):
+        """column_masking: reserve one extra 'unobserved' bit per column and
+        train with random input masking (reference's learnable
+        unk_embeddings + wildcard dropout, made.py:186-191, 452-490) — this
+        is what makes inference-time wildcard SKIPPING sound
+        (estimators.py:238-255).
+
+        order: autoregressive ordering — order[k] is the column sampled at
+        step k (reference's multi-order MADE, made.py:277-393; natural by
+        default). Degrees derive from the position in ``order``, so
+        P(x) = prod_k P(x_{order[k]} | x_{order[<k]})."""
         self.domains = list(domains)
         self.D = len(domains)
         self.hidden = hidden
         self.dtype = dtype
+        self.column_masking = column_masking
+        self.order = list(order) if order is not None else list(range(self.D))
+        assert sorted(self.order) == list(range(self.D))
         rng = np.random.RandomState(seed)
 
-        # binary input encoding layout
-        self.col_bits = [max(1, int(np.ceil(np.log2(max(d, 2))))) for d in domains]
+        # binary input encoding layout (+1 mask bit per column if enabled)
+        self.value_bits = [max(1, int(np.ceil(np.log2(max(d, 2))))) for d in domains]
+        self.col_bits = [b + int(column_masking) for b in self.value_bits]
         self.bit_offsets = np.concatenate([[0], np.cumsum(self.col_bits)]).astype(int)
         self.n_bits = int(self.bit_offsets[-1])
         # output logits layout
         self.out_offsets = np.concatenate([[0], np.cumsum(domains)]).astype(int)
         self.n_out = int(self.out_offsets[-1])
 
-        # degrees
+        # degrees: column c sits at position pos[c] in the ordering
+        pos = np.empty(self.D, dtype=np.int64)
+        for k, c in enumerate(self.order):
+            pos[c] = k
         in_deg = np.concatenate(
-            [np.full(self.col_bits[c], c + 1) for c in range(self.D)]
+            [np.full(self.col_bits[c], pos[c] + 1) for c in range(self.D)]
         )
         hid_deg = (np.arange(hidden) % max(self.D - 1, 1)) + 1
         out_deg = np.concatenate(
-            [np.full(domains[c], c + 1) for c in range(self.D)]
+            [np.full(domains[c], pos[c] + 1) for c in range(self.D)]
         )
 
         def mask(din, dout, strict=False):
@@ -110,16 +129,24 @@ class ResMADE:
         self.lin_out = MaskedLinear(hidden, self.n_out, mask(hid_deg, out_deg, strict=True), rng, dtype)
 
     # ------------------------------------------------------------ encoding
-    def encode_bits(self, x_bins: np.ndarray) -> np.ndarray:
+    def encode_bits(self, x_bins: np.ndarray, observed: np.ndarray | None = None) -> np.ndarray:
         """[B, D] int model bins -> [B, n_bits] float binary encoding
-        (reference ToBinaryAsOneHot, made.py:508-593)."""
+        (reference ToBinaryAsOneHot, made.py:508-593). ``observed`` [B, D]
+        bool: False -> zero the value bits and set the column's mask bit
+        (the MASK token of the reference's column-masking scheme)."""
         B = x_bins.shape[0]
         out = np.zeros((B, self.n_bits), dtype=self.dtype)
         for c in range(self.D):
-            bits = self.col_bits[c]
+            vb = self.value_bits[c]
             vals = x_bins[:, c].astype(np.int64)
-            for k in range(bits):
-                out[:, self.bit_offsets[c] + k] = (vals >> k) & 1
+            obs = None if observed is None else observed[:, c]
+            for k in range(vb):
+                bit = ((vals >> k) & 1).astype(self.dtype)
+                if obs is not None:
+                    bit = bit * obs
+                out[:, self.bit_offsets[c] + k] = bit
+            if self.column_masking:
+                out[:, self.bit_offsets[c] + vb] = 0.0 if obs is None else (1.0 - obs)
         return out
 
     # ------------------------------------------------------------- forward
@@ -137,8 +164,8 @@ class ResMADE:
             h = h + b
         return h
 
-    def forward(self, x_bins: np.ndarray, grad: bool = True) -> np.ndarray:
-        bits = self.encode_bits(x_bins)
+    def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
+        bits = self.encode_bits(x_bins, observed)
         self._bits = bits
         h = self._hidden_forward(bits, grad)
         self._h_final = h
@@ -204,12 +231,21 @@ class ResMADE:
     def num_params(self) -> int:
         return sum(l.W.size + l.b.size for l in self.layers())
 
+    def new_input_buffer(self, S: int) -> np.ndarray:
+        """Fresh per-query input buffer for progressive sampling
+        (the reference reuses one buffer zeroed per query,
+        estimators.py:190-197)."""
+        return np.zeros((S, self.n_bits), dtype=self.dtype)
+
+    def begin_sampling(self, S: int):
+        pass  # stateless for MADE; the transformer tracks observed columns
+
     # -------------------------------------------------------- sample (B5)
     def sample(self, n: int, rng: np.random.RandomState) -> np.ndarray:
         """Ancestral sampling of full tuples (reference made.py:696-707)."""
         x = np.zeros((n, self.D), dtype=np.int64)
         bits = np.zeros((n, self.n_bits), dtype=self.dtype)
-        for c in range(self.D):
+        for c in self.order:
             h = self.hidden_nograd(bits)
             lg = self.logits_for_col(c, h)
             m = lg.max(axis=1, keepdims=True)
@@ -223,10 +259,19 @@ class ResMADE:
         return x
 
     def _write_bits(self, bits: np.ndarray, c: int, vals: np.ndarray):
-        off, nb = self.bit_offsets[c], self.col_bits[c]
+        off, nb = self.bit_offsets[c], self.value_bits[c]
         v = vals.astype(np.int64)
         for k in range(nb):
             bits[:, off + k] = (v >> k) & 1
+        if self.column_masking:
+            bits[:, off + nb] = 0.0  # observed
+
+    def write_mask_token(self, bits: np.ndarray, c: int):
+        """Mark column c unobserved (wildcard) in the input buffer."""
+        assert self.column_masking
+        off, nb = self.bit_offsets[c], self.value_bits[c]
+        bits[:, off : off + nb] = 0.0
+        bits[:, off + nb] = 1.0
 
     # ------------------------------------------------------------ save/load
     def save(self, path: str, extra: dict | None = None):
@@ -238,6 +283,8 @@ class ResMADE:
             domains=np.array(self.domains),
             hidden=self.hidden,
             blocks=len(self.blocks),
+            column_masking=self.column_masking,
+            order=np.array(self.order),
         )
         np.savez_compressed(path, **arrays, **meta, **(extra or {}))
 
@@ -248,6 +295,8 @@ class ResMADE:
             domains=list(z["domains"]),
             hidden=int(z["hidden"]),
             blocks=int(z["blocks"]),
+            column_masking=bool(z["column_masking"]) if "column_masking" in z else False,
+            order=list(z["order"]) if "order" in z else None,
         )
         for i, l in enumerate(model.layers()):
             l.W = z[f"W{i}"]

@@ -54,6 +54,9 @@ class NaruEstimator:
         sample_rows: int | None = 200_000,
         seed: int = 0,
         verbose: bool = False,
+        column_masking: bool = True,
+        order: list[int] | None = None,
+        arch: str = "made",  # "made" (ResMADE) | "transformer" (reference MakeTransformer analog)
     ):
         self.columns = columns
         self.hidden = hidden
@@ -65,6 +68,10 @@ class NaruEstimator:
         self.sample_rows = sample_rows
         self.seed = seed
         self.verbose = verbose
+        self.column_masking = column_masking
+        self.order = order
+        assert arch in ("made", "transformer")
+        self.arch = arch
 
     def fit(self, df: DataFrame, meta: TableMeta | None = None, encoder: DictionaryEncoder | None = None) -> NaruModel:
         t0 = time.time()
@@ -91,23 +98,48 @@ class NaruEstimator:
             [binnings[c].encode(raw[:, i]) for i, c in enumerate(self.columns)], axis=1
         )
 
-        made = ResMADE(
-            [binnings[c].model_size for c in self.columns],
-            hidden=self.hidden,
-            blocks=self.blocks,
-            seed=self.seed,
-            dtype=np.float32,  # sgemm: ~2x the float64 training throughput
-        )
-        opt = Adam(made, lr=self.lr)
+        sizes = [binnings[c].model_size for c in self.columns]
+        if self.arch == "transformer":
+            from naru_spark.model.transformer import AdamT, ARTransformer
+
+            made = ARTransformer(
+                sizes,
+                d_model=self.hidden,
+                d_ff=self.hidden * 4,
+                n_heads=4,
+                blocks=self.blocks,
+                seed=self.seed,
+                dtype=np.float32,
+                column_masking=self.column_masking,
+            )
+            opt = AdamT(made, lr=self.lr)
+        else:
+            made = ResMADE(
+                sizes,
+                hidden=self.hidden,
+                blocks=self.blocks,
+                seed=self.seed,
+                dtype=np.float32,  # sgemm: ~2x the float64 training throughput
+                column_masking=self.column_masking,
+                order=self.order,
+            )
+            opt = Adam(made, lr=self.lr)
         rng = np.random.RandomState(self.seed)
         N = len(data)
+        D = len(self.columns)
         loss = float("nan")
         for epoch in range(self.epochs):
             perm = rng.permutation(N)
             tot, nb = 0.0, 0
             for lo in range(0, N, self.batch_size):
                 b = data[perm[lo : lo + self.batch_size]]
-                logits = made.forward(b)
+                observed = None
+                if self.column_masking:
+                    # wildcard dropout (reference made.py:186-191): per batch
+                    # draw a masking rate, then Bernoulli per (row, column)
+                    p_mask = rng.randint(0, D + 1) / D
+                    observed = rng.rand(len(b), D) >= p_mask
+                logits = made.forward(b, observed=observed)
                 loss, dl = made.nll(logits, b)
                 made.zero_grad()
                 made.backward(dl)

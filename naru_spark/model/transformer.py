@@ -1,0 +1,357 @@
+"""Decoder-only autoregressive Transformer density model — pure numpy.
+
+Re-expression of the reference's Transformer (transformer.py:267-598 in
+/root/reference): per-column value embeddings with SOS right-shift input
+(EncodeInput, transformer.py:410-493), pre-LayerNorm blocks of causal
+multi-head self-attention + GeLU MLP (Block, transformer.py:221-264), final
+LayerNorm, and per-column output heads (transformer.py:587-598). The
+natural-order causal mask (transformer.py:48-55) gives the autoregressive
+property: the head of column i reads sequence position i, which attends
+only to positions <= i, i.e. SOS + columns < i.
+
+Forward AND backward are hand-rolled numpy (no torch in this environment);
+matrices are small (d_model 64, seq = #columns) so BLAS keeps training at
+test scale in minutes. GeLU uses the tanh approximation
+(transformer.py:211-218) so its derivative is closed-form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SQRT_2_OVER_PI = np.sqrt(2.0 / np.pi)
+
+
+def gelu(x):
+    inner = _SQRT_2_OVER_PI * (x + 0.044715 * x**3)
+    return 0.5 * x * (1.0 + np.tanh(inner))
+
+
+def gelu_grad(x):
+    inner = _SQRT_2_OVER_PI * (x + 0.044715 * x**3)
+    t = np.tanh(inner)
+    dinner = _SQRT_2_OVER_PI * (1.0 + 3 * 0.044715 * x**2)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t**2) * dinner
+
+
+class Param:
+    __slots__ = ("v", "g")
+
+    def __init__(self, v: np.ndarray):
+        self.v = v
+        self.g = np.zeros_like(v)
+
+
+class Linear:
+    def __init__(self, n_in, n_out, rng, dtype):
+        bound = np.sqrt(6.0 / (n_in + n_out))
+        self.W = Param(rng.uniform(-bound, bound, (n_in, n_out)).astype(dtype))
+        self.b = Param(np.zeros(n_out, dtype=dtype))
+        self._x = None
+
+    def forward(self, x):  # x: [.., n_in]
+        self._x = x
+        return x @ self.W.v + self.b.v
+
+    def backward(self, dy):
+        x2 = self._x.reshape(-1, self._x.shape[-1])
+        dy2 = dy.reshape(-1, dy.shape[-1])
+        self.W.g += x2.T @ dy2
+        self.b.g += dy2.sum(axis=0)
+        return dy @ self.W.v.T
+
+    def params(self):
+        return [self.W, self.b]
+
+
+class LayerNorm:
+    def __init__(self, d, dtype):
+        self.g = Param(np.ones(d, dtype=dtype))
+        self.b = Param(np.zeros(d, dtype=dtype))
+        self.eps = 1e-5
+
+    def forward(self, x):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        self._std = np.sqrt(var + self.eps)
+        self._xhat = (x - mu) / self._std
+        return self._xhat * self.g.v + self.b.v
+
+    def backward(self, dy):
+        xhat, std = self._xhat, self._std
+        self.g.g += (dy * xhat).reshape(-1, dy.shape[-1]).sum(axis=0)
+        self.b.g += dy.reshape(-1, dy.shape[-1]).sum(axis=0)
+        dxhat = dy * self.g.v
+        d = dy.shape[-1]
+        return (
+            dxhat - dxhat.mean(axis=-1, keepdims=True) - xhat * (dxhat * xhat).mean(axis=-1, keepdims=True)
+        ) / std
+
+    def params(self):
+        return [self.g, self.b]
+
+
+class CausalSelfAttention:
+    """MHSA with additive -inf masking of future positions
+    (transformer.py:140-208)."""
+
+    def __init__(self, d_model, n_heads, rng, dtype):
+        assert d_model % n_heads == 0
+        self.h = n_heads
+        self.dk = d_model // n_heads
+        self.q = Linear(d_model, d_model, rng, dtype)
+        self.k = Linear(d_model, d_model, rng, dtype)
+        self.v = Linear(d_model, d_model, rng, dtype)
+        self.o = Linear(d_model, d_model, rng, dtype)
+
+    def _split(self, x):  # [B,T,d] -> [B,h,T,dk]
+        B, T, d = x.shape
+        return x.reshape(B, T, self.h, self.dk).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):  # [B,h,T,dk] -> [B,T,d]
+        B, h, T, dk = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(B, T, h * dk)
+
+    def forward(self, x):
+        B, T, d = x.shape
+        q = self._split(self.q.forward(x))
+        k = self._split(self.k.forward(x))
+        v = self._split(self.v.forward(x))
+        att = q @ k.transpose(0, 1, 3, 2) / np.sqrt(self.dk)  # [B,h,T,T]
+        mask = np.triu(np.ones((T, T), dtype=bool), k=1)
+        att = np.where(mask[None, None], -1e10, att)
+        att = att - att.max(axis=-1, keepdims=True)
+        e = np.exp(att)
+        self._p = e / e.sum(axis=-1, keepdims=True)
+        self._qkv = (q, k, v)
+        out = self._p @ v  # [B,h,T,dk]
+        return self.o.forward(self._merge(out))
+
+    def backward(self, dy):
+        q, k, v = self._qkv
+        p = self._p
+        dmerged = self.o.backward(dy)
+        dout = self._split(dmerged)  # [B,h,T,dk]
+        dp = dout @ v.transpose(0, 1, 3, 2)  # [B,h,T,T]
+        dv = p.transpose(0, 1, 3, 2) @ dout
+        # softmax backward
+        datt = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
+        datt = datt / np.sqrt(self.dk)
+        dq = datt @ k
+        dk_ = datt.transpose(0, 1, 3, 2) @ q
+        dx = self.q.backward(self._merge(dq))
+        dx = dx + self.k.backward(self._merge(dk_))
+        dx = dx + self.v.backward(self._merge(dv))
+        return dx
+
+    def params(self):
+        return self.q.params() + self.k.params() + self.v.params() + self.o.params()
+
+
+class TransformerBlock:
+    """Pre-LN block (transformer.py:221-264): x + attn(LN(x)); x + MLP(LN(x))."""
+
+    def __init__(self, d_model, d_ff, n_heads, rng, dtype):
+        self.ln1 = LayerNorm(d_model, dtype)
+        self.attn = CausalSelfAttention(d_model, n_heads, rng, dtype)
+        self.ln2 = LayerNorm(d_model, dtype)
+        self.f1 = Linear(d_model, d_ff, rng, dtype)
+        self.f2 = Linear(d_ff, d_model, rng, dtype)
+
+    def forward(self, x):
+        a = self.attn.forward(self.ln1.forward(x))
+        x = x + a
+        self._ff_in = self.f1.forward(self.ln2.forward(x))
+        m = self.f2.forward(gelu(self._ff_in))
+        return x + m
+
+    def backward(self, dy):
+        dm = self.f2.backward(dy)
+        dff = dm * gelu_grad(self._ff_in)
+        dx2 = self.ln2.backward(self.f1.backward(dff))
+        dy = dy + dx2
+        da = self.attn.backward(dy)
+        dx1 = self.ln1.backward(da)
+        return dy + dx1
+
+    def params(self):
+        return (
+            self.ln1.params() + self.attn.params() + self.ln2.params() + self.f1.params() + self.f2.params()
+        )
+
+
+class ARTransformer:
+    """Per-column AR factorization over model bins (natural ordering)."""
+
+    def __init__(
+        self,
+        domains: list[int],
+        d_model: int = 64,
+        d_ff: int = 256,
+        n_heads: int = 4,
+        blocks: int = 4,
+        seed: int = 0,
+        dtype=np.float32,
+        column_masking: bool = False,
+    ):
+        self.domains = list(domains)
+        self.D = len(domains)
+        self.d_model = d_model
+        self.dtype = dtype
+        self.column_masking = column_masking
+        self.order = list(range(self.D))  # natural (reference's default mask scheme)
+        rng = np.random.RandomState(seed)
+        # value embeddings per column + SOS + positional + MASK tokens
+        self.emb = [Param((rng.randn(d, d_model) * 0.02).astype(dtype)) for d in domains]
+        self.sos = Param((rng.randn(d_model) * 0.02).astype(dtype))
+        self.pos = Param((rng.randn(self.D, d_model) * 0.02).astype(dtype))
+        self.mask_emb = [Param((rng.randn(d_model) * 0.02).astype(dtype)) for _ in domains]
+        self.blocks = [TransformerBlock(d_model, d_ff, n_heads, rng, dtype) for _ in range(blocks)]
+        self.lnf = LayerNorm(d_model, dtype)
+        self.heads = [Linear(d_model, d, rng, dtype) for d in domains]
+        self.out_offsets = np.concatenate([[0], np.cumsum(domains)]).astype(int)
+        self.n_out = int(self.out_offsets[-1])
+
+    # ---------------------------------------------------------------- io
+    def _embed(self, x_bins: np.ndarray, observed: np.ndarray | None) -> np.ndarray:
+        """SOS right-shift input (transformer.py:410-493): position 0 = SOS;
+        position i>=1 = embedding of column i-1's value (or MASK)."""
+        B = x_bins.shape[0]
+        tok = np.zeros((B, self.D, self.d_model), dtype=self.dtype)
+        tok[:, 0] = self.sos.v
+        for i in range(1, self.D):
+            c = i - 1
+            e = self.emb[c].v[x_bins[:, c]]
+            if observed is not None:
+                obs = observed[:, c].astype(self.dtype)[:, None]
+                e = e * obs + self.mask_emb[c].v[None, :] * (1 - obs)
+            tok[:, i] = e
+        self._x_bins = x_bins
+        self._observed = observed
+        return tok + self.pos.v[None]
+
+    def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
+        h = self._embed(x_bins, observed)
+        for b in self.blocks:
+            h = b.forward(h)
+        h = self.lnf.forward(h)
+        self._h_final = h
+        B = x_bins.shape[0]
+        logits = np.zeros((B, self.n_out), dtype=self.dtype)
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            logits[:, lo:hi] = self.heads[c].forward(h[:, c])
+        return logits
+
+    def nll(self, logits: np.ndarray, x_bins: np.ndarray):
+        """Summed per-column CE (transformer.py:568-585)."""
+        B = x_bins.shape[0]
+        dlogits = np.zeros_like(logits)
+        total = 0.0
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            lg = logits[:, lo:hi].astype(np.float64)
+            m = lg.max(axis=1, keepdims=True)
+            ex = np.exp(lg - m)
+            z = ex.sum(axis=1, keepdims=True)
+            probs = ex / z
+            tgt = x_bins[:, c].astype(np.int64)
+            total += -(lg - m - np.log(z))[np.arange(B), tgt].sum()
+            grad = probs
+            grad[np.arange(B), tgt] -= 1.0
+            dlogits[:, lo:hi] = (grad / B).astype(self.dtype)
+        return total / B, dlogits
+
+    def backward(self, dlogits: np.ndarray):
+        B = dlogits.shape[0]
+        dh = np.zeros_like(self._h_final)
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            dh[:, c] = self.heads[c].backward(dlogits[:, lo:hi])
+        dh = self.lnf.backward(dh)
+        for b in reversed(self.blocks):
+            dh = b.backward(dh)
+        # embeddings
+        self.pos.g += dh.sum(axis=0)
+        self.sos.g += dh[:, 0].sum(axis=0)
+        x_bins, observed = self._x_bins, self._observed
+        for i in range(1, self.D):
+            c = i - 1
+            g = dh[:, i]
+            if observed is not None:
+                obs = observed[:, c].astype(self.dtype)[:, None]
+                np.add.at(self.emb[c].g, x_bins[:, c], g * obs)
+                self.mask_emb[c].g += (g * (1 - obs)).sum(axis=0)
+            else:
+                np.add.at(self.emb[c].g, x_bins[:, c], g)
+
+    # ------------------------------------------------------------ params
+    def params(self):
+        out = self.emb + [self.sos, self.pos] + self.mask_emb
+        for b in self.blocks:
+            out += b.params()
+        out += self.lnf.params()
+        for h in self.heads:
+            out += h.params()
+        return out
+
+    def zero_grad(self):
+        for p in self.params():
+            p.g[:] = 0
+
+    def num_params(self) -> int:
+        return sum(p.v.size for p in self.params())
+
+    # ----------------------------------------- sampling-facing interface
+    # (duck-typed to ResMADE so ProgressiveSampling works unchanged)
+    def new_input_buffer(self, S: int) -> np.ndarray:
+        return np.zeros((S, self.D), dtype=np.int64)
+
+    def hidden_nograd(self, bins_buffer: np.ndarray) -> np.ndarray:
+        x = bins_buffer.astype(np.int64)
+        obs = self._sampling_observed
+        h = self._embed(x, obs)
+        for b in self.blocks:
+            h = b.forward(h)
+        return self.lnf.forward(h)
+
+    def logits_for_col(self, c: int, h: np.ndarray) -> np.ndarray:
+        return self.heads[c].forward(h[:, c])
+
+    def _write_bits(self, buffer: np.ndarray, c: int, vals: np.ndarray):
+        buffer[:, c] = vals
+        if self._sampling_observed is not None:
+            self._sampling_observed[:, c] = True
+
+    def write_mask_token(self, buffer: np.ndarray, c: int):
+        buffer[:, c] = 0
+        self._sampling_observed[:, c] = False
+
+    def begin_sampling(self, S: int):
+        """Reset the per-query observed map (all MASK) before progressive
+        sampling; ProgressiveSampling calls this when present."""
+        self._sampling_observed = (
+            np.zeros((S, self.D), dtype=bool) if self.column_masking else None
+        )
+
+
+class AdamT:
+    def __init__(self, model: ARTransformer, lr: float = 5e-3, betas=(0.9, 0.98), eps: float = 1e-9):
+        # transformer betas per reference train_model.py:375-383
+        self.model = model
+        self.lr = lr
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.t = 0
+        self.m = [np.zeros_like(p.v) for p in model.params()]
+        self.v = [np.zeros_like(p.v) for p in model.params()]
+
+    def step(self):
+        self.t += 1
+        for i, p in enumerate(self.model.params()):
+            g = p.g
+            self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
+            self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * (g * g)
+            mhat = self.m[i] / (1 - self.b1**self.t)
+            vhat = self.v[i] / (1 - self.b2**self.t)
+            p.v -= self.lr * mhat / (np.sqrt(vhat) + self.eps)

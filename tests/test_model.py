@@ -112,6 +112,49 @@ def test_identity_binning_small_domain():
     assert (b.predicate_mask("=", "b") == np.array([0.0, 1.0, 0.0])).all()
 
 
+def test_column_masking_encoding():
+    """MASK token: value bits zeroed, mask bit set; AR property intact."""
+    m = ResMADE([5, 3, 7], hidden=16, blocks=1, seed=0, column_masking=True)
+    x = np.array([[4, 2, 6]])
+    obs = np.array([[True, False, True]])
+    bits = m.encode_bits(x, obs)
+    off, vb = m.bit_offsets[1], m.value_bits[1]
+    assert (bits[0, off : off + vb] == 0).all()  # masked value bits zeroed
+    assert bits[0, off + vb] == 1.0  # mask bit set
+    off0, vb0 = m.bit_offsets[0], m.value_bits[0]
+    assert bits[0, off0 + vb0] == 0.0  # observed column: mask bit clear
+    # AR property with the extra bits
+    base = m.forward(x.copy(), grad=False)
+    x2 = x.copy()
+    x2[0, 2] = 1
+    lg = m.forward(x2, grad=False)
+    # changing the LAST column's input must leave every head unchanged
+    # (no head may see its own column or later ones)
+    for i in range(3):
+        lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+        assert np.allclose(lg[:, lo:hi], base[:, lo:hi])
+
+def test_custom_ordering_ar_property():
+    """AR invariant holds w.r.t. a non-natural ordering: head i may depend
+    on column j only if j precedes i in the ordering."""
+    rng = np.random.RandomState(0)
+    domains = [5, 3, 7, 4]
+    order = [2, 0, 3, 1]
+    m = ResMADE(domains, hidden=32, blocks=2, seed=1, order=order)
+    pos = {c: k for k, c in enumerate(order)}
+    x = np.stack([rng.randint(0, d, 3) for d in domains], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(4):
+        for _ in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, domains[j], 3)
+            lg = m.forward(x2, grad=False)
+            for i in range(4):
+                if pos[j] >= pos[i]:
+                    lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                    assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
+
+
 def test_save_load_roundtrip(tmp_path):
     m = ResMADE([5, 6], hidden=16, blocks=1, seed=4)
     x = np.array([[1, 2], [3, 4]])

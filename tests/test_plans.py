@@ -1,0 +1,90 @@
+"""Physical-plan quality gates: the properties that make these operators
+scale are asserted on the actual Catalyst plans, not assumed.
+
+- filter-count path: every conjunct reaches the parquet scan (PushedFilters)
+- projection: ReadSchema prunes to selected columns only
+- dimension join: broadcast, not shuffle
+- dictionary-encode transform: adds NO Exchange (zero-shuffle claim)
+- batch conditional-aggregation: single scan, partial aggregation present
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from naru_spark.encoding import DictionaryEncoder
+from naru_spark.predicates import Query, spark_predicate
+from naru_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    # a cached table from an earlier test turns the scan into an
+    # InMemoryTableScan, hiding PushedFilters/ReadSchema from the plan
+    spark.catalog.clearCache()
+    yield
+
+
+def plan_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown(spark):
+    df = load_table(spark, "lineitem", SF_SMOKE)
+    q = Query("lineitem", ["l_quantity", "l_returnflag"], ["<=", "="], [25.0, "A"])
+    plan = plan_str(df.filter(spark_predicate(q)))
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_column_pruning(spark):
+    df = load_table(spark, "lineitem", SF_SMOKE, ["l_quantity", "l_returnflag"])
+    plan = plan_str(df.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    m = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert m, plan
+    read_cols = m.group(1)
+    assert "l_quantity" in read_cols and "l_returnflag" in read_cols
+    assert "l_extendedprice" not in read_cols and "l_orderkey" not in read_cols
+
+
+def test_dimension_join_broadcasts(spark):
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = plan_str(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_encode_transform_no_shuffle(spark):
+    df = load_table(spark, "lineitem", SF_SMOKE)
+    enc = DictionaryEncoder(["l_returnflag", "l_linestatus"]).fit(df)
+    encoded = enc.transform(df)
+    plan = plan_str(encoded)
+    # broadcast-dictionary searchsorted path: map-side only, no Exchange
+    assert "Exchange" not in plan, plan
+
+
+def test_batch_counts_single_scan_partial_agg(spark):
+    from naru_spark.entry_queries import workload
+
+    df = load_table(spark, "lineitem", SF_SMOKE)
+    wl = list(workload())[:10]
+    aggs = [
+        F.coalesce(F.sum(F.when(spark_predicate(q), F.lit(1))), F.lit(0)).alias(f"q{i}")
+        for i, q in enumerate(wl)
+    ]
+    plan = plan_str(df.agg(*aggs))
+    # exactly one parquet scan feeding a partial (map-side) aggregate
+    # (formatted explain names each node once in the tree and once in the
+    # detail section -> count the numbered detail headers)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
