@@ -28,7 +28,7 @@ def _fitted(spark: SparkSession, sf_dir: str):
         hidden=64,
         blocks=2,
         max_model_domain=256,
-        epochs=4,
+        epochs=2,
         batch_size=2048,
         lr=7e-3,
         sample_rows=100_000,

@@ -164,14 +164,28 @@ class ResMADE:
             h = h + b
         return h
 
-    def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
-        bits = self.encode_bits(x_bins, observed)
+    def apply_observed(self, bits: np.ndarray, observed: np.ndarray) -> np.ndarray:
+        """Vectorized masking of a PRE-ENCODED bit matrix: zero the value
+        bits of unobserved columns and set their mask bit. Lets the trainer
+        encode the dataset once and mask per batch (the per-batch python
+        bit loop in encode_bits was the training hot spot)."""
+        rep = np.repeat(observed.astype(self.dtype), self.col_bits, axis=1)
+        out = bits * rep
+        if self.column_masking:
+            mask_idx = self.bit_offsets[:-1] + np.asarray(self.value_bits)
+            out[:, mask_idx] = 1.0 - observed
+        return out
+
+    def forward_encoded(self, bits: np.ndarray, grad: bool = True) -> np.ndarray:
         self._bits = bits
         h = self._hidden_forward(bits, grad)
         self._h_final = h
         if grad:
             return self.lin_out.forward(_relu(h))
         return self.lin_out.forward_nograd(_relu(h))
+
+    def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
+        return self.forward_encoded(self.encode_bits(x_bins, observed), grad)
 
     def hidden_nograd(self, bits: np.ndarray) -> np.ndarray:
         return self._hidden_forward(bits, grad=False)

@@ -86,13 +86,15 @@ class NaruEstimator:
         # Spark side: encode to raw bins, optionally uniform-sample, collect
         # the [N, D] int32 training matrix (reference TableDataset,
         # common.py:237-251 — there the full table; here sample-bounded).
-        encoded = encoder.transform(df.select(*self.columns))
-        bin_cols = [f"{c}__bin" for c in self.columns]
-        sel = encoded.select(*bin_cols)
+        src = df.select(*self.columns)
         if self.sample_rows is not None and meta.cardinality > self.sample_rows:
+            # sample BEFORE encoding: the dictionary join/searchsorted then
+            # touches sample_rows rows, not the full table
             frac = min(1.0, self.sample_rows / meta.cardinality * 1.1)
-            sel = sel.sample(fraction=frac, seed=self.seed)
-        pdf = sel.toPandas()
+            src = src.sample(fraction=frac, seed=self.seed)
+        encoded = encoder.transform(src)
+        bin_cols = [f"{c}__bin" for c in self.columns]
+        pdf = encoded.select(*bin_cols).toPandas()
         raw = pdf.to_numpy(dtype=np.int64)
         data = np.stack(
             [binnings[c].encode(raw[:, i]) for i, c in enumerate(self.columns)], axis=1
@@ -128,18 +130,30 @@ class NaruEstimator:
         N = len(data)
         D = len(self.columns)
         loss = float("nan")
+        # encode the whole training matrix ONCE (N x n_bits float32); the
+        # per-batch work is then a row gather + vectorized mask apply
+        pre_bits = None
+        if self.arch == "made":
+            pre_bits = made.encode_bits(data)
         for epoch in range(self.epochs):
             perm = rng.permutation(N)
             tot, nb = 0.0, 0
             for lo in range(0, N, self.batch_size):
-                b = data[perm[lo : lo + self.batch_size]]
+                idx = perm[lo : lo + self.batch_size]
+                b = data[idx]
                 observed = None
                 if self.column_masking:
                     # wildcard dropout (reference made.py:186-191): per batch
                     # draw a masking rate, then Bernoulli per (row, column)
                     p_mask = rng.randint(0, D + 1) / D
                     observed = rng.rand(len(b), D) >= p_mask
-                logits = made.forward(b, observed=observed)
+                if pre_bits is not None:
+                    bits_b = pre_bits[idx]
+                    if observed is not None:
+                        bits_b = made.apply_observed(bits_b, observed)
+                    logits = made.forward_encoded(bits_b)
+                else:
+                    logits = made.forward(b, observed=observed)
                 loss, dl = made.nll(logits, b)
                 made.zero_grad()
                 made.backward(dl)

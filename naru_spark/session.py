@@ -27,7 +27,9 @@ def get_spark(app_name: str = "naru_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so this IS
+        # the executor memory — size it for 32 concurrent tasks + caches
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         # Timestamps in the testdata are naive; keep session in UTC so Spark
         # and DuckDB agree on literal values.
