@@ -102,16 +102,24 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------ minhash
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, num_hashes: int = 64, seed: int = 7
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 7,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) via ONE aggregation:
     shingle -> base hash (xxhash64 -> non-negative) -> k universal hashes
-    -> min per doc. No per-row Python; k min-aggregates in one groupBy."""
+    -> min per doc. No per-row Python; k min-aggregates in one groupBy.
+    ``shingles`` lets callers share one cached (id, shingle) DF with the
+    verify stage instead of re-sharding the corpus."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
     b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
     # base shingle hash reduced mod p so a*base < 2^62 (ANSI-safe)
-    sh = shingle_df(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     hashed = sh.select(
         "id",
@@ -138,7 +146,8 @@ def minhash_lsh_pairs(
     shingle sets. bands=16/rows=4 targets t ~ (1/16)^(1/4) ~ 0.5."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingles=sh)
     banded = sig.select(
         "id",
         F.explode(
@@ -164,8 +173,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only
-    sh = shingle_df(df, id_col, text_col, n).cache()
+    # exact verify on candidates only (reuses the cached shingle DF)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -256,22 +264,34 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------- embedding
+_PAIR_SCHEMA = "id_a long, id_b long, cosine double"
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_broadcast_rows: int = 2_000_000,
+    driver_rows: int = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine >= threshold.
 
     Exact all-pairs, but computed as ONE numpy matmul per corpus batch
     against the broadcast (normalized) corpus matrix — a naive crossJoin +
     per-row cosine expression was measured at 464s for 5k vectors (12.5M
-    interpreted HOF folds on one task); this path is ~2s. The broadcast
-    side is rows x dim floats (2M x 64 ~ 512 MB ceiling); beyond
-    ``max_broadcast_rows`` fall back to hyperplane-LSH bucketing
-    (similarity.lsh_topk's signature machinery) before exact verify."""
+    interpreted HOF folds on one task); the matmul path is ~2s.
+
+    Three regimes by corpus size n:
+    - n <= driver_rows: one driver-side matmul (n^2 x dim flops; 20k x 64
+      ~ 26 GFLOP ceiling). Spinning up 32 Arrow python workers + shipping
+      the broadcast costs ~70s of fixed overhead — measured 71s vs 4s on a
+      2k-vector corpus — so small corpora stay on the driver.
+    - n <= max_broadcast_rows: broadcast the corpus matrix (rows x dim
+      floats; 2M x 64 ~ 512 MB ceiling), batch-matmul per partition via
+      mapInPandas.
+    - beyond: hyperplane-LSH bucketing (similarity.lsh_topk's signature
+      machinery) before exact verify — not implemented here."""
     import pandas as pd
 
     spark = df.sparkSession
@@ -281,6 +301,19 @@ def embedding_dup_pairs(
             "corpus too large to broadcast; bucket with "
             "similarity.signature_udf and verify within buckets"
         )
+
+    if n <= driver_rows:
+        pdf = df.select(id_col, vec_col).toPandas()
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        # dot / (|a| * |b|): same formula shape as the SQL oracle's
+        # cosine; round to 6 decimals before thresholding on both sides
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        out = pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]})
+        return spark.createDataFrame(out, schema=_PAIR_SCHEMA)
+
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -293,14 +326,10 @@ def embedding_dup_pairs(
             bm = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             bnorms = np.linalg.norm(bm, axis=1)
             bids = b[id_col].to_numpy(dtype=np.int64)
-            # dot / (|a| * |b|): same formula shape as the SQL oracle's
-            # cosine; round to 6 decimals before thresholding on both sides
             sims = np.round((bm @ all_mat.T) / (bnorms[:, None] * all_norms[None, :]), 6)
             ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
             yield pd.DataFrame(
                 {"id_a": bids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
             )
 
-    return df.select(id_col, vec_col).repartition(32).mapInPandas(
-        pairs, schema="id_a long, id_b long, cosine double"
-    )
+    return df.select(id_col, vec_col).repartition(32).mapInPandas(pairs, schema=_PAIR_SCHEMA)
