@@ -336,6 +336,102 @@ ORDER BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# B3 Sampling: uniform-sample estimator (SURVEY §2 B3). Rows-only gate:
+# Spark's Bernoulli sampler draws differ from any SQL engine's, so the
+# estimates are checked statistically in tests/test_estimators.py instead.
+# --------------------------------------------------------------------------
+def q_sampling_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.estimators import Sampling
+
+    df = _load(spark, sf_dir, "lineitem").select(*LINEITEM_COLS)
+    meta = TableMeta("lineitem", [], df.count())
+    ests = Sampling(df, meta, p=0.0013 * 10, seed=42).query_batch(list(workload()))
+    return spark.createDataFrame(
+        [(i, float(e)) for i, e in enumerate(ests)], "query_id int, est_card double"
+    )
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference relational coverage: window functions (rank per group)
+# --------------------------------------------------------------------------
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each market segment. The dim-side
+    (customer) is broadcast; the window partitions by segment — 5 groups, so
+    at 100 TB the skew lever is a two-stage top-k (partial top-k per
+    partition, then per-group merge), which AQE's skew handling plus the
+    rank<=3 pushdown approximates here."""
+    from pyspark.sql import Window
+
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+def sql_top_orders_per_segment() -> str:
+    return """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference relational coverage: 3-way join + top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of unshipped BUILDING-segment orders, top 10. Ordering is on
+    the ROUNDED revenue with the unique order key as tiebreak, so the top-10
+    cutoff is engine-independent."""
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").alias("orderdate"), "revenue")
+    )
+
+
+def sql_shipping_priority() -> str:
+    return """
+SELECT l_orderkey, o_orderdate AS orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Events: tumbling-window aggregation (batch form of the streaming op)
 # --------------------------------------------------------------------------
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +473,9 @@ def build_registry():
         "pricing_summary_q1": q_pricing_summary,
         "revenue_by_priority": q_revenue_by_priority,
         "events_hourly": q_events_hourly,
+        "sampling_estimates": q_sampling_estimates,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "shipping_priority_q3": q_shipping_priority,
     }
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
@@ -391,6 +490,8 @@ def build_registry():
         "pricing_summary_q1": sql_pricing_summary(),
         "revenue_by_priority": sql_revenue_by_priority(),
         "events_hourly": sql_events_hourly(),
+        "top_orders_per_segment": sql_top_orders_per_segment(),
+        "shipping_priority_q3": sql_shipping_priority(),
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
     from naru_spark.entry_model import build_model_registry
