@@ -223,6 +223,20 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, bits=16, bands=8)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical k-means cells, n_probe nearest probed). Rows-only
+    gate (k-means isn't SQL-expressible); recall vs brute force asserted in
+    tests/test_pipeline.py (0.86 @ n_probe=16/64 on the uniform-random test
+    embeddings — the worst case for ANN; clustered real corpora do better)."""
+    from naru_spark.pipeline.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=64, n_probe=16)
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the full binary-column path: text -> binary blob ->
@@ -261,6 +275,71 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows (batch form of the streaming
+    operator; Spark session_window)."""
+    from naru_spark.sources import load_table
+    from naru_spark.streaming.events import sessionize
+
+    return sessionize(load_table(spark, "events", sf_dir), gap="30 minutes")
+
+
+def sql_sessionize() -> str:
+    # gap-and-islands replica of Spark session_window: new session when the
+    # gap from the previous event is >= 30 min; session_end = last + gap.
+    return """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (session_window + watermark), driven
+    availableNow — must equal the batch result (same oracle)."""
+    from naru_spark.streaming.events import events_stream, run_stream_to_memory, sessionize
+
+    return run_stream_to_memory(
+        spark, sessionize(events_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours")
+    )
+
+
+def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals; with availableNow's single batch the final update per user equals
+    the batch groupBy aggregate, so it hash-matches a plain SQL oracle."""
+    from naru_spark.streaming.events import events_stream, run_stream_to_memory, user_totals_stateful
+
+    return run_stream_to_memory(
+        spark,
+        user_totals_stateful(events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+
+
+def sql_user_totals() -> str:
+    return """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -275,8 +354,12 @@ def build_pipeline_registry():
         "dedup_embedding": q_embedding_dups,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_lsh,
+        "similarity_topk_ivf": q_similarity_ivf,
         "multimodal_bytes": q_multimodal_bytes,
         "events_hourly_stream": q_events_hourly_stream,
+        "sessionize": q_sessionize,
+        "sessionize_stream": q_sessionize_stream,
+        "user_totals_stateful": q_user_totals_stateful,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -289,6 +372,10 @@ def build_pipeline_registry():
         "similarity_topk": sql_similarity_topk(),
         "multimodal_bytes": sql_multimodal_bytes(),
         "events_hourly_stream": sql_events_hourly_stream(),
-        # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh: rows-only
+        "sessionize": sql_sessionize(),
+        "sessionize_stream": sql_sessionize(),
+        "user_totals_stateful": sql_user_totals(),
+        # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
+        # similarity_topk_ivf: rows-only (hash/k-means internals)
     }
     return queries, oracles

@@ -96,6 +96,107 @@ def signature_udf(spark, planes: list[list[float]]):
     return sig
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    seed: int = 5,
+    sample_rows: int = 50_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means on a driver-collected sample: returns L2-normalized
+    centroids [n_cells, dim]. Deterministic (seeded init, argmax ties ->
+    lowest index). The sample bound keeps the driver footprint constant at
+    any corpus scale; centroid quality depends on rows seen, not corpus
+    size."""
+    pdf = corpus.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(mat))
+    cents = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # re-seed empty cell deterministically
+                cents[c] = mat[rng.randint(len(mat))]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: spherical-k-means cells; each query
+    probes its ``n_probe`` nearest centroids; exact cosine re-rank within
+    probed cells.
+
+    Scale path: cell assignment is one narrow scan (Arrow-batched argmax
+    matmul, centroids broadcast); candidate selection is an equi-join of the
+    corpus against a tiny broadcast (query, cell) probe list — shuffle-free.
+    At 100 TB the corpus would be WRITTEN partitioned by cell id
+    (partitionBy('__cell')), making each probe a partition-pruned read of
+    n_probe/n_cells of the data instead of a full scan."""
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(corpus, vec_col, n_cells, seed)
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        out = np.zeros(len(vecs), dtype=np.int32)
+        if len(vecs):
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cell", cell_of(F.col("__cv")))
+
+    # probe list: tiny (queries x n_probe), computed on the driver
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sims = qmat @ cents.T
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, cents.shape[0])]
+    probe_rows = [
+        (int(qid), int(cell))
+        for qid, row in zip(q_pdf[query_id_col], probes)
+        for cell in row
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, __cell int")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+
+    cand = (
+        corpus_cells.join(F.broadcast(probe_df), "__cell")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", "__cv", "__qv")
+    )
+    scored = cand.withColumn("cosine", cosine_expr("__cv", "__qv")).drop("__cv", "__qv")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -97,7 +97,10 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # integer `div`, NOT float division: nanosecond epochs (~1.7e18)
+        # exceed double's 53-bit mantissa, so a/1000.cast(long) is off by
+        # ±1 microsecond on some rows
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -40,7 +40,9 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         .parquet(stream_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # integer `div` (see sources/registry.py — double division loses
+        # microsecond precision on nanosecond epochs)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 
@@ -54,14 +56,80 @@ def hourly_aggregate_stream(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
-def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str | None = None) -> DataFrame:
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:
+    """Per-user session aggregation with a dynamic-gap session window: a
+    session extends while successive events arrive within ``gap``; window
+    end = last event + gap (Spark ``session_window`` semantics — a new
+    event starts a new session iff its gap from the previous event is
+    >= ``gap``).
+
+    Works identically on a batch DataFrame and a stream (pass ``watermark``
+    for streams to bound session state; late rows beyond it are dropped).
+    Scale: one shuffle on user_id; sessions merge map-side within
+    partitions, and state per user is O(open sessions), not O(events)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals kept in explicit GroupState (the
+    arbitrary-stateful-processing API — for operators whose semantics the
+    built-in windowed aggregations can't express; here the semantics ARE
+    expressible as groupBy totals, which is exactly what makes the operator
+    parity-testable against the batch aggregate).
+
+    State per key is two scalars — O(distinct users) total, partitioned by
+    the groupBy key, so state scales out with executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drive the stream with availableNow (process everything then stop) into
-    a memory sink; return the sink contents as a DataFrame."""
+    a memory sink; return the sink contents as a DataFrame.
+    applyInPandasWithState streams must pass output_mode='update'."""
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -163,6 +163,22 @@ def test_lsh_topk_recall(spark, emb):
     assert len(bf & ls) / len(bf) >= 0.9
 
 
+def test_ivf_topk_recall(spark, emb):
+    from naru_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=10).collect()}
+    iv = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, q, k=10, n_cells=64, n_probe=16).collect()}
+    # uniform-random vectors are ANN's worst case: recall tracks the probed
+    # fraction plus same-cell self-neighbors
+    assert len(bf & iv) / len(bf) >= 0.5
+    # every query finds itself (cosine 1.0, rank 1 — its own cell is probed first)
+    for qid in range(5):
+        assert (qid, qid) in iv
+
+
 # -------------------------------------------------------------- multimodal
 def test_multimodal_plumbing(spark, docs):
     from naru_spark.pipeline.multimodal import attach_fake_blobs, decode_features, frame_sample

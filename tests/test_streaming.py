@@ -23,3 +23,57 @@ def test_stream_equals_batch(spark):
     assert stream_res.count() == batch.count()
     assert stream_res.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream_res).count() == 0
+
+
+def test_sessionize_stream_equals_batch(spark):
+    from naru_spark.streaming.events import sessionize
+
+    batch = sessionize(load_table(spark, "events", SF_SMOKE), gap="30 minutes")
+    stream_res = run_stream_to_memory(
+        spark,
+        sessionize(events_stream(spark, SF_SMOKE), gap="30 minutes", watermark="2 hours"),
+    )
+    assert stream_res.count() == batch.count()
+    assert stream_res.exceptAll(batch).count() == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    """Two bursts 40 min apart -> two sessions; intra-burst 10-min gaps merge."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 1.0),
+        (1, base + dt.timedelta(minutes=50), 1.0),  # 40 min gap -> new session
+        (2, base, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from naru_spark.streaming.events import sessionize
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, base, 2),
+        (1, base + dt.timedelta(minutes=50), 1),
+        (2, base, 1),
+    }
+
+
+def test_stateful_user_totals_equals_batch(spark):
+    from naru_spark.streaming.events import events_stream, user_totals_stateful
+
+    stream_res = run_stream_to_memory(
+        spark,
+        user_totals_stateful(events_stream(spark, SF_SMOKE)),
+        output_mode="update",
+    )
+    batch = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    assert stream_res.count() == batch.count()
+    assert stream_res.exceptAll(batch).count() == 0
