@@ -244,6 +244,16 @@ def sql_value_counts() -> str:
     return "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
 
 
+def q_value_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage groupBy count (map-side salt, then combine).
+    Same result as the plain value counts — the oracle is identical — with
+    the hot-key shuffle split across `salt` reducers."""
+    from naru_spark.sources.bucketing import salted_group_counts
+
+    df = _load(spark, sf_dir, "lineitem")
+    return salted_group_counts(df, "l_returnflag", salt=16)
+
+
 def q_table_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of the joint distribution over three columns
     (reference train_model.py:112-123, 340-343)."""
@@ -469,6 +479,7 @@ def build_registry():
         "encode_shipdate": _q_encode("l_shipdate"),
         "encoded_histogram": q_encoded_histogram,
         "value_counts_returnflag": q_value_counts,
+        "value_counts_salted": q_value_counts_salted,
         "table_entropy": q_table_entropy,
         "pricing_summary_q1": q_pricing_summary,
         "revenue_by_priority": q_revenue_by_priority,
@@ -486,6 +497,7 @@ def build_registry():
         "encode_shipdate": _sql_encode("l_shipdate"),
         "encoded_histogram": sql_encoded_histogram(),
         "value_counts_returnflag": sql_value_counts(),
+        "value_counts_salted": sql_value_counts(),
         "table_entropy": sql_table_entropy(),
         "pricing_summary_q1": sql_pricing_summary(),
         "revenue_by_priority": sql_revenue_by_priority(),

@@ -73,6 +73,54 @@ def test_encode_transform_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Tables bucketed identically on the join key sort-merge-join with no
+    Exchange on either side (the write-once-join-many pattern)."""
+    from naru_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    li = load_table(spark, "lineitem", SF_SMOKE).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_totalprice")
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "t_li_b", "l_orderkey", 8)
+        write_bucketed(orders, "t_ord_b", "o_orderkey", 8)
+        j = read_bucketed(spark, "t_li_b").join(
+            read_bucketed(spark, "t_ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_str(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        # same join unbucketed shuffles both sides
+        p2 = plan_str(li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")))
+        assert "Exchange" in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_salted_group_counts_match_plain(spark):
+    from naru_spark.sources.bucketing import salted_group_counts
+
+    df = load_table(spark, "lineitem", SF_SMOKE)
+    got = {
+        r["l_returnflag"]: r["cnt"]
+        for r in salted_group_counts(df, "l_returnflag", salt=8).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["cnt"]
+        for r in df.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+    # two-stage shape: the plan aggregates on (key, salt) before key
+    # (formatted plans list each node twice — tree + detail — so count the
+    # numbered detail headers)
+    p = plan_str(salted_group_counts(df, "l_returnflag", salt=8))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
 def test_batch_counts_single_scan_partial_agg(spark):
     from naru_spark.entry_queries import workload
 
