@@ -104,6 +104,37 @@ def test_const(workload):
     assert c.query(workload[0]) == 7.0
 
 
+def test_oracle_limit_first_n(spark, lineitem, workload):
+    """Data-shift support (reference estimators.py:514-521): Oracle over the
+    first n rows in a stable order equals a manual count on that prefix."""
+    from pyspark.sql import functions as F
+
+    df, _ = lineitem
+    n = 500
+    # (l_orderkey, l_linenumber) is a total order -> the prefix is stable
+    prefix = df.orderBy("l_orderkey", "l_linenumber").limit(n).cache()
+    q = workload[0]
+    from naru_spark.predicates import spark_predicate
+
+    assert Oracle(prefix).query(q) == prefix.filter(spark_predicate(q)).count()
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """A1/A13: CSV sink then CSV scan through the registry loader returns the
+    same rows (types re-inferred)."""
+    import pandas as pd
+
+    from naru_spark.sources import load_table
+
+    src = load_table(spark, "region", SF_SMOKE)
+    pdf = src.toPandas()
+    sf_dir = str(tmp_path)
+    pdf.to_csv(f"{sf_dir}/region.csv", index=False)
+    back = load_table(spark, "region", sf_dir)
+    assert back.count() == src.count()
+    assert {r["r_name"] for r in back.collect()} == {r["r_name"] for r in src.collect()}
+
+
 def test_q_error_zero_handling():
     assert q_error(0, 0) == 1.0
     assert q_error(5, 0) == 5
