@@ -7,11 +7,13 @@ renormalize, multinomial-sample the next value, write its encoding into the
 input buffer, forward again. Estimate = mean over samples of the product of
 per-column masked sums x cardinality (estimators.py:356-363).
 
-Differences from the reference (documented):
-- natural column ordering only (multi-order ensembles are a later round);
-- no wildcard short-circuit (needs masked-input training, made.py:186-191);
-  wildcard columns are sampled from the unmasked conditional instead —
-  the original semantics, just fewer skipped forwards;
+Reference parity notes:
+- wildcard short-circuit (estimators.py:238-255) is implemented: models
+  trained with column masking (made.py:186-191) write the MASK token for
+  unfiltered columns and skip their forward passes;
+- custom per-model column orderings are honored (``made.order``), and
+  ``MultiOrderEnsemble`` averages estimates across orderings
+  (estimators.py:409-418);
 - domains above ``max_model_domain`` are equal-freq binned with fractional
   boundary masks (see model/binning.py) — the reference's BN estimator does
   the same re-discretization (estimators.py:683-740).
