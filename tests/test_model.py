@@ -38,6 +38,100 @@ def test_autoregressive_property(cfg):
                 )
 
 
+@pytest.mark.parametrize("cfg", AR_CONFIGS[:2])
+def test_transformer_autoregressive_property(cfg):
+    """Port of the reference transformer self-test (transformer.py:601-651):
+    column i's logits must not change when any column >= i's input changes
+    (SOS right-shift means column 0 sees only the SOS token)."""
+    from naru_spark.model.transformer import ARTransformer
+
+    rng = np.random.RandomState(0)
+    m = ARTransformer(cfg["domains"], d_model=16, d_ff=32, n_heads=2, blocks=2, seed=1)
+    D = len(cfg["domains"])
+    x = np.stack([rng.randint(0, d, size=4) for d in cfg["domains"]], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(D):
+        for _ in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, cfg["domains"][j], size=4)
+            lg = m.forward(x2, grad=False)
+            for i in range(j + 1):
+                lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                assert np.allclose(lg[:, lo:hi], base[:, lo:hi], atol=1e-5), (
+                    f"col {i} logits depend on col {j}"
+                )
+
+
+def test_transformer_learns_correlation():
+    """Same convergence gate as ResMADE: a perfectly correlated pair must
+    compress to ~single-column entropy."""
+    from naru_spark.model.transformer import AdamT, ARTransformer
+
+    rng = np.random.RandomState(0)
+    N = 4000
+    a = rng.randint(0, 16, N)
+    data = np.stack([a, a], axis=1).astype(np.int64)
+    m = ARTransformer([16, 16], d_model=32, d_ff=64, n_heads=2, blocks=2, seed=0)
+    opt = AdamT(m, lr=5e-3)
+    bits = None
+    for _ in range(8):
+        perm = rng.permutation(N)
+        tot, nb = 0.0, 0
+        for lo in range(0, N, 512):
+            b = data[perm[lo : lo + 512]]
+            logits = m.forward(b)
+            loss, dl = m.nll(logits, b)
+            m.zero_grad()
+            m.backward(dl)
+            opt.step()
+            tot += loss
+            nb += 1
+        bits = tot / nb / np.log(2)
+    # uniform independent = 8 bits; perfect copy = 4 bits
+    assert bits < 5.0, bits
+
+
+def test_multiorder_ensemble_sane():
+    """K models with different orderings; ensemble estimate within the range
+    spanned by its members and exact on a deterministic table."""
+    from naru_spark.estimators.progressive import MultiOrderEnsemble, ProgressiveSampling
+    from naru_spark.meta import TableMeta
+    from naru_spark.model.binning import ModelBinning
+    from naru_spark.model.made import Adam
+    from naru_spark.model.train import NaruModel
+    from naru_spark.predicates import Query
+
+    rng = np.random.RandomState(0)
+    N = 3000
+    a = rng.randint(0, 8, N)
+    data = np.stack([a, (a + 1) % 8], axis=1).astype(np.int64)
+    models = []
+    for order in ([0, 1], [1, 0]):
+        m = ResMADE([8, 8], hidden=24, blocks=2, seed=0, order=list(order))
+        opt = Adam(m, lr=5e-3)
+        for _ in range(6):
+            perm = rng.permutation(N)
+            for lo in range(0, N, 512):
+                b = data[perm[lo : lo + 512]]
+                logits = m.forward(b)
+                _, dl = m.nll(logits, b)
+                m.zero_grad()
+                m.backward(dl)
+                opt.step()
+        dicts = {
+            c: ColumnDictionary(c, np.arange(8, dtype=np.int64), has_null=False)
+            for c in ("x", "y")
+        }
+        binn = {c: ModelBinning(dicts[c], 8) for c in ("x", "y")}
+        meta = TableMeta("t", [], N)
+        models.append(NaruModel(m, binn, meta, ["x", "y"]))
+    q = Query("t", ["x"], ["="], [3])
+    truth = int((a == 3).sum())
+    ens = MultiOrderEnsemble(models, num_samples=512, seed=1)
+    est = ens.query(q)
+    assert truth / 1.6 <= est <= truth * 1.6, (est, truth)
+
+
 def test_gradient_check():
     rng = np.random.RandomState(3)
     m = ResMADE([4, 5, 3], hidden=12, blocks=1, seed=2)
