@@ -12,6 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 _MODEL_CACHE: dict = {}
 
 
+def _named(est, name: str):
+    est.name = name
+    return est
+
+
 def _fitted(spark: SparkSession, sf_dir: str):
     from naru_spark.encoding import DictionaryEncoder
     from naru_spark.entry_queries import LINEITEM_COLS
@@ -36,6 +41,36 @@ def _fitted(spark: SparkSession, sf_dir: str):
     ).fit(df, meta, enc)
     _MODEL_CACHE[sf_dir] = (df, enc, meta, model)
     return _MODEL_CACHE[sf_dir]
+
+
+def _fitted_variants(spark: SparkSession, sf_dir: str):
+    """Smaller-budget architecture variants for the estimator report:
+    a decoder-only transformer (C7) and a reversed-ordering ResMADE that
+    pairs with the natural-order model in a multi-order ensemble (C9)."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.entry_queries import LINEITEM_COLS
+    from naru_spark.model.train import NaruEstimator
+
+    key = (sf_dir, "variants")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    df, enc, meta, _ = _fitted(spark, sf_dir)
+    common = dict(
+        max_model_domain=256, epochs=2, batch_size=2048, sample_rows=50_000, seed=0
+    )
+    transformer = NaruEstimator(
+        LINEITEM_COLS, hidden=32, blocks=2, lr=3e-3, arch="transformer", **common
+    ).fit(df, meta, enc)
+    reversed_made = NaruEstimator(
+        LINEITEM_COLS,
+        hidden=64,
+        blocks=2,
+        lr=7e-3,
+        order=list(range(len(LINEITEM_COLS)))[::-1],
+        **common,
+    ).fit(df, meta, enc)
+    _MODEL_CACHE[key] = (transformer, reversed_made)
+    return _MODEL_CACHE[key]
 
 
 def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,9 +108,14 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.estimators.bayes import BayesNet
     from naru_spark.estimators.catalyst import CatalystCBO
     from naru_spark.estimators.histogram import MaxDiffHistogram
-    from naru_spark.estimators.progressive import ProgressiveSampling, SampleFromModel
+    from naru_spark.estimators.progressive import (
+        MultiOrderEnsemble,
+        ProgressiveSampling,
+        SampleFromModel,
+    )
 
     df, enc, meta, model = _fitted(spark, sf_dir)
+    transformer, reversed_made = _fitted_variants(spark, sf_dir)
     wl = list(workload())
     truths = Oracle(df).query_batch(wl)
 
@@ -95,6 +135,8 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         QueryRegionSize(meta),
         Const(1.0),
         ProgressiveSampling(model, num_samples=256, seed=7),
+        _named(ProgressiveSampling(transformer, num_samples=128, seed=7), "psample_transformer_128"),
+        MultiOrderEnsemble([model, reversed_made], num_samples=256, seed=7),
         SampleFromModel(model, num_samples=2000, seed=7),
         MaxDiffHistogram(data, meta, LINEITEM_COLS, limit=1000, scale=scale),
         BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256, scale=scale),
