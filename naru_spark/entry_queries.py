@@ -362,6 +362,42 @@ def q_sampling_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SURVEY §4: optimizer-integration side API — plan -> Query IR -> estimator
+# --------------------------------------------------------------------------
+_ADVISOR_FILTERS = [
+    ("l_quantity <= 10 AND l_returnflag = 'A'", None),
+    ("l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'", None),
+    ("l_discount = 0.05 AND l_quantity > 30", None),
+    ("l_tax >= 0.02 AND l_linestatus = 'F' AND l_extendedprice < 50000", None),
+]
+
+
+def q_advisor_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CardinalityAdvisor routed to the exact estimator: each filtered
+    DataFrame's analyzed plan is walked back into the conjunctive Query IR
+    and counted — hash-equality with plain SQL COUNT(*) proves the plan
+    extraction is lossless."""
+    from naru_spark.estimators import Oracle
+    from naru_spark.plans import CardinalityAdvisor
+
+    df = _load(spark, sf_dir, "lineitem")
+    adv = CardinalityAdvisor(Oracle(df), "lineitem")
+    rows = [
+        (i, int(adv.estimate(df.filter(expr))))
+        for i, (expr, _) in enumerate(_ADVISOR_FILTERS)
+    ]
+    return spark.createDataFrame(rows, "filter_id int, est_card bigint")
+
+
+def sql_advisor_estimates() -> str:
+    parts = [
+        f"SELECT {i} AS filter_id, (SELECT COUNT(*) FROM lineitem WHERE {expr}) AS est_card"
+        for i, (expr, _) in enumerate(_ADVISOR_FILTERS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
 # Beyond-reference relational coverage: window functions (rank per group)
 # --------------------------------------------------------------------------
 def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +521,7 @@ def build_registry():
         "revenue_by_priority": q_revenue_by_priority,
         "events_hourly": q_events_hourly,
         "sampling_estimates": q_sampling_estimates,
+        "advisor_estimates": q_advisor_estimates,
         "top_orders_per_segment": q_top_orders_per_segment,
         "shipping_priority_q3": q_shipping_priority,
     }
@@ -502,6 +539,7 @@ def build_registry():
         "pricing_summary_q1": sql_pricing_summary(),
         "revenue_by_priority": sql_revenue_by_priority(),
         "events_hourly": sql_events_hourly(),
+        "advisor_estimates": sql_advisor_estimates(),
         "top_orders_per_segment": sql_top_orders_per_segment(),
         "shipping_priority_q3": sql_shipping_priority(),
     }

@@ -1,0 +1,58 @@
+"""CardinalityAdvisor: filtered-DataFrame plan -> Query IR -> estimate
+(SURVEY §4 optimizer-integration side API)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from naru_spark.estimators import Heuristic, Oracle
+from naru_spark.meta import TableMeta
+from naru_spark.plans import CardinalityAdvisor, extract_query
+from naru_spark.plans.advisor import UnsupportedPlanError
+from naru_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load_table(spark, "lineitem", SF_SMOKE).cache()
+
+
+def test_extract_conjuncts(li):
+    f = li.filter(
+        (F.col("l_quantity") <= 10)
+        & (F.col("l_returnflag") == "A")
+        & (F.col("l_shipdate") >= "1996-01-01")
+    )
+    q = extract_query(f, "lineitem")
+    assert q.cols == ["l_quantity", "l_returnflag", "l_shipdate"]
+    assert q.ops == ["<=", "=", ">="]
+
+
+def test_advisor_oracle_exact(li):
+    adv = CardinalityAdvisor(Oracle(li), "lineitem")
+    f = li.filter((F.col("l_quantity") <= 10) & (F.col("l_returnflag") == "A"))
+    assert adv.estimate(f) == f.count()
+
+
+def test_flipped_operands_and_projection(li):
+    adv = CardinalityAdvisor(Oracle(li), "lineitem")
+    f = li.select("l_quantity", "l_discount").filter(F.lit(5) > F.col("l_quantity"))
+    assert adv.estimate(f) == li.filter(F.col("l_quantity") < 5).count()
+
+
+def test_heuristic_routing(li):
+    meta = TableMeta("lineitem", [], li.count())
+    adv = CardinalityAdvisor(Heuristic(li, meta), "lineitem")
+    f = li.filter(F.col("l_quantity") <= 10)
+    # single-conjunct heuristic == exact selectivity
+    truth = f.count()
+    assert abs(adv.estimate(f) - truth) <= 1
+
+
+def test_unsupported_shapes_rejected(li):
+    with pytest.raises(UnsupportedPlanError):
+        extract_query(li.filter((F.col("l_quantity") < 5) | (F.col("l_tax") > 0.05)))
+    with pytest.raises(UnsupportedPlanError):
+        extract_query(li)  # no filter
+    with pytest.raises(UnsupportedPlanError):
+        extract_query(li.filter(F.col("l_quantity") < F.col("l_linenumber")))
