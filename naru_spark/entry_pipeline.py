@@ -83,6 +83,57 @@ FROM (
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import with_quality_score
+
+    return with_quality_score(_docs(spark, sf_dir)).select("doc_id", "quality_score")
+
+
+def sql_doc_quality() -> str:
+    # replicate with_text_stats' exact-integer components + bucket score
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         length(text) - length(replace(text, ' ', '')) AS n_nonspace_removed
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars > 0 THEN ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN ROUND((n_chars - n_nonspace_removed) / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS mean_token_len
+  FROM s
+)
+SELECT doc_id,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+FROM r
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: one row per 16-byte 'frame'
+    offset of each fake blob (decode stubbed; offsets and batch shape
+    real)."""
+    from naru_spark.pipeline.multimodal import attach_fake_blobs, frame_sample
+
+    return frame_sample(attach_fake_blobs(_docs(spark, sf_dir)), every_n_bytes=16)
+
+
+def sql_frame_sample() -> str:
+    return """
+SELECT doc_id AS blob_id,
+       CAST(u.i AS INT) AS frame_idx,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(u.i * 16 AS INT) AS byte_offset
+FROM documents,
+     UNNEST(range(0, GREATEST(CAST(FLOOR(strlen(text) / 16) AS BIGINT), 1))) AS u(i)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.pipeline.text import with_fingerprint
 
@@ -346,6 +397,8 @@ def build_pipeline_registry():
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "doc_quality": q_doc_quality,
+        "frame_sample": q_frame_sample,
         "token_histogram": q_token_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -365,6 +418,8 @@ def build_pipeline_registry():
         "text_stats": sql_text_stats(),
         "lang_id": sql_lang_id(),
         "doc_fingerprint": sql_fingerprint(),
+        "doc_quality": sql_doc_quality(),
+        "frame_sample": sql_frame_sample(),
         "token_histogram": sql_token_histogram(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
