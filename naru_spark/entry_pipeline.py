@@ -134,6 +134,25 @@ FROM documents,
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under whitespace and BPE-ish-regex tokenizers
+    (the latter approximates LLM token accounting)."""
+    from naru_spark.pipeline.text import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.pipeline.text import with_fingerprint
 
@@ -398,6 +417,7 @@ def build_pipeline_registry():
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "doc_quality": q_doc_quality,
+        "token_counts": q_token_counts,
         "frame_sample": q_frame_sample,
         "token_histogram": q_token_histogram,
         "dedup_exact": q_dedup_exact,
@@ -419,6 +439,7 @@ def build_pipeline_registry():
         "lang_id": sql_lang_id(),
         "doc_fingerprint": sql_fingerprint(),
         "doc_quality": sql_doc_quality(),
+        "token_counts": sql_token_counts(),
         "frame_sample": sql_frame_sample(),
         "token_histogram": sql_token_histogram(),
         "dedup_exact": sql_dedup_exact(),

@@ -114,3 +114,19 @@ def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single non-space
+# symbols — the split a byte-pair tokenizer sees before merges. Counting
+# these approximates LLM token counts far better than whitespace words
+# (punctuation and numbers become their own tokens).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts under both tokenizers: whitespace words
+    and the BPE-ish regex. Pure JVM (regexp_extract_all), no UDFs."""
+    return df.withColumn("n_ws_tokens", F.size(tokens_col(text_col))).withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)),
+    )
