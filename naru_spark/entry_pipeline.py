@@ -134,6 +134,15 @@ FROM documents,
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over fake blobs (rows-only: byte-level checksum isn't
+    cleanly SQL-expressible over UTF-8 text; exactness vs a pure-python
+    reference is asserted in tests/test_pipeline.py)."""
+    from naru_spark.pipeline.multimodal import attach_fake_blobs, resize
+
+    return resize(attach_fake_blobs(_docs(spark, sf_dir)), width=8, height=8)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token counts under whitespace and BPE-ish-regex tokenizers
     (the latter approximates LLM token accounting)."""
@@ -429,6 +438,7 @@ def build_pipeline_registry():
         "similarity_topk_lsh": q_similarity_lsh,
         "similarity_topk_ivf": q_similarity_ivf,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_resize": q_multimodal_resize,
         "events_hourly_stream": q_events_hourly_stream,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,

@@ -88,6 +88,44 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("blob_id", "blob").mapInPandas(extract, schema=out_schema)
 
 
+def resize(df: DataFrame, width: int = 8, height: int = 8, fake: bool = True) -> DataFrame:
+    """Resize plumbing: decode -> resample to (width x height) -> summary.
+
+    Real decode/resample is a clearly-marked stub (no PIL/cv2 in this
+    container); the fake path nearest-neighbor-samples the byte stream to
+    width*height samples — deterministic, so the output (dims + sample
+    checksum) is testable against a pure-python reference. The Spark side
+    (Arrow batches, schema, partition-parallel map) is the real thing."""
+    if not fake:
+        raise NotImplementedError("real image resize requires PIL/cv2; use fake=True")
+
+    out_schema = "blob_id long, width int, height int, checksum bigint"
+    n_samples = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob_id, blob in zip(pdf["blob_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if len(b):
+                    # nearest-neighbor stride over the byte stream
+                    idx = (np.arange(n_samples) * len(b)) // n_samples
+                    checksum = int(b[idx].astype(np.int64).sum())
+                else:
+                    checksum = 0
+                rows.append(
+                    {
+                        "blob_id": int(blob_id),
+                        "width": width,
+                        "height": height,
+                        "checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("blob_id", "blob").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     """'Frame sampling' over the fake byte stream: one row per sampled
     offset — the same explode-by-offset plumbing a real video frame sampler

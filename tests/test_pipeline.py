@@ -180,6 +180,27 @@ def test_ivf_topk_recall(spark, emb):
 
 
 # -------------------------------------------------------------- multimodal
+def test_resize_matches_python_reference(spark, docs):
+    from naru_spark.pipeline.multimodal import attach_fake_blobs, resize
+
+    blobs = attach_fake_blobs(docs)
+    got = {r.blob_id: (r.width, r.height, r.checksum) for r in resize(blobs, 4, 4).collect()}
+    for row in docs.limit(20).collect():
+        b = row.text.encode("utf-8")
+        idx = [(i * len(b)) // 16 for i in range(16)] if b else []
+        want = sum(b[i] for i in idx) if b else 0
+        assert got[row.doc_id] == (4, 4, want)
+
+
+def test_resize_real_path_is_stubbed(spark, docs):
+    import pytest as _pytest
+
+    from naru_spark.pipeline.multimodal import attach_fake_blobs, resize
+
+    with _pytest.raises(NotImplementedError):
+        resize(attach_fake_blobs(docs), fake=False)
+
+
 def test_multimodal_plumbing(spark, docs):
     from naru_spark.pipeline.multimodal import attach_fake_blobs, decode_features, frame_sample
 
