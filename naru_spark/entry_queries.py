@@ -545,10 +545,14 @@ def build_registry():
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
     from naru_spark.entry_model import build_model_registry
+    from naru_spark.entry_ops import build_ops_registry
 
     pq, po = build_pipeline_registry()
     queries.update(pq)
     oracles.update(po)
+    oq, oo = build_ops_registry()
+    queries.update(oq)
+    oracles.update(oo)
     mq, mo = build_model_registry()
     queries.update(mq)
     oracles.update(mo)
