@@ -325,6 +325,140 @@ FROM events GROUP BY event_type
 """
 
 
+# -------------------------------------------------------------- percentiles
+def q_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics) of two
+    lineitem measures — Spark `percentile` and DuckDB `quantile_cont` both
+    use the (p*(n-1)) linear-interpolation definition."""
+    df = _load(spark, sf_dir, "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    aggs = []
+    for c in ["l_quantity", "l_extendedprice"]:
+        for p in probs:
+            tag = str(int(p * 100))
+            aggs.append(
+                F.round(F.expr(f"percentile({c}, {p})"), 4).alias(f"{c}_p{tag}")
+            )
+    return df.agg(*aggs)
+
+
+def sql_quantiles_quantity() -> str:
+    cols = ", ".join(
+        f"ROUND(quantile_cont({c}, {p}), 4) AS {c}_p{int(p*100)}"
+        for c in ["l_quantity", "l_extendedprice"]
+        for p in [0.25, 0.5, 0.75, 0.95]
+    )
+    return f"SELECT {cols} FROM lineitem"
+
+
+# --------------------------------------------- B1 Oracle limit_first_n path
+def q_workload_oracle_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Oracle's data-shift variant (estimators.py:505-536,
+    `limit_first_n`): exact counts over only the first N rows in a stable
+    order. Parquet scan order is not stable across engines/partitionings
+    and (l_orderkey, l_linenumber) is not unique in this synthetic data, so
+    the order is over ALL estimator columns: any tie at the LIMIT boundary
+    is then between fully-identical rows, which are interchangeable for
+    counting — the result is engine-deterministic."""
+    from naru_spark.entry_queries import LINEITEM_COLS, workload
+    from naru_spark.estimators import Oracle
+
+    df = (
+        _load(spark, sf_dir, "lineitem")
+        .select(*LINEITEM_COLS)
+        .orderBy(*[F.col(c).asc_nulls_first() for c in LINEITEM_COLS])
+        .limit(20_000)
+    )
+    cards = Oracle(df).query_batch(list(workload()))
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle_limited() -> str:
+    from naru_spark.entry_queries import LINEITEM_COLS, workload
+    from naru_spark.predicates import sql_predicate
+
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in LINEITEM_COLS)
+    base = f"SELECT * FROM lineitem ORDER BY {order} LIMIT 20000"
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM ({base}) WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------- sinks / sources
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet round-trip: write events partitioned by
+    event_type, read back with a partition filter (directory pruning — plan
+    asserted in tests/test_sinks.py), aggregate."""
+    import tempfile
+
+    from naru_spark.sources.sinks import read_partitioned, write_partitioned
+
+    ev = _load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_part_") + "/events"
+    write_partitioned(ev.select("event_id", "ts", "event_type", "value"), path, ["event_type"])
+    back = read_partitioned(spark, path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+def sql_partitioned_sink() -> str:
+    return """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + explicit-schema source round-trip over documents."""
+    import tempfile
+
+    from naru_spark.sources.sinks import read_jsonl, write_jsonl
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="docs_jsonl_") + "/docs"
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, "doc_id long, lang string, n_chars long")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def sql_jsonl_roundtrip() -> str:
+    return """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------------- streaming dedup
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: the events stream unioned with itself
+    (every row duplicated) must dedup back to exactly the original table."""
+    from naru_spark.streaming.events import (
+        dedup_stream,
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    return run_stream_to_memory(
+        spark,
+        dedup_stream(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+def sql_dedup_stream() -> str:
+    return "SELECT event_id, event_type, value FROM events"
+
+
 # ---------------------------------------------------------------- registry
 def build_ops_registry():
     queries = {
@@ -340,6 +474,11 @@ def build_ops_registry():
         "distinct_counts": q_distinct_counts,
         "approx_distinct_counts": q_approx_distinct_counts,
         "events_json_props": q_events_json_props,
+        "quantiles_quantity": q_quantiles_quantity,
+        "workload_oracle_limited": q_workload_oracle_limited,
+        "partitioned_sink_roundtrip": q_partitioned_sink,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "dedup_stream": q_dedup_stream,
     }
     oracles = {
         "asof_purchase_view": sql_asof_purchase_view(),
@@ -353,6 +492,11 @@ def build_ops_registry():
         "hypertable_daily": sql_hypertable_daily(),
         "distinct_counts": sql_distinct_counts(),
         "events_json_props": sql_events_json_props(),
+        "quantiles_quantity": sql_quantiles_quantity(),
+        "workload_oracle_limited": sql_workload_oracle_limited(),
+        "partitioned_sink_roundtrip": sql_partitioned_sink(),
+        "jsonl_roundtrip": sql_jsonl_roundtrip(),
+        "dedup_stream": sql_dedup_stream(),
         # approx_distinct_counts: rows-only (HLL sketch internals)
     }
     return queries, oracles

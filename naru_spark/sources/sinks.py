@@ -1,0 +1,47 @@
+"""Sinks and round-trippable source formats beyond the plain parquet scan.
+
+- ``write_partitioned`` / ``read_partitioned``: hive-style directory
+  partitioning. THE physical-layout lever at 100 TB: a filter on the
+  partition column becomes directory pruning (plan shows ``PartitionFilters``
+  and touches only matching files) — asserted in
+  tests/test_sinks.py::test_partition_pruning.
+- ``write_jsonl`` / ``read_jsonl``: JSON-lines interchange with an explicit
+  schema on read (schema inference is a full extra pass — never at scale).
+- CSV round-trip lives in sources/registry.py (load_table CSV fallback).
+
+The reference's only sink is a results CSV (eval_model.py:450-464 —
+SaveEstimators); these generalize that surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet hive-partitioned by ``partition_cols`` (low-cardinality
+    columns only — each distinct combination is a directory)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a hive-partitioned parquet tree; partition columns come back as
+    regular columns and filters on them prune directories, not rows."""
+    return spark.read.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema (no inference pass)."""
+    return spark.read.schema(schema).json(path)

@@ -116,6 +116,22 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each seen key only until the
+    event-time watermark passes it, so state is O(keys per watermark
+    horizon) instead of O(all keys ever) — the only viable exact-dedup shape
+    on an unbounded stream. Parity gate: the input is the events stream
+    unioned with itself (every row duplicated), and the deduped output must
+    equal the original table exactly."""
+    doubled = events.unionAll(events)
+    return (
+        doubled.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

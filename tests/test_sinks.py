@@ -1,0 +1,66 @@
+"""Tests for sources/sinks.py (partitioned parquet, JSON lines) and the
+streaming dedup operator."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from naru_spark.sources import load_table
+from naru_spark.sources.sinks import (
+    read_jsonl,
+    read_partitioned,
+    write_jsonl,
+    write_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_partition_pruning(spark):
+    """A filter on the partition column must prune at the DIRECTORY level:
+    the scan's PartitionFilters carries it and only matching partitions'
+    files are read."""
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "ts", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="part_test_") + "/events"
+    write_partitioned(ev, path, ["event_type"])
+
+    back = read_partitioned(spark, path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    # correctness of the round trip
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click
+
+
+def test_partitioned_roundtrip_complete(spark):
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "event_type", "ts", "value")
+    path = tempfile.mkdtemp(prefix="part_test_") + "/events"
+    write_partitioned(ev, path, ["event_type"])
+    back = read_partitioned(spark, path)
+    assert back.count() == ev.count()
+    a = {r["event_type"]: r["count"] for r in back.groupBy("event_type").count().collect()}
+    b = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert a == b
+
+
+def test_jsonl_roundtrip_exact(spark):
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="jsonl_test_") + "/docs"
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, "doc_id long, lang string, n_chars long")
+    orig = {tuple(r) for r in docs.collect()}
+    rt = {tuple(r) for r in back.collect()}
+    assert rt == orig
+
+
+def test_dedup_stream_restores_original(spark):
+    """Self-unioned (fully duplicated) stream deduped by event_id must equal
+    the original batch table exactly."""
+    from naru_spark.streaming.events import dedup_stream, events_stream, run_stream_to_memory
+
+    out = run_stream_to_memory(
+        spark, dedup_stream(events_stream(spark, SF_SMOKE)), output_mode="append"
+    )
+    ev = load_table(spark, "events", SF_SMOKE)
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in ev.select("event_id", "event_type", "value").collect()}
+    assert got == want
