@@ -162,6 +162,58 @@ FROM documents
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats (zero-shuffle in-row array fold)."""
+    from naru_spark.pipeline.text import with_repetition_stats
+
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    return with_repetition_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_cnt",
+        "top_token_ratio",
+        "distinct_ratio",
+    )
+
+
+def sql_doc_repetition() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct_tokens, CAST(MAX(cnt) AS BIGINT) AS top_token_cnt
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, top_token_cnt,
+       ROUND(top_token_cnt / CAST(n_tokens AS DOUBLE), 6) AS top_token_ratio,
+       ROUND(n_distinct_tokens / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio
+FROM s
+"""
+
+
+def q_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token document frequency + IDF (the IDF half of TF-IDF)."""
+    from naru_spark.pipeline.text import token_idf
+
+    return token_idf(_docs(spark, sf_dir))
+
+
+def sql_token_idf() -> str:
+    return f"""
+SELECT token, COUNT(*) AS df,
+       ROUND(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / COUNT(*)), 6) AS idf
+FROM (
+  SELECT doc_id, UNNEST(list_distinct({_SQL_TOKS})) AS token
+  FROM documents WHERE length(trim(text)) > 0
+) GROUP BY token
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.pipeline.text import with_fingerprint
 
@@ -183,6 +235,52 @@ def sql_token_histogram() -> str:
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT UNNEST({_SQL_TOKS}) AS token FROM documents WHERE length(trim(text)) > 0)
 GROUP BY token
+"""
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix (docs, tokens, token share) — the bookkeeping a
+    training-data pipeline does before choosing sampling weights."""
+    from naru_spark.pipeline.text import tokens_col
+
+    docs = _docs(spark, sf_dir).withColumn("n_toks", F.size(tokens_col("text")))
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    total = docs.agg(F.sum("n_toks")).collect()[0][0]
+    return per.withColumn(
+        "token_share", F.round(F.col("n_tokens") / F.lit(float(total)), 6)
+    )
+
+
+def sql_source_mix() -> str:
+    toks = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END"
+    return f"""
+WITH d AS (SELECT source, {toks} AS n_toks FROM documents)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_toks) / CAST((SELECT SUM(n_toks) FROM d) AS DOUBLE), 6) AS token_share
+FROM d GROUP BY source
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of the embedding column, folded in-row in array order on
+    both engines (double accumulation; bit-stable for identical fold
+    order)."""
+    emb = _emb(spark, sf_dir)
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select("vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm"))
+
+
+def sql_embedding_norms() -> str:
+    return """
+SELECT vec_id,
+       ROUND(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+FROM embeddings
 """
 
 
@@ -232,6 +330,31 @@ FROM inter i
 JOIN sizes sa ON i.id_a = sa.id
 JOIN sizes sb ON i.id_b = sb.id
 WHERE ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dup GROUPS: iterative min-label connected
+    components over the exact n-gram-Jaccard pair graph. Component id =
+    min doc_id in the group (the canonical survivor)."""
+    from naru_spark.pipeline.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+def sql_dedup_components() -> str:
+    # transitive closure via recursive CTE: component = min reachable id
+    # (the pairs CTE body nests sql_ngram_jaccard's own WITH — valid SQL)
+    return f"""
+WITH RECURSIVE pairs AS ({sql_ngram_jaccard()}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
 """
 
 
@@ -429,8 +552,13 @@ def build_pipeline_registry():
         "token_counts": q_token_counts,
         "frame_sample": q_frame_sample,
         "token_histogram": q_token_histogram,
+        "doc_repetition": q_doc_repetition,
+        "token_idf": q_token_idf,
+        "source_mix": q_source_mix,
+        "embedding_norms": q_embedding_norms,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_minhash_pairs,
         "dedup_simhash": q_simhash_pairs,
         "dedup_embedding": q_embedding_dups,
@@ -452,8 +580,13 @@ def build_pipeline_registry():
         "token_counts": sql_token_counts(),
         "frame_sample": sql_frame_sample(),
         "token_histogram": sql_token_histogram(),
+        "doc_repetition": sql_doc_repetition(),
+        "token_idf": sql_token_idf(),
+        "source_mix": sql_source_mix(),
+        "embedding_norms": sql_embedding_norms(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "dedup_components": sql_dedup_components(),
         "dedup_embedding": sql_embedding_dups(),
         "similarity_topk": sql_similarity_topk(),
         "multimodal_bytes": sql_multimodal_bytes(),

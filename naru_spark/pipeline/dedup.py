@@ -333,3 +333,52 @@ def embedding_dup_pairs(
             )
 
     return df.select(id_col, vec_col).repartition(32).mapInPandas(pairs, schema=_PAIR_SCHEMA)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step that
+    turns near-dup PAIRS into dup GROUPS (transitive closure: if A~B and
+    B~C, {A,B,C} is one group and one representative survives).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min label over itself and its neighbors; stop when no
+    label changes. Each round is one shuffled join + one groupBy — both on
+    the node key — and converges in O(component diameter) rounds (LSH dup
+    graphs are near-cliques, so 2-3 rounds in practice; `max_iter` bounds
+    adversarial chains). Results are checkpointed per round to cut the
+    exponentially-growing lineage.
+
+    Returns (id, component) with component = min node id in the component.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u")).cache()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
+            .select(F.col("u"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionAll(nbr_min)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))

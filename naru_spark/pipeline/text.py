@@ -130,3 +130,58 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)),
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition statistics, computed entirely
+    inside the row (sort the token array, fold it once) — ZERO shuffle and
+    no explode blow-up, vs. the naive explode->groupBy->window shape that
+    shuffles every token.
+
+    Adds: n_tokens, n_distinct_tokens, top_token_cnt (count of the most
+    frequent token; fold over the sorted array tracks the longest equal-run),
+    top_token_ratio / distinct_ratio (6-decimal ratios of exact ints)."""
+    toks = F.array_sort(tokens_col(text_col))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(run, acc["best"]).alias("best")
+        )
+
+    out = (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("top_token_cnt", F.aggregate(toks, acc0, step, lambda a: a["best"]))
+    )
+    return out.withColumn(
+        "top_token_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("top_token_cnt") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "distinct_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def token_idf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document frequency + smoothed IDF per token (the IDF half of TF-IDF;
+    the TF half is token_histogram). One shuffle on token after a per-row
+    array_distinct — shuffle volume is distinct tokens per doc, not tokens."""
+    n_docs = df.count()
+    return (
+        df.select(F.explode(F.array_distinct(tokens_col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )

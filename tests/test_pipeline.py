@@ -220,3 +220,54 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
 
     with pytest.raises(NotImplementedError):
         decode_features(attach_fake_blobs(docs), fake=False)
+
+
+def test_repetition_stats_edges(spark):
+    """Fold correctness on hand-checked cases incl. all-same, all-distinct,
+    and empty text."""
+    from naru_spark.pipeline.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # all same
+            (2, "x y z"),              # all distinct
+            (3, "b a b a b"),          # mode b=3 (non-adjacent in raw order)
+            (4, "   "),                # empty after trim
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert (rows[1]["n_tokens"], rows[1]["n_distinct_tokens"], rows[1]["top_token_cnt"]) == (4, 1, 4)
+    assert rows[1]["top_token_ratio"] == 1.0
+    assert (rows[2]["n_tokens"], rows[2]["n_distinct_tokens"], rows[2]["top_token_cnt"]) == (3, 3, 1)
+    assert (rows[3]["n_tokens"], rows[3]["top_token_cnt"]) == (5, 3)
+    assert (rows[4]["n_tokens"], rows[4]["top_token_cnt"]) == (0, 0)
+    # zero shuffle: the whole computation is row-local
+    plan = with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_idf_matches_manual(spark):
+    from math import log
+
+    from naru_spark.pipeline.text import token_idf
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d")], "doc_id long, text string"
+    )
+    rows = {r["token"]: r for r in token_idf(df).collect()}
+    assert rows["a"]["df"] == 2 and rows["b"]["df"] == 1
+    assert abs(rows["a"]["idf"] - round(log(3 / 2), 6)) < 1e-9
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 (transitive closure needs >1 round), pair {10,11},
+    isolated-by-absence nodes not in edges."""
+    from naru_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
