@@ -522,6 +522,34 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (two-sided watermarked state): views in
+    the hour before each purchase, per user. availableNow parity with the
+    batch non-equi join oracle."""
+    from naru_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    views = events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    joined = stream_stream_interval_join(purchases, views, lookback="1 hour")
+    return run_stream_to_memory(spark, joined, output_mode="append")
+
+
+def sql_stream_stream_join() -> str:
+    return """
+SELECT p.event_id AS l_id, v.event_id AS r_id, p.user_id AS l_key,
+       v.ts AS r_ts, v.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts < p.ts
+"""
+
+
 def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     totals; with availableNow's single batch the final update per user equals
@@ -570,6 +598,7 @@ def build_pipeline_registry():
         "events_hourly_stream": q_events_hourly_stream,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
+        "stream_stream_join": q_stream_stream_join,
         "user_totals_stateful": q_user_totals_stateful,
     }
     oracles = {
@@ -593,6 +622,7 @@ def build_pipeline_registry():
         "events_hourly_stream": sql_events_hourly_stream(),
         "sessionize": sql_sessionize(),
         "sessionize_stream": sql_sessionize(),
+        "stream_stream_join": sql_stream_stream_join(),
         "user_totals_stateful": sql_user_totals(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)

@@ -132,6 +132,42 @@ def dedup_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "1 hour",
+    left_wm: str = "2 hours",
+    right_wm: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right events within ``lookback`` BEFORE
+    each left event (same ``key``). Both sides carry event-time watermarks
+    plus the time-range join condition — exactly what lets Spark bound the
+    two-sided join state: a buffered right row can be dropped once the left
+    watermark passes its ts + lookback. Without the range condition the
+    state would grow forever.
+
+    Columns are prefixed l_/r_ (two readers of the same source must not
+    collide)."""
+    l = left.select(
+        F.col("event_id").alias("l_id"),
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", left_wm)
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", right_wm)
+    cond = (
+        (l["l_key"] == r["r_key"])
+        & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lookback}"))
+        & (r["r_ts"] < l["l_ts"])
+    )
+    return l.join(r, cond, "inner").select("l_id", "r_id", "l_key", "r_ts", "r_value")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

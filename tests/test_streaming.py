@@ -77,3 +77,41 @@ def test_stateful_user_totals_equals_batch(spark):
     )
     assert stream_res.count() == batch.count()
     assert stream_res.exceptAll(batch).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Two-sided watermarked interval join == batch non-equi join."""
+    from pyspark.sql import functions as F
+
+    from naru_spark.sources import load_table
+    from naru_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    purchases = events_stream(spark, SF_SMOKE).filter(F.col("event_type") == "purchase")
+    views = events_stream(spark, SF_SMOKE).filter(F.col("event_type") == "view")
+    out = run_stream_to_memory(
+        spark,
+        stream_stream_interval_join(purchases, views, lookback="1 hour"),
+        output_mode="append",
+    )
+    ev = load_table(spark, "events", SF_SMOKE)
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_value"),
+    )
+    batch = p.join(
+        v,
+        (p.l_key == v.r_key)
+        & (v.r_ts >= p.l_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.r_ts < p.l_ts),
+    ).select("l_id", "r_id", "l_key", "r_ts", "r_value")
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
