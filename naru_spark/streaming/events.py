@@ -173,17 +173,33 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     name: str | None = None,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive the stream with availableNow (process everything then stop) into
     a memory sink; return the sink contents as a DataFrame.
-    applyInPandasWithState streams must pass output_mode='update'."""
+    applyInPandasWithState streams must pass output_mode='update'.
+
+    ``shuffle_partitions`` pins the stateful-operator partition count for this
+    query (a streaming query's state-store count is fixed at first start from
+    ``spark.sql.shuffle.partitions`` and persists in the checkpoint — it must
+    be sized to expected STATE volume, not the batch-shuffle default; each
+    state store carries fixed per-micro-batch overhead, so overshooting
+    multiplies latency). Pass None to inherit the session setting."""
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, saved)
     return spark.sql(f"SELECT * FROM {name}")
