@@ -570,6 +570,111 @@ FROM events GROUP BY user_id
 """
 
 
+# ----------------------------------------------------------------- curation
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token 3-gram
+    with the eval set (doc_id % 50 == 0). Eval shingles broadcast; train
+    side never shuffles."""
+    from naru_spark.pipeline.curation import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), "doc_id", eval_mod=50, n=3)
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT tr.id AS doc_id,
+       COUNT(DISTINCT tr.shingle) AS n_shared_shingles,
+       COUNT(DISTINCT ev.id) AS n_eval_docs
+FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+WHERE tr.id % 50 <> 0 AND ev.id % 50 = 0
+GROUP BY tr.id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing manifest: concat-and-chunk the per-source
+    token stream into 512-token packs; per (source, pack) doc count, token
+    sum, and doc-id span."""
+    from naru_spark.pipeline.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
+def sql_pack_sequences() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n_toks
+  FROM documents
+), cum AS (
+  SELECT source, doc_id, n_toks,
+         CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_toks)
+                    / 512.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cum GROUP BY source, pack_id
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain: quality >= 0.7 AND lang 'en' -> exact
+    dedup (keep lowest doc_id per identical text) -> per-source manifest."""
+    from naru_spark.pipeline.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir), min_quality=0.7, lang="en")
+
+
+def sql_corpus_curation() -> str:
+    s = {lang: _sql_stopword_hits(lang) for lang in LANG_ORDER}
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         length(text) - length(replace(text, ' ', '')) AS n_nonspace_removed,
+         {s['en']} AS s_en, {s['de']} AS s_de, {s['fr']} AS s_fr, {s['es']} AS s_es
+  FROM documents
+), r AS (
+  SELECT doc_id, text, source,
+         ROUND(
+           (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN n_chars > 0 AND ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) <= 0.2
+                 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN n_tokens > 0
+                  AND ROUND((n_chars - n_nonspace_removed) / CAST(n_tokens AS DOUBLE), 6)
+                      BETWEEN 2.0 AND 12.0
+                 THEN 0.3 ELSE 0.0 END), 2) AS quality_score,
+         CASE
+           WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+           WHEN s_es > 0 THEN 'es'
+           ELSE 'und'
+         END AS lang_pred
+  FROM s
+), kept AS (
+  SELECT doc_id, text, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM r WHERE quality_score >= 0.7 AND lang_pred = 'en'
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_tokens
+FROM kept WHERE rn = 1 GROUP BY source
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -600,6 +705,9 @@ def build_pipeline_registry():
         "sessionize_stream": q_sessionize_stream,
         "stream_stream_join": q_stream_stream_join,
         "user_totals_stateful": q_user_totals_stateful,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "corpus_curation": q_corpus_curation,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -624,6 +732,9 @@ def build_pipeline_registry():
         "sessionize_stream": sql_sessionize(),
         "stream_stream_join": sql_stream_stream_join(),
         "user_totals_stateful": sql_user_totals(),
+        "decontaminate": sql_decontaminate(),
+        "pack_sequences": sql_pack_sequences(),
+        "corpus_curation": sql_corpus_curation(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

@@ -1,0 +1,142 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination, sequence packing, and an end-to-end curation chain.
+
+Beyond-reference extensions (the reference, naru-project/naru, has no text
+pipeline — see SURVEY.md §2 north-star set). All three are pure DataFrame
+compositions — no UDFs, fully inside whole-stage codegen.
+
+Scale notes:
+- Decontamination joins the (small) eval-set shingles against the (huge)
+  training-side shingles; the eval side is explicitly broadcast so the train
+  side never shuffles — the standard shape when the benchmark suite is MBs
+  and the corpus is TBs.
+- Sequence packing needs a running token total, i.e. an ordered window. A
+  single global window would serialize on one partition at 100 TB, so packing
+  is done PER SOURCE SHARD (window partitioned by `source`) — exactly how
+  production packers shard the problem; each shard's packs are independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from naru_spark.pipeline.dedup import shingle_df
+from naru_spark.pipeline.text import tokens_col
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_mod: int = 50,
+    n: int = 3,
+) -> DataFrame:
+    """Flag training documents that share any token n-gram with the eval
+    set (docs where ``id % eval_mod == 0`` — a deterministic stand-in for a
+    held-out benchmark suite).
+
+    Returns one row per CONTAMINATED training doc:
+    (doc_id, n_shared_shingles, n_eval_docs) — distinct overlapping
+    shingles and distinct eval docs hit. Train docs with no overlap are
+    absent (the clean set is the anti-join, trivially derivable).
+    """
+    sh = shingle_df(df, id_col, text_col, n)  # (id, shingle), distinct
+    eval_sh = (
+        sh.filter(F.col("id") % eval_mod == 0)
+        .select(F.col("id").alias("eval_id"), "shingle")
+    )
+    train_sh = sh.filter(F.col("id") % eval_mod != 0)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .select(F.col("id").alias(id_col), "n_shared_shingles", "n_eval_docs")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    seq_len: int = 512,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``id_col`` order
+    within each shard, split the token stream into fixed ``seq_len`` chunks,
+    and assign each document to the pack where it STARTS
+    (``pack_id = floor(tokens_before_doc / seq_len)``; docs may spill over
+    pack boundaries, as in real concat-and-chunk packing).
+
+    Returns per (shard, pack): docs starting there, their token sum, and the
+    doc-id span — the manifest a training loader reads.
+    """
+    toks = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(text_col)).alias("n_toks"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id", F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / seq_len)
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("id").alias("first_doc"),
+            F.max("id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard").alias(shard_col),
+            "pack_id",
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.7,
+    lang: str = "en",
+) -> DataFrame:
+    """End-to-end curation chain: quality filter -> language filter ->
+    exact dedup (keep lowest id per identical text) -> per-source manifest
+    (surviving docs + BPE-ish token sum).
+
+    One pipeline, three of the standard curation stages composed — filters
+    are plain predicates (pushed down to the scan), dedup is one shuffle on
+    the text hash, the manifest one shuffle on source.
+    """
+    from naru_spark.pipeline.text import with_lang_id, with_quality_score, BPE_TOKEN_RE
+
+    scored = with_quality_score(df, text_col)
+    scored = with_lang_id(scored, text_col)
+    kept = scored.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.withColumn(
+            "n_bpe", F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_bpe").alias("n_tokens"))
+    )

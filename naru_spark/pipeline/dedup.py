@@ -50,10 +50,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 def shingle_df(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) pairs: distinct token n-grams per document."""
     toks = tokens_col(text_col)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # guard: < n tokens -> no shingles (sequence(0, negative) would count
+    # DOWN and feed slice() an invalid start)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .distinct()

@@ -271,3 +271,54 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_decontaminate_toy(spark):
+    """Doc 0 is the eval set (id % 50 == 0); doc 1 shares the shingle
+    'a b c', doc 2 shares nothing, doc 3 is too short for a 3-gram."""
+    from naru_spark.pipeline.curation import decontaminate
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "x a b c y"),
+            (2, "p q r s t"),
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(df, eval_mod=50, n=3).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_shared_shingles"] == 1 and got[1]["n_eval_docs"] == 1
+
+
+def test_pack_sequences_toy(spark):
+    """Within one shard: docs of 3,3,3 tokens at seq_len=5 -> doc0 starts
+    at offset 0 (pack 0), doc1 at 3 (pack 0), doc2 at 6 (pack 1)."""
+    from naru_spark.pipeline.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "d e f", "s1"), (2, "g h i", "s1")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["pack_id"]: r for r in pack_sequences(df, seq_len=5).collect()}
+    assert rows[0]["n_docs"] == 2 and rows[0]["n_tokens"] == 6
+    assert rows[0]["first_doc"] == 0 and rows[0]["last_doc"] == 1
+    assert rows[1]["n_docs"] == 1 and rows[1]["first_doc"] == 2
+
+
+def test_curate_corpus_drops_dups_and_lowq(spark, docs):
+    """Curation output never exceeds the raw per-source counts, and the
+    surviving doc set is dedup'd (planted duplicate counted once)."""
+    from naru_spark.pipeline.curation import curate_corpus
+
+    one = docs.limit(1).collect()[0]
+    planted = docs.unionAll(
+        docs.sparkSession.createDataFrame(
+            [(999999, one["text"], one["lang"], one["source"], one["n_chars"])],
+            docs.schema,
+        )
+    )
+    base = {r["source"]: r["n_docs"] for r in curate_corpus(docs).collect()}
+    with_dup = {r["source"]: r["n_docs"] for r in curate_corpus(planted).collect()}
+    assert base == with_dup  # the planted exact dup never survives
