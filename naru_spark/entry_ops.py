@@ -459,6 +459,48 @@ def sql_dedup_stream() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+# ------------------------------------------------------ advised star join
+def q_advised_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-advised star join (plans/joinplan.py): the estimator's
+    post-filter row counts choose broadcast-vs-shuffle per dimension and the
+    greedy most-selective-first join order; the RESULT is plan-independent
+    (same rows whatever the strategy — the strategy choice is gated in
+    tests/test_plans.py)."""
+    from naru_spark.plans.joinplan import advised_join
+
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    supplier = _load(spark, sf_dir, "supplier")
+    dims = [
+        ("orders", orders, li.l_orderkey == orders.o_orderkey),
+        ("part", part, li.l_partkey == part.p_partkey),
+        ("supplier", supplier, li.l_suppkey == supplier.s_suppkey),
+    ]
+    joined, _ = advised_join(li, dims, card_fn=lambda name, df: df.count())
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_advised_star_join() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate >= '1998-01-01' AND o_orderpriority = '1-URGENT' AND p_size <= 20
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------- registry
 def build_ops_registry():
     queries = {
@@ -479,6 +521,7 @@ def build_ops_registry():
         "partitioned_sink_roundtrip": q_partitioned_sink,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_stream": q_dedup_stream,
+        "advised_star_join": q_advised_star_join,
     }
     oracles = {
         "asof_purchase_view": sql_asof_purchase_view(),
@@ -497,6 +540,7 @@ def build_ops_registry():
         "partitioned_sink_roundtrip": sql_partitioned_sink(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "dedup_stream": sql_dedup_stream(),
+        "advised_star_join": sql_advised_star_join(),
         # approx_distinct_counts: rows-only (HLL sketch internals)
     }
     return queries, oracles

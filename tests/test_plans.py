@@ -136,3 +136,52 @@ def test_batch_counts_single_scan_partial_agg(spark):
     # detail section -> count the numbered detail headers)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_advised_join_strategy_and_order(spark):
+    """The planner broadcasts dims whose ESTIMATE is under threshold, keeps
+    big ones on the shuffle path, and joins most-selective-first."""
+    from naru_spark.plans.joinplan import advised_join
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE)
+    supplier = load_table(spark, "supplier", SF_SMOKE)
+    ests = {"orders": 5_000_000, "supplier": 10}
+    joined, decisions = advised_join(
+        li,
+        [
+            ("orders", orders, li.l_orderkey == orders.o_orderkey),
+            ("supplier", supplier, li.l_suppkey == supplier.s_suppkey),
+        ],
+        card_fn=lambda name, df: ests[name],
+        broadcast_rows=1_000_000,
+    )
+    by_name = {d.name: d for d in decisions}
+    assert by_name["supplier"].strategy == "broadcast"
+    assert by_name["orders"].strategy == "shuffle"
+    assert by_name["supplier"].position < by_name["orders"].position
+    plan = plan_str(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    # the over-threshold estimate must defeat the size-on-disk heuristic
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_advised_join_estimator_source(spark):
+    """CardinalityAdvisor as the card_fn source: the estimate for a
+    filtered dim comes from walking ITS analyzed plan."""
+    from naru_spark.estimators import Oracle
+    from naru_spark.plans.advisor import CardinalityAdvisor
+    from naru_spark.plans.joinplan import advised_join
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE)
+    filtered = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    adv = CardinalityAdvisor(Oracle(orders), table="orders")
+    joined, decisions = advised_join(
+        li,
+        [("orders", filtered, li.l_orderkey == filtered.o_orderkey)],
+        card_fn=lambda name, df: adv.estimate(df),
+    )
+    assert decisions[0].est_rows == filtered.count()
+    assert decisions[0].strategy == "broadcast"
+    assert joined.count() > 0
