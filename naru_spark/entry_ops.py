@@ -459,6 +459,32 @@ def sql_dedup_stream() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip over orders, with a filter on the
+    read side (ORC predicate pushdown, same as parquet)."""
+    import tempfile
+
+    from naru_spark.sources.sinks import read_orc, write_orc
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="orders_orc_") + "/orders"
+    write_orc(orders, path)
+    back = read_orc(spark, path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def sql_orc_roundtrip() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------------ advised star join
 def q_advised_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-advised star join (plans/joinplan.py): the estimator's
@@ -522,6 +548,7 @@ def build_ops_registry():
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_stream": q_dedup_stream,
         "advised_star_join": q_advised_star_join,
+        "orc_roundtrip": q_orc_roundtrip,
     }
     oracles = {
         "asof_purchase_view": sql_asof_purchase_view(),
@@ -541,6 +568,7 @@ def build_ops_registry():
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "dedup_stream": sql_dedup_stream(),
         "advised_star_join": sql_advised_star_join(),
+        "orc_roundtrip": sql_orc_roundtrip(),
         # approx_distinct_counts: rows-only (HLL sketch internals)
     }
     return queries, oracles

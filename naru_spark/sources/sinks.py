@@ -42,6 +42,16 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default) — the second Spark-native columnar format;
+    same predicate-pushdown + column-pruning behavior as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """JSON-lines scan with a REQUIRED explicit schema (no inference pass)."""
     return spark.read.schema(schema).json(path)
