@@ -303,9 +303,7 @@ SELECT doc_id, dup_group_size FROM (
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from naru_spark.pipeline.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.5)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def sql_ngram_jaccard() -> str:
@@ -333,14 +331,30 @@ WHERE ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) >=
 """
 
 
+# One computed+cached Jaccard pair DF per sf_dir per process:
+# dedup_ngram_jaccard and dedup_components share it (the shingle self-join
+# is the expensive half of both entries; same pattern as entry_model's
+# _MODEL_CACHE).
+_PAIRS_CACHE: dict = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    if sf_dir not in _PAIRS_CACHE:
+        _PAIRS_CACHE[sf_dir] = ngram_jaccard_pairs(
+            _docs(spark, sf_dir), "doc_id", n=3, threshold=0.5
+        ).cache()
+    return _PAIRS_CACHE[sf_dir]
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> dup GROUPS: iterative min-label connected
     components over the exact n-gram-Jaccard pair graph. Component id =
     min doc_id in the group (the canonical survivor)."""
-    from naru_spark.pipeline.dedup import connected_components, ngram_jaccard_pairs
+    from naru_spark.pipeline.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.5)
-    return connected_components(pairs, "id_a", "id_b")
+    return connected_components(_jaccard_pairs(spark, sf_dir), "id_a", "id_b")
 
 
 def sql_dedup_components() -> str:
