@@ -28,15 +28,45 @@ from naru_spark.model.made import Adam, ResMADE
 class NaruModel:
     """Fitted model: ResMADE + per-column binnings + meta."""
 
-    def __init__(self, made: ResMADE, binnings: dict[str, ModelBinning], meta: TableMeta, columns: list[str]):
+    def __init__(
+        self,
+        made: ResMADE,
+        binnings: dict[str, ModelBinning],
+        meta: TableMeta,
+        columns: list[str],
+        fit_info: dict | None = None,
+    ):
         self.made = made
         self.binnings = binnings
         self.meta = meta
         self.columns = columns
+        # arch / epochs / seed / model_bits, recorded by NaruEstimator.fit
+        # for the checkpoint name (reference train_model.py:427-447)
+        self.fit_info = fit_info or {}
 
     def size_mb(self) -> float:
         """Param count x 4 bytes (reference train_model.py:256-265)."""
         return self.made.num_params() * 4 / 1024**2
+
+    def save(self, path: str) -> None:
+        """Pickle the WHOLE fitted bundle (weights + binnings + dictionaries
+        + meta) — one artifact restores estimation with zero Spark work, the
+        torch.save analog of reference train_model.py:427-447. Store on any
+        shared FS / object store for executor-side loading."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def load(cls, path: str) -> "NaruModel":
+        import pickle
+
+        with open(path, "rb") as f:
+            m = pickle.load(f)
+        if not isinstance(m, cls):
+            raise TypeError(f"checkpoint at {path} is {type(m).__name__}")
+        return m
 
 
 class NaruEstimator:
@@ -130,6 +160,7 @@ class NaruEstimator:
         N = len(data)
         D = len(self.columns)
         loss = float("nan")
+        tot, nb = 0.0, 0
         # encode the whole training matrix ONCE (N x n_bits float32); the
         # per-batch work is then a row gather + vectorized mask apply
         pre_bits = None
@@ -163,7 +194,14 @@ class NaruEstimator:
             if self.verbose:
                 bits = tot / nb / np.log(2)
                 print(f"epoch {epoch}: nll {tot/nb:.4f} nats ({bits:.3f} bits/tuple) [{time.time()-t0:.0f}s]")
-        return NaruModel(made, binnings, meta, list(self.columns))
+        model_bits = float(tot / nb / np.log(2)) if nb else float("nan")
+        fit_info = {
+            "arch": self.arch,
+            "epochs": self.epochs,
+            "seed": self.seed,
+            "model_bits": model_bits,
+        }
+        return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
 
 
 def table_bits(df: DataFrame, columns: list[str]) -> float:
@@ -175,3 +213,43 @@ def table_bits(df: DataFrame, columns: list[str]) -> float:
         (-F.sum((F.col("cnt") / total) * F.log2(F.col("cnt") / total))).alias("H")
     ).collect()[0]
     return float(row["H"])
+
+
+# --------------------------------------------------------- checkpoint naming
+# Reference naming (train_model.py:427-447):
+#   <dataset>-<MB>MB-model<bits>-data<bits>-<arch>-<epochs>epochs-seed<seed>.pt
+# parsed back by regex in eval_model.py:480-543. Same scheme, .ckpt suffix.
+_CKPT_RE = __import__("re").compile(
+    r"^(?P<dataset>.+)-(?P<mb>[\d.]+)MB-model(?P<model_bits>[\d.]+|nan)"
+    r"-data(?P<data_bits>[\d.]+|nan)-(?P<arch>[a-z]+)"
+    r"-(?P<epochs>\d+)epochs-seed(?P<seed>\d+)\.ckpt$"
+)
+
+
+def checkpoint_name(model: NaruModel, dataset: str, data_bits: float = float("nan")) -> str:
+    """Self-describing checkpoint file name from the fitted model's
+    metadata; ``data_bits`` is the table entropy (table_bits)."""
+    fi = model.fit_info
+    return (
+        f"{dataset}-{model.size_mb():.1f}MB-model{fi.get('model_bits', float('nan')):.1f}"
+        f"-data{data_bits:.1f}-{fi.get('arch', 'made')}"
+        f"-{fi.get('epochs', 0)}epochs-seed{fi.get('seed', 0)}.ckpt"
+    )
+
+
+def parse_checkpoint_name(name: str) -> dict:
+    """Inverse of checkpoint_name (reference eval_model.py:480-543):
+    file name -> {dataset, mb, model_bits, data_bits, arch, epochs, seed}."""
+    m = _CKPT_RE.match(name)
+    if not m:
+        raise ValueError(f"not a checkpoint name: {name!r}")
+    d = m.groupdict()
+    return {
+        "dataset": d["dataset"],
+        "mb": float(d["mb"]),
+        "model_bits": float(d["model_bits"]),
+        "data_bits": float(d["data_bits"]),
+        "arch": d["arch"],
+        "epochs": int(d["epochs"]),
+        "seed": int(d["seed"]),
+    }

@@ -291,3 +291,43 @@ def test_progressive_sampling_e2e(spark):
     sfm = SampleFromModel(model, num_samples=1000, seed=7)
     errs2 = [q_error(sfm.query(q), t) for q, t in zip(wl, truths) if t > 0]
     assert np.isfinite(errs2).all()
+
+
+def test_full_model_checkpoint_roundtrip(spark, tmp_path):
+    """NaruModel.save/load restores ESTIMATION (not just weights): the
+    reloaded bundle gives bit-identical progressive-sampling estimates;
+    the checkpoint name round-trips through the reference regex."""
+    import os
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import (
+        NaruEstimator,
+        NaruModel,
+        checkpoint_name,
+        parse_checkpoint_name,
+    )
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    model = NaruEstimator(cols, hidden=16, blocks=1, epochs=1, sample_rows=2000, seed=3).fit(
+        df, meta, enc
+    )
+
+    name = checkpoint_name(model, "lineitem", data_bits=7.3)
+    parsed = parse_checkpoint_name(name)
+    assert parsed["dataset"] == "lineitem" and parsed["epochs"] == 1 and parsed["seed"] == 3
+    assert parsed["arch"] == "made" and parsed["data_bits"] == 7.3
+
+    path = os.path.join(tmp_path, name)
+    model.save(path)
+    back = NaruModel.load(path)
+    queries = generate_workload(SF_SMOKE, meta, "lineitem", 5, seed=11)
+    a = ProgressiveSampling(model, num_samples=64, seed=5).query_batch(queries)
+    b = ProgressiveSampling(back, num_samples=64, seed=5).query_batch(queries)
+    assert a == b
