@@ -95,10 +95,25 @@ class ProgressiveSampling(CardEst):
         return float(np.ceil(sel * self.model.meta.cardinality))
 
     # ------------------------------------------------------- batch scoring
-    def estimate_batch(self, spark, queries: list[Query], partitions: int | None = None):
+    def estimate_batch(
+        self,
+        spark,
+        queries: list[Query],
+        partitions: int | None = None,
+        min_distribute: int = 64,
+    ):
         """Distribute query scoring: each executor gets the broadcast model
-        and scores its partition of queries via mapInPandas."""
+        and scores its partition of queries via mapInPandas.
+
+        Batches under ``min_distribute`` queries run on the driver — the
+        broadcast + job-launch overhead (~1s) dwarfs per-query cost (~10ms)
+        until the batch is big enough to amortize it; the distributed path
+        is for the reference's 2000-query eval sweeps (eval_model.py
+        RunNParallel), not interactive handfuls."""
         import pandas as pd
+
+        if len(queries) < min_distribute:
+            return [float(self.query(q)) for q in queries]
 
         model_bc = spark.sparkContext.broadcast(self.model)
         S, seed = self.num_samples, self.seed

@@ -331,3 +331,28 @@ def test_full_model_checkpoint_roundtrip(spark, tmp_path):
     a = ProgressiveSampling(model, num_samples=64, seed=5).query_batch(queries)
     b = ProgressiveSampling(back, num_samples=64, seed=5).query_batch(queries)
     assert a == b
+
+
+def test_estimate_batch_distributed_matches_driver(spark):
+    """The mapInPandas batch path (forced via min_distribute=0) returns
+    exactly the driver-side estimates — query() reseeds per query, so the
+    split across executors cannot change any estimate."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    model = NaruEstimator(cols, hidden=16, blocks=1, epochs=1, sample_rows=2000, seed=3).fit(
+        df, meta, enc
+    )
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 6, seed=11)
+    ps = ProgressiveSampling(model, num_samples=64, seed=5)
+    driver = [float(ps.query(q)) for q in wl]
+    dist = ps.estimate_batch(spark, wl, min_distribute=0)
+    assert dist == driver
