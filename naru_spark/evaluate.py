@@ -68,3 +68,19 @@ def report(estimators: list[CardEst]) -> pd.DataFrame:
 def save_results(results: pd.DataFrame, path: str):
     """CSV sink (eval_model.py:450-464)."""
     results.to_csv(path, index=False)
+
+
+def load_checkpoints(glob_pattern: str):
+    """Glob checkpoint files and parse their self-describing names
+    (reference eval_model.py:480-543 — glob .pt files, regex out metadata,
+    build estimators). Returns [(info_dict, NaruModel)] sorted by path."""
+    import glob as _glob
+    import os
+
+    from naru_spark.model.train import NaruModel, parse_checkpoint_name
+
+    out = []
+    for path in sorted(_glob.glob(glob_pattern)):
+        info = parse_checkpoint_name(os.path.basename(path))
+        out.append((info, NaruModel.load(path)))
+    return out

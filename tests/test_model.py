@@ -356,3 +356,29 @@ def test_estimate_batch_distributed_matches_driver(spark):
     driver = [float(ps.query(q)) for q in wl]
     dist = ps.estimate_batch(spark, wl, min_distribute=0)
     assert dist == driver
+
+
+def test_load_checkpoints_glob(spark, tmp_path):
+    """E2 parity: save two differently-seeded checkpoints, glob them back,
+    metadata parsed from the names."""
+    import os
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.evaluate import load_checkpoints
+    from naru_spark.model.train import NaruEstimator, checkpoint_name
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    for seed in (1, 2):
+        m = NaruEstimator(cols, hidden=8, blocks=1, epochs=1, sample_rows=500, seed=seed).fit(
+            df, meta, enc
+        )
+        m.save(os.path.join(tmp_path, checkpoint_name(m, "lineitem")))
+    loaded = load_checkpoints(os.path.join(tmp_path, "lineitem-*.ckpt"))
+    assert len(loaded) == 2
+    assert sorted(i["seed"] for i, _ in loaded) == [1, 2]
+    assert all(m.columns == cols for _, m in loaded)
