@@ -203,6 +203,128 @@ class NaruEstimator:
         }
         return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
 
+    def fit_distributed(
+        self,
+        df: DataFrame,
+        meta: TableMeta | None = None,
+        encoder: DictionaryEncoder | None = None,
+        rounds: int = 2,
+        local_epochs: int | None = None,
+    ) -> NaruModel:
+        """Data-parallel fit: partition-local SGD + row-weighted parameter
+        averaging per round (local-SGD / FedAvg-style — the standard
+        synchronous data-parallel scheme when per-batch gradient all-reduce
+        isn't available, which from Python-on-Spark it is not).
+
+        Contrast with ``fit`` (collect a bounded sample to the driver, train
+        there): here NO row leaves its executor — each partition trains
+        ``local_epochs`` on its own shard from the same broadcast weights,
+        ships back one weight vector (model-sized, ~MBs), and the driver
+        averages weighted by shard row count. At 100 TB that is the only
+        shape that works on the FULL table: network cost per round is
+        O(partitions x model size), not O(rows).
+
+        Rounds trade communication for staleness: more rounds -> closer to
+        single-node SGD on the shuffled union. Deterministic given a fixed
+        input partitioning (per-partition RNG seeded by partition id).
+        """
+        import pickle
+
+        if self.arch != "made":
+            raise NotImplementedError("distributed fit: ResMADE only")
+        if encoder is None:
+            encoder = DictionaryEncoder(self.columns).fit(df)
+        if meta is None:
+            meta = encoder.table_meta(df, "table")
+        binnings = {
+            c: ModelBinning(encoder.dictionaries[c], self.max_model_domain) for c in self.columns
+        }
+        sizes = [binnings[c].model_size for c in self.columns]
+        made = ResMADE(
+            sizes, hidden=self.hidden, blocks=self.blocks, seed=self.seed,
+            dtype=np.float32, column_masking=self.column_masking, order=self.order,
+        )
+        bin_cols = [f"{c}__bin" for c in self.columns]
+        encoded = encoder.transform(df.select(*self.columns)).select(*bin_cols)
+
+        columns = list(self.columns)
+        hidden, blocks, seed = self.hidden, self.blocks, self.seed
+        column_masking, order = self.column_masking, self.order
+        epochs = local_epochs if local_epochs is not None else self.epochs
+        batch_size, lr = self.batch_size, self.lr
+        sc = df.sparkSession.sparkContext
+
+        weights = [(l.W.copy(), l.b.copy()) for l in made.layers()]
+        for rnd in range(rounds):
+            w_bc = sc.broadcast(pickle.dumps(weights))
+
+            def train_shard(batches):
+                import pandas as pd
+                from pyspark import TaskContext
+
+                pdfs = [p for p in batches if len(p)]
+                if not pdfs:
+                    return
+                raw = pd.concat(pdfs).to_numpy(dtype="int64")
+                data = np.stack(
+                    [binnings[c].encode(raw[:, i]) for i, c in enumerate(columns)], axis=1
+                )
+                local = ResMADE(
+                    sizes, hidden=hidden, blocks=blocks, seed=seed,
+                    dtype=np.float32, column_masking=column_masking, order=order,
+                )
+                for l, (W, b) in zip(local.layers(), pickle.loads(w_bc.value)):
+                    l.W, l.b = W.copy(), b.copy()
+                opt = Adam(local, lr=lr)
+                pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+                rng = np.random.RandomState(seed + 1009 * rnd + pid)
+                N, D = len(data), len(columns)
+                pre_bits = local.encode_bits(data)
+                for _ in range(epochs):
+                    perm = rng.permutation(N)
+                    for lo in range(0, N, batch_size):
+                        idx = perm[lo : lo + batch_size]
+                        b = data[idx]
+                        bits_b = pre_bits[idx]
+                        if column_masking:
+                            p_mask = rng.randint(0, D + 1) / D
+                            observed = rng.rand(len(b), D) >= p_mask
+                            bits_b = local.apply_observed(bits_b, observed)
+                        logits = local.forward_encoded(bits_b)
+                        _, dl = local.nll(logits, b)
+                        local.zero_grad()
+                        local.backward(dl)
+                        opt.step()
+                out = [(l.W, l.b) for l in local.layers()]
+                yield pd.DataFrame({"n": [N], "w": [pickle.dumps(out)]})
+
+            rows = encoded.mapInPandas(train_shard, schema="n long, w binary").collect()
+            total = sum(r.n for r in rows)
+            acc = None
+            for r in rows:
+                shard = pickle.loads(bytes(r.w))
+                frac = r.n / total
+                if acc is None:
+                    acc = [(W * frac, b * frac) for W, b in shard]
+                else:
+                    acc = [
+                        (aW + W * frac, ab + b * frac)
+                        for (aW, ab), (W, b) in zip(acc, shard)
+                    ]
+            weights = acc
+            w_bc.unpersist()
+
+        for l, (W, b) in zip(made.layers(), weights):
+            l.W, l.b = W.astype(np.float32), b.astype(np.float32)
+        fit_info = {
+            "arch": "made",
+            "epochs": epochs * rounds,
+            "seed": seed,
+            "model_bits": float("nan"),
+            "distributed_rounds": rounds,
+        }
+        return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
+
 
 def table_bits(df: DataFrame, columns: list[str]) -> float:
     """Empirical joint entropy in bits (reference Entropy,

@@ -382,3 +382,33 @@ def test_load_checkpoints_glob(spark, tmp_path):
     assert len(loaded) == 2
     assert sorted(i["seed"] for i, _ in loaded) == [1, 2]
     assert all(m.columns == cols for _, m in loaded)
+
+
+def test_fit_distributed_learns_and_estimates(spark):
+    """Data-parallel fit (partition-local SGD + weighted averaging): on
+    sf0.001 lineitem the averaged model must drive ProgressiveSampling to
+    sane estimates (median q-error within a loose bound) — no row ever
+    leaves its partition."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols).repartition(4).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    model = NaruEstimator(cols, hidden=32, blocks=2, epochs=3, lr=7e-3, seed=0).fit_distributed(
+        df, meta, enc, rounds=2
+    )
+    assert model.fit_info["distributed_rounds"] == 2
+
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 10, seed=21)
+    truths = Oracle(df).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    errs = [q_error(ps.query(q), t) for q, t in zip(wl, truths) if t > 0]
+    assert np.median(errs) <= 4.0, errs
+    df.unpersist()
