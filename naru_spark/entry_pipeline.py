@@ -641,6 +641,24 @@ FROM cum GROUP BY source, pack_id
 """
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (keep lowest 20 doc_ids per source):
+    the deterministic mixture-control curation op."""
+    from naru_spark.pipeline.curation import source_cap
+
+    return source_cap(_docs(spark, sf_dir), cap=20).select("doc_id", "source")
+
+
+def sql_source_cap() -> str:
+    return """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation chain: quality >= 0.7 AND lang 'en' -> exact
     dedup (keep lowest doc_id per identical text) -> per-source manifest."""
@@ -722,6 +740,7 @@ def build_pipeline_registry():
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
+        "source_cap": q_source_cap,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -749,6 +768,7 @@ def build_pipeline_registry():
         "decontaminate": sql_decontaminate(),
         "pack_sequences": sql_pack_sequences(),
         "corpus_curation": sql_corpus_curation(),
+        "source_cap": sql_source_cap(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

@@ -107,6 +107,27 @@ def pack_sequences(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    cap: int = 100,
+) -> DataFrame:
+    """Cap each source's contribution at ``cap`` documents (deterministic:
+    keep the lowest ``id_col`` per source) — the mixture-control knob that
+    stops one crawl dump from dominating the corpus. One shuffle on the
+    shard key; the window never materializes more than ``cap`` winners per
+    group after the rank filter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
