@@ -35,27 +35,35 @@ def main():
 
     load_table(spark, "lineitem", sf_dir).count()
 
+    # Per-entry isolation: one failing entry must never kill the benchmark —
+    # the JSON line is ALWAYS emitted, with failed entries reported by name.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     qs = entry_mod.queries()
     for name, fn in qs.items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            msg = f"{type(e).__name__}: {e}"
+            errors[name] = msg.splitlines()[0][:200]
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: FAILED after {timings[name]:.2f}s — {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

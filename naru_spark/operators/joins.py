@@ -112,7 +112,12 @@ def range_join_bucketed(
     cross-product, and AQE can still split skewed buckets."""
 
     def bucket(c: str):
-        return F.floor(F.col(c).cast("long") / F.lit(bucket_seconds))
+        # cast("timestamp") first: TIMESTAMP_NTZ cannot cast to BIGINT
+        # directly, but NTZ->TIMESTAMP->BIGINT is legal and (with the
+        # session pinned UTC) value-preserving. A no-op for columns that
+        # are already TIMESTAMP or numeric epoch seconds.
+        col = F.col(c)
+        return F.floor(col.cast("timestamp").cast("long") / F.lit(bucket_seconds))
 
     fb = facts.withColumn("__bucket", bucket(fact_col))
     ib = intervals.withColumn(

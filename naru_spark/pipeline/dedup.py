@@ -295,17 +295,17 @@ def embedding_dup_pairs(
     - n <= max_broadcast_rows: broadcast the corpus matrix (rows x dim
       floats; 2M x 64 ~ 512 MB ceiling), batch-matmul per partition via
       mapInPandas.
-    - beyond: hyperplane-LSH bucketing (similarity.lsh_topk's signature
-      machinery) before exact verify — not implemented here."""
+    - beyond: banded hyperplane-LSH candidate generation + exact cosine
+      verify (``embedding_dup_pairs_lsh``) — shuffle is #vecs x #bands
+      rows, never #vecs^2, so the operator has no corpus-size ceiling.
+      Approximate (recall < 1 by LSH nature), which is the standard
+      trade at that scale."""
     import pandas as pd
 
     spark = df.sparkSession
     n = df.count()
     if n > max_broadcast_rows:
-        raise NotImplementedError(
-            "corpus too large to broadcast; bucket with "
-            "similarity.signature_udf and verify within buckets"
-        )
+        return embedding_dup_pairs_lsh(df, id_col, vec_col, threshold)
 
     if n <= driver_rows:
         pdf = df.select(id_col, vec_col).toPandas()
@@ -338,6 +338,83 @@ def embedding_dup_pairs(
             )
 
     return df.select(id_col, vec_col).repartition(32).mapInPandas(pairs, schema=_PAIR_SCHEMA)
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 32,
+    bands: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding near-dup pairs at unbounded corpus scale: banded
+    random-hyperplane LSH candidates + exact cosine verify.
+
+    Pipeline (all shuffles keyed, none quadratic):
+    1. signature: one Arrow-batched matmul pass over the corpus
+       (similarity.signature_udf — hyperplanes broadcast) -> ``bits``-bit
+       sign signature per vector.
+    2. banding: explode each signature into ``bands`` blocks of
+       bits/bands bits; candidates = id pairs sharing >= 1 (block, key)
+       bucket — an equi self-join whose shuffle volume is #vecs x #bands
+       rows of (id, block, key), never #vecs^2 and never vector payloads.
+    3. verify: join the candidate id pairs back to their vectors (two
+       shuffled equi-joins on id) and keep pairs with exact
+       cosine >= threshold (similarity.cosine_expr, JVM-side).
+
+    Recall analysis (why 32 bits / 8 bands is the default for
+    threshold=0.95): P(sign bit agrees) = 1 - acos(cos)/pi ~ 0.90 at
+    cosine 0.95, so a 4-bit block matches with p ~ 0.90^4 ~ 0.65 and
+    >=1 of 8 blocks matches with p ~ 1 - 0.35^8 > 0.999. Wider blocks
+    (bits/bands up) cut candidate volume on unclustered corpora at the
+    cost of recall — the knob a 100 TB run tunes first.
+
+    Same output schema/semantics as ``embedding_dup_pairs`` (a < b,
+    cosine rounded to 6 decimals), minus LSH-missed pairs."""
+    from naru_spark.pipeline.similarity import cosine_expr, signature_udf, _hyperplanes
+
+    assert bits % bands == 0
+    width = bits // bands
+    dim = len(df.select(vec_col).first()[0])
+    sig = signature_udf(df.sparkSession, _hyperplanes(dim, bits, seed))
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    banded = (
+        vecs.withColumn("__sig", sig(F.col("__v")))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("block"),
+                            F.shiftright(F.col("__sig"), bi * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("key"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.block", "bb.key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["block", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def connected_components(

@@ -69,8 +69,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None, column
             raise FileNotFoundError(path)
     else:
         df = _read_parquet_nanos_safe(spark, path)
+    df = _ntz_to_ltz(df)
     if columns:
         df = df.select(*columns)
+    return df
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Surface TIMESTAMP_NTZ columns as plain TIMESTAMP.
+
+    The testdata parquet stores event times as ``timestamp[us]`` with no
+    timezone, which Spark 4 reads as TIMESTAMP_NTZ — a type that
+    ``withWatermark`` rejects ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) and
+    that cannot be cast to BIGINT for time bucketing. The session timezone
+    is pinned UTC (session.py), so NTZ -> TIMESTAMP is value-preserving:
+    the wall-clock instant is reinterpreted in UTC with identical epoch
+    micros. Mirrors the nanos-as-long handling below."""
+    from pyspark.sql import functions as F
+
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -43,6 +43,12 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         # integer `div` (see sources/registry.py — double division loses
         # microsecond precision on nanosecond epochs)
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us]-no-tz parquet surfaces as TIMESTAMP_NTZ, which
+    # withWatermark rejects; session is UTC-pinned so the cast is
+    # value-preserving (see sources/registry.py:_ntz_to_ltz).
+    for c, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 

@@ -131,6 +131,28 @@ def test_embedding_dups_vs_numpy(spark, emb):
     assert got == exp
 
 
+def test_embedding_lsh_recall_and_precision(spark, emb):
+    """The unbounded-scale LSH path vs the exact path: precision must be 1
+    (candidates are exact-cosine verified) and recall high (banding math in
+    the docstring: ~0.9997 per pair at cosine 0.4 with 16 x 2-bit bands)."""
+    from naru_spark.pipeline.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    exact = {(r.id_a, r.id_b) for r in embedding_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_dup_pairs_lsh(emb, threshold=0.4, bits=32, bands=16).collect()}
+    assert len(exact) > 0
+    assert lsh <= exact  # exact verify -> no false positives
+    assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_embedding_dup_pairs_routes_to_lsh_beyond_broadcast(spark, emb):
+    """Above max_broadcast_rows the operator must route to the LSH path
+    instead of raising (the round-1 2M-row ceiling)."""
+    from naru_spark.pipeline.dedup import embedding_dup_pairs
+
+    out = embedding_dup_pairs(emb, threshold=0.4, max_broadcast_rows=10)
+    assert out.count() > 0  # LSH path produced verified pairs
+
+
 # -------------------------------------------------------------- similarity
 def test_brute_force_topk_vs_numpy(spark, emb):
     from naru_spark.pipeline.similarity import brute_force_topk

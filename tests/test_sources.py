@@ -1,0 +1,45 @@
+"""Source-loading invariants, above all the TIMESTAMP_NTZ pin.
+
+The testdata parquet stores event times as timestamp[us] with no timezone,
+which Spark 4 surfaces as TIMESTAMP_NTZ — a type withWatermark rejects and
+that cannot cast to BIGINT. ``load_table`` / ``events_stream`` must always
+normalize these to plain TIMESTAMP (session is UTC-pinned so the cast is
+value-preserving). These tests pin that contract so environment-inference
+changes can never silently re-break the streaming/range operators.
+"""
+
+import pytest
+
+from naru_spark.sources.registry import TABLE_NAMES, load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_no_ntz_anywhere(spark):
+    """Every registry table surfaces event-time columns as TIMESTAMP."""
+    for t in TABLE_NAMES:
+        for name, dtype in load_table(spark, t, SF_SMOKE).dtypes:
+            assert dtype != "timestamp_ntz", f"{t}.{name} is TIMESTAMP_NTZ"
+
+
+def test_events_ts_is_timestamp(spark):
+    assert dict(load_table(spark, "events", SF_SMOKE).dtypes)["ts"] == "timestamp"
+
+
+def test_events_stream_ts_is_timestamp(spark):
+    from naru_spark.streaming.events import events_stream
+
+    st = events_stream(spark, SF_SMOKE)
+    assert dict(st.dtypes)["ts"] == "timestamp"
+
+
+def test_ntz_cast_preserves_values(spark):
+    """NTZ -> TIMESTAMP under the UTC session must not shift instants:
+    collected values equal the raw parquet micros read by pyarrow."""
+    import pyarrow.parquet as pq
+
+    df = load_table(spark, "events", SF_SMOKE).select("event_id", "ts").orderBy("event_id").limit(50)
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet", columns=["event_id", "ts"]).to_pandas()
+    tbl = tbl.sort_values("event_id").head(50)
+    for eid, ts in zip(tbl["event_id"], tbl["ts"]):
+        assert got[eid] == ts.to_pydatetime(), (eid, got[eid], ts)
