@@ -165,8 +165,85 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fit_distributed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the 100 TB training path: fit the SAME architecture
+    two ways — collected-sample SGD (``fit``) and partition-local SGD +
+    weighted averaging (``fit_distributed``, no row leaves its executor) —
+    and report both models' q-error quantiles on the seeded workload.
+    Rows-only (stochastic); the q-error bound itself is asserted in
+    tests/test_model.py::test_fit_distributed_learns_and_estimates."""
+    import numpy as np
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+    df = load_table(spark, "lineitem", sf_dir, cols).repartition(8).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    est = NaruEstimator(cols, hidden=32, blocks=2, epochs=2, lr=7e-3, seed=0)
+    wl = generate_workload(sf_dir, meta, "lineitem", 10, seed=21)
+    truths = Oracle(df).query_batch(wl)
+
+    rows = []
+    for name, model in (
+        ("fit_collected", est.fit(df, meta, enc)),
+        ("fit_distributed", est.fit_distributed(df, meta, enc, rounds=2)),
+    ):
+        ps = ProgressiveSampling(model, num_samples=256, seed=7)
+        errs = [q_error(ps.query(q), t) for q, t in zip(wl, truths) if t > 0]
+        rows.append((name, float(np.median(errs)), float(np.max(errs))))
+    df.unpersist()
+    return spark.createDataFrame(rows, "fit_path string, median_qerr double, max_qerr double")
+
+
+def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-time multi-order NLL ensemble metric (reference
+    train_model.py:208-228): per-order NLL and the logsumexp ensemble NLL
+    on a held-out sample, in bits/tuple — reported next to the
+    MultiOrderEnsemble estimator it justifies. The ensemble NLL can never
+    exceed the best member's (logsumexp of a mixture); asserted here and
+    unit-tested against a hand-computed case in tests/test_model.py."""
+    import numpy as np
+
+    from naru_spark.entry_queries import LINEITEM_COLS
+    from naru_spark.model.train import multi_order_nll
+
+    df, enc, meta, model = _fitted(spark, sf_dir)
+    _, reversed_made = _fitted_variants(spark, sf_dir)
+
+    eval_rows = 20_000
+    sel = enc.transform(df.select(*LINEITEM_COLS)).select(
+        *[f"{c}__bin" for c in LINEITEM_COLS]
+    )
+    if meta.cardinality > eval_rows:
+        sel = sel.sample(fraction=min(1.0, eval_rows / meta.cardinality * 1.1), seed=99)
+    raw = sel.toPandas().to_numpy(dtype="int64")
+    data = np.stack(
+        [model.binnings[c].encode(raw[:, i]) for i, c in enumerate(LINEITEM_COLS)], axis=1
+    )
+
+    ln2 = float(np.log(2))
+    members = [("made_natural", model), ("made_reversed", reversed_made)]
+    rows = []
+    for name, m in members:
+        made = m.made
+        nll = float(made.nll_rows(made.forward(data, grad=False), data).mean())
+        rows.append((name, nll / ln2))
+    ens = multi_order_nll([m for _, m in members], data) / ln2
+    assert ens <= min(b for _, b in rows) + 1e-9  # mixture dominates members
+    rows.append(("ensemble_logsumexp", ens))
+    return spark.createDataFrame(rows, "model string, nll_bits double")
+
+
 def build_model_registry():
     return {
         "psample_estimates": q_psample_estimates,
         "estimator_report": q_estimator_report,
+        "fit_distributed_report": q_fit_distributed_report,
+        "multiorder_nll": q_multiorder_nll,
     }, {}

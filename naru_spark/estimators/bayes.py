@@ -23,6 +23,7 @@ ProgressiveSampling, with CPDs instead of a neural net.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from naru_spark.estimators.base import CardEst
@@ -50,6 +51,32 @@ def pairwise_mi_spark(df: DataFrame, ci: str, cj: str) -> float:
     pdf = df.groupBy(ci, cj).agg(F.count("*").alias("cnt")).toPandas()
     pivot = pdf.pivot_table(index=ci, columns=cj, values="cnt", fill_value=0, aggfunc="sum")
     return mutual_information(pivot.to_numpy(dtype=np.float64))
+
+
+def model_bin_df(
+    df_raw_bins: DataFrame, binnings: dict[str, "ModelBinning"], columns: list[str]
+) -> DataFrame:
+    """Map raw-bin columns (``{c}__bin``, DictionaryEncoder output) to
+    MODEL-bin columns (``{c}__mbin``) on the executors: the per-column
+    raw->model lookup arrays are broadcast once and applied by an
+    Arrow-batched pandas UDF (a numpy gather per batch — no per-row
+    Python). This is what lets the full-table Spark MI path aggregate over
+    the bounded model-bin domain instead of raw domains."""
+    spark = df_raw_bins.sparkSession
+    bc = spark.sparkContext.broadcast({c: binnings[c].raw_to_model for c in columns})
+
+    def lut(col_name: str):
+        @F.pandas_udf("int")
+        def f(s: pd.Series) -> pd.Series:
+            arr = bc.value[col_name]
+            return pd.Series(arr[s.to_numpy(dtype=np.int64)])
+
+        return f
+
+    out = df_raw_bins
+    for c in columns:
+        out = out.withColumn(f"{c}__mbin", lut(c)(F.col(f"{c}__bin")))
+    return out.select(*[f"{c}__mbin" for c in columns])
 
 
 def chow_liu_tree(mi: np.ndarray) -> list[tuple[int, int]]:
@@ -84,8 +111,19 @@ class BayesNet(CardEst):
         scale: float = 1.0,
         seed: int = 0,
         laplace: float = 1.0,
+        spark_df: DataFrame | None = None,
     ):
-        """data: [N, D] dictionary-encoded (raw-bin) sample rows."""
+        """data: [N, D] dictionary-encoded (raw-bin) sample rows.
+
+        spark_df: optional DataFrame of the SAME raw-bin columns
+        (``{c}__bin``, DictionaryEncoder.transform output). When given,
+        pairwise MI for the Chow-Liu structure is computed with the
+        distributed groupBy path (``pairwise_mi_spark`` over
+        ``model_bin_df``) instead of the driver-side sample — D*(D-1)/2
+        jobs whose shuffle is bounded by the joint model-bin domain, the
+        100 TB route. CPDs still come from the bounded sample (D-1 small
+        tables). Both MI paths agree exactly when spark_df holds the same
+        rows as ``data`` (asserted in tests/test_baselines.py)."""
         super().__init__()
         self.meta = meta
         self.columns = columns
@@ -101,13 +139,23 @@ class BayesNet(CardEst):
         )
         sizes = [self.binnings[c].model_size for c in columns]
 
-        # pairwise MI from the sample (Spark path: pairwise_mi_spark)
+        # pairwise MI: distributed groupBy path when a DataFrame is given,
+        # else from the driver-side sample
         mi = np.zeros((D, D))
-        for i in range(D):
-            for j in range(i + 1, D):
-                joint = np.zeros((sizes[i], sizes[j]))
-                np.add.at(joint, (enc[:, i], enc[:, j]), 1.0)
-                mi[i, j] = mi[j, i] = mutual_information(joint)
+        if spark_df is not None:
+            mbin = model_bin_df(spark_df, self.binnings, columns).cache()
+            for i in range(D):
+                for j in range(i + 1, D):
+                    mi[i, j] = mi[j, i] = pairwise_mi_spark(
+                        mbin, f"{columns[i]}__mbin", f"{columns[j]}__mbin"
+                    )
+            mbin.unpersist()
+        else:
+            for i in range(D):
+                for j in range(i + 1, D):
+                    joint = np.zeros((sizes[i], sizes[j]))
+                    np.add.at(joint, (enc[:, i], enc[:, j]), 1.0)
+                    mi[i, j] = mi[j, i] = mutual_information(joint)
         self.edges = chow_liu_tree(mi)
         self.parent = {v: u for u, v in self.edges}  # root 0 has no parent
 

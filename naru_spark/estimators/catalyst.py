@@ -33,26 +33,30 @@ class CatalystCBO(CardEst):
         self.df = spark.table(table_alias)
 
     def query(self, q: Query) -> float:
+        from py4j.protocol import Py4JError, Py4JJavaError
+
         try:
             return self._row_estimate(q)
-        except Exception:
-            # Spark 4 FilterEstimation throws MatchError on TimestampNTZType
-            # predicates (unsupported in CBO selectivity math). Drop the
-            # timestamp conjuncts and estimate the rest — an over-estimate,
-            # reported as the baseline's best effort.
-            ntz_cols = {
+        except (Py4JJavaError, Py4JError) as e:
+            # Spark 4 FilterEstimation throws scala.MatchError on
+            # TimestampNTZType predicates (unsupported in CBO selectivity
+            # math). ONLY that known failure gets the fallback — anything
+            # else (a real regression in predicate construction, stats, or
+            # plan access) must surface, not silently become 1.0.
+            if "MatchError" not in str(e):
+                raise
+            # Drop the timestamp conjuncts and estimate the rest — an
+            # over-estimate, reported as the baseline's best effort.
+            ts_cols = {
                 f.name for f in self.df.schema.fields if f.dataType.typeName().startswith("timestamp")
             }
             kept = [
-                (c, o, v) for c, o, v in zip(q.cols, q.ops, q.vals) if c not in ntz_cols
+                (c, o, v) for c, o, v in zip(q.cols, q.ops, q.vals) if c not in ts_cols
             ]
             if not kept:
                 return float(self.df.count())
             q2 = Query(q.table, [c for c, _, _ in kept], [o for _, o, _ in kept], [v for _, _, v in kept])
-            try:
-                return self._row_estimate(q2)
-            except Exception:
-                return 1.0
+            return self._row_estimate(q2)
 
     def _row_estimate(self, q: Query) -> float:
         plan = self.df.filter(spark_predicate(q))._jdf.queryExecution().optimizedPlan()

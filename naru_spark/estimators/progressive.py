@@ -35,11 +35,21 @@ from naru_spark.predicates import Query
 class ProgressiveSampling(CardEst):
     name = "psample"
 
-    def __init__(self, model: NaruModel, num_samples: int = 512, seed: int = 0):
+    def __init__(
+        self,
+        model: NaruModel,
+        num_samples: int = 512,
+        seed: int = 0,
+        order: list[int] | None = None,
+    ):
+        """``order``: pin a multi-mask (order-cycled) model to one of its
+        trained orderings before each query (made.update_order — exact
+        in-place mask rebuild). None = use the model's current ordering."""
         super().__init__()
         self.model = model
         self.num_samples = num_samples
         self.seed = seed
+        self.order = list(order) if order is not None else None
         self.name = f"psample_{num_samples}"
 
     def _masks(self, q: Query) -> list[np.ndarray | None]:
@@ -54,6 +64,8 @@ class ProgressiveSampling(CardEst):
     def query(self, q: Query) -> float:
         rng = np.random.RandomState(self.seed)
         made = self.model.made
+        if self.order is not None:
+            made.update_order(self.order)
         S = self.num_samples
         masks = self._masks(q)
 
@@ -158,6 +170,24 @@ class MultiOrderEnsemble(CardEst):
         total = max(1, num_samples // len(models))
         self.subs = [ProgressiveSampling(m, num_samples=total, seed=seed + i) for i, m in enumerate(models)]
         self.name = f"psample_{len(models)}orders_{num_samples}"
+
+    @classmethod
+    def from_single_model(
+        cls, model: NaruModel, orders: list[list[int]], num_samples: int = 512, seed: int = 0
+    ) -> "MultiOrderEnsemble":
+        """Ensemble over ONE order-cycled multi-mask model (reference
+        made.py:277-393 + estimators.py:409-418): each sub-estimator pins
+        the shared weights to one trained ordering via update_order —
+        K orderings at 1x training cost instead of K separate fits."""
+        self = cls.__new__(cls)
+        CardEst.__init__(self)
+        total = max(1, num_samples // len(orders))
+        self.subs = [
+            ProgressiveSampling(model, num_samples=total, seed=seed + i, order=list(o))
+            for i, o in enumerate(orders)
+        ]
+        self.name = f"psample_multimask_{len(orders)}orders_{num_samples}"
+        return self
 
     def query(self, q: Query) -> float:
         return float(np.mean([s.query(q) for s in self.subs]))

@@ -74,6 +74,8 @@ class ResMADE:
         dtype=np.float64,
         column_masking: bool = False,
         order: list[int] | None = None,
+        input_encoding: str = "binary",
+        embed_size: int = 32,
     ):
         """column_masking: reserve one extra 'unobserved' bit per column and
         train with random input masking (reference's learnable
@@ -84,18 +86,38 @@ class ResMADE:
         order: autoregressive ordering — order[k] is the column sampled at
         step k (reference's multi-order MADE, made.py:277-393; natural by
         default). Degrees derive from the position in ``order``, so
-        P(x) = prod_k P(x_{order[k]} | x_{order[<k]})."""
+        P(x) = prod_k P(x_{order[k]} | x_{order[<k]}).
+
+        input_encoding (reference made.py:413-612 — the Embed / ToOneHot /
+        binary dispatcher):
+        - 'binary': ceil(log2(domain)) bits per column (default; the
+          reference's recommended DMV config is binary-in).
+        - 'one_hot': domain-width indicator per column (ToOneHot,
+          made.py:508-527).
+        - 'embed': one-hot followed by a per-column ``embed_size``-dim
+          learnable embedding (Embed, made.py:413-506) — realized as a
+          block-diagonal MaskedLinear from the one-hot bits, so the lookup
+          table IS the layer's weight block and trains with the same
+          Adam/backward machinery. With column_masking the mask bit's
+          weight row is exactly the reference's learnable unk_embedding.
+        """
+        assert input_encoding in ("binary", "one_hot", "embed")
         self.domains = list(domains)
         self.D = len(domains)
         self.hidden = hidden
         self.dtype = dtype
         self.column_masking = column_masking
+        self.input_encoding = input_encoding
+        self.embed_size = embed_size if input_encoding == "embed" else 0
         self.order = list(order) if order is not None else list(range(self.D))
         assert sorted(self.order) == list(range(self.D))
         rng = np.random.RandomState(seed)
 
-        # binary input encoding layout (+1 mask bit per column if enabled)
-        self.value_bits = [max(1, int(np.ceil(np.log2(max(d, 2))))) for d in domains]
+        # input layout (+1 mask bit per column if enabled)
+        if input_encoding == "binary":
+            self.value_bits = [max(1, int(np.ceil(np.log2(max(d, 2))))) for d in domains]
+        else:  # one_hot and embed both feed one-hot indicators
+            self.value_bits = [int(d) for d in domains]
         self.col_bits = [b + int(column_masking) for b in self.value_bits]
         self.bit_offsets = np.concatenate([[0], np.cumsum(self.col_bits)]).astype(int)
         self.n_bits = int(self.bit_offsets[-1])
@@ -120,7 +142,22 @@ class ResMADE:
                 return (dout[None, :] > din[:, None]).astype(np.float64)
             return (dout[None, :] >= din[:, None]).astype(np.float64)
 
-        self.lin_in = MaskedLinear(self.n_bits, hidden, mask(in_deg, hid_deg), rng, dtype)
+        self.lin_emb = None
+        if input_encoding == "embed":
+            # block-diagonal: column c's (one-hot + mask) bits -> column c's
+            # embed dims only. Strictly tighter than the degree mask, so the
+            # AR invariant is preserved by construction.
+            emb_mask = np.zeros((self.n_bits, self.D * embed_size))
+            for c in range(self.D):
+                emb_mask[
+                    self.bit_offsets[c] : self.bit_offsets[c + 1],
+                    c * embed_size : (c + 1) * embed_size,
+                ] = 1.0
+            self.lin_emb = MaskedLinear(self.n_bits, self.D * embed_size, emb_mask, rng, dtype)
+            emb_deg = np.repeat(pos + 1, embed_size)
+            self.lin_in = MaskedLinear(self.D * embed_size, hidden, mask(emb_deg, hid_deg), rng, dtype)
+        else:
+            self.lin_in = MaskedLinear(self.n_bits, hidden, mask(in_deg, hid_deg), rng, dtype)
         self.blocks = []
         for _ in range(blocks):
             l1 = MaskedLinear(hidden, hidden, mask(hid_deg, hid_deg), rng, dtype)
@@ -128,23 +165,64 @@ class ResMADE:
             self.blocks.append((l1, l2))
         self.lin_out = MaskedLinear(hidden, self.n_out, mask(hid_deg, out_deg, strict=True), rng, dtype)
 
+    # ------------------------------------------------------- order cycling
+    def update_order(self, order: list[int]):
+        """Re-point the model at a different autoregressive ordering IN
+        PLACE (reference ``update_masks`` with multiple orderings,
+        made.py:277-393): one weight set serves K orderings by cycling
+        masks during training instead of training K separate models.
+
+        Only the order-DEPENDENT masks are rebuilt — lin_in's (input
+        degrees follow the ordering) and lin_out's (output degrees
+        likewise); hidden-hidden degrees are order-free, and the 'embed'
+        mode's lin_emb block-diagonal mask is column-local, so neither
+        changes. Rebuilding is exact, so cycling back to a previous
+        ordering restores bit-identical logits."""
+        order = list(order)
+        assert sorted(order) == list(range(self.D))
+        self.order = order
+        pos = np.empty(self.D, dtype=np.int64)
+        for k, c in enumerate(order):
+            pos[c] = k
+        hid_deg = (np.arange(self.hidden) % max(self.D - 1, 1)) + 1
+        out_deg = np.concatenate(
+            [np.full(self.domains[c], pos[c] + 1) for c in range(self.D)]
+        )
+        if self.lin_emb is not None:
+            in_deg = np.repeat(pos + 1, self.embed_size)
+        else:
+            in_deg = np.concatenate(
+                [np.full(self.col_bits[c], pos[c] + 1) for c in range(self.D)]
+            )
+        self.lin_in.M = (hid_deg[None, :] >= in_deg[:, None]).astype(self.lin_in.M.dtype)
+        self.lin_out.M = (out_deg[None, :] > hid_deg[:, None]).astype(self.lin_out.M.dtype)
+
     # ------------------------------------------------------------ encoding
     def encode_bits(self, x_bins: np.ndarray, observed: np.ndarray | None = None) -> np.ndarray:
-        """[B, D] int model bins -> [B, n_bits] float binary encoding
-        (reference ToBinaryAsOneHot, made.py:508-593). ``observed`` [B, D]
-        bool: False -> zero the value bits and set the column's mask bit
-        (the MASK token of the reference's column-masking scheme)."""
+        """[B, D] int model bins -> [B, n_bits] float input encoding
+        (reference ToBinaryAsOneHot/ToOneHot, made.py:508-593; one-hot is
+        also the raw input of the 'embed' mode — the lookup itself is
+        lin_emb). ``observed`` [B, D] bool: False -> zero the value bits
+        and set the column's mask bit (the MASK token of the reference's
+        column-masking scheme)."""
         B = x_bins.shape[0]
         out = np.zeros((B, self.n_bits), dtype=self.dtype)
         for c in range(self.D):
             vb = self.value_bits[c]
             vals = x_bins[:, c].astype(np.int64)
             obs = None if observed is None else observed[:, c]
-            for k in range(vb):
-                bit = ((vals >> k) & 1).astype(self.dtype)
+            if self.input_encoding == "binary":
+                for k in range(vb):
+                    bit = ((vals >> k) & 1).astype(self.dtype)
+                    if obs is not None:
+                        bit = bit * obs
+                    out[:, self.bit_offsets[c] + k] = bit
+            else:
+                ind = np.zeros((B, vb), dtype=self.dtype)
+                ind[np.arange(B), np.clip(vals, 0, vb - 1)] = 1.0
                 if obs is not None:
-                    bit = bit * obs
-                out[:, self.bit_offsets[c] + k] = bit
+                    ind *= np.asarray(obs, dtype=self.dtype)[:, None]
+                out[:, self.bit_offsets[c] : self.bit_offsets[c] + vb] = ind
             if self.column_masking:
                 out[:, self.bit_offsets[c] + vb] = 0.0 if obs is None else (1.0 - obs)
         return out
@@ -153,6 +231,8 @@ class ResMADE:
     def _hidden_forward(self, bits: np.ndarray, grad: bool) -> np.ndarray:
         fwd = (lambda l, v: l.forward(v)) if grad else (lambda l, v: l.forward_nograd(v))
         self._caches = []
+        if self.lin_emb is not None:
+            bits = fwd(self.lin_emb, bits)  # linear lookup, no activation
         h = fwd(self.lin_in, bits)
         self._h_in = h
         for l1, l2 in self.blocks:
@@ -219,6 +299,21 @@ class ResMADE:
             dlogits[:, lo:hi] = grad / B
         return total / B, dlogits
 
+    def nll_rows(self, logits: np.ndarray, x_bins: np.ndarray) -> np.ndarray:
+        """Per-ROW summed per-column CE in nats (no grad) — the unit the
+        test-time multi-order ensemble metric logsumexps over
+        (reference train_model.py:208-228)."""
+        B = x_bins.shape[0]
+        out = np.zeros(B, dtype=np.float64)
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            lg = logits[:, lo:hi]
+            m = lg.max(axis=1, keepdims=True)
+            z = np.exp(lg - m).sum(axis=1, keepdims=True)
+            tgt = x_bins[:, c].astype(np.int64)
+            out -= (lg - m - np.log(z))[np.arange(B), tgt]
+        return out
+
     # ------------------------------------------------------------ backward
     def backward(self, dlogits: np.ndarray):
         dh = self.lin_out.backward(dlogits)
@@ -229,7 +324,9 @@ class ResMADE:
             da = da * (a_pre > 0)
             dh_inner = l1.backward(da)
             dh = dh + dh_inner * (h_pre > 0)
-        self.lin_in.backward(dh)
+        dx = self.lin_in.backward(dh)
+        if self.lin_emb is not None:
+            self.lin_emb.backward(dx)
 
     def zero_grad(self):
         for l in self.layers():
@@ -240,6 +337,8 @@ class ResMADE:
         out = [self.lin_in, self.lin_out]
         for l1, l2 in self.blocks:
             out += [l1, l2]
+        if self.lin_emb is not None:
+            out.append(self.lin_emb)  # appended last: old checkpoints keep their W<i> indices
         return out
 
     def num_params(self) -> int:
@@ -275,8 +374,12 @@ class ResMADE:
     def _write_bits(self, bits: np.ndarray, c: int, vals: np.ndarray):
         off, nb = self.bit_offsets[c], self.value_bits[c]
         v = vals.astype(np.int64)
-        for k in range(nb):
-            bits[:, off + k] = (v >> k) & 1
+        if self.input_encoding == "binary":
+            for k in range(nb):
+                bits[:, off + k] = (v >> k) & 1
+        else:
+            bits[:, off : off + nb] = 0.0
+            bits[np.arange(len(v)), off + np.clip(v, 0, nb - 1)] = 1.0
         if self.column_masking:
             bits[:, off + nb] = 0.0  # observed
 
@@ -299,18 +402,23 @@ class ResMADE:
             blocks=len(self.blocks),
             column_masking=self.column_masking,
             order=np.array(self.order),
+            input_encoding=self.input_encoding,
+            embed_size=self.embed_size,
         )
         np.savez_compressed(path, **arrays, **meta, **(extra or {}))
 
     @classmethod
     def load(cls, path: str) -> "ResMADE":
         z = np.load(path, allow_pickle=True)
+        enc = str(z["input_encoding"]) if "input_encoding" in z else "binary"
         model = cls(
             domains=list(z["domains"]),
             hidden=int(z["hidden"]),
             blocks=int(z["blocks"]),
             column_masking=bool(z["column_masking"]) if "column_masking" in z else False,
             order=list(z["order"]) if "order" in z else None,
+            input_encoding=enc,
+            embed_size=int(z["embed_size"]) if "embed_size" in z and int(z["embed_size"]) else 32,
         )
         for i, l in enumerate(model.layers()):
             l.W = z[f"W{i}"]

@@ -25,6 +25,24 @@ from naru_spark.model.binning import ModelBinning
 from naru_spark.model.made import Adam, ResMADE
 
 
+def lr_schedule(
+    global_step: int,
+    d_model: int,
+    warmups: int | None = None,
+    constant_lr: float | None = None,
+) -> float:
+    """Per-step learning rate (reference train_model.py:153-167):
+    ``constant_lr`` wins if set; else Noam warmup
+    d_model^-0.5 * min(step^-0.5, step * warmups^-1.5); else the
+    reference's 1e-2 fallback. ``global_step`` is 1-based
+    (steps_per_epoch * epoch + step + 1 in the reference)."""
+    if constant_lr:
+        return constant_lr
+    if warmups:
+        return (d_model**-0.5) * min(global_step**-0.5, global_step * warmups**-1.5)
+    return 1e-2
+
+
 class NaruModel:
     """Fitted model: ResMADE + per-column binnings + meta."""
 
@@ -87,6 +105,11 @@ class NaruEstimator:
         column_masking: bool = True,
         order: list[int] | None = None,
         arch: str = "made",  # "made" (ResMADE) | "transformer" (reference MakeTransformer analog)
+        input_encoding: str = "binary",  # "binary" | "one_hot" | "embed" (reference made.py:595-612)
+        embed_size: int = 32,
+        warmups: int | None = None,  # Noam warmup steps (reference train_model.py:153-167); None = constant self.lr
+        data_bits: float | None = None,  # table entropy, for the verbose entropy-gap log (train_model.py:232-238)
+        order_cycle: list[list[int]] | None = None,  # K orderings for ONE multi-mask model (reference made.py:277-393)
     ):
         self.columns = columns
         self.hidden = hidden
@@ -102,6 +125,13 @@ class NaruEstimator:
         self.order = order
         assert arch in ("made", "transformer")
         self.arch = arch
+        self.input_encoding = input_encoding
+        self.embed_size = embed_size
+        self.warmups = warmups
+        self.data_bits = data_bits
+        self.order_cycle = [list(o) for o in order_cycle] if order_cycle else None
+        if self.order_cycle:
+            assert arch == "made", "order cycling: ResMADE only"
 
     def fit(self, df: DataFrame, meta: TableMeta | None = None, encoder: DictionaryEncoder | None = None) -> NaruModel:
         t0 = time.time()
@@ -154,6 +184,8 @@ class NaruEstimator:
                 dtype=np.float32,  # sgemm: ~2x the float64 training throughput
                 column_masking=self.column_masking,
                 order=self.order,
+                input_encoding=self.input_encoding,
+                embed_size=self.embed_size,
             )
             opt = Adam(made, lr=self.lr)
         rng = np.random.RandomState(self.seed)
@@ -166,10 +198,20 @@ class NaruEstimator:
         pre_bits = None
         if self.arch == "made":
             pre_bits = made.encode_bits(data)
+        global_step = 0
         for epoch in range(self.epochs):
             perm = rng.permutation(N)
             tot, nb = 0.0, 0
             for lo in range(0, N, self.batch_size):
+                global_step += 1
+                if self.warmups:
+                    # d_model analog: the reference uses model.embed_size
+                    opt.lr = lr_schedule(global_step, self.hidden, self.warmups)
+                if self.order_cycle:
+                    # one weight set, K orderings: rebuild the two
+                    # order-dependent masks per step (made.update_order) —
+                    # the reference's multi-mask training (made.py:277-393)
+                    made.update_order(self.order_cycle[global_step % len(self.order_cycle)])
                 idx = perm[lo : lo + self.batch_size]
                 b = data[idx]
                 observed = None
@@ -193,13 +235,18 @@ class NaruEstimator:
                 nb += 1
             if self.verbose:
                 bits = tot / nb / np.log(2)
-                print(f"epoch {epoch}: nll {tot/nb:.4f} nats ({bits:.3f} bits/tuple) [{time.time()-t0:.0f}s]")
+                gap = "" if self.data_bits is None else f" entropy gap {bits - self.data_bits:.4f} bits"
+                print(
+                    f"epoch {epoch}: nll {tot/nb:.4f} nats ({bits:.3f} bits/tuple){gap}"
+                    f" lr {opt.lr:.5f} [{time.time()-t0:.0f}s]"
+                )
         model_bits = float(tot / nb / np.log(2)) if nb else float("nan")
         fit_info = {
             "arch": self.arch,
             "epochs": self.epochs,
             "seed": self.seed,
             "model_bits": model_bits,
+            "input_encoding": self.input_encoding,
         }
         return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
 
@@ -243,6 +290,7 @@ class NaruEstimator:
         made = ResMADE(
             sizes, hidden=self.hidden, blocks=self.blocks, seed=self.seed,
             dtype=np.float32, column_masking=self.column_masking, order=self.order,
+            input_encoding=self.input_encoding, embed_size=self.embed_size,
         )
         bin_cols = [f"{c}__bin" for c in self.columns]
         encoded = encoder.transform(df.select(*self.columns)).select(*bin_cols)
@@ -250,9 +298,16 @@ class NaruEstimator:
         columns = list(self.columns)
         hidden, blocks, seed = self.hidden, self.blocks, self.seed
         column_masking, order = self.column_masking, self.order
+        input_encoding, embed_size = self.input_encoding, self.embed_size
         epochs = local_epochs if local_epochs is not None else self.epochs
         batch_size, lr = self.batch_size, self.lr
         sc = df.sparkSession.sparkContext
+
+        # Ship ONLY the per-column raw->model lookup arrays (all encode()
+        # needs), broadcast once for all rounds — closure-capturing the
+        # binnings dict would serialize every ColumnDictionary into every
+        # task of every round (O(distinct values) per high-card column).
+        enc_bc = sc.broadcast({c: binnings[c].raw_to_model for c in columns})
 
         weights = [(l.W.copy(), l.b.copy()) for l in made.layers()]
         for rnd in range(rounds):
@@ -266,12 +321,14 @@ class NaruEstimator:
                 if not pdfs:
                     return
                 raw = pd.concat(pdfs).to_numpy(dtype="int64")
+                lookup = enc_bc.value
                 data = np.stack(
-                    [binnings[c].encode(raw[:, i]) for i, c in enumerate(columns)], axis=1
+                    [lookup[c][raw[:, i]] for i, c in enumerate(columns)], axis=1
                 )
                 local = ResMADE(
                     sizes, hidden=hidden, blocks=blocks, seed=seed,
                     dtype=np.float32, column_masking=column_masking, order=order,
+                    input_encoding=input_encoding, embed_size=embed_size,
                 )
                 for l, (W, b) in zip(local.layers(), pickle.loads(w_bc.value)):
                     l.W, l.b = W.copy(), b.copy()
@@ -299,6 +356,10 @@ class NaruEstimator:
                 yield pd.DataFrame({"n": [N], "w": [pickle.dumps(out)]})
 
             rows = encoded.mapInPandas(train_shard, schema="n long, w binary").collect()
+            if not rows:
+                raise ValueError(
+                    "fit_distributed: input DataFrame is empty (no partition yielded rows)"
+                )
             total = sum(r.n for r in rows)
             acc = None
             for r in rows:
@@ -313,6 +374,7 @@ class NaruEstimator:
                     ]
             weights = acc
             w_bc.unpersist()
+        enc_bc.unpersist()
 
         for l, (W, b) in zip(made.layers(), weights):
             l.W, l.b = W.astype(np.float32), b.astype(np.float32)
@@ -322,8 +384,31 @@ class NaruEstimator:
             "seed": seed,
             "model_bits": float("nan"),
             "distributed_rounds": rounds,
+            "input_encoding": self.input_encoding,
         }
         return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
+
+
+def multi_order_nll(models: list, data: np.ndarray) -> float:
+    """Test-time multi-order ensemble NLL (reference train_model.py:208-228):
+
+        p(x) = 1/K sum_i p_i(x)
+        -log p(x) = -( logsumexp_i( -nll_i(x) ) + log(1/K) )
+
+    ``models``: fitted per-ordering models (NaruModel bundles or bare
+    ResMADEs over the same columns/binnings); ``data``: [N, D] model-bin
+    matrix (the eval split). Returns the mean over rows, in nats — report
+    next to MultiOrderEnsemble's estimates."""
+    K = len(models)
+    logps = []
+    for m in models:
+        made = getattr(m, "made", m)
+        logits = made.forward(data, grad=False)
+        logps.append(-made.nll_rows(logits, data))
+    lp = np.stack(logps, axis=1)  # [N, K]
+    mx = lp.max(axis=1, keepdims=True)
+    lse = mx[:, 0] + np.log(np.exp(lp - mx).sum(axis=1))
+    return float(np.mean(-(lse + np.log(1.0 / K))))
 
 
 def table_bits(df: DataFrame, columns: list[str]) -> float:

@@ -120,11 +120,13 @@ def source_cap(
     group after the rank filter."""
     from pyspark.sql import Window
 
+    # collision-safe helper name: a user column literally named "rn" must
+    # survive the round-trip
     w = Window.partitionBy(shard_col).orderBy(id_col)
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cap)
-        .drop("rn")
+        df.withColumn("__source_cap_rn", F.row_number().over(w))
+        .filter(F.col("__source_cap_rn") <= cap)
+        .drop("__source_cap_rn")
     )
 
 

@@ -92,6 +92,36 @@ def test_bayesnet_sanity(lineitem_setup):
     assert np.median(errs) < 20
 
 
+def test_bayesnet_spark_mi_path_agrees(spark, lineitem_setup):
+    """BN built with the distributed MI path (pairwise_mi_spark over
+    model_bin_df on the full table) must produce the same tree and the
+    same estimates as the sample path when both see the same rows."""
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    sub = cols[:4]
+    idx = [cols.index(c) for c in sub]
+    encoded = enc.transform(df).select(*[f"{c}__bin" for c in sub])
+    bn_sample = BayesNet(data[:, idx], meta, sub, max_model_domain=64, num_samples=128, seed=0)
+    bn_spark = BayesNet(
+        data[:, idx], meta, sub, max_model_domain=64, num_samples=128, seed=0,
+        spark_df=encoded,
+    )
+    assert bn_sample.edges == bn_spark.edges
+    for q in wl[:5]:
+        if all(c in sub for c in q.cols):
+            assert bn_sample.query(q) == bn_spark.query(q)
+    # and the MI numbers themselves agree pairwise
+    from naru_spark.estimators.bayes import model_bin_df
+
+    mbin = model_bin_df(encoded, bn_sample.binnings, sub)
+    i, j = 0, 1
+    got = pairwise_mi_spark(mbin, f"{sub[i]}__mbin", f"{sub[j]}__mbin")
+    ei = bn_sample.binnings[sub[i]].encode(data[:, idx[i]])
+    ej = bn_sample.binnings[sub[j]].encode(data[:, idx[j]])
+    joint = np.zeros((bn_sample.binnings[sub[i]].model_size, bn_sample.binnings[sub[j]].model_size))
+    np.add.at(joint, (ei, ej), 1.0)
+    assert abs(got - mutual_information(joint)) < 1e-9
+
+
 def test_catalyst_cbo(spark, lineitem_setup):
     df, enc, meta, data, cols, wl, truths = lineitem_setup
     cbo = CatalystCBO(spark, f"{SF_SMOKE}/lineitem.parquet", "li_cbo_test")

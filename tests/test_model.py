@@ -18,11 +18,13 @@ AR_CONFIGS = [
 ]
 
 
+@pytest.mark.parametrize("encoding", ["binary", "one_hot", "embed"])
 @pytest.mark.parametrize("cfg", AR_CONFIGS)
-def test_autoregressive_property(cfg):
-    """Logits of column i must not depend on inputs of columns >= i."""
+def test_autoregressive_property(cfg, encoding):
+    """Logits of column i must not depend on inputs of columns >= i —
+    for all three input encodings (reference made.py:595-612 dispatcher)."""
     rng = np.random.RandomState(0)
-    m = ResMADE(seed=1, **cfg)
+    m = ResMADE(seed=1, input_encoding=encoding, embed_size=8, **cfg)
     D = len(cfg["domains"])
     x = np.stack([rng.randint(0, d, size=4) for d in cfg["domains"]], axis=1)
     base = m.forward(x.copy(), grad=False)
@@ -34,7 +36,7 @@ def test_autoregressive_property(cfg):
             for i in range(j + 1):
                 lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
                 assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (
-                    f"col {i} logits depend on col {j}"
+                    f"col {i} logits depend on col {j} ({encoding})"
                 )
 
 
@@ -130,6 +132,99 @@ def test_multiorder_ensemble_sane():
     ens = MultiOrderEnsemble(models, num_samples=512, seed=1)
     est = ens.query(q)
     assert truth / 1.6 <= est <= truth * 1.6, (est, truth)
+
+
+@pytest.mark.parametrize("encoding", ["one_hot", "embed"])
+def test_encoding_learns_correlation(encoding):
+    """one_hot / embed input modes must train: a perfectly correlated pair
+    compresses to ~single-column entropy (same gate as the binary mode)."""
+    rng = np.random.RandomState(0)
+    N = 4000
+    a = rng.randint(0, 16, N)
+    data = np.stack([a, a], axis=1).astype(np.int64)
+    m = ResMADE([16, 16], hidden=32, blocks=2, seed=0, input_encoding=encoding, embed_size=8)
+    opt = Adam(m, lr=5e-3)
+    bits = None
+    for _ in range(8):
+        perm = rng.permutation(N)
+        tot, nb = 0.0, 0
+        for lo in range(0, N, 512):
+            b = data[perm[lo : lo + 512]]
+            logits = m.forward(b)
+            loss, dl = m.nll(logits, b)
+            m.zero_grad()
+            m.backward(dl)
+            opt.step()
+            tot += loss
+            nb += 1
+        bits = tot / nb / np.log(2)
+    # uniform independent = 8 bits; perfect copy = 4 bits
+    assert bits < 5.0, (encoding, bits)
+
+
+@pytest.mark.parametrize("encoding", ["binary", "one_hot", "embed"])
+def test_gradient_check_all_encodings(encoding):
+    rng = np.random.RandomState(3)
+    m = ResMADE([4, 5, 3], hidden=12, blocks=1, seed=2, input_encoding=encoding, embed_size=4)
+    xb = np.stack([rng.randint(0, d, size=6) for d in [4, 5, 3]], axis=1)
+    logits = m.forward(xb)
+    _, dl = m.nll(logits, xb)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    checked = 0
+    for layer in m.layers():
+        nz = np.argwhere(layer.M)
+        for i, j in nz[:: max(1, len(nz) // 5)][:5]:
+            orig = layer.W[i, j]
+            layer.W[i, j] = orig + eps
+            lp, _ = m.nll(m.forward(xb), xb)
+            layer.W[i, j] = orig - eps
+            lm, _ = m.nll(m.forward(xb), xb)
+            layer.W[i, j] = orig
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - layer.dW[i, j]) < 1e-5, (i, j, num, layer.dW[i, j])
+            checked += 1
+    assert checked >= 10
+
+
+def test_lr_warmup_schedule_values():
+    """Pin the Noam schedule against hand-computed reference values
+    (train_model.py:153-167): lr = d^-0.5 * min(s^-0.5, s * t^-1.5)."""
+    from naru_spark.model.train import lr_schedule
+
+    d, t = 64, 100
+    for s in (1, 10, 100, 1000):
+        expect = (d**-0.5) * min(s**-0.5, s * (t**-1.5))
+        assert abs(lr_schedule(s, d, warmups=t) - expect) < 1e-12
+    # warmup region rises linearly, then decays as s^-0.5
+    assert lr_schedule(50, d, warmups=t) < lr_schedule(100, d, warmups=t)
+    assert lr_schedule(400, d, warmups=t) < lr_schedule(100, d, warmups=t)
+    # constant_lr wins over everything
+    assert lr_schedule(7, d, warmups=t, constant_lr=0.123) == 0.123
+    # no warmups, no constant -> the reference's 1e-2 fallback
+    assert lr_schedule(7, d) == 1e-2
+
+
+def test_multi_order_nll_hand_computed():
+    """2-order ensemble metric vs a by-hand logsumexp on per-row NLLs."""
+    from naru_spark.model.train import multi_order_nll
+
+    rng = np.random.RandomState(0)
+    domains = [4, 3]
+    m1 = ResMADE(domains, hidden=8, blocks=1, seed=1, order=[0, 1])
+    m2 = ResMADE(domains, hidden=8, blocks=1, seed=2, order=[1, 0])
+    x = np.stack([rng.randint(0, d, size=5) for d in domains], axis=1)
+    got = multi_order_nll([m1, m2], x)
+    nll1 = m1.nll_rows(m1.forward(x, grad=False), x)
+    nll2 = m2.nll_rows(m2.forward(x, grad=False), x)
+    expect = np.mean(
+        [-(np.logaddexp(-a, -b) + np.log(0.5)) for a, b in zip(nll1, nll2)]
+    )
+    assert abs(got - expect) < 1e-10
+    # per-row NLL must also be consistent with the mean NLL
+    mean1, _ = m1.nll(m1.forward(x), x)
+    assert abs(nll1.mean() - mean1) < 1e-9
 
 
 def test_gradient_check():
@@ -247,6 +342,78 @@ def test_custom_ordering_ar_property():
                 if pos[j] >= pos[i]:
                     lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
                     assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
+
+
+def test_update_order_exact_and_ar():
+    """In-place order cycling (reference made.py:277-393): switching to a
+    new ordering enforces the AR invariant w.r.t. THAT ordering, and
+    cycling back restores bit-identical logits (mask rebuild is exact)."""
+    rng = np.random.RandomState(0)
+    domains = [5, 3, 7, 4]
+    m = ResMADE(domains, hidden=32, blocks=2, seed=1)
+    x = np.stack([rng.randint(0, d, 3) for d in domains], axis=1)
+    base = m.forward(x.copy(), grad=False)
+
+    new_order = [2, 0, 3, 1]
+    m.update_order(new_order)
+    pos = {c: k for k, c in enumerate(new_order)}
+    ref = m.forward(x.copy(), grad=False)
+    for j in range(4):
+        for _ in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, domains[j], 3)
+            lg = m.forward(x2, grad=False)
+            for i in range(4):
+                if pos[j] >= pos[i]:
+                    lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                    assert np.allclose(lg[:, lo:hi], ref[:, lo:hi]), (i, j)
+
+    m.update_order([0, 1, 2, 3])
+    back = m.forward(x.copy(), grad=False)
+    assert np.array_equal(back, base)
+
+
+def test_order_cycled_single_model_ensemble():
+    """ONE multi-mask model cycling two orderings during training, then
+    ensembled across its own orderings at query time — the 1x-training
+    substitute for K separate per-order models."""
+    from naru_spark.estimators.progressive import MultiOrderEnsemble
+    from naru_spark.meta import TableMeta
+    from naru_spark.model.train import NaruModel
+
+    rng = np.random.RandomState(0)
+    N = 3000
+    a = rng.randint(0, 8, N)
+    data = np.stack([a, (a + 1) % 8], axis=1).astype(np.int64)
+    orders = [[0, 1], [1, 0]]
+    m = ResMADE([8, 8], hidden=24, blocks=2, seed=0)
+    opt = Adam(m, lr=5e-3)
+    step = 0
+    for _ in range(8):
+        perm = rng.permutation(N)
+        for lo in range(0, N, 512):
+            m.update_order(orders[step % 2])
+            step += 1
+            b = data[perm[lo : lo + 512]]
+            logits = m.forward(b)
+            _, dl = m.nll(logits, b)
+            m.zero_grad()
+            m.backward(dl)
+            opt.step()
+    dicts = {
+        c: ColumnDictionary(c, np.arange(8, dtype=np.int64), has_null=False)
+        for c in ("x", "y")
+    }
+    binn = {c: ModelBinning(dicts[c], 8) for c in ("x", "y")}
+    model = NaruModel(m, binn, TableMeta("t", [], N), ["x", "y"])
+
+    from naru_spark.predicates import Query
+
+    ens = MultiOrderEnsemble.from_single_model(model, orders, num_samples=512, seed=1)
+    q = Query("t", ["x"], ["="], [3])
+    truth = int((a == 3).sum())
+    est = ens.query(q)
+    assert truth / 1.8 <= est <= truth * 1.8, (est, truth)
 
 
 def test_save_load_roundtrip(tmp_path):
