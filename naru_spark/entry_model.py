@@ -230,12 +230,19 @@ def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln2 = float(np.log(2))
     members = [("made_natural", model), ("made_reversed", reversed_made)]
     rows = []
+    per_row = []
     for name, m in members:
         made = m.made
-        nll = float(made.nll_rows(made.forward(data, grad=False), data).mean())
-        rows.append((name, nll / ln2))
+        nll_rows = made.nll_rows(made.forward(data, grad=False), data)
+        per_row.append(nll_rows)
+        rows.append((name, float(nll_rows.mean()) / ln2))
     ens = multi_order_nll([m for _, m in members], data) / ln2
-    assert ens <= min(b for _, b in rows) + 1e-9  # mixture dominates members
+    # Mixture bounds, per row: min_i nll_i <= nll_mix <= min_i nll_i + log K
+    # (p_mix = mean(p_i) lies between max(p_i)/K and max(p_i)). Averaged
+    # over rows the same bounds hold w.r.t. the per-row minimum.
+    row_min_bits = float(np.minimum.reduce(per_row).mean()) / ln2
+    k_bits = float(np.log2(len(members)))
+    assert row_min_bits - 1e-9 <= ens <= row_min_bits + k_bits + 1e-9, (ens, row_min_bits)
     rows.append(("ensemble_logsumexp", ens))
     return spark.createDataFrame(rows, "model string, nll_bits double")
 

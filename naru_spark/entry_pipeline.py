@@ -400,12 +400,20 @@ def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-bit block matches with p ~ 0.4 and >=1 of 16 blocks with p ~ 0.9997
     — high enough that the seeded run reproduces the exact pair set on
     the gate corpus, so it shares dedup_embedding's oracle. Recall vs the
-    exact path is also asserted in tests/test_pipeline.py."""
+    exact path is also asserted in tests/test_pipeline.py.
+
+    Gate input is capped at vec_id < 2000 (a no-op at the sf0.01
+    correctness scale, 500 vectors): threshold 0.4 is sign-LSH's worst
+    case — 0.63-vs-0.5 bit agreement barely separates dups from random
+    pairs, so 2-bit blocks collide on ~1/4 of RANDOM pairs per band and
+    candidate volume grows ~ bands x n^2/4 on an unclustered corpus. At
+    the operator's real near-dup operating point (threshold 0.95, 4-bit
+    blocks, P(bit) ~ 0.90) collisions are 16x rarer per block; the knob
+    trade-off is documented on embedding_dup_pairs_lsh itself."""
     from naru_spark.pipeline.dedup import embedding_dup_pairs_lsh
 
-    return embedding_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.4, bits=32, bands=16
-    )
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    return embedding_dup_pairs_lsh(emb, threshold=0.4, bits=32, bands=16)
 
 
 def sql_embedding_dups() -> str:
@@ -774,11 +782,17 @@ def build_pipeline_registry():
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),
         "dedup_embedding": sql_embedding_dups(),
-        # the LSH path shares the exact oracle: at the gate's band params
-        # recall is ~0.9997/pair and the seeded signatures are
-        # deterministic — verified identical to the exact pair set at
-        # sf0.01 (59/59 pairs)
-        "dedup_embedding_lsh": sql_embedding_dups(),
+        # the LSH path shares the exact oracle (same vec_id < 2000 cap —
+        # a no-op at sf0.01): at the gate's band params recall is
+        # ~0.9997/pair and the seeded signatures are deterministic —
+        # verified identical to the exact pair set at sf0.01 (59/59 pairs)
+        "dedup_embedding_lsh": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 2000 AND b.vec_id < 2000
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""",
         "similarity_topk": sql_similarity_topk(),
         "multimodal_bytes": sql_multimodal_bytes(),
         "events_hourly_stream": sql_events_hourly_stream(),

@@ -373,7 +373,7 @@ def embedding_dup_pairs_lsh(
 
     Same output schema/semantics as ``embedding_dup_pairs`` (a < b,
     cosine rounded to 6 decimals), minus LSH-missed pairs."""
-    from naru_spark.pipeline.similarity import cosine_expr, signature_udf, _hyperplanes
+    from naru_spark.pipeline.similarity import cosine_pairs_udf, signature_udf, _hyperplanes
 
     assert bits % bands == 0
     width = bits // bands
@@ -408,10 +408,11 @@ def embedding_dup_pairs_lsh(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    cos = cosine_pairs_udf()
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
-        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .withColumn("cosine", cos(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
