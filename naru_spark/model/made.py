@@ -76,6 +76,7 @@ class ResMADE:
         order: list[int] | None = None,
         input_encoding: str = "binary",
         embed_size: int = 32,
+        direct_io: bool = False,
     ):
         """column_masking: reserve one extra 'unobserved' bit per column and
         train with random input masking (reference's learnable
@@ -100,6 +101,13 @@ class ResMADE:
           table IS the layer's weight block and trains with the same
           Adam/backward machinery. With column_masking the mask bit's
           weight row is exactly the reference's learnable unk_embedding.
+
+        direct_io: additive skip path from the input bits straight to the
+        output logits through a STRICT degree mask (reference
+        ``direct_io`` connections, made.py:208-247; part of the
+        recommended DMV config, README.md:74-81) — lets each head read
+        its strictly-preceding columns' raw encodings without spending
+        hidden capacity on them.
         """
         assert input_encoding in ("binary", "one_hot", "embed")
         self.domains = list(domains)
@@ -164,6 +172,13 @@ class ResMADE:
             l2 = MaskedLinear(hidden, hidden, mask(hid_deg, hid_deg), rng, dtype)
             self.blocks.append((l1, l2))
         self.lin_out = MaskedLinear(hidden, self.n_out, mask(hid_deg, out_deg, strict=True), rng, dtype)
+        self.lin_direct = None
+        if direct_io:
+            d_in_deg = np.repeat(pos + 1, embed_size) if input_encoding == "embed" else in_deg
+            d_n_in = self.D * embed_size if input_encoding == "embed" else self.n_bits
+            self.lin_direct = MaskedLinear(
+                d_n_in, self.n_out, mask(d_in_deg, out_deg, strict=True), rng, dtype
+            )
 
     # ------------------------------------------------------- order cycling
     def update_order(self, order: list[int]):
@@ -196,6 +211,10 @@ class ResMADE:
             )
         self.lin_in.M = (hid_deg[None, :] >= in_deg[:, None]).astype(self.lin_in.M.dtype)
         self.lin_out.M = (out_deg[None, :] > hid_deg[:, None]).astype(self.lin_out.M.dtype)
+        if self.lin_direct is not None:
+            self.lin_direct.M = (out_deg[None, :] > in_deg[:, None]).astype(
+                self.lin_direct.M.dtype
+            )
 
     # ------------------------------------------------------------ encoding
     def encode_bits(self, x_bins: np.ndarray, observed: np.ndarray | None = None) -> np.ndarray:
@@ -233,6 +252,7 @@ class ResMADE:
         self._caches = []
         if self.lin_emb is not None:
             bits = fwd(self.lin_emb, bits)  # linear lookup, no activation
+        self._x_in = bits  # post-embedding input: feeds lin_direct too
         h = fwd(self.lin_in, bits)
         self._h_in = h
         for l1, l2 in self.blocks:
@@ -261,8 +281,14 @@ class ResMADE:
         h = self._hidden_forward(bits, grad)
         self._h_final = h
         if grad:
-            return self.lin_out.forward(_relu(h))
-        return self.lin_out.forward_nograd(_relu(h))
+            out = self.lin_out.forward(_relu(h))
+            if self.lin_direct is not None:
+                out = out + self.lin_direct.forward(self._x_in)
+            return out
+        out = self.lin_out.forward_nograd(_relu(h))
+        if self.lin_direct is not None:
+            out = out + self.lin_direct.forward_nograd(self._x_in)
+        return out
 
     def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
         return self.forward_encoded(self.encode_bits(x_bins, observed), grad)
@@ -273,9 +299,14 @@ class ResMADE:
     def logits_for_col(self, c: int, h: np.ndarray) -> np.ndarray:
         """Slice the output head of one column (made.py:645-674) — computes
         only hidden x domain_c work, which is what makes progressive
-        sampling affordable per step."""
+        sampling affordable per step. ``h`` must come from the preceding
+        ``hidden_nograd`` call (which also caches the post-embedding input
+        for the direct-IO slice)."""
         lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
-        return _relu(h) @ self.lin_out.Wm[:, lo:hi] + self.lin_out.b[lo:hi]
+        out = _relu(h) @ self.lin_out.Wm[:, lo:hi] + self.lin_out.b[lo:hi]
+        if self.lin_direct is not None:
+            out = out + self._x_in @ self.lin_direct.Wm[:, lo:hi] + self.lin_direct.b[lo:hi]
+        return out
 
     # ----------------------------------------------------------------- nll
     def nll(self, logits: np.ndarray, x_bins: np.ndarray) -> tuple[float, np.ndarray]:
@@ -316,6 +347,9 @@ class ResMADE:
 
     # ------------------------------------------------------------ backward
     def backward(self, dlogits: np.ndarray):
+        dx_direct = None
+        if self.lin_direct is not None:
+            dx_direct = self.lin_direct.backward(dlogits)
         dh = self.lin_out.backward(dlogits)
         dh = dh * (self._h_final > 0)  # relu before output
         for (l1, l2), (h_pre, a_pre) in zip(reversed(self.blocks), reversed(self._caches)):
@@ -325,6 +359,8 @@ class ResMADE:
             dh_inner = l1.backward(da)
             dh = dh + dh_inner * (h_pre > 0)
         dx = self.lin_in.backward(dh)
+        if dx_direct is not None:
+            dx = dx + dx_direct
         if self.lin_emb is not None:
             self.lin_emb.backward(dx)
 
@@ -339,6 +375,8 @@ class ResMADE:
             out += [l1, l2]
         if self.lin_emb is not None:
             out.append(self.lin_emb)  # appended last: old checkpoints keep their W<i> indices
+        if self.lin_direct is not None:
+            out.append(self.lin_direct)
         return out
 
     def num_params(self) -> int:
@@ -404,6 +442,7 @@ class ResMADE:
             order=np.array(self.order),
             input_encoding=self.input_encoding,
             embed_size=self.embed_size,
+            direct_io=self.lin_direct is not None,
         )
         np.savez_compressed(path, **arrays, **meta, **(extra or {}))
 
@@ -419,6 +458,7 @@ class ResMADE:
             order=list(z["order"]) if "order" in z else None,
             input_encoding=enc,
             embed_size=int(z["embed_size"]) if "embed_size" in z and int(z["embed_size"]) else 32,
+            direct_io=bool(z["direct_io"]) if "direct_io" in z else False,
         )
         for i, l in enumerate(model.layers()):
             l.W = z[f"W{i}"]

@@ -344,6 +344,72 @@ def test_custom_ordering_ar_property():
                     assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
 
 
+@pytest.mark.parametrize("encoding", ["binary", "embed"])
+def test_direct_io_ar_and_gradient(encoding):
+    """direct-IO skip connections (reference made.py:208-247): AR property
+    must hold (strict input->output mask) and gradients must check."""
+    rng = np.random.RandomState(0)
+    domains = [5, 3, 7]
+    m = ResMADE(domains, hidden=16, blocks=1, seed=1, direct_io=True,
+                input_encoding=encoding, embed_size=4)
+    x = np.stack([rng.randint(0, d, size=4) for d in domains], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(3):
+        x2 = x.copy()
+        x2[:, j] = rng.randint(0, domains[j], size=4)
+        lg = m.forward(x2, grad=False)
+        for i in range(j + 1):
+            lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+            assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
+    # direct path must actually be wired (nonzero mask) and trained
+    assert m.lin_direct is not None and m.lin_direct.M.sum() > 0
+    logits = m.forward(x)
+    _, dl = m.nll(logits, x)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    nz = np.argwhere(m.lin_direct.M)
+    for i, j in nz[:: max(1, len(nz) // 4)][:4]:
+        orig = m.lin_direct.W[i, j]
+        m.lin_direct.W[i, j] = orig + eps
+        lp, _ = m.nll(m.forward(x), x)
+        m.lin_direct.W[i, j] = orig - eps
+        lm, _ = m.nll(m.forward(x), x)
+        m.lin_direct.W[i, j] = orig
+        assert abs((lp - lm) / (2 * eps) - m.lin_direct.dW[i, j]) < 1e-5
+    # sampling path (logits_for_col) must agree with the full forward
+    full = m.forward(x, grad=False)
+    bits = m.encode_bits(x)
+    h = m.hidden_nograd(bits)
+    for c in range(3):
+        lo, hi = m.out_offsets[c], m.out_offsets[c + 1]
+        assert np.allclose(m.logits_for_col(c, h), full[:, lo:hi])
+
+
+def test_direct_io_update_order():
+    """Order cycling rebuilds the direct mask too: round-trip restores
+    bit-identical logits; AR holds w.r.t. the new order."""
+    rng = np.random.RandomState(0)
+    domains = [4, 6, 3]
+    m = ResMADE(domains, hidden=16, blocks=1, seed=2, direct_io=True)
+    x = np.stack([rng.randint(0, d, 3) for d in domains], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    new_order = [2, 1, 0]
+    m.update_order(new_order)
+    pos = {c: k for k, c in enumerate(new_order)}
+    for j in range(3):
+        x2 = x.copy()
+        x2[:, j] = rng.randint(0, domains[j], 3)
+        lg = m.forward(x2, grad=False)
+        ref = m.forward(x.copy(), grad=False)
+        for i in range(3):
+            if pos[j] >= pos[i]:
+                lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                assert np.allclose(lg[:, lo:hi], ref[:, lo:hi]), (i, j)
+    m.update_order([0, 1, 2])
+    assert np.array_equal(m.forward(x.copy(), grad=False), base)
+
+
 def test_update_order_exact_and_ar():
     """In-place order cycling (reference made.py:277-393): switching to a
     new ordering enforces the AR invariant w.r.t. THAT ordering, and
