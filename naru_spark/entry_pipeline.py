@@ -476,6 +476,26 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_cells=64, n_probe=16)
 
 
+def q_similarity_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN: write the corpus hive-partitioned by k-means
+    cell, then answer the probes with a partition-PRUNED scan (the plan
+    carries PartitionFilters on ``cell`` — the serving shape that reads
+    n_probe/n_cells of a 100 TB corpus). Rows-only gate; exact parity
+    with the in-memory ivf_topk and the pruning plan are asserted in
+    tests/test_pipeline.py::test_ivf_persisted_index_parity_and_pruning."""
+    import tempfile
+
+    from naru_spark.pipeline.similarity import ivf_topk_from_index, ivf_write_index
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    ivf_write_index(emb, path, n_cells=64, seed=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_from_index(spark, path, queries, k=10, n_probe=16)
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the full binary-column path: text -> binary blob ->
@@ -754,6 +774,7 @@ def build_pipeline_registry():
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_lsh,
         "similarity_topk_ivf": q_similarity_ivf,
+        "similarity_topk_ivf_index": q_similarity_ivf_index,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_resize": q_multimodal_resize,
         "events_hourly_stream": q_events_hourly_stream,

@@ -220,6 +220,104 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    seed: int = 5,
+) -> np.ndarray:
+    """Materialize the IVF layout the in-memory ``ivf_topk`` docstring
+    promises: assign every vector to its nearest spherical-k-means cell
+    (Arrow-batched argmax matmul, centroids broadcast) and WRITE the
+    corpus hive-partitioned by ``cell`` — one directory per cell.
+    Centroids persist as ``_centroids.npy`` beside the parquet tree.
+
+    This is the 100 TB serving shape: a probe of n_probe cells becomes a
+    partition-pruned scan (the plan shows PartitionFilters on ``cell``,
+    asserted in tests/test_pipeline.py) reading n_probe/n_cells of the
+    data — nothing else is opened, let alone scanned."""
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(corpus, vec_col, n_cells, seed)
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        out = np.zeros(len(vecs), dtype=np.int32)
+        if len(vecs):
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    (
+        corpus.select(id_col, vec_col)
+        .withColumn("cell", cell_of(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    import os
+
+    np.save(os.path.join(path, "_centroids.npy"), cents)
+    return cents
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_probe: int = 8,
+) -> DataFrame:
+    """ANN top-k over a persisted IVF index (``ivf_write_index``): compute
+    each query's n_probe nearest centroids on the driver (tiny matmul),
+    scan ONLY those cells via a partition filter (``cell IN (...)`` prunes
+    directories before any I/O), then broadcast-join the probe list and
+    exact-cosine re-rank — identical math to the in-memory ``ivf_topk``
+    given the same centroids (asserted in tests)."""
+    import os
+
+    cents = np.load(os.path.join(path, "_centroids.npy"))
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sims = qmat @ cents.T
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, cents.shape[0])]
+    probe_rows = [
+        (int(qid), int(cell))
+        for qid, row in zip(q_pdf[query_id_col], probes)
+        for cell in row
+    ]
+    needed_cells = sorted({c for _, c in probe_rows})
+
+    corpus_cells = spark.read.parquet(path).filter(F.col("cell").isin(needed_cells))
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    cand = (
+        corpus_cells.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "__cv")
+        .join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", "__cv", "__qv")
+    )
+    scored = cand.withColumn("cosine", cosine_expr("__cv", "__qv")).drop("__cv", "__qv")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -201,6 +201,32 @@ def test_ivf_topk_recall(spark, emb):
         assert (qid, qid) in iv
 
 
+def test_ivf_persisted_index_parity_and_pruning(spark, emb, tmp_path):
+    """The persisted IVF layout must (a) return exactly what the in-memory
+    ivf_topk returns for the same centroids/params, and (b) scan only the
+    probed cells — the physical plan carries a PartitionFilters entry on
+    ``cell``, i.e. the probe is directory pruning, not a full scan."""
+    from naru_spark.pipeline.similarity import ivf_topk, ivf_topk_from_index, ivf_write_index
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, n_cells=64, seed=5)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mem = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(emb, q, k=10, n_cells=64, n_probe=16, seed=5).collect()
+    }
+    idx_df = ivf_topk_from_index(spark, path, q, k=10, n_probe=16)
+    idx = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in idx_df.collect()}
+    assert idx == mem
+
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+
 # -------------------------------------------------------------- multimodal
 def test_resize_matches_python_reference(spark, docs):
     from naru_spark.pipeline.multimodal import attach_fake_blobs, resize
