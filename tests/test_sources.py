@@ -32,6 +32,38 @@ def test_events_stream_ts_is_timestamp(spark):
     assert dict(st.dtypes)["ts"] == "timestamp"
 
 
+def test_scan_pruning_and_pushdown(spark):
+    """Plan-shape pins: (a) load_table's projection prunes the parquet
+    ReadSchema to exactly the requested columns; (b) predicates reach the
+    scan as PushedFilters; (c) a predicate on the NTZ-cast ts column still
+    pushes through the cast (NTZ->LTZ under the UTC session is
+    order-preserving, so Catalyst rewrites the literal instead of
+    materializing the cast)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    def scan_info(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+        pf = re.search(r"PushedFilters: (\[[^\]]*\])", plan)
+        return (rs.group(1) if rs else ""), (pf.group(1) if pf else "")
+
+    df = load_table(spark, "lineitem", SF_SMOKE, ["l_returnflag", "l_quantity"]).filter(
+        F.col("l_quantity") <= 10
+    )
+    schema, pushed = scan_info(df)
+    assert schema.startswith("struct<l_quantity:double,l_returnflag:string>"), schema
+    assert "LessThanOrEqual(l_quantity,10.0)" in pushed, pushed
+
+    ev = load_table(spark, "events", SF_SMOKE, ["ts", "event_type"]).filter(
+        F.col("ts") >= "2024-03-01"
+    )
+    schema, pushed = scan_info(ev)
+    assert "ts:timestamp_ntz,event_type:string" in schema, schema  # only 2 cols read
+    assert "GreaterThanOrEqual(ts," in pushed, pushed
+
+
 def test_ntz_cast_preserves_values(spark):
     """NTZ -> TIMESTAMP under the UTC session must not shift instants:
     collected values equal the raw parquet micros read by pyarrow."""
