@@ -214,6 +214,30 @@ FROM (
 """
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM bits/token per document (CCNet-style quality signal)."""
+    from naru_spark.pipeline.text import doc_lm_score
+
+    return doc_lm_score(_docs(spark, sf_dir))
+
+
+def sql_doc_lm_score() -> str:
+    # same smoothing math as doc_lm_score (additive 0.5); LOG2/AVG in
+    # double, rounded to 4 decimals like the Spark side
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-LOG2((cnt + 0.5) / (n + 0.5 * v))), 4) AS bits_per_token
+FROM toks JOIN vocab USING (token), tot
+GROUP BY doc_id
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.pipeline.text import with_fingerprint
 
@@ -762,6 +786,7 @@ def build_pipeline_registry():
         "token_histogram": q_token_histogram,
         "doc_repetition": q_doc_repetition,
         "token_idf": q_token_idf,
+        "doc_lm_score": q_doc_lm_score,
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
         "dedup_exact": q_dedup_exact,
@@ -797,6 +822,7 @@ def build_pipeline_registry():
         "token_histogram": sql_token_histogram(),
         "doc_repetition": sql_doc_repetition(),
         "token_idf": sql_token_idf(),
+        "doc_lm_score": sql_doc_lm_score(),
         "source_mix": sql_source_mix(),
         "embedding_norms": sql_embedding_norms(),
         "dedup_exact": sql_dedup_exact(),

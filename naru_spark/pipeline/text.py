@@ -174,6 +174,42 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet-style quality signal): build
+    corpus token frequencies, then score each document by its mean
+    negative log2 token probability (bits/token, additive smoothing). Low
+    = typical-vocabulary text, high = rare-token soup — the standard cheap
+    filter between hand rules and a real LM.
+
+    Scale shape: ONE groupBy(token) bounded by vocabulary size for the LM,
+    two scalar aggregates for the normalizer, then a token->count join
+    (AQE broadcasts the vocab while it fits; beyond broadcast it is a
+    plain shuffled equi-join on the token — never row x vocab) and one
+    groupBy(doc) for the mean. Docs with no tokens drop out (no score).
+    """
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens_col(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"), F.count("*").alias("v")).collect()[0]
+    n, v = int(tot["n"]), int(tot["v"])
+    denom = float(n) + smoothing * v
+    scored = toks.join(vocab, "token").withColumn(
+        "__nlp", -F.log2((F.col("cnt") + F.lit(smoothing)) / F.lit(denom))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__nlp"), 4).alias("bits_per_token"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "bits_per_token")
+    )
+
+
 def token_idf(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document frequency + smoothed IDF per token (the IDF half of TF-IDF;
     the TF half is token_histogram). One shuffle on token after a per-row

