@@ -726,6 +726,37 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.7) source mixture of 300 docs:
+    deterministic md5-ordered selection within each source."""
+    from naru_spark.pipeline.curation import source_temperature_mix
+
+    return source_temperature_mix(_docs(spark, sf_dir), alpha=0.7, total_docs=300).select(
+        "doc_id", "source"
+    )
+
+
+def sql_source_temperature_mix() -> str:
+    # identical floor(total * c^alpha / sum) targets and md5 ordering
+    return """
+WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+tot AS (SELECT SUM(POW(c, 0.7)) AS denom FROM counts),
+targets AS (
+  SELECT source, CAST(FLOOR(300 * POW(c, 0.7) / denom) AS BIGINT) AS target
+  FROM counts, tot
+),
+ranked AS (
+  SELECT d.doc_id, d.source, t.target,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(d.source || '|' || CAST(d.doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents d JOIN targets t USING (source)
+)
+SELECT doc_id, source FROM ranked WHERE rn <= target
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation chain: quality >= 0.7 AND lang 'en' -> exact
     dedup (keep lowest doc_id per identical text) -> per-source manifest."""
@@ -811,6 +842,7 @@ def build_pipeline_registry():
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
         "source_cap": q_source_cap,
+        "source_temperature_mix": q_source_temperature_mix,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -851,6 +883,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "pack_sequences": sql_pack_sequences(),
         "corpus_curation": sql_corpus_curation(),
         "source_cap": sql_source_cap(),
+        "source_temperature_mix": sql_source_temperature_mix(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

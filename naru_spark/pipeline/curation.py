@@ -18,6 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from naru_spark.pipeline.dedup import shingle_df
@@ -127,6 +128,45 @@ def source_cap(
         df.withColumn("__source_cap_rn", F.row_number().over(w))
         .filter(F.col("__source_cap_rn") <= cap)
         .drop("__source_cap_rn")
+    )
+
+
+def source_temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    total_docs: int = 1000,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Temperature-weighted source mixture (the alpha-sampling every
+    multi-source training corpus uses, e.g. multilingual LM recipes):
+    source s with c_s documents gets target floor(total * c_s^alpha /
+    sum_t c_t^alpha) slots — alpha < 1 upweights small sources, alpha = 1
+    is proportional, alpha = 0 is uniform. Selection within a source is a
+    deterministic pseudo-random order (md5 of source||id), so the same
+    corpus always yields the same mix — reproducible data recipes.
+
+    Scale shape: one groupBy(source) for the counts (domain-bounded), the
+    tiny per-source target map broadcast-joined back, one shuffle on the
+    source key for the per-source window rank. The md5 order means no
+    source's selection depends on any other partition's data."""
+    from pyspark.sql import Window
+
+    counts = {r[shard_col]: r["c"] for r in df.groupBy(shard_col).agg(F.count("*").alias("c")).collect()}
+    denom = sum(c**alpha for c in counts.values())
+    targets = [
+        (s, int(np.floor(total_docs * (c**alpha) / denom))) for s, c in counts.items()
+    ]
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(targets, f"{shard_col} string, __target long")
+    w = Window.partitionBy(shard_col).orderBy(
+        F.md5(F.concat_ws("|", F.col(shard_col), F.col(id_col).cast("string")))
+    )
+    return (
+        df.join(F.broadcast(tgt), shard_col)
+        .withColumn("__mix_rn", F.row_number().over(w))
+        .filter(F.col("__mix_rn") <= F.col("__target"))
+        .drop("__mix_rn", "__target")
     )
 
 

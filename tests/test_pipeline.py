@@ -131,6 +131,29 @@ def test_embedding_dups_vs_numpy(spark, emb):
     assert got == exp
 
 
+def test_source_temperature_mix_upweights_small_sources(spark):
+    """alpha < 1 gives small sources a larger share than proportional;
+    alpha = 1 is proportional; selection is deterministic."""
+    from naru_spark.pipeline.curation import source_temperature_mix
+
+    rows = [(i, f"text {i}", "big") for i in range(900)] + [
+        (900 + i, f"text {900+i}", "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    mix = source_temperature_mix(df, alpha=0.5, total_docs=200)
+    by_src = {r.source: r.c for r in mix.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    # proportional would give small 20/200; alpha=0.5 gives 10/(30+10)*200 = 50
+    assert by_src["small"] == 50 and by_src["big"] == 150
+
+    prop = source_temperature_mix(df, alpha=1.0, total_docs=200)
+    by_src1 = {r.source: r.c for r in prop.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert by_src1["small"] == 20 and by_src1["big"] == 180
+
+    again = {r.doc_id for r in source_temperature_mix(df, alpha=0.5, total_docs=200).collect()}
+    assert again == {r.doc_id for r in mix.collect()}  # deterministic
+
+
 def test_doc_lm_score_orders_docs_sanely(spark):
     """Common-token docs must score fewer bits/token than rare-token docs,
     and the weighted corpus mean must equal the unigram entropy estimate."""
