@@ -388,6 +388,47 @@ def sql_workload_oracle_limited() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily order revenue: a RANGE-frame
+    window over integer day offsets (rangeBetween(-6, 0)) — a CALENDAR
+    frame, so days absent from the data shrink the window instead of
+    silently widening it the way a 7-ROW frame would.
+
+    Scale: the window runs over the post-aggregation daily series (domain
+    = #distinct days, ~2.4k here), not raw orders — the unpartitioned
+    sort is bounded by the calendar, never by the fact-table row count."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    daily = daily.withColumn("__d", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    w = Window.orderBy("__d").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("avg_7d", F.round(F.avg("revenue").over(w), 4))
+        # day as yyyy-MM-dd string: Spark DATE and DuckDB DATE stringify
+        # differently through pandas (date vs midnight timestamp), which
+        # would hash-mismatch despite equal values
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "revenue", "avg_7d")
+    )
+
+
+def sql_moving_avg_daily_revenue() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, revenue,
+       ROUND(AVG(revenue) OVER (
+         ORDER BY (day - DATE '1970-01-01')
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS avg_7d
+FROM daily
+"""
+
+
 # ---------------------------------------------------------- sinks / sources
 def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet round-trip: write events partitioned by
@@ -539,6 +580,7 @@ def build_ops_registry():
         "cube_pricing": q_cube_pricing,
         "pivot_event_counts": q_pivot_event_counts,
         "hypertable_daily": q_hypertable_daily,
+        "moving_avg_daily_revenue": q_moving_avg_daily_revenue,
         "distinct_counts": q_distinct_counts,
         "approx_distinct_counts": q_approx_distinct_counts,
         "events_json_props": q_events_json_props,
@@ -560,6 +602,7 @@ def build_ops_registry():
         "cube_pricing": sql_cube_pricing(),
         "pivot_event_counts": sql_pivot_event_counts(),
         "hypertable_daily": sql_hypertable_daily(),
+        "moving_avg_daily_revenue": sql_moving_avg_daily_revenue(),
         "distinct_counts": sql_distinct_counts(),
         "events_json_props": sql_events_json_props(),
         "quantiles_quantity": sql_quantiles_quantity(),
