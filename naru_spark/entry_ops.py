@@ -500,6 +500,42 @@ def sql_dedup_stream() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+def q_stream_parquet_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once durable file sink: stream half the events into a
+    checkpointed parquet sink, then drop the second half into the source
+    directory and RESUME from the same checkpoint. The final sink must
+    hold every event exactly once — the checkpoint's source offsets stop
+    re-processing of half 1, the sink manifest excludes uncommitted
+    files. This is the restart contract every production backfill relies
+    on; correctness = full hash parity with the batch projection."""
+    import glob
+    import shutil
+    import tempfile
+
+    from naru_spark.streaming.events import run_stream_to_parquet
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="ev_resume_src_")
+    sink = tempfile.mkdtemp(prefix="ev_resume_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="ev_resume_ckpt_") + "/ckpt"
+    halves = [
+        ev.filter(F.pmod("event_id", F.lit(2)) == 0),
+        ev.filter(F.pmod("event_id", F.lit(2)) == 1),
+    ]
+    for i, half in enumerate(halves):
+        tmp = tempfile.mkdtemp(prefix=f"ev_resume_half{i}_")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            shutil.copy(f, f"{src}/half{i}_{j}.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        run_stream_to_parquet(spark, stream, sink, ckpt)
+    return spark.read.parquet(sink)
+
+
+def sql_stream_parquet_resume() -> str:
+    return "SELECT event_id, event_type, value FROM events"
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source round-trip over orders, with a filter on the
     read side (ORC predicate pushdown, same as parquet)."""
@@ -589,6 +625,7 @@ def build_ops_registry():
         "partitioned_sink_roundtrip": q_partitioned_sink,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dedup_stream": q_dedup_stream,
+        "stream_parquet_resume": q_stream_parquet_resume,
         "advised_star_join": q_advised_star_join,
         "orc_roundtrip": q_orc_roundtrip,
     }
@@ -610,6 +647,7 @@ def build_ops_registry():
         "partitioned_sink_roundtrip": sql_partitioned_sink(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "dedup_stream": sql_dedup_stream(),
+        "stream_parquet_resume": sql_stream_parquet_resume(),
         "advised_star_join": sql_advised_star_join(),
         "orc_roundtrip": sql_orc_roundtrip(),
         # approx_distinct_counts: rows-only (HLL sketch internals)

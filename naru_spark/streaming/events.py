@@ -174,6 +174,30 @@ def stream_stream_interval_join(
     return l.join(r, cond, "inner").select("l_id", "r_id", "l_key", "r_ts", "r_value")
 
 
+def run_stream_to_parquet(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+) -> None:
+    """Drive a stream into a DURABLE parquet file sink with availableNow
+    and a checkpoint. The checkpoint (WAL + source offsets + file-sink
+    manifest) is what makes restarts exactly-once: a second run with the
+    same checkpoint processes only files the first run had not committed,
+    and the sink manifest atomically excludes any partially-written
+    output. This is the production shape of every batch-to-stream
+    backfill; the memory sink (run_stream_to_memory) is test-only."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

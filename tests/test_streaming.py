@@ -115,3 +115,48 @@ def test_stream_stream_join_matches_batch(spark):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_parquet_sink_resume_exactly_once(spark, tmp_path):
+    """Checkpointed file-sink restart contract: run 1 commits half the
+    source; run 2 (same checkpoint, new files) adds ONLY the new half;
+    run 3 (same checkpoint, nothing new) adds nothing. Final sink ==
+    batch projection, no duplicates."""
+    import glob
+    import shutil
+
+    from naru_spark.sources import load_table
+    from naru_spark.streaming.events import run_stream_to_parquet
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+    halves = [
+        ev.filter(F.pmod("event_id", F.lit(2)) == 0),
+        ev.filter(F.pmod("event_id", F.lit(2)) == 1),
+    ]
+    counts = []
+    for i, half in enumerate(halves):
+        tmp = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            shutil.copy(f, f"{src}/half{i}_{j}.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        run_stream_to_parquet(spark, stream, sink, ckpt)
+        counts.append(spark.read.parquet(sink).count())
+
+    total = ev.count()
+    assert counts[0] == halves[0].count()  # run 1: first half only
+    assert counts[1] == total  # run 2 resumed: everything, once
+
+    # run 3: same checkpoint, no new files -> nothing re-processed
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_stream_to_parquet(spark, stream, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total  # no dupes
