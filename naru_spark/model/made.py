@@ -77,6 +77,7 @@ class ResMADE:
         input_encoding: str = "binary",
         embed_size: int = 32,
         direct_io: bool = False,
+        output_encoding: str = "one_hot",
     ):
         """column_masking: reserve one extra 'unobserved' bit per column and
         train with random input masking (reference's learnable
@@ -108,14 +109,28 @@ class ResMADE:
         recommended DMV config, README.md:74-81) — lets each head read
         its strictly-preceding columns' raw encodings without spending
         hidden capacity on them.
+
+        output_encoding (reference made.py:645-674 logits dispatch):
+        - 'one_hot': per-column softmax heads sized by domain (default;
+          the recommended DMV config is binary-in / one-hot-out).
+        - 'embed': TIED decode — the network emits embed_size dims per
+          column and logits_c = out_c @ E_c^T with E_c the column's INPUT
+          embedding table (requires input_encoding='embed'; weight tying
+          exactly as the reference, where ``embs_tied`` reuses the
+          embedding matrix for decoding). Cuts output params from
+          sum(domains) x hidden to D x embed_size x hidden.
         """
         assert input_encoding in ("binary", "one_hot", "embed")
+        assert output_encoding in ("one_hot", "embed")
+        if output_encoding == "embed":
+            assert input_encoding == "embed", "tied decode requires embed inputs"
         self.domains = list(domains)
         self.D = len(domains)
         self.hidden = hidden
         self.dtype = dtype
         self.column_masking = column_masking
         self.input_encoding = input_encoding
+        self.output_encoding = output_encoding
         self.embed_size = embed_size if input_encoding == "embed" else 0
         self.order = list(order) if order is not None else list(range(self.D))
         assert sorted(self.order) == list(range(self.D))
@@ -171,13 +186,21 @@ class ResMADE:
             l1 = MaskedLinear(hidden, hidden, mask(hid_deg, hid_deg), rng, dtype)
             l2 = MaskedLinear(hidden, hidden, mask(hid_deg, hid_deg), rng, dtype)
             self.blocks.append((l1, l2))
-        self.lin_out = MaskedLinear(hidden, self.n_out, mask(hid_deg, out_deg, strict=True), rng, dtype)
+        # decoder space: raw logits (one_hot) or embed_size dims per column
+        # that the tied embedding table expands to logits (embed)
+        if output_encoding == "embed":
+            dec_deg = np.repeat(pos + 1, embed_size)
+            self.n_dec = self.D * embed_size
+        else:
+            dec_deg = out_deg
+            self.n_dec = self.n_out
+        self.lin_out = MaskedLinear(hidden, self.n_dec, mask(hid_deg, dec_deg, strict=True), rng, dtype)
         self.lin_direct = None
         if direct_io:
             d_in_deg = np.repeat(pos + 1, embed_size) if input_encoding == "embed" else in_deg
             d_n_in = self.D * embed_size if input_encoding == "embed" else self.n_bits
             self.lin_direct = MaskedLinear(
-                d_n_in, self.n_out, mask(d_in_deg, out_deg, strict=True), rng, dtype
+                d_n_in, self.n_dec, mask(d_in_deg, dec_deg, strict=True), rng, dtype
             )
 
     # ------------------------------------------------------- order cycling
@@ -209,10 +232,15 @@ class ResMADE:
             in_deg = np.concatenate(
                 [np.full(self.col_bits[c], pos[c] + 1) for c in range(self.D)]
             )
+        if self.output_encoding == "embed":
+            dec_deg = np.repeat(pos + 1, self.embed_size)
+        else:
+            dec_deg = out_deg
+        d_in_deg = np.repeat(pos + 1, self.embed_size) if self.lin_emb is not None else in_deg
         self.lin_in.M = (hid_deg[None, :] >= in_deg[:, None]).astype(self.lin_in.M.dtype)
-        self.lin_out.M = (out_deg[None, :] > hid_deg[:, None]).astype(self.lin_out.M.dtype)
+        self.lin_out.M = (dec_deg[None, :] > hid_deg[:, None]).astype(self.lin_out.M.dtype)
         if self.lin_direct is not None:
-            self.lin_direct.M = (out_deg[None, :] > in_deg[:, None]).astype(
+            self.lin_direct.M = (dec_deg[None, :] > d_in_deg[:, None]).astype(
                 self.lin_direct.M.dtype
             )
 
@@ -276,19 +304,39 @@ class ResMADE:
             out[:, mask_idx] = 1.0 - observed
         return out
 
+    def _emb_table(self, c: int) -> np.ndarray:
+        """Column c's input embedding block [domain_c, embed_size] — the
+        VALUE rows only (the mask-bit row never decodes)."""
+        off, vb = self.bit_offsets[c], self.value_bits[c]
+        E = self.embed_size
+        return self.lin_emb.W[off : off + vb, c * E : (c + 1) * E]
+
+    def _tied_logits(self, z: np.ndarray) -> np.ndarray:
+        """Tied decode (reference made.py:645-674 embed output): logits_c =
+        z_c @ E_c^T with E_c the column's input embedding table."""
+        E = self.embed_size
+        out = np.empty((z.shape[0], self.n_out), dtype=z.dtype)
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            out[:, lo:hi] = z[:, c * E : (c + 1) * E] @ self._emb_table(c).T
+        return out
+
     def forward_encoded(self, bits: np.ndarray, grad: bool = True) -> np.ndarray:
         self._bits = bits
         h = self._hidden_forward(bits, grad)
         self._h_final = h
         if grad:
-            out = self.lin_out.forward(_relu(h))
+            z = self.lin_out.forward(_relu(h))
             if self.lin_direct is not None:
-                out = out + self.lin_direct.forward(self._x_in)
-            return out
-        out = self.lin_out.forward_nograd(_relu(h))
-        if self.lin_direct is not None:
-            out = out + self.lin_direct.forward_nograd(self._x_in)
-        return out
+                z = z + self.lin_direct.forward(self._x_in)
+        else:
+            z = self.lin_out.forward_nograd(_relu(h))
+            if self.lin_direct is not None:
+                z = z + self.lin_direct.forward_nograd(self._x_in)
+        if self.output_encoding == "embed":
+            self._z_dec = z
+            return self._tied_logits(z)
+        return z
 
     def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
         return self.forward_encoded(self.encode_bits(x_bins, observed), grad)
@@ -302,6 +350,13 @@ class ResMADE:
         sampling affordable per step. ``h`` must come from the preceding
         ``hidden_nograd`` call (which also caches the post-embedding input
         for the direct-IO slice)."""
+        if self.output_encoding == "embed":
+            E = self.embed_size
+            sl = slice(c * E, (c + 1) * E)
+            zc = _relu(h) @ self.lin_out.Wm[:, sl] + self.lin_out.b[sl]
+            if self.lin_direct is not None:
+                zc = zc + self._x_in @ self.lin_direct.Wm[:, sl] + self.lin_direct.b[sl]
+            return zc @ self._emb_table(c).T
         lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
         out = _relu(h) @ self.lin_out.Wm[:, lo:hi] + self.lin_out.b[lo:hi]
         if self.lin_direct is not None:
@@ -347,6 +402,21 @@ class ResMADE:
 
     # ------------------------------------------------------------ backward
     def backward(self, dlogits: np.ndarray):
+        if self.output_encoding == "embed":
+            # tied decode: route dlogits through E_c into the decoder
+            # space AND accumulate the weight-tying gradient into the
+            # embedding table (all within its block-diagonal mask)
+            E = self.embed_size
+            dz = np.empty_like(self._z_dec)
+            for c in range(self.D):
+                lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+                off, vb = self.bit_offsets[c], self.value_bits[c]
+                dl_c = dlogits[:, lo:hi]
+                dz[:, c * E : (c + 1) * E] = dl_c @ self._emb_table(c)
+                self.lin_emb.dW[off : off + vb, c * E : (c + 1) * E] += (
+                    dl_c.T @ self._z_dec[:, c * E : (c + 1) * E]
+                )
+            dlogits = dz
         dx_direct = None
         if self.lin_direct is not None:
             dx_direct = self.lin_direct.backward(dlogits)
@@ -443,6 +513,7 @@ class ResMADE:
             input_encoding=self.input_encoding,
             embed_size=self.embed_size,
             direct_io=self.lin_direct is not None,
+            output_encoding=self.output_encoding,
         )
         np.savez_compressed(path, **arrays, **meta, **(extra or {}))
 
@@ -459,6 +530,7 @@ class ResMADE:
             input_encoding=enc,
             embed_size=int(z["embed_size"]) if "embed_size" in z and int(z["embed_size"]) else 32,
             direct_io=bool(z["direct_io"]) if "direct_io" in z else False,
+            output_encoding=str(z["output_encoding"]) if "output_encoding" in z else "one_hot",
         )
         for i, l in enumerate(model.layers()):
             l.W = z[f"W{i}"]

@@ -111,6 +111,7 @@ class NaruEstimator:
         data_bits: float | None = None,  # table entropy, for the verbose entropy-gap log (train_model.py:232-238)
         order_cycle: list[list[int]] | None = None,  # K orderings for ONE multi-mask model (reference made.py:277-393)
         direct_io: bool = False,  # input->output skip connections (reference made.py:208-247; recommended DMV config)
+        output_encoding: str = "one_hot",  # "one_hot" | "embed" (tied decode, made.py:645-674; needs input_encoding="embed")
     ):
         self.columns = columns
         self.hidden = hidden
@@ -134,6 +135,7 @@ class NaruEstimator:
         if self.order_cycle:
             assert arch == "made", "order cycling: ResMADE only"
         self.direct_io = direct_io
+        self.output_encoding = output_encoding
 
     def fit(self, df: DataFrame, meta: TableMeta | None = None, encoder: DictionaryEncoder | None = None) -> NaruModel:
         t0 = time.time()
@@ -189,6 +191,7 @@ class NaruEstimator:
                 input_encoding=self.input_encoding,
                 embed_size=self.embed_size,
                 direct_io=self.direct_io,
+                output_encoding=self.output_encoding,
             )
             opt = Adam(made, lr=self.lr)
         rng = np.random.RandomState(self.seed)
@@ -294,7 +297,7 @@ class NaruEstimator:
             sizes, hidden=self.hidden, blocks=self.blocks, seed=self.seed,
             dtype=np.float32, column_masking=self.column_masking, order=self.order,
             input_encoding=self.input_encoding, embed_size=self.embed_size,
-            direct_io=self.direct_io,
+            direct_io=self.direct_io, output_encoding=self.output_encoding,
         )
         bin_cols = [f"{c}__bin" for c in self.columns]
         encoded = encoder.transform(df.select(*self.columns)).select(*bin_cols)
@@ -303,7 +306,7 @@ class NaruEstimator:
         hidden, blocks, seed = self.hidden, self.blocks, self.seed
         column_masking, order = self.column_masking, self.order
         input_encoding, embed_size = self.input_encoding, self.embed_size
-        direct_io = self.direct_io
+        direct_io, output_encoding = self.direct_io, self.output_encoding
         epochs = local_epochs if local_epochs is not None else self.epochs
         batch_size, lr = self.batch_size, self.lr
         sc = df.sparkSession.sparkContext
@@ -334,7 +337,7 @@ class NaruEstimator:
                     sizes, hidden=hidden, blocks=blocks, seed=seed,
                     dtype=np.float32, column_masking=column_masking, order=order,
                     input_encoding=input_encoding, embed_size=embed_size,
-                    direct_io=direct_io,
+                    direct_io=direct_io, output_encoding=output_encoding,
                 )
                 for l, (W, b) in zip(local.layers(), pickle.loads(w_bc.value)):
                     l.W, l.b = W.copy(), b.copy()

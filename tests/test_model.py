@@ -344,6 +344,78 @@ def test_custom_ordering_ar_property():
                     assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
 
 
+@pytest.mark.parametrize("direct_io", [False, True])
+def test_tied_embed_decode_ar_gradient_and_training(direct_io):
+    """output_encoding='embed' (reference made.py:645-674 tied decode):
+    AR property, full-model gradient check including the weight-tying
+    gradient into the embedding table, logits_for_col parity with the
+    full forward, and convergence on a correlated pair."""
+    rng = np.random.RandomState(0)
+    domains = [5, 3, 7]
+    m = ResMADE(domains, hidden=16, blocks=1, seed=1, input_encoding="embed",
+                output_encoding="embed", embed_size=4, direct_io=direct_io)
+    x = np.stack([rng.randint(0, d, size=4) for d in domains], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(3):
+        x2 = x.copy()
+        x2[:, j] = rng.randint(0, domains[j], size=4)
+        lg = m.forward(x2, grad=False)
+        for i in range(j + 1):
+            lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+            assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
+    # gradient check across ALL layers (incl. lin_emb, which gets both
+    # the input-path gradient and the tied decode gradient)
+    logits = m.forward(x)
+    _, dl = m.nll(logits, x)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    checked = 0
+    for layer in m.layers():
+        nz = np.argwhere(layer.M)
+        for i, j in nz[:: max(1, len(nz) // 4)][:4]:
+            orig = layer.W[i, j]
+            layer.W[i, j] = orig + eps
+            lp, _ = m.nll(m.forward(x), x)
+            layer.W[i, j] = orig - eps
+            lm, _ = m.nll(m.forward(x), x)
+            layer.W[i, j] = orig
+            assert abs((lp - lm) / (2 * eps) - layer.dW[i, j]) < 1e-5, (i, j)
+            checked += 1
+    assert checked >= 12
+    # sampling slice parity
+    full = m.forward(x, grad=False)
+    h = m.hidden_nograd(m.encode_bits(x))
+    for c in range(3):
+        lo, hi = m.out_offsets[c], m.out_offsets[c + 1]
+        assert np.allclose(m.logits_for_col(c, h), full[:, lo:hi])
+
+
+def test_tied_embed_decode_learns_correlation():
+    rng = np.random.RandomState(0)
+    N = 4000
+    a = rng.randint(0, 16, N)
+    data = np.stack([a, a], axis=1).astype(np.int64)
+    m = ResMADE([16, 16], hidden=32, blocks=2, seed=0, input_encoding="embed",
+                output_encoding="embed", embed_size=8)
+    opt = Adam(m, lr=5e-3)
+    bits = None
+    for _ in range(8):
+        perm = rng.permutation(N)
+        tot, nb = 0.0, 0
+        for lo in range(0, N, 512):
+            b = data[perm[lo : lo + 512]]
+            logits = m.forward(b)
+            loss, dl = m.nll(logits, b)
+            m.zero_grad()
+            m.backward(dl)
+            opt.step()
+            tot += loss
+            nb += 1
+        bits = tot / nb / np.log(2)
+    assert bits < 5.0, bits
+
+
 @pytest.mark.parametrize("encoding", ["binary", "embed"])
 def test_direct_io_ar_and_gradient(encoding):
     """direct-IO skip connections (reference made.py:208-247): AR property
