@@ -398,7 +398,9 @@ class NaruEstimator:
         return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
 
 
-def multi_order_nll(models: list, data: np.ndarray) -> float:
+def multi_order_nll(
+    models: list, data: np.ndarray, orders: list[list[int]] | None = None
+) -> float:
     """Test-time multi-order ensemble NLL (reference train_model.py:208-228):
 
         p(x) = 1/K sum_i p_i(x)
@@ -406,14 +408,27 @@ def multi_order_nll(models: list, data: np.ndarray) -> float:
 
     ``models``: fitted per-ordering models (NaruModel bundles or bare
     ResMADEs over the same columns/binnings); ``data``: [N, D] model-bin
-    matrix (the eval split). Returns the mean over rows, in nats — report
-    next to MultiOrderEnsemble's estimates."""
-    K = len(models)
-    logps = []
-    for m in models:
-        made = getattr(m, "made", m)
-        logits = made.forward(data, grad=False)
-        logps.append(-made.nll_rows(logits, data))
+    matrix (the eval split). With ``orders``, a SINGLE multi-mask model
+    is forwarded once per ordering (update_order in-place — the
+    reference's num_orderings loop over one model) instead of one model
+    per ordering. Returns the mean over rows, in nats — report next to
+    MultiOrderEnsemble's estimates."""
+    if orders is not None:
+        assert len(models) == 1, "orders: pass exactly one multi-mask model"
+        made = getattr(models[0], "made", models[0])
+        logps = []
+        for o in orders:
+            made.update_order(list(o))
+            logits = made.forward(data, grad=False)
+            logps.append(-made.nll_rows(logits, data))
+        K = len(orders)
+    else:
+        K = len(models)
+        logps = []
+        for m in models:
+            made = getattr(m, "made", m)
+            logits = made.forward(data, grad=False)
+            logps.append(-made.nll_rows(logits, data))
     lp = np.stack(logps, axis=1)  # [N, K]
     mx = lp.max(axis=1, keepdims=True)
     lse = mx[:, 0] + np.log(np.exp(lp - mx).sum(axis=1))

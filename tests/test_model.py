@@ -227,6 +227,27 @@ def test_multi_order_nll_hand_computed():
     assert abs(nll1.mean() - mean1) < 1e-9
 
 
+def test_multi_order_nll_single_multimask_model():
+    """orders= mode: one multi-mask model forwarded per ordering must give
+    the same metric as manually cycling update_order."""
+    from naru_spark.model.train import multi_order_nll
+
+    rng = np.random.RandomState(1)
+    domains = [4, 3, 5]
+    m = ResMADE(domains, hidden=12, blocks=1, seed=3)
+    x = np.stack([rng.randint(0, d, size=6) for d in domains], axis=1)
+    orders = [[0, 1, 2], [2, 1, 0]]
+    got = multi_order_nll([m], x, orders=orders)
+    logps = []
+    for o in orders:
+        m.update_order(o)
+        logps.append(-m.nll_rows(m.forward(x, grad=False), x))
+    expect = np.mean(
+        [-(np.logaddexp(a, b) + np.log(0.5)) for a, b in zip(*logps)]
+    )
+    assert abs(got - expect) < 1e-10
+
+
 def test_gradient_check():
     rng = np.random.RandomState(3)
     m = ResMADE([4, 5, 3], hidden=12, blocks=1, seed=2)
