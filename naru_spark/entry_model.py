@@ -96,6 +96,25 @@ def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psample_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the DISTRIBUTED eval path (D4 — the reference's
+    Ray-parallel eval, eval_model.py:303-375, re-expressed as mapInPandas
+    with the model broadcast): 100 seeded queries, above the
+    min_distribute threshold, so scoring fans out across executors.
+    Per-query reseeding makes the split irrelevant — the driver-path
+    parity is asserted in tests/test_model.py. Rows-only (stochastic)."""
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.workload import generate_workload
+
+    df, enc, meta, model = _fitted(spark, sf_dir)
+    wl = generate_workload(sf_dir, meta, "lineitem", 100, seed=4321)
+    ps = ProgressiveSampling(model, num_samples=128, seed=7)
+    ests = ps.estimate_batch(spark, wl, min_distribute=64)
+    return spark.createDataFrame(
+        [(i, float(e)) for i, e in enumerate(ests)], "query_id int, est_card double"
+    )
+
+
 def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's eval driver (eval_model.py:479-601) end-to-end: every
     estimator over the seeded workload -> per-estimator q-error quantiles +
@@ -250,6 +269,7 @@ def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_model_registry():
     return {
         "psample_estimates": q_psample_estimates,
+        "psample_distributed": q_psample_distributed,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
         "multiorder_nll": q_multiorder_nll,
