@@ -65,6 +65,15 @@ class ResMADE:
     """Masked autoregressive MLP with residual blocks over binary-encoded
     model-bin inputs; per-column softmax heads."""
 
+    # Class-level fallbacks: instances pickled before these features
+    # existed (NaruModel bundles round-trip through pickle) deserialize
+    # without the attributes and resolve here instead of AttributeError.
+    lin_emb = None
+    lin_direct = None
+    input_encoding = "binary"
+    output_encoding = "one_hot"
+    embed_size = 0
+
     def __init__(
         self,
         domains: list[int],
