@@ -548,12 +548,29 @@ def build_registry():
     from naru_spark.entry_ops import build_ops_registry
 
     pq, po = build_pipeline_registry()
-    queries.update(pq)
-    oracles.update(po)
     oq, oo = build_ops_registry()
-    queries.update(oq)
-    oracles.update(oo)
     mq, mo = build_model_registry()
-    queries.update(mq)
-    oracles.update(mo)
-    return queries, oracles
+
+    # The driver's CORRECTNESS gate checks roughly the first 50 entries in
+    # dict order.  Rounds 1-2 appended the ops/model planes last, so those
+    # entries (plus the last two pipeline entries) never received a driver
+    # row.  Order the registry so never-driver-checked entries come FIRST:
+    # ops plane, model plane, the pipeline tail, then the long-green base
+    # queries, then the rest of the pipeline.
+    ordered_queries = {}
+    ordered_oracles = {}
+
+    def _take(q_map, o_map, names=None):
+        for name in names if names is not None else list(q_map):
+            if name in ordered_queries:
+                continue
+            ordered_queries[name] = q_map[name]
+            if name in o_map:
+                ordered_oracles[name] = o_map[name]
+
+    _take(oq, oo)                                   # 21 relational-ops entries
+    _take(mq, mo)                                   # 5 model entries
+    _take(pq, po, ["source_cap", "source_temperature_mix"])
+    _take(queries, oracles)                         # 17 base query entries
+    _take(pq, po)                                   # remaining pipeline entries
+    return ordered_queries, ordered_oracles
