@@ -75,6 +75,26 @@ def _fitted_variants(spark: SparkSession, sf_dir: str):
     return _MODEL_CACHE[key]
 
 
+def _fitted_reversed_transformer(spark: SparkSession, sf_dir: str):
+    """Reversed-ordering transformer (mask scheme 1, order-respecting
+    attention masks — reference transformer.py:58-102) for the multi-order
+    NLL entry; same small budget as the natural-order variant."""
+    from naru_spark.entry_queries import LINEITEM_COLS
+    from naru_spark.model.train import NaruEstimator
+
+    key = (sf_dir, "transformer_reversed")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    df, enc, meta, _ = _fitted(spark, sf_dir)
+    model = NaruEstimator(
+        LINEITEM_COLS, hidden=32, blocks=2, lr=6e-3, arch="transformer",
+        order=list(range(len(LINEITEM_COLS)))[::-1],
+        max_model_domain=256, epochs=1, batch_size=2048, sample_rows=20_000, seed=0,
+    ).fit(df, meta, enc)
+    _MODEL_CACHE[key] = model
+    return model
+
+
 def q_psample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train ResMADE on lineitem at sf_dir, score the seeded workload with
     ProgressiveSampling, and report per-query (est, true, q_err)."""
@@ -233,7 +253,8 @@ def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.model.train import multi_order_nll
 
     df, enc, meta, model = _fitted(spark, sf_dir)
-    _, reversed_made = _fitted_variants(spark, sf_dir)
+    transformer, reversed_made = _fitted_variants(spark, sf_dir)
+    transformer_rev = _fitted_reversed_transformer(spark, sf_dir)
 
     eval_rows = 20_000
     sel = enc.transform(df.select(*LINEITEM_COLS)).select(
@@ -263,6 +284,22 @@ def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_bits = float(np.log2(len(members)))
     assert row_min_bits - 1e-9 <= ens <= row_min_bits + k_bits + 1e-9, (ens, row_min_bits)
     rows.append(("ensemble_logsumexp", ens))
+
+    # Transformer pair: natural-order (mask scheme 0) + reversed-order
+    # (mask scheme 1, order-respecting masks) — the reference's reordered-
+    # transformer experiment, which needs one model per ordering
+    # (fixed_ordering is baked into the attention masks at construction).
+    t_members = [("transformer_natural", transformer), ("transformer_reversed", transformer_rev)]
+    t_per_row = []
+    for name, m in t_members:
+        made = m.made
+        nll_rows = made.nll_rows(made.forward(data, grad=False), data)
+        t_per_row.append(nll_rows)
+        rows.append((name, float(nll_rows.mean()) / ln2))
+    t_ens = multi_order_nll([m for _, m in t_members], data) / ln2
+    t_min_bits = float(np.minimum.reduce(t_per_row).mean()) / ln2
+    assert t_min_bits - 1e-9 <= t_ens <= t_min_bits + k_bits + 1e-9, (t_ens, t_min_bits)
+    rows.append(("transformer_ensemble_logsumexp", t_ens))
     return spark.createDataFrame(rows, "model string, nll_bits double")
 
 

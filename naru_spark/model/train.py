@@ -177,6 +177,7 @@ class NaruEstimator:
                 seed=self.seed,
                 dtype=np.float32,
                 column_masking=self.column_masking,
+                order=self.order,
             )
             opt = AdamT(made, lr=self.lr)
         else:

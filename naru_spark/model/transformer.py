@@ -34,6 +34,40 @@ def gelu_grad(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t**2) * dinner
 
 
+def order_respecting_mask(ncols: int, ordering, input_layer: bool = True) -> np.ndarray:
+    """Attention mask for an arbitrary autoregressive ordering (reference
+    transformer.py:58-102 ``order_respecting_mask``).
+
+    Layout (the reference's mask scheme 1): the input sequence is
+    ``[SOS, x_0, x_1, ..., x_{ncols-1}]`` — every column embedded at its
+    NATURAL position ``c+1`` — and the hidden state at position ``c``
+    (c < ncols) is trained to be ``h(x_c | predecessors of c in the
+    ordering)``; position ``ncols`` is an unused EOS slot.
+
+    Returns a boolean [ncols+1, ncols+1] "may attend" matrix, row =
+    destination position:
+
+    - ``input_layer=True`` (first attention only): destination ``c`` may
+      read SOS plus the raw inputs of columns that strictly precede ``c``
+      in the ordering (input of ``x_j`` sits at position ``j+1``).
+    - ``input_layer=False`` (all later attentions): source position ``j``
+      now holds ``h(x_j | ...)``, so destination ``c`` may read the hidden
+      of any ``j`` that precedes-OR-EQUALS ``c`` (diagonal = see self).
+    """
+    ordering = list(ordering)
+    assert sorted(ordering) == list(range(ncols)), ordering
+    rank = np.empty(ncols, dtype=np.int64)
+    rank[ordering] = np.arange(ncols)
+    allowed = np.zeros((ncols + 1, ncols + 1), dtype=bool)
+    if input_layer:
+        allowed[:ncols, 0] = True  # SOS visible to every real destination
+        # input of x_j at position j+1: visible iff j precedes c in ordering
+        allowed[:ncols, 1:] = rank[None, :] < rank[:, None]
+    else:
+        allowed[:ncols, :ncols] = rank[None, :] <= rank[:, None]
+    return allowed
+
+
 class Param:
     __slots__ = ("v", "g")
 
@@ -112,14 +146,26 @@ class CausalSelfAttention:
         B, h, T, dk = x.shape
         return x.transpose(0, 2, 1, 3).reshape(B, T, h * dk)
 
-    def forward(self, x):
+    def forward(self, x, allowed=None, query_input=None):
+        """``allowed``: optional [T, T] boolean "may attend" matrix (order-
+        respecting masks); None = natural-order causal. ``query_input``:
+        optional [B, T, d] alternative source for the QUERIES only (the
+        reference's first-layer ``query_input=pos_embs``,
+        transformer.py:184-199 — keys/values still come from ``x``, so
+        attention weights carry no information about the destination
+        position's own input)."""
         B, T, d = x.shape
-        q = self._split(self.q.forward(x))
+        self._used_query_input = query_input is not None
+        q_src = query_input if query_input is not None else x
+        q = self._split(self.q.forward(q_src))
         k = self._split(self.k.forward(x))
         v = self._split(self.v.forward(x))
         att = q @ k.transpose(0, 1, 3, 2) / np.sqrt(self.dk)  # [B,h,T,T]
-        mask = np.triu(np.ones((T, T), dtype=bool), k=1)
-        att = np.where(mask[None, None], -1e10, att)
+        if allowed is None:
+            blocked = np.triu(np.ones((T, T), dtype=bool), k=1)
+        else:
+            blocked = ~allowed
+        att = np.where(blocked[None, None], -1e10, att)
         att = att - att.max(axis=-1, keepdims=True)
         e = np.exp(att)
         self._p = e / e.sum(axis=-1, keepdims=True)
@@ -139,8 +185,15 @@ class CausalSelfAttention:
         datt = datt / np.sqrt(self.dk)
         dq = datt @ k
         dk_ = datt.transpose(0, 1, 3, 2) @ q
-        dx = self.q.backward(self._merge(dq))
-        dx = dx + self.k.backward(self._merge(dk_))
+        dq_src = self.q.backward(self._merge(dq))
+        if self._used_query_input:
+            # query grads flow to the external query_input (pos embeddings),
+            # not to x; stashed for the model to fold into pos.g
+            self._dquery = dq_src
+            dx = self.k.backward(self._merge(dk_))
+        else:
+            self._dquery = None
+            dx = dq_src + self.k.backward(self._merge(dk_))
         dx = dx + self.v.backward(self._merge(dv))
         return dx
 
@@ -149,30 +202,36 @@ class CausalSelfAttention:
 
 
 class TransformerBlock:
-    """Pre-LN block (transformer.py:221-264): x + attn(LN(x)); x + MLP(LN(x))."""
+    """Pre-LN block (transformer.py:221-264): x + attn(LN(x)); x + MLP(LN(x)).
 
-    def __init__(self, d_model, d_ff, n_heads, rng, dtype):
+    ``do_residual=False`` reproduces the reference's first-block-special
+    case under mask scheme 1 (transformer.py:330-346): the block's output
+    is attn/MLP only, with no skip path, so the destination position's own
+    input embedding cannot leak past the input-layer attention mask."""
+
+    def __init__(self, d_model, d_ff, n_heads, rng, dtype, do_residual=True):
         self.ln1 = LayerNorm(d_model, dtype)
         self.attn = CausalSelfAttention(d_model, n_heads, rng, dtype)
         self.ln2 = LayerNorm(d_model, dtype)
         self.f1 = Linear(d_model, d_ff, rng, dtype)
         self.f2 = Linear(d_ff, d_model, rng, dtype)
+        self.do_residual = do_residual
 
-    def forward(self, x):
-        a = self.attn.forward(self.ln1.forward(x))
-        x = x + a
+    def forward(self, x, allowed=None, query_input=None):
+        a = self.attn.forward(self.ln1.forward(x), allowed=allowed, query_input=query_input)
+        x = x + a if self.do_residual else a
         self._ff_in = self.f1.forward(self.ln2.forward(x))
         m = self.f2.forward(gelu(self._ff_in))
-        return x + m
+        return x + m if self.do_residual else m
 
     def backward(self, dy):
         dm = self.f2.backward(dy)
         dff = dm * gelu_grad(self._ff_in)
         dx2 = self.ln2.backward(self.f1.backward(dff))
-        dy = dy + dx2
+        dy = dy + dx2 if self.do_residual else dx2
         da = self.attn.backward(dy)
         dx1 = self.ln1.backward(da)
-        return dy + dx1
+        return dy + dx1 if self.do_residual else dx1
 
     def params(self):
         return (
@@ -181,7 +240,18 @@ class TransformerBlock:
 
 
 class ARTransformer:
-    """Per-column AR factorization over model bins (natural ordering)."""
+    """Per-column AR factorization over model bins.
+
+    ``order=None`` (or the natural order) uses the reference's mask scheme
+    0 (transformer.py:48-55): sequence ``[SOS, x_0, ..., x_{D-2}]`` with a
+    plain causal mask. A non-natural ``order`` uses mask scheme 1
+    (transformer.py:58-102): sequence ``[SOS, x_0, ..., x_{D-1}]`` of
+    length D+1, order-respecting input mask on the first (residual-free,
+    positional-query) block and the diagonal-inclusive hidden mask on the
+    rest. Either way, the head of column c reads hidden position c. The
+    ordering is fixed at construction (as the reference's
+    ``fixed_ordering``); multi-order transformer ensembles use one model
+    per ordering."""
 
     def __init__(
         self,
@@ -193,47 +263,84 @@ class ARTransformer:
         seed: int = 0,
         dtype=np.float32,
         column_masking: bool = False,
+        order: list[int] | None = None,
     ):
         self.domains = list(domains)
         self.D = len(domains)
         self.d_model = d_model
         self.dtype = dtype
         self.column_masking = column_masking
-        self.order = list(range(self.D))  # natural (reference's default mask scheme)
+        self.order = list(order) if order is not None else list(range(self.D))
+        assert sorted(self.order) == list(range(self.D)), self.order
+        self.scheme = 0 if self.order == list(range(self.D)) else 1
         rng = np.random.RandomState(seed)
         # value embeddings per column + SOS + positional + MASK tokens
+        n_pos = self.D + 1 if self.scheme == 1 else self.D
         self.emb = [Param((rng.randn(d, d_model) * 0.02).astype(dtype)) for d in domains]
         self.sos = Param((rng.randn(d_model) * 0.02).astype(dtype))
-        self.pos = Param((rng.randn(self.D, d_model) * 0.02).astype(dtype))
+        self.pos = Param((rng.randn(n_pos, d_model) * 0.02).astype(dtype))
         self.mask_emb = [Param((rng.randn(d_model) * 0.02).astype(dtype)) for _ in domains]
-        self.blocks = [TransformerBlock(d_model, d_ff, n_heads, rng, dtype) for _ in range(blocks)]
+        self.blocks = [
+            TransformerBlock(
+                d_model, d_ff, n_heads, rng, dtype,
+                do_residual=(self.scheme == 0 or i > 0),
+            )
+            for i in range(blocks)
+        ]
         self.lnf = LayerNorm(d_model, dtype)
         self.heads = [Linear(d_model, d, rng, dtype) for d in domains]
         self.out_offsets = np.concatenate([[0], np.cumsum(domains)]).astype(int)
         self.n_out = int(self.out_offsets[-1])
+        if self.scheme == 1:
+            self._allowed_in = order_respecting_mask(self.D, self.order, input_layer=True)
+            self._allowed_hid = order_respecting_mask(self.D, self.order, input_layer=False)
+
+    def update_order(self, order: list[int]):
+        """The transformer's ordering is baked into its masks at
+        construction (reference ``fixed_ordering``); re-pinning an already
+        matching order is a no-op, anything else is an error."""
+        if list(order) != self.order:
+            raise ValueError(
+                f"ARTransformer ordering is fixed at construction ({self.order}); "
+                f"cannot repin to {list(order)} — train one model per ordering"
+            )
 
     # ---------------------------------------------------------------- io
     def _embed(self, x_bins: np.ndarray, observed: np.ndarray | None) -> np.ndarray:
-        """SOS right-shift input (transformer.py:410-493): position 0 = SOS;
-        position i>=1 = embedding of column i-1's value (or MASK)."""
+        """Scheme 0: SOS right-shift input (transformer.py:410-493) —
+        position 0 = SOS, position i>=1 = embedding of column i-1.
+        Scheme 1: position 0 = SOS, position c+1 = embedding of column c
+        for ALL D columns (transformer.py:444-449); length D+1."""
         B = x_bins.shape[0]
-        tok = np.zeros((B, self.D, self.d_model), dtype=self.dtype)
+        T = self.D + 1 if self.scheme == 1 else self.D
+        tok = np.zeros((B, T, self.d_model), dtype=self.dtype)
         tok[:, 0] = self.sos.v
-        for i in range(1, self.D):
-            c = i - 1
+        n_in = self.D if self.scheme == 1 else self.D - 1
+        for c in range(n_in):
             e = self.emb[c].v[x_bins[:, c]]
             if observed is not None:
                 obs = observed[:, c].astype(self.dtype)[:, None]
                 e = e * obs + self.mask_emb[c].v[None, :] * (1 - obs)
-            tok[:, i] = e
+            tok[:, c + 1] = e
         self._x_bins = x_bins
         self._observed = observed
         return tok + self.pos.v[None]
 
+    def _run_blocks(self, h: np.ndarray) -> np.ndarray:
+        if self.scheme == 1:
+            # first layer: order-respecting input mask, queries from the
+            # positional embeddings only (reference transformer.py:539-546)
+            qin = np.broadcast_to(self.pos.v[None], h.shape)
+            h = self.blocks[0].forward(h, allowed=self._allowed_in, query_input=qin)
+            for b in self.blocks[1:]:
+                h = b.forward(h, allowed=self._allowed_hid)
+        else:
+            for b in self.blocks:
+                h = b.forward(h)
+        return h
+
     def forward(self, x_bins: np.ndarray, grad: bool = True, observed: np.ndarray | None = None) -> np.ndarray:
-        h = self._embed(x_bins, observed)
-        for b in self.blocks:
-            h = b.forward(h)
+        h = self._run_blocks(self._embed(x_bins, observed))
         h = self.lnf.forward(h)
         self._h_final = h
         B = x_bins.shape[0]
@@ -262,6 +369,20 @@ class ARTransformer:
             dlogits[:, lo:hi] = (grad / B).astype(self.dtype)
         return total / B, dlogits
 
+    def nll_rows(self, logits: np.ndarray, x_bins: np.ndarray) -> np.ndarray:
+        """Per-row NLL in nats (no grad) — feeds the multi-order ensemble
+        metric (reference train_model.py:208-228)."""
+        B = x_bins.shape[0]
+        out = np.zeros(B, dtype=np.float64)
+        for c in range(self.D):
+            lo, hi = self.out_offsets[c], self.out_offsets[c + 1]
+            lg = logits[:, lo:hi].astype(np.float64)
+            m = lg.max(axis=1, keepdims=True)
+            z = np.log(np.exp(lg - m).sum(axis=1, keepdims=True))
+            tgt = x_bins[:, c].astype(np.int64)
+            out += -(lg - m - z)[np.arange(B), tgt]
+        return out
+
     def backward(self, dlogits: np.ndarray):
         B = dlogits.shape[0]
         dh = np.zeros_like(self._h_final)
@@ -271,13 +392,18 @@ class ARTransformer:
         dh = self.lnf.backward(dh)
         for b in reversed(self.blocks):
             dh = b.backward(dh)
+        if self.scheme == 1:
+            # first-layer query path reads the positional embeddings directly
+            dq = self.blocks[0].attn._dquery
+            if dq is not None:
+                self.pos.g += dq.sum(axis=0)
         # embeddings
         self.pos.g += dh.sum(axis=0)
         self.sos.g += dh[:, 0].sum(axis=0)
         x_bins, observed = self._x_bins, self._observed
-        for i in range(1, self.D):
-            c = i - 1
-            g = dh[:, i]
+        n_in = self.D if self.scheme == 1 else self.D - 1
+        for c in range(n_in):
+            g = dh[:, c + 1]
             if observed is not None:
                 obs = observed[:, c].astype(self.dtype)[:, None]
                 np.add.at(self.emb[c].g, x_bins[:, c], g * obs)
@@ -310,9 +436,7 @@ class ARTransformer:
     def hidden_nograd(self, bins_buffer: np.ndarray) -> np.ndarray:
         x = bins_buffer.astype(np.int64)
         obs = self._sampling_observed
-        h = self._embed(x, obs)
-        for b in self.blocks:
-            h = b.forward(h)
+        h = self._run_blocks(self._embed(x, obs))
         return self.lnf.forward(h)
 
     def logits_for_col(self, c: int, h: np.ndarray) -> np.ndarray:

@@ -64,6 +64,96 @@ def test_transformer_autoregressive_property(cfg):
                 )
 
 
+@pytest.mark.parametrize("order_kind", ["reversed", "random"])
+@pytest.mark.parametrize("cfg", AR_CONFIGS[:2])
+def test_transformer_order_respecting_ar_property(cfg, order_kind):
+    """Port of the reference's multi-ordering transformer self-test
+    (transformer.py:601-651): under ordering o, column i's logits must be
+    invariant to the inputs of every column that does NOT strictly precede
+    i in o (including i itself), and must generically depend on its
+    predecessors."""
+    from naru_spark.model.transformer import ARTransformer
+
+    rng = np.random.RandomState(0)
+    D = len(cfg["domains"])
+    if order_kind == "reversed":
+        order = list(reversed(range(D)))
+    else:
+        order = list(int(v) for v in np.random.RandomState(7).permutation(D))
+    m = ARTransformer(
+        cfg["domains"], d_model=16, d_ff=32, n_heads=2, blocks=2, seed=1, order=order
+    )
+    rank = {c: i for i, c in enumerate(order)}
+    x = np.stack([rng.randint(0, d, size=4) for d in cfg["domains"]], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(D):
+        for _ in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, cfg["domains"][j], size=4)
+            lg = m.forward(x2, grad=False)
+            for i in range(D):
+                lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                if rank[j] >= rank[i]:
+                    assert np.allclose(lg[:, lo:hi], base[:, lo:hi], atol=1e-5), (
+                        f"col {i} logits depend on non-predecessor col {j} (order {order})"
+                    )
+    # non-vacuous: the LAST column in the ordering must react to a change in
+    # the FIRST column in the ordering (otherwise the mask over-blocks)
+    first, last = order[0], order[-1]
+    x2 = x.copy()
+    x2[:, first] = (x2[:, first] + 1) % cfg["domains"][first]
+    lg = m.forward(x2, grad=False)
+    lo, hi = m.out_offsets[last], m.out_offsets[last + 1]
+    assert not np.allclose(lg[:, lo:hi], base[:, lo:hi], atol=1e-7), (
+        f"col {last} ignores its predecessor col {first} (order {order})"
+    )
+
+
+def test_transformer_scheme1_gradient_check():
+    """Finite-difference check of the scheme-1 backward — exercises the
+    residual-free first block, the positional-query path, and the
+    order-respecting masks end to end."""
+    from naru_spark.model.transformer import ARTransformer
+
+    rng = np.random.RandomState(3)
+    domains = [4, 3, 5]
+    order = [2, 0, 1]
+    m = ARTransformer(
+        domains, d_model=8, d_ff=16, n_heads=2, blocks=2, seed=2,
+        dtype=np.float64, order=order,
+    )
+    x = np.stack([rng.randint(0, d, size=6) for d in domains], axis=1)
+
+    def loss():
+        logits = m.forward(x)
+        val, _ = m.nll(logits, x)
+        return val
+
+    logits = m.forward(x)
+    _, dl = m.nll(logits, x)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    checked = 0
+    params = [m.pos, m.sos, m.emb[0], m.blocks[0].attn.q.W, m.blocks[1].f1.W, m.heads[2].W]
+    for p in params:
+        flat_v = p.v.reshape(-1)
+        flat_g = p.g.reshape(-1)
+        for k in rng.choice(flat_v.size, size=min(4, flat_v.size), replace=False):
+            old = flat_v[k]
+            flat_v[k] = old + eps
+            up = loss()
+            flat_v[k] = old - eps
+            dn = loss()
+            flat_v[k] = old
+            num = (up - dn) / (2 * eps)
+            assert abs(num - flat_g[k]) < 1e-4 * max(1.0, abs(num)), (
+                f"grad mismatch: analytic {flat_g[k]:.8f} vs numeric {num:.8f}"
+            )
+            checked += 1
+    assert checked >= 20
+
+
 def test_transformer_learns_correlation():
     """Same convergence gate as ResMADE: a perfectly correlated pair must
     compress to ~single-column entropy."""
