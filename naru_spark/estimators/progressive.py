@@ -72,6 +72,10 @@ class ProgressiveSampling(CardEst):
         made.begin_sampling(S)
         bits = made.new_input_buffer(S)
         p = np.ones(S, dtype=np.float64)
+        # incremental decode (transformer KV-cache path) when the model
+        # offers it — the reference's EncodeInputInference idea
+        # (transformer.py:495-530), extended to per-block K/V caches
+        use_fast = hasattr(made, "sample_logits_for_col")
         # resolve the variable ordering from the model (reference
         # estimators.py:370-389) — natural for default models
         for c in made.order:
@@ -82,8 +86,11 @@ class ProgressiveSampling(CardEst):
                 # forwards per query = #filtered columns, not #columns.
                 made.write_mask_token(bits, c)
                 continue
-            h = made.hidden_nograd(bits)
-            lg = made.logits_for_col(c, h)
+            if use_fast:
+                lg = made.sample_logits_for_col(c, bits)
+            else:
+                h = made.hidden_nograd(bits)
+                lg = made.logits_for_col(c, h)
             mx = lg.max(axis=1, keepdims=True)
             probs = np.exp(lg - mx)
             probs /= probs.sum(axis=1, keepdims=True)

