@@ -197,10 +197,18 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(np.quantile(errs, 0.99)),
                 float(np.max(errs)),
                 float(ms),
+                # batch=True: ms/q is one amortized scan divided by #queries,
+                # NOT a per-query latency — don't compare across regimes
+                bool(getattr(est, "batch_scan", False)),
+                # timestamp-conjunct fallback firings (CatalystCBO): each one
+                # over-estimated, so its q-error tail reads accordingly
+                int(getattr(est, "fallback_count", 0)),
             )
         )
     return spark.createDataFrame(
-        rows, "est string, median double, p95 double, p99 double, max double, mean_ms double"
+        rows,
+        "est string, median double, p95 double, p99 double, max double, mean_ms double,"
+        " batch boolean, fallbacks int",
     )
 
 

@@ -737,13 +737,22 @@ def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_source_temperature_mix() -> str:
-    # identical floor(total * c^alpha / sum) targets and md5 ordering
+    # identical largest-remainder targets (floor + leftover slots to the
+    # largest fractional remainders, source-name tie-break) and md5 ordering
     return """
 WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
 tot AS (SELECT SUM(POW(c, 0.7)) AS denom FROM counts),
+raw AS (SELECT source, 300 * POW(c, 0.7) / denom AS x FROM counts, tot),
+fl AS (
+  SELECT source, CAST(FLOOR(x) AS BIGINT) AS f, x - FLOOR(x) AS frac FROM raw
+),
+leftover AS (SELECT 300 - SUM(f) AS r FROM fl),
 targets AS (
-  SELECT source, CAST(FLOOR(300 * POW(c, 0.7) / denom) AS BIGINT) AS target
-  FROM counts, tot
+  SELECT source,
+         f + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+                       <= (SELECT r FROM leftover)
+                  THEN 1 ELSE 0 END AS target
+  FROM fl
 ),
 ranked AS (
   SELECT d.doc_id, d.source, t.target,

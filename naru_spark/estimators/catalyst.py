@@ -31,6 +31,9 @@ class CatalystCBO(CardEst):
         spark.sql(f"CREATE TABLE {table_alias} USING parquet LOCATION '{parquet_path}'")
         spark.sql(f"ANALYZE TABLE {table_alias} COMPUTE STATISTICS FOR ALL COLUMNS")
         self.df = spark.table(table_alias)
+        # how often the timestamp-conjunct-dropping fallback fired — every
+        # firing over-estimates, so reports surface it next to the q-error
+        self.fallback_count = 0
 
     def query(self, q: Query) -> float:
         from py4j.protocol import Py4JError, Py4JJavaError
@@ -47,6 +50,7 @@ class CatalystCBO(CardEst):
                 raise
             # Drop the timestamp conjuncts and estimate the rest — an
             # over-estimate, reported as the baseline's best effort.
+            self.fallback_count += 1
             ts_cols = {
                 f.name for f in self.df.schema.fields if f.dataType.typeName().startswith("timestamp")
             }

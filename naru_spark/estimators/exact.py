@@ -69,6 +69,9 @@ class Oracle(CardEst):
     """Exact count (estimators.py:505-536)."""
 
     name = "oracle"
+    # query_batch is ONE amortized conditional-aggregation scan — its ms/q
+    # is not a per-query latency (reports carry this flag)
+    batch_scan = True
 
     def __init__(self, df: DataFrame, limit_first_n: int | None = None, order_col: str | None = None):
         super().__init__()
@@ -98,6 +101,7 @@ class Heuristic(CardEst):
     """
 
     name = "heuristic"
+    batch_scan = True  # amortized single-scan query_batch (see Oracle)
 
     def __init__(self, df: DataFrame, meta: TableMeta):
         super().__init__()
@@ -133,6 +137,7 @@ class Sampling(CardEst):
     """
 
     name = "sampling"
+    batch_scan = True  # amortized single-scan query_batch (see Oracle)
 
     def __init__(self, df: DataFrame, meta: TableMeta, p: float = 0.0013, seed: int = 42):
         super().__init__()
@@ -151,7 +156,10 @@ class Sampling(CardEst):
     def _scale(self, matched: int) -> float:
         if self.num_samples == 0:
             return 0.0
-        return max(1.0, matched / self.num_samples * self.cardinality)
+        # no floor: zero matching sample rows estimates 0, as the reference
+        # does (estimators.py:608-616) — q-error's zero-handling (est==0 ->
+        # q = true_card) owns that tail, not the estimator
+        return matched / self.num_samples * self.cardinality
 
 
 class QueryRegionSize(CardEst):

@@ -62,10 +62,24 @@ class ProgressiveSampling(CardEst):
         return masks
 
     def query(self, q: Query) -> float:
+        made = self.model.made
+        prev_order = None
+        if self.order is not None and list(made.order) != list(self.order):
+            # pin the shared multi-mask model to this estimator's ordering;
+            # restored below so other estimators holding the same model
+            # (e.g. an unpinned ProgressiveSampling created earlier) are
+            # not silently re-ordered by this query
+            prev_order = list(made.order)
+            made.update_order(self.order)
+        try:
+            return self._query_pinned(q)
+        finally:
+            if prev_order is not None:
+                made.update_order(prev_order)
+
+    def _query_pinned(self, q: Query) -> float:
         rng = np.random.RandomState(self.seed)
         made = self.model.made
-        if self.order is not None:
-            made.update_order(self.order)
         S = self.num_samples
         masks = self._masks(q)
 
@@ -135,13 +149,9 @@ class ProgressiveSampling(CardEst):
             return [float(self.query(q)) for q in queries]
 
         model_bc = spark.sparkContext.broadcast(self.model)
-        S, seed = self.num_samples, self.seed
-        payload = [
-            (i, list(q.cols), list(q.ops), [str(v) for v in q.vals], q.table)
-            for i, q in enumerate(queries)
-        ]
-        # values as strings + re-parse is lossy for timestamps/floats; ship
-        # the original objects via a broadcast keyed by query id instead.
+        S, seed, order = self.num_samples, self.seed, self.order
+        # query values shipped as a broadcast of the original objects keyed
+        # by id — stringify + re-parse would be lossy for timestamps/floats
         q_bc = spark.sparkContext.broadcast({i: q for i, q in enumerate(queries)})
         n_part = partitions or min(len(queries), 32)
         idx_df = spark.createDataFrame([(i,) for i in range(len(queries))], "qid int").repartition(
@@ -150,7 +160,10 @@ class ProgressiveSampling(CardEst):
 
         def score(batches):
             model = model_bc.value
-            est = ProgressiveSampling(model, num_samples=S, seed=seed)
+            # thread the order pin: an order-pinned estimator (e.g. a
+            # MultiOrderEnsemble sub) must score with ITS ordering, not
+            # whatever ordering the broadcast model happened to carry
+            est = ProgressiveSampling(model, num_samples=S, seed=seed, order=order)
             qmap = q_bc.value
             for pdf in batches:
                 out = []

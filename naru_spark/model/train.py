@@ -283,9 +283,19 @@ class NaruEstimator:
         input partitioning (per-partition RNG seeded by partition id).
         """
         import pickle
+        import warnings
 
         if self.arch != "made":
             raise NotImplementedError("distributed fit: ResMADE only")
+        if self.warmups or self.order_cycle:
+            # shard-local SGD runs constant-lr, single-ordering; a model
+            # configured with these would silently train differently here
+            # than through fit()
+            warnings.warn(
+                "fit_distributed ignores warmups/order_cycle: shards train "
+                "with constant lr and the model's single fixed ordering",
+                stacklevel=2,
+            )
         if encoder is None:
             encoder = DictionaryEncoder(self.columns).fit(df)
         if meta is None:
@@ -417,11 +427,17 @@ def multi_order_nll(
     if orders is not None:
         assert len(models) == 1, "orders: pass exactly one multi-mask model"
         made = getattr(models[0], "made", models[0])
+        prev_order = list(made.order)
         logps = []
-        for o in orders:
-            made.update_order(list(o))
-            logits = made.forward(data, grad=False)
-            logps.append(-made.nll_rows(logits, data))
+        try:
+            for o in orders:
+                made.update_order(list(o))
+                logits = made.forward(data, grad=False)
+                logps.append(-made.nll_rows(logits, data))
+        finally:
+            # leave the shared model as we found it — other estimators may
+            # hold it
+            made.update_order(prev_order)
         K = len(orders)
     else:
         K = len(models)
@@ -449,12 +465,16 @@ def table_bits(df: DataFrame, columns: list[str]) -> float:
 
 # --------------------------------------------------------- checkpoint naming
 # Reference naming (train_model.py:427-447):
-#   <dataset>-<MB>MB-model<bits>-data<bits>-<arch>-<epochs>epochs-seed<seed>.pt
-# parsed back by regex in eval_model.py:480-543. Same scheme, .ckpt suffix.
+#   <dataset>-<MB>MB-model<bits>-data<bits>-<arch>-<epochs>epochs-seed<seed>
+#   [-order<o0>_<o1>_...].pt
+# The -order suffix is appended for non-natural orderings (train_model.py:
+# 440-443) and parsed back at eval time (eval_model.py:497-507) — without
+# it, two differently-ordered checkpoints of the same architecture collide
+# to the same filename. Same scheme here, .ckpt suffix.
 _CKPT_RE = __import__("re").compile(
     r"^(?P<dataset>.+)-(?P<mb>[\d.]+)MB-model(?P<model_bits>[\d.]+|nan)"
     r"-data(?P<data_bits>[\d.]+|nan)-(?P<arch>[a-z]+)"
-    r"-(?P<epochs>\d+)epochs-seed(?P<seed>\d+)\.ckpt$"
+    r"-(?P<epochs>\d+)epochs-seed(?P<seed>\d+)(?:-order(?P<order>\d+(?:_\d+)*))?\.ckpt$"
 )
 
 
@@ -462,16 +482,21 @@ def checkpoint_name(model: NaruModel, dataset: str, data_bits: float = float("na
     """Self-describing checkpoint file name from the fitted model's
     metadata; ``data_bits`` is the table entropy (table_bits)."""
     fi = model.fit_info
+    order = list(getattr(model.made, "order", []))
+    suffix = ""
+    if order and order != list(range(len(order))):
+        suffix = "-order" + "_".join(map(str, order))
     return (
         f"{dataset}-{model.size_mb():.1f}MB-model{fi.get('model_bits', float('nan')):.1f}"
         f"-data{data_bits:.1f}-{fi.get('arch', 'made')}"
-        f"-{fi.get('epochs', 0)}epochs-seed{fi.get('seed', 0)}.ckpt"
+        f"-{fi.get('epochs', 0)}epochs-seed{fi.get('seed', 0)}{suffix}.ckpt"
     )
 
 
 def parse_checkpoint_name(name: str) -> dict:
     """Inverse of checkpoint_name (reference eval_model.py:480-543):
-    file name -> {dataset, mb, model_bits, data_bits, arch, epochs, seed}."""
+    file name -> {dataset, mb, model_bits, data_bits, arch, epochs, seed,
+    order (list[int] | None — None = natural)}."""
     m = _CKPT_RE.match(name)
     if not m:
         raise ValueError(f"not a checkpoint name: {name!r}")
@@ -484,4 +509,5 @@ def parse_checkpoint_name(name: str) -> dict:
         "arch": d["arch"],
         "epochs": int(d["epochs"]),
         "seed": int(d["seed"]),
+        "order": [int(x) for x in d["order"].split("_")] if d["order"] else None,
     }

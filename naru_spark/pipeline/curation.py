@@ -154,8 +154,17 @@ def source_temperature_mix(
 
     counts = {r[shard_col]: r["c"] for r in df.groupBy(shard_col).agg(F.count("*").alias("c")).collect()}
     denom = sum(c**alpha for c in counts.values())
+    # largest-remainder rounding: plain floor() can fall well short of
+    # total_docs and zero out the smallest sources — the opposite of what
+    # alpha < 1 is for. Floor everyone, then hand the leftover slots to the
+    # largest fractional remainders (ties broken by source name, so the
+    # recipe stays deterministic).
+    raw = {s: total_docs * (c**alpha) / denom for s, c in counts.items()}
+    floors = {s: int(np.floor(x)) for s, x in raw.items()}
+    leftover = total_docs - sum(floors.values())
+    by_frac = sorted(raw, key=lambda s: (-(raw[s] - floors[s]), s))
     targets = [
-        (s, int(np.floor(total_docs * (c**alpha) / denom))) for s, c in counts.items()
+        (s, floors[s] + (1 if i < leftover else 0)) for i, s in enumerate(by_frac)
     ]
     spark = df.sparkSession
     tgt = spark.createDataFrame(targets, f"{shard_col} string, __target long")

@@ -131,8 +131,19 @@ def kmeans_centroids(
     centroids [n_cells, dim]. Deterministic (seeded init, argmax ties ->
     lowest index). The sample bound keeps the driver footprint constant at
     any corpus scale; centroid quality depends on rows seen, not corpus
-    size."""
-    pdf = corpus.select(vec_col).limit(sample_rows).toPandas()
+    size.
+
+    The sample is drawn via orderBy(rand(seed)).limit(n) — Spark plans this
+    as TakeOrderedAndProject (per-partition top-n + merge, no full sort), so
+    every partition contributes uniformly. A plain ``limit(n)`` would take
+    the first partitions only, which at real scale means one source or time
+    range — biased centroids exactly when the corpus is partition-skewed."""
+    pdf = (
+        corpus.select(vec_col)
+        .orderBy(F.rand(seed))
+        .limit(sample_rows)
+        .toPandas()
+    )
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

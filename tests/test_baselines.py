@@ -131,3 +131,29 @@ def test_catalyst_cbo(spark, lineitem_setup):
     assert np.isfinite(errs).all()
     # exact path agrees with oracle
     assert cbo.query_exact(wl[0]) == truths[0]
+    # the timestamp-conjunct fallback is COUNTED: a shipdate predicate
+    # trips Spark's FilterEstimation MatchError, fires the drop-conjunct
+    # fallback, and increments the counter the report surfaces
+    from naru_spark.predicates import Query
+
+    ship_val = df.select("l_shipdate").first()[0]
+    before = cbo.fallback_count
+    est = cbo.query(Query("lineitem", ["l_shipdate"], ["<="], [ship_val]))
+    assert est >= 0
+    assert cbo.fallback_count == before + 1
+
+
+def test_sampling_zero_estimate_matches_reference(spark, lineitem_setup):
+    """Zero matching sample rows must estimate 0 (reference
+    estimators.py:608-616) — q-error's zero-handling (est==0 -> q=true)
+    owns the tail, not a floor inside the estimator."""
+    from naru_spark.estimators.exact import Sampling
+    from naru_spark.predicates import Query
+
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    # p=1.0: the "sample" is the whole table, so an impossible predicate
+    # matches nothing deterministically
+    s = Sampling(df, meta, p=1.0, seed=0)
+    q = Query("lineitem", ["l_quantity"], ["<"], [-1.0])
+    assert s.query(q) == 0.0
+    assert q_error(0.0, 123) == 123.0

@@ -796,6 +796,61 @@ def test_full_model_checkpoint_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_checkpoint_name_order_suffix(spark):
+    """Non-natural orderings get the reference's -order suffix
+    (train_model.py:427-447) and parse back (eval_model.py:497-507); two
+    differently-ordered checkpoints of the same arch must NOT collide."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.model.train import NaruEstimator, checkpoint_name, parse_checkpoint_name
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    kw = dict(hidden=16, blocks=1, epochs=1, sample_rows=1000, seed=3)
+    natural = NaruEstimator(cols, **kw).fit(df, meta, enc)
+    reversed_ = NaruEstimator(cols, order=[2, 1, 0], **kw).fit(df, meta, enc)
+
+    n_nat = checkpoint_name(natural, "lineitem", data_bits=7.3)
+    n_rev = checkpoint_name(reversed_, "lineitem", data_bits=7.3)
+    assert n_nat != n_rev and n_rev.endswith("-order2_1_0.ckpt")
+    assert parse_checkpoint_name(n_nat)["order"] is None
+    assert parse_checkpoint_name(n_rev)["order"] == [2, 1, 0]
+
+
+def test_pinned_query_restores_shared_model_order(spark):
+    """An order-pinned ProgressiveSampling must leave the shared multi-mask
+    model in the ordering it found it in (try/finally restore), so an
+    unpinned estimator holding the same model is unaffected."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    orders = [[0, 1, 2], [2, 1, 0]]
+    model = NaruEstimator(
+        cols, hidden=16, blocks=1, epochs=1, sample_rows=1000, seed=3, order_cycle=orders
+    ).fit(df, meta, enc)
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 3, seed=11)
+
+    plain = ProgressiveSampling(model, num_samples=64, seed=5)
+    baseline = plain.query_batch(wl)
+    before = list(model.made.order)
+    pinned = ProgressiveSampling(model, num_samples=64, seed=5, order=[2, 1, 0])
+    pinned.query_batch(wl)
+    assert list(model.made.order) == before
+    # the unpinned estimator's results are unchanged after pinned queries
+    assert plain.query_batch(wl) == baseline
+
+
 def test_estimate_batch_distributed_matches_driver(spark):
     """The mapInPandas batch path (forced via min_distribute=0) returns
     exactly the driver-side estimates — query() reseeds per query, so the

@@ -154,6 +154,26 @@ def test_source_temperature_mix_upweights_small_sources(spark):
     assert again == {r.doc_id for r in mix.collect()}  # deterministic
 
 
+def test_source_temperature_mix_fills_total(spark):
+    """Largest-remainder rounding: targets must sum to exactly total_docs
+    (plain floor() could undershoot by #sources-1 and zero out the
+    smallest source at small totals)."""
+    from naru_spark.pipeline.curation import source_temperature_mix
+
+    rows = []
+    did = 0
+    for src, n in (("a", 7), ("b", 11), ("c", 13)):
+        for _ in range(n):
+            rows.append((did, f"text {did}", src))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    mix = source_temperature_mix(df, alpha=0.7, total_docs=10)
+    by_src = {r.source: r.c for r in mix.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert sum(by_src.values()) == 10
+    # raw targets 2.56/3.51/3.94 -> floors 2/3/3, leftovers to c (.94) and a (.56)
+    assert by_src == {"a": 3, "b": 3, "c": 4}
+
+
 def test_doc_lm_score_orders_docs_sanely(spark):
     """Common-token docs must score fewer bits/token than rare-token docs,
     and the weighted corpus mean must equal the unigram entropy estimate."""
@@ -238,6 +258,31 @@ def test_ivf_topk_recall(spark, emb):
     # every query finds itself (cosine 1.0, rank 1 — its own cell is probed first)
     for qid in range(5):
         assert (qid, qid) in iv
+
+
+def test_kmeans_centroids_cover_partition_skewed_clusters(spark):
+    """The centroid sample must see EVERY partition, not just the first
+    ones: a corpus laid out so the leading partitions contain only cluster
+    A (the realistic one-source-first layout at scale) must still produce
+    centroids covering cluster B. A plain limit(n) sample fails this."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(0)
+    dim = 8
+    a_dir = np.zeros(dim); a_dir[0] = 1.0
+    b_dir = np.zeros(dim); b_dir[1] = 1.0
+    mk = lambda d, n: d[None, :] + rng.randn(n, dim) * 0.05
+    rows_a = [(0, v.tolist()) for v in mk(a_dir, 400)]
+    rows_b = [(1, v.tolist()) for v in mk(b_dir, 400)]
+    # cluster A occupies the head partitions: createDataFrame splits the
+    # local list in order, so a limit(300) would see only cluster A
+    df = spark.createDataFrame(rows_a + rows_b, "cluster int, embedding array<double>")
+    cents = kmeans_centroids(df, n_cells=4, sample_rows=300, seed=5)
+    for d in (a_dir, b_dir):
+        best = float(np.max(cents @ d))
+        assert best > 0.9, f"no centroid covers cluster dir {np.argmax(d)} (best cos {best:.2f})"
 
 
 def test_ivf_persisted_index_parity_and_pruning(spark, emb, tmp_path):
