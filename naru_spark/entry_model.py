@@ -180,7 +180,11 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         MultiOrderEnsemble([model, reversed_made], num_samples=256, seed=7),
         SampleFromModel(model, num_samples=2000, seed=7),
         MaxDiffHistogram(data, meta, LINEITEM_COLS, limit=1000, scale=scale),
-        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256, scale=scale),
+        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256),
+        # exact sum-product on the same tree (reference's pgmpy exact path,
+        # estimators.py:846-997) and the greedy-structure variant
+        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, inference="exact"),
+        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256, structure="greedy"),
         CatalystCBO(spark, f"{sf_dir}/lineitem.parquet", "cbo_lineitem"),
     ]
     rows = []

@@ -98,6 +98,21 @@ def chow_liu_tree(mi: np.ndarray) -> list[tuple[int, int]]:
     return edges
 
 
+def greedy_parent_tree(mi: np.ndarray) -> list[tuple[int, int]]:
+    """K2-style greedy structure (the reference's pomegranate
+    ``algorithm='greedy'`` analog, estimators.py:742-833, restricted to
+    max_parents=1 so exact tree inference still applies): visit columns in
+    natural order, each picks the single earlier column with maximal MI as
+    its parent. Always a tree rooted at column 0 — generally different
+    from the Chow-Liu MST, which is order-free."""
+    D = mi.shape[0]
+    edges: list[tuple[int, int]] = []
+    for v in range(1, D):
+        u = int(np.argmax(mi[:v, v]))
+        edges.append((u, v))
+    return edges
+
+
 class BayesNet(CardEst):
     name = "bayesnet"
 
@@ -108,10 +123,11 @@ class BayesNet(CardEst):
         columns: list[str],
         max_model_domain: int = 256,
         num_samples: int = 512,
-        scale: float = 1.0,
         seed: int = 0,
         laplace: float = 1.0,
         spark_df: DataFrame | None = None,
+        structure: str = "chow_liu",
+        inference: str = "sampling",
     ):
         """data: [N, D] dictionary-encoded (raw-bin) sample rows.
 
@@ -125,11 +141,18 @@ class BayesNet(CardEst):
         tables). Both MI paths agree exactly when spark_df holds the same
         rows as ``data`` (asserted in tests/test_baselines.py)."""
         super().__init__()
+        assert structure in ("chow_liu", "greedy"), structure
+        assert inference in ("sampling", "exact"), inference
         self.meta = meta
         self.columns = columns
         self.num_samples = num_samples
         self.seed = seed
-        self.name = f"bn_chowliu_{num_samples}"
+        self.structure = structure
+        self.inference = inference
+        tag = "chowliu" if structure == "chow_liu" else "greedy"
+        self.name = (
+            f"bn_{tag}_exact" if inference == "exact" else f"bn_{tag}_{num_samples}"
+        )
         self.binnings = {
             c: ModelBinning(meta.dictionaries[c], max_model_domain) for c in columns
         }
@@ -156,7 +179,7 @@ class BayesNet(CardEst):
                     joint = np.zeros((sizes[i], sizes[j]))
                     np.add.at(joint, (enc[:, i], enc[:, j]), 1.0)
                     mi[i, j] = mi[j, i] = mutual_information(joint)
-        self.edges = chow_liu_tree(mi)
+        self.edges = chow_liu_tree(mi) if structure == "chow_liu" else greedy_parent_tree(mi)
         self.parent = {v: u for u, v in self.edges}  # root 0 has no parent
 
         # topological order (root first, then BFS over edges)
@@ -179,15 +202,49 @@ class BayesNet(CardEst):
             joint += laplace
             self.cpd[v] = joint / joint.sum(axis=1, keepdims=True)  # P(v | u)
 
-    def query(self, q: Query) -> float:
-        rng = np.random.RandomState(self.seed)
-        S = self.num_samples
-        D = len(self.columns)
-        masks: list[np.ndarray | None] = [None] * D
+    def _masks(self, q: Query) -> list[np.ndarray | None]:
+        masks: list[np.ndarray | None] = [None] * len(self.columns)
         for c, op, v in zip(q.cols, q.ops, q.vals):
             i = self.columns.index(c)
             m = self.binnings[c].predicate_mask(op, v)
             masks[i] = m if masks[i] is None else masks[i] * m
+        return masks
+
+    def query_exact(self, q: Query) -> float:
+        """EXACT P(predicate) under the fitted tree — belief-propagation
+        sum-product in one bottom-up pass (the reference's pgmpy
+        VariableElimination path, estimators.py:846-997, specialized to
+        trees where elimination order = reverse topological):
+
+            m_v(x_parent) = sum_{x_v} mask_v(x_v) P(x_v | x_parent)
+                                       * prod_{w in children(v)} m_w(x_v)
+
+        Root closes the telescope: p = sum_x0 mask_0(x_0) P(x_0) prod m.
+        No sampling noise — the cross-check that gates the sampling path."""
+        masks = self._masks(q)
+        children: dict[int, list[int]] = {}
+        for u, v in self.edges:
+            children.setdefault(u, []).append(v)
+        # reverse topological: every child's message exists before its parent
+        msg: dict[int, np.ndarray] = {}
+        for v in reversed(self.topo):
+            vec = np.ones(self.cpd[v].shape[-1] if v != 0 else self.cpd[0].shape[0])
+            if masks[v] is not None:
+                vec = vec * masks[v]
+            for w in children.get(v, []):
+                vec = vec * msg[w]
+            if v == 0:
+                return float(np.ceil(float(self.cpd[0] @ vec) * self.meta.cardinality))
+            msg[v] = self.cpd[v] @ vec  # [dom_parent]
+        raise AssertionError("topo order did not end at the root")
+
+    def query(self, q: Query) -> float:
+        if self.inference == "exact":
+            return self.query_exact(q)
+        rng = np.random.RandomState(self.seed)
+        S = self.num_samples
+        D = len(self.columns)
+        masks = self._masks(q)
 
         samples = np.zeros((S, D), dtype=np.int64)
         p = np.ones(S, dtype=np.float64)

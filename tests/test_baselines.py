@@ -122,6 +122,86 @@ def test_bayesnet_spark_mi_path_agrees(spark, lineitem_setup):
     assert abs(got - mutual_information(joint)) < 1e-9
 
 
+def test_bn_exact_inference_matches_brute_force():
+    """query_exact (tree sum-product) must equal brute-force enumeration of
+    the BN's joint distribution — zero sampling noise, exact to float
+    precision."""
+    import itertools
+
+    from naru_spark.encoding import ColumnDictionary
+    from naru_spark.estimators.bayes import BayesNet
+    from naru_spark.meta import ColumnMeta, TableMeta
+    from naru_spark.predicates import Query
+
+    rng = np.random.RandomState(4)
+    N, doms = 500, [5, 4, 6]
+    cols = ["a", "b", "c"]
+    base = rng.randint(0, doms[0], N)
+    data = np.stack([base, (base + rng.randint(0, 2, N)) % doms[1], rng.randint(0, doms[2], N)], axis=1)
+    dicts = {c: ColumnDictionary(c, np.arange(d, dtype=np.int64), False) for c, d in zip(cols, doms)}
+    meta = TableMeta(
+        "t",
+        [ColumnMeta(c, "bigint", d, False) for c, d in zip(cols, doms)],
+        cardinality=N,
+        dictionaries=dicts,
+    )
+    for structure in ("chow_liu", "greedy"):
+        bn = BayesNet(data, meta, cols, max_model_domain=16, num_samples=64,
+                      structure=structure, inference="exact")
+        # non-root nodes each have exactly one parent (it's a tree)
+        assert sorted(v for _, v in bn.edges) == list(range(1, len(cols)))
+        for q in (
+            Query("t", ["a"], ["<="], [2]),
+            Query("t", ["a", "b"], ["<=", "="], [3, 1]),
+            Query("t", ["b", "c"], [">=", "<"], [1, 4]),
+        ):
+            masks = bn._masks(q)
+            # brute-force: sum the BN joint over all assignments in the box
+            total = 0.0
+            for xs in itertools.product(*[range(d) for d in doms]):
+                p = bn.cpd[0][xs[0]]
+                for u, v in bn.edges:
+                    p *= bn.cpd[v][xs[u], xs[v]]
+                w = 1.0
+                for i, m in enumerate(masks):
+                    if m is not None:
+                        w *= m[xs[i]]
+                total += p * w
+            expect = float(np.ceil(total * N))
+            assert bn.query(q) == expect, (structure, q.cols, q.ops, q.vals)
+
+
+def test_bn_sampling_converges_to_exact(lineitem_setup):
+    """The progressive-sampling inference must converge on the exact
+    sum-product answer as samples grow — the cross-check the exact path
+    exists for."""
+    from naru_spark.estimators.bayes import BayesNet
+
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    from naru_spark.predicates import Query
+
+    sub = cols[:4]
+    idx = [cols.index(c) for c in sub]
+    exact = BayesNet(data[:, idx], meta, sub, max_model_domain=64, inference="exact")
+    sampled = BayesNet(data[:, idx], meta, sub, max_model_domain=64, num_samples=4096, seed=0)
+    # queries anchored at real rows (the reference's query-gen discipline)
+    # over the subset columns, so true cards are comfortably nonzero
+    qs = []
+    for r in (10, 100, 400):
+        row = data[r]
+        vals = [meta.dictionaries[c].bin_to_val(int(row[idx[i]])) for i, c in enumerate(sub[:2])]
+        qs.append(Query("lineitem", sub[:2], ["<=", ">="], vals))
+        vals3 = [meta.dictionaries[c].bin_to_val(int(row[idx[i]])) for i, c in enumerate(sub[:3])]
+        qs.append(Query("lineitem", sub[:3], ["<=", ">=", "<="], vals3))
+    checked = 0
+    for q in qs:
+        e, s = exact.query(q), sampled.query(q)
+        if e >= 50:  # skip tiny counts where ceil dominates
+            assert abs(s - e) / e < 0.25, (q.cols, e, s)
+            checked += 1
+    assert checked >= 2
+
+
 def test_catalyst_cbo(spark, lineitem_setup):
     df, enc, meta, data, cols, wl, truths = lineitem_setup
     cbo = CatalystCBO(spark, f"{SF_SMOKE}/lineitem.parquet", "li_cbo_test")
