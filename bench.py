@@ -18,12 +18,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run_block(spark, entry_mod, sf_dir: str):
+    """Run every registry entry at one scale factor.
+
+    Per-entry isolation: one failing entry must never kill the benchmark —
+    the JSON line is ALWAYS emitted, with failed entries reported by name.
+    """
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# [{sf_dir}] {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            msg = f"{type(e).__name__}: {e}"
+            errors[name] = msg.splitlines()[0][:200]
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# [{sf_dir}] {name}: FAILED after {timings[name]:.2f}s — {errors[name]}", file=sys.stderr)
+    return timings, errors
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
+    sf = _sf_of(sf_dir)
+
+    # Second scale factor: gives the perf gate a scaling SLOPE, not a point —
+    # a fixed-overhead-dominated entry and a data-bound entry look identical
+    # at one SF but separate immediately across two. Disable with
+    # SPARK_GRAFT_BENCH_EXTRA_SFS="".
+    extra_env = os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SFS", "/root/testdata/sf0.01")
+    extra_dirs = [
+        d for d in (p.strip() for p in extra_env.split(",") if p.strip())
+        if d != sf_dir and os.path.isdir(d)
+    ]
 
     from naru_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -35,23 +72,7 @@ def main():
 
     load_table(spark, "lineitem", sf_dir).count()
 
-    # Per-entry isolation: one failing entry must never kill the benchmark —
-    # the JSON line is ALWAYS emitted, with failed entries reported by name.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    qs = entry_mod.queries()
-    for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 — isolation is the point
-            msg = f"{type(e).__name__}: {e}"
-            errors[name] = msg.splitlines()[0][:200]
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: FAILED after {timings[name]:.2f}s — {errors[name]}", file=sys.stderr)
+    timings, errors = _run_block(spark, entry_mod, sf_dir)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -63,6 +84,17 @@ def main():
     }
     if errors:
         out["errors"] = errors
+
+    sf_blocks = {str(sf): {"total_s": total, "queries": timings, **({"errors": errors} if errors else {})}}
+    for d in extra_dirs:
+        t2, e2 = _run_block(spark, entry_mod, d)
+        sf_blocks[str(_sf_of(d))] = {
+            "total_s": round(sum(t2.values()), 3),
+            "queries": t2,
+            **({"errors": e2} if e2 else {}),
+        }
+    if len(sf_blocks) > 1:
+        out["sf_blocks"] = sf_blocks
     print(json.dumps(out))
 
 
