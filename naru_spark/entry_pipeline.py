@@ -814,6 +814,268 @@ FROM kept WHERE rn = 1 GROUP BY source
 """
 
 
+# ------------------------------------------------- round-3 curation entries
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir)).select(
+        "doc_id", "text_norm", "n_chars_norm"
+    )
+
+
+def sql_text_normalize() -> str:
+    return r"""
+SELECT doc_id,
+       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_norm,
+       length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import ngram_histogram
+
+    return ngram_histogram(_docs(spark, sf_dir), n=2, k=100)
+
+
+def sql_ngram_topk() -> str:
+    return f"""
+WITH toks AS (
+  SELECT {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS ngram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 100
+"""
+
+
+def q_doc_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM bits/token (KenLM-shaped perplexity filter)."""
+    from naru_spark.pipeline.text import doc_lm_bigram_score
+
+    return doc_lm_bigram_score(_docs(spark, sf_dir))
+
+
+def sql_doc_lm_bigram() -> str:
+    # (1 - 0.8) NOT 0.2: the Spark side computes 1.0 - lam in double, which
+    # is 1 ulp away from the literal 0.2 — fold the same expression here.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+),
+uni AS (
+  SELECT token, COUNT(*) AS ucnt
+  FROM (SELECT UNNEST(t) AS token FROM toks) GROUP BY token
+),
+tot AS (SELECT SUM(ucnt) AS n, COUNT(*) AS v FROM uni),
+bi AS (SELECT prev, cur, COUNT(*) AS bcnt FROM pos GROUP BY prev, cur)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LOG2(
+         0.8 * bcnt / pcnt
+         + (1.0 - 0.8) * (ccnt + 0.5) / (n + 0.5 * v)
+       )), 4) AS bits_per_token
+FROM pos
+JOIN bi USING (prev, cur)
+JOIN (SELECT token AS prev, ucnt AS pcnt FROM uni) USING (prev)
+JOIN (SELECT token AS cur, ucnt AS ccnt FROM uni) USING (cur), tot
+GROUP BY doc_id
+"""
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.dedup import dup_span_fraction
+
+    return dup_span_fraction(_docs(spark, sf_dir), n=8)
+
+
+def sql_dup_span_fraction() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+),
+dfreq AS (SELECT shingle, COUNT(*) AS sdf FROM sh GROUP BY shingle),
+per AS (
+  SELECT id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN dfreq USING (shingle) GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       CASE WHEN COALESCE(n_shingles, 0) > 0
+            THEN ROUND(n_dup / CAST(n_shingles AS DOUBLE), 6) ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per ON d.doc_id = per.id
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best exact dedup. The gate corpus has NO exact dups at sf0.01,
+    which would reduce this to identity — so the entry plants deterministic
+    duplicates (every doc_id % 7 == 0 doc re-appears as doc_id + 100000
+    with the same text) and a quality column that VARIES within a dup group
+    (doc_id % 10), so the keep-best path is genuinely exercised."""
+    from naru_spark.pipeline.dedup import canonicalize
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    aug = docs.unionAll(copies).withColumn("q", (F.col("doc_id") % 10).cast("int"))
+    return canonicalize(aug, quality_col="q").select("doc_id", "q", "dup_group_size")
+
+
+def sql_dedup_canonical() -> str:
+    return """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+), q AS (
+  SELECT doc_id, text, CAST(doc_id % 10 AS INT) AS q FROM aug
+), r AS (
+  SELECT doc_id, q,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS dup_group_size,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM q
+)
+SELECT doc_id, q, CAST(dup_group_size AS BIGINT) AS dup_group_size
+FROM r WHERE rn = 1
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: docs with doc_id % 5 == 0 form the 'new
+    batch'; the rest is the already-indexed corpus. Because the gate corpus
+    has no exact dups at sf0.01, the batch additionally carries planted
+    re-ingested copies (doc_id % 7 == 0 docs as doc_id + 100000, same
+    text): copies of indexed docs must be dropped by the anti-join, copies
+    of in-batch docs by the within-batch window."""
+    from naru_spark.pipeline.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    new_b = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text", "source").unionAll(copies)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new_b, index).select("doc_id", "source")
+
+
+def sql_dedup_incremental() -> str:
+    return """
+WITH newb AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, md5(text) AS fp
+  FROM documents WHERE doc_id % 7 = 0
+),
+idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+fresh AS (
+  SELECT n.* FROM newb n WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = n.fp)
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+  FROM fresh
+)
+SELECT doc_id, source FROM r WHERE rn = 1
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII appended
+    (the corpus itself is PII-free, which would make redaction an identity
+    — the injected suffix makes the oracle actually exercise the regexes
+    cross-engine)."""
+    from naru_spark.pipeline.curation import pii_redact
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel +1 555-000 "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return pii_redact(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "n_redactions", "text_redacted"
+    )
+
+
+def sql_pii_redact() -> str:
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    phone = "\\+?[0-9][0-9\\- ]{7,}[0-9]"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.1 tel +1 555-000 '
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{email}')) AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM d
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{ip}')) AS n_ips,
+         regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{phone}')) AS n_phones,
+         regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS text_redacted
+  FROM s2
+)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
+       CAST(n_phones AS INT) AS n_phones,
+       CAST(n_emails + n_ips + n_phones AS INT) AS n_redactions, text_redacted
+FROM s3
+"""
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.similarity import knn_graph
+
+    return knn_graph(_emb(spark, sf_dir), k=3)
+
+
+def sql_knn_graph() -> str:
+    return """
+WITH pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -852,6 +1114,14 @@ def build_pipeline_registry():
         "corpus_curation": q_corpus_curation,
         "source_cap": q_source_cap,
         "source_temperature_mix": q_source_temperature_mix,
+        "text_normalize": q_text_normalize,
+        "ngram_topk": q_ngram_topk,
+        "doc_lm_bigram": q_doc_lm_bigram,
+        "dup_span_fraction": q_dup_span_fraction,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_incremental": q_dedup_incremental,
+        "pii_redact": q_pii_redact,
+        "knn_graph": q_knn_graph,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -893,6 +1163,14 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "corpus_curation": sql_corpus_curation(),
         "source_cap": sql_source_cap(),
         "source_temperature_mix": sql_source_temperature_mix(),
+        "text_normalize": sql_text_normalize(),
+        "ngram_topk": sql_ngram_topk(),
+        "doc_lm_bigram": sql_doc_lm_bigram(),
+        "dup_span_fraction": sql_dup_span_fraction(),
+        "dedup_canonical": sql_dedup_canonical(),
+        "dedup_incremental": sql_dedup_incremental(),
+        "pii_redact": sql_pii_redact(),
+        "knn_graph": sql_knn_graph(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

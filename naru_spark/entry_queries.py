@@ -571,6 +571,13 @@ def build_registry():
     _take(oq, oo)                                   # 21 relational-ops entries
     _take(mq, mo)                                   # 5 model entries
     _take(pq, po, ["source_cap", "source_temperature_mix"])
+    # round-3 additions: never driver-checked, so they go in the first-50
+    # window too (the cap leaves ~14 slots for long-green entries after
+    # ops + model + these)
+    _take(pq, po, [
+        "text_normalize", "ngram_topk", "doc_lm_bigram", "dup_span_fraction",
+        "dedup_canonical", "dedup_incremental", "pii_redact", "knn_graph",
+    ])
     _take(queries, oracles)                         # 17 base query entries
     _take(pq, po)                                   # remaining pipeline entries
     return ordered_queries, ordered_oracles

@@ -212,3 +212,37 @@ def curate_corpus(
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_bpe").alias("n_tokens"))
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+?[0-9][0-9\\- ]{7,}[0-9]"
+
+
+def pii_redact(df, text_col: str = "text"):
+    """Regex PII scrubbing (emails -> <EMAIL>, IPv4 -> <IP>, phone-like
+    digit runs -> <PHONE>) with per-document redaction counts. Order
+    matters: emails first (their local parts contain digits), then IPs
+    (dotted digits would otherwise half-match the phone pattern), then
+    phones. Pure row-local JVM regex — zero shuffle, codegen-friendly —
+    exactly the shape PII scrubbing must have at 100 TB (any per-doc
+    Python hop would dominate the pipeline).
+    """
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col)
+    n_email = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("text_redacted", t3)
+        .withColumn("n_emails", n_email)
+        .withColumn("n_ips", n_ip)
+        .withColumn("n_phones", n_phone)
+        .withColumn("n_redactions", n_email + n_ip + n_phone)
+    )

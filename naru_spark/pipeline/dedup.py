@@ -465,3 +465,103 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+
+
+# ------------------------------------------------------- span-level signals
+def dup_span_fraction(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    distinct token ``n``-gram shingles that also occur in at least one
+    OTHER document (the RefinedWeb/Gopher "fraction of duplicated content"
+    signal used to drop boilerplate-heavy pages).
+
+    Scale shape: one explode to (doc, shingle) pairs, ONE groupBy(shingle)
+    bounded by #distinct shingles for document frequencies, one equi-join
+    back, one groupBy(doc). Shuffle volume is shingles-per-doc, never
+    pairs-of-docs. Docs with < n tokens have no shingles and report 0.0.
+    """
+    sh = shingle_df(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("sdf") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_dup_shingles"), F.lit(0)).alias("n_dup_shingles"),
+            F.when(
+                F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def canonicalize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Exact-dup canonicalization with KEEP-BEST semantics: group rows by
+    content hash and keep the highest-``quality_col`` row per group
+    (ties -> lowest id), not blindly the lowest id as :func:`exact_dedup`
+    does. This is the curation-pipeline shape: when near-identical copies
+    differ in metadata quality, keep the best exemplar.
+
+    One shuffle on md5(text); the window is per-hash-group. When
+    ``quality_col`` is None the heuristic quality score is computed first.
+    """
+    if quality_col is None:
+        from naru_spark.pipeline.text import with_quality_score
+
+        df = with_quality_score(df, text_col)
+        quality_col = "quality_score"
+    w = Window.partitionBy("__fp").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__fp", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_group_size", F.count("*").over(Window.partitionBy("__fp")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: from a NEW batch, keep only documents
+    whose content does not already exist in the indexed corpus, then
+    exact-dedup within the batch itself (lowest id wins). This is the
+    snapshot-over-snapshot shape of production dedup — the index side
+    needs only its content hashes, so at 100 TB the "index" is a compact
+    hash table (one narrow column), not the corpus.
+
+    Two hash-keyed operations: one left-anti equi-join on md5(text)
+    against the index hashes, one per-hash window within the batch.
+    """
+    index_fp = index_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    batch = new_df.withColumn("__fp", F.md5(F.col(text_col)))
+    fresh = batch.join(index_fp, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )

@@ -383,3 +383,88 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+_KNN_SCHEMA = "vec_id long, neighbor_id long, cosine double, rank int"
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
+    driver_rows: int = 20_000,
+) -> DataFrame:
+    """Exact k-NN graph: for EVERY vector, its top-k neighbors by cosine
+    (self excluded; ties -> lowest neighbor id). The k-NN graph is the
+    substrate for SemDeDup-style semantic clustering and graph-based
+    pruning of training corpora.
+
+    Same three measured regimes as ``embedding_dup_pairs`` (driver matmul /
+    broadcast matmul via mapInPandas / see below), because the naive
+    crossJoin + per-row cosine HOF was measured at 464s for 12.5M pairs
+    while the matmul path is seconds. Cosines are rounded to 6 decimals
+    BEFORE ranking so the (cosine desc, neighbor asc) order is
+    engine-reproducible.
+
+    Beyond ``max_broadcast_rows`` the exact graph is quadratic and the
+    right tool is the approximate route (``ivf_topk_from_index`` probes a
+    partition-pruned index; ``lsh_topk`` buckets by hyperplane signature)
+    — this function raises rather than silently launching an n^2 job.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"knn_graph is exact/quadratic; corpus has {n} rows > "
+            f"{max_broadcast_rows}. Use ivf_topk_from_index or lsh_topk."
+        )
+
+    pdf_all = df.select(id_col, vec_col).toPandas()
+    ids = pdf_all[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf_all[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+
+    def _topk_block(bids: np.ndarray, bm: np.ndarray, bnorms: np.ndarray) -> "pd.DataFrame":
+        sims = np.round((bm @ mat.T) / (bnorms[:, None] * norms[None, :]), 6)
+        # exclude self by id (not by position: block rows vs full columns)
+        sims[bids[:, None] == ids[None, :]] = -np.inf
+        rows = []
+        for r in range(sims.shape[0]):
+            # order by (-cosine, neighbor_id): lexsort keys are last-first
+            order = np.lexsort((ids, -sims[r]))[:k]
+            for rank, j in enumerate(order, start=1):
+                if np.isfinite(sims[r, j]):
+                    rows.append((int(bids[r]), int(ids[j]), float(sims[r, j]), rank))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine", "rank"])
+
+    if n <= driver_rows:
+        out = _topk_block(ids, mat, norms)
+        return spark.createDataFrame(out, schema=_KNN_SCHEMA)
+
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def blocks(batches):
+        nonlocal_ids, nonlocal_mat, nonlocal_norms = bc.value
+        for b in batches:
+            bm = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            bids = b[id_col].to_numpy(dtype=np.int64)
+            bnorms = np.linalg.norm(bm, axis=1)
+            sims = np.round(
+                (bm @ nonlocal_mat.T) / (bnorms[:, None] * nonlocal_norms[None, :]), 6
+            )
+            sims[bids[:, None] == nonlocal_ids[None, :]] = -np.inf
+            rows = []
+            for r in range(sims.shape[0]):
+                order = np.lexsort((nonlocal_ids, -sims[r]))[:k]
+                for rank, j in enumerate(order, start=1):
+                    if np.isfinite(sims[r, j]):
+                        rows.append(
+                            (int(bids[r]), int(nonlocal_ids[j]), float(sims[r, j]), rank)
+                        )
+            yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine", "rank"])
+
+    return df.select(id_col, vec_col).repartition(32).mapInPandas(blocks, schema=_KNN_SCHEMA)

@@ -210,6 +210,103 @@ def doc_lm_score(
     )
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style text normalization: lowercase, collapse whitespace runs to
+    a single space, trim. Adds ``text_norm`` and ``n_chars_norm``. Pure
+    row-local JVM expressions (whole-stage codegen, zero shuffle) — the
+    canonical first step before exact dedup so that case/whitespace
+    variants of the same content hash identically."""
+    text = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(text), "\\s+", " "))
+    return df.withColumn("text_norm", norm).withColumn("n_chars_norm", F.length(norm))
+
+
+def ngram_histogram(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """Corpus top-k token n-grams (the vocabulary-building / collocation
+    statistic). Per-row n-gram arrays (no global state) -> ONE groupBy
+    shuffle bounded by #distinct n-grams -> global top-k, which Spark plans
+    as TakeOrderedAndProject (per-partition heap + driver merge, never a
+    full sort). Ties broken by ngram text ascending for determinism."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def doc_lm_bigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram-LM document scoring — the KenLM-shaped upgrade
+    of :func:`doc_lm_score`: per token position i >= 1,
+
+        P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                           + (1-lam) * (c(w_i)+s)/(N + s*V)
+
+    and the document score is the mean -log2 P in bits/token (positions
+    1..L-1; docs with < 2 tokens drop out). Low = fluent under corpus
+    statistics, high = rare-transition soup.
+
+    Scale shape: bigram + unigram count tables are bounded by #distinct
+    n-grams (vocabulary-scale, not corpus-scale); scoring is two equi-joins
+    of the exploded positions against those tables (AQE broadcasts them
+    while small) and one groupBy(doc). Nothing is ever row x vocab.
+    """
+    toks = tokens_col(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    pos = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("__id"), F.explode(pairs).alias("pc"))
+        .select("__id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+    )
+    uni = df.select(F.explode(toks).alias("token")).groupBy("token").agg(
+        F.count("*").alias("ucnt")
+    )
+    tot = uni.agg(F.sum("ucnt").alias("n"), F.count("*").alias("v")).collect()[0]
+    denom = float(int(tot["n"])) + smoothing * int(tot["v"])
+    bi = pos.groupBy("prev", "cur").agg(F.count("*").alias("bcnt"))
+    scored = (
+        pos.join(bi, ["prev", "cur"])
+        .join(uni.select(F.col("token").alias("prev"), F.col("ucnt").alias("pcnt")), "prev")
+        .join(uni.select(F.col("token").alias("cur"), F.col("ucnt").alias("ccnt")), "cur")
+        .withColumn(
+            "__nlp",
+            -F.log2(
+                F.lit(lam) * F.col("bcnt") / F.col("pcnt")
+                + F.lit(1.0 - lam) * (F.col("ccnt") + F.lit(smoothing)) / F.lit(denom)
+            ),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("__nlp"), 4).alias("bits_per_token"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "bits_per_token")
+    )
+
+
 def token_idf(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document frequency + smoothed IDF per token (the IDF half of TF-IDF;
     the TF half is token_histogram). One shuffle on token after a per-row

@@ -454,3 +454,148 @@ def test_curate_corpus_drops_dups_and_lowq(spark, docs):
     base = {r["source"]: r["n_docs"] for r in curate_corpus(docs).collect()}
     with_dup = {r["source"]: r["n_docs"] for r in curate_corpus(planted).collect()}
     assert base == with_dup  # the planted exact dup never survives
+
+
+# -------------------------------------------------- round-3 curation ops
+def test_normalize_text_collapses_and_lowers(spark):
+    from naru_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello   WORLD \t x "), (2, ""), (3, "a  b")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert got[1] == "hello world x"
+    assert got[2] == ""
+    assert got[3] == "a b"
+    # idempotent: normalizing normalized text is identity
+    df2 = spark.createDataFrame([(1, got[1])], ["doc_id", "text"])
+    assert normalize_text(df2).collect()[0].text_norm == got[1]
+
+
+def test_ngram_histogram_matches_python(spark):
+    from naru_spark.pipeline.text import ngram_histogram
+    from collections import Counter
+
+    rows = [(1, "a b c a b"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.ngram: r.cnt for r in ngram_histogram(df, n=2, k=10).collect()}
+    want = Counter()
+    for _, t in rows:
+        toks = t.split()
+        want.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    assert got == dict(want)
+
+
+def test_doc_lm_bigram_scores_rare_transitions_higher(spark):
+    from naru_spark.pipeline.text import doc_lm_bigram_score
+
+    # 20 docs repeating "a b", one doc with a never-seen transition "b a q z"
+    rows = [(i, "a b a b a b") for i in range(20)] + [(99, "b a q z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.bits_per_token for r in doc_lm_bigram_score(df).collect()}
+    assert got[99] > got[0]
+    # single-token / empty docs drop out
+    df2 = spark.createDataFrame([(1, "solo"), (2, ""), (3, "a b")], ["doc_id", "text"])
+    ids = {r.doc_id for r in doc_lm_bigram_score(df2).collect()}
+    assert ids == {3}
+
+
+def test_dup_span_fraction_planted_boilerplate(spark):
+    from naru_spark.pipeline.dedup import dup_span_fraction
+
+    boiler = "t1 t2 t3 t4 t5 t6 t7 t8"  # an 8-token span shared by docs 1+2
+    rows = [
+        (1, boiler + " u1 u2 u3 u4 u5 u6 u7"),
+        (2, boiler + " v1 v2 v3 v4 v5 v6 v7"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dup_span_fraction(df, n=8).collect()}
+    # docs 1/2: 8 shingles each, exactly one (the boiler span) duplicated
+    assert got[1].n_shingles == 8 and got[1].n_dup_shingles == 1
+    assert got[2].dup_fraction == got[1].dup_fraction == round(1 / 8, 6)
+    assert got[3].n_dup_shingles == 0 and got[3].dup_fraction == 0.0
+    assert got[4].n_shingles == 0 and got[4].dup_fraction == 0.0
+
+
+def test_canonicalize_keeps_best_quality(spark):
+    from naru_spark.pipeline.dedup import canonicalize
+
+    # same content, different explicit quality: id 2 has the best score;
+    # ids 4/5 tie -> lowest id wins
+    df = spark.createDataFrame(
+        [(1, "dup text", 0.1), (2, "dup text", 0.9), (3, "dup text", 0.5),
+         (4, "other", 0.7), (5, "other", 0.7), (6, "solo", 0.2)],
+        ["doc_id", "text", "q"],
+    )
+    kept = {r.doc_id: r for r in canonicalize(df, quality_col="q").collect()}
+    assert set(kept) == {2, 4, 6}
+    assert kept[2].dup_group_size == 3 and kept[4].dup_group_size == 2
+
+
+def test_incremental_dedup_semantics(spark):
+    from naru_spark.pipeline.dedup import incremental_dedup
+
+    index = spark.createDataFrame([(1, "known a"), (2, "known b")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "known a"),      # already indexed -> dropped
+         (11, "fresh x"), (12, "fresh x"),  # within-batch dup -> keep 11
+         (13, "fresh y")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(new, index).collect())
+    assert kept == [11, 13]
+
+
+def test_pii_redact_synthetic(spark):
+    from naru_spark.pipeline.curation import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org then 192.168.10.200 and +44 20-7946 0958 done"),
+         (2, "no pii here at all")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_ips == 1 and got[1].n_phones == 1
+    t = got[1].text_redacted
+    assert "<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t
+    assert "bob.smith" not in t and "192.168" not in t and "7946" not in t
+    assert got[2].n_redactions == 0 and got[2].text_redacted == "no pii here at all"
+
+
+def test_knn_graph_vs_numpy(spark, emb):
+    from naru_spark.pipeline.similarity import knn_graph
+
+    got = knn_graph(emb, k=3).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round(mat @ mat.T / (norms[:, None] * norms[None, :]), 6)
+    np.fill_diagonal(sims, -np.inf)
+    for vid in ids[:20]:
+        r = np.nonzero(ids == vid)[0][0]
+        order = np.lexsort((ids, -sims[r]))[:3]
+        want = [int(ids[j]) for j in order]
+        sub = got[got.vec_id == vid].sort_values("rank")
+        assert list(sub.neighbor_id) == want
+        assert list(sub["rank"]) == [1, 2, 3]
+
+
+def test_knn_graph_mapinpandas_path_matches_driver(spark, emb):
+    from naru_spark.pipeline.similarity import knn_graph
+
+    a = knn_graph(emb, k=2).toPandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    b = (
+        knn_graph(emb, k=2, driver_rows=1)  # force the mapInPandas regime
+        .toPandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_graph_refuses_quadratic_blowup(spark, emb):
+    from naru_spark.pipeline.similarity import knn_graph
+
+    with pytest.raises(ValueError, match="ivf_topk_from_index"):
+        knn_graph(emb, k=2, max_broadcast_rows=10)

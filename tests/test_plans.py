@@ -185,3 +185,48 @@ def test_advised_join_estimator_source(spark):
     assert decisions[0].est_rows == filtered.count()
     assert decisions[0].strategy == "broadcast"
     assert joined.count() > 0
+
+
+def test_ngram_topk_plans_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition heap +
+    driver merge), never a full global Sort — the property that keeps the
+    collocation statistic viable at corpus scale."""
+    from naru_spark.pipeline.text import ngram_histogram
+
+    df = load_table(spark, "documents", SF_SMOKE)
+    plan = plan_str(ngram_histogram(df, n=2, k=50))
+    assert "TakeOrderedAndProject" in plan
+    # partial aggregation before the shuffle (map-side combine on ngram)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_dedup_anti_join_broadcasts(spark):
+    """The index side of incremental dedup is a narrow hash column — it
+    must broadcast (BroadcastHashJoin LeftAnti), not shuffle the batch."""
+    from naru_spark.pipeline.dedup import incremental_dedup
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    new_b = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    plan = plan_str(incremental_dedup(new_b, index))
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+
+
+def test_pii_redact_stays_codegen(spark):
+    """PII scrubbing must be pure row-local JVM regex inside whole-stage
+    codegen: no Exchange, no BatchEvalPython/ArrowEvalPython."""
+    from naru_spark.pipeline.curation import pii_redact
+
+    df = load_table(spark, "documents", SF_SMOKE)
+    plan = plan_str(pii_redact(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan  # the Project runs inside whole-stage codegen
+
+
+def test_normalize_text_no_shuffle(spark):
+    from naru_spark.pipeline.text import normalize_text
+
+    df = load_table(spark, "documents", SF_SMOKE)
+    plan = plan_str(normalize_text(df))
+    assert "Exchange" not in plan
