@@ -1054,6 +1054,47 @@ FROM s3
 """
 
 
+def q_dedup_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest dedup: stream the new batch (doc_id % 5 == 0 plus
+    planted re-ingested copies, as in dedup_incremental) against the static
+    index's content hashes via a stateless stream-static anti-join. Unlike
+    the batch entry there is NO within-batch window, so copies of in-batch
+    docs (doc_id % 35 == 0) survive — the oracle checks exactly that
+    contract difference."""
+    from naru_spark.streaming.events import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_static_dedup,
+    )
+
+    stream = documents_stream(spark, sf_dir)
+    copies = stream.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    new_b = (
+        stream.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "source")
+        .unionAll(copies)
+    )
+    index = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    out = stream_static_dedup(new_b, index).select("doc_id", "source")
+    return run_stream_to_memory(spark, out, output_mode="append")
+
+
+def sql_dedup_stream_static() -> str:
+    return """
+WITH newb AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, md5(text) AS fp
+  FROM documents WHERE doc_id % 7 = 0
+),
+idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0)
+SELECT doc_id, source FROM newb n
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = n.fp)
+"""
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.pipeline.similarity import knn_graph
 
@@ -1122,6 +1163,7 @@ def build_pipeline_registry():
         "dedup_incremental": q_dedup_incremental,
         "pii_redact": q_pii_redact,
         "knn_graph": q_knn_graph,
+        "dedup_stream_static": q_dedup_stream_static,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1171,6 +1213,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "dedup_incremental": sql_dedup_incremental(),
         "pii_redact": sql_pii_redact(),
         "knn_graph": sql_knn_graph(),
+        "dedup_stream_static": sql_dedup_stream_static(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

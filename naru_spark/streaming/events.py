@@ -138,6 +138,52 @@ def dedup_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
     )
 
 
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over the documents parquet (schema pinned from a batch
+    read; single-file table exposed through a symlink dir like
+    ``events_stream``)."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+
+
+def stream_static_dedup(
+    new_stream: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-ingest dedup: drop every incoming document whose content
+    hash already exists in the static indexed corpus, via a stream-static
+    LEFT ANTI equi-join on md5(text).
+
+    This operator is deliberately STATELESS — no watermark, no state store:
+    the static side is a compact hash column (broadcast or shuffled-static
+    by Catalyst), so the filter scales to an unbounded ingest stream with
+    zero streaming state. Within-stream duplicates are NOT collapsed here;
+    that is ``dedup_stream``'s job (bounded-state
+    dropDuplicatesWithinWatermark) or a downstream batch compaction —
+    composing the two keeps each stage's state story explicit."""
+    index_fp = index_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    return (
+        new_stream.withColumn("__fp", F.md5(F.col(text_col)))
+        .join(index_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -160,3 +160,35 @@ def test_parquet_sink_resume_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == total
     assert out.select("event_id").distinct().count() == total  # no dupes
+
+
+def test_stream_static_dedup_stateless_ingest(spark):
+    """Stream-static anti-join ingest filter: drops content already in the
+    static index, keeps everything else (including within-stream dups —
+    statelessness is the contract; within-stream dedup belongs to
+    dedup_stream/batch compaction)."""
+    from naru_spark.streaming.events import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_static_dedup,
+    )
+    from naru_spark.sources import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    stream = documents_stream(spark, SF_SMOKE)
+    new_b = stream.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    got = run_stream_to_memory(
+        spark, stream_static_dedup(new_b, index).select("doc_id"), output_mode="append"
+    )
+    want = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("__fp", F.md5("text"))
+        .join(index.select(F.md5("text").alias("__fp")).distinct(), "__fp", "left_anti")
+        .select("doc_id")
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
