@@ -1117,6 +1117,71 @@ SELECT vec_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.curation import data_split
+
+    return data_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def sql_data_split() -> str:
+    train = ", ".join(f"'{c}'" for c in "0123456789abc")
+    return f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 1) IN ({train}) THEN 'train'
+            WHEN substr(md5(text), 1, 1) IN ('d', 'e') THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir))
+
+
+def sql_length_buckets() -> str:
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END AS n
+  FROM documents
+)
+SELECT CASE WHEN n > 0 THEN len(bin(n)) - 1 ELSE -1 END AS len_bucket,
+       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM d GROUP BY 1
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from naru_spark.pipeline.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), top_k=10)
+
+
+def sql_vocab_coverage() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+hist AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+vocab AS (SELECT token FROM hist ORDER BY cnt DESC, token ASC LIMIT 10),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+  FROM toks t LEFT JOIN vocab v USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tokens, 0) AS INT) AS n_tokens,
+       CAST(COALESCE(n_in, 0) AS INT) AS n_in_vocab,
+       CAST(COALESCE(n_tokens, 0) - COALESCE(n_in, 0) AS INT) AS n_oov,
+       CASE WHEN COALESCE(n_tokens, 0) > 0
+            THEN ROUND((n_tokens - n_in) / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1164,6 +1229,9 @@ def build_pipeline_registry():
         "pii_redact": q_pii_redact,
         "knn_graph": q_knn_graph,
         "dedup_stream_static": q_dedup_stream_static,
+        "data_split": q_data_split,
+        "length_buckets": q_length_buckets,
+        "vocab_coverage": q_vocab_coverage,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1214,6 +1282,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "pii_redact": sql_pii_redact(),
         "knn_graph": sql_knn_graph(),
         "dedup_stream_static": sql_dedup_stream_static(),
+        "data_split": sql_data_split(),
+        "length_buckets": sql_length_buckets(),
+        "vocab_coverage": sql_vocab_coverage(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

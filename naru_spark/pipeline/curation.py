@@ -246,3 +246,28 @@ def pii_redact(df, text_col: str = "text"):
         .withColumn("n_phones", n_phone)
         .withColumn("n_redactions", n_email + n_ip + n_phone)
     )
+
+
+def data_split(
+    df,
+    text_col: str = "text",
+    train_prefixes: str = "0123456789abc",
+    val_prefixes: str = "de",
+) -> "DataFrame":
+    """Deterministic content-hash train/val/test split: the first hex digit
+    of md5(text) routes each document (13/16 train, 2/16 val, 1/16 test
+    by default). Content-hash routing is the standard trick that keeps a
+    document on the same side of the split across corpus versions and
+    re-runs — row order, partitioning, and ingestion date never move a doc
+    between train and test (which would silently contaminate evals).
+
+    Pure row-local JVM expressions; zero shuffle."""
+    from pyspark.sql import functions as F
+
+    first = F.substring(F.md5(F.col(text_col)), 1, 1)
+    split = (
+        F.when(first.isin(*list(train_prefixes)), F.lit("train"))
+        .when(first.isin(*list(val_prefixes)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

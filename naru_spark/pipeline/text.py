@@ -318,3 +318,58 @@ def token_idf(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("df"))
         .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
     )
+
+
+def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-length power-of-two bucket histogram (the packing/batching
+    planner's input: how much of the corpus lands in each sequence-length
+    bucket). The bucket is computed with exact integer math — the length
+    of the binary representation of n_tokens minus one, i.e.
+    floor(log2(n)) without float log edge cases at exact powers of two.
+    One groupBy over ~30 buckets; map-side combine makes the shuffle
+    negligible."""
+    n = F.size(tokens_col(text_col))
+    bucket = F.when(n > 0, F.length(F.conv(n.cast("string"), 10, 2)) - 1).otherwise(
+        F.lit(-1)
+    )
+    return (
+        df.withColumn("len_bucket", bucket)
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col(text_col))).alias("n_tokens"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 10
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus' own top-k
+    tokens (cnt desc, token asc tie-break): n_in_vocab, n_oov, oov_rate.
+    The tokenizer-fit feedback signal — how much text a fixed vocabulary
+    explains.
+
+    Scale shape: the vocab is ONE bounded groupBy + top-k (driver-collected
+    at k rows — k is vocabulary-sized, never corpus-sized) broadcast into a
+    row-local array_contains filter; the per-doc pass is zero-shuffle."""
+    vocab_rows = (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_k)
+        .collect()
+    )
+    vocab = [r.token for r in vocab_rows]
+    toks = tokens_col(text_col)
+    arr = F.array(*[F.lit(w) for w in vocab])
+    n_in = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_in.alias("n_in_vocab"),
+        (n_tok - n_in).alias("n_oov"),
+        F.when(n_tok > 0, F.round((n_tok - n_in) / n_tok, 6)).otherwise(F.lit(0.0)).alias("oov_rate"),
+    )

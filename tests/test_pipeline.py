@@ -599,3 +599,49 @@ def test_knn_graph_refuses_quadratic_blowup(spark, emb):
 
     with pytest.raises(ValueError, match="ivf_topk_from_index"):
         knn_graph(emb, k=2, max_broadcast_rows=10)
+
+
+def test_data_split_deterministic_and_content_keyed(spark):
+    from naru_spark.pipeline.curation import data_split
+    import hashlib
+
+    df = spark.createDataFrame([(i, f"doc number {i}") for i in range(200)], ["doc_id", "text"])
+    got = {r.doc_id: r.split for r in data_split(df).collect()}
+    for i in range(200):
+        h = hashlib.md5(f"doc number {i}".encode()).hexdigest()[0]
+        want = "train" if h in "0123456789abc" else ("val" if h in "de" else "test")
+        assert got[i] == want
+    # same content at a different id lands in the same split
+    df2 = spark.createDataFrame([(999, "doc number 7")], ["doc_id", "text"])
+    assert data_split(df2).collect()[0].split == got[7]
+    assert set(got.values()) == {"train", "val", "test"}
+
+
+def test_length_buckets_exact_powers(spark):
+    from naru_spark.pipeline.text import length_buckets
+
+    rows = [
+        (1, " ".join(["w"] * 1)),   # bucket 0
+        (2, " ".join(["w"] * 2)),   # bucket 1 (exact power of two edge)
+        (3, " ".join(["w"] * 3)),   # bucket 1
+        (4, " ".join(["w"] * 64)),  # bucket 6 (no float-log wobble)
+        (5, ""),                    # bucket -1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.len_bucket: (r.n_docs, r.n_tokens) for r in length_buckets(df).collect()}
+    assert got[0] == (1, 1) and got[1] == (2, 5) and got[6] == (1, 64) and got[-1] == (1, 0)
+
+
+def test_vocab_coverage_manual(spark):
+    from naru_spark.pipeline.text import vocab_coverage
+
+    # corpus vocab by freq: a(4) b(3) c(2) d(1) e(1); top_k=2 -> {a, b}
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d"), (3, "a b c e"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in vocab_coverage(df, top_k=2).collect()}
+    assert (got[1].n_in_vocab, got[1].n_oov) == (3, 1)
+    assert (got[2].n_in_vocab, got[2].n_oov) == (2, 1)
+    assert got[3].oov_rate == 0.5
+    assert (got[4].n_tokens, got[4].oov_rate) == (0, 0.0)
