@@ -52,6 +52,19 @@ def gelu_grad(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
 
 
+def relu(x):
+    return np.maximum(x, 0)
+
+
+def relu_grad(x):
+    return (x > 0).astype(x.dtype)
+
+
+# reference transformer.py:234-240, 326-327: activation is a block option
+# restricted to {'relu', 'gelu'}
+_ACTIVATIONS = {"gelu": (gelu, gelu_grad), "relu": (relu, relu_grad)}
+
+
 def order_respecting_mask(ncols: int, ordering, input_layer: bool = True) -> np.ndarray:
     """Attention mask for an arbitrary autoregressive ordering (reference
     transformer.py:58-102 ``order_respecting_mask``).
@@ -235,24 +248,35 @@ class TransformerBlock:
     is attn/MLP only, with no skip path, so the destination position's own
     input embedding cannot leak past the input-layer attention mask."""
 
-    def __init__(self, d_model, d_ff, n_heads, rng, dtype, do_residual=True):
+    def __init__(self, d_model, d_ff, n_heads, rng, dtype, do_residual=True, activation="gelu"):
         self.ln1 = LayerNorm(d_model, dtype)
         self.attn = CausalSelfAttention(d_model, n_heads, rng, dtype)
         self.ln2 = LayerNorm(d_model, dtype)
         self.f1 = Linear(d_model, d_ff, rng, dtype)
         self.f2 = Linear(d_ff, d_model, rng, dtype)
         self.do_residual = do_residual
+        assert activation in _ACTIVATIONS, activation
+        self.activation = activation
+        self._act, self._act_grad = _ACTIVATIONS[activation]
+
+    def __setstate__(self, state):
+        # pre-activation-option checkpoints lack these attrs: gelu was the
+        # only activation, so restore that behavior
+        self.__dict__.update(state)
+        if "activation" not in state:
+            self.activation = "gelu"
+            self._act, self._act_grad = _ACTIVATIONS["gelu"]
 
     def forward(self, x, allowed=None, query_input=None):
         a = self.attn.forward(self.ln1.forward(x), allowed=allowed, query_input=query_input)
         x = x + a if self.do_residual else a
         self._ff_in = self.f1.forward(self.ln2.forward(x))
-        m = self.f2.forward(gelu(self._ff_in))
+        m = self.f2.forward(self._act(self._ff_in))
         return x + m if self.do_residual else m
 
     def backward(self, dy):
         dm = self.f2.backward(dy)
-        dff = dm * gelu_grad(self._ff_in)
+        dff = dm * self._act_grad(self._ff_in)
         dx2 = self.ln2.backward(self.f1.backward(dff))
         dy = dy + dx2 if self.do_residual else dx2
         da = self.attn.backward(dy)
@@ -290,6 +314,7 @@ class ARTransformer:
         dtype=np.float32,
         column_masking: bool = False,
         order: list[int] | None = None,
+        activation: str = "gelu",  # reference transformer.py:326-327: {'relu','gelu'}
     ):
         self.domains = list(domains)
         self.D = len(domains)
@@ -299,6 +324,7 @@ class ARTransformer:
         self.order = list(order) if order is not None else list(range(self.D))
         assert sorted(self.order) == list(range(self.D)), self.order
         self.scheme = 0 if self.order == list(range(self.D)) else 1
+        self.activation = activation
         rng = np.random.RandomState(seed)
         # value embeddings per column + SOS + positional + MASK tokens
         n_pos = self.D + 1 if self.scheme == 1 else self.D
@@ -310,6 +336,7 @@ class ARTransformer:
             TransformerBlock(
                 d_model, d_ff, n_heads, rng, dtype,
                 do_residual=(self.scheme == 0 or i > 0),
+                activation=activation,
             )
             for i in range(blocks)
         ]
@@ -593,7 +620,7 @@ class ARTransformer:
             a = self._lin_nograd(blk.attn.o, att)
             x1 = x_p + a if blk.do_residual else a
             m = self._lin_nograd(
-                blk.f2, gelu(self._lin_nograd(blk.f1, self._ln_nograd(blk.ln2, x1)))
+                blk.f2, blk._act(self._lin_nograd(blk.f1, self._ln_nograd(blk.ln2, x1)))
             )
             out = x1 + m if blk.do_residual else m
             st["xin"][l + 1][:, p] = out

@@ -930,3 +930,59 @@ def test_fit_distributed_learns_and_estimates(spark):
     errs = [q_error(ps.query(q), t) for q, t in zip(wl, truths) if t > 0]
     assert np.median(errs) <= 4.0, errs
     df.unpersist()
+
+
+def test_transformer_relu_activation_gradient_and_decode_parity():
+    """The reference restricts transformer activation to {'relu','gelu'}
+    (transformer.py:326-327); check the relu backward against finite
+    differences and the incremental-decode fast path against the full
+    forward."""
+    from naru_spark.model.transformer import ARTransformer
+
+    rng = np.random.RandomState(5)
+    domains = [4, 3, 5]
+    m = ARTransformer(
+        domains, d_model=8, d_ff=16, n_heads=2, blocks=2, seed=2,
+        dtype=np.float64, activation="relu",
+    )
+    assert all(b.activation == "relu" for b in m.blocks)
+    x = np.stack([rng.randint(0, d, size=6) for d in domains], axis=1)
+
+    def loss():
+        logits = m.forward(x)
+        val, _ = m.nll(logits, x)
+        return val
+
+    logits = m.forward(x)
+    _, dl = m.nll(logits, x)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    checked = 0
+    for p in [m.sos, m.blocks[0].f1.W, m.blocks[1].f2.W, m.heads[1].W]:
+        flat_v = p.v.reshape(-1)
+        flat_g = p.g.reshape(-1)
+        for k in rng.choice(flat_v.size, size=4, replace=False):
+            old = flat_v[k]
+            flat_v[k] = old + eps
+            up = loss()
+            flat_v[k] = old - eps
+            dn = loss()
+            flat_v[k] = old
+            num = (up - dn) / (2 * eps)
+            # relu is non-differentiable at 0; with random float64 weights
+            # the sampled points are a.s. away from the kink
+            assert abs(num - flat_g[k]) < 1e-4 * max(1.0, abs(num))
+            checked += 1
+    assert checked >= 16
+
+    # incremental decode (sample_logits_for_col) must use the same
+    # activation as the full forward
+    S = 4
+    m.begin_sampling(S)
+    bits = m.new_input_buffer(S)
+    for c in range(len(domains)):
+        fast = m.sample_logits_for_col(c, bits)
+        want = m.logits_for_col(c, m.hidden_nograd(bits))
+        np.testing.assert_allclose(fast, want, rtol=1e-6, atol=1e-8)
+        m._write_bits(bits, c, rng.randint(0, domains[c], size=S))
