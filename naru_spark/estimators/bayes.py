@@ -79,11 +79,13 @@ def model_bin_df(
     return out.select(*[f"{c}__mbin" for c in columns])
 
 
-def chow_liu_tree(mi: np.ndarray) -> list[tuple[int, int]]:
+def chow_liu_tree(mi: np.ndarray, root: int = 0) -> list[tuple[int, int]]:
     """Maximum spanning tree via Prim; returns (parent, child) edges rooted
-    at column 0."""
+    at ``root`` (the reference's ``root=`` knob to pomegranate
+    from_samples, estimators.py:742-772 — the MST is root-free, but the
+    root choice decides CPD direction and sampling order)."""
     D = mi.shape[0]
-    in_tree = {0}
+    in_tree = {root}
     edges: list[tuple[int, int]] = []
     while len(in_tree) < D:
         best = (-1.0, None)
@@ -128,6 +130,7 @@ class BayesNet(CardEst):
         spark_df: DataFrame | None = None,
         structure: str = "chow_liu",
         inference: str = "sampling",
+        root: int = 0,
     ):
         """data: [N, D] dictionary-encoded (raw-bin) sample rows.
 
@@ -143,6 +146,11 @@ class BayesNet(CardEst):
         super().__init__()
         assert structure in ("chow_liu", "greedy"), structure
         assert inference in ("sampling", "exact"), inference
+        assert 0 <= root < len(columns), root
+        # greedy visits columns in natural order, so its tree is anchored
+        # at column 0 by construction (root only re-routes the MST)
+        assert root == 0 or structure == "chow_liu", "root requires chow_liu"
+        self.root = root
         self.meta = meta
         self.columns = columns
         self.num_samples = num_samples
@@ -150,6 +158,8 @@ class BayesNet(CardEst):
         self.structure = structure
         self.inference = inference
         tag = "chowliu" if structure == "chow_liu" else "greedy"
+        if root != 0:
+            tag += f"_r{root}"
         self.name = (
             f"bn_{tag}_exact" if inference == "exact" else f"bn_{tag}_{num_samples}"
         )
@@ -179,12 +189,14 @@ class BayesNet(CardEst):
                     joint = np.zeros((sizes[i], sizes[j]))
                     np.add.at(joint, (enc[:, i], enc[:, j]), 1.0)
                     mi[i, j] = mi[j, i] = mutual_information(joint)
-        self.edges = chow_liu_tree(mi) if structure == "chow_liu" else greedy_parent_tree(mi)
-        self.parent = {v: u for u, v in self.edges}  # root 0 has no parent
+        self.edges = (
+            chow_liu_tree(mi, root) if structure == "chow_liu" else greedy_parent_tree(mi)
+        )
+        self.parent = {v: u for u, v in self.edges}  # the root has no parent
 
         # topological order (root first, then BFS over edges)
-        order = [0]
-        added = {0}
+        order = [root]
+        added = {root}
         while len(order) < D:
             for u, v in self.edges:
                 if u in added and v not in added:
@@ -194,8 +206,10 @@ class BayesNet(CardEst):
 
         # CPDs with Laplace smoothing
         self.cpd: dict[int, np.ndarray] = {}
-        root_counts = np.bincount(enc[:, 0], minlength=sizes[0]).astype(np.float64)
-        self.cpd[0] = (root_counts + laplace) / (root_counts.sum() + laplace * sizes[0])
+        root_counts = np.bincount(enc[:, root], minlength=sizes[root]).astype(np.float64)
+        self.cpd[root] = (root_counts + laplace) / (
+            root_counts.sum() + laplace * sizes[root]
+        )
         for u, v in self.edges:
             joint = np.zeros((sizes[u], sizes[v]))
             np.add.at(joint, (enc[:, u], enc[:, v]), 1.0)
@@ -227,14 +241,15 @@ class BayesNet(CardEst):
             children.setdefault(u, []).append(v)
         # reverse topological: every child's message exists before its parent
         msg: dict[int, np.ndarray] = {}
+        root = self.root
         for v in reversed(self.topo):
-            vec = np.ones(self.cpd[v].shape[-1] if v != 0 else self.cpd[0].shape[0])
+            vec = np.ones(self.cpd[v].shape[-1] if v != root else self.cpd[root].shape[0])
             if masks[v] is not None:
                 vec = vec * masks[v]
             for w in children.get(v, []):
                 vec = vec * msg[w]
-            if v == 0:
-                return float(np.ceil(float(self.cpd[0] @ vec) * self.meta.cardinality))
+            if v == root:
+                return float(np.ceil(float(self.cpd[root] @ vec) * self.meta.cardinality))
             msg[v] = self.cpd[v] @ vec  # [dom_parent]
         raise AssertionError("topo order did not end at the root")
 
@@ -249,8 +264,8 @@ class BayesNet(CardEst):
         samples = np.zeros((S, D), dtype=np.int64)
         p = np.ones(S, dtype=np.float64)
         for v in self.topo:
-            if v == 0:
-                probs = np.tile(self.cpd[0][None, :], (S, 1))
+            if v == self.root:
+                probs = np.tile(self.cpd[self.root][None, :], (S, 1))
             else:
                 probs = self.cpd[v][samples[:, self.parent[v]]]
             mask = masks[v]

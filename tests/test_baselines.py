@@ -237,3 +237,57 @@ def test_sampling_zero_estimate_matches_reference(spark, lineitem_setup):
     q = Query("lineitem", ["l_quantity"], ["<"], [-1.0])
     assert s.query(q) == 0.0
     assert q_error(0.0, 123) == 123.0
+
+
+def test_bn_root_choice_reroots_tree():
+    """The reference exposes the BN root as a knob (estimators.py:742-772
+    ``root=``); re-rooting must re-direct the CPDs and keep query_exact
+    equal to brute-force enumeration of the re-rooted joint."""
+    import itertools
+
+    from naru_spark.encoding import ColumnDictionary
+    from naru_spark.estimators.bayes import BayesNet
+    from naru_spark.meta import ColumnMeta, TableMeta
+    from naru_spark.predicates import Query
+
+    rng = np.random.RandomState(7)
+    N, doms = 400, [4, 5, 3]
+    cols = ["a", "b", "c"]
+    base = rng.randint(0, doms[0], N)
+    data = np.stack(
+        [base, (base + rng.randint(0, 2, N)) % doms[1], rng.randint(0, doms[2], N)],
+        axis=1,
+    )
+    dicts = {c: ColumnDictionary(c, np.arange(d, dtype=np.int64), False) for c, d in zip(cols, doms)}
+    meta = TableMeta(
+        "t",
+        [ColumnMeta(c, "bigint", d, False) for c, d in zip(cols, doms)],
+        cardinality=N,
+        dictionaries=dicts,
+    )
+    queries = [
+        Query("t", ["a"], ["<="], [2]),
+        Query("t", ["a", "b"], ["<=", "="], [2, 1]),
+        Query("t", ["b", "c"], [">=", "<"], [1, 2]),
+    ]
+    for root in (1, 2):
+        bn = BayesNet(data, meta, cols, max_model_domain=8, num_samples=64,
+                      structure="chow_liu", inference="exact", root=root)
+        assert bn.topo[0] == root and root not in bn.parent
+        assert f"_r{root}_" in bn.name
+        for q in queries:
+            masks = bn._masks(q)
+            total = 0.0
+            for xs in itertools.product(*[range(d) for d in doms]):
+                p = bn.cpd[root][xs[root]]
+                for u, v in bn.edges:
+                    p *= bn.cpd[v][xs[u], xs[v]]
+                w = 1.0
+                for i, m in enumerate(masks):
+                    if m is not None:
+                        w *= m[xs[i]]
+                total += p * w
+            assert bn.query(q) == float(np.ceil(total * N))
+    # greedy structure rejects re-rooting (its tree is natural-order-anchored)
+    with pytest.raises(AssertionError):
+        BayesNet(data, meta, cols, max_model_domain=8, structure="greedy", root=1)
