@@ -70,10 +70,12 @@ def save_results(results: pd.DataFrame, path: str):
     results.to_csv(path, index=False)
 
 
-def load_checkpoints(glob_pattern: str):
+def load_checkpoints(glob_pattern: str, blacklist: str | None = None):
     """Glob checkpoint files and parse their self-describing names
     (reference eval_model.py:480-543 — glob .pt files, regex out metadata,
-    build estimators). Returns [(info_dict, NaruModel)] sorted by path."""
+    build estimators). ``blacklist`` drops any globbed file whose basename
+    contains the substring (reference ``--blacklist``, eval_model.py:42,
+    481). Returns [(info_dict, NaruModel)] sorted by path."""
     import glob as _glob
     import os
 
@@ -81,6 +83,9 @@ def load_checkpoints(glob_pattern: str):
 
     out = []
     for path in sorted(_glob.glob(glob_pattern)):
-        info = parse_checkpoint_name(os.path.basename(path))
+        name = os.path.basename(path)
+        if blacklist and blacklist in name:
+            continue
+        info = parse_checkpoint_name(name)
         out.append((info, NaruModel.load(path)))
     return out

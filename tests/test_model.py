@@ -900,6 +900,9 @@ def test_load_checkpoints_glob(spark, tmp_path):
     assert len(loaded) == 2
     assert sorted(i["seed"] for i, _ in loaded) == [1, 2]
     assert all(m.columns == cols for _, m in loaded)
+    # --blacklist analog (reference eval_model.py:42,481): substring drop
+    only = load_checkpoints(os.path.join(tmp_path, "lineitem-*.ckpt"), blacklist="seed1")
+    assert [i["seed"] for i, _ in only] == [2]
 
 
 def test_fit_distributed_learns_and_estimates(spark):
