@@ -1182,6 +1182,57 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped end-to-end semantic dedup: embedding-cosine pair
+    graph (>= 0.4) -> connected components (min-label) -> one canonical
+    survivor per cluster (the min id). Composes three already-verified
+    operators into the shape production semantic dedup actually runs;
+    at scale the pair stage swaps to the LSH route with no change here."""
+    from naru_spark.pipeline.dedup import connected_components, embedding_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_dup_pairs(emb, threshold=0.4)
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", "vec_id")
+    allv = (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .withColumn("component", F.coalesce("component", "vec_id"))
+    )
+    sizes = allv.groupBy("component").agg(F.count("*").alias("group_size"))
+    return allv.join(sizes, "component").select(
+        "vec_id",
+        "component",
+        "group_size",
+        (F.col("vec_id") == F.col("component")).alias("kept"),
+    )
+
+
+def sql_semantic_dedup() -> str:
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+comp AS (SELECT u AS vec_id, MIN(r) AS component FROM reach GROUP BY u),
+allv AS (
+  SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS component
+  FROM embeddings emb LEFT JOIN comp USING (vec_id)
+),
+sizes AS (SELECT component, COUNT(*) AS group_size FROM allv GROUP BY component)
+SELECT vec_id, component, CAST(group_size AS BIGINT) AS group_size,
+       vec_id = component AS kept
+FROM allv JOIN sizes USING (component)
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1232,6 +1283,7 @@ def build_pipeline_registry():
         "data_split": q_data_split,
         "length_buckets": q_length_buckets,
         "vocab_coverage": q_vocab_coverage,
+        "semantic_dedup": q_semantic_dedup,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1285,6 +1337,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "data_split": sql_data_split(),
         "length_buckets": sql_length_buckets(),
         "vocab_coverage": sql_vocab_coverage(),
+        "semantic_dedup": sql_semantic_dedup(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

@@ -645,3 +645,19 @@ def test_vocab_coverage_manual(spark):
     assert (got[2].n_in_vocab, got[2].n_oov) == (2, 1)
     assert got[3].oov_rate == 0.5
     assert (got[4].n_tokens, got[4].oov_rate) == (0, 0.0)
+
+
+def test_semantic_dedup_composition(spark, emb):
+    """semantic_dedup entry semantics: every cluster keeps exactly its min
+    id; group sizes partition the corpus."""
+    from naru_spark.entry_pipeline import q_semantic_dedup
+
+    out = q_semantic_dedup(spark, "/root/testdata/sf0.01").toPandas()
+    n = emb.count()
+    assert len(out) == n
+    # kept <=> vec_id is its component's min
+    grp_min = out.groupby("component").vec_id.min()
+    for _, r in out.iterrows():
+        assert r.kept == (r.vec_id == grp_min[r.component])
+    # group sizes sum to the corpus
+    assert out.drop_duplicates("component").group_size.sum() == n
