@@ -1233,6 +1233,81 @@ FROM allv JOIN sizes USING (component)
 """
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup with the md5-based universal hash family: unlike
+    the xxhash64 entry (rows-only: engine-private hash), every stage here
+    — base hash, k universal hashes, banding, candidate join, exact
+    Jaccard verify — is reproduced by the DuckDB oracle, so the WHOLE LSH
+    pipeline is hash-verified, not just its verify tier."""
+    from naru_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", threshold=0.5, base_hash="md5"
+    )
+
+
+def sql_dedup_minhash_md5(num_hashes: int = 64, bands: int = 16, seed: int = 7) -> str:
+    # mirror minhash_signatures' seeded hash family with inline constants
+    import numpy as np
+
+    P = (1 << 31) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, P, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, P, size=num_hashes, dtype=np.int64)
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({int(a[i])} * base + {int(b[i])}) % {P}) AS m{i}" for i in range(num_hashes)
+    )
+    band_disjuncts = " OR\n      ".join(
+        "("
+        + " AND ".join(
+            f"x.m{bi * rows_per_band + r} = y.m{bi * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+h AS (
+  SELECT id,
+         CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) % {P} AS BIGINT) AS base
+  FROM sh
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM h GROUP BY id
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM sig x JOIN sig y ON x.id < y.id
+  WHERE {band_disjuncts}
+),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) >= 0.5
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1284,6 +1359,7 @@ def build_pipeline_registry():
         "length_buckets": q_length_buckets,
         "vocab_coverage": q_vocab_coverage,
         "semantic_dedup": q_semantic_dedup,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1338,6 +1414,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "length_buckets": sql_length_buckets(),
         "vocab_coverage": sql_vocab_coverage(),
         "semantic_dedup": sql_semantic_dedup(),
+        "dedup_minhash_md5": sql_dedup_minhash_md5(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

@@ -111,18 +111,32 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 7,
     shingles: DataFrame | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) via ONE aggregation:
-    shingle -> base hash (xxhash64 -> non-negative) -> k universal hashes
-    -> min per doc. No per-row Python; k min-aggregates in one groupBy.
-    ``shingles`` lets callers share one cached (id, shingle) DF with the
-    verify stage instead of re-sharding the corpus."""
+    shingle -> base hash -> k universal hashes -> min per doc. No per-row
+    Python; k min-aggregates in one groupBy. ``shingles`` lets callers
+    share one cached (id, shingle) DF with the verify stage instead of
+    re-sharding the corpus.
+
+    ``base_hash``: 'xxhash64' (Spark-native, fastest) or 'md5' — the
+    first 15 hex chars of md5 parsed as an integer, reproducible in ANY
+    engine with an md5 function (DuckDB: CAST('0x'||substr(md5(s),1,15)
+    AS UBIGINT)), which makes the whole LSH pipeline oracle-verifiable
+    rather than rows-only."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
     b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
     # base shingle hash reduced mod p so a*base < 2^62 (ANSI-safe)
     sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    if base_hash == "md5":
+        base = F.pmod(
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MERSENNE),
+        )
+    else:
+        assert base_hash == "xxhash64", base_hash
+        base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     hashed = sh.select(
         "id",
         *[
@@ -143,13 +157,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 7,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard on the
-    shingle sets. bands=16/rows=4 targets t ~ (1/16)^(1/4) ~ 0.5."""
+    shingle sets. bands=16/rows=4 targets t ~ (1/16)^(1/4) ~ 0.5.
+    ``base_hash='md5'`` makes the candidate generation engine-reproducible
+    (see minhash_signatures)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sh = shingle_df(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingles=sh)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingles=sh, base_hash=base_hash
+    )
     banded = sig.select(
         "id",
         F.explode(

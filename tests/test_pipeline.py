@@ -661,3 +661,21 @@ def test_semantic_dedup_composition(spark, emb):
         assert r.kept == (r.vec_id == grp_min[r.component])
     # group sizes sum to the corpus
     assert out.drop_duplicates("component").group_size.sum() == n
+
+
+def test_minhash_md5_base_hash_matches_exact_pairs(spark, docs):
+    """The md5-based universal-hash family (the oracle-verifiable mode)
+    must recover the same verified pair set as exact n-gram Jaccard at the
+    gate corpus/threshold, like the xxhash64 mode does."""
+    from naru_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", threshold=0.5, base_hash="md5").collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    assert want, "gate corpus should contain near-dup pairs"
+    assert got == want
