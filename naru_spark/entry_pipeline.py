@@ -1308,6 +1308,59 @@ WHERE ROUND(i.inter / CAST(sa.set_size + sb.set_size - i.inter AS DOUBLE), 6) >=
 """
 
 
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with the md5 token hash (60 bits): signature
+    construction, pigeonhole block banding, and the popcount verify are
+    all reproduced by the DuckDB oracle — the oracle-verified counterpart
+    of the xxhash64 entry."""
+    from naru_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", bits=60, max_hamming=3, base_hash="md5"
+    )
+
+
+def sql_dedup_simhash_md5(bits: int = 60, max_hamming: int = 3) -> str:
+    blocks = max_hamming + 1
+    width = bits // blocks
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    band_disjuncts = " OR\n      ".join(
+        f"((x.simhash >> {bi * width}) & {(1 << width) - 1}) = "
+        f"((y.simhash >> {bi * width}) & {(1 << width) - 1})"
+        for bi in range(blocks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST({_SQL_TOKS}) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+h AS (
+  SELECT id, CAST(CAST(('0x' || substr(md5(token), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT id,
+         {votes}
+  FROM h GROUP BY id
+),
+sig AS (SELECT id, {sig_terms} AS simhash FROM votes),
+cand AS (
+  SELECT x.id AS id_a, y.id AS id_b, x.simhash AS sig_a, y.simhash AS sig_b
+  FROM sig x JOIN sig y ON x.id < y.id
+  WHERE {band_disjuncts}
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1360,6 +1413,7 @@ def build_pipeline_registry():
         "vocab_coverage": q_vocab_coverage,
         "semantic_dedup": q_semantic_dedup,
         "dedup_minhash_md5": q_dedup_minhash_md5,
+        "dedup_simhash_md5": q_dedup_simhash_md5,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1415,6 +1469,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "vocab_coverage": sql_vocab_coverage(),
         "semantic_dedup": sql_semantic_dedup(),
         "dedup_minhash_md5": sql_dedup_minhash_md5(),
+        "dedup_simhash_md5": sql_dedup_simhash_md5(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

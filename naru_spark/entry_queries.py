@@ -578,7 +578,7 @@ def build_registry():
         "text_normalize", "ngram_topk", "doc_lm_bigram", "dup_span_fraction",
         "dedup_canonical", "dedup_incremental", "pii_redact", "knn_graph",
         "dedup_stream_static", "data_split", "length_buckets", "vocab_coverage",
-        "semantic_dedup", "dedup_minhash_md5",
+        "semantic_dedup", "dedup_minhash_md5", "dedup_simhash_md5",
     ])
     _take(queries, oracles)                         # 17 base query entries
     _take(pq, po)                                   # remaining pipeline entries

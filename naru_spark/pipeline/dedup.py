@@ -217,12 +217,27 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------------ simhash
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 62) -> DataFrame:
-    """(id, simhash bigint): per-token 32-bit hash votes per bit position;
-    bit set iff positive vote sum. explode + one groupBy; bit arithmetic
-    stays JVM-side."""
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 62,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash bigint): per-token hash votes per bit position; bit set
+    iff positive vote sum. explode + one groupBy; bit arithmetic stays
+    JVM-side.
+
+    ``base_hash='md5'`` uses the first 15 hex chars of md5 (exactly 60
+    bits, so ``bits`` must be 60) — reproducible in any engine with md5,
+    making the signature oracle-verifiable like the minhash md5 mode."""
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
-    h = F.pmod(F.xxhash64("token"), F.lit(1 << bits)).alias("h")
+    if base_hash == "md5":
+        assert bits == 60, "md5 mode yields exactly 60 bits"
+        h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint").alias("h")
+    else:
+        assert base_hash == "xxhash64", base_hash
+        h = F.pmod(F.xxhash64("token"), F.lit(1 << bits)).alias("h")
     toks = toks.select("id", h)
     votes = toks.groupBy("id").agg(
         *[
@@ -240,12 +255,17 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text", bits:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 62, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 62,
+    max_hamming: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
     (max_hamming+1)-block banding (pigeonhole: some block must match),
     verified with exact popcount."""
-    sig = simhash_signatures(df, id_col, text_col, bits).cache()
+    sig = simhash_signatures(df, id_col, text_col, bits, base_hash=base_hash).cache()
     blocks = max_hamming + 1
     width = bits // blocks
     banded = sig.select(

@@ -679,3 +679,17 @@ def test_minhash_md5_base_hash_matches_exact_pairs(spark, docs):
     }
     assert want, "gate corpus should contain near-dup pairs"
     assert got == want
+
+
+def test_simhash_md5_mode_finds_neardups(spark, docs):
+    """The md5 60-bit mode (oracle-verifiable) must keep the xxhash mode's
+    recall of very-near dups."""
+    from naru_spark.pipeline.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "doc_id", threshold=0.9).collect()}
+    sh = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", bits=60, max_hamming=6, base_hash="md5").collect()
+    }
+    assert len(exact) > 0
+    assert len(exact & sh) / len(exact) >= 0.9
