@@ -737,22 +737,26 @@ def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_source_temperature_mix() -> str:
-    # identical largest-remainder targets (floor + leftover slots to the
-    # largest fractional remainders, source-name tie-break) and md5 ordering
-    return """
-WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
-tot AS (SELECT SUM(POW(c, 0.7)) AS denom FROM counts),
-raw AS (SELECT source, 300 * POW(c, 0.7) / denom AS x FROM counts, tot),
-fl AS (
-  SELECT source, CAST(FLOOR(x) AS BIGINT) AS f, x - FLOOR(x) AS frac FROM raw
-),
-leftover AS (SELECT 300 - SUM(f) AS r FROM fl),
-targets AS (
-  SELECT source,
-         f + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source)
-                       <= (SELECT r FROM leftover)
-                  THEN 1 ELSE 0 END AS target
-  FROM fl
+    # Targets are computed ONCE in python (temperature_targets — the same
+    # function the Spark entry uses) from the gate-SF counts and inlined
+    # as exact integers. An earlier oracle recomputed total*c^alpha/denom
+    # in SQL; with 20 equal sources the share sat exactly at 15.0 and
+    # DuckDB's parallel-SUM ulp jitter (+ per-reference CTE re-evaluation)
+    # nondeterministically flipped floor() — producing 320 rows instead of
+    # 300 in ~40% of runs. Float allocation math must live in exactly one
+    # place.
+    from naru_spark.entry_queries import WORKLOAD_SF
+    from naru_spark.pipeline.curation import temperature_targets
+    from naru_spark.workload import load_table_pandas
+
+    pdf = load_table_pandas(WORKLOAD_SF, "documents", ["source"])
+    counts = pdf["source"].value_counts().to_dict()
+    targets = temperature_targets(counts, alpha=0.7, total_docs=300)
+    values = ",\n    ".join(f"('{s}', {t})" for s, t in sorted(targets))
+    return f"""
+WITH targets(source, target) AS (
+  VALUES
+    {values}
 ),
 ranked AS (
   SELECT d.doc_id, d.source, t.target,

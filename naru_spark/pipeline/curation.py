@@ -131,6 +131,32 @@ def source_cap(
     )
 
 
+def temperature_targets(
+    counts: dict[str, int], alpha: float, total_docs: int
+) -> list[tuple[str, int]]:
+    """Largest-remainder per-source slot allocation for the temperature
+    mixture, as a PURE deterministic function: the denominator is summed
+    in sorted-source order, so the same counts always produce bit-identical
+    targets. plain floor() can fall well short of total_docs and zero out
+    the smallest sources — the opposite of what alpha < 1 is for. Floor
+    everyone, then hand the leftover slots to the largest fractional
+    remainders (ties broken by source name).
+
+    Kept driver-side and float-exact on purpose: computing x = total *
+    c^alpha / denom inside a SQL engine puts the allocation one ulp away
+    from flipping floor() whenever the share is integral — DuckDB's
+    parallel SUM order made exactly that happen (a 300-doc mix of 20
+    equal sources sat at x == 15.0 and nondeterministically produced 320)
+    — so targets are computed ONCE here and treated as exact integers by
+    every consumer, including the oracle SQL."""
+    denom = sum(c**alpha for _, c in sorted(counts.items()))
+    raw = {s: total_docs * (c**alpha) / denom for s, c in counts.items()}
+    floors = {s: int(np.floor(x)) for s, x in raw.items()}
+    leftover = total_docs - sum(floors.values())
+    by_frac = sorted(raw, key=lambda s: (-(raw[s] - floors[s]), s))
+    return [(s, floors[s] + (1 if i < leftover else 0)) for i, s in enumerate(by_frac)]
+
+
 def source_temperature_mix(
     df: DataFrame,
     alpha: float = 0.7,
@@ -153,19 +179,7 @@ def source_temperature_mix(
     from pyspark.sql import Window
 
     counts = {r[shard_col]: r["c"] for r in df.groupBy(shard_col).agg(F.count("*").alias("c")).collect()}
-    denom = sum(c**alpha for c in counts.values())
-    # largest-remainder rounding: plain floor() can fall well short of
-    # total_docs and zero out the smallest sources — the opposite of what
-    # alpha < 1 is for. Floor everyone, then hand the leftover slots to the
-    # largest fractional remainders (ties broken by source name, so the
-    # recipe stays deterministic).
-    raw = {s: total_docs * (c**alpha) / denom for s, c in counts.items()}
-    floors = {s: int(np.floor(x)) for s, x in raw.items()}
-    leftover = total_docs - sum(floors.values())
-    by_frac = sorted(raw, key=lambda s: (-(raw[s] - floors[s]), s))
-    targets = [
-        (s, floors[s] + (1 if i < leftover else 0)) for i, s in enumerate(by_frac)
-    ]
+    targets = temperature_targets(counts, alpha, total_docs)
     spark = df.sparkSession
     tgt = spark.createDataFrame(targets, f"{shard_col} string, __target long")
     w = Window.partitionBy(shard_col).orderBy(
