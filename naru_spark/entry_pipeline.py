@@ -1365,6 +1365,62 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
 """
 
 
+def q_similarity_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with engine-reproducible signatures: dot products
+    rounded to 6 decimals before the sign bit (signature_udf decimals=6),
+    so candidate generation AND the cosine re-rank are both mirrored by
+    the DuckDB oracle — the oracle-verified counterpart of
+    similarity_topk_lsh (whose raw-sign signatures are rows-only)."""
+    from naru_spark.pipeline.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=10, bits=16, bands=8, decimals=6)
+
+
+def sql_similarity_lsh_oracle(bits: int = 16, bands: int = 8, seed: int = 11, k: int = 10) -> str:
+    from naru_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, bits, seed)
+    width = bits // bands
+
+    def dot(j: int) -> str:
+        lit = ", ".join(repr(x) for x in planes[j])
+        return (
+            f"CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST([{lit}] AS DOUBLE[])), 6) > 0 THEN 1 ELSE 0 END"
+        )
+
+    keys = ",\n         ".join(
+        "("
+        + " + ".join(f"({1 << r}) * ({dot(b * width + r)})" for r in range(width))
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    band_disjuncts = " OR ".join(f"c.k{b} = q.k{b}" for b in range(bands))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {keys}
+  FROM embeddings
+),
+q AS (SELECT * FROM sig WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+  FROM sig c JOIN q ON ({band_disjuncts})
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1418,6 +1474,7 @@ def build_pipeline_registry():
         "semantic_dedup": q_semantic_dedup,
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash_md5": q_dedup_simhash_md5,
+        "similarity_topk_lsh_oracle": q_similarity_lsh_oracle,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1474,6 +1531,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "semantic_dedup": sql_semantic_dedup(),
         "dedup_minhash_md5": sql_dedup_minhash_md5(),
         "dedup_simhash_md5": sql_dedup_simhash_md5(),
+        "similarity_topk_lsh_oracle": sql_similarity_lsh_oracle(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

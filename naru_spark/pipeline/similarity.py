@@ -94,14 +94,21 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return rng.randn(bits, dim).astype(float).tolist()
 
 
-def signature_udf(spark, planes: list[list[float]]):
+def signature_udf(spark, planes: list[list[float]], decimals: int | None = None):
     """Vectorized hyperplane signature: bit i = 1 iff dot(vec, plane_i) > 0,
     packed into a bigint.
 
     Implemented as an Arrow-batched pandas UDF doing ONE numpy matmul per
     batch — a per-bit fold of higher-order-function aggregates builds a
     1000+-node expression tree that Catalyst analyzes/interprets per element
-    (measured 200s+ on 500 rows); the matmul path is milliseconds."""
+    (measured 200s+ on 500 rows); the matmul path is milliseconds.
+
+    ``decimals``: round each dot product before taking its sign. The sign
+    of a raw double dot depends on summation order in the last ulp;
+    rounding first (to e.g. 6 decimals) makes the signature reproducible
+    against an engine that folds in a different order (the same protocol
+    as ``cosine_expr``), which is what lets an LSH entry carry an exact
+    DuckDB oracle."""
 
     planes_m = np.asarray(planes, dtype=np.float64)  # [bits, dim]
     bc = spark.sparkContext.broadcast(planes_m)
@@ -112,7 +119,10 @@ def signature_udf(spark, planes: list[list[float]]):
         out = np.zeros(len(vecs), dtype=np.int64)
         if len(vecs):
             mat = np.stack(vecs.to_numpy())  # [n, dim]
-            bits = (mat @ m.T) > 0  # [n, bits]
+            dots = mat.astype(np.float64) @ m.T
+            if decimals is not None:
+                dots = np.round(dots, decimals)
+            bits = dots > 0  # [n, bits]
             out = (bits * (1 << np.arange(m.shape[0], dtype=np.int64))).sum(axis=1)
         return pd.Series(out)
 
@@ -341,13 +351,16 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 11,
     dim: int = 64,
+    decimals: int | None = None,
 ) -> DataFrame:
     """ANN top-k: hyperplane signatures banded into ``bands`` blocks;
     candidates = corpus rows sharing >= 1 block with the query; exact cosine
-    re-rank of candidates. Recall rises with bands (multiprobe)."""
+    re-rank of candidates. Recall rises with bands (multiprobe).
+    ``decimals``: see signature_udf — set (e.g. 6) for engine-reproducible
+    signatures, enabling an exact oracle."""
     planes = _hyperplanes(dim, bits, seed)
     width = bits // bands
-    sig = signature_udf(corpus.sparkSession, planes)
+    sig = signature_udf(corpus.sparkSession, planes, decimals=decimals)
 
     def banded(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
         s = df.withColumn("__sig", sig(F.col(vc)))

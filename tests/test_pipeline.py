@@ -693,3 +693,24 @@ def test_simhash_md5_mode_finds_neardups(spark, docs):
     }
     assert len(exact) > 0
     assert len(exact & sh) / len(exact) >= 0.9
+
+
+def test_lsh_topk_rounded_signatures_keep_recall(spark, emb):
+    """decimals=6 signature rounding (the oracle-verifiable mode) must not
+    change recall vs brute force: a rounded sign flips only for dots
+    within 1e-6 of zero, which moves a vector across a bucket boundary it
+    was already straddling."""
+    from naru_spark.pipeline.similarity import brute_force_topk, lsh_topk
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    approx = lsh_topk(emb, queries, k=10, bits=16, bands=8, decimals=6).toPandas()
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+    assert hits / 50 >= 0.8
