@@ -1421,6 +1421,91 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def _ivf_oracle_centroids(sf_dir: str, n_cells: int = 64, seed: int = 5):
+    """Deterministic centroid fit shared by the IVF oracle entry and its
+    SQL generator: pandas parquet read sorted by vec_id -> pure-numpy
+    spherical k-means. (The Spark-sampled fit stays in the rows-only IVF
+    entries — here the fit must be reproducible WITHOUT a SparkSession so
+    the oracle can inline the exact same centroids.)"""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import kmeans_np
+    from naru_spark.workload import load_table_pandas
+
+    pdf = load_table_pandas(sf_dir, "embeddings", ["vec_id", "embedding"]).sort_values(
+        "vec_id"
+    )
+    mat = np.stack(pdf["embedding"].to_numpy())
+    return kmeans_np(mat, n_cells, seed)
+
+
+def q_similarity_ivf_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with engine-reproducible cell assignment and probing:
+    centroids from the deterministic numpy fit, dots rounded to 6 decimals
+    before argmax/argsort (ties -> lowest cell) — assignment, probe list,
+    and cosine re-rank all mirrored by the DuckDB oracle."""
+    from naru_spark.pipeline.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = _ivf_oracle_centroids(sf_dir)
+    return ivf_topk(emb, queries, k=10, n_probe=8, centroids=cents, decimals=6)
+
+
+def sql_similarity_ivf_oracle(n_probe: int = 8, k: int = 10) -> str:
+    from naru_spark.entry_queries import WORKLOAD_SF
+
+    cents = _ivf_oracle_centroids(WORKLOAD_SF)
+    values = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in row)}] AS DOUBLE[]))"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, cv) AS (
+  VALUES
+    {values}
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored WHERE vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[])), 6) AS cosine
+  FROM cand c
+  JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1475,6 +1560,7 @@ def build_pipeline_registry():
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "similarity_topk_lsh_oracle": q_similarity_lsh_oracle,
+        "similarity_topk_ivf_oracle": q_similarity_ivf_oracle,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1532,6 +1618,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "dedup_minhash_md5": sql_dedup_minhash_md5(),
         "dedup_simhash_md5": sql_dedup_simhash_md5(),
         "similarity_topk_lsh_oracle": sql_similarity_lsh_oracle(),
+        "similarity_topk_ivf_oracle": sql_similarity_ivf_oracle(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

@@ -155,6 +155,14 @@ def kmeans_centroids(
         .toPandas()
     )
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return kmeans_np(mat, n_cells, seed, iters)
+
+
+def kmeans_np(mat: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Pure-numpy spherical k-means on an in-memory matrix (the fit step
+    shared by the Spark sampling path above and the oracle entry, which
+    must reproduce the same centroids without a SparkSession)."""
+    mat = mat.astype(np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     n_cells = min(n_cells, len(mat))
@@ -182,10 +190,15 @@ def ivf_topk(
     n_cells: int = 64,
     n_probe: int = 8,
     seed: int = 5,
+    centroids: np.ndarray | None = None,
+    decimals: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: spherical-k-means cells; each query
     probes its ``n_probe`` nearest centroids; exact cosine re-rank within
-    probed cells.
+    probed cells. ``centroids``: inject a precomputed [n_cells, dim]
+    L2-normalized matrix instead of fitting here. ``decimals``: round
+    centroid dots before argmax/argsort (ties -> lowest cell), making
+    assignment and probing engine-reproducible for an exact oracle.
 
     Scale path: cell assignment is one narrow scan (Arrow-batched argmax
     matmul, centroids broadcast); candidate selection is an equi-join of the
@@ -194,7 +207,7 @@ def ivf_topk(
     (partitionBy('__cell')), making each probe a partition-pruned read of
     n_probe/n_cells of the data instead of a full scan."""
     spark = corpus.sparkSession
-    cents = kmeans_centroids(corpus, vec_col, n_cells, seed)
+    cents = centroids if centroids is not None else kmeans_centroids(corpus, vec_col, n_cells, seed)
     bc = spark.sparkContext.broadcast(cents)
 
     @F.pandas_udf("int")
@@ -204,7 +217,10 @@ def ivf_topk(
         if len(vecs):
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            out = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            dots = mat @ c.T
+            if decimals is not None:
+                dots = np.round(dots, decimals)
+            out = np.argmax(dots, axis=1).astype(np.int32)
         return pd.Series(out)
 
     corpus_cells = corpus.select(
@@ -216,6 +232,8 @@ def ivf_topk(
     qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     sims = qmat @ cents.T
+    if decimals is not None:
+        sims = np.round(sims, decimals)
     probes = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, cents.shape[0])]
     probe_rows = [
         (int(qid), int(cell))
@@ -260,7 +278,7 @@ def ivf_write_index(
     asserted in tests/test_pipeline.py) reading n_probe/n_cells of the
     data — nothing else is opened, let alone scanned."""
     spark = corpus.sparkSession
-    cents = kmeans_centroids(corpus, vec_col, n_cells, seed)
+    cents = centroids if centroids is not None else kmeans_centroids(corpus, vec_col, n_cells, seed)
     bc = spark.sparkContext.broadcast(cents)
 
     @F.pandas_udf("int")
@@ -270,7 +288,10 @@ def ivf_write_index(
         if len(vecs):
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            out = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            dots = mat @ c.T
+            if decimals is not None:
+                dots = np.round(dots, decimals)
+            out = np.argmax(dots, axis=1).astype(np.int32)
         return pd.Series(out)
 
     (
@@ -310,6 +331,8 @@ def ivf_topk_from_index(
     qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     sims = qmat @ cents.T
+    if decimals is not None:
+        sims = np.round(sims, decimals)
     probes = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, cents.shape[0])]
     probe_rows = [
         (int(qid), int(cell))

@@ -714,3 +714,24 @@ def test_lsh_topk_rounded_signatures_keep_recall(spark, emb):
         a = set(approx[approx.query_id == qid].neighbor_id)
         hits += len(e & a)
     assert hits / 50 >= 0.8
+
+
+def test_ivf_oracle_mode_keeps_recall(spark, emb):
+    """The oracle-verifiable IVF mode (injected numpy centroids + rounded
+    argmax) must keep ANN recall vs brute force."""
+    from naru_spark.entry_pipeline import _ivf_oracle_centroids
+    from naru_spark.pipeline.similarity import brute_force_topk, ivf_topk
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = _ivf_oracle_centroids("/root/testdata/sf0.01")
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    approx = ivf_topk(emb, queries, k=10, n_probe=8, centroids=cents, decimals=6).toPandas()
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+    assert hits / 50 >= 0.8
