@@ -266,6 +266,8 @@ def ivf_write_index(
     vec_col: str = "embedding",
     n_cells: int = 64,
     seed: int = 5,
+    centroids: np.ndarray | None = None,
+    decimals: int | None = None,
 ) -> np.ndarray:
     """Materialize the IVF layout the in-memory ``ivf_topk`` docstring
     promises: assign every vector to its nearest spherical-k-means cell
@@ -317,6 +319,7 @@ def ivf_topk_from_index(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     n_probe: int = 8,
+    decimals: int | None = None,
 ) -> DataFrame:
     """ANN top-k over a persisted IVF index (``ivf_write_index``): compute
     each query's n_probe nearest centroids on the driver (tiny matmul),
