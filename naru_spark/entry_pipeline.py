@@ -1506,6 +1506,87 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_LIKE_PATTERNS = ["spark", "window", "merge", "the fast", "qzzz", "ta"]
+
+
+def q_like_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-predicate ('%s%') cardinality estimation (LPLM's problem,
+    SIGMOD 2024; estimator = the classic n-gram chain baseline, Spark-first
+    statistics). Output per pattern: exact count (one conditional-agg
+    scan) and the chain estimate — both deterministic, so this B-plane
+    extension carries a full DuckDB oracle."""
+    from naru_spark.estimators.like import LikeEstimator
+
+    docs = _docs(spark, sf_dir)
+    est = LikeEstimator(docs, "text", n=3)
+    truths = docs.agg(
+        *[
+            F.sum(F.col("text").contains(p).cast("long")).alias(f"t{i}")
+            for i, p in enumerate(_LIKE_PATTERNS)
+        ]
+    ).collect()[0]
+    rows = [
+        (p, int(truths[f"t{i}"]), round(est.query(p), 4))
+        for i, p in enumerate(_LIKE_PATTERNS)
+    ]
+    return spark.createDataFrame(rows, "pattern string, true_card long, est_card double")
+
+
+def sql_like_estimates(n: int = 3) -> str:
+    # replicate LikeEstimator.selectivity per pattern as literal arithmetic
+    # with the SAME left-to-right multiplication order; gram doc-frequency
+    # tables as CTEs (bounded by gram vocabulary)
+    def fn(g: str) -> str:
+        e = g.replace("'", "''")
+        return f"COALESCE((SELECT CAST(c AS DOUBLE) FROM fn WHERE g = '{e}'), 0.0)"
+
+    def fn1(g: str) -> str:
+        e = g.replace("'", "''")
+        return f"COALESCE((SELECT CAST(c AS DOUBLE) FROM fn1 WHERE g = '{e}'), 0.0)"
+
+    selects = []
+    for p in _LIKE_PATTERNS:
+        esc = p.replace("'", "''")
+        if len(p) < n - 1:
+            sel = "1.0"
+        elif len(p) == n - 1:
+            sel = f"LEAST(1.0, {fn1(p)} / nn.N)"
+        else:
+            grams = [p[i : i + n] for i in range(len(p) - n + 1)]
+            expr = f"{fn(grams[0])} / nn.N"
+            for g in grams[1:]:
+                expr = (
+                    f"(CASE WHEN {fn1(g[: n - 1])} > 0 "
+                    f"THEN ({expr}) * ({fn(g)} / {fn1(g[: n - 1])}) ELSE 0.0 END)"
+                )
+            sel = f"GREATEST(0.0, LEAST(1.0, {expr}))"
+        selects.append(
+            f"SELECT '{esc}' AS pattern,\n"
+            f"       (SELECT COUNT(*) FROM documents WHERE contains(text, '{esc}')) AS true_card,\n"
+            f"       ROUND(({sel}) * nn.N, 4) AS est_card\n"
+            f"FROM nn"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH fn AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT DISTINCT doc_id, substr(text, i, {n}) AS g
+    FROM documents, UNNEST(range(1, length(text) - {n - 2})) AS u(i)
+    WHERE length(text) >= {n}
+  ) GROUP BY g
+),
+fn1 AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT DISTINCT doc_id, substr(text, i, {n - 1}) AS g
+    FROM documents, UNNEST(range(1, length(text) - {n - 3})) AS u(i)
+    WHERE length(text) >= {n - 1}
+  ) GROUP BY g
+),
+nn AS (SELECT GREATEST(1, COUNT(*)) AS N FROM documents)
+{union}
+"""
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1561,6 +1642,7 @@ def build_pipeline_registry():
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "similarity_topk_lsh_oracle": q_similarity_lsh_oracle,
         "similarity_topk_ivf_oracle": q_similarity_ivf_oracle,
+        "like_estimates": q_like_estimates,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1619,6 +1701,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "dedup_simhash_md5": sql_dedup_simhash_md5(),
         "similarity_topk_lsh_oracle": sql_similarity_lsh_oracle(),
         "similarity_topk_ivf_oracle": sql_similarity_ivf_oracle(),
+        "like_estimates": sql_like_estimates(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

@@ -580,6 +580,7 @@ def build_registry():
         "dedup_stream_static", "data_split", "length_buckets", "vocab_coverage",
         "semantic_dedup", "dedup_minhash_md5", "dedup_simhash_md5",
         "similarity_topk_lsh_oracle", "similarity_topk_ivf_oracle",
+        "like_estimates",
     ])
     _take(queries, oracles)                         # 17 base query entries
     _take(pq, po)                                   # remaining pipeline entries

@@ -1,0 +1,91 @@
+"""LIKE-predicate (substring) cardinality estimation from character n-gram
+statistics.
+
+The reference's query surface is conjunctive =/range only
+(estimators.py:20-26); production query logs are full of
+``WHERE col LIKE '%s%'``, and neural approaches exist (LPLM, SIGMOD 2024).
+This module implements the classic n-gram chain estimator (the
+Krishnan/Vitter/Iyer-style baseline those papers compare against),
+re-expressed Spark-first:
+
+- statistics: ONE pass over the column building character n-gram and
+  (n-1)-gram DOCUMENT frequencies (fraction of rows containing the gram).
+  Both tables are bounded by the corpus' gram vocabulary, never by rows —
+  the 100 TB-safe shape (explode per-row distinct grams -> groupBy(gram)).
+- estimate: for pattern ``%s%`` with n-grams g_1..g_m (chain over
+  (n-1)-char overlaps),
+
+      sel(s) = P(g_1) * prod_{i>1} P(g_i) / P(prefix_{n-1}(g_i))
+
+  i.e. each next char is conditioned on the preceding (n-1)-gram — the
+  Markov assumption that makes the estimate computable from bounded
+  statistics. Multiplication is in FIXED left-to-right order with the same
+  float math on both the estimator and any SQL oracle, so estimates are
+  engine-reproducible (same protocol as the workload count ratios).
+
+Patterns shorter than n fall back to the (n-1)-gram (or exact scan-free
+1.0 selectivity cap). Estimates are capped into [0, 1] selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def char_ngrams_expr(col, n: int):
+    """Array of character n-grams of a string column (JVM-side): zip_with
+    chain over shifted single-char splits — same vectorized shape as
+    naru_spark.pipeline.text.ngrams_col, with '' as the join."""
+    chars = F.split(col, "")
+    m = F.size(chars) - (n - 1)
+    acc = F.slice(chars, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(chars, j + 1, m), lambda a, b: F.concat(a, b))
+    return F.when(F.size(chars) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+class LikeEstimator:
+    """Substring-selectivity estimator for ``col LIKE '%s%'`` patterns.
+
+    fit: two bounded aggregations (n-gram and (n-1)-gram document
+    frequencies) collected to the driver — the gram vocabulary is
+    corpus-bounded (e.g. |alphabet|^n worst case), not row-bounded.
+    query: pure driver arithmetic, microseconds per pattern.
+    """
+
+    def __init__(self, df: DataFrame, column: str, n: int = 3):
+        assert n >= 2
+        self.n = n
+        self.rows = df.count()
+        self.column = column
+
+        def doc_freq(k: int) -> dict:
+            grams = (
+                df.select(F.explode(F.array_distinct(char_ngrams_expr(F.col(column), k))).alias("g"))
+                .groupBy("g")
+                .agg(F.count("*").alias("c"))
+            )
+            return {r["g"]: int(r["c"]) for r in grams.collect()}
+
+        self.freq_n = doc_freq(n)
+        self.freq_n1 = doc_freq(n - 1)
+
+    def selectivity(self, s: str) -> float:
+        """Chain estimate of P(row contains s); fixed multiplication order."""
+        n, N = self.n, max(1, self.rows)
+        if len(s) < n - 1:
+            # too short for statistics: every 1..(n-2)-char pattern is
+            # conservatively assumed present (selectivity 1)
+            return 1.0
+        if len(s) == n - 1:
+            return min(1.0, self.freq_n1.get(s, 0) / N)
+        grams = [s[i : i + n] for i in range(len(s) - n + 1)]
+        sel = self.freq_n.get(grams[0], 0) / N
+        for g in grams[1:]:
+            denom = self.freq_n1.get(g[: n - 1], 0)
+            sel = sel * (self.freq_n.get(g, 0) / denom) if denom else 0.0
+        return max(0.0, min(1.0, sel))
+
+    def query(self, s: str) -> float:
+        """Estimated COUNT(*) of rows whose column contains ``s``."""
+        return self.selectivity(s) * self.rows

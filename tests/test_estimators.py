@@ -141,3 +141,26 @@ def test_q_error_zero_handling():
     assert q_error(0, 7) == 7
     assert q_error(10, 5) == 2.0
     assert q_error(5, 10) == 2.0
+
+
+def test_like_estimator_chain(spark):
+    """n-gram chain LIKE estimator: exact on patterns the statistics pin
+    down (single (n-1)-grams, absent grams), sane on longer chains."""
+    from naru_spark.estimators.like import LikeEstimator
+
+    rows = [(1, "abcd"), (2, "abce"), (3, "xbcd"), (4, "zzzz")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    est = LikeEstimator(df, "text", n=3)
+    # (n-1)-gram path is exact doc frequency: 'ab' in rows 1,2
+    assert est.query("ab") == 2.0
+    assert est.query("zz") == 1.0
+    # absent gram -> 0
+    assert est.query("qq") == 0.0
+    assert est.query("abq") == 0.0
+    # full chain: P(abc)=2/4, P(bcd|bc)=f(bcd)/f(bc)=2/3 -> est=4*(1/2)*(2/3)
+    assert abs(est.query("abcd") - 4 * (2 / 4) * (2 / 3)) < 1e-9
+    # short patterns fall back to selectivity 1
+    assert est.query("a") == 4.0
+    # estimates never exceed the table
+    for p in ["abcd", "bc", "zzz", "bcd"]:
+        assert 0.0 <= est.query(p) <= 4.0
