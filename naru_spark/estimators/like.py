@@ -58,6 +58,7 @@ class LikeEstimator:
         self.n = n
         self.rows = df.count()
         self.column = column
+        self._df = df
 
         def doc_freq(k: int) -> dict:
             grams = (
@@ -89,3 +90,63 @@ class LikeEstimator:
     def query(self, s: str) -> float:
         """Estimated COUNT(*) of rows whose column contains ``s``."""
         return self.selectivity(s) * self.rows
+
+    # ----------------------------------------------------- anchored LIKE
+    # 's%' / '%s' need POSITION-anchored gram statistics: the fraction of
+    # rows whose value STARTS (ends) with the gram, not merely contains
+    # it. Two more bounded aggregations, fit lazily on first use.
+    def _fit_anchored(self):
+        if hasattr(self, "freq_prefix"):
+            return
+        col, n = self.column, self.n
+        df = self._df
+
+        def anchored(k: int, prefix: bool) -> dict:
+            g = (
+                F.substring(F.col(col), 1, k)
+                if prefix
+                else F.substring(F.col(col), -k, k)
+            )
+            t = (
+                df.filter(F.length(col) >= k)
+                .select(g.alias("g"))
+                .groupBy("g")
+                .agg(F.count("*").alias("c"))
+            )
+            return {r["g"]: int(r["c"]) for r in t.collect()}
+
+        self.freq_prefix = anchored(n, True)
+        self.freq_prefix1 = anchored(n - 1, True)
+        self.freq_suffix = anchored(n, False)
+        self.freq_suffix1 = anchored(n - 1, False)
+
+    def selectivity_anchored(self, s: str, anchor: str) -> float:
+        """``anchor='prefix'`` estimates LIKE 's%'; ``'suffix'`` LIKE '%s'.
+        First (last) gram uses the anchored frequency; the chain
+        continuation is the same Markov tail as the substring case."""
+        assert anchor in ("prefix", "suffix")
+        self._fit_anchored()
+        n, N = self.n, max(1, self.rows)
+        if len(s) < n - 1:
+            return 1.0
+        f_anch = self.freq_prefix if anchor == "prefix" else self.freq_suffix
+        f_anch1 = self.freq_prefix1 if anchor == "prefix" else self.freq_suffix1
+        if len(s) == n - 1:
+            return min(1.0, f_anch1.get(s, 0) / N)
+        grams = [s[i : i + n] for i in range(len(s) - n + 1)]
+        if anchor == "prefix":
+            sel = f_anch.get(grams[0], 0) / N
+            tail = grams[1:]
+        else:
+            sel = f_anch.get(grams[-1], 0) / N
+            tail = grams[:-1][::-1]
+        for g in tail:
+            if anchor == "prefix":
+                denom = self.freq_n1.get(g[: n - 1], 0)
+            else:
+                denom = self.freq_n1.get(g[1:], 0)
+            sel = sel * (self.freq_n.get(g, 0) / denom) if denom else 0.0
+        return max(0.0, min(1.0, sel))
+
+    def query_anchored(self, s: str, anchor: str) -> float:
+        return self.selectivity_anchored(s, anchor) * self.rows

@@ -164,3 +164,27 @@ def test_like_estimator_chain(spark):
     # estimates never exceed the table
     for p in ["abcd", "bc", "zzz", "bcd"]:
         assert 0.0 <= est.query(p) <= 4.0
+
+
+def test_like_estimator_anchored(spark):
+    """prefix ('s%') and suffix ('%s') modes use position-anchored gram
+    statistics; exact where statistics pin the answer."""
+    from naru_spark.estimators.like import LikeEstimator
+
+    rows = [(1, "abcd"), (2, "abce"), (3, "xbcd"), (4, "bcda")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    est = LikeEstimator(df, "text", n=3)
+    # prefix (n-1)-gram: rows starting 'ab' = 2; 'bc' = 1; 'qq' = 0
+    assert est.query_anchored("ab", "prefix") == 2.0
+    assert est.query_anchored("bc", "prefix") == 1.0
+    assert est.query_anchored("qq", "prefix") == 0.0
+    # suffix: rows ending 'cd' = 2, 'da' = 1
+    assert est.query_anchored("cd", "suffix") == 2.0
+    assert est.query_anchored("da", "suffix") == 1.0
+    # prefix chain: P(starts abc)=2/4 * P(bcd|bc)=f(bcd)/f(bc)
+    f_bcd, f_bc = 3, 4  # bcd in rows 1,3,4; bc in all 4
+    assert abs(est.query_anchored("abcd", "prefix") - 4 * (2 / 4) * (f_bcd / f_bc)) < 1e-9
+    # suffix chain: P(ends bcd)=2/4 * P(abc precedes | bc...)=f(abc)/f(bc)
+    assert abs(est.query_anchored("abcd", "suffix") - 4 * (2 / 4) * (2 / f_bc)) < 1e-9
+    for p, a in [("abcd", "prefix"), ("abcd", "suffix"), ("ab", "prefix")]:
+        assert 0.0 <= est.query_anchored(p, a) <= 4.0
