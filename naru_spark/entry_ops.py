@@ -605,8 +605,57 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------- registry
+_JOIN_SPECS = [
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("supplier_lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+]
+
+
+def q_join_card_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation (the System-R containment formula
+    Catalyst's CBO uses, driving plans/joinplan.advised_join): per join,
+    the exact inputs (row counts, distinct keys), the estimate
+    N_L*N_R/max(d_L,d_R), and the true join size — all exact integers, so
+    the estimator itself is oracle-verified, not just sanity-checked."""
+    from naru_spark.plans.joinplan import estimate_join_rows
+
+    rows = []
+    for name, lt, lk, rt, rk in _JOIN_SPECS:
+        left, right = _load(spark, sf_dir, lt), _load(spark, sf_dir, rt)
+        e = estimate_join_rows(left, right, lk, rk)
+        true_rows = left.join(right, left[lk] == right[rk]).count()
+        rows.append(
+            (name, e["n_left"], e["n_right"], e["d_left"], e["d_right"],
+             e["est_rows"], int(true_rows))
+        )
+    return spark.createDataFrame(
+        rows,
+        "join_name string, n_left long, n_right long, d_left long, d_right long, "
+        "est_rows long, true_rows long",
+    )
+
+
+def sql_join_card_estimates() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _JOIN_SPECS:
+        parts.append(f"""
+SELECT '{name}' AS join_name,
+       (SELECT COUNT(*) FROM {lt}) AS n_left,
+       (SELECT COUNT(*) FROM {rt}) AS n_right,
+       (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS d_left,
+       (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS d_right,
+       CAST((SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
+            // GREATEST((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
+                        (SELECT COUNT(DISTINCT {rk}) FROM {rt}), 1) AS BIGINT) AS est_rows,
+       (SELECT COUNT(*) FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk}) AS true_rows
+""".strip())
+    return "\nUNION ALL\n".join(parts)
+
+
 def build_ops_registry():
     queries = {
+        "join_card_estimates": q_join_card_estimates,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_windows": q_range_join_windows,
         "semi_join_urgent": q_semi_join_urgent,
@@ -630,6 +679,7 @@ def build_ops_registry():
         "orc_roundtrip": q_orc_roundtrip,
     }
     oracles = {
+        "join_card_estimates": sql_join_card_estimates(),
         "asof_purchase_view": sql_asof_purchase_view(),
         "range_join_windows": sql_range_join_windows(),
         "semi_join_urgent": sql_semi_join_urgent(),

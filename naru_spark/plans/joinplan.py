@@ -69,3 +69,48 @@ def advised_join(
         out = out.join(df, on, "inner")
         decisions.append(JoinDecision(name, rows, strategy, pos))
     return out, decisions
+
+
+def estimate_join_rows(
+    left: "DataFrame",
+    right: "DataFrame",
+    left_key: str,
+    right_key: str,
+    exact_distinct: bool = True,
+) -> dict:
+    """System-R style equi-join cardinality estimate:
+
+        |L JOIN R on k| ~= N_L * N_R / max(d_L, d_R)
+
+    (containment-of-value-sets assumption — every value of the smaller
+    key domain appears in the larger). This is the estimate Catalyst's CBO
+    itself uses given column stats; exposed here as a side API so join
+    *planning* (broadcast-vs-shuffle, ordering in ``advised_join``) can be
+    driven without ANALYZE TABLE having run.
+
+    ``exact_distinct=False`` swaps COUNT(DISTINCT) for HLL
+    approx_count_distinct — at 100 TB the sketch pass is the only sane
+    choice (one scan, bounded memory); exact is kept for oracle parity.
+    Returns {n_left, n_right, d_left, d_right, est_rows}.
+    """
+    from pyspark.sql import functions as F
+
+    dcount = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    ls = left.agg(F.count("*").alias("n"), dcount(left_key).alias("d")).collect()[0]
+    rs = right.agg(F.count("*").alias("n"), dcount(right_key).alias("d")).collect()[0]
+    n_l, d_l, n_r, d_r = int(ls["n"]), int(ls["d"]), int(rs["n"]), int(rs["d"])
+    denom = max(d_l, d_r, 1)
+    # integer-exact where possible: floor of the ratio product computed as
+    # (n_l * n_r) // denom keeps the estimate engine-reproducible
+    est = (n_l * n_r) // denom
+    return {
+        "n_left": n_l,
+        "n_right": n_r,
+        "d_left": d_l,
+        "d_right": d_r,
+        "est_rows": est,
+    }

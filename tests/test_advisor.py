@@ -56,3 +56,23 @@ def test_unsupported_shapes_rejected(li):
         extract_query(li)  # no filter
     with pytest.raises(UnsupportedPlanError):
         extract_query(li.filter(F.col("l_quantity") < F.col("l_linenumber")))
+
+
+def test_estimate_join_rows_formula_and_accuracy(spark):
+    """System-R containment estimate: exact on key-FK joins where every FK
+    value exists (orders->customer at testdata scale), and the HLL variant
+    stays within sketch tolerance."""
+    from naru_spark.plans.joinplan import estimate_join_rows
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, "customer", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE)
+    e = estimate_join_rows(cust, orders, "c_custkey", "o_custkey")
+    truth = cust.join(orders, cust.c_custkey == orders.o_custkey).count()
+    assert e["est_rows"] == (e["n_left"] * e["n_right"]) // max(e["d_left"], e["d_right"])
+    # FK join: every order's custkey is a real customer -> estimate is
+    # close to truth (within 2x; exact when keys are uniform)
+    assert truth > 0 and max(e["est_rows"], truth) / min(e["est_rows"], truth) < 2.0
+    approx = estimate_join_rows(cust, orders, "c_custkey", "o_custkey", exact_distinct=False)
+    assert max(approx["est_rows"], truth) / min(approx["est_rows"], truth) < 2.0
