@@ -505,6 +505,117 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the supplier and customer
+    share a nation, per nation of an ASIA-region customer, one year.
+    Five-way join: the big fact (lineitem) joins orders (shuffle on the
+    key), while supplier/customer/nation/region are broadcast dims —
+    exactly the star shape AQE + broadcast thresholds handle at 100 TB."""
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def sql_local_supplier_volume() -> str:
+    return """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned items
+    in one quarter. Cutoff ordered by (rounded revenue, c_custkey) so the
+    limit is engine-independent; plans as TakeOrderedAndProject."""
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            # decimal accumulation: float SUM is fold-order-dependent and
+            # this query's many per-customer groups actually hit a .005
+            # rounding boundary (Spark 307843.60 vs DuckDB 307843.59 for
+            # the same group). Per-VALUE double->decimal casts are
+            # order-free; the decimal SUM is exact integer arithmetic, so
+            # both engines agree bit-for-bit.
+            # round IN the decimal domain (exact half-up on the true sum;
+            # rounding after a double cast diverges: Spark rounds the
+            # shortest decimal repr of the double, DuckDB the binary value)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def sql_returned_items() -> str:
+    return """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def build_registry():
     queries = {
         "workload_oracle_counts": q_workload_oracle,
@@ -524,6 +635,8 @@ def build_registry():
         "advisor_estimates": q_advisor_estimates,
         "top_orders_per_segment": q_top_orders_per_segment,
         "shipping_priority_q3": q_shipping_priority,
+        "local_supplier_volume_q5": q_local_supplier_volume,
+        "returned_items_q10": q_returned_items,
     }
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
@@ -542,6 +655,8 @@ def build_registry():
         "advisor_estimates": sql_advisor_estimates(),
         "top_orders_per_segment": sql_top_orders_per_segment(),
         "shipping_priority_q3": sql_shipping_priority(),
+        "local_supplier_volume_q5": sql_local_supplier_volume(),
+        "returned_items_q10": sql_returned_items(),
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
     from naru_spark.entry_model import build_model_registry
@@ -582,6 +697,7 @@ def build_registry():
         "similarity_topk_lsh_oracle", "similarity_topk_ivf_oracle",
         "like_estimates",
     ])
+    _take(queries, oracles, ["local_supplier_volume_q5", "returned_items_q10"])
     _take(queries, oracles)                         # 17 base query entries
     _take(pq, po)                                   # remaining pipeline entries
     return ordered_queries, ordered_oracles

@@ -230,3 +230,23 @@ def test_normalize_text_no_shuffle(spark):
     df = load_table(spark, "documents", SF_SMOKE)
     plan = plan_str(normalize_text(df))
     assert "Exchange" not in plan
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    """The 5-way Q5-shaped join must broadcast every dimension: exactly one
+    shuffle family (lineitem x orders); supplier/customer/nation/region
+    ride broadcast exchanges."""
+    from naru_spark.entry_queries import q_local_supplier_volume
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_local_supplier_volume(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_plans_take_ordered(spark):
+    from naru_spark.entry_queries import q_returned_items
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_returned_items(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
