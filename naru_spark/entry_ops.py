@@ -479,6 +479,38 @@ FROM documents GROUP BY lang
 """
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + explicit-schema source round-trip over lineitem columns
+    including a timestamp (the type CSV loses without a schema)."""
+    import tempfile
+
+    from naru_spark.sources.sinks import read_csv, write_csv
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    path = tempfile.mkdtemp(prefix="li_csv_") + "/li"
+    write_csv(li, path)
+    back = read_csv(
+        spark, path,
+        "l_orderkey long, l_returnflag string, l_quantity double, l_shipdate timestamp",
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+def sql_csv_roundtrip() -> str:
+    return """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       MAX(l_shipdate) AS max_shipdate
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ------------------------------------------------------- streaming dedup
 def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup: the events stream unioned with itself
@@ -653,9 +685,50 @@ SELECT '{name}' AS join_name,
     return "\nUNION ALL\n".join(parts)
 
 
+def q_advised_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q5 star join planned BY THE ADVISOR: dimension order and
+    broadcast-vs-shuffle come from estimator row counts (advised_join);
+    the supplier-nation locality condition is applied as a post-join
+    filter so each dimension join stays single-key and order-free.
+    Shares the plain Q5 entry's oracle — estimator-driven planning must
+    never change results."""
+    from naru_spark.plans.joinplan import advised_join
+
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust_dim = (
+        _load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    dims = [
+        ("cust_region", cust_dim, F.col("o_custkey") == F.col("c_custkey")),
+        ("supplier", supp, F.col("l_suppkey") == F.col("s_suppkey")),
+    ]
+    joined, _ = advised_join(fact, dims, card_fn=lambda name, df: df.count())
+    return (
+        joined.filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 def build_ops_registry():
     queries = {
         "join_card_estimates": q_join_card_estimates,
+        "advised_q5": q_advised_q5,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_windows": q_range_join_windows,
         "semi_join_urgent": q_semi_join_urgent,
@@ -673,13 +746,18 @@ def build_ops_registry():
         "workload_oracle_limited": q_workload_oracle_limited,
         "partitioned_sink_roundtrip": q_partitioned_sink,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "dedup_stream": q_dedup_stream,
         "stream_parquet_resume": q_stream_parquet_resume,
         "advised_star_join": q_advised_star_join,
         "orc_roundtrip": q_orc_roundtrip,
     }
+    from naru_spark.entry_queries import sql_local_supplier_volume
+
     oracles = {
         "join_card_estimates": sql_join_card_estimates(),
+        # planning must be result-invariant: same oracle as the plain Q5
+        "advised_q5": sql_local_supplier_volume(),
         "asof_purchase_view": sql_asof_purchase_view(),
         "range_join_windows": sql_range_join_windows(),
         "semi_join_urgent": sql_semi_join_urgent(),
@@ -696,6 +774,7 @@ def build_ops_registry():
         "workload_oracle_limited": sql_workload_oracle_limited(),
         "partitioned_sink_roundtrip": sql_partitioned_sink(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
+        "csv_roundtrip": sql_csv_roundtrip(),
         "dedup_stream": sql_dedup_stream(),
         "stream_parquet_resume": sql_stream_parquet_resume(),
         "advised_star_join": sql_advised_star_join(),

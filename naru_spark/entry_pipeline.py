@@ -1587,6 +1587,20 @@ nn AS (SELECT GREATEST(1, COUNT(*)) AS N FROM documents)
 """
 
 
+def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME quality-scoring operator (pipeline.text.with_quality_score
+    — pure stateless JVM expressions) applied to the documents STREAM:
+    batch/stream parity with zero code changes is the point, so this entry
+    shares doc_quality's batch oracle verbatim. Stateless transforms are
+    the streaming fast path — no watermark, no state store."""
+    from naru_spark.pipeline.text import with_quality_score
+    from naru_spark.streaming.events import documents_stream, run_stream_to_memory
+
+    stream = documents_stream(spark, sf_dir)
+    scored = with_quality_score(stream).select("doc_id", "quality_score")
+    return run_stream_to_memory(spark, scored, output_mode="append")
+
+
 # ----------------------------------------------------------------- registry
 def build_pipeline_registry():
     queries = {
@@ -1643,6 +1657,7 @@ def build_pipeline_registry():
         "similarity_topk_lsh_oracle": q_similarity_lsh_oracle,
         "similarity_topk_ivf_oracle": q_similarity_ivf_oracle,
         "like_estimates": q_like_estimates,
+        "quality_stream": q_quality_stream,
     }
     oracles = {
         "text_stats": sql_text_stats(),
@@ -1702,6 +1717,8 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "similarity_topk_lsh_oracle": sql_similarity_lsh_oracle(),
         "similarity_topk_ivf_oracle": sql_similarity_ivf_oracle(),
         "like_estimates": sql_like_estimates(),
+        # batch/stream parity: identical operator, identical oracle
+        "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
         # similarity_topk_ivf: rows-only (hash/k-means internals)
     }

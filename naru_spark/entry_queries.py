@@ -698,6 +698,7 @@ def build_registry():
         "like_estimates",
     ])
     _take(queries, oracles, ["local_supplier_volume_q5", "returned_items_q10"])
+    _take(pq, po, ["quality_stream"])
     _take(queries, oracles)                         # 17 base query entries
     _take(pq, po)                                   # remaining pipeline entries
     return ordered_queries, ordered_oracles

@@ -55,3 +55,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """JSON-lines scan with a REQUIRED explicit schema (no inference pass)."""
     return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (the reference's results sink format,
+    eval_model.py:450-464). Timestamps serialize as ISO-8601 in the
+    session's UTC zone; round-trip requires an explicit read schema
+    (CSV carries no types)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """Explicit-schema CSV source (schema inference at 100 TB means an
+    extra full scan AND type drift between runs — never infer)."""
+    return spark.read.option("header", "true").schema(schema).csv(path)

@@ -64,3 +64,28 @@ def test_dedup_stream_restores_original(spark):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in ev.select("event_id", "event_type", "value").collect()}
     assert got == want
+
+
+def test_csv_roundtrip_lossless_with_schema(spark, tmp_path):
+    """CSV sink + explicit-schema source: values (incl. timestamps) must
+    round-trip exactly."""
+    from naru_spark.sources import load_table
+    from naru_spark.sources.sinks import read_csv, write_csv
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", SF_SMOKE).select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "li_csv")
+    write_csv(li, path)
+    back = read_csv(
+        spark, path,
+        "l_orderkey long, l_returnflag string, l_quantity double, l_shipdate timestamp",
+    )
+    assert back.count() == li.count()
+    a = li.orderBy("l_orderkey", "l_quantity", "l_shipdate").toPandas()
+    b = back.orderBy("l_orderkey", "l_quantity", "l_shipdate").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
