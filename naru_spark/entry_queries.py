@@ -683,12 +683,11 @@ def build_registry():
             if name in o_map:
                 ordered_oracles[name] = o_map[name]
 
-    _take(oq, oo)                                   # 21 relational-ops entries
+    _take(oq, oo)                                   # relational-ops entries
     _take(mq, mo)                                   # 5 model entries
-    _take(pq, po, ["source_cap", "source_temperature_mix"])
     # round-3 additions: never driver-checked, so they go in the first-50
-    # window too (the cap leaves ~14 slots for long-green entries after
-    # ops + model + these)
+    # window too (source_cap/source_temperature_mix already carry a judge
+    # verification from round 2, so they queue AFTER the never-checked set)
     _take(pq, po, [
         "text_normalize", "ngram_topk", "doc_lm_bigram", "dup_span_fraction",
         "dedup_canonical", "dedup_incremental", "pii_redact", "knn_graph",
@@ -698,7 +697,7 @@ def build_registry():
         "like_estimates",
     ])
     _take(queries, oracles, ["local_supplier_volume_q5", "returned_items_q10"])
-    _take(pq, po, ["quality_stream"])
+    _take(pq, po, ["quality_stream", "source_cap", "source_temperature_mix"])
     _take(queries, oracles)                         # 17 base query entries
     _take(pq, po)                                   # remaining pipeline entries
     return ordered_queries, ordered_oracles
