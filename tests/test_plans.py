@@ -250,3 +250,14 @@ def test_q10_topk_plans_take_ordered(spark):
 
     plan = plan_str(q_returned_items(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_advised_q5_broadcasts_both_dims(spark):
+    """The advisor must broadcast both Q5 dimensions (their estimates are
+    far under threshold) — one shuffle family total (lineitem x orders)."""
+    from naru_spark.entry_ops import q_advised_q5
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_advised_q5(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # region->nation, dims
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
