@@ -60,16 +60,23 @@ class LikeEstimator:
         self.column = column
         self._df = df
 
-        def doc_freq(k: int) -> dict:
-            grams = (
-                df.select(F.explode(F.array_distinct(char_ngrams_expr(F.col(column), k))).alias("g"))
-                .groupBy("g")
-                .agg(F.count("*").alias("c"))
+        # ONE pass builds both tables: n-grams and (n-1)-grams can't collide
+        # (different lengths), so they share the explode + groupBy and are
+        # split driver-side by length — halves the scans over the corpus
+        both = F.array_distinct(
+            F.concat(
+                char_ngrams_expr(F.col(column), n),
+                char_ngrams_expr(F.col(column), n - 1),
             )
-            return {r["g"]: int(r["c"]) for r in grams.collect()}
-
-        self.freq_n = doc_freq(n)
-        self.freq_n1 = doc_freq(n - 1)
+        )
+        grams = (
+            df.select(F.explode(both).alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        self.freq_n = {r["g"]: int(r["c"]) for r in grams if len(r["g"]) == n}
+        self.freq_n1 = {r["g"]: int(r["c"]) for r in grams if len(r["g"]) == n - 1}
 
     def selectivity(self, s: str) -> float:
         """Chain estimate of P(row contains s); fixed multiplication order."""
