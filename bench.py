@@ -97,6 +97,26 @@ def main():
         out["sf_blocks"] = sf_blocks
     print(json.dumps(out))
 
+    # Second, COMPACT summary line (VERDICT r03 item 2): the driver's BENCH
+    # artifact keeps only the last ~2000 chars of stdout, and the full
+    # two-SF JSON line above exceeds that, truncating away the primary-SF
+    # block. This trailing line is guaranteed to fit any tail capture and
+    # still carries the headline: per-SF totals + the 10 slowest entries.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "totals": {k: v["total_s"] for k, v in sf_blocks.items()},
+        "slowest": {
+            k: [[n, s] for n, s in sorted(v["queries"].items(),
+                                          key=lambda kv: -kv[1])[:10]]
+            for k, v in sf_blocks.items()
+        },
+        "errors_count": {k: len(v.get("errors", {})) for k, v in sf_blocks.items()},
+    }
+    print(json.dumps(compact))
+
 
 if __name__ == "__main__":
     main()
