@@ -409,8 +409,28 @@ class NaruEstimator:
         return NaruModel(made, binnings, meta, list(self.columns), fit_info=fit_info)
 
 
+def model_nll_rows(model, data: np.ndarray, chunk_rows: int = 4096) -> np.ndarray:
+    """Per-row NLL (nats) of ``data`` under ``model``, evaluated in chunks.
+
+    Chunking is a measured 3x win over a one-shot 20k-row forward for the
+    transformer arch: each layer of a one-shot forward allocates fresh
+    100MB+ activation arrays (page-fault bound in a JVM-heavy process),
+    while 4k-row chunks stay inside the allocator's warm pool. Per-row
+    results are independent, so chunking is exact (float-noise only).
+    """
+    made = getattr(model, "made", model)
+    outs = []
+    for i in range(0, len(data), chunk_rows):
+        c = data[i : i + chunk_rows]
+        outs.append(made.nll_rows(made.forward(c, grad=False), c))
+    return np.concatenate(outs) if outs else np.zeros(0)
+
+
 def multi_order_nll(
-    models: list, data: np.ndarray, orders: list[list[int]] | None = None
+    models: list,
+    data: np.ndarray,
+    orders: list[list[int]] | None = None,
+    per_row_nll: list[np.ndarray] | None = None,
 ) -> float:
     """Test-time multi-order ensemble NLL (reference train_model.py:208-228):
 
@@ -422,9 +442,15 @@ def multi_order_nll(
     matrix (the eval split). With ``orders``, a SINGLE multi-mask model
     is forwarded once per ordering (update_order in-place — the
     reference's num_orderings loop over one model) instead of one model
-    per ordering. Returns the mean over rows, in nats — report next to
+    per ordering. With ``per_row_nll`` (one [N] nats array per model, e.g.
+    from ``model_nll_rows``), the forwards are skipped entirely — callers
+    that already report per-member NLLs shouldn't pay for them twice.
+    Returns the mean over rows, in nats — report next to
     MultiOrderEnsemble's estimates."""
-    if orders is not None:
+    if per_row_nll is not None:
+        logps = [-nll for nll in per_row_nll]
+        K = len(per_row_nll)
+    elif orders is not None:
         assert len(models) == 1, "orders: pass exactly one multi-mask model"
         made = getattr(models[0], "made", models[0])
         prev_order = list(made.order)
@@ -432,8 +458,7 @@ def multi_order_nll(
         try:
             for o in orders:
                 made.update_order(list(o))
-                logits = made.forward(data, grad=False)
-                logps.append(-made.nll_rows(logits, data))
+                logps.append(-model_nll_rows(made, data))
         finally:
             # leave the shared model as we found it — other estimators may
             # hold it
@@ -441,11 +466,7 @@ def multi_order_nll(
         K = len(orders)
     else:
         K = len(models)
-        logps = []
-        for m in models:
-            made = getattr(m, "made", m)
-            logits = made.forward(data, grad=False)
-            logps.append(-made.nll_rows(logits, data))
+        logps = [-model_nll_rows(m, data) for m in models]
     lp = np.stack(logps, axis=1)  # [N, K]
     mx = lp.max(axis=1, keepdims=True)
     lse = mx[:, 0] + np.log(np.exp(lp - mx).sum(axis=1))
