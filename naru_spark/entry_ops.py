@@ -714,12 +714,14 @@ def q_advised_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cust_region", cust_dim, F.col("o_custkey") == F.col("c_custkey")),
         ("supplier", supp, F.col("l_suppkey") == F.col("s_suppkey")),
     ]
+    from naru_spark.entry_queries import _decimal_revenue
+
     joined, _ = advised_join(fact, dims, card_fn=lambda name, df: df.count())
     return (
         joined.filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _decimal_revenue().alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

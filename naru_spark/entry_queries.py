@@ -505,18 +505,43 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
+def _decimal_revenue():
+    """SUM(l_extendedprice * (1 - l_discount)) rounded to 2 as an ORDER-FREE
+    expression: per-VALUE double->decimal(18,4) casts, exact integer
+    decimal SUM, round IN the decimal domain, cast to double last. A double
+    SUM is fold-order-dependent and has actually diverged between Spark and
+    DuckDB on this corpus (see q_returned_items' inline history)."""
+    return F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ),
+        2,
+    ).cast("double")
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue from orders where the supplier and customer
     share a nation, per nation of an ASIA-region customer, one year.
     Five-way join: the big fact (lineitem) joins orders (shuffle on the
-    key), while supplier/customer/nation/region are broadcast dims —
-    exactly the star shape AQE + broadcast thresholds handle at 100 TB."""
+    key), while supplier/customer/nation/region are dims whose
+    broadcast-vs-sort-merge strategy comes from an ESTIMATED row count
+    (plans.joinplan.advised_side — customer is broadcastable at test SFs
+    but NOT at TPC-H sf100k, so the decision must be an estimate, never a
+    static hint; asserted in tests/test_plans.py). Revenue accumulates in
+    decimal(18,4) per-value casts (order-free; see q_returned_items — a
+    double SUM is fold-order-dependent and Q5's per-nation groups
+    aggregate far more rows per group)."""
+    from naru_spark.plans.joinplan import advised_side
+
     region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _load(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     )
-    cust = _load(spark, sf_dir, "customer")
-    supp = _load(spark, sf_dir, "supplier")
+    cust_raw = _load(spark, sf_dir, "customer")
+    supp_raw = _load(spark, sf_dir, "supplier")
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
     orders = _load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
@@ -524,16 +549,16 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust_raw.c_custkey)
         .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            supp,
+            (li.l_suppkey == supp_raw.s_suppkey)
+            & (cust_raw.c_nationkey == supp_raw.s_nationkey),
         )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(nation), cust_raw.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _decimal_revenue().alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -542,7 +567,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_local_supplier_volume() -> str:
     return """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -574,24 +600,14 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            # decimal accumulation: float SUM is fold-order-dependent and
-            # this query's many per-customer groups actually hit a .005
-            # rounding boundary (Spark 307843.60 vs DuckDB 307843.59 for
-            # the same group). Per-VALUE double->decimal casts are
-            # order-free; the decimal SUM is exact integer arithmetic, so
-            # both engines agree bit-for-bit.
-            # round IN the decimal domain (exact half-up on the true sum;
-            # rounding after a double cast diverges: Spark rounds the
-            # shortest decimal repr of the double, DuckDB the binary value)
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            # decimal accumulation (_decimal_revenue): float SUM is
+            # fold-order-dependent and this query's many per-customer groups
+            # actually hit a .005 rounding boundary (Spark 307843.60 vs
+            # DuckDB 307843.59 for the same group). Per-VALUE double->decimal
+            # casts are order-free; the decimal SUM is exact integer
+            # arithmetic; round IN the decimal domain (exact half-up on the
+            # true sum; rounding after a double cast diverges).
+            _decimal_revenue().alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)

@@ -465,7 +465,10 @@ def knn_graph(
     pdf_all = df.select(id_col, vec_col).toPandas()
     ids = pdf_all[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(pdf_all[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
+    # epsilon guard (same as kmeans_np/ivf_topk): a zero-norm embedding must
+    # yield cosine 0, not NaN (NaN would silently drop that row's neighbors
+    # and diverge from the SQL oracle)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
 
     def _topk_block(bids: np.ndarray, bm: np.ndarray, bnorms: np.ndarray) -> "pd.DataFrame":
         sims = np.round((bm @ mat.T) / (bnorms[:, None] * norms[None, :]), 6)
@@ -473,11 +476,14 @@ def knn_graph(
         sims[bids[:, None] == ids[None, :]] = -np.inf
         rows = []
         for r in range(sims.shape[0]):
-            # order by (-cosine, neighbor_id): lexsort keys are last-first
-            order = np.lexsort((ids, -sims[r]))[:k]
+            # order by (-cosine, neighbor_id): lexsort keys are last-first.
+            # Drop non-finite entries (the self slot) BEFORE taking top-k so
+            # ranks are dense (1..k) like the oracle's ROW_NUMBER — filtering
+            # after enumerate gapped ranks whenever the corpus had <= k rows.
+            order = np.lexsort((ids, -sims[r]))
+            order = order[np.isfinite(sims[r, order])][:k]
             for rank, j in enumerate(order, start=1):
-                if np.isfinite(sims[r, j]):
-                    rows.append((int(bids[r]), int(ids[j]), float(sims[r, j]), rank))
+                rows.append((int(bids[r]), int(ids[j]), float(sims[r, j]), rank))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine", "rank"])
 
     if n <= driver_rows:
@@ -491,19 +497,19 @@ def knn_graph(
         for b in batches:
             bm = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             bids = b[id_col].to_numpy(dtype=np.int64)
-            bnorms = np.linalg.norm(bm, axis=1)
+            bnorms = np.maximum(np.linalg.norm(bm, axis=1), 1e-12)
             sims = np.round(
                 (bm @ nonlocal_mat.T) / (bnorms[:, None] * nonlocal_norms[None, :]), 6
             )
             sims[bids[:, None] == nonlocal_ids[None, :]] = -np.inf
             rows = []
             for r in range(sims.shape[0]):
-                order = np.lexsort((nonlocal_ids, -sims[r]))[:k]
+                order = np.lexsort((nonlocal_ids, -sims[r]))
+                order = order[np.isfinite(sims[r, order])][:k]
                 for rank, j in enumerate(order, start=1):
-                    if np.isfinite(sims[r, j]):
-                        rows.append(
-                            (int(bids[r]), int(nonlocal_ids[j]), float(sims[r, j]), rank)
-                        )
+                    rows.append(
+                        (int(bids[r]), int(nonlocal_ids[j]), float(sims[r, j]), rank)
+                    )
             yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine", "rank"])
 
     return df.select(id_col, vec_col).repartition(32).mapInPandas(blocks, schema=_KNN_SCHEMA)

@@ -71,6 +71,22 @@ def advised_join(
     return out, decisions
 
 
+def advised_side(
+    df: DataFrame,
+    est_rows: float,
+    name: str = "side",
+    broadcast_rows: int = 1_000_000,
+) -> tuple[DataFrame, JoinDecision]:
+    """Single-dimension strategy pick — the same estimate-driven
+    broadcast-vs-sort-merge decision ``advised_join`` makes per dimension,
+    for call sites that build the join expression themselves (multi-key or
+    non-equi conditions ``advised_join``'s chain can't express).
+    Returns (hinted_df, decision)."""
+    if float(est_rows) <= broadcast_rows:
+        return F.broadcast(df), JoinDecision(name, float(est_rows), "broadcast", 0)
+    return df.hint("merge"), JoinDecision(name, float(est_rows), "shuffle", 0)
+
+
 def estimate_join_rows(
     left: "DataFrame",
     right: "DataFrame",

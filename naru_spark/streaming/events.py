@@ -21,18 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """readStream over the events parquet (schema pinned from a batch read;
     nanos timestamps handled the same way as the batch loader)."""
-    import tempfile
-
     from naru_spark.sources.registry import load_table
 
     load_table(spark, "events", sf_dir)  # sets nanosAsLong conf if needed
     path = os.path.join(sf_dir, "events.parquet")
-    # FileStreamSource needs a *directory* of files; testdata ships a single
-    # parquet file, so expose it through a symlink dir (zero copy).
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stream_dir = _symlink_stream_dir(path, "events_stream_")
     raw_schema = spark.read.parquet(path).schema  # post-conf schema (ts may be long)
     stream = (
         spark.readStream.schema(raw_schema)
@@ -138,19 +131,36 @@ def dedup_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
     )
 
 
+_STREAM_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _symlink_stream_dir(table_file_path: str, prefix: str) -> str:
+    """FileStreamSource needs a *directory* of files; testdata ships single
+    parquet files, so expose each through a symlink dir (zero copy). One
+    cached dir per source path — repeated bench/gate/test runs must not
+    accumulate orphaned /tmp dirs — cleaned up at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (table_file_path, prefix)
+    if key in _STREAM_DIR_CACHE:
+        return _STREAM_DIR_CACHE[key]
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(table_file_path, os.path.join(stream_dir, os.path.basename(table_file_path)))
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    _STREAM_DIR_CACHE[key] = stream_dir
+    return stream_dir
+
+
 def documents_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """readStream over the documents parquet (schema pinned from a batch
-    read; single-file table exposed through a symlink dir like
+    read; single-file table exposed through a cached symlink dir like
     ``events_stream``)."""
-    import tempfile
-
     path = os.path.join(sf_dir, "documents.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stream_dir = _symlink_stream_dir(path, "documents_stream_")
     schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)

@@ -244,6 +244,27 @@ def test_q5_star_join_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q5_customer_decision_is_estimate_driven(spark):
+    """Q5's customer/supplier broadcast must COME FROM an estimate
+    (advised_side), not a static hint: under-threshold estimates broadcast,
+    an over-threshold estimate (customer at TPC-H sf100k) pins sort-merge
+    even though the test-SF table LOOKS broadcastable on disk."""
+    from naru_spark.plans.joinplan import advised_side
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, "customer", SF_SMOKE)
+    small, dec_small = advised_side(cust, cust.count(), "customer")
+    assert dec_small.strategy == "broadcast"
+    big, dec_big = advised_side(cust, 15_000_000_000, "customer")
+    assert dec_big.strategy == "shuffle"
+    # the over-estimate defeats autoBroadcast: joining via the merge-hinted
+    # side must NOT plan a BroadcastHashJoin for that join
+    orders = load_table(spark, "orders", SF_SMOKE)
+    plan = plan_str(orders.join(big, orders.o_custkey == cust.c_custkey))
+    assert "SortMergeJoin" in plan
+
+
 def test_q10_topk_plans_take_ordered(spark):
     from naru_spark.entry_queries import q_returned_items
     from tests.conftest import SF_SMOKE
