@@ -1516,6 +1516,17 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 _LIKE_PATTERNS = ["spark", "window", "merge", "the fast", "qzzz", "ta"]
+_LIKE_EST_CACHE: dict = {}
+
+
+def _like_est(spark: SparkSession, sf_dir: str):
+    """One fitted LikeEstimator per sf_dir: the substring and anchored
+    entries share the gram-frequency fit (two corpus scans otherwise)."""
+    from naru_spark.estimators.like import LikeEstimator
+
+    if sf_dir not in _LIKE_EST_CACHE:
+        _LIKE_EST_CACHE[sf_dir] = LikeEstimator(_docs(spark, sf_dir), "text", n=3)
+    return _LIKE_EST_CACHE[sf_dir]
 
 
 def q_like_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1524,10 +1535,8 @@ def q_like_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics). Output per pattern: exact count (one conditional-agg
     scan) and the chain estimate — both deterministic, so this B-plane
     extension carries a full DuckDB oracle."""
-    from naru_spark.estimators.like import LikeEstimator
-
     docs = _docs(spark, sf_dir)
-    est = LikeEstimator(docs, "text", n=3)
+    est = _like_est(spark, sf_dir)
     truths = docs.agg(
         *[
             F.sum(F.col("text").contains(p).cast("long")).alias(f"t{i}")
@@ -1590,6 +1599,128 @@ fn1 AS (
     FROM documents, UNNEST(range(1, length(text) - {n - 3})) AS u(i)
     WHERE length(text) >= {n - 1}
   ) GROUP BY g
+),
+nn AS (SELECT GREATEST(1, COUNT(*)) AS N FROM documents)
+{union}
+"""
+
+
+_ANCHORED_PATTERNS = [
+    ("customer", "prefix"),
+    ("table", "prefix"),
+    ("sc", "prefix"),   # len == n-1: anchored (n-1)-gram branch
+    ("a", "prefix"),    # len < n-1: conservative 1.0 branch
+    ("qzz", "prefix"),  # miss -> 0
+    ("stream", "suffix"),
+    ("column", "suffix"),
+    ("ta", "suffix"),
+    ("zzq", "suffix"),
+]
+
+
+def q_like_estimates_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored-LIKE cardinality estimation ('s%' prefix / '%s' suffix,
+    estimators/like.py:101-159): the first (last) gram uses POSITION-
+    anchored document frequencies, the chain tail is the same Markov
+    continuation as the substring estimator. Exact truth from one
+    conditional-agg scan; estimates deterministic -> full DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    est = _like_est(spark, sf_dir)
+    truths = docs.agg(
+        *[
+            F.sum(
+                (
+                    F.col("text").startswith(p)
+                    if anchor == "prefix"
+                    else F.col("text").endswith(p)
+                ).cast("long")
+            ).alias(f"t{i}")
+            for i, (p, anchor) in enumerate(_ANCHORED_PATTERNS)
+        ]
+    ).collect()[0]
+    rows = [
+        (p, anchor, int(truths[f"t{i}"]), round(est.query_anchored(p, anchor), 4))
+        for i, (p, anchor) in enumerate(_ANCHORED_PATTERNS)
+    ]
+    return spark.createDataFrame(
+        rows, "pattern string, anchor string, true_card long, est_card double"
+    )
+
+
+def sql_like_estimates_anchored(n: int = 3) -> str:
+    """DuckDB twin of ``selectivity_anchored``: anchored gram tables as
+    CTEs, the SAME left-to-right multiplication order, division before
+    multiply — bit-reproducible against the Spark-side python floats."""
+
+    def look(table: str, g: str) -> str:
+        e = g.replace("'", "''")
+        return f"COALESCE((SELECT CAST(c AS DOUBLE) FROM {table} WHERE g = '{e}'), 0.0)"
+
+    selects = []
+    for p, anchor in _ANCHORED_PATTERNS:
+        esc = p.replace("'", "''")
+        f_anch = "fp" if anchor == "prefix" else "fsx"
+        f_anch1 = "fp1" if anchor == "prefix" else "fsx1"
+        if len(p) < n - 1:
+            sel = "1.0"
+        elif len(p) == n - 1:
+            sel = f"LEAST(1.0, {look(f_anch1, p)} / nn.N)"
+        else:
+            grams = [p[i : i + n] for i in range(len(p) - n + 1)]
+            if anchor == "prefix":
+                expr = f"{look(f_anch, grams[0])} / nn.N"
+                tail = [(g, g[: n - 1]) for g in grams[1:]]
+            else:
+                expr = f"{look(f_anch, grams[-1])} / nn.N"
+                tail = [(g, g[1:]) for g in grams[:-1][::-1]]
+            for g, cond in tail:
+                expr = (
+                    f"(CASE WHEN {look('fn1', cond)} > 0 "
+                    f"THEN ({expr}) * ({look('fn', g)} / {look('fn1', cond)}) ELSE 0.0 END)"
+                )
+            sel = f"GREATEST(0.0, LEAST(1.0, {expr}))"
+        truth = (
+            f"substr(text, 1, {len(p)}) = '{esc}'"
+            if anchor == "prefix"
+            else f"right(text, {len(p)}) = '{esc}'"
+        )
+        selects.append(
+            f"SELECT '{esc}' AS pattern, '{anchor}' AS anchor,\n"
+            f"       (SELECT COUNT(*) FROM documents WHERE {truth}) AS true_card,\n"
+            f"       ROUND(({sel}) * nn.N, 4) AS est_card\n"
+            f"FROM nn"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH fn AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT DISTINCT doc_id, substr(text, i, {n}) AS g
+    FROM documents, UNNEST(range(1, length(text) - {n - 2})) AS u(i)
+    WHERE length(text) >= {n}
+  ) GROUP BY g
+),
+fn1 AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT DISTINCT doc_id, substr(text, i, {n - 1}) AS g
+    FROM documents, UNNEST(range(1, length(text) - {n - 3})) AS u(i)
+    WHERE length(text) >= {n - 1}
+  ) GROUP BY g
+),
+fp AS (
+  SELECT substr(text, 1, {n}) AS g, COUNT(*) AS c
+  FROM documents WHERE length(text) >= {n} GROUP BY 1
+),
+fp1 AS (
+  SELECT substr(text, 1, {n - 1}) AS g, COUNT(*) AS c
+  FROM documents WHERE length(text) >= {n - 1} GROUP BY 1
+),
+fsx AS (
+  SELECT right(text, {n}) AS g, COUNT(*) AS c
+  FROM documents WHERE length(text) >= {n} GROUP BY 1
+),
+fsx1 AS (
+  SELECT right(text, {n - 1}) AS g, COUNT(*) AS c
+  FROM documents WHERE length(text) >= {n - 1} GROUP BY 1
 ),
 nn AS (SELECT GREATEST(1, COUNT(*)) AS N FROM documents)
 {union}
@@ -1666,6 +1797,7 @@ def build_pipeline_registry():
         "similarity_topk_lsh_oracle": q_similarity_lsh_oracle,
         "similarity_topk_ivf_oracle": q_similarity_ivf_oracle,
         "like_estimates": q_like_estimates,
+        "like_estimates_anchored": q_like_estimates_anchored,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -1726,6 +1858,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "similarity_topk_lsh_oracle": sql_similarity_lsh_oracle(),
         "similarity_topk_ivf_oracle": sql_similarity_ivf_oracle(),
         "like_estimates": sql_like_estimates(),
+        "like_estimates_anchored": sql_like_estimates_anchored(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

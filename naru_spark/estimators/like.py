@@ -53,7 +53,18 @@ class LikeEstimator:
     query: pure driver arithmetic, microseconds per pattern.
     """
 
-    def __init__(self, df: DataFrame, column: str, n: int = 3):
+    def __init__(
+        self, df: DataFrame, column: str, n: int = 3, max_grams: int | None = None
+    ):
+        """``max_grams``: cap EACH driver-side frequency table to its
+        ``max_grams`` most frequent grams (ties -> lexicographically first).
+        The |alphabet|^n vocabulary bound is fine for ASCII but unbounded-ish
+        for CJK corpora at 100 TB; the cap makes the collect O(max_grams)
+        regardless of alphabet. Dropped (tail) grams estimate as frequency
+        0 — a PESSIMISTIC bias: capped estimates only ever go DOWN, since
+        every chain term is monotone in the gram counts kept, so the cap
+        trades rare-pattern recall for bounded driver memory (the kept head
+        covers the mass that matters; error bound exercised in tests)."""
         assert n >= 2
         self.n = n
         self.rows = df.count()
@@ -69,12 +80,23 @@ class LikeEstimator:
                 char_ngrams_expr(F.col(column), n - 1),
             )
         )
-        grams = (
+        counted = (
             df.select(F.explode(both).alias("g"))
             .groupBy("g")
             .agg(F.count("*").alias("c"))
-            .collect()
         )
+        if max_grams is not None:
+            # top-k per gram LENGTH (the two tables cap independently):
+            # one window over the vocabulary-bounded aggregate, never rows
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(F.length("g")).orderBy(
+                F.col("c").desc(), F.col("g").asc()
+            )
+            counted = counted.withColumn("__rk", F.row_number().over(w)).filter(
+                F.col("__rk") <= max_grams
+            )
+        grams = counted.collect()
         self.freq_n = {r["g"]: int(r["c"]) for r in grams if len(r["g"]) == n}
         self.freq_n1 = {r["g"]: int(r["c"]) for r in grams if len(r["g"]) == n - 1}
 

@@ -188,3 +188,34 @@ def test_like_estimator_anchored(spark):
     assert abs(est.query_anchored("abcd", "suffix") - 4 * (2 / 4) * (2 / f_bc)) < 1e-9
     for p, a in [("abcd", "prefix"), ("abcd", "suffix"), ("ab", "prefix")]:
         assert 0.0 <= est.query_anchored(p, a) <= 4.0
+
+
+def test_like_estimator_gram_cap(spark):
+    """max_grams bounds the driver tables on a wide-alphabet (CJK-scale)
+    corpus; capped estimates are pessimistic (only ever <= uncapped) and
+    exact for patterns whose grams survive in the kept head."""
+    import random
+
+    from naru_spark.estimators.like import LikeEstimator
+
+    rng = random.Random(7)
+    # wide synthetic alphabet: 400 distinct chars -> thousands of grams
+    alphabet = [chr(0x4E00 + i) for i in range(400)]
+    hot = "".join(alphabet[:3])  # one deliberately frequent trigram
+    rows = [
+        (i, hot + "".join(rng.choice(alphabet) for _ in range(12)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    full = LikeEstimator(df, "text", n=3)
+    capped = LikeEstimator(df, "text", n=3, max_grams=200)
+    # the cap binds: full tables exceed it, capped tables are bounded
+    assert len(full.freq_n) > 200
+    assert len(capped.freq_n) <= 200 and len(capped.freq_n1) <= 200
+    # hot grams survive and estimate identically to uncapped
+    assert capped.query(hot) == full.query(hot) > 0
+    # pessimistic bias: capped never exceeds uncapped, on hits and misses
+    pats = [hot, hot[:2], "".join(rng.choice(alphabet) for _ in range(3)), "zz"]
+    for p in pats:
+        assert capped.query(p) <= full.query(p) + 1e-9
