@@ -73,6 +73,10 @@ class ResMADE:
     input_encoding = "binary"
     output_encoding = "one_hot"
     embed_size = 0
+    input_no_emb_if_leq = False
+    _emb_identity_any = False
+    emb_widths = None
+    hid_deg = None
 
     def __init__(
         self,
@@ -87,6 +91,7 @@ class ResMADE:
         embed_size: int = 32,
         direct_io: bool = False,
         output_encoding: str = "one_hot",
+        input_no_emb_if_leq: bool = False,
     ):
         """column_masking: reserve one extra 'unobserved' bit per column and
         train with random input masking (reference's learnable
@@ -128,11 +133,27 @@ class ResMADE:
           exactly as the reference, where ``embs_tied`` reuses the
           embedding matrix for decoding). Cuts output params from
           sum(domains) x hidden to D x embed_size x hidden.
+
+        input_no_emb_if_leq (reference made.py:96,180,249-263): with
+        'embed' inputs, columns whose domain <= embed_size get NO
+        learnable embedding — their (one-hot + mask-bit) indicator passes
+        through to the hidden stack unchanged (an identity bypass around
+        ``lin_emb``), so the post-embedding width is
+        min-ish(domain, embed_size) per column and the embedding table
+        drops those columns' domain x embed_size parameters. Deviation
+        noted: with column_masking the wildcard representation of a
+        bypassed column is its explicit mask BIT (this implementation's
+        uniform scheme) rather than the reference's learnable unk vector.
         """
         assert input_encoding in ("binary", "one_hot", "embed")
         assert output_encoding in ("one_hot", "embed")
         if output_encoding == "embed":
             assert input_encoding == "embed", "tied decode requires embed inputs"
+        if input_no_emb_if_leq and output_encoding == "embed":
+            raise AssertionError(
+                "tied decode needs every column's embedding table; "
+                "disable input_no_emb_if_leq or use one_hot outputs"
+            )
         self.domains = list(domains)
         self.D = len(domains)
         self.hidden = hidden
@@ -165,6 +186,7 @@ class ResMADE:
             [np.full(self.col_bits[c], pos[c] + 1) for c in range(self.D)]
         )
         hid_deg = (np.arange(hidden) % max(self.D - 1, 1)) + 1
+        self.hid_deg = hid_deg
         out_deg = np.concatenate(
             [np.full(domains[c], pos[c] + 1) for c in range(self.D)]
         )
@@ -175,19 +197,51 @@ class ResMADE:
             return (dout[None, :] >= din[:, None]).astype(np.float64)
 
         self.lin_emb = None
+        self.input_no_emb_if_leq = bool(input_no_emb_if_leq)
         if input_encoding == "embed":
-            # block-diagonal: column c's (one-hot + mask) bits -> column c's
-            # embed dims only. Strictly tighter than the degree mask, so the
-            # AR invariant is preserved by construction.
-            emb_mask = np.zeros((self.n_bits, self.D * embed_size))
+            # per-column embed decision and post-embedding width: columns
+            # with domain <= embed_size bypass the lookup under
+            # input_no_emb_if_leq (identity path, zero params)
+            self.col_embeds = [
+                (d > embed_size) or not self.input_no_emb_if_leq for d in domains
+            ]
+            self.emb_widths = [
+                embed_size if e else self.col_bits[c]
+                for c, e in enumerate(self.col_embeds)
+            ]
+            self.emb_offsets = np.concatenate([[0], np.cumsum(self.emb_widths)]).astype(int)
+            self.n_emb = int(self.emb_offsets[-1])
+            # index maps between the bit layout and the post-embedding
+            # layout for the identity bypass (gather/scatter in forward)
+            emb_in, id_in, emb_out, id_out = [], [], [], []
             for c in range(self.D):
-                emb_mask[
-                    self.bit_offsets[c] : self.bit_offsets[c + 1],
-                    c * embed_size : (c + 1) * embed_size,
-                ] = 1.0
-            self.lin_emb = MaskedLinear(self.n_bits, self.D * embed_size, emb_mask, rng, dtype)
-            emb_deg = np.repeat(pos + 1, embed_size)
-            self.lin_in = MaskedLinear(self.D * embed_size, hidden, mask(emb_deg, hid_deg), rng, dtype)
+                tgt_in = emb_in if self.col_embeds[c] else id_in
+                tgt_out = emb_out if self.col_embeds[c] else id_out
+                tgt_in.extend(range(self.bit_offsets[c], self.bit_offsets[c + 1]))
+                tgt_out.extend(range(self.emb_offsets[c], self.emb_offsets[c + 1]))
+            self._emb_in_idx = np.asarray(emb_in, dtype=np.int64)
+            self._id_in_idx = np.asarray(id_in, dtype=np.int64)
+            self._emb_out_idx = np.asarray(emb_out, dtype=np.int64)
+            self._id_out_idx = np.asarray(id_out, dtype=np.int64)
+            self._emb_identity_any = len(id_in) > 0
+            if len(emb_in):
+                # block-diagonal over the EMBEDDED columns only: column c's
+                # (one-hot + mask) bits -> column c's embed dims. Strictly
+                # tighter than the degree mask, so the AR invariant is
+                # preserved by construction.
+                emb_mask = np.zeros((len(emb_in), len(emb_out)))
+                ri = ci = 0
+                for c in range(self.D):
+                    if not self.col_embeds[c]:
+                        continue
+                    emb_mask[ri : ri + self.col_bits[c], ci : ci + embed_size] = 1.0
+                    ri += self.col_bits[c]
+                    ci += embed_size
+                self.lin_emb = MaskedLinear(len(emb_in), len(emb_out), emb_mask, rng, dtype)
+            emb_deg = np.concatenate(
+                [np.full(self.emb_widths[c], pos[c] + 1) for c in range(self.D)]
+            )
+            self.lin_in = MaskedLinear(self.n_emb, hidden, mask(emb_deg, hid_deg), rng, dtype)
         else:
             self.lin_in = MaskedLinear(self.n_bits, hidden, mask(in_deg, hid_deg), rng, dtype)
         self.blocks = []
@@ -206,8 +260,8 @@ class ResMADE:
         self.lin_out = MaskedLinear(hidden, self.n_dec, mask(hid_deg, dec_deg, strict=True), rng, dtype)
         self.lin_direct = None
         if direct_io:
-            d_in_deg = np.repeat(pos + 1, embed_size) if input_encoding == "embed" else in_deg
-            d_n_in = self.D * embed_size if input_encoding == "embed" else self.n_bits
+            d_in_deg = emb_deg if input_encoding == "embed" else in_deg
+            d_n_in = self.n_emb if input_encoding == "embed" else self.n_bits
             self.lin_direct = MaskedLinear(
                 d_n_in, self.n_dec, mask(d_in_deg, dec_deg, strict=True), rng, dtype
             )
@@ -228,15 +282,55 @@ class ResMADE:
         order = list(order)
         assert sorted(order) == list(range(self.D))
         self.order = order
+        self._rebuild_order_masks()
+
+    def _current_hid_deg(self) -> np.ndarray:
+        hd = getattr(self, "hid_deg", None)
+        if hd is None:  # pre-feature pickle: deterministic ResMade pattern
+            hd = (np.arange(self.hidden) % max(self.D - 1, 1)) + 1
+        return hd
+
+    def resample_masks(self, mask_seed: int | None):
+        """Connectivity-mask cycling (reference ``num_masks``,
+        made.py:83,129,194 and update_masks' sampled branch): resample the
+        hidden-unit degree vector from ``mask_seed`` — uniform in [1, D-1],
+        the 1-based analog of the reference's rng.randint(0, nin-1) — and
+        rebuild every hidden-degree-dependent mask IN PLACE (trunk block
+        masks plus lin_in/lin_out via _rebuild_order_masks). One weight set
+        then serves K connectivity patterns exactly as it serves K
+        orderings. ``None`` restores the deterministic sequential
+        assignment (the ResMade default, arXiv:1904.05626). The residual
+        trunk shares ONE degree vector across layers (residual adds require
+        equal degrees on both summands), so a single draw covers it —
+        where the reference's plain-MADE branch draws per layer."""
+        if mask_seed is None:
+            self.hid_deg = (np.arange(self.hidden) % max(self.D - 1, 1)) + 1
+        else:
+            rng = np.random.RandomState(mask_seed)
+            self.hid_deg = rng.randint(0, max(self.D - 1, 1), size=self.hidden) + 1
+        dt = self.lin_in.M.dtype
+        for l1, l2 in self.blocks:
+            M = (self.hid_deg[None, :] >= self.hid_deg[:, None]).astype(dt)
+            l1.M = M
+            l2.M = M.copy()
+        self._rebuild_order_masks()
+
+    def _rebuild_order_masks(self):
         pos = np.empty(self.D, dtype=np.int64)
-        for k, c in enumerate(order):
+        for k, c in enumerate(self.order):
             pos[c] = k
-        hid_deg = (np.arange(self.hidden) % max(self.D - 1, 1)) + 1
+        hid_deg = self._current_hid_deg()
         out_deg = np.concatenate(
             [np.full(self.domains[c], pos[c] + 1) for c in range(self.D)]
         )
-        if self.lin_emb is not None:
-            in_deg = np.repeat(pos + 1, self.embed_size)
+        if self.lin_emb is not None or self._emb_identity_any:
+            widths = self.emb_widths
+            if widths is None:  # pre-feature pickle: uniform embed widths
+                in_deg = np.repeat(pos + 1, self.embed_size)
+            else:
+                in_deg = np.concatenate(
+                    [np.full(widths[c], pos[c] + 1) for c in range(self.D)]
+                )
         else:
             in_deg = np.concatenate(
                 [np.full(self.col_bits[c], pos[c] + 1) for c in range(self.D)]
@@ -245,7 +339,9 @@ class ResMADE:
             dec_deg = np.repeat(pos + 1, self.embed_size)
         else:
             dec_deg = out_deg
-        d_in_deg = np.repeat(pos + 1, self.embed_size) if self.lin_emb is not None else in_deg
+        # the direct path consumes the POST-embedding input in embed mode
+        # and the raw bits otherwise — in_deg is that vector in both cases
+        d_in_deg = in_deg
         self.lin_in.M = (hid_deg[None, :] >= in_deg[:, None]).astype(self.lin_in.M.dtype)
         self.lin_out.M = (dec_deg[None, :] > hid_deg[:, None]).astype(self.lin_out.M.dtype)
         if self.lin_direct is not None:
@@ -288,7 +384,17 @@ class ResMADE:
         fwd = (lambda l, v: l.forward(v)) if grad else (lambda l, v: l.forward_nograd(v))
         self._caches = []
         if self.lin_emb is not None:
-            bits = fwd(self.lin_emb, bits)  # linear lookup, no activation
+            if self._emb_identity_any:
+                # mixed: embedded columns go through the lookup, bypassed
+                # (small-domain) columns copy their bits straight through
+                out = np.empty((bits.shape[0], self.n_emb), dtype=self.dtype)
+                out[:, self._emb_out_idx] = fwd(self.lin_emb, bits[:, self._emb_in_idx])
+                out[:, self._id_out_idx] = bits[:, self._id_in_idx]
+                bits = out
+            else:
+                bits = fwd(self.lin_emb, bits)  # linear lookup, no activation
+        # all-identity embed mode (every domain <= embed_size): emb_widths
+        # == col_bits so the post-embedding layout IS the bit layout — no-op
         self._x_in = bits  # post-embedding input: feeds lin_direct too
         h = fwd(self.lin_in, bits)
         self._h_in = h
@@ -441,7 +547,11 @@ class ResMADE:
         if dx_direct is not None:
             dx = dx + dx_direct
         if self.lin_emb is not None:
-            self.lin_emb.backward(dx)
+            # identity-bypassed slots carry no parameters: only the embedded
+            # columns' slice of dx reaches the lookup table
+            self.lin_emb.backward(
+                dx[:, self._emb_out_idx] if self._emb_identity_any else dx
+            )
 
     def zero_grad(self):
         for l in self.layers():

@@ -112,6 +112,8 @@ class NaruEstimator:
         order_cycle: list[list[int]] | None = None,  # K orderings for ONE multi-mask model (reference made.py:277-393)
         direct_io: bool = False,  # input->output skip connections (reference made.py:208-247; recommended DMV config)
         output_encoding: str = "one_hot",  # "one_hot" | "embed" (tied decode, made.py:645-674; needs input_encoding="embed")
+        input_no_emb_if_leq: bool = False,  # skip the embedding for domain <= embed_size columns (reference made.py:96,180)
+        num_masks: int = 1,  # connectivity-mask cycling (reference made.py:83,129,194); 1 = fixed ResMade masks
     ):
         self.columns = columns
         self.hidden = hidden
@@ -134,8 +136,12 @@ class NaruEstimator:
         self.order_cycle = [list(o) for o in order_cycle] if order_cycle else None
         if self.order_cycle:
             assert arch == "made", "order cycling: ResMADE only"
+        self.num_masks = int(num_masks)
+        if self.num_masks > 1:
+            assert arch == "made", "mask cycling: ResMADE only"
         self.direct_io = direct_io
         self.output_encoding = output_encoding
+        self.input_no_emb_if_leq = input_no_emb_if_leq
 
     def fit(self, df: DataFrame, meta: TableMeta | None = None, encoder: DictionaryEncoder | None = None) -> NaruModel:
         t0 = time.time()
@@ -193,6 +199,7 @@ class NaruEstimator:
                 embed_size=self.embed_size,
                 direct_io=self.direct_io,
                 output_encoding=self.output_encoding,
+                input_no_emb_if_leq=self.input_no_emb_if_leq,
             )
             opt = Adam(made, lr=self.lr)
         rng = np.random.RandomState(self.seed)
@@ -214,6 +221,13 @@ class NaruEstimator:
                 if self.warmups:
                     # d_model analog: the reference uses model.embed_size
                     opt.lr = lr_schedule(global_step, self.hidden, self.warmups)
+                if self.num_masks > 1:
+                    # one weight set, K CONNECTIVITY patterns: resample the
+                    # hidden degrees per step from a cycling seed (reference
+                    # num_masks, made.py:83,129,194) — composes with order
+                    # cycling below (orderings rebuild in/out masks on top
+                    # of whatever hidden degrees are active)
+                    made.resample_masks(self.seed + (global_step % self.num_masks))
                 if self.order_cycle:
                     # one weight set, K orderings: rebuild the two
                     # order-dependent masks per step (made.update_order) —
@@ -309,6 +323,7 @@ class NaruEstimator:
             dtype=np.float32, column_masking=self.column_masking, order=self.order,
             input_encoding=self.input_encoding, embed_size=self.embed_size,
             direct_io=self.direct_io, output_encoding=self.output_encoding,
+            input_no_emb_if_leq=self.input_no_emb_if_leq,
         )
         bin_cols = [f"{c}__bin" for c in self.columns]
         encoded = encoder.transform(df.select(*self.columns)).select(*bin_cols)
@@ -318,6 +333,7 @@ class NaruEstimator:
         column_masking, order = self.column_masking, self.order
         input_encoding, embed_size = self.input_encoding, self.embed_size
         direct_io, output_encoding = self.direct_io, self.output_encoding
+        input_no_emb_if_leq = self.input_no_emb_if_leq
         epochs = local_epochs if local_epochs is not None else self.epochs
         batch_size, lr = self.batch_size, self.lr
         sc = df.sparkSession.sparkContext
@@ -349,6 +365,7 @@ class NaruEstimator:
                     dtype=np.float32, column_masking=column_masking, order=order,
                     input_encoding=input_encoding, embed_size=embed_size,
                     direct_io=direct_io, output_encoding=output_encoding,
+                    input_no_emb_if_leq=input_no_emb_if_leq,
                 )
                 for l, (W, b) in zip(local.layers(), pickle.loads(w_bc.value)):
                     l.W, l.b = W.copy(), b.copy()

@@ -502,6 +502,161 @@ def test_custom_ordering_ar_property():
                     assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
 
 
+def test_num_masks_connectivity_cycling():
+    """resample_masks (reference num_masks, made.py:83,129,194): distinct
+    connectivity masks at EQUAL order, AR invariant under every mask,
+    deterministic restore, and a mask-ensemble NLL that is no worse than
+    the mean single-mask NLL (Jensen) after training with cycling."""
+    rng = np.random.RandomState(0)
+    domains = [6, 5, 4]
+    m = ResMADE(domains, hidden=24, blocks=2, seed=0)
+    det_in = m.lin_in.M.copy()
+    det_blk = m.blocks[0][0].M.copy()
+
+    m.resample_masks(1)
+    m1_in, m1_blk = m.lin_in.M.copy(), m.blocks[0][0].M.copy()
+    m.resample_masks(2)
+    m2_in, m2_blk = m.lin_in.M.copy(), m.blocks[0][0].M.copy()
+    # distinct connectivity at equal (natural) order
+    assert m.order == [0, 1, 2]
+    assert not (np.array_equal(m1_in, m2_in) and np.array_equal(m1_blk, m2_blk))
+    assert not (np.array_equal(m1_in, det_in) and np.array_equal(m1_blk, det_blk))
+
+    # AR property holds under every sampled mask
+    for seed in (1, 2, 3):
+        m.resample_masks(seed)
+        x = np.stack([rng.randint(0, d, 4) for d in domains], axis=1)
+        base = m.forward(x.copy(), grad=False)
+        for j in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, domains[j], 4)
+            lg = m.forward(x2, grad=False)
+            for i in range(0, j + 1):
+                lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (seed, i, j)
+
+    # None restores the deterministic ResMade pattern exactly
+    m.resample_masks(None)
+    assert np.array_equal(m.lin_in.M, det_in)
+    assert np.array_equal(m.blocks[0][0].M, det_blk)
+
+    # train WITH cycling (2 masks), then ensemble the masks at eval:
+    # the logsumexp mixture over masks is no worse than the mean of the
+    # per-mask NLLs (Jensen) and within log K of the best
+    N = 3000
+    a = rng.randint(0, 6, N)
+    data = np.stack([a, (a + 1) % 5 % 5, a % 4], axis=1).astype(np.int64)
+    mt = ResMADE(domains, hidden=24, blocks=2, seed=0)
+    opt = Adam(mt, lr=5e-3)
+    step = 0
+    for _ in range(6):
+        perm = rng.permutation(N)
+        for lo in range(0, N, 512):
+            mt.resample_masks(step % 2)
+            step += 1
+            b = data[perm[lo : lo + 512]]
+            logits = mt.forward(b)
+            _, dl = mt.nll(logits, b)
+            mt.zero_grad()
+            mt.backward(dl)
+            opt.step()
+    per_mask = []
+    for seed in (0, 1):
+        mt.resample_masks(seed)
+        per_mask.append(mt.nll_rows(mt.forward(data, grad=False), data))
+    lp = -np.stack(per_mask, axis=1)
+    mx = lp.max(axis=1, keepdims=True)
+    ens = float(np.mean(-(mx[:, 0] + np.log(np.exp(lp - mx).sum(axis=1)) + np.log(0.5))))
+    means = [float(nr.mean()) for nr in per_mask]
+    assert ens <= min(means) + np.log(2) + 1e-9
+    assert ens <= np.mean(means) + 1e-9  # Jensen: mixture beats the average
+
+
+@pytest.mark.parametrize("direct_io", [False, True])
+def test_input_no_emb_if_leq(direct_io):
+    """input_no_emb_if_leq (reference made.py:96,180): small-domain columns
+    bypass the embedding (one-hot identity, zero params), big ones embed.
+    Gates: param count drops; AR property holds across the mixed layout
+    (incl. direct-io); gradient check through the bypass; a correlated
+    pair still learns; update_order round-trips bit-identically."""
+    rng = np.random.RandomState(0)
+    domains = [5, 40, 3, 24]  # embed_size=8 -> cols 0,2 bypass; 1,3 embed
+    kw = dict(hidden=24, blocks=1, seed=1, input_encoding="embed",
+              embed_size=8, direct_io=direct_io)
+    m = ResMADE(domains, **kw, input_no_emb_if_leq=True)
+    full = ResMADE(domains, **kw)
+    assert m.col_embeds == [False, True, False, True]
+    assert m.num_params() < full.num_params()
+    # the bypassed columns contribute no rows to the lookup table
+    assert m.lin_emb.W.shape[0] == full.lin_emb.W.shape[0] - sum(
+        m.col_bits[c] for c in (0, 2)
+    )
+
+    # AR property over the mixed layout
+    x = np.stack([rng.randint(0, d, 4) for d in domains], axis=1)
+    base = m.forward(x.copy(), grad=False)
+    for j in range(4):
+        for _ in range(3):
+            x2 = x.copy()
+            x2[:, j] = rng.randint(0, domains[j], 4)
+            lg = m.forward(x2, grad=False)
+            # natural order: head i reads only columns < i, so changing
+            # column j must leave every head i <= j unchanged
+            for i in range(0, j + 1):
+                lo, hi = m.out_offsets[i], m.out_offsets[i + 1]
+                assert np.allclose(lg[:, lo:hi], base[:, lo:hi]), (i, j)
+
+    # gradient check (bypass routes grads correctly around lin_emb)
+    xb = np.stack([rng.randint(0, d, 6) for d in domains], axis=1)
+    logits = m.forward(xb)
+    _, dl = m.nll(logits, xb)
+    m.zero_grad()
+    m.backward(dl)
+    eps = 1e-6
+    for layer in m.layers():
+        nz = np.argwhere(layer.M)
+        for i, j in nz[:: max(1, len(nz) // 4)][:4]:
+            orig = layer.W[i, j]
+            layer.W[i, j] = orig + eps
+            lp, _ = m.nll(m.forward(xb), xb)
+            layer.W[i, j] = orig - eps
+            lm, _ = m.nll(m.forward(xb), xb)
+            layer.W[i, j] = orig
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - layer.dW[i, j]) < 1e-5, (num, layer.dW[i, j])
+
+    # update_order round-trip is exact
+    before = m.forward(x.copy(), grad=False)
+    m.update_order([3, 1, 0, 2])
+    m.update_order([0, 1, 2, 3])
+    assert np.array_equal(before, m.forward(x.copy(), grad=False))
+
+    # correlated pair (both columns small -> all-identity fast path) learns
+    N = 4000
+    a = rng.randint(0, 6, N)
+    data = np.stack([a, a], axis=1).astype(np.int64)
+    m2 = ResMADE([6, 6], hidden=24, blocks=2, seed=0, input_encoding="embed",
+                 embed_size=8, input_no_emb_if_leq=True)
+    assert m2.lin_emb is None  # every column bypasses
+    opt = Adam(m2, lr=5e-3)
+    bits = None
+    for _ in range(8):
+        perm = rng.permutation(N)
+        tot, nb = 0.0, 0
+        for lo in range(0, N, 512):
+            b = data[perm[lo : lo + 512]]
+            logits = m2.forward(b)
+            loss, dl = m2.nll(logits, b)
+            m2.zero_grad()
+            m2.backward(dl)
+            opt.step()
+            tot += loss
+            nb += 1
+        bits = tot / nb / np.log(2)
+    # independent uniform ~5.17 bits; perfect copy ~2.58
+    assert bits < 3.6, bits
+
+
 @pytest.mark.parametrize("direct_io", [False, True])
 def test_tied_embed_decode_ar_gradient_and_training(direct_io):
     """output_encoding='embed' (reference made.py:645-674 tied decode):
