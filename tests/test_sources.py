@@ -75,3 +75,63 @@ def test_ntz_cast_preserves_values(spark):
     tbl = tbl.sort_values("event_id").head(50)
     for eid, ts in zip(tbl["event_id"], tbl["ts"]):
         assert got[eid] == ts.to_pydatetime(), (eid, got[eid], ts)
+
+
+def test_load_dmv_shim(spark, tmp_path):
+    """DMV shim (reference datasets.py:9-20): accepts the real DMV CSV
+    layout — 20 columns, MM/dd/yyyy dates, untrimmed strings — projecting
+    the reference's 11 columns with ONE timestamp cast and no trimming."""
+    import datetime
+
+    from naru_spark.sources import DMV_COLUMNS, load_dmv
+
+    csv = tmp_path / "dmv.csv"
+    header = (
+        "Record Type,VIN,Registration Class,City,State,Zip,County,Model Year,"
+        "Make,Body Type,Fuel Type,Unladen Weight,Maximum Gross Weight,Passengers,"
+        "Reg Valid Date,Reg Expiration Date,Color,Scofflaw Indicator,"
+        "Suspension Indicator,Revocation Indicator"
+    )
+    rows = [
+        "VEH ,5NMSGDAB5AH372379,PAS,ALEXANDRIA BAY ,NY,13607,JEFFERSON   ,2010,"
+        "HYUND,SUBN,GAS     ,3875,,,06/26/2017,07/06/2019,WH   ,N,N,N",
+        "BOAT,JA4AD3A37HZ0201XX,PAS,NEW YORK       ,NY,10033,NEW YORK    ,2017,"
+        "MITSU,SUBN,GAS     ,3289,,,07/23/2018,04/17/2019,GY   ,N,N,N",
+    ]
+    csv.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+    df = load_dmv(spark, str(csv))
+    assert df.columns == DMV_COLUMNS  # projection, reference order
+    types = dict(df.dtypes)
+    assert types["Reg Valid Date"] == "timestamp"
+    assert all(types[c] == "string" for c in DMV_COLUMNS if c != "Reg Valid Date")
+    got = df.orderBy("Record Type").collect()
+    assert got[1]["Record Type"] == "VEH "  # untrimmed, like the reference
+    assert got[1]["County"] == "JEFFERSON   "
+    assert got[1]["Reg Valid Date"] == datetime.datetime(2017, 6, 26)
+
+    with pytest.raises(ValueError, match="missing expected columns"):
+        bad = tmp_path / "bad.csv"
+        bad.write_text("A,B\n1,2\n")
+        load_dmv(spark, str(bad))
+
+
+def test_load_oracle_cards(tmp_path):
+    """Golden-card reuse (reference eval_model.py:467-476): strict length
+    check, flat int64 result, None when the file is absent."""
+    import numpy as np
+
+    from naru_spark.sources import load_oracle_cards
+
+    p = tmp_path / "cards.csv"
+    p.write_text("card\n" + "\n".join(str(i * 7) for i in range(2000)) + "\n")
+    cards = load_oracle_cards(str(p))
+    assert cards.shape == (2000,) and cards.dtype == np.int64
+    assert cards[3] == 21
+
+    assert load_oracle_cards(str(tmp_path / "absent.csv")) is None
+
+    short = tmp_path / "short.csv"
+    short.write_text("card\n1\n2\n")
+    with pytest.raises(ValueError, match="expected 2000"):
+        load_oracle_cards(str(short))
