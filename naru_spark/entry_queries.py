@@ -18,6 +18,7 @@ Spark side byte-for-byte; the Spark callables still run against whatever
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -632,6 +633,323 @@ LIMIT 20
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — lineitem x orders shuffle on the key; supplier/customer are
+    PRE-FILTERED to the two nations via a broadcast nation dim and then
+    broadcast themselves (the nation filter makes both sides tiny no matter
+    the corpus scale, so this plan survives 100 TB where broadcasting raw
+    customer would not)."""
+    pair = ["NATION_1", "NATION_2"]
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_decimal_revenue().alias("revenue"), F.count("*").alias("n_lineitems"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def sql_volume_shipping() -> str:
+    return """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ns.n_name, nc.n_name, CAST(date_part('year', l_shipdate) AS INTEGER)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional priority-class counts per line status
+    over one ship year. (The testdata lineitem carries no l_shipmode /
+    commit/receipt dates, so l_linestatus stands in for shipmode and the
+    late-delivery clause is dropped — the operator under test, a
+    conditional-aggregate pivot over a joined fact, is unchanged.) One
+    shuffle for the join, map-side partial aggregation for the counts."""
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def sql_priority_counts() -> str:
+    return """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. Both sums
+    accumulate exactly in decimal(18,4); the percentage is ONE double
+    division of the two exact sums (engine-reproducible — a running double
+    ratio would not be)."""
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    dec = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dec)).alias("promo_d"),
+            F.sum(dec).alias("total_d"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * (F.col("promo_d").cast("double") / F.col("total_d").cast("double")), 4).alias("promo_revenue_pct"),
+        F.round(F.col("promo_d"), 2).cast("double").alias("promo_revenue"),
+        F.round(F.col("total_d"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+def sql_promo_revenue() -> str:
+    return """
+SELECT ROUND(100.0 * (CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE)), 4) AS promo_revenue_pct,
+       CAST(ROUND(promo_d, 2) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(total_d, 2) AS DOUBLE) AS total_revenue
+FROM (
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) END) AS promo_d,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity exceeds
+    a threshold. The quantity aggregate happens FIRST (one shuffle on
+    l_orderkey, map-side combine), producing a tiny over-threshold key set
+    that then joins orders; customer is broadcast. Quantity accumulates in
+    decimal so the HAVING cut is exact on both engines. Top-20 by
+    (o_totalprice desc, o_orderkey) plans as TakeOrderedAndProject."""
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty_d"))
+        .filter(F.col("sum_qty_d") > 300)
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def sql_large_orders() -> str:
+    return """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty_d AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_d
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — Q19's disjunctive branches
+_Q19_BRANCHES = [
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#2", 5, 20, 10, 30),
+    ("Brand#3", 10, 30, 20, 40),
+]
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of (brand, size-range,
+    quantity-range) conjunctions. The disjunction itself can only be
+    evaluated post-join, so each scan ALSO gets the union superset of its
+    own branch predicates (brand IN set, global size/qty envelope) — the
+    classic manual rewrite that pushes 90%+ of the pruning into the scans
+    (PushedFilters plan-asserted in tests/test_plans.py) while the exact
+    OR runs on the few surviving rows. At 100 TB this is the difference
+    between scanning every part/lineitem row and scanning three brands."""
+    brands = [b for b, *_ in _Q19_BRANCHES]
+    size_lo = min(s for _, s, _, _, _ in _Q19_BRANCHES)
+    size_hi = max(s for _, _, s, _, _ in _Q19_BRANCHES)
+    qty_lo = min(q for _, _, _, q, _ in _Q19_BRANCHES)
+    qty_hi = max(q for _, _, _, _, q in _Q19_BRANCHES)
+    part = (
+        _load(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(F.col("p_brand").isin(brands) & F.col("p_size").between(size_lo, size_hi))
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    )
+    cond = None
+    for b, slo, shi, qlo, qhi in _Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = branch if cond is None else (cond | branch)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_decimal_revenue().alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+def sql_disjunctive_revenue() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_BRANCHES
+    )
+    return f"""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (A-plane scale lever, SURVEY §2): lineitem
+    and orders persisted ``bucketBy(8, orderkey)`` + in-bucket sorted, then
+    joined with the broadcast threshold disabled — the sort-merge join
+    plans with NO Exchange on EITHER side (asserted both in
+    tests/test_plans.py and inline here: the write-once-join-many pattern
+    that removes the fact-fact shuffle entirely at 100 TB). Bucketing
+    cannot change results, so the plain-join SQL is an exact oracle."""
+    from naru_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    # drop catalog entries AND any orphaned warehouse dirs (a fresh session
+    # has an empty in-memory catalog but the on-disk location survives, and
+    # saveAsTable refuses to reuse it)
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
+    for t in (li_t, ord_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    # one ship-year / order-year slice: the bucketed-write cost stays small
+    # while the no-shuffle join property is identical (filters mirror the
+    # oracle SQL exactly, so results stay exact)
+    write_bucketed(
+        _load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        li_t, "l_orderkey", 8,
+    )
+    write_bucketed(
+        _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ord_t, "o_orderkey", 8,
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, li_t).join(
+            read_bucketed(spark, ord_t), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        out = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lineitems"),
+                _decimal_revenue().alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        out.collect()  # materialize under the pinned conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def sql_bucketed_join_agg() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def build_registry():
     queries = {
         "workload_oracle_counts": q_workload_oracle,
@@ -652,7 +970,13 @@ def build_registry():
         "top_orders_per_segment": q_top_orders_per_segment,
         "shipping_priority_q3": q_shipping_priority,
         "local_supplier_volume_q5": q_local_supplier_volume,
+        "volume_shipping_q7": q_volume_shipping,
         "returned_items_q10": q_returned_items,
+        "priority_counts_q12": q_priority_counts,
+        "promo_revenue_q14": q_promo_revenue,
+        "large_orders_q18": q_large_orders,
+        "disjunctive_revenue_q19": q_disjunctive_revenue,
+        "bucketed_join_agg": q_bucketed_join_agg,
     }
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
@@ -672,7 +996,13 @@ def build_registry():
         "top_orders_per_segment": sql_top_orders_per_segment(),
         "shipping_priority_q3": sql_shipping_priority(),
         "local_supplier_volume_q5": sql_local_supplier_volume(),
+        "volume_shipping_q7": sql_volume_shipping(),
         "returned_items_q10": sql_returned_items(),
+        "priority_counts_q12": sql_priority_counts(),
+        "promo_revenue_q14": sql_promo_revenue(),
+        "large_orders_q18": sql_large_orders(),
+        "disjunctive_revenue_q19": sql_disjunctive_revenue(),
+        "bucketed_join_agg": sql_bucketed_join_agg(),
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
     from naru_spark.entry_model import build_model_registry
@@ -722,12 +1052,35 @@ def build_registry():
         "local_supplier_volume_q5", "returned_items_q10", "quality_stream",
     }
 
+    # Every entry any driver round has row-checked (CORRECTNESS_r01..r03
+    # keys): brand-new oracle entries outrank these in the window.
+    ever_driver_checked = r03_window | {
+        "workload_oracle_counts", "heuristic_estimates", "region_size",
+        "encode_returnflag", "encode_linestatus", "encode_shipdate",
+        "encoded_histogram", "value_counts_returnflag", "value_counts_salted",
+        "table_entropy", "pricing_summary_q1", "revenue_by_priority",
+        "events_hourly", "sampling_estimates", "advisor_estimates",
+        "top_orders_per_segment", "shipping_priority_q3", "text_stats",
+        "lang_id", "doc_fingerprint", "doc_quality", "token_counts",
+        "frame_sample", "token_histogram", "doc_repetition", "token_idf",
+        "doc_lm_score", "source_mix", "embedding_norms", "dedup_exact",
+        "dedup_ngram_jaccard", "dedup_components", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
+        "similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf",
+        "similarity_topk_ivf_index", "multimodal_bytes", "multimodal_resize",
+        "events_hourly_stream", "sessionize", "sessionize_stream",
+        "stream_stream_join", "user_totals_stateful", "decontaminate",
+        "pack_sequences", "corpus_curation", "source_cap",
+    }
+
     def _priority(name: str) -> tuple:
         if name == "source_temperature_mix":
             return (0,)
         if name not in all_oracles:
-            return (3,)
-        return (1,) if name not in r03_window else (2,)
+            return (4,)
+        if name not in ever_driver_checked:
+            return (1,)  # brand-new oracle entries: never row-checked by any round
+        return (2,) if name not in r03_window else (3,)
 
     order = sorted(all_queries, key=lambda n: _priority(n))  # stable sort
     ordered_queries = {n: all_queries[n] for n in order}

@@ -265,6 +265,42 @@ def test_q5_customer_decision_is_estimate_driven(spark):
     assert "SortMergeJoin" in plan
 
 
+def test_q7_prefiltered_dims_broadcast(spark):
+    """Q7's supplier/customer sides are nation-filtered THEN broadcast:
+    the plan must carry broadcast joins for both and no cartesian/NL."""
+    from naru_spark.entry_queries import q_volume_shipping
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_volume_shipping(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # nation->supp, nation->cust, dims
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_aggregate_then_join_take_ordered(spark):
+    """Q18 aggregates quantity BEFORE joining (partial_sum on the lineitem
+    side of the shuffle) and plans its top-20 as TakeOrderedAndProject."""
+    from naru_spark.entry_queries import q_large_orders
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_large_orders(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan  # map-side combine of the quantity agg
+
+
+def test_q19_disjunction_pushes_supersets(spark):
+    """Q19's scans must receive the pushed-down union supersets of the
+    disjunctive branches: brand IN (...) + size envelope on the part scan,
+    quantity envelope on the lineitem scan."""
+    from naru_spark.entry_queries import q_disjunctive_revenue
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_disjunctive_revenue(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(p_size" in plan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
 def test_q10_topk_plans_take_ordered(spark):
     from naru_spark.entry_queries import q_returned_items
     from tests.conftest import SF_SMOKE
