@@ -1727,6 +1727,105 @@ nn AS (SELECT GREATEST(1, COUNT(*)) AS N FROM documents)
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule composite quality gate (pipeline.curation.gopher_filter;
+    Rae et al. 2021 Table A1): per-rule booleans + the conjunction, so the
+    gate verifies both the FILTER decision and the AUDIT numbers.
+    min_words tuned to 20 for this corpus (docs run 8-90 words; the
+    paper's 50 would reject nearly everything) — every other threshold is
+    the paper default."""
+    from naru_spark.pipeline.curation import gopher_filter
+
+    docs = _docs(spark, sf_dir)
+    return gopher_filter(docs, min_words=20).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "n_req_stopwords", "pass_word_count",
+        "pass_mean_word_len", "pass_symbol_ratio", "pass_alpha_words",
+        "pass_stopwords", "keep",
+    )
+
+
+def sql_gopher_filter(min_words: int = 20) -> str:
+    stop = ", ".join(f"'{w}'" for w in __import__("naru_spark.pipeline.curation", fromlist=["GOPHER_REQUIRED_STOPWORDS"]).GOPHER_REQUIRED_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks), 6)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+              ELSE 0.0 END AS alpha_word_frac,
+         len(list_intersect(list_distinct(toks), [{stop}])) AS n_req_stopwords
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len, symbol_ratio,
+       alpha_word_frac, CAST(n_req_stopwords AS INTEGER) AS n_req_stopwords,
+       (n_words >= {min_words} AND n_words <= 100000) AS pass_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+       (symbol_ratio <= 0.1) AS pass_symbol_ratio,
+       (alpha_word_frac >= 0.8) AS pass_alpha_words,
+       (n_req_stopwords >= 2) AS pass_stopwords,
+       ((n_words >= {min_words} AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_ratio <= 0.1)
+        AND (alpha_word_frac >= 0.8)
+        AND (n_req_stopwords >= 2)) AS keep
+FROM s
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 1 of distributed BPE training (pipeline.bpe.bpe_pair_counts):
+    adjacent character-pair frequencies weighted by the corpus word count —
+    the statistic the merge loop maximizes. Deterministic top-50
+    (count desc, pair asc) -> exact DuckDB oracle."""
+    from naru_spark.pipeline.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+def sql_bpe_pair_counts(k: int = 50) -> str:
+    return f"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+  ) WHERE length(word) > 0 GROUP BY word
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM wf, UNNEST(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT {k}
+"""
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge loop (pipeline.bpe.bpe_learn): one distributed word
+    count, then 20 deterministic merges on the driver over the bounded
+    vocabulary table. Rows-only entry (the loop is iterative, not
+    SQL-expressible); the merge sequence itself is unit-tested against a
+    hand-computed example in tests/test_pipeline.py."""
+    from naru_spark.pipeline.bpe import bpe_learn
+
+    merges = bpe_learn(_docs(spark, sf_dir), num_merges=20)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
 def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quality-scoring operator (pipeline.text.with_quality_score
     — pure stateless JVM expressions) applied to the documents STREAM:
@@ -1798,6 +1897,9 @@ def build_pipeline_registry():
         "similarity_topk_ivf_oracle": q_similarity_ivf_oracle,
         "like_estimates": q_like_estimates,
         "like_estimates_anchored": q_like_estimates_anchored,
+        "gopher_filter": q_gopher_filter,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_learn": q_bpe_learn,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -1859,6 +1961,8 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "similarity_topk_ivf_oracle": sql_similarity_ivf_oracle(),
         "like_estimates": sql_like_estimates(),
         "like_estimates_anchored": sql_like_estimates_anchored(),
+        "gopher_filter": sql_gopher_filter(),
+        "bpe_pair_counts": sql_bpe_pair_counts(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

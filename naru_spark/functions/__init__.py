@@ -8,6 +8,7 @@ that use it.
     df.withColumn("cos", NF.cosine_expr("a", "b"))
 """
 
+from naru_spark.estimators.like import char_ngrams_expr
 from naru_spark.pipeline.similarity import cosine_expr
 from naru_spark.pipeline.text import (
     BPE_TOKEN_RE,
@@ -22,6 +23,7 @@ from naru_spark.predicates import spark_predicate, sql_predicate
 
 __all__ = [
     "BPE_TOKEN_RE",
+    "char_ngrams_expr",
     "cosine_expr",
     "spark_predicate",
     "sql_predicate",

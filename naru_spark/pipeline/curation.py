@@ -285,3 +285,66 @@ def data_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+# Gopher rule set (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# Table A1): the canonical doc-level quality gate every production corpus
+# pipeline applies before training.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style composite quality filter: one boolean per rule plus the
+    conjunction (``keep``), so downstream can both FILTER and AUDIT (which
+    rule rejected how much — the number every curation report prints).
+
+    Rules (defaults = the paper's; callers tune per corpus):
+      word count in [min_words, max_words]; mean word length in
+      [min, max]; symbol-to-word ratio (# and ellipsis) <= max;
+      fraction of words containing an alphabetic char >= min; at least
+      ``min_distinct_stopwords`` DISTINCT required stopwords present.
+
+    All pure JVM array/regex expressions — single pass, zero shuffle,
+    whole-stage codegen; ratios rounded to 6 so the DuckDB oracle
+    reproduces them bit-for-bit."""
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_wl = F.when(n_words > 0, F.round(sum_len / n_words, 6)).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (F.length(text) - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    symbol_ratio = F.when(n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 6)).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, F.round(n_alpha_words / n_words, 6)).otherwise(F.lit(0.0))
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, req))  # DISTINCT by construction
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_word_frac
+    r_stop = n_stop >= min_distinct_stopwords
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("n_req_stopwords", n_stop)
+        .withColumn("pass_word_count", r_words)
+        .withColumn("pass_mean_word_len", r_mean)
+        .withColumn("pass_symbol_ratio", r_symbol)
+        .withColumn("pass_alpha_words", r_alpha)
+        .withColumn("pass_stopwords", r_stop)
+        .withColumn("keep", r_words & r_mean & r_symbol & r_alpha & r_stop)
+    )

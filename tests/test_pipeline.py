@@ -738,3 +738,50 @@ def test_ivf_oracle_mode_keeps_recall(spark, emb):
     # same bar as test_ivf_topk_recall: uniform-ish vectors are ANN's worst
     # case; recall tracks the probed fraction plus cluster structure
     assert hits / 50 >= 0.5
+
+
+def test_bpe_learn_hand_example(spark):
+    """BPE merge loop vs the hand-computable classic: corpus of
+    low/lower/newest/widest-style repeats. Merge 1 on this corpus must be
+    the most frequent adjacent char pair with lexicographic tiebreak, and
+    merged symbols must participate in later rounds."""
+    from naru_spark.pipeline.bpe import bpe_learn
+
+    # word freqs: "aaab" x3, "aab" x2  => pairs: (a,a): 3*2+2*1=8,
+    # (a,b): 3+2=5  -> merge1 = (a,a) cnt 8
+    # after: aaab -> [aa,a,b] (left-to-right greedy), aab -> [aa,b]
+    # pairs: (aa,a):3, (a,b):3, (aa,b):2 -> tie (a,b) vs (aa,a):
+    # lexicographic ('a','b') < ('aa','a')?  ('a','b') vs ('aa','a'):
+    # 'a' < 'aa' so ('a','b') wins the tie -> merge2 = (a,b) cnt 3
+    rows = [(i, "aaab") for i in range(3)] + [(10 + i, "aab") for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_learn(df, num_merges=3)
+    assert merges[0] == (0, "a", "a", 8)
+    assert merges[1] == (1, "a", "b", 3)
+    # round 3: vocab is {(aa,ab):3, (aa,b):2} -> pairs (aa,ab):3, (aa,b):2
+    assert merges[2] == (2, "aa", "ab", 3)
+
+
+def test_gopher_filter_rules(spark):
+    """Each Gopher rule triggers independently on crafted docs."""
+    from naru_spark.pipeline.curation import gopher_filter
+
+    good = "the cat and the dog have fun with a ball in the sun " * 5
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "the of and"),                          # too few words
+        (2, "the supercalifragilistic " + " ".join(["extraordinarily"] * 60)),  # mean word len > 10
+        (3, ("the of #### " + "#" * 50 + " ") * 20),  # symbol ratio
+        (4, ("the of " + "123 456 789 " * 30)),     # alpha word frac < 0.8
+        (5, "cat dog bird fish " * 20),             # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_filter(df, min_words=10).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["pass_word_count"] is False
+    assert got[2]["pass_mean_word_len"] is False
+    assert got[3]["pass_symbol_ratio"] is False
+    assert got[4]["pass_alpha_words"] is False
+    assert got[5]["pass_stopwords"] is False
+    for i in (1, 2, 3, 4, 5):
+        assert got[i]["keep"] is False
