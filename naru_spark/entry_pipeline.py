@@ -1826,6 +1826,65 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified downsampling
+    (pipeline.curation.stratified_sample_hash): per-source keep rates
+    decided by a content-hash threshold, so selection is reproducible
+    across runs/engines/partitionings — rand()-based sampleBy is not.
+    Emits the per-doc decision (keep) so the oracle verifies the exact
+    selection, not just counts."""
+    from naru_spark.pipeline.curation import stratified_sample_hash
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample_hash(docs, _STRAT_RATES, default_rate=0.1).select(
+        "doc_id", "source", "keep"
+    )
+
+
+def sql_stratified_sample(salt: str = "seed0") -> str:
+    def thr(rate: float) -> str:
+        return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+    whens = "\n         ".join(
+        f"WHEN source = '{s}' THEN " + ("TRUE" if r >= 1.0 else f"h8 < '{thr(r)}'")
+        for s, r in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source,
+       CASE {whens}
+            ELSE h8 < '{thr(0.1)}' END AS keep
+FROM (SELECT doc_id, source, substr(md5('{salt}' || text), 1, 8) AS h8 FROM documents)
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking
+    (pipeline.curation.chunk_documents): the context-length prep step.
+    Row-local posexplode(sequence) — zero shuffle; starts/ids/lengths all
+    deterministic, so the chunk table carries a full oracle."""
+    from naru_spark.pipeline.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_chars=200, overlap=50)
+
+
+def sql_chunk_documents(chunk_chars: int = 200, overlap: int = 50) -> str:
+    step = chunk_chars - overlap
+    return f"""
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, CAST(s AS INTEGER) AS chunk_start,
+       substr(text, CAST(s AS INTEGER), {chunk_chars}) AS chunk,
+       length(substr(text, CAST(s AS INTEGER), {chunk_chars})) AS chunk_len
+FROM (
+  SELECT doc_id, text, u.s AS s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.s) - 1 AS INTEGER) AS i
+  FROM documents,
+       UNNEST(range(1, GREATEST(1, length(text) - {overlap}) + 1, {step})) AS u(s)
+)
+"""
+
+
 def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quality-scoring operator (pipeline.text.with_quality_score
     — pure stateless JVM expressions) applied to the documents STREAM:
@@ -1900,6 +1959,8 @@ def build_pipeline_registry():
         "gopher_filter": q_gopher_filter,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn": q_bpe_learn,
+        "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -1963,6 +2024,8 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "like_estimates_anchored": sql_like_estimates_anchored(),
         "gopher_filter": sql_gopher_filter(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
+        "stratified_sample": sql_stratified_sample(),
+        "chunk_documents": sql_chunk_documents(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

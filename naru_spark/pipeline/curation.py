@@ -348,3 +348,71 @@ def gopher_filter(
         .withColumn("pass_stopwords", r_stop)
         .withColumn("keep", r_words & r_mean & r_symbol & r_alpha & r_stop)
     )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "seed0",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic hash-stratified downsampling: keep a document iff the
+    first 8 hex digits of md5(salt || text) fall below its source's rate
+    threshold (floor(rate * 16^8) rendered as 8-digit hex, compared
+    LEXICOGRAPHICALLY — both engines agree on lowercase-hex ordering, so
+    the decision is bit-reproducible).
+
+    This is the production-correct downsampler: per-row keep decisions are
+    a pure function of content + salt, so re-runs, repartitions, corpus
+    reorderings, and different engines select the SAME documents — unlike
+    rand()-based sampleBy, whose selection changes with partitioning.
+    Changing ``salt`` redraws the sample. Zero shuffle."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.col(text_col))), 1, 8)
+
+    def thr(rate: float) -> str:
+        return format(min(int(rate * 16**8), 16**8 - 1) if rate < 1.0 else 16**8 - 1, "08x")
+
+    expr = None
+    for src, rate in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        keep_src = h < F.lit(thr(rate)) if rate < 1.0 else F.lit(True)
+        expr = F.when(cond, keep_src) if expr is None else expr.when(cond, keep_src)
+    default_keep = F.lit(True) if default_rate >= 1.0 else (h < F.lit(thr(default_rate)))
+    keep = default_keep if expr is None else expr.otherwise(default_keep)
+    return df.withColumn("__h8", h).withColumn("keep", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the context-length prep step between curation and tokenization (long
+    docs must be windowed; the overlap preserves cross-boundary context).
+
+    Chunk starts are ``1, 1+step, ...`` up to ``max(1, len - overlap)``
+    with ``step = chunk_chars - overlap``; a shorter-than-overlap document
+    yields exactly one whole-document chunk. posexplode(sequence(...)) —
+    row-local generation, zero shuffle, chunk_id deterministic."""
+    assert overlap < chunk_chars
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length(text) - F.lit(overlap)), F.lit(step)
+    )
+    exploded = df.select(
+        id_col, text_col, F.posexplode(starts).alias("chunk_id", "chunk_start")
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_start"), chunk_chars)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )

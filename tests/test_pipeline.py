@@ -785,3 +785,51 @@ def test_gopher_filter_rules(spark):
     assert got[5]["pass_stopwords"] is False
     for i in (1, 2, 3, 4, 5):
         assert got[i]["keep"] is False
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    """Hash-stratified sampling: selection is invariant under repartition
+    (the property rand()-sampleBy lacks) and per-source keep rates land
+    near their targets."""
+    from naru_spark.pipeline.curation import stratified_sample_hash
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    rates = {"src0": 0.5, "src1": 0.0}
+    a = {r["doc_id"]: r["keep"] for r in stratified_sample_hash(docs, rates).collect()}
+    b = {
+        r["doc_id"]: r["keep"]
+        for r in stratified_sample_hash(docs.repartition(7), rates).collect()
+    }
+    assert a == b  # content-hash decisions ignore partitioning
+    rows = stratified_sample_hash(docs, rates, default_rate=1.0).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["keep"])
+    assert not any(by_src["src1"])           # rate 0 keeps nothing
+    assert all(by_src["src2"])               # default rate 1 keeps all
+    frac = sum(by_src["src0"]) / len(by_src["src0"])
+    assert 0.2 <= frac <= 0.8                # ~0.5 on a small stratum
+
+
+def test_chunk_documents_reconstruct(spark):
+    """Chunking invariants: concatenating each doc's chunks minus the
+    overlaps reconstructs the document; short docs yield one whole-doc
+    chunk; every chunk has positive length."""
+    from naru_spark.pipeline.curation import chunk_documents
+
+    rows = [(0, "x" * 48), (1, "".join(chr(97 + i % 26) for i in range(553)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_chars=200, overlap=50).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk"] == "x" * 48
+    text = rows[1][1]
+    rebuilt = by_doc[1][0]["chunk"] + "".join(c["chunk"][50:] for c in by_doc[1][1:])
+    assert rebuilt == text
+    assert all(r["chunk_len"] > 0 for r in out)
+    # every char position is covered by some chunk
+    for c in by_doc[1]:
+        assert c["chunk"] == text[c["chunk_start"] - 1 : c["chunk_start"] - 1 + 200]
