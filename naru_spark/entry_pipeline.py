@@ -1746,7 +1746,9 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_gopher_filter(min_words: int = 20) -> str:
-    stop = ", ".join(f"'{w}'" for w in __import__("naru_spark.pipeline.curation", fromlist=["GOPHER_REQUIRED_STOPWORDS"]).GOPHER_REQUIRED_STOPWORDS)
+    from naru_spark.pipeline.curation import GOPHER_REQUIRED_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
     return f"""
 WITH t AS (
   SELECT doc_id,
