@@ -318,3 +318,49 @@ def test_advised_q5_broadcasts_both_dims(spark):
     plan = plan_str(q_advised_q5(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 3  # region->nation, dims
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 100 TB skew story, demonstrated live: a join where one key holds
+    95% of the left side. With AQE skew handling on, the FINAL adaptive
+    plan splits the hot shuffle partition — SortMergeJoin(skew=true) with
+    a 'coalesced and skewed' AQEShuffleRead; with it off, the same join
+    runs unsplit. (Complements salted_group_counts, which handles skew in
+    aggregation; this is Spark handling it in joins at runtime.)"""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    left = spark.range(0, 400_000).select(
+        F.when(F.col("id") < 380_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("v" * 60), F.col("id").cast("string")).alias("pay"),
+    )
+    right = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # test-sized skew thresholds (production defaults are 256MB/media
+        # factor 5 — the mechanism is identical)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        j2 = left.join(right, "k")
+        j2.collect()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
