@@ -1887,6 +1887,59 @@ FROM (
 """
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (pipeline.multimodal): deterministic P5 images
+    (even ids) and PCM WAV clips (odd ids) are generated executor-side,
+    then decoded by the real netpbm/wave parsers — width/height/mean pixel
+    for images, sample count/rate/RMS for audio. The synthetic pixels and
+    samples have closed forms, so every decoded statistic is verified by
+    SQL arithmetic: the decode step itself is inside the hard gate."""
+    from naru_spark.pipeline.multimodal import attach_synth_media, decode_media_features
+
+    docs = _docs(spark, sf_dir)
+    return decode_media_features(attach_synth_media(docs))
+
+
+def sql_multimodal_real_decode() -> str:
+    # image: pixel(l) = (l + id) % 256 over l in [0,192); audio: sample(i)
+    # = ((i*37 + id) % 65536) - 32768 over i in [0,1024). Sums fit in
+    # exact-double range, so AVG/SQRT agree bit-for-bit across engines.
+    return """
+SELECT doc_id AS blob_id, 'image' AS kind,
+       CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       ROUND((SELECT AVG((l + doc_id) % 256) FROM UNNEST(range(0, 192)) t(l)), 6) AS mean_pixel,
+       CAST(NULL AS INTEGER) AS n_samples, CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS DOUBLE) AS rms
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'audio', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+       CAST(1024 AS INTEGER), CAST(8000 AS INTEGER),
+       ROUND(SQRT((SELECT AVG(POW(((i*37 + doc_id) % 65536) - 32768, 2))
+                   FROM UNNEST(range(0, 1024)) t(i))), 6)
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 2D nearest-neighbor thumbnail of the decoded P5 images
+    (numpy index-grid resample): output dims + resized-pixel checksum,
+    each checksum re-derivable in SQL from the closed-form pixels."""
+    from naru_spark.pipeline.multimodal import attach_synth_media, resize_image_real
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    return resize_image_real(attach_synth_media(docs), width=8, height=6)
+
+
+def sql_multimodal_resize_real(width: int = 8, height: int = 6, W: int = 16, H: int = 12) -> str:
+    # resized pixel (y, x) samples source index l = (y*H//height)*W + (x*W//width)
+    return f"""
+SELECT doc_id AS blob_id, CAST({width} AS INTEGER) AS width, CAST({height} AS INTEGER) AS height,
+       (SELECT CAST(SUM((((y * {H}) // {height}) * {W} + ((x * {W}) // {width}) + doc_id) % 256) AS BIGINT)
+        FROM UNNEST(range(0, {height})) ty(y), UNNEST(range(0, {width})) tx(x)) AS checksum
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
 def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quality-scoring operator (pipeline.text.with_quality_score
     — pure stateless JVM expressions) applied to the documents STREAM:
@@ -1963,6 +2016,8 @@ def build_pipeline_registry():
         "bpe_learn": q_bpe_learn,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
+        "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_resize_real": q_multimodal_resize_real,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -2028,6 +2083,8 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "stratified_sample": sql_stratified_sample(),
         "chunk_documents": sql_chunk_documents(),
+        "multimodal_real_decode": sql_multimodal_real_decode(),
+        "multimodal_resize_real": sql_multimodal_resize_real(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

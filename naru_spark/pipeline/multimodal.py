@@ -2,11 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder derives
-features from the bytes (so the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested end-to-end).
+Decode is REAL for the codecs stdlib+numpy can handle — binary netpbm
+images (``decode_pnm``: P5/P6, comments, 16-bit maxval) and PCM WAV
+(``decode_wav``) — and those paths sit inside the hard DuckDB gate via
+closed-form synthetic media (``attach_synth_media``). Compressed codecs
+(JPEG/PNG/MP3/H.264) genuinely require PIL/av, absent in this container:
+those paths raise a clearly-marked NotImplementedError, with the
+deterministic fake decoder keeping their Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — tested end-to-end.
 
 Schema convention:
   blob        binary         -- the raw payload
@@ -35,6 +38,87 @@ def attach_fake_blobs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.lit("utf-8").alias("encoding"),
         ).alias("meta"),
     )
+
+
+# ------------------------------------------------------------- REAL decoders
+# Not every codec needs an external library: the netpbm image family and
+# PCM WAV are fully decodable with numpy + stdlib, so for these the decode
+# step is REAL, not stubbed — the NotImplementedError below now only covers
+# compressed codecs (JPEG/PNG/MP3/H.264) that genuinely require PIL/av.
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Decode a binary netpbm image: P5 (grayscale) -> [H, W] uint8/uint16,
+    P6 (RGB) -> [H, W, 3]. Full header parsing: '#' comments, arbitrary
+    whitespace, maxval (>255 -> big-endian 16-bit samples per the spec)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload: {payload[:2]!r}")
+    # tokenize the header: magic, width, height, maxval; '#' starts a comment
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    width, height, maxval = tokens
+    channels = 3 if payload[:2] == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    count = width * height * channels
+    img = np.frombuffer(payload, dtype=dtype, count=count, offset=i)
+    if channels == 3:
+        return img.reshape(height, width, 3)
+    return img.reshape(height, width)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV payload with the stdlib ``wave`` reader: returns
+    ([n_frames, channels] int16/uint8 samples, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.dtype("<i2")}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    return np.frombuffer(raw, dtype=dtype).reshape(n, ch), rate
+
+
+def synth_pgm(blob_id: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic P5 test image: pixel at linear index l is
+    (l + blob_id) % 256 — closed form, so decoded statistics are
+    SQL-computable for the oracle."""
+    header = f"P5 {width} {height} 255\n".encode()
+    pixels = ((np.arange(width * height) + blob_id) % 256).astype(np.uint8)
+    return header + pixels.tobytes()
+
+
+def synth_wav(blob_id: int, n_samples: int = 1024, rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: sample i is
+    ((i*37 + blob_id) % 65536) - 32768 — integer-exact closed form."""
+    import io
+    import wave
+
+    samples = (((np.arange(n_samples) * 37 + blob_id) % 65536) - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 def _fake_image_decode(payload: bytes) -> np.ndarray:
@@ -122,6 +206,95 @@ def resize(df: DataFrame, width: int = 8, height: int = 8, fake: bool = True) ->
                     }
                 )
             yield pd.DataFrame(rows)
+
+    return df.select("blob_id", "blob").mapInPandas(run, schema=out_schema)
+
+
+def attach_synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach deterministic REAL media blobs: even ids get a P5 image,
+    odd ids a PCM WAV — generated inside an Arrow-batched mapInPandas (the
+    blob never touches the driver), decodable by ``decode_pnm``/
+    ``decode_wav`` with closed-form statistics for the oracle."""
+    out_schema = "blob_id long, blob binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid in pdf["blob_id"]:
+                bid = int(bid)
+                if bid % 2 == 0:
+                    rows.append((bid, synth_pgm(bid), "image/x-portable-graymap"))
+                else:
+                    rows.append((bid, synth_wav(bid), "audio/wav"))
+            yield pd.DataFrame(rows, columns=["blob_id", "blob", "media_type"])
+
+    return df.select(F.col(id_col).alias("blob_id")).mapInPandas(gen, schema=out_schema)
+
+
+def decode_media_features(df: DataFrame) -> DataFrame:
+    """REAL media feature extraction over binary blobs, dispatched by
+    media_type inside one mapInPandas pass:
+
+      image/x-portable-graymap|pixmap -> decode_pnm: (width, height,
+        mean_pixel)
+      audio/wav                       -> decode_wav: (n_samples,
+        sample_rate, rms)
+      anything compressed             -> NotImplementedError (JPEG/PNG/MP3
+        need PIL/av, absent in this environment)
+
+    Same Spark shape as ``decode_features`` — Arrow batches, one numpy
+    decode per payload, partition-parallel — but the decode is real."""
+    out_schema = (
+        "blob_id long, kind string, width int, height int, mean_pixel double,"
+        " n_samples int, sample_rate int, rms double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob, mt in zip(pdf["blob_id"], pdf["blob"], pdf["media_type"]):
+                payload = bytes(blob)
+                if mt in ("image/x-portable-graymap", "image/x-portable-pixmap"):
+                    img = decode_pnm(payload)
+                    h, w = img.shape[:2]
+                    rows.append((int(bid), "image", w, h,
+                                 round(float(img.astype(np.float64).mean()), 6),
+                                 None, None, None))
+                elif mt == "audio/wav":
+                    samples, rate = decode_wav(payload)
+                    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                    rows.append((int(bid), "audio", None, None, None,
+                                 int(samples.shape[0]), int(rate), round(rms, 6)))
+                else:
+                    raise NotImplementedError(
+                        f"decode for {mt} requires PIL/av (not in this environment)"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["blob_id", "kind", "width", "height", "mean_pixel",
+                         "n_samples", "sample_rate", "rms"],
+            )
+
+    return df.select("blob_id", "blob", "media_type").mapInPandas(extract, schema=out_schema)
+
+
+def resize_image_real(df: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
+    """REAL 2D nearest-neighbor resize of decoded netpbm images (numpy
+    index-grid sampling — the actual resample a thumbnailer performs, not
+    a byte-stream fake): emits output dims + resized-pixel checksum."""
+    out_schema = "blob_id long, width int, height int, checksum bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf["blob_id"], pdf["blob"]):
+                img = decode_pnm(bytes(blob))
+                h, w = img.shape[:2]
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                small = img[np.ix_(ys, xs)]
+                rows.append((int(bid), width, height, int(small.astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=["blob_id", "width", "height", "checksum"])
 
     return df.select("blob_id", "blob").mapInPandas(run, schema=out_schema)
 

@@ -833,3 +833,59 @@ def test_chunk_documents_reconstruct(spark):
     # every char position is covered by some chunk
     for c in by_doc[1]:
         assert c["chunk"] == text[c["chunk_start"] - 1 : c["chunk_start"] - 1 + 200]
+
+
+def test_pnm_wav_decoders_real():
+    """Real decoders, no Spark: PGM/PPM header parsing (comments,
+    multi-whitespace, 16-bit maxval, color planes) and PCM WAV roundtrip."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from naru_spark.pipeline.multimodal import (
+        decode_pnm,
+        decode_wav,
+        synth_pgm,
+        synth_wav,
+    )
+
+    # synth roundtrip: decoded pixels match the closed form
+    img = decode_pnm(synth_pgm(7, width=16, height=12))
+    assert img.shape == (12, 16) and img.dtype == np.uint8
+    assert img[0, 0] == 7 and img[0, 1] == 8
+    assert int(img.astype(int).sum()) == sum((l + 7) % 256 for l in range(192))
+
+    # header with comment + odd whitespace
+    pay = b"P5 # a comment\n 3\t2\n255\n" + bytes(range(6))
+    img2 = decode_pnm(pay)
+    assert img2.shape == (2, 3) and img2[1, 2] == 5
+
+    # P6 color
+    pay6 = b"P6 2 1 255\n" + bytes([10, 20, 30, 40, 50, 60])
+    img6 = decode_pnm(pay6)
+    assert img6.shape == (1, 2, 3) and tuple(img6[0, 1]) == (40, 50, 60)
+
+    # 16-bit maxval -> big-endian uint16 samples
+    pay16 = b"P5 2 1 65535\n" + (256).to_bytes(2, "big") + (513).to_bytes(2, "big")
+    img16 = decode_pnm(pay16)
+    assert img16.dtype == np.dtype(">u2") and list(img16[0]) == [256, 513]
+
+    # not a pnm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_pnm(b"\x89PNG....")
+
+    # WAV: synth roundtrip + stereo stdlib roundtrip
+    samples, rate = decode_wav(synth_wav(3, n_samples=64, rate=4000))
+    assert rate == 4000 and samples.shape == (64, 1)
+    assert int(samples[0, 0]) == ((0 * 37 + 3) % 65536) - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.array([[1, -1], [2, -2]], dtype="<i2").tobytes())
+    st, r2 = decode_wav(buf.getvalue())
+    assert r2 == 16000 and st.shape == (2, 2) and int(st[1, 1]) == -2
