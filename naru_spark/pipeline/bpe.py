@@ -103,3 +103,58 @@ def bpe_learn(
         vocab = new_vocab
         merges.append((rank, left, right, cnt))
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merges to the corpus — the job that actually runs at
+    100 TB, and it is embarrassingly map-only: the merge table (KBs)
+    broadcasts inside the closure, every executor encodes its rows
+    independently (Arrow-batched mapInPandas), zero shuffle. A per-word
+    memo exploits the corpus' repeated vocabulary: each DISTINCT word is
+    encoded once per partition, not once per occurrence.
+
+    Encoding is the standard greedy scheme: repeatedly apply the
+    lowest-rank applicable merge until none applies. Deterministic given
+    the merges, so two engines (or the pure-python reference in tests)
+    agree token-for-token. Output: per-doc BPE token count + distinct
+    token count (the corpus-level stats a tokenizer report needs)."""
+    import pandas as pd
+
+    ranks = {(l, r): i for i, l, r, _ in merges}
+    out_schema = f"{id_col} long, n_bpe_tokens int, n_distinct_tokens int"
+
+    def encode_word(word: str, memo: dict) -> tuple:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        got = tuple(syms)
+        memo[word] = got
+        return got
+
+    def run(batches) -> "pd.DataFrame":
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list = []
+                for w in str(text).split():
+                    toks.extend(encode_word(w, memo))
+                rows.append((int(did), len(toks), len(set(toks))))
+            yield pd.DataFrame(rows, columns=[id_col, "n_bpe_tokens", "n_distinct_tokens"])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -889,3 +889,41 @@ def test_pnm_wav_decoders_real():
         w.writeframes(np.array([[1, -1], [2, -2]], dtype="<i2").tobytes())
     st, r2 = decode_wav(buf.getvalue())
     assert r2 == 16000 and st.shape == (2, 2) and int(st[1, 1]) == -2
+
+
+def test_bpe_encode_parity_and_consistency(spark):
+    """bpe_encode (distributed, memoized) agrees token-for-token with a
+    pure-python reference encoder, and encoding with the learned merges
+    strictly compresses the char-level token count."""
+    from naru_spark.pipeline.bpe import bpe_encode, bpe_learn
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE).limit(40)
+    merges = bpe_learn(docs, num_merges=10)
+    ranks = {(l, r): i for i, l, r, _ in merges}
+
+    def ref_encode(word):
+        syms = list(word)
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for row in docs.collect():
+        toks = []
+        for w in row["text"].split():
+            toks.extend(ref_encode(w))
+        assert got[row["doc_id"]]["n_bpe_tokens"] == len(toks)
+        assert got[row["doc_id"]]["n_distinct_tokens"] == len(set(toks))
+        # merges only ever shrink the symbol count below raw chars
+        n_chars = sum(len(w) for w in row["text"].split())
+        assert len(toks) < n_chars
