@@ -1962,6 +1962,96 @@ FROM documents WHERE doc_id % 2 = 0
 """
 
 
+_PQ_CB_CACHE: dict = {}
+
+
+def _pq_codebooks(sf_dir: str, m: int = 8, k: int = 16, seed: int = 5):
+    """Deterministic PQ codebook fit shared by the Spark entry and its SQL
+    generator (same protocol as ``_ivf_oracle_centroids``): pandas read
+    sorted by vec_id -> per-subspace euclidean k-means, no SparkSession
+    needed so the oracle can inline the exact codebooks."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import pq_fit
+    from naru_spark.workload import load_table_pandas
+
+    key = (sf_dir, m, k, seed)
+    if key not in _PQ_CB_CACHE:
+        pdf = load_table_pandas(sf_dir, "embeddings", ["vec_id", "embedding"]).sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        _PQ_CB_CACHE[key] = pq_fit(mat, m=m, k=k, seed=seed)
+    return _PQ_CB_CACHE[key]
+
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (pipeline.similarity.pq_fit/encode/
+    topk): corpus encoded to m=8 uint8 codes (32x compression of 64-d
+    float32), queries scored by asymmetric distance — per query an [m, k]
+    table, per corpus vector m lookups + a sum. Distances use the
+    engine-reproducible ROUND(xx - 2*xc + cc, 6) expansion, so encoding,
+    table entries, ADC totals, and the (adc asc, id asc) ranking are all
+    mirrored exactly by the DuckDB oracle. THE billion-vector scan shape:
+    encode and scoring are both map-only."""
+    from naru_spark.pipeline.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(emb, queries, _pq_codebooks(sf_dir), k=10, decimals=6)
+
+
+def sql_similarity_pq(k: int = 10, m: int = 8, dsub: int = 8) -> str:
+    from naru_spark.entry_queries import WORKLOAD_SF
+
+    cb = _pq_codebooks(WORKLOAD_SF)
+    values = ",\n    ".join(
+        f"({j}, {c}, CAST([{', '.join(repr(float(x)) for x in cb[j, c])}] AS DOUBLE[]))"
+        for j in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    )
+    d2 = (
+        "ROUND(list_inner_product(x, x) - 2*list_inner_product(x, cv)"
+        " + list_inner_product(cv, cv), 6)"
+    )
+    return f"""
+WITH cb(sub, code, cv) AS (
+  VALUES
+    {values}
+),
+subs AS (SELECT CAST(s AS INTEGER) AS sub FROM UNNEST(range(0, {m})) t(s)),
+corpus_sub AS (
+  SELECT vec_id, sub,
+         CAST(embedding[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS DOUBLE[]) AS x
+  FROM embeddings, subs
+),
+dists AS (
+  SELECT vec_id, sub, code, {d2} AS d2
+  FROM corpus_sub JOIN cb USING (sub)
+),
+assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT vec_id AS query_id, sub, code, d2 FROM dists WHERE vec_id < 5
+),
+scored AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id, ROUND(SUM(t.d2), 6) AS adc
+  FROM assign a JOIN qtab t ON t.sub = a.sub AND t.code = a.code
+  GROUP BY t.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quality-scoring operator (pipeline.text.with_quality_score
     — pure stateless JVM expressions) applied to the documents STREAM:
@@ -2041,6 +2131,7 @@ def build_pipeline_registry():
         "chunk_documents": q_chunk_documents,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize_real": q_multimodal_resize_real,
+        "similarity_topk_pq": q_similarity_pq,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -2108,6 +2199,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "chunk_documents": sql_chunk_documents(),
         "multimodal_real_decode": sql_multimodal_real_decode(),
         "multimodal_resize_real": sql_multimodal_resize_real(),
+        "similarity_topk_pq": sql_similarity_pq(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

@@ -513,3 +513,144 @@ def knn_graph(
             yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine", "rank"])
 
     return df.select(id_col, vec_col).repartition(32).mapInPandas(blocks, schema=_KNN_SCHEMA)
+
+
+# ------------------------------------------------------------------ PQ (ANN)
+def kmeans_l2_np(mat: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Plain (euclidean) k-means, deterministic numpy — the PQ codebook
+    fit. Unlike ``kmeans_np`` above there is NO row normalization: PQ
+    quantizes raw subvectors, not directions."""
+    mat = mat.astype(np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    cents = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = mat[rng.randint(len(mat))]
+    return cents
+
+
+def pq_fit(mat: np.ndarray, m: int = 8, k: int = 16, seed: int = 5) -> np.ndarray:
+    """Product-quantization codebooks: split the dim-D vectors into ``m``
+    contiguous subspaces and fit an independent ``k``-code euclidean
+    codebook per subspace. Returns [m, k, D/m]. The fit runs on a bounded
+    sample (here: the collected matrix) — at 100 TB you fit on a few
+    hundred thousand sampled rows; ENCODING is the corpus-sized job and
+    that is map-only."""
+    n, D = mat.shape
+    assert D % m == 0, (D, m)
+    dsub = D // m
+    return np.stack(
+        [kmeans_l2_np(mat[:, j * dsub : (j + 1) * dsub], k, seed + j) for j in range(m)]
+    )
+
+
+def _pq_d2(x: np.ndarray, cents: np.ndarray, decimals: int | None) -> np.ndarray:
+    """Squared L2 between rows of x [N,d] and codes [k,d] via the
+    engine-reproducible expansion ROUND(xx - 2*xc + cc, decimals) — the
+    same fixed combination the SQL oracle writes, so assignment ties break
+    identically."""
+    xx = (x * x).sum(-1)[:, None]
+    cc = (cents * cents).sum(-1)[None, :]
+    xc = x @ cents.T
+    d2 = (xx - 2 * xc) + cc
+    return np.round(d2, decimals) if decimals is not None else d2
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int | None = None,
+) -> DataFrame:
+    """Encode every vector to m uint8 codes (argmin distance per subspace,
+    ties -> lowest code): Arrow-batched mapInPandas, codebooks broadcast —
+    the corpus-sized PQ job, map-only, 32x compression at m=8/k=16 over
+    64 float32 dims."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    m, k, dsub = codebooks.shape
+
+    def run(batches):
+        cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                d2 = _pq_d2(mat[:, j * dsub : (j + 1) * dsub], cb[j], decimals)
+                codes[:, j] = np.argmin(d2, axis=1)  # first minimum = lowest code
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    decimals: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries stay exact, the corpus is its
+    codes. Per query an [m, k] distance table is built once; scoring a
+    corpus vector is m table lookups + a sum — THE trick that makes
+    billion-vector scans memory- and compute-cheap. Plan shape: encode is
+    map-only; scoring is one mapInPandas over the encoded corpus with the
+    tiny query tables broadcast; top-k is a per-query window."""
+    spark = corpus.sparkSession
+    m, kk, dsub = codebooks.shape
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    qids = q_pdf[query_id_col].to_numpy()
+    tables = np.stack(
+        [
+            np.stack(
+                [_pq_d2(qmat[:, j * dsub : (j + 1) * dsub], codebooks[j], decimals)[i]
+                 for j in range(m)]
+            )
+            for i in range(len(qmat))
+        ]
+    )  # [n_q, m, k]
+    bc = spark.sparkContext.broadcast((qids, tables))
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col, decimals)
+
+    def score(batches):
+        ids, tabs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # [N, m]
+            rows = []
+            for qi, qid in enumerate(ids):
+                t = tabs[qi]  # [m, k]
+                adc = t[np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                if decimals is not None:
+                    adc = np.round(adc, decimals)
+                for nid, s in zip(pdf["vec_id"].to_numpy(), adc):
+                    rows.append((int(qid), int(nid), float(s)))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+
+    scored = encoded.mapInPandas(score, schema="query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -927,3 +927,47 @@ def test_bpe_encode_parity_and_consistency(spark):
         # merges only ever shrink the symbol count below raw chars
         n_chars = sum(len(w) for w in row["text"].split())
         assert len(toks) < n_chars
+
+
+def test_pq_topk_recall_and_compression(spark):
+    """PQ ADC top-k is a meaningful ANN: decent top-10 overlap with the
+    exact cosine ranking on unit-ish synthetic clusters, 8 codes per
+    64-d vector (32x compression), deterministic across runs."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import brute_force_topk, pq_fit, pq_topk
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(10, 64) * 3
+    vecs = np.concatenate([c + rng.randn(60, 64) * 0.3 for c in centers])
+    # unit-normalize: ADC ranks by L2, the exact baseline by cosine — on
+    # the unit sphere the two orderings coincide, making recall well-defined
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_fit(vecs, m=8, k=16, seed=5)
+    assert cb.shape == (8, 16, 8)
+
+    approx = pq_topk(df, queries, cb, k=30, decimals=6).collect()
+    exact = brute_force_topk(df, queries, k=10).collect()
+    by_q = lambda rows, n: {
+        q: {r["neighbor_id"] for r in rows if r["query_id"] == q and r["rank"] <= n}
+        for q in (0, 1, 2)
+    }
+    a10, a30, e10 = by_q(approx, 10), by_q(approx, 30), by_q(exact, 10)
+    # coarse structure is preserved exactly: every ADC top-10 neighbor
+    # comes from the query's true cluster (queries 0-2 live in cluster 0)
+    cluster0 = set(range(60))
+    assert all(a10[q] <= cluster0 for q in a10), a10
+    # shortlist property (the production shape is ANN shortlist -> exact
+    # re-rank): the ADC top-30 must contain most of the exact top-10 —
+    # within-cluster fine ordering is quantization-noise-dominated by
+    # construction (sigma 0.3 clusters vs 16-code subspace resolution)
+    recall = sum(len(a30[q] & e10[q]) for q in a30) / 30
+    assert recall >= 0.5, recall
+
+    again = pq_topk(df, queries, cb, k=30, decimals=6).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
