@@ -2052,6 +2052,111 @@ SELECT query_id, neighbor_id, adc, rank FROM (
 """
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (pipeline.similarity.ivfpq_topk) — the production
+    billion-vector index: coarse spherical cells route each vector, PQ
+    codes stand in for the floats, queries probe 8/64 cells and ADC-score
+    only those candidates. Both quantizers come from the deterministic
+    numpy fits already oracle-verified separately (`similarity_topk_ivf_
+    oracle`, `similarity_topk_pq`); here their COMPOSITION is verified —
+    cell assignment, probe list, code assignment, ADC totals, ranking."""
+    from naru_spark.pipeline.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir),
+        k=10, n_probe=8, decimals=6,
+    )
+
+
+def sql_similarity_ivfpq(k: int = 10, n_probe: int = 8, m: int = 8, dsub: int = 8) -> str:
+    from naru_spark.entry_queries import WORKLOAD_SF
+
+    cents = _ivf_oracle_centroids(WORKLOAD_SF)
+    cb = _pq_codebooks(WORKLOAD_SF)
+    cent_values = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in row)}] AS DOUBLE[]))"
+        for i, row in enumerate(cents)
+    )
+    cb_values = ",\n    ".join(
+        f"({j}, {c}, CAST([{', '.join(repr(float(x)) for x in cb[j, c])}] AS DOUBLE[]))"
+        for j in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    )
+    d2 = (
+        "ROUND(list_inner_product(x, x) - 2*list_inner_product(x, cv)"
+        " + list_inner_product(cv, cv), 6)"
+    )
+    return f"""
+WITH cents(cell, v) AS (
+  VALUES
+    {cent_values}
+),
+cb(sub, code, cv) AS (
+  VALUES
+    {cb_values}
+),
+cell_scored AS (
+  SELECT e.vec_id, c.cell,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v), 6) AS s
+  FROM embeddings e, cents c
+),
+cell_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM cell_scored WHERE vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+subs AS (SELECT CAST(s AS INTEGER) AS sub FROM UNNEST(range(0, {m})) t(s)),
+corpus_sub AS (
+  SELECT vec_id, sub,
+         CAST(embedding[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS DOUBLE[]) AS x
+  FROM embeddings, subs
+),
+dists AS (
+  SELECT vec_id, sub, code, {d2} AS d2
+  FROM corpus_sub JOIN cb USING (sub)
+),
+code_assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT vec_id AS query_id, sub, code, d2 FROM dists WHERE vec_id < 5
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN cell_assign a USING (cell)
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, ROUND(SUM(t.d2), 6) AS adc
+  FROM cand c
+  JOIN code_assign ca ON ca.vec_id = c.neighbor_id
+  JOIN qtab t ON t.query_id = c.query_id AND t.sub = ca.sub AND t.code = ca.code
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quality-scoring operator (pipeline.text.with_quality_score
     — pure stateless JVM expressions) applied to the documents STREAM:
@@ -2132,6 +2237,7 @@ def build_pipeline_registry():
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize_real": q_multimodal_resize_real,
         "similarity_topk_pq": q_similarity_pq,
+        "similarity_topk_ivfpq": q_similarity_ivfpq,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -2200,6 +2306,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "multimodal_real_decode": sql_multimodal_real_decode(),
         "multimodal_resize_real": sql_multimodal_resize_real(),
         "similarity_topk_pq": sql_similarity_pq(),
+        "similarity_topk_ivfpq": sql_similarity_ivfpq(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

@@ -654,3 +654,114 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    decimals: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the production billion-vector index (FAISS's default
+    shape): a coarse quantizer routes each vector to a cell; within cells,
+    vectors live as PQ codes. A query probes its n_probe nearest cells and
+    ADC-scores ONLY those cells' codes.
+
+    One mapInPandas pass builds the full index row (cell id + m codes) —
+    at 100 TB this is the single corpus read, written partitioned by cell
+    (see ``ivf_write_index``); the probe is then a partition-pruned read
+    of n_probe/n_cells of the data and scoring touches bytes, not floats.
+    Candidate selection is an equi-join against a tiny broadcast
+    (query, cell) list; nothing is ever #queries x #corpus."""
+    spark = corpus.sparkSession
+    m, kk, dsub = codebooks.shape
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+
+    def index_rows(batches):
+        cents, cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            dots = unit @ cents.T
+            if decimals is not None:
+                dots = np.round(dots, decimals)
+            cells = np.argmax(dots, axis=1).astype(np.int32)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                d2 = _pq_d2(mat[:, j * dsub : (j + 1) * dsub], cb[j], decimals)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        index_rows, schema="vec_id long, cell int, codes array<int>"
+    )
+
+    # probe list + per-query ADC tables: tiny, driver-side
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sims = qunit @ centroids.T
+    if decimals is not None:
+        sims = np.round(sims, decimals)
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, len(centroids))]
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, row in zip(q_pdf[query_id_col], probes)
+        for c in row
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    tables = {
+        int(qid): np.stack(
+            [_pq_d2(qmat[i : i + 1, j * dsub : (j + 1) * dsub], codebooks[j], decimals)[0]
+             for j in range(m)]
+        )
+        for i, qid in enumerate(q_pdf[query_id_col])
+    }
+    tab_bc = spark.sparkContext.broadcast(tables)
+
+    cand = index.join(F.broadcast(probe_df), "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+
+    def score(batches):
+        tabs = tab_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            out = np.empty(len(pdf))
+            for qid in np.unique(pdf["query_id"].to_numpy()):
+                mask = (pdf["query_id"] == qid).to_numpy()
+                t = tabs[int(qid)]
+                adc = t[np.arange(codes.shape[1])[None, :], codes[mask]].sum(axis=1)
+                out[mask] = np.round(adc, decimals) if decimals is not None else adc
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc": out,
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema="query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -971,3 +971,35 @@ def test_pq_topk_recall_and_compression(spark):
 
     again = pq_topk(df, queries, cb, k=30, decimals=6).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_topk_plan_and_equivalence(spark):
+    """IVF-PQ: candidate generation is a broadcast equi-join (never a
+    cartesian), and with n_probe = n_cells (probe everything) the ADC
+    ranking equals plain PQ's — the coarse quantizer only PRUNES."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import ivfpq_topk, kmeans_np, pq_fit, pq_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(300, 64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = kmeans_np(vecs, 8, seed=5)
+    cb = pq_fit(vecs, m=8, k=16, seed=5)
+
+    full = ivfpq_topk(df, queries, cents, cb, k=10, n_probe=8, decimals=6)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = sorted(map(tuple, full.collect()))
+    assert got == sorted(map(tuple, pq_topk(df, queries, cb, k=10, decimals=6).collect()))
+
+    pruned = ivfpq_topk(df, queries, cents, cb, k=10, n_probe=2, decimals=6).collect()
+    assert {r["query_id"] for r in pruned} == {0, 1}
+    assert all(1 <= r["rank"] <= 10 for r in pruned)
