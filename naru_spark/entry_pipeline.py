@@ -2157,6 +2157,87 @@ SELECT query_id, neighbor_id, adc, rank FROM (
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard: per-source corpus audit in ONE aggregation
+    pass — doc/token/char volume, exact-duplicate rate (md5 within
+    source), mean quality score, and Gopher keep-rate. This is the query
+    a data lead runs after every pipeline stage; each statistic reuses
+    the exact operator the registry verifies individually, composed into
+    a single groupBy(source) job (token/quality/filter work is row-local,
+    dup counting rides a distinct-hash subaggregate)."""
+    from naru_spark.pipeline.curation import gopher_filter
+    from naru_spark.pipeline.text import with_quality_score
+
+    docs = _docs(spark, sf_dir)
+    enriched = gopher_filter(with_quality_score(docs), min_words=20)
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+            (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dups"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(F.sum(F.col("keep").cast("long")) / F.count("*"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_corpus_report(min_words: int = 20) -> str:
+    from naru_spark.pipeline.curation import GOPHER_REQUIRED_STOPWORDS
+    from naru_spark.pipeline.text import LANG_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, text, len(toks) AS n_tokens,
+         -- quality score (mirrors pipeline.text.with_quality_score incl.
+         -- its final ROUND(.,2))
+         ROUND(CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN length(text) > 0
+                 THEN ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6)
+                 ELSE 0.0 END) <= 0.2 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN len(toks) > 0
+                 THEN ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6)
+                 ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END, 2) AS quality_score,
+         -- gopher keep (mirrors sql_gopher_filter at min_words={min_words})
+         ((len(toks) >= {min_words} AND len(toks) <= 100000)
+          AND ((CASE WHEN len(toks) > 0
+                THEN ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+                ELSE 0.0 END) BETWEEN 3.0 AND 10.0)
+          AND ((CASE WHEN len(toks) > 0
+                THEN ROUND(((length(text) - length(replace(text, '#', '')))
+                            + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks), 6)
+                ELSE 0.0 END) <= 0.1)
+          AND ((CASE WHEN len(toks) > 0
+                THEN ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+                ELSE 0.0 END) >= 0.8)
+          AND (len(list_intersect(list_distinct(toks), [{stop}])) >= 2)) AS keep
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       ROUND(AVG(quality_score), 6) AS mean_quality,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quality-scoring operator (pipeline.text.with_quality_score
     — pure stateless JVM expressions) applied to the documents STREAM:
@@ -2238,6 +2319,7 @@ def build_pipeline_registry():
         "multimodal_resize_real": q_multimodal_resize_real,
         "similarity_topk_pq": q_similarity_pq,
         "similarity_topk_ivfpq": q_similarity_ivfpq,
+        "corpus_report": q_corpus_report,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -2307,6 +2389,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "multimodal_resize_real": sql_multimodal_resize_real(),
         "similarity_topk_pq": sql_similarity_pq(),
         "similarity_topk_ivfpq": sql_similarity_ivfpq(),
+        "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
