@@ -2157,6 +2157,34 @@ SELECT query_id, neighbor_id, adc, rank FROM (
 """
 
 
+def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ serving path (pipeline.similarity.ivfpq_write_index
+    / ivfpq_topk_from_index): the index stores codes hive-partitioned by
+    cell — probes are partition-pruned directory reads of BYTES, the float
+    corpus is never touched at query time. Same quantizers as
+    `similarity_topk_ivfpq`, so results are identical and this entry
+    SHARES its oracle (the serving layout must never change answers)."""
+    import os
+    import tempfile
+
+    from naru_spark.pipeline.similarity import ivfpq_topk_from_index, ivfpq_write_index
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    key = ("ivfpq_index", sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_index_"), "index")
+        ivfpq_write_index(
+            emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
+        )
+        _IVF_CENT_CACHE[key] = path
+    return ivfpq_topk_from_index(
+        spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation dashboard: per-source corpus audit in ONE aggregation
     pass — doc/token/char volume, exact-duplicate rate (md5 within
@@ -2319,6 +2347,7 @@ def build_pipeline_registry():
         "multimodal_resize_real": q_multimodal_resize_real,
         "similarity_topk_pq": q_similarity_pq,
         "similarity_topk_ivfpq": q_similarity_ivfpq,
+        "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "corpus_report": q_corpus_report,
         "quality_stream": q_quality_stream,
     }
@@ -2389,6 +2418,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "multimodal_resize_real": sql_multimodal_resize_real(),
         "similarity_topk_pq": sql_similarity_pq(),
         "similarity_topk_ivfpq": sql_similarity_ivfpq(),
+        # serving layout must never change answers: the persisted-index
+        # path shares the in-memory composition's oracle verbatim
+        "similarity_topk_ivfpq_index": sql_similarity_ivfpq(),
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),

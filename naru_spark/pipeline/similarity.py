@@ -765,3 +765,137 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int | None = None,
+) -> None:
+    """Materialize the IVF-PQ serving layout: one mapInPandas pass over
+    the corpus emits (vec_id, cell, codes) and WRITES it hive-partitioned
+    by cell — the float vectors never persist, only m small ints per row
+    (32x smaller at m=8/k=16 over 64 float32 dims). Quantizers persist as
+    .npy beside the parquet tree. This is the single corpus read of an
+    index build at 100 TB."""
+    import os
+
+    spark = corpus.sparkSession
+    m, kk, dsub = codebooks.shape
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+
+    def index_rows(batches):
+        cents, cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            dots = unit @ cents.T
+            if decimals is not None:
+                dots = np.round(dots, decimals)
+            cells = np.argmax(dots, axis=1).astype(np.int32)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                d2 = _pq_d2(mat[:, j * dsub : (j + 1) * dsub], cb[j], decimals)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(index_rows, schema="vec_id long, cell int, codes array<int>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    np.save(os.path.join(path, "_centroids.npy"), centroids)
+    np.save(os.path.join(path, "_codebooks.npy"), codebooks)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_probe: int = 8,
+    decimals: int | None = None,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF-PQ index: probe list computed
+    driver-side from the saved centroids, the scan reads ONLY the probed
+    cell directories (PartitionFilters — plan-asserted in tests) and only
+    CODES (bytes, not floats), then per-query ADC tables score candidates.
+    Identical results to the in-memory ``ivfpq_topk`` given the same
+    quantizers — which is what lets this entry share its oracle."""
+    import os
+
+    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    codebooks = np.load(os.path.join(path, "_codebooks.npy"))
+    m, kk, dsub = codebooks.shape
+
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qmat = np.stack(q_pdf[query_vec_col].to_numpy()).astype(np.float64)
+    qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sims = qunit @ centroids.T
+    if decimals is not None:
+        sims = np.round(sims, decimals)
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, len(centroids))]
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, row in zip(q_pdf[query_id_col], probes)
+        for c in row
+    ]
+    needed = sorted({c for _, c in probe_rows})
+    tables = {
+        int(qid): np.stack(
+            [_pq_d2(qmat[i : i + 1, j * dsub : (j + 1) * dsub], codebooks[j], decimals)[0]
+             for j in range(m)]
+        )
+        for i, qid in enumerate(q_pdf[query_id_col])
+    }
+    tab_bc = spark.sparkContext.broadcast(tables)
+
+    index = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cand = index.join(F.broadcast(probe_df), "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+
+    def score(batches):
+        tabs = tab_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            out = np.empty(len(pdf))
+            for qid in np.unique(pdf["query_id"].to_numpy()):
+                mask = (pdf["query_id"] == qid).to_numpy()
+                t = tabs[int(qid)]
+                adc = t[np.arange(codes.shape[1])[None, :], codes[mask]].sum(axis=1)
+                out[mask] = np.round(adc, decimals) if decimals is not None else adc
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc": out,
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema="query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

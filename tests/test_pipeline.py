@@ -1003,3 +1003,36 @@ def test_ivfpq_topk_plan_and_equivalence(spark):
     pruned = ivfpq_topk(df, queries, cents, cb, k=10, n_probe=2, decimals=6).collect()
     assert {r["query_id"] for r in pruned} == {0, 1}
     assert all(1 <= r["rank"] <= 10 for r in pruned)
+
+
+def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
+    """Persisted IVF-PQ: the probe scan is partition-pruned (cell
+    PartitionFilters — only probed directories are opened) and results
+    are identical to the in-memory composition with the same quantizers."""
+    from naru_spark.pipeline.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_np(mat, 16, seed=5)
+    cb = pq_fit(mat, m=8, k=16, seed=5)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, path, cents, cb, decimals=6)
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mem = {tuple(r) for r in ivfpq_topk(emb, q, cents, cb, k=10, n_probe=4, decimals=6).collect()}
+    idx_df = ivfpq_topk_from_index(spark, path, q, k=10, n_probe=4, decimals=6)
+    assert {tuple(r) for r in idx_df.collect()} == mem
+
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+    # the index stores codes only — no float vector column survives
+    assert "embedding" not in spark.read.parquet(path).columns
