@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from naru_spark.tmp import tmpdir as _tmpdir
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 # Fixed maintenance windows for the range-join entry; every testdata SF has
@@ -434,12 +436,10 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet round-trip: write events partitioned by
     event_type, read back with a partition filter (directory pruning — plan
     asserted in tests/test_sinks.py), aggregate."""
-    import tempfile
-
     from naru_spark.sources.sinks import read_partitioned, write_partitioned
 
     ev = _load(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="events_part_") + "/events"
+    path = _tmpdir(prefix="events_part_") + "/events"
     write_partitioned(ev.select("event_id", "ts", "event_type", "value"), path, ["event_type"])
     back = read_partitioned(spark, path).filter(
         F.col("event_type").isin("click", "purchase")
@@ -459,12 +459,10 @@ GROUP BY event_type
 
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + explicit-schema source round-trip over documents."""
-    import tempfile
-
     from naru_spark.sources.sinks import read_jsonl, write_jsonl
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    path = tempfile.mkdtemp(prefix="docs_jsonl_") + "/docs"
+    path = _tmpdir(prefix="docs_jsonl_") + "/docs"
     write_jsonl(docs, path)
     back = read_jsonl(spark, path, "doc_id long, lang string, n_chars long")
     return back.groupBy("lang").agg(
@@ -482,14 +480,12 @@ FROM documents GROUP BY lang
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + explicit-schema source round-trip over lineitem columns
     including a timestamp (the type CSV loses without a schema)."""
-    import tempfile
-
     from naru_spark.sources.sinks import read_csv, write_csv
 
     li = _load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
     )
-    path = tempfile.mkdtemp(prefix="li_csv_") + "/li"
+    path = _tmpdir(prefix="li_csv_") + "/li"
     write_csv(li, path)
     back = read_csv(
         spark, path,
@@ -542,20 +538,18 @@ def q_stream_parquet_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     on; correctness = full hash parity with the batch projection."""
     import glob
     import shutil
-    import tempfile
-
     from naru_spark.streaming.events import run_stream_to_parquet
 
     ev = _load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    src = tempfile.mkdtemp(prefix="ev_resume_src_")
-    sink = tempfile.mkdtemp(prefix="ev_resume_sink_") + "/out"
-    ckpt = tempfile.mkdtemp(prefix="ev_resume_ckpt_") + "/ckpt"
+    src = _tmpdir(prefix="ev_resume_src_")
+    sink = _tmpdir(prefix="ev_resume_sink_") + "/out"
+    ckpt = _tmpdir(prefix="ev_resume_ckpt_") + "/ckpt"
     halves = [
         ev.filter(F.pmod("event_id", F.lit(2)) == 0),
         ev.filter(F.pmod("event_id", F.lit(2)) == 1),
     ]
     for i, half in enumerate(halves):
-        tmp = tempfile.mkdtemp(prefix=f"ev_resume_half{i}_")
+        tmp = _tmpdir(prefix=f"ev_resume_half{i}_")
         half.coalesce(1).write.mode("overwrite").parquet(tmp)
         for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
             shutil.copy(f, f"{src}/half{i}_{j}.parquet")
@@ -571,14 +565,12 @@ def sql_stream_parquet_resume() -> str:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source round-trip over orders, with a filter on the
     read side (ORC predicate pushdown, same as parquet)."""
-    import tempfile
-
     from naru_spark.sources.sinks import read_orc, write_orc
 
     orders = _load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="orders_orc_") + "/orders"
+    path = _tmpdir(prefix="orders_orc_") + "/orders"
     write_orc(orders, path)
     back = read_orc(spark, path).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.groupBy("o_orderpriority").agg(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from naru_spark.tmp import tmpdir as _tmpdir
 from naru_spark.pipeline.text import LANG_ORDER, LANG_STOPWORDS
 
 
@@ -507,12 +508,10 @@ def q_similarity_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe/n_cells of a 100 TB corpus). Rows-only gate; exact parity
     with the in-memory ivf_topk and the pruning plan are asserted in
     tests/test_pipeline.py::test_ivf_persisted_index_parity_and_pruning."""
-    import tempfile
-
     from naru_spark.pipeline.similarity import ivf_topk_from_index, ivf_write_index
 
     emb = _emb(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    path = _tmpdir(prefix="ivf_index_") + "/index"
     ivf_write_index(emb, path, n_cells=64, seed=5)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2165,8 +2164,6 @@ def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     `similarity_topk_ivfpq`, so results are identical and this entry
     SHARES its oracle (the serving layout must never change answers)."""
     import os
-    import tempfile
-
     from naru_spark.pipeline.similarity import ivfpq_topk_from_index, ivfpq_write_index
 
     emb = _emb(spark, sf_dir)
@@ -2175,7 +2172,7 @@ def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = ("ivfpq_index", sf_dir)
     if key not in _IVF_CENT_CACHE:
-        path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_index_"), "index")
+        path = os.path.join(_tmpdir("ivfpq_index_"), "index")
         ivfpq_write_index(
             emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
         )
