@@ -490,6 +490,44 @@ def multi_order_nll(
     return float(np.mean(-(lse + np.log(1.0 / K))))
 
 
+def multi_mask_nll(
+    model, data: np.ndarray, mask_seeds: list[int | None]
+) -> float:
+    """Connectivity-mask ensemble NLL — the ``num_masks`` analog of
+    ``multi_order_nll``'s ``orders`` mode (reference made.py:83,129,194):
+    ONE weight set is evaluated under each connectivity pattern in
+    ``mask_seeds`` (``None`` = the deterministic ResMade pattern) and the
+    per-row likelihoods mix by logsumexp. The model's masks are restored
+    to their entry state afterwards — other estimators may hold it."""
+    made = getattr(model, "made", model)
+    prev = None if getattr(made, "hid_deg", None) is None else made.hid_deg.copy()
+    prev_is_default = prev is None or np.array_equal(
+        prev, (np.arange(made.hidden) % max(made.D - 1, 1)) + 1
+    )
+    logps = []
+    try:
+        for seed in mask_seeds:
+            made.resample_masks(seed)
+            logps.append(-model_nll_rows(made, data))
+    finally:
+        if prev_is_default:
+            made.resample_masks(None)
+        else:
+            # rebuild every hidden-degree mask from the saved vector
+            made.hid_deg = prev
+            dt = made.lin_in.M.dtype
+            for l1, l2 in made.blocks:
+                M = (prev[None, :] >= prev[:, None]).astype(dt)
+                l1.M = M
+                l2.M = M.copy()
+            made._rebuild_order_masks()
+    K = len(mask_seeds)
+    lp = np.stack(logps, axis=1)
+    mx = lp.max(axis=1, keepdims=True)
+    lse = mx[:, 0] + np.log(np.exp(lp - mx).sum(axis=1))
+    return float(np.mean(-(lse + np.log(1.0 / K))))
+
+
 def table_bits(df: DataFrame, columns: list[str]) -> float:
     """Empirical joint entropy in bits (reference Entropy,
     train_model.py:112-123, 340-343) — one groupBy job."""

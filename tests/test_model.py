@@ -1144,3 +1144,47 @@ def test_transformer_relu_activation_gradient_and_decode_parity():
         want = m.logits_for_col(c, m.hidden_nograd(bits))
         np.testing.assert_allclose(fast, want, rtol=1e-6, atol=1e-8)
         m._write_bits(bits, c, rng.randint(0, domains[c], size=S))
+
+
+def test_multi_mask_nll_ensemble_and_restore():
+    """multi_mask_nll: the num_masks ensemble respects the mixture bounds
+    (min member <= ensemble <= min member + log K; ensemble <= mean by
+    Jensen) and leaves the model's masks exactly as it found them."""
+    from naru_spark.model.train import model_nll_rows, multi_mask_nll
+
+    rng = np.random.RandomState(0)
+    domains = [6, 5, 4]
+    N = 2000
+    a = rng.randint(0, 6, N)
+    data = np.stack([a, a % 5, a % 4], axis=1).astype(np.int64)
+    m = ResMADE(domains, hidden=24, blocks=2, seed=0)
+    opt = Adam(m, lr=5e-3)
+    step = 0
+    for _ in range(4):
+        perm = rng.permutation(N)
+        for lo in range(0, N, 512):
+            m.resample_masks(step % 2)
+            step += 1
+            b = data[perm[lo : lo + 512]]
+            logits = m.forward(b)
+            _, dl = m.nll(logits, b)
+            m.zero_grad()
+            m.backward(dl)
+            opt.step()
+    # pin a non-default mask state, remember logits
+    m.resample_masks(1)
+    before = m.forward(data[:64].copy(), grad=False)
+
+    members = []
+    for seed in (0, 1):
+        m.resample_masks(seed)
+        members.append(float(model_nll_rows(m, data).mean()))
+    m.resample_masks(1)  # back to the state we want restored
+
+    ens = multi_mask_nll(m, data, mask_seeds=[0, 1])
+    assert min(members) - 1e-9 <= ens <= min(members) + np.log(2) + 1e-9
+    assert ens <= float(np.mean(members)) + 1e-9
+
+    # restore: bit-identical logits under the pre-call mask state
+    after = m.forward(data[:64].copy(), grad=False)
+    assert np.array_equal(before, after)

@@ -364,3 +364,17 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_row_local_curation_ops_no_shuffle(spark):
+    """stratified_sample_hash and chunk_documents promise zero shuffle —
+    pin it: no Exchange anywhere in either plan."""
+    from naru_spark.pipeline.curation import chunk_documents, stratified_sample_hash
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    p1 = plan_str(stratified_sample_hash(docs, {"src0": 0.5}))
+    assert "Exchange" not in p1
+    p2 = plan_str(chunk_documents(docs))
+    assert "Exchange" not in p2
