@@ -1188,3 +1188,17 @@ def test_multi_mask_nll_ensemble_and_restore():
     # restore: bit-identical logits under the pre-call mask state
     after = m.forward(data[:64].copy(), grad=False)
     assert np.array_equal(before, after)
+
+
+def test_psample_events_second_table(spark):
+    """The estimator stack generalizes to the events table (strings +
+    high-card ints + continuous floats): statistically gated like the
+    lineitem path."""
+    from naru_spark.entry_model import q_psample_events
+    from tests.conftest import SF_T2
+
+    rows = q_psample_events(spark, SF_T2).collect()
+    errs = [r["q_err"] for r in rows if r["q_err"] is not None]
+    assert len(errs) >= 5
+    assert float(np.median(errs)) < 3.0, errs
+    assert max(errs) < 100.0, errs
