@@ -390,6 +390,44 @@ def sql_workload_oracle_limited() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total: a ROWS-frame cumulative window
+    (rowsBetween(unboundedPreceding, 0)) partitioned by customer, ordered
+    by (o_orderdate, o_orderkey) — the orderkey tiebreak makes the frame
+    content deterministic when a customer places two orders the same day.
+    Accumulates in decimal(18,4) per value so every prefix sum is exact on
+    both engines. Scale: one shuffle on the partition key; each
+    customer's sort is local to its partition."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def sql_cumulative_revenue() -> str:
+    return """
+SELECT o_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
 def q_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing moving average of daily order revenue: a RANGE-frame
     window over integer day offsets (rangeBetween(-6, 0)) — a CALENDAR
@@ -733,6 +771,7 @@ def build_ops_registry():
         "pivot_event_counts": q_pivot_event_counts,
         "hypertable_daily": q_hypertable_daily,
         "moving_avg_daily_revenue": q_moving_avg_daily_revenue,
+        "cumulative_revenue": q_cumulative_revenue,
         "distinct_counts": q_distinct_counts,
         "approx_distinct_counts": q_approx_distinct_counts,
         "events_json_props": q_events_json_props,
@@ -762,6 +801,7 @@ def build_ops_registry():
         "pivot_event_counts": sql_pivot_event_counts(),
         "hypertable_daily": sql_hypertable_daily(),
         "moving_avg_daily_revenue": sql_moving_avg_daily_revenue(),
+        "cumulative_revenue": sql_cumulative_revenue(),
         "distinct_counts": sql_distinct_counts(),
         "events_json_props": sql_events_json_props(),
         "quantiles_quantity": sql_quantiles_quantity(),
