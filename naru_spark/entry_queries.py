@@ -878,6 +878,90 @@ WHERE {ors}
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small orders — lineitems of one
+    brand whose quantity is below 20% of that part's average quantity.
+    The correlated scalar subquery becomes aggregate-then-join: the
+    per-part average is computed once on the brand-filtered subset (the
+    part filter prunes lineitem FIRST through a broadcast join), then
+    joined back — two passes over the pruned subset, never a per-row
+    subquery. The average is exact on both engines (integer-exact sum,
+    one division), so the 0.2*avg threshold decision is deterministic."""
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sub = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = sub.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        sub.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def sql_small_qty_revenue() -> str:
+    return """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter — the reference view + argmax. Revenue per supplier is one
+    map-side-combined aggregation in exact decimals; the argmax is a
+    rank-1 window over the tiny aggregate (ties all kept, like the
+    spec)."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_decimal_revenue().alias("total_revenue"))
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = rev.withColumn("__r", F.rank().over(w)).filter(F.col("__r") == 1).drop("__r")
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_top_supplier() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (A-plane scale lever, SURVEY §2): lineitem
     and orders persisted ``bucketBy(8, orderkey)`` + in-bucket sorted, then
@@ -976,6 +1060,8 @@ def build_registry():
         "promo_revenue_q14": q_promo_revenue,
         "large_orders_q18": q_large_orders,
         "disjunctive_revenue_q19": q_disjunctive_revenue,
+        "small_qty_revenue_q17": q_small_qty_revenue,
+        "top_supplier_q15": q_top_supplier,
         "bucketed_join_agg": q_bucketed_join_agg,
     }
     oracles = {
@@ -1002,6 +1088,8 @@ def build_registry():
         "promo_revenue_q14": sql_promo_revenue(),
         "large_orders_q18": sql_large_orders(),
         "disjunctive_revenue_q19": sql_disjunctive_revenue(),
+        "small_qty_revenue_q17": sql_small_qty_revenue(),
+        "top_supplier_q15": sql_top_supplier(),
         "bucketed_join_agg": sql_bucketed_join_agg(),
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
