@@ -2182,6 +2182,26 @@ def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the k-NN similarity graph (pipeline.graph.pagerank
+    on pipeline.similarity.knn_graph edges): the signal that picks the
+    REPRESENTATIVE member of a near-dup neighborhood in SemDeDup-style
+    curation. Iterative DataFrame power iteration with lineage
+    checkpoints; rows-only (float aggregation order varies per engine) —
+    numerically gated against a dense numpy power iteration in
+    tests/test_pipeline.py. Output: the 20 most central documents."""
+    from naru_spark.pipeline.graph import pagerank
+    from naru_spark.pipeline.similarity import knn_graph
+
+    edges = knn_graph(_emb(spark, sf_dir), k=3).select("vec_id", "neighbor_id")
+    ranks = pagerank(edges, iters=6, damping=0.85, shuffle_partitions=4)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation dashboard: per-source corpus audit in ONE aggregation
     pass — doc/token/char volume, exact-duplicate rate (md5 within
@@ -2346,6 +2366,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq": q_similarity_ivfpq,
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "corpus_report": q_corpus_report,
+        "knn_pagerank": q_knn_pagerank,
         "quality_stream": q_quality_stream,
     }
     oracles = {

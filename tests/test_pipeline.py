@@ -1036,3 +1036,34 @@ def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
     assert "cell" in plan.split("PartitionFilters")[1][:200]
     # the index stores codes only — no float vector column survives
     assert "embedding" not in spark.read.parquet(path).columns
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank over a small directed graph equals the dense numpy power
+    iteration (same damping, dangling redistribution, iteration count) to
+    float tolerance; ranks sum to ~1."""
+    from naru_spark.pipeline.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0)]  # 4 has out, 5 none
+    # add node 5 as a pure sink (dangling): edge into it, none out
+    edges.append((0, 5))
+    df = spark.createDataFrame(edges, "vec_id long, neighbor_id long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=12, damping=0.85).collect()}
+
+    import numpy as np
+
+    n = 6
+    M = np.zeros((n, n))
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    for s, ds in out.items():
+        for d in ds:
+            M[d, s] = 1.0 / len(ds)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        r = (1 - 0.85) / n + 0.85 * (M @ r + dangling / n)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
