@@ -2182,6 +2182,25 @@ def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME Gopher composite gate applied to the documents STREAM
+    (stateless JVM expressions — the streaming fast path, no watermark or
+    state store): batch/stream parity with zero operator changes, so this
+    entry shares gopher_filter's batch oracle verbatim. At 100 TB this is
+    how the quality gate runs on live ingest instead of nightly batches."""
+    from naru_spark.pipeline.curation import gopher_filter
+    from naru_spark.streaming.events import documents_stream, run_stream_to_memory
+
+    stream = documents_stream(spark, sf_dir)
+    out = gopher_filter(stream, min_words=20).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "n_req_stopwords", "pass_word_count",
+        "pass_mean_word_len", "pass_symbol_ratio", "pass_alpha_words",
+        "pass_stopwords", "keep",
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")
+
+
 def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality over the k-NN similarity graph (pipeline.graph.pagerank
     on pipeline.similarity.knn_graph edges): the signal that picks the
@@ -2367,6 +2386,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
+        "gopher_stream": q_gopher_stream,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -2440,6 +2460,8 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # path shares the in-memory composition's oracle verbatim
         "similarity_topk_ivfpq_index": sql_similarity_ivfpq(),
         "corpus_report": sql_corpus_report(),
+        # batch/stream parity: identical operator, identical oracle
+        "gopher_stream": sql_gopher_filter(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
