@@ -378,3 +378,39 @@ def test_row_local_curation_ops_no_shuffle(spark):
     assert "Exchange" not in p1
     p2 = plan_str(chunk_documents(docs))
     assert "Exchange" not in p2
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime Bloom-filter join pruning — the third scale lever after
+    broadcast and AQE skew: a selective dimension filter injects
+    might_contain(...) onto the FACT side's scan filter, dropping
+    non-matching fact rows before the shuffle. Asserted on, then off."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    urgent = load_table(spark, "orders", SF_SMOKE).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # test-sized thresholds (production defaults 10MB/10GB; mechanism identical)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = plan_str(j)
+        assert "might_contain" in plan, plan[:500]
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        assert "might_contain" not in plan_str(j2)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
