@@ -2241,7 +2241,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
             F.sum(F.length("text")).alias("n_chars"),
             (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dups"),
-            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            # quality_score is a 2-decimal value: accumulate it as decimal
+            # (exact integer arithmetic, fold-order-free — a double AVG can
+            # flip the 6th-decimal rounding boundary between engines), then
+            # ONE double division + round, same op order as the oracle.
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
             F.round(F.sum(F.col("keep").cast("long")) / F.count("*"), 6).alias("keep_rate"),
         )
@@ -2293,7 +2301,7 @@ SELECT source,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
        CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
-       ROUND(AVG(quality_score), 6) AS mean_quality,
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
 FROM s

@@ -587,8 +587,18 @@ GROUP BY n_name
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returned items
     in one quarter. Cutoff ordered by (rounded revenue, c_custkey) so the
-    limit is engine-independent; plans as TakeOrderedAndProject."""
-    cust = _load(spark, sf_dir, "customer")
+    limit is engine-independent; plans as TakeOrderedAndProject.
+
+    The customer dimension's broadcast-vs-sort-merge strategy is
+    ESTIMATE-DRIVEN (plans.joinplan.advised_side, like Q5): customer is
+    ~sf x 150k rows — broadcastable at test SFs, an executor OOM at
+    TPC-H sf100k — so the decision must come from a row-count estimate,
+    never a static hint (asserted in tests/test_plans.py). Nation is a
+    constant 25 rows at every scale, so its broadcast stays static."""
+    from naru_spark.plans.joinplan import advised_side
+
+    cust_raw = _load(spark, sf_dir, "customer")
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
     nation = _load(spark, sf_dir, "nation")
     orders = _load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -597,8 +607,8 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(cust, orders.o_custkey == cust_raw.c_custkey)
+        .join(F.broadcast(nation), cust_raw.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
             # decimal accumulation (_decimal_revenue): float SUM is
@@ -777,9 +787,15 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with orders whose total quantity exceeds
     a threshold. The quantity aggregate happens FIRST (one shuffle on
     l_orderkey, map-side combine), producing a tiny over-threshold key set
-    that then joins orders; customer is broadcast. Quantity accumulates in
-    decimal so the HAVING cut is exact on both engines. Top-20 by
-    (o_totalprice desc, o_orderkey) plans as TakeOrderedAndProject."""
+    that then joins orders. Quantity accumulates in decimal so the HAVING
+    cut is exact on both engines. Top-20 by (o_totalprice desc, o_orderkey)
+    plans as TakeOrderedAndProject.
+
+    The customer dimension's join strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side, like Q5/Q10): broadcastable at test SFs,
+    not at TPC-H sf100k, so a static hint would be a 100x-scale OOM."""
+    from naru_spark.plans.joinplan import advised_side
+
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -789,10 +805,11 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust_raw = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust_raw.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             F.col("sum_qty_d").cast("double").alias("sum_qty"),
@@ -886,19 +903,32 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part filter prunes lineitem FIRST through a broadcast join), then
     joined back — two passes over the pruned subset, never a per-row
     subquery. The average is exact on both engines (integer-exact sum,
-    one division), so the 0.2*avg threshold decision is deterministic."""
+    one division), so the 0.2*avg threshold decision is deterministic.
+
+    The avg_qty side has exactly one row per brand-filtered part
+    (~1/25 of the part table — far past broadcast range at 100x scale),
+    so its join strategy is ESTIMATE-DRIVEN (plans.joinplan.advised_side)
+    using the brand-filtered part count as the estimate. When the estimate
+    pins sort-merge, the join is still cheap: avg_qty shares sub's join
+    key, so both sides hash-partition on l_partkey."""
+    from naru_spark.plans.joinplan import advised_side
+
     part = (
         _load(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#5")
         .select("p_partkey")
     )
+    # exact one-row-per-part bound on avg_qty's size; the pushed-down
+    # brand filter makes this a cheap metadata-ish scan of one column
+    n_brand_parts = part.count()
     li = _load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     sub = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     avg_qty = sub.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    avg_qty, _avg_decision = advised_side(avg_qty, n_brand_parts, "avg_qty")
     return (
-        sub.join(F.broadcast(avg_qty), "l_partkey")
+        sub.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)

@@ -69,6 +69,7 @@ class LikeEstimator:
         self.n = n
         self.rows = df.count()
         self.column = column
+        self.max_grams = max_grams
         self._df = df
 
         # ONE pass builds both tables: n-grams and (n-1)-grams can't collide
@@ -142,6 +143,15 @@ class LikeEstimator:
                 .groupBy("g")
                 .agg(F.count("*").alias("c"))
             )
+            if self.max_grams is not None:
+                # same driver-memory cap as the substring tables: each
+                # anchored table holds a single gram length, so the cap is
+                # one TakeOrdered (top-k by frequency, ties lexicographic)
+                # — without this the wide-alphabet case max_grams exists
+                # for still collected unbounded prefix/suffix vocabularies
+                t = t.orderBy(F.col("c").desc(), F.col("g").asc()).limit(
+                    self.max_grams
+                )
             return {r["g"]: int(r["c"]) for r in t.collect()}
 
         self.freq_prefix = anchored(n, True)

@@ -334,6 +334,7 @@ class NaruEstimator:
         input_encoding, embed_size = self.input_encoding, self.embed_size
         direct_io, output_encoding = self.direct_io, self.output_encoding
         input_no_emb_if_leq = self.input_no_emb_if_leq
+        num_masks = self.num_masks
         epochs = local_epochs if local_epochs is not None else self.epochs
         batch_size, lr = self.batch_size, self.lr
         sc = df.sparkSession.sparkContext
@@ -369,6 +370,13 @@ class NaruEstimator:
                 )
                 for l, (W, b) in zip(local.layers(), pickle.loads(w_bc.value)):
                     l.W, l.b = W.copy(), b.copy()
+                if num_masks > 1:
+                    # connectivity-mask cycling on the distributed path: one
+                    # mask per ROUND, identical across shards (seeded by the
+                    # round index, not the step counter) — shards must train
+                    # under the SAME connectivity or the row-weighted weight
+                    # average mixes incompatible masked subnetworks.
+                    local.resample_masks(seed + (rnd % num_masks))
                 opt = Adam(local, lr=lr)
                 pid = TaskContext.get().partitionId() if TaskContext.get() else 0
                 rng = np.random.RandomState(seed + 1009 * rnd + pid)

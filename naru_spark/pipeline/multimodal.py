@@ -63,11 +63,36 @@ def decode_pnm(payload: bytes) -> np.ndarray:
                 i += 1
             continue
         j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
+        # a token ends at whitespace OR at '#' (a comment may directly
+        # follow the digits, e.g. '255# c\n<raster>')
+        while (
+            j < len(payload)
+            and not payload[j : j + 1].isspace()
+            and payload[j : j + 1] != b"#"
+        ):
             j += 1
         tokens.append(int(payload[i:j]))
         i = j
-    i += 1  # single whitespace after maxval, then raster
+    # the raster starts after a SINGLE whitespace byte following maxval —
+    # but tolerate the two writer variants that silently shift frombuffer's
+    # offset if assumed away: a comment line between maxval and raster, and
+    # a CRLF terminator. Anything else after maxval is a malformed header
+    # (fail loudly: a mis-offset read shifts EVERY pixel, undetectably).
+    if payload[i : i + 1] == b"#":
+        # comment directly after the maxval digits ('255# c\n<raster>'):
+        # the comment's newline IS the header-terminating whitespace
+        while i < len(payload) and payload[i : i + 1] != b"\n":
+            i += 1
+        i += 1
+    else:
+        b = payload[i : i + 1]
+        if not b.isspace():
+            raise ValueError(
+                f"malformed netpbm header: expected whitespace after maxval, got {b!r}"
+            )
+        i += 1
+        if b == b"\r" and payload[i : i + 1] == b"\n":
+            i += 1  # CRLF writer: consume both bytes of the terminator
     width, height, maxval = tokens
     channels = 3 if payload[:2] == b"P6" else 1
     dtype = np.dtype(">u2") if maxval > 255 else np.uint8

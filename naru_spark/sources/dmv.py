@@ -62,9 +62,29 @@ def load_dmv(spark: SparkSession, csv_path: str, columns: list[str] | None = Non
         raise ValueError(f"DMV CSV missing expected columns: {missing}")
     df = df.select(*[F.col(f"`{c}`") for c in cols])
     if "Reg Valid Date" in cols:
-        df = df.withColumn(
-            "Reg Valid Date", F.to_timestamp(F.col("`Reg Valid Date`"), "MM/dd/yyyy")
+        # fail-loudly parity with the reference's np.datetime64 cast
+        # (datasets.py LoadDmv): to_timestamp NULLs malformed dates where
+        # numpy RAISES — silently nulled rows would shift the estimator's
+        # domain for the column with no signal to a migrating user. ONE
+        # aggregate counts values the cast nulls on NON-null input.
+        # try_to_timestamp (not to_timestamp) so the check itself cannot
+        # throw a raw DateTimeException under ANSI mode — the caller gets
+        # ONE well-defined ValueError either way.
+        raw = F.col("`Reg Valid Date`")
+        cast = F.try_to_timestamp(raw, F.lit("MM/dd/yyyy"))
+        n_bad = (
+            df.agg(
+                F.sum((raw.isNotNull() & cast.isNull()).cast("long")).alias("n")
+            ).collect()[0]["n"]
+            or 0
         )
+        if n_bad:
+            raise ValueError(
+                f"{csv_path}: {n_bad} 'Reg Valid Date' values failed the "
+                "MM/dd/yyyy timestamp cast (the reference's np.datetime64 "
+                "cast raises on these; refusing to silently null them)"
+            )
+        df = df.withColumn("Reg Valid Date", cast)
     return df
 
 

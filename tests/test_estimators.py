@@ -219,3 +219,16 @@ def test_like_estimator_gram_cap(spark):
     pats = [hot, hot[:2], "".join(rng.choice(alphabet) for _ in range(3)), "zz"]
     for p in pats:
         assert capped.query(p) <= full.query(p) + 1e-9
+    # the ANCHORED tables honor the same cap (they previously collected the
+    # full prefix/suffix vocabulary, re-opening the unbounded-driver case)
+    capped.query_anchored(hot, "prefix")  # triggers lazy anchored fit
+    for tbl in (
+        capped.freq_prefix,
+        capped.freq_prefix1,
+        capped.freq_suffix,
+        capped.freq_suffix1,
+    ):
+        assert len(tbl) <= 200
+    # the hot anchored prefix survives the cap and stays exact
+    full.query_anchored(hot, "prefix")
+    assert capped.query_anchored(hot, "prefix") == full.query_anchored(hot, "prefix") > 0

@@ -1090,6 +1090,34 @@ def test_fit_distributed_learns_and_estimates(spark):
     df.unpersist()
 
 
+def test_fit_distributed_cycles_masks(spark):
+    """num_masks>1 must NOT silently no-op on the distributed path: shards
+    resample connectivity per round (same seed across shards, so the
+    weighted average stays mask-consistent), and the resulting weights
+    differ from a num_masks=1 run with otherwise identical config."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    # >=3 columns: with D=2 every hidden degree is 1 and resampling is a
+    # structural no-op, so the cycling would be invisible
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols).limit(2000).repartition(2).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+
+    def weights(num_masks):
+        est = NaruEstimator(
+            cols, hidden=16, blocks=1, epochs=1, lr=5e-3, seed=0, num_masks=num_masks
+        )
+        model = est.fit_distributed(df, meta, enc, rounds=2)
+        return np.concatenate([l.W.ravel() for l in model.made.layers()])
+
+    assert not np.allclose(weights(1), weights(2))
+    df.unpersist()
+
+
 def test_transformer_relu_activation_gradient_and_decode_parity():
     """The reference restricts transformer activation to {'relu','gelu'}
     (transformer.py:326-327); check the relu backward against finite

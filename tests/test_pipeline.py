@@ -871,11 +871,26 @@ def test_pnm_wav_decoders_real():
     img16 = decode_pnm(pay16)
     assert img16.dtype == np.dtype(">u2") and list(img16[0]) == [256, 513]
 
-    # not a pnm
+    # CRLF-terminated header: the \n must not shift into the raster
+    assert (
+        decode_pnm(b"P5 3 2 255\r\n" + bytes(range(6)))
+        == np.frombuffer(bytes(range(6)), np.uint8).reshape(2, 3)
+    ).all()
+    # trailing comment between maxval and raster: its newline terminates
+    assert (
+        decode_pnm(b"P5 3 2 255# c\n" + bytes(range(6)))
+        == np.frombuffer(bytes(range(6)), np.uint8).reshape(2, 3)
+    ).all()
+    # a raster whose FIRST byte is 0x23 ('#') is data, not a comment
+    assert decode_pnm(b"P5 3 2 255\n" + b"#" + bytes(5))[0, 0] == 0x23
+
+    # not a pnm / malformed header both fail loudly (never a shifted read)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         decode_pnm(b"\x89PNG....")
+    with _pytest.raises(ValueError):
+        decode_pnm(b"P5 3 2 255x" + bytes(6))
 
     # WAV: synth roundtrip + stereo stdlib roundtrip
     samples, rate = decode_wav(synth_wav(3, n_samples=64, rate=4000))

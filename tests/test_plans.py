@@ -265,6 +265,59 @@ def test_q5_customer_decision_is_estimate_driven(spark):
     assert "SortMergeJoin" in plan
 
 
+def test_q10_customer_decision_is_estimate_driven(spark):
+    """Q10's customer side must route through advised_side: the test-SF
+    estimate broadcasts (plan carries BroadcastHashJoin), and the source
+    contains no static F.broadcast(cust) — an over-threshold estimate at
+    TPC-H sf100k flips the same call site to sort-merge (decision logic
+    itself covered by test_q5_customer_decision_is_estimate_driven)."""
+    import inspect
+
+    from naru_spark.entry_queries import q_returned_items
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_returned_items)
+    assert "advised_side" in src
+    assert "F.broadcast(cust)" not in src  # nation-only static broadcast
+    plan = plan_str(q_returned_items(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # test-SF estimate is under threshold
+
+
+def test_q18_customer_decision_is_estimate_driven(spark):
+    """Q18's customer side must route through advised_side (same defect
+    class as Q10): no static broadcast of customer in the source, and the
+    under-threshold test-SF estimate still plans a broadcast join."""
+    import inspect
+
+    from naru_spark.entry_queries import q_large_orders
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_large_orders)
+    assert "advised_side" in src
+    assert "F.broadcast(cust)" not in src
+    plan = plan_str(q_large_orders(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_avg_qty_decision_is_estimate_driven(spark):
+    """Q17's avg_qty side (one row per brand-filtered part — ~1/25 of the
+    part table, past broadcast range at 100x) must route through
+    advised_side keyed on the brand-filtered part count, not a static
+    broadcast. An over-threshold estimate pins sort-merge on l_partkey
+    (both sides already hash on the key, so the extra exchange is the
+    cheap alternative at scale)."""
+    import inspect
+
+    from naru_spark.entry_queries import q_small_qty_revenue
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_small_qty_revenue)
+    assert "advised_side" in src
+    assert "F.broadcast(avg_qty)" not in src
+    plan = plan_str(q_small_qty_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q7_prefiltered_dims_broadcast(spark):
     """Q7's supplier/customer sides are nation-filtered THEN broadcast:
     the plan must carry broadcast joins for both and no cartesian/NL."""

@@ -115,6 +115,22 @@ def test_load_dmv_shim(spark, tmp_path):
         bad.write_text("A,B\n1,2\n")
         load_dmv(spark, str(bad))
 
+    # fail-loudly date parity: the reference's np.datetime64 cast RAISES on
+    # malformed dates; to_timestamp would silently null them — load_dmv
+    # must detect the nulled-on-non-null-input case and raise
+    mal = tmp_path / "mal.csv"
+    mal.write_text(
+        header + "\n" + rows[0] + "\n" + rows[1].replace("07/23/2018", "NOT/A/DATE") + "\n"
+    )
+    with pytest.raises(ValueError, match="failed the MM/dd/yyyy"):
+        load_dmv(spark, str(mal))
+    # a genuinely EMPTY date field is not a parse failure (null in, null out)
+    emp = tmp_path / "emp.csv"
+    emp.write_text(
+        header + "\n" + rows[0] + "\n" + rows[1].replace("07/23/2018", "") + "\n"
+    )
+    assert load_dmv(spark, str(emp)).count() == 2
+
 
 def test_load_oracle_cards(tmp_path):
     """Golden-card reuse (reference eval_model.py:467-476): strict length
