@@ -1131,15 +1131,14 @@ def build_registry():
     mq, mo = build_model_registry()
 
     # The driver's CORRECTNESS gate hard-checks roughly the first 50 entries
-    # in dict order; the judge replicates the rest.  Round-4 ordering policy
-    # (VERDICT r03 item 1):
-    #   1. ``source_temperature_mix`` first — the single oracle entry that
-    #      has never received a driver row (registry position 51 in r03).
-    #   2. Every other oracle-backed entry the r03 driver window did NOT
-    #      cover (last driver-checked in r1/r2, or brand new this round).
-    #   3. Oracle-backed entries the r03 window already re-verified.
-    #   4. All rows-only (no-oracle) entries dead last so they stop
-    #      consuming hard-gate slots as ``err: no_oracle``.
+    # in dict order; the judge replicates the rest.  Round-5 ordering policy
+    # (VERDICT r04 item 2): oldest-driver-check-first rotation —
+    #   1. Round-5 newcomers (oracle-backed, never driver-row-checked).
+    #   2. Oracle-backed entries by LAST driver-green round ASCENDING
+    #      (stalest first: the r2-era encode/value-counts/Q1 set leads,
+    #      then the r3 window, then entries the r4 window just verified).
+    #   3. All rows-only (no-oracle) entries dead last so they never
+    #      consume hard-gate slots as ``err: no_oracle``.
     all_queries = {}
     all_oracles = {}
     for q_map, o_map in ((oq, oo), (mq, mo), (pq, po), (queries, oracles)):
@@ -1149,58 +1148,74 @@ def build_registry():
                 if name in o_map:
                     all_oracles[name] = o_map[name]
 
-    # Names the driver's r03 window hard-checked (CORRECTNESS_r03.json keys).
-    r03_window = {
-        "join_card_estimates", "advised_q5", "asof_purchase_view",
-        "range_join_windows", "semi_join_urgent", "anti_join_no_urgent",
-        "set_ops_buyers", "rollup_pricing", "cube_pricing",
-        "pivot_event_counts", "hypertable_daily", "moving_avg_daily_revenue",
-        "distinct_counts", "approx_distinct_counts", "events_json_props",
-        "quantiles_quantity", "workload_oracle_limited",
-        "partitioned_sink_roundtrip", "jsonl_roundtrip", "csv_roundtrip",
-        "dedup_stream", "stream_parquet_resume", "advised_star_join",
-        "orc_roundtrip", "psample_estimates", "psample_distributed",
-        "estimator_report", "fit_distributed_report", "multiorder_nll",
-        "text_normalize", "ngram_topk", "doc_lm_bigram", "dup_span_fraction",
-        "dedup_canonical", "dedup_incremental", "pii_redact", "knn_graph",
-        "dedup_stream_static", "data_split", "length_buckets",
-        "vocab_coverage", "semantic_dedup", "dedup_minhash_md5",
-        "dedup_simhash_md5", "similarity_topk_lsh_oracle",
-        "similarity_topk_ivf_oracle", "like_estimates",
-        "local_supplier_volume_q5", "returned_items_q10", "quality_stream",
-    }
-
-    # Every entry any driver round has row-checked (CORRECTNESS_r01..r03
-    # keys): brand-new oracle entries outrank these in the window.
-    ever_driver_checked = r03_window | {
-        "workload_oracle_counts", "heuristic_estimates", "region_size",
-        "encode_returnflag", "encode_linestatus", "encode_shipdate",
-        "encoded_histogram", "value_counts_returnflag", "value_counts_salted",
-        "table_entropy", "pricing_summary_q1", "revenue_by_priority",
-        "events_hourly", "sampling_estimates", "advisor_estimates",
-        "top_orders_per_segment", "shipping_priority_q3", "text_stats",
-        "lang_id", "doc_fingerprint", "doc_quality", "token_counts",
-        "frame_sample", "token_histogram", "doc_repetition", "token_idf",
-        "doc_lm_score", "source_mix", "embedding_norms", "dedup_exact",
-        "dedup_ngram_jaccard", "dedup_components", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
-        "similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf",
-        "similarity_topk_ivf_index", "multimodal_bytes", "multimodal_resize",
-        "events_hourly_stream", "sessionize", "sessionize_stream",
-        "stream_stream_join", "user_totals_stateful", "decontaminate",
-        "pack_sequences", "corpus_curation", "source_cap",
-    }
-
-    def _priority(name: str) -> tuple:
-        if name == "source_temperature_mix":
-            return (0,)
-        if name not in all_oracles:
-            return (4,)
-        if name not in ever_driver_checked:
-            return (1,)  # brand-new oracle entries: never row-checked by any round
-        return (2,) if name not in r03_window else (3,)
-
-    order = sorted(all_queries, key=lambda n: _priority(n))  # stable sort
+    order = sorted(all_queries, key=lambda n: _window_priority(n, n in all_oracles))
     ordered_queries = {n: all_queries[n] for n in order}
     ordered_oracles = {n: all_oracles[n] for n in order if n in all_oracles}
     return ordered_queries, ordered_oracles
+
+
+# Last round in which the DRIVER's correctness gate row-checked each entry
+# (keys of CORRECTNESS_r0{1..4}.json; later rounds win). Entries absent here
+# have never been driver-checked — newcomers, which lead the window.
+_LAST_DRIVER_ROUND = {}
+for _rnd, _names in (
+    (2, (
+        "advisor_estimates", "dedup_minhash_lsh", "dedup_simhash",
+        "encode_linestatus", "encode_returnflag", "encode_shipdate",
+        "encoded_histogram", "events_hourly", "heuristic_estimates",
+        "multimodal_resize", "pricing_summary_q1", "region_size",
+        "revenue_by_priority", "sampling_estimates", "shipping_priority_q3",
+        "similarity_topk_ivf", "similarity_topk_ivf_index",
+        "similarity_topk_lsh", "table_entropy", "top_orders_per_segment",
+        "value_counts_returnflag", "value_counts_salted",
+        "workload_oracle_counts",
+    )),
+    (3, (
+        "advised_q5", "advised_star_join", "anti_join_no_urgent",
+        "approx_distinct_counts", "asof_purchase_view", "csv_roundtrip",
+        "cube_pricing", "data_split", "dedup_canonical", "dedup_incremental",
+        "dedup_minhash_md5", "dedup_simhash_md5", "dedup_stream",
+        "dedup_stream_static", "distinct_counts", "doc_lm_bigram",
+        "dup_span_fraction", "estimator_report", "events_json_props",
+        "fit_distributed_report", "hypertable_daily", "join_card_estimates",
+        "jsonl_roundtrip", "knn_graph", "length_buckets", "like_estimates",
+        "local_supplier_volume_q5", "moving_avg_daily_revenue",
+        "multiorder_nll", "ngram_topk", "orc_roundtrip",
+        "partitioned_sink_roundtrip", "pii_redact", "pivot_event_counts",
+        "psample_distributed", "psample_estimates", "quality_stream",
+        "quantiles_quantity", "range_join_windows", "returned_items_q10",
+        "rollup_pricing", "semantic_dedup", "semi_join_urgent",
+        "set_ops_buyers", "similarity_topk_ivf_oracle",
+        "similarity_topk_lsh_oracle", "stream_parquet_resume",
+        "text_normalize", "vocab_coverage", "workload_oracle_limited",
+    )),
+    (4, (
+        "bpe_pair_counts", "bucketed_join_agg", "chunk_documents",
+        "corpus_curation", "corpus_report", "cumulative_revenue",
+        "decontaminate", "dedup_components", "dedup_embedding",
+        "dedup_embedding_lsh", "dedup_exact", "dedup_ngram_jaccard",
+        "disjunctive_revenue_q19", "doc_fingerprint", "doc_lm_score",
+        "doc_quality", "doc_repetition", "embedding_norms",
+        "events_hourly_stream", "frame_sample", "gopher_filter",
+        "gopher_stream", "lang_id", "large_orders_q18",
+        "like_estimates_anchored", "multimodal_bytes",
+        "multimodal_real_decode", "multimodal_resize_real", "pack_sequences",
+        "priority_counts_q12", "promo_revenue_q14", "sessionize",
+        "sessionize_stream", "similarity_topk", "similarity_topk_ivfpq",
+        "similarity_topk_ivfpq_index", "similarity_topk_pq",
+        "small_qty_revenue_q17", "source_cap", "source_mix",
+        "source_temperature_mix", "stratified_sample", "stream_stream_join",
+        "text_stats", "token_counts", "token_histogram", "token_idf",
+        "top_supplier_q15", "user_totals_stateful", "volume_shipping_q7",
+    )),
+):
+    for _n in _names:
+        _LAST_DRIVER_ROUND[_n] = _rnd
+
+
+def _window_priority(name: str, has_oracle: bool) -> tuple:
+    """Sort key for the driver's hard-gate window: rows-only entries last;
+    oracle entries by last driver-green round ascending, newcomers first."""
+    if not has_oracle:
+        return (99,)
+    return (_LAST_DRIVER_ROUND.get(name, 0),)
