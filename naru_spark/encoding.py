@@ -126,11 +126,16 @@ class ColumnDictionary:
 
         Reference ``estimators.py:219-236``: evaluate the raw-value predicate
         once against the sorted dictionary. The NULL bin is always False
-        (common.py:11-24 — NULL never matches).
+        (common.py:11-24 — NULL never matches). ``'in'`` (beyond the
+        reference's op set) is the UNION of the per-value equality masks —
+        one vectorized isin over the domain.
         """
         from naru_spark.predicates import NUMPY_OPS
 
-        inner = NUMPY_OPS[op](self.values, val)
+        if op == "in":
+            inner = np.isin(self.values, np.asarray(list(val), dtype=self.values.dtype))
+        else:
+            inner = NUMPY_OPS[op](self.values, val)
         if self.has_null:
             return np.concatenate([[False], inner]).astype(bool)
         return inner.astype(bool)

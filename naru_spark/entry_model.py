@@ -364,10 +364,37 @@ def q_psample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psample_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProgressiveSampling on the IN / OR-of-conjunctions workload (beyond
+    the reference's conjunctive surface): each DisjunctiveQuery expands by
+    inclusion-exclusion into conjunctive mask evaluations
+    (predicates.ie_terms). Per-query (est, true, q_err) rows; rows-only
+    gate (stochastic), with the q-error distribution statistically gated in
+    tests/test_model.py and the exact counts hash-gated by
+    workload_oracle_disjunctive."""
+    from naru_spark.entry_queries import disjunctive_workload
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+
+    df, enc, meta, model = _fitted(spark, sf_dir)
+    wl = list(disjunctive_workload())
+    truths = Oracle(df).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    ests = [float(ps.query(q)) for q in wl]
+    rows = [
+        (i, float(e), int(t), float(q_error(e, t)) if t > 0 else None)
+        for i, (e, t) in enumerate(zip(ests, truths))
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, est_card double, true_card bigint, q_err double"
+    )
+
+
 def build_model_registry():
     return {
         "psample_estimates": q_psample_estimates,
         "psample_events": q_psample_events,
+        "psample_disjunctive": q_psample_disjunctive,
         "psample_distributed": q_psample_distributed,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,

@@ -57,6 +57,21 @@ def workload() -> tuple[Query, ...]:
     )
 
 
+@lru_cache(maxsize=1)
+def disjunctive_workload() -> tuple:
+    """IN / OR-of-conjunctions workload (beyond the reference's conjunctive
+    surface — predicates.DisjunctiveQuery); same seeded-from-sf0.01
+    discipline as workload()."""
+    from naru_spark.workload import generate_disjunctive_workload
+
+    meta = _lineitem_meta_pandas()
+    return tuple(
+        generate_disjunctive_workload(
+            WORKLOAD_SF, meta, "lineitem", WORKLOAD_N, seed=WORKLOAD_SEED + 1
+        )
+    )
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from naru_spark.sources import load_table
 
@@ -80,6 +95,35 @@ def sql_workload_oracle() -> str:
     parts = [
         f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(q)}) AS card"
         for i, q in enumerate(workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_workload_oracle_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact counts for the IN / OR-of-conjunctions workload — the same
+    ONE-scan conditional-aggregation batch as the conjunctive oracle
+    (spark_predicate OR-folds branches; Catalyst pushes the disjunctive
+    filter supersets into the scan). Also asserts the Heuristic
+    inclusion-exclusion path runs on every query (estimates are
+    model-dependent, so only the exact counts are hash-gated)."""
+    from naru_spark.estimators import Heuristic, Oracle
+
+    df = _load(spark, sf_dir, "lineitem")
+    wl = list(disjunctive_workload())
+    cards = Oracle(df).query_batch(wl)
+    # exercise the approximate path end-to-end (cheap: one extra scan)
+    meta = TableMeta("lineitem", [], df.count())
+    ests = Heuristic(df.select(*LINEITEM_COLS), meta).query_batch(wl)
+    assert len(ests) == len(cards) and all(e >= 0 for e in ests)
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle_disjunctive() -> str:
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(disjunctive_workload())
     ]
     return " UNION ALL ".join(parts)
 
@@ -1067,6 +1111,7 @@ ORDER BY o_orderpriority
 def build_registry():
     queries = {
         "workload_oracle_counts": q_workload_oracle,
+        "workload_oracle_disjunctive": q_workload_oracle_disjunctive,
         "heuristic_estimates": q_heuristic,
         "region_size": q_region_size,
         "encode_returnflag": _q_encode("l_returnflag"),
@@ -1096,6 +1141,7 @@ def build_registry():
     }
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
+        "workload_oracle_disjunctive": sql_workload_oracle_disjunctive(),
         "heuristic_estimates": sql_heuristic(),
         "region_size": sql_region_size(),
         "encode_returnflag": _sql_encode("l_returnflag"),

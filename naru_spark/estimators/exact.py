@@ -112,19 +112,31 @@ class Heuristic(CardEst):
         return self.query_batch([q])[0]
 
     def query_batch(self, queries: list[Query]) -> list[float]:
+        # DisjunctiveQuery support: inclusion-exclusion expansion
+        # (predicates.ie_terms) — every term is conjunctive, so the
+        # per-column singles of ALL terms of ALL queries still ride ONE
+        # conditional-aggregation scan; a conjunctive query expands to
+        # itself with coefficient 1.
+        from naru_spark.predicates import ie_terms
+
+        terms = [ie_terms(q) for q in queries]
         singles = [
-            Query(q.table, [c], [op], [v])
-            for q in queries
-            for c, op, v in zip(q.cols, q.ops, q.vals)
+            Query(t.table, [c], [op], [v])
+            for qterms in terms
+            for _, t in qterms
+            for c, op, v in zip(t.cols, t.ops, t.vals)
         ]
         counts = _conditional_counts(self.df, singles)
         out, k = [], 0
-        for q in queries:
-            sel = 1.0
-            for _ in q.cols:
-                sel *= counts[k] / self.cardinality
-                k += 1
-            out.append(math.ceil(sel * self.cardinality))
+        for qterms in terms:
+            total = 0.0
+            for coef, t in qterms:
+                sel = 1.0
+                for _ in t.cols:
+                    sel *= counts[k] / self.cardinality
+                    k += 1
+                total += coef * sel
+            out.append(math.ceil(min(max(total, 0.0), 1.0) * self.cardinality))
         return out
 
 

@@ -72,12 +72,29 @@ class ProgressiveSampling(CardEst):
             prev_order = list(made.order)
             made.update_order(self.order)
         try:
+            from naru_spark.predicates import DisjunctiveQuery, ie_terms
+
+            if isinstance(q, DisjunctiveQuery):
+                # OR of conjunctions by inclusion-exclusion: each term is
+                # conjunctive (branch predicates concatenated — repeated
+                # columns INTERSECT via _masks' mask product), so the whole
+                # disjunction is 2^k - 1 runs of the conjunctive sampler.
+                # Selectivities combine BEFORE the final ceil.
+                sel = sum(
+                    coef * self._sel_pinned(t) for coef, t in ie_terms(q)
+                )
+                sel = min(max(sel, 0.0), 1.0)
+                return float(np.ceil(sel * self.model.meta.cardinality))
             return self._query_pinned(q)
         finally:
             if prev_order is not None:
                 made.update_order(prev_order)
 
     def _query_pinned(self, q: Query) -> float:
+        sel = self._sel_pinned(q)
+        return float(np.ceil(sel * self.model.meta.cardinality))
+
+    def _sel_pinned(self, q: Query) -> float:
         rng = np.random.RandomState(self.seed)
         made = self.model.made
         S = self.num_samples
@@ -124,8 +141,7 @@ class ProgressiveSampling(CardEst):
             u = rng.rand(S, 1)
             choice = np.minimum((u > cum).sum(axis=1), dist.shape[1] - 1)
             made._write_bits(bits, c, choice)
-        sel = float(p.mean())
-        return float(np.ceil(sel * self.model.meta.cardinality))
+        return float(p.mean())
 
     # ------------------------------------------------------- batch scoring
     def estimate_batch(
@@ -228,10 +244,17 @@ class SampleFromModel(CardEst):
         self._samples = self.model.made.sample(num_samples, self.rng)
 
     def query(self, q: Query) -> float:
-        masks = ProgressiveSampling(self.model)._masks(q)
-        keep = np.ones(self.num_samples, dtype=np.float64)
-        for i, m in enumerate(masks):
-            if m is not None:
-                keep *= m[self._samples[:, i]]
-        frac = keep.mean()
+        from naru_spark.predicates import ie_terms
+
+        # inclusion-exclusion handles DisjunctiveQuery; conjunctive input
+        # is its own single term with coefficient 1
+        frac = 0.0
+        for coef, t in ie_terms(q):
+            masks = ProgressiveSampling(self.model)._masks(t)
+            keep = np.ones(self.num_samples, dtype=np.float64)
+            for i, m in enumerate(masks):
+                if m is not None:
+                    keep *= m[self._samples[:, i]]
+            frac += coef * keep.mean()
+        frac = min(max(frac, 0.0), 1.0)
         return float(np.ceil(frac * self.model.meta.cardinality))

@@ -1,4 +1,4 @@
-"""Conjunctive predicate model: the reference's entire query surface.
+"""Predicate model: the reference's conjunctive surface plus IN / OR.
 
 Reference (/root/reference):
 - ``estimators.py:20-26``: OPS = {'>', '<', '>=', '<=', '='} as numpy ufuncs.
@@ -8,6 +8,17 @@ Reference (/root/reference):
   WHERE string.
 - ``estimators.py:114-131`` (``FillInUnqueriedColumns``): pad the predicate
   list to full table column order with None wildcards.
+
+Beyond the reference's surface (it stops at conjunctive range/equality):
+- op ``'in'`` — a single-column value-set disjunction (``c IN (v1,..)``);
+  val is a list/tuple. In mask space this is the UNION of the per-value
+  equality masks, so it flows through every estimator unchanged.
+- ``DisjunctiveQuery`` — an OR of conjunctive branches (the Q19 shape).
+  Exact paths evaluate the OR directly; model-based estimators expand it
+  by inclusion-exclusion (``ie_terms``): every term is again a conjunctive
+  ``Query`` (branch predicates concatenated — repeated columns intersect in
+  mask space), so 2^k-1 conjunctive evaluations answer a k-branch OR
+  exactly in mask arithmetic. Workloads keep k <= 3.
 
 NULL semantics: a NULL never satisfies any predicate (``common.py:11-24``) —
 Spark SQL's three-valued logic gives this for free on the filter path; the
@@ -37,7 +48,8 @@ _SQL_OPS = {">": ">", "<": "<", ">=": ">=", "<=": "<=", "=": "="}
 
 @dataclass
 class Query:
-    """One conjunctive range/equality query over a single table."""
+    """One conjunctive query over a single table: range/equality predicates
+    plus single-column ``'in'`` value sets (val = list/tuple)."""
 
     table: str
     cols: list[str]
@@ -46,8 +58,11 @@ class Query:
 
     def __post_init__(self):
         assert len(self.cols) == len(self.ops) == len(self.vals)
-        for op in self.ops:
-            assert op in NUMPY_OPS, op
+        for op, v in zip(self.ops, self.vals):
+            if op == "in":
+                assert isinstance(v, (list, tuple)) and len(v) > 0, v
+            else:
+                assert op in NUMPY_OPS, op
 
     def fill_in_unqueried(self, all_columns: list[str]) -> tuple[list[str], list, list]:
         """Reference ``FillInUnqueriedColumns`` (estimators.py:114-131):
@@ -60,9 +75,55 @@ class Query:
         return all_columns, ops, vals
 
 
-def spark_predicate(q: Query) -> SparkCol:
+@dataclass
+class DisjunctiveQuery:
+    """OR of conjunctive branches over one table (the Q19 shape)."""
+
+    table: str
+    branches: list
+
+    def __post_init__(self):
+        assert len(self.branches) >= 1
+        for b in self.branches:
+            assert isinstance(b, Query), b
+
+
+def ie_terms(q) -> list:
+    """Inclusion-exclusion expansion of a (possibly disjunctive) query into
+    ``(coefficient, conjunctive Query)`` terms:
+
+        |A or B or C| = sum |single| - sum |pairwise and| + |triple and|
+
+    Each AND of branches is again a conjunction — the branch predicate lists
+    concatenated, so repeated columns INTERSECT wherever the evaluator
+    already combines same-column predicates (mask product in
+    ProgressiveSampling, independence product in Heuristic). A conjunctive
+    input returns itself with coefficient 1. 2^k - 1 terms for k branches;
+    workload generation keeps k <= 3."""
+    if isinstance(q, Query):
+        return [(1, q)]
+    from itertools import combinations
+
+    out = []
+    for r in range(1, len(q.branches) + 1):
+        for combo in combinations(q.branches, r):
+            merged = Query(
+                q.table,
+                [c for b in combo for c in b.cols],
+                [o for b in combo for o in b.ops],
+                [v for b in combo for v in b.vals],
+            )
+            out.append(((-1) ** (r + 1), merged))
+    return out
+
+
+def spark_predicate(q) -> SparkCol:
     """AND-fold into one Spark Column; Catalyst pushes each conjunct to the
-    scan (reference ``Oracle`` mask fold, estimators.py:505-536)."""
+    scan (reference ``Oracle`` mask fold, estimators.py:505-536).
+    ``DisjunctiveQuery`` OR-folds its branches — Catalyst still pushes the
+    per-branch supersets where the source supports disjunctive filters."""
+    if isinstance(q, DisjunctiveQuery):
+        return reduce(operator.or_, (spark_predicate(b) for b in q.branches))
     parts = []
     for c, op, v in zip(q.cols, q.ops, q.vals):
         col = F.col(c)
@@ -76,6 +137,8 @@ def spark_predicate(q: Query) -> SparkCol:
             parts.append(col >= F.lit(v))
         elif op == "<=":
             parts.append(col <= F.lit(v))
+        elif op == "in":
+            parts.append(col.isin([x for x in v]))
     return reduce(operator.and_, parts)
 
 
@@ -100,9 +163,17 @@ def sql_literal(v) -> str:
     return f"'{s}'"
 
 
-def sql_predicate(q: Query) -> str:
+def sql_predicate(q) -> str:
     """(cols, ops, vals) -> WHERE-clause string (reference
     ``QueryToPredicate``, estimators.py:93-111), ANSI so DuckDB and Spark SQL
-    both accept it."""
-    parts = [f"{c} {_SQL_OPS[op]} {sql_literal(v)}" for c, op, v in zip(q.cols, q.ops, q.vals)]
+    both accept it. ``'in'`` renders as ``c IN (...)``; a
+    ``DisjunctiveQuery`` as parenthesized OR-joined branch conjunctions."""
+    if isinstance(q, DisjunctiveQuery):
+        return " OR ".join(f"({sql_predicate(b)})" for b in q.branches)
+    parts = []
+    for c, op, v in zip(q.cols, q.ops, q.vals):
+        if op == "in":
+            parts.append(f"{c} IN ({', '.join(sql_literal(x) for x in v)})")
+        else:
+            parts.append(f"{c} {_SQL_OPS[op]} {sql_literal(v)}")
     return " AND ".join(parts)

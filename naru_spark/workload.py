@@ -82,3 +82,72 @@ def generate_workload(
     pdf = load_table_pandas(sf_dir, table_name, columns or meta.column_names)
     rng = np.random.RandomState(seed)
     return [generate_query(pdf, meta, rng, table_name) for _ in range(num_queries)]
+
+
+# ------------------------------------------------------- disjunctive surface
+# Beyond the reference's conjunctive-only generator: IN value sets and ORs
+# of conjunctions (predicates.DisjunctiveQuery). Opt-in via its own entry
+# point — the reference workloads above stay draw-for-draw identical.
+IN_PROB = 0.5  # chance an '=' on a small-domain column widens to IN
+IN_EXTRA_MAX = 3  # extra sampled rows contributing IN values (2-4 total)
+
+
+def generate_disjunctive_query(
+    pdf: pd.DataFrame,
+    meta: TableMeta,
+    rng: np.random.RandomState,
+    table_name: str,
+    max_branches: int = 3,
+):
+    """One OR-of-conjunctions query: 2..max_branches branches, each drawn
+    with the reference's sample-a-row discipline but fewer filters (2-4),
+    and '=' predicates on small-domain columns widened to IN sets with
+    probability IN_PROB (values from additional sampled rows, so sets hit
+    real data). Deterministic given (pdf, seed): draw order is branch count,
+    then per branch (row, columns, ops, IN widenings)."""
+    from naru_spark.predicates import DisjunctiveQuery
+
+    all_cols = meta.column_names
+    n_branches = int(rng.randint(2, max_branches + 1))
+    branches = []
+    for _ in range(n_branches):
+        num_filters = min(int(rng.randint(2, 5)), len(all_cols))
+        row = pdf.iloc[int(rng.randint(0, len(pdf)))]
+        idxs = rng.choice(len(all_cols), replace=False, size=num_filters)
+        cols = [all_cols[i] for i in idxs]
+        ops = rng.choice(RANGE_OPS, size=num_filters)
+        sensible = np.array(
+            [meta.column(c).distribution_size >= MIN_DOMAIN_FOR_RANGE for c in cols]
+        )
+        ops = [str(o) for o in np.where(sensible, ops, "=")]
+        vals = [_normalize_value(row[c]) for c in cols]
+        for k, (c, op) in enumerate(zip(cols, ops)):
+            if op == "=" and rng.rand() < IN_PROB:
+                extra = int(rng.randint(1, IN_EXTRA_MAX + 1))
+                pool = {repr(vals[k]): vals[k]}
+                for _ in range(extra):
+                    v = _normalize_value(pdf.iloc[int(rng.randint(0, len(pdf)))][c])
+                    if v is not None:
+                        pool[repr(v)] = v
+                # sorted by repr: engine-independent, mixed-type safe
+                ops[k] = "in"
+                vals[k] = [pool[r] for r in sorted(pool)]
+        branches.append(Query(table=table_name, cols=cols, ops=ops, vals=vals))
+    return DisjunctiveQuery(table=table_name, branches=branches)
+
+
+def generate_disjunctive_workload(
+    sf_dir: str,
+    meta: TableMeta,
+    table_name: str,
+    num_queries: int,
+    seed: int = 1234,
+    columns: list[str] | None = None,
+    max_branches: int = 3,
+) -> list:
+    pdf = load_table_pandas(sf_dir, table_name, columns or meta.column_names)
+    rng = np.random.RandomState(seed)
+    return [
+        generate_disjunctive_query(pdf, meta, rng, table_name, max_branches)
+        for _ in range(num_queries)
+    ]

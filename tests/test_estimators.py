@@ -56,6 +56,89 @@ def test_oracle_matches_duckdb(lineitem, workload, duck_smoke):
         assert est == truth, q
 
 
+@pytest.fixture(scope="module")
+def disjunctive_workload(lineitem):
+    from naru_spark.workload import generate_disjunctive_workload
+
+    _, meta = lineitem
+    return generate_disjunctive_workload(SF_SMOKE, meta, "lineitem", 10, seed=5678)
+
+
+def test_disjunctive_workload_shape(disjunctive_workload):
+    from naru_spark.predicates import DisjunctiveQuery
+
+    saw_in = saw_multi = False
+    for q in disjunctive_workload:
+        assert isinstance(q, DisjunctiveQuery)
+        assert 2 <= len(q.branches) <= 3
+        saw_multi = saw_multi or len(q.branches) > 1
+        for b in q.branches:
+            assert 2 <= len(b.cols) <= 4
+            for op, v in zip(b.ops, b.vals):
+                if op == "in":
+                    saw_in = True
+                    assert isinstance(v, list) and len(v) >= 1
+    assert saw_in and saw_multi  # the surface actually exercises IN and OR
+
+
+def test_ie_terms_expansion():
+    """2 branches -> 3 terms (+,+,-); 3 branches -> 7 with IE signs; a
+    conjunctive query is its own single term."""
+    from naru_spark.predicates import DisjunctiveQuery, ie_terms
+
+    a = Query("t", ["x"], ["="], [1])
+    b = Query("t", ["y"], [">"], [2])
+    c = Query("t", ["z"], ["<"], [3])
+    assert ie_terms(a) == [(1, a)]
+    t2 = ie_terms(DisjunctiveQuery("t", [a, b]))
+    assert [coef for coef, _ in t2] == [1, 1, -1]
+    assert t2[2][1].cols == ["x", "y"]  # the AND term concatenates
+    t3 = ie_terms(DisjunctiveQuery("t", [a, b, c]))
+    assert [coef for coef, _ in t3] == [1, 1, 1, -1, -1, -1, 1]
+
+
+def test_disjunctive_oracle_matches_duckdb(lineitem, disjunctive_workload, duck_smoke):
+    """Exact path: spark_predicate's OR/IN fold == DuckDB on the same data,
+    both per-query and through the one-scan batch path."""
+    df, _ = lineitem
+    oracle = Oracle(df)
+    batch = oracle.query_batch(list(disjunctive_workload))
+    for q, est in zip(disjunctive_workload, batch):
+        truth = duck_smoke.execute(
+            f"SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(q)}"
+        ).fetchone()[0]
+        assert est == truth, sql_predicate(q)
+        assert oracle.query(q) == truth
+
+
+def test_disjunctive_ie_is_exact_for_counts(lineitem, disjunctive_workload):
+    """Inclusion-exclusion ground truth: the OR count equals the signed sum
+    of the conjunctive term counts — the identity every model-based
+    estimator's expansion relies on."""
+    from naru_spark.predicates import ie_terms
+
+    df, _ = lineitem
+    oracle = Oracle(df)
+    for q in disjunctive_workload[:4]:
+        terms = ie_terms(q)
+        signed = sum(coef * oracle.query(t) for coef, t in terms)
+        assert signed == oracle.query(q)
+
+
+def test_heuristic_disjunctive_bounds(lineitem, disjunctive_workload):
+    """Heuristic on a disjunction: non-negative, never above the table, and
+    a single-branch disjunction degenerates to the conjunctive estimate."""
+    from naru_spark.predicates import DisjunctiveQuery
+
+    df, meta = lineitem
+    h = Heuristic(df, meta)
+    ests = h.query_batch(list(disjunctive_workload))
+    assert all(0 <= e <= meta.cardinality for e in ests)
+    b = disjunctive_workload[0].branches[0]
+    single = DisjunctiveQuery("lineitem", [b])
+    assert h.query(single) == h.query(b)
+
+
 def test_oracle_single_equals_batch(lineitem, workload):
     df, _ = lineitem
     oracle = Oracle(df)

@@ -910,6 +910,24 @@ def test_progressive_sampling_e2e(spark):
     errs2 = [q_error(sfm.query(q), t) for q, t in zip(wl, truths) if t > 0]
     assert np.isfinite(errs2).all()
 
+    # disjunctive surface (IN / OR-of-conjunctions): the SAME model answers
+    # DisjunctiveQuery via inclusion-exclusion over conjunctive mask terms;
+    # gate the q-error distribution against exact truth
+    from naru_spark.workload import generate_disjunctive_workload
+
+    dwl = generate_disjunctive_workload(SF_SMOKE, meta, "lineitem", 10, seed=5678)
+    dtruths = Oracle(df).query_batch(dwl)
+    dests = [ps.query(q) for q in dwl]
+    derrs = [q_error(max(e, 1.0), t) for e, t in zip(dests, dtruths) if t > 0]
+    assert len(derrs) >= 5  # the workload must hit real rows
+    assert np.median(derrs) <= 5.0, derrs
+    # IE must keep estimates in [0, cardinality] (signed sums could escape)
+    assert all(0 <= e <= meta.cardinality for e in dests)
+    # SampleFromModel shares the expansion
+    derrs2 = [q_error(sfm.query(q), t) for q, t in zip(dwl, dtruths) if t > 0]
+    assert np.isfinite(derrs2).all()
+    df.unpersist()
+
 
 def test_full_model_checkpoint_roundtrip(spark, tmp_path):
     """NaruModel.save/load restores ESTIMATION (not just weights): the
