@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from functools import lru_cache
+
 from naru_spark.tmp import tmpdir as _tmpdir
 from naru_spark.pipeline.text import LANG_ORDER, LANG_STOPWORDS
 
@@ -1849,6 +1851,111 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_docs(spark, sf_dir), _bpe_merges(spark, sf_dir))
 
 
+@lru_cache(maxsize=1)
+def _bpe_merges_fixed():
+    """Merges learned once from the driver's correctness SF via the
+    engine-independent pandas trainer (no SparkSession needed at
+    oracle-SQL generation time); Spark/pandas trainer parity is pinned in
+    tests. Both the Spark entry and the DuckDB oracle apply THIS merge
+    table — the 'ship one tokenizer artifact everywhere' discipline."""
+    from naru_spark.entry_queries import WORKLOAD_SF
+    from naru_spark.pipeline.bpe import bpe_learn_pandas
+
+    return tuple(bpe_learn_pandas(WORKLOAD_SF, num_merges=20))
+
+
+def q_bpe_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> pack, one oracle-backed path (pipeline.bpe.
+    bpe_pack_manifest): per-doc BPE token counts under the fixed learned
+    merges (map-only encode, shard key passed through), chained into the
+    concat-and-chunk pack manifest (curation.pack_token_counts,
+    seq_len=256). Exact-count accounting, full DuckDB oracle: the oracle
+    replays the greedy rank-ordered merge chain in SQL — each merge is a
+    fixpoint of delimiter-preserving replaces over a '|'-separated symbol
+    string, which reproduces greedy BPE token counts bit-for-bit
+    (word-level equivalence asserted in tests/test_pipeline.py)."""
+    from naru_spark.pipeline.bpe import bpe_pack_manifest
+
+    return bpe_pack_manifest(
+        _docs(spark, sf_dir), list(_bpe_merges_fixed()), seq_len=256
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def sql_bpe_pack_manifest(seq_len: int = 256) -> str:
+    """Faithful greedy-BPE replay in SQL: per DISTINCT word, a recursive
+    CTE applies ONE merge per step — the lowest-rank merge present in the
+    symbol string (symbols '|'-delimited, so '|l|r|' only matches whole
+    adjacent symbols; the corpus contains no literal '|'), spliced at its
+    LEFTMOST occurrence via substr. That is exactly the encoder's
+    pick-min-rank-then-first-position loop, so segmentations (not just
+    counts) agree step for step; the final state per word is the one no
+    merge applies to. Recursion depth <= word length. A single global
+    replace-to-fixpoint would NOT be faithful: it consumes the shared
+    delimiter between back-to-back pair occurrences and mis-segments runs
+    (equivalence + the run counter-example are pinned in
+    tests/test_pipeline.py). Word counts then join back per occurrence and
+    feed the same concat-and-chunk pack accounting as sql_pack_sequences."""
+    merge_values = ", ".join(
+        f"({rank}, '{_sql_quote(l)}', '{_sql_quote(r)}')"
+        for rank, l, r, _ in _bpe_merges_fixed()
+    )
+    return f"""
+WITH RECURSIVE merges(rank, l, r) AS (VALUES {merge_values}),
+words AS (
+  SELECT DISTINCT x AS w FROM (
+    SELECT unnest({_SQL_TOKS}) AS x FROM documents WHERE length(trim(text)) > 0
+  ) WHERE length(x) > 0
+),
+enc(w, s) AS (
+  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') FROM words
+  UNION ALL
+  SELECT w,
+         substr(s, 1, p - 1) || '|' || l || r || '|'
+           || substr(s, p + length('|' || l || '|' || r || '|'))
+  FROM (
+    SELECT e.w, e.s, m.l, m.r,
+           strpos(e.s, '|' || m.l || '|' || m.r || '|') AS p
+    FROM enc e
+    JOIN merges m ON m.rank = (
+      SELECT min(m2.rank) FROM merges m2
+      WHERE strpos(e.s, '|' || m2.l || '|' || m2.r || '|') > 0
+    )
+  )
+),
+final AS (
+  SELECT w, len(string_split(s, '|')) - 2 AS n FROM enc e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merges m WHERE strpos(e.s, '|' || m.l || '|' || m.r || '|') > 0
+  )
+),
+doc_words AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+  WHERE length(trim(text)) > 0
+),
+doc_counts AS (
+  SELECT dw.doc_id, SUM(f.n) AS n FROM doc_words dw
+  JOIN final f ON f.w = dw.w GROUP BY dw.doc_id
+),
+toks AS (
+  SELECT d.source, d.doc_id, COALESCE(dc.n, 0) AS n_toks
+  FROM documents d LEFT JOIN doc_counts dc ON dc.doc_id = d.doc_id
+), cum AS (
+  SELECT source, doc_id, n_toks,
+         CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_toks)
+                    / {seq_len}.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cum GROUP BY source, pack_id
+"""
+
+
 _STRAT_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
 
 
@@ -2385,6 +2492,7 @@ def build_pipeline_registry():
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
+        "bpe_pack_manifest": q_bpe_pack_manifest,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "multimodal_real_decode": q_multimodal_real_decode,
@@ -2458,6 +2566,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "like_estimates_anchored": sql_like_estimates_anchored(),
         "gopher_filter": sql_gopher_filter(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
+        "bpe_pack_manifest": sql_bpe_pack_manifest(),
         "stratified_sample": sql_stratified_sample(),
         "chunk_documents": sql_chunk_documents(),
         "multimodal_real_decode": sql_multimodal_real_decode(),

@@ -74,6 +74,35 @@ def bpe_learn(
     by every production tokenizer does exactly this.)"""
     rows = word_frequencies(df, text_col).collect()
     vocab = {tuple(r["word"]): int(r["freq"]) for r in rows}
+    return _merge_loop(vocab, num_merges)
+
+
+def bpe_learn_pandas(
+    sf_dir: str, num_merges: int = 20, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Engine-independent twin of ``bpe_learn``: word frequencies via
+    pyarrow/pandas, the SAME deterministic merge loop. Used where merges
+    must be available WITHOUT a SparkSession (oracle-SQL generation) —
+    parity with the Spark trainer is pinned in tests."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=[text_col]
+    ).to_pandas()
+    vocab: dict[tuple[str, ...], int] = {}
+    for text in pdf[text_col]:
+        for w in str(text).split():
+            if w:
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + 1
+    return _merge_loop(vocab, num_merges)
+
+
+def _merge_loop(
+    vocab: dict[tuple, int], num_merges: int
+) -> list[tuple[int, str, str, int]]:
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -110,6 +139,9 @@ def bpe_encode(
     merges: list[tuple[int, str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    emit_tokens: bool = False,
+    vocab: dict[str, int] | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply learned merges to the corpus — the job that actually runs at
     100 TB, and it is embarrassingly map-only: the merge table (KBs)
@@ -122,11 +154,25 @@ def bpe_encode(
     lowest-rank applicable merge until none applies. Deterministic given
     the merges, so two engines (or the pure-python reference in tests)
     agree token-for-token. Output: per-doc BPE token count + distinct
-    token count (the corpus-level stats a tokenizer report needs)."""
+    token count (the corpus-level stats a tokenizer report needs);
+    ``emit_tokens`` adds the token-string sequence, ``vocab`` (a
+    broadcastable symbol->id dict, see ``bpe_vocab``) adds the id
+    sequence the packing/training loader consumes (unknown symbols map
+    to -1), ``passthrough`` forwards extra columns (e.g. the shard key)
+    so downstream stages need no re-join."""
     import pandas as pd
 
     ranks = {(l, r): i for i, l, r, _ in merges}
-    out_schema = f"{id_col} long, n_bpe_tokens int, n_distinct_tokens int"
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in passthrough
+    )
+    out_schema = f"{id_col} long, n_bpe_tokens int, n_distinct_tokens int" + extra_schema
+    if emit_tokens:
+        out_schema += ", tokens array<string>"
+    if vocab is not None:
+        out_schema += ", token_ids array<int>"
 
     def encode_word(word: str, memo: dict) -> tuple:
         got = memo.get(word)
@@ -146,15 +192,77 @@ def bpe_encode(
         memo[word] = got
         return got
 
+    extra_cols = [c for c in passthrough]
+    col_names = (
+        [id_col, "n_bpe_tokens", "n_distinct_tokens"]
+        + extra_cols
+        + (["tokens"] if emit_tokens else [])
+        + (["token_ids"] if vocab is not None else [])
+    )
+
     def run(batches) -> "pd.DataFrame":
         memo: dict = {}
         for pdf in batches:
             rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            for _, r in pdf.iterrows():
                 toks: list = []
-                for w in str(text).split():
+                for w in str(r[text_col]).split():
                     toks.extend(encode_word(w, memo))
-                rows.append((int(did), len(toks), len(set(toks))))
-            yield pd.DataFrame(rows, columns=[id_col, "n_bpe_tokens", "n_distinct_tokens"])
+                out = [int(r[id_col]), len(toks), len(set(toks))]
+                out += [r[c] for c in extra_cols]
+                if emit_tokens:
+                    out.append(list(toks))
+                if vocab is not None:
+                    out.append([vocab.get(t, -1) for t in toks])
+                rows.append(tuple(out))
+            yield pd.DataFrame(rows, columns=col_names)
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    return df.select(id_col, text_col, *extra_cols).mapInPandas(run, schema=out_schema)
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic (token, token_id) table for a learned merge set: the
+    distinct final tokens of the encoded corpus, ids assigned in sorted
+    token order. Vocabulary-bounded (so the single-partition id window is
+    fine); broadcastable into ``bpe_encode(vocab=...)`` for id emission —
+    the tokenizer-artifact table a training pipeline persists beside the
+    merges."""
+    from pyspark.sql import Window
+
+    toks = (
+        bpe_encode(df, merges, text_col=text_col, emit_tokens=True)
+        .select(F.explode("tokens").alias("token"))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    return toks.withColumn("token_id", F.row_number().over(w) - 1)
+
+
+def bpe_pack_manifest(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Tokenize -> pack as ONE oracle-backed path: per-doc BPE token
+    counts from the learned merges (map-only ``bpe_encode`` with the shard
+    key passed through — no re-join), chained into the concat-and-chunk
+    pack manifest (``curation.pack_token_counts``). The manifest's
+    shard/token accounting is exact and deterministic given the merges, so
+    a SQL engine replaying the merge chain reproduces it bit-for-bit."""
+    from naru_spark.pipeline.curation import pack_token_counts
+
+    counts = bpe_encode(
+        df, merges, id_col=id_col, text_col=text_col, passthrough=(shard_col,)
+    ).select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.col("n_bpe_tokens").alias("n_toks"),
+    )
+    return pack_token_counts(counts, seq_len, shard_col)

@@ -79,6 +79,17 @@ def pack_sequences(
         F.col(id_col).alias("id"),
         F.size(tokens_col(text_col)).alias("n_toks"),
     )
+    return pack_token_counts(toks, seq_len, shard_col)
+
+
+def pack_token_counts(
+    toks: DataFrame, seq_len: int, shard_col: str = "source"
+) -> DataFrame:
+    """Concat-and-chunk pack manifest from a precomputed per-doc token
+    count table ``(shard, id, n_toks)`` — the shared core of
+    ``pack_sequences`` (whitespace counts) and the BPE tokenize->pack
+    chain (``pipeline.bpe.bpe_pack_manifest``), which differ only in how
+    n_toks is produced."""
     from pyspark.sql import Window
 
     w = (

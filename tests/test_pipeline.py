@@ -944,6 +944,113 @@ def test_bpe_encode_parity_and_consistency(spark):
         assert len(toks) < n_chars
 
 
+def test_bpe_learn_pandas_parity(spark):
+    """The engine-independent pandas trainer (used at oracle-SQL
+    generation time, no SparkSession) produces the IDENTICAL merge
+    sequence as the distributed trainer."""
+    from naru_spark.pipeline.bpe import bpe_learn, bpe_learn_pandas
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    assert bpe_learn(docs, num_merges=15) == bpe_learn_pandas(SF_SMOKE, num_merges=15)
+
+
+def test_bpe_encode_tokens_ids_passthrough(spark):
+    """emit_tokens reconstructs each word exactly (concat of its tokens),
+    token_ids map through the deterministic bpe_vocab table, and
+    passthrough columns ride along without a re-join."""
+    from naru_spark.pipeline.bpe import bpe_encode, bpe_learn, bpe_vocab
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE).limit(30)
+    merges = bpe_learn(docs, num_merges=10)
+    vocab_rows = bpe_vocab(docs, merges).collect()
+    vocab = {r["token"]: r["token_id"] for r in vocab_rows}
+    assert sorted(vocab.values()) == list(range(len(vocab)))  # dense ids
+    assert list(vocab) == sorted(vocab)  # sorted-token order
+
+    out = bpe_encode(
+        docs, merges, emit_tokens=True, vocab=vocab, passthrough=("source",)
+    ).collect()
+    texts = {r["doc_id"]: (r["text"], r["source"]) for r in docs.collect()}
+    for r in out:
+        text, source = texts[r["doc_id"]]
+        assert r["source"] == source
+        assert "".join(r["tokens"]) == "".join(text.split())  # lossless
+        assert r["n_bpe_tokens"] == len(r["tokens"]) == len(r["token_ids"])
+        assert r["token_ids"] == [vocab[t] for t in r["tokens"]]
+        assert all(i >= 0 for i in r["token_ids"])  # vocab covers corpus
+
+
+def test_bpe_pack_manifest_chain(spark):
+    """bpe_pack_manifest == pack_token_counts over bpe_encode's counts:
+    per-shard token sums agree with a direct encode, pack boundaries
+    respect the cumulative-sum-before-doc rule."""
+    from naru_spark.pipeline.bpe import bpe_encode, bpe_learn, bpe_pack_manifest
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    merges = bpe_learn(docs, num_merges=10)
+    man = bpe_pack_manifest(docs, merges, seq_len=128).collect()
+    counts = bpe_encode(docs, merges, passthrough=("source",)).collect()
+    per_shard = {}
+    for r in counts:
+        per_shard[r["source"]] = per_shard.get(r["source"], 0) + r["n_bpe_tokens"]
+    got_shard = {}
+    for r in man:
+        got_shard[r["source"]] = got_shard.get(r["source"], 0) + r["n_tokens"]
+        assert r["n_docs"] >= 1 and r["first_doc"] <= r["last_doc"]
+    assert got_shard == per_shard  # every token lands in exactly one pack
+
+
+def test_bpe_sql_recursive_replay_adversarial(spark):
+    """The oracle's recursive one-merge-per-step SQL replay reproduces
+    greedy BPE token counts on the adversarial shapes where segmentation
+    matters (back-to-back pair runs whose pairing feeds a later merge —
+    the case a replace-to-fixpoint replay provably mis-segments: run of 5
+    under (a,a) then (aa,aa) is [aaaa, a] greedy but [aa, a, aa] under
+    global replace)."""
+    import duckdb
+
+    from naru_spark.pipeline.bpe import bpe_encode
+
+    merges = [(0, "a", "a", 0), (1, "a", "b", 0), (2, "aa", "aa", 0)]
+    words = ["a" * n for n in range(1, 9)] + ["ab" * 4, "ba" * 4, "aab" * 3]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {words[r["doc_id"]]: r["n_bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+
+    merge_values = ", ".join(f"({i}, '{l}', '{r}')" for i, l, r, _ in merges)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words AS SELECT unnest(?) AS w", [words])
+    sql = dict(
+        con.execute(
+            f"""
+WITH RECURSIVE merges(rank, l, r) AS (VALUES {merge_values}),
+enc(w, s) AS (
+  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') FROM words
+  UNION ALL
+  SELECT w, substr(s, 1, p - 1) || '|' || l || r || '|'
+            || substr(s, p + length('|' || l || '|' || r || '|'))
+  FROM (
+    SELECT e.w, e.s, m.l, m.r, strpos(e.s, '|' || m.l || '|' || m.r || '|') AS p
+    FROM enc e JOIN merges m ON m.rank = (
+      SELECT min(m2.rank) FROM merges m2
+      WHERE strpos(e.s, '|' || m2.l || '|' || m2.r || '|') > 0))
+)
+SELECT w, len(string_split(s, '|')) - 2 FROM enc e
+WHERE NOT EXISTS (SELECT 1 FROM merges m
+                  WHERE strpos(e.s, '|' || m.l || '|' || m.r || '|') > 0)
+"""
+        ).fetchall()
+    )
+    assert sql == got
+    assert got["aaaaa"] == 2  # the segmentation-sensitive case: [aaaa, a]
+
+
 def test_pq_topk_recall_and_compression(spark):
     """PQ ADC top-k is a meaningful ANN: decent top-10 overlap with the
     exact cosine ranking on unit-ish synthetic clusters, 8 codes per
