@@ -2328,6 +2328,76 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pagerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_pagerank's EXACT oracle twin: the same pipeline.graph.pagerank
+    power iteration over the same k=3 cosine k-NN edges, but with the
+    rank vector rounded to 9 decimals after every iteration
+    (round_decimals) — per-iteration rounding quenches float fold-order
+    ulps before they can compound, so a fixed-iteration SQL replay (one
+    recursive-CTE step per round, zero-weight self-loops keeping
+    in-edge-less nodes alive in the aggregate) reproduces every rank
+    bit-for-bit. 4 iterations, no dangling nodes by construction (every
+    k-NN node emits k edges). Full rank vector, final round 6."""
+    from naru_spark.pipeline.graph import pagerank
+    from naru_spark.pipeline.similarity import knn_graph
+
+    edges = knn_graph(_emb(spark, sf_dir), k=3).select("vec_id", "neighbor_id")
+    ranks = pagerank(
+        edges, iters=4, damping=0.85, shuffle_partitions=4, round_decimals=9
+    )
+    return ranks.select(
+        F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank")
+    )
+
+
+def sql_knn_pagerank_oracle(iters: int = 4) -> str:
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM pairs
+  ) WHERE rnk <= 3
+),
+nodes AS (
+  -- explicit DISTINCT: inside WITH RECURSIVE a bare UNION between the
+  -- two legs is not reliably deduplicating in DuckDB
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+nn AS (SELECT COUNT(*) AS c FROM nodes),
+od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+-- real edges weighted 1/outdeg plus ZERO-weight self-loops: the recursive
+-- step may reference pr only once, and the self-loops keep nodes with no
+-- in-edges present in the per-iteration aggregate (adding 0.0 is exact)
+ew AS (
+  SELECT e.src, e.dst, 1.0 / od.outdeg AS w FROM edges e JOIN od ON od.src = e.src
+  UNION ALL
+  SELECT node, node, 0.0 FROM nodes
+),
+pr(it, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT c FROM nn) FROM nodes
+  UNION ALL
+  SELECT pr.it + 1, ew.dst,
+         ROUND((1.0 - 0.85) / (SELECT c FROM nn)
+               + 0.85 * (SUM(pr.rank * ew.w) + 0.0), 9)
+  FROM pr JOIN ew ON ew.src = pr.node
+  WHERE pr.it < %(ITERS)s
+  GROUP BY pr.it, ew.dst
+)
+SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
+FROM pr WHERE it = %(ITERS)s
+""" % {"ITERS": iters}
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation dashboard: per-source corpus audit in ONE aggregation
     pass — doc/token/char volume, exact-duplicate rate (md5 within
@@ -2502,6 +2572,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
+        "knn_pagerank_oracle": q_knn_pagerank_oracle,
         "gopher_stream": q_gopher_stream,
         "quality_stream": q_quality_stream,
     }
@@ -2567,6 +2638,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "gopher_filter": sql_gopher_filter(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "bpe_pack_manifest": sql_bpe_pack_manifest(),
+        "knn_pagerank_oracle": sql_knn_pagerank_oracle(),
         "stratified_sample": sql_stratified_sample(),
         "chunk_documents": sql_chunk_documents(),
         "multimodal_real_decode": sql_multimodal_real_decode(),

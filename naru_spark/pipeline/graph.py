@@ -26,6 +26,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 4,
     shuffle_partitions: int | None = None,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """PageRank via power iteration on an edge DataFrame:
 
@@ -44,7 +45,11 @@ def pagerank(
     k-NN graph, where each node emits exactly k edges).
     ``shuffle_partitions`` pins the loop's shuffle width — iterative jobs
     over a small rank vector should not pay 32-partition task overhead
-    per round."""
+    per round. ``round_decimals`` rounds the rank vector after EVERY
+    iteration — the determinism handle that lets a SQL oracle replay the
+    power iteration bit-for-bit (per-iteration rounding quenches the
+    float fold-order divergence that would otherwise compound across
+    rounds; see the knn_pagerank_oracle entry)."""
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(conf_key)
@@ -88,16 +93,14 @@ def pagerank(
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                     .collect()[0][0]
                 )
+            rank_expr = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n)
+            )
+            if round_decimals is not None:
+                rank_expr = F.round(rank_expr, round_decimals)
             new_ranks = (
                 nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
-                    ).alias("rank"),
-                )
+                .select("node", rank_expr.alias("rank"))
             )
             if (t + 1) % checkpoint_every == 0 or t == iters - 1:
                 new_ranks = new_ranks.localCheckpoint(eager=True)

@@ -1189,3 +1189,12 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # round_decimals (the SQL-oracle determinism handle): per-iteration
+    # rounding perturbs each rank by < iters * 0.5e-9 vs the unrounded run
+    rounded = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=12, damping=0.85, round_decimals=9).collect()
+    }
+    for v in range(n):
+        assert abs(rounded[v] - got[v]) < 12 * 5e-10, (v, rounded[v], got[v])
