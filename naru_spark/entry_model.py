@@ -11,6 +11,26 @@ from pyspark.sql import DataFrame, SparkSession
 # estimator_report share it (training twice per bench run is pure waste).
 _MODEL_CACHE: dict = {}
 
+# Per-sf_dir {estimator_name: ms_per_query} from the last estimator_report
+# run — bench.py surfaces this in its compact JSON line so the driver
+# artifact shows WHICH estimator dominates the report's wall time.
+LAST_ESTIMATOR_TIMINGS: dict = {}
+
+
+def warm_model_cache(spark: SparkSession, sf_dir: str) -> float:
+    """Pre-fit the shared models outside any timed entry (bench setup):
+    the first-touch ResMADE/transformer fits are reusable artifacts — in
+    production they load from checkpoints — so steady-state entry timings
+    should not carry them. Returns the warm seconds (reported separately
+    by bench)."""
+    import time
+
+    t0 = time.time()
+    _fitted(spark, sf_dir)
+    _fitted_variants(spark, sf_dir)
+    _fitted_reversed_transformer(spark, sf_dir)
+    return time.time() - t0
+
 
 def _named(est, name: str):
     est.name = name
@@ -159,12 +179,18 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SampleFromModel,
     )
 
+    timings_out = LAST_ESTIMATOR_TIMINGS.setdefault(sf_dir, {})
+    t0 = time.time()
     df, enc, meta, model = _fitted(spark, sf_dir)
     transformer, reversed_made = _fitted_variants(spark, sf_dir)
+    timings_out["setup:model_fits_s"] = round(time.time() - t0, 2)
     wl = list(workload())
+    t0 = time.time()
     truths = Oracle(df).query_batch(wl)
+    timings_out["setup:oracle_truths_s"] = round(time.time() - t0, 2)
 
     # shared encoded sample for the model-based estimators
+    t0 = time.time()
     sample_rows = 100_000
     sel = enc.transform(df.select(*LINEITEM_COLS)).select(
         *[f"{c}__bin" for c in LINEITEM_COLS]
@@ -173,7 +199,9 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = sel.sample(fraction=min(1.0, sample_rows / meta.cardinality * 1.1), seed=0)
     data = sel.toPandas().to_numpy(dtype="int64")
     scale = meta.cardinality / len(data)
+    timings_out["setup:encoded_sample_s"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
     ests = [
         Heuristic(df, meta),
         Sampling(df, meta, p=0.0013 * 10),
@@ -191,11 +219,15 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256, structure="greedy"),
         CatalystCBO(spark, f"{sf_dir}/lineitem.parquet", "cbo_lineitem"),
     ]
+    # constructor-side fitting (MaxDiff partition build, Chow-Liu/greedy BN
+    # structure + CPTs, CBO ANALYZE) happens in the list literal above
+    timings_out["setup:baseline_fits_s"] = round(time.time() - t0, 2)
     rows = []
     for est in ests:
         t0 = time.time()
         vals = est.query_batch(wl)
         ms = (time.time() - t0) * 1e3 / len(wl)
+        timings_out[est.name] = round(ms, 2)
         errs = [q_error(max(e, 1.0), t) for e, t in zip(vals, truths) if t > 0]
         rows.append(
             (

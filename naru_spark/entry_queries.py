@@ -111,10 +111,13 @@ def q_workload_oracle_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame
     df = _load(spark, sf_dir, "lineitem")
     wl = list(disjunctive_workload())
     cards = Oracle(df).query_batch(wl)
-    # exercise the approximate path end-to-end (cheap: one extra scan)
+    # exercise the approximate IE path end-to-end on a subset (its full
+    # expansion is hundreds of conditional aggregates — the hash gate only
+    # needs the exact counts, so 8 queries keep the smoke cheap; the full
+    # workload's Heuristic behavior is covered in tests)
     meta = TableMeta("lineitem", [], df.count())
-    ests = Heuristic(df.select(*LINEITEM_COLS), meta).query_batch(wl)
-    assert len(ests) == len(cards) and all(e >= 0 for e in ests)
+    ests = Heuristic(df.select(*LINEITEM_COLS), meta).query_batch(wl[:8])
+    assert len(ests) == 8 and all(e >= 0 for e in ests)
     return spark.createDataFrame(
         [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
     )
@@ -1095,6 +1098,68 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, re-verified on EVERY driver run
+    (inline executed-plan assert, like bucketed_join_agg's zero-Exchange
+    check — the pytest-only assertion this entry promotes): a selective
+    filter on one fact side (urgent orders) makes Spark inject
+    might_contain(bloom) into the OTHER side's scan filter, dropping
+    non-matching lineitem rows BEFORE the shuffle — at 100 TB that is the
+    difference between shuffling the whole fact table and shuffling the
+    ~20% that can possibly join. Broadcast is disabled so the sort-merge
+    path (where the Bloom filter matters) is exercised; thresholds are
+    test-sized, the mechanism is identical at production defaults.
+    Pruning cannot change results, so the plain-join SQL is exact."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        li = _load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        urgent = (
+            _load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime Bloom-filter pruning not planned"
+        out = j.agg(
+            _decimal_revenue().alias("revenue"), F.count("*").alias("n_lineitems")
+        )
+        out.collect()  # materialize under the pinned conf
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def sql_bloom_pruned_join() -> str:
+    return """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def sql_bucketed_join_agg() -> str:
     return """
 SELECT o_orderpriority, COUNT(*) AS n_lineitems,
@@ -1138,6 +1203,7 @@ def build_registry():
         "small_qty_revenue_q17": q_small_qty_revenue,
         "top_supplier_q15": q_top_supplier,
         "bucketed_join_agg": q_bucketed_join_agg,
+        "bloom_pruned_join": q_bloom_pruned_join,
     }
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
@@ -1167,6 +1233,7 @@ def build_registry():
         "small_qty_revenue_q17": sql_small_qty_revenue(),
         "top_supplier_q15": sql_top_supplier(),
         "bucketed_join_agg": sql_bucketed_join_agg(),
+        "bloom_pruned_join": sql_bloom_pruned_join(),
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
     from naru_spark.entry_model import build_model_registry

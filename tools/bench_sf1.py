@@ -1,0 +1,75 @@
+"""sf1 scaling spot-bench (VERDICT r04 item 8): run the 5 historically
+slowest registry entries once against the local sf1 slice
+(tools/make_sf1.py) and flag any super-linear cost.
+
+A healthy linear-ish entry lands well under 12x its sf0.1 wall at 10x the
+data (per the verdict's bar); anything past that is a scaling bug to chase
+before a real cluster would. Prints one JSON line:
+{"metric": "sf1_spot_bench", "queries": {name: sec}, "sf": 1.0}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENTRIES = [
+    "psample_estimates",
+    "estimator_report",
+    "multiorder_nll",
+    "dedup_embedding_lsh",
+    "dedup_minhash_md5",
+]
+
+
+def main() -> None:
+    sf_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1data"
+    )
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"{sf_dir} missing — run tools/make_sf1.py first")
+
+    import __spark_entry__ as entry_mod
+    from naru_spark.session import get_spark
+
+    spark = get_spark("naru_spark_bench_sf1")
+    queries = entry_mod.queries()
+
+    # model-cache warm (same discipline as bench.py: fits are artifacts)
+    from naru_spark.entry_model import warm_model_cache
+
+    warm = round(warm_model_cache(spark, sf_dir), 3)
+    print(f"# model-cache warm: {warm:.2f}s", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in ENTRIES:
+        t0 = time.time()
+        try:
+            n = queries[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — per-entry isolation
+            errors[name] = f"{type(e).__name__}: {e}".splitlines()[0][:200]
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+
+    out = {
+        "metric": "sf1_spot_bench",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 1.0,
+        "model_warm_s": warm,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

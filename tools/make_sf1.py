@@ -1,0 +1,79 @@
+"""Generate a local sf1 slice for scaling spot-checks (VERDICT r04 item 8).
+
+The driver's testdata stops at sf0.1; this builds a 10x slice by tiling the
+sf0.1 tables with shifted keys via DuckDB — distributions are preserved,
+ids stay unique, and copies are lightly perturbed where verbatim tiling
+would distort the workload shape:
+
+- ``documents``: each copy appends a copy-marker token to ``text`` so the
+  exact/near-dup rate stays at the sf0.1 level instead of jumping to 90%
+  (10 identical copies of every doc would make every dedup entry's
+  candidate-pair stage quadratically heavier than a real 10x corpus).
+- ``embeddings``: each copy adds a small deterministic per-copy offset so
+  vectors are near but not identical (same reason, for cosine paths).
+- ``lineitem``: pure key-shifted tiling — the estimator entries read value
+  distributions, which tiling preserves exactly.
+
+Output: /root/repo/.sf1data/{lineitem,documents,embeddings}.parquet
+(only the tables the 5 slowest entries touch). NOT driver data — a
+scaling probe, not a correctness surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1data")
+COPIES = 10
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li AS SELECT * FROM '{SRC}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM '{SRC}/documents.parquet'")
+    con.execute(f"CREATE VIEW emb AS SELECT * FROM '{SRC}/embeddings.parquet'")
+    n_ok = con.execute("SELECT max(l_orderkey) + 1 FROM li").fetchone()[0]
+    n_doc = con.execute("SELECT max(doc_id) + 1 FROM docs").fetchone()[0]
+    n_vec = con.execute("SELECT max(vec_id) + 1 FROM emb").fetchone()[0]
+
+    con.execute(
+        f"""
+COPY (
+  SELECT li.* REPLACE (l_orderkey + c.i * {n_ok} AS l_orderkey)
+  FROM li CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT docs.* REPLACE (
+    doc_id + c.i * {n_doc} AS doc_id,
+    CASE WHEN c.i = 0 THEN text ELSE text || ' c' || c.i END AS text
+  )
+  FROM docs CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT emb.* REPLACE (
+    vec_id + c.i * {n_vec} AS vec_id,
+    list_transform(embedding, x -> x + CAST(0.003 * c.i AS FLOAT)) AS embedding
+  )
+  FROM emb CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in ("lineitem", "documents", "embeddings"):
+        n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
