@@ -1039,6 +1039,344 @@ ORDER BY s_suppkey
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter with at least one line shipped
+    AFTER the order date (the corpus has no commitdate/receiptdate; the
+    ship-after-order predicate keeps Q4's correlated-EXISTS structure),
+    counted per priority. The EXISTS becomes a LEFT SEMI join with a
+    non-equi conjunct — Spark dedups the probe side inside the semi join,
+    so lineitem is scanned once and never multiplies order rows; the tiny
+    priority aggregate follows. Exact counts."""
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_order_priority_check() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from discount-band small-quantity
+    lines in one year — a pure single-scan aggregate whose THREE range
+    predicates all push into the parquet scan (PushedFilters plan-asserted
+    in tests/test_plans.py). The 100 TB story is that this query touches
+    three columns and prunes ~95% of rows before a single byte reaches the
+    agg. Revenue = sum(extendedprice * discount), exact decimals."""
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def sql_forecast_revenue() -> str:
+    return """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1's share of supply revenue to ASIA-region
+    customers, per order year. Fact side shuffles once on the order key;
+    the supplier/customer/nation/region dims are bounded (supplier tiny,
+    customer region-filtered through a broadcast nation->region chain).
+    The share is a ratio of two EXACT decimal sums: the conditional
+    numerator and the total accumulate in the same decimal pass, then ONE
+    double division + round — order-free on both engines."""
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation")
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def sql_market_share() -> str:
+    return """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family per (supplier nation,
+    order year). The corpus has no partsupp, so supply cost is modeled as
+    20% of p_retailprice per unit — the structure (part-name filter
+    pruning the fact through a broadcast dim, profit = revenue minus cost
+    in EXACT decimal arithmetic, two-level group) is Q9's. Part carries
+    the selective filter, so it broadcasts at any corpus scale."""
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _load(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    ) - F.col("p_retailprice").cast("decimal(18,4)") * F.col("l_quantity").cast(
+        "decimal(18,4)"
+    ) * F.lit(0.2).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(amount), 2).cast("double").alias("sum_profit"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def sql_product_profit() -> str:
+    return """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                      - CAST(p_retailprice AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(18,4))
+                        * CAST(0.2 AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... qualifying
+    orders. Aggregate-before-join: orders collapse to per-customer counts
+    FIRST (one map-side-combined shuffle on o_custkey), then customer
+    LEFT-joins the count table on the same key (both sides hash on
+    custkey — no broadcast needed, no skew: custkey is near-unique), and
+    the distribution is a second tiny aggregate. Exact counts."""
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("c_count"))
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(counts, cust.c_custkey == counts.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def sql_customer_distribution() -> str:
+    return """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COALESCE(cnt, 0) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders
+    WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+  ) ON c_custkey = o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can supply each
+    (brand, size) family, excluding one brand. The corpus has no partsupp;
+    the observed lineitem (partkey, suppkey) pairs ARE the supply
+    relation. Distinct-pair reduction FIRST (one shuffle that collapses
+    the fact table to its |part x supplier| support), then the
+    brand-filtered part dim broadcasts in, then count_distinct per group.
+    Exact counts."""
+    li = _load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+def sql_parts_supplier_count() -> str:
+    return """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of RICH INACTIVE
+    customers — above-average positive balance, no URGENT order since
+    1996 (plain zero-orders is empty on this corpus, which would make the
+    gate vacuous; the anti-join structure is identical). The global
+    average is ONE exact scalar (decimal sum / count, computed once and
+    folded into the filter as a literal — at 100 TB that is a 2-row
+    broadcast, not a re-scan per row); inactivity is a LEFT ANTI join
+    against the filtered orders on the customer key. Balance sums
+    accumulate in decimal."""
+    cust = _load(spark, sf_dir, "customer")
+    # exact threshold: decimal sum (order-free) / count, ONE double division
+    row = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    threshold = float(row["s"]) / float(row["n"])
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > threshold)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def sql_global_sales_opportunity() -> str:
+    return """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (A-plane scale lever, SURVEY §2): lineitem
     and orders persisted ``bucketBy(8, orderkey)`` + in-bucket sorted, then
@@ -1202,6 +1540,13 @@ def build_registry():
         "disjunctive_revenue_q19": q_disjunctive_revenue,
         "small_qty_revenue_q17": q_small_qty_revenue,
         "top_supplier_q15": q_top_supplier,
+        "order_priority_check_q4": q_order_priority_check,
+        "forecast_revenue_q6": q_forecast_revenue,
+        "market_share_q8": q_market_share,
+        "product_profit_q9": q_product_profit,
+        "customer_distribution_q13": q_customer_distribution,
+        "parts_supplier_count_q16": q_parts_supplier_count,
+        "global_sales_opportunity_q22": q_global_sales_opportunity,
         "bucketed_join_agg": q_bucketed_join_agg,
         "bloom_pruned_join": q_bloom_pruned_join,
     }
@@ -1232,6 +1577,13 @@ def build_registry():
         "disjunctive_revenue_q19": sql_disjunctive_revenue(),
         "small_qty_revenue_q17": sql_small_qty_revenue(),
         "top_supplier_q15": sql_top_supplier(),
+        "order_priority_check_q4": sql_order_priority_check(),
+        "forecast_revenue_q6": sql_forecast_revenue(),
+        "market_share_q8": sql_market_share(),
+        "product_profit_q9": sql_product_profit(),
+        "customer_distribution_q13": sql_customer_distribution(),
+        "parts_supplier_count_q16": sql_parts_supplier_count(),
+        "global_sales_opportunity_q22": sql_global_sales_opportunity(),
         "bucketed_join_agg": sql_bucketed_join_agg(),
         "bloom_pruned_join": sql_bloom_pruned_join(),
     }

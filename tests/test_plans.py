@@ -318,6 +318,52 @@ def test_q17_avg_qty_decision_is_estimate_driven(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q4_exists_plans_left_semi(spark):
+    """Q4's correlated EXISTS must plan as a semi join (probe side never
+    multiplies order rows), not an inner join + distinct."""
+    from naru_spark.entry_queries import q_order_priority_check
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_order_priority_check(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """Q6's three range predicates must all push into the parquet scan."""
+    from naru_spark.entry_queries import q_forecast_revenue
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_forecast_revenue(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q13_aggregates_before_join(spark):
+    """Q13 must collapse orders to per-customer counts BEFORE joining
+    customer (partial_count under the o_custkey shuffle), never join raw
+    orders onto customer first."""
+    from naru_spark.entry_queries import q_customer_distribution
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_customer_distribution(spark, SF_SMOKE))
+    assert "partial_count" in plan
+
+
+def test_q22_anti_join_threshold_literal(spark):
+    """Q22's inactivity check plans as LeftAnti and the global-average
+    threshold is folded in as a LITERAL pushed to the customer scan (one
+    scalar job, not a per-row subquery)."""
+    from naru_spark.entry_queries import q_global_sales_opportunity
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_global_sales_opportunity(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "GreaterThan(c_acctbal" in plan  # threshold literal reached the scan
+
+
 def test_q7_prefiltered_dims_broadcast(spark):
     """Q7's supplier/customer sides are nation-filtered THEN broadcast:
     the plan must carry broadcast joins for both and no cartesian/NL."""
