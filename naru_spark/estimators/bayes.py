@@ -225,6 +225,15 @@ class BayesNet(CardEst):
         return masks
 
     def query_exact(self, q: Query) -> float:
+        return float(np.ceil(self._sel_exact_ie(q) * self.meta.cardinality))
+
+    def _sel_exact_ie(self, q) -> float:
+        from naru_spark.predicates import ie_terms
+
+        sel = sum(coef * self._sel_exact(t) for coef, t in ie_terms(q))
+        return min(max(sel, 0.0), 1.0)
+
+    def _sel_exact(self, q: Query) -> float:
         """EXACT P(predicate) under the fitted tree — belief-propagation
         sum-product in one bottom-up pass (the reference's pgmpy
         VariableElimination path, estimators.py:846-997, specialized to
@@ -249,13 +258,23 @@ class BayesNet(CardEst):
             for w in children.get(v, []):
                 vec = vec * msg[w]
             if v == root:
-                return float(np.ceil(float(self.cpd[root] @ vec) * self.meta.cardinality))
+                return float(self.cpd[root] @ vec)
             msg[v] = self.cpd[v] @ vec  # [dom_parent]
         raise AssertionError("topo order did not end at the root")
 
-    def query(self, q: Query) -> float:
+    def query(self, q) -> float:
+        """Disjunctions (predicates.DisjunctiveQuery) expand by
+        inclusion-exclusion into conjunctive terms — each term reuses the
+        per-column mask-product machinery (_masks intersects repeated
+        columns), selectivities combine BEFORE the final ceil."""
+        from naru_spark.predicates import ie_terms
+
         if self.inference == "exact":
             return self.query_exact(q)
+        sel = sum(coef * self._sel_sampled(t) for coef, t in ie_terms(q))
+        return float(np.ceil(min(max(sel, 0.0), 1.0) * self.meta.cardinality))
+
+    def _sel_sampled(self, q: Query) -> float:
         rng = np.random.RandomState(self.seed)
         S = self.num_samples
         D = len(self.columns)
@@ -282,4 +301,4 @@ class BayesNet(CardEst):
             cum = dist.cumsum(axis=1)
             u = rng.rand(S, 1)
             samples[:, v] = np.minimum((u > cum).sum(axis=1), dist.shape[1] - 1)
-        return float(np.ceil(p.mean() * self.meta.cardinality))
+        return float(p.mean())

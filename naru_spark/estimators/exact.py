@@ -190,15 +190,27 @@ class QueryRegionSize(CardEst):
         self.count_wildcards = count_wildcards
 
     def query(self, q: Query) -> float:
+        # disjunctions by inclusion-exclusion — EXACT for volumes (the
+        # measure of a union of hyper-rectangles); conjunctive input is its
+        # own single term
+        from naru_spark.predicates import ie_terms
+
+        total = sum(coef * self._volume(t) for coef, t in ie_terms(q))
+        return max(total, 0.0)
+
+    def _volume(self, q: Query) -> float:
+        # repeated columns INTERSECT their bin masks (IE's merged AND terms
+        # repeat columns; independent products would over-count)
+        per_col: dict[str, object] = {}
+        for c, op, v in zip(q.cols, q.ops, q.vals):
+            m = self.meta.dictionaries[c].valid_bins_mask(op, v)
+            per_col[c] = m if c not in per_col else (per_col[c] & m)
         total = 1.0
-        filtered = dict(zip(q.cols, zip(q.ops, q.vals)))
         for cm in self.meta.columns:
-            if cm.name not in filtered:
+            if cm.name not in per_col:
                 total *= cm.distribution_size if self.count_wildcards else 1
             else:
-                op, v = filtered[cm.name]
-                d = self.meta.dictionaries[cm.name]
-                total *= int(d.valid_bins_mask(op, v).sum())
+                total *= int(per_col[cm.name].sum())
         return total
 
 

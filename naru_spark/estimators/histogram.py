@@ -135,38 +135,76 @@ class MaxDiffHistogram(CardEst):
         # > / >=
         return (op, b) if exact else (">=", b)
 
-    def query(self, q: Query) -> float:
+    def query(self, q) -> float:
+        """Disjunctions (predicates.DisjunctiveQuery) expand by
+        inclusion-exclusion; each conjunctive term intersects its
+        constraints PER COLUMN (IE's merged AND terms repeat columns —
+        independent per-predicate products would over-count), and ``'in'``
+        counts the spread values in the bin-mapped value set."""
+        from naru_spark.predicates import ie_terms
+
+        total = sum(coef * self._query_conj(t) for coef, t in ie_terms(q))
+        return max(total, 0.0)
+
+    def _query_conj(self, q: Query) -> float:
         total = 0.0
-        binned = []
+        per_col: dict[int, list[tuple[str, object]]] = {}
         for c, op, v in zip(q.cols, q.ops, q.vals):
             cid = self.columns.index(c)
-            bop, bv = self._to_bin(c, op, v)
-            binned.append((cid, bop, bv))
+            if op == "in":
+                bins = set()
+                for x in v:
+                    bop, bv = self._to_bin(c, "=", x)
+                    if bv >= 0:
+                        bins.add(bv)
+                per_col.setdefault(cid, []).append(("in", bins))
+            else:
+                per_col.setdefault(cid, []).append(self._to_bin(c, op, v))
         for p in self.partitions:
             covered = 1.0
-            seen = set()
-            for cid, op, v in binned:
-                seen.add(cid)
+            for cid in range(self.D):
                 spread = p.spreads[cid]
-                if op == "<":
-                    covered *= bisect.bisect_left(spread, v)
-                elif op == "<=":
-                    covered *= bisect.bisect(spread, v)
-                elif op == ">":
-                    covered *= len(spread) - bisect.bisect(spread, v)
-                elif op == ">=":
-                    covered *= len(spread) - bisect.bisect_left(spread, v)
-                else:  # =
-                    if v not in spread:
-                        covered = 0.0
+                cons = per_col.get(cid)
+                if cons is None:
+                    covered *= len(spread)
+                    continue
+                covered *= self._covered_count(spread, cons)
                 if covered == 0:
                     break
             if covered:
-                for cid in range(self.D):
-                    if cid not in seen:
-                        covered *= len(p.spreads[cid])
                 total += covered * p.density
         return total * self.scale
+
+    @staticmethod
+    def _covered_count(spread: list, cons: list) -> int:
+        """#spread values satisfying ALL constraints on one column: range
+        predicates narrow one [lo, hi) window via bisect; '=' pins it to
+        the value's slot (0 if absent — the original semantics); 'in' sets
+        intersect and the survivors are counted inside the window."""
+        lo, hi = 0, len(spread)
+        insets: list[set] = []
+        for op, v in cons:
+            if op == "<":
+                hi = min(hi, bisect.bisect_left(spread, v))
+            elif op == "<=":
+                hi = min(hi, bisect.bisect(spread, v))
+            elif op == ">":
+                lo = max(lo, bisect.bisect(spread, v))
+            elif op == ">=":
+                lo = max(lo, bisect.bisect_left(spread, v))
+            elif op == "=":
+                pos = bisect.bisect_left(spread, v)
+                if pos >= len(spread) or spread[pos] != v:
+                    return 0
+                lo, hi = max(lo, pos), min(hi, pos + 1)
+            else:  # in
+                insets.append(v)
+            if hi <= lo:
+                return 0
+        if not insets:
+            return hi - lo
+        members = set.intersection(*insets)
+        return sum(1 for i in range(lo, hi) if spread[i] in members)
 
     def size_bytes(self) -> int:
         """Reference Size() accounting (estimators.py:1403-1408)."""

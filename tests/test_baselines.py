@@ -54,6 +54,50 @@ def test_maxdiff_single_column_exact():
         assert q_error(max(est, 1), max(true, 1)) < 1.5, (v, est, true)
 
 
+def test_baselines_disjunctive_surface(lineitem_setup):
+    """IN / OR flow through MaxDiff, BayesNet (both inference modes) and
+    QueryRegionSize via inclusion-exclusion. Identities checked:
+    (c=x OR c=y) == (c IN (x,y)) on every estimator (two different code
+    paths — per-branch IE vs a single unioned mask — must agree), the BN
+    exact path obeys additivity on disjoint events, and region volume of a
+    disjoint union adds exactly."""
+    from naru_spark.estimators.exact import QueryRegionSize
+    from naru_spark.predicates import DisjunctiveQuery, Query
+
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    a = Query("lineitem", ["l_returnflag"], ["="], ["A"])
+    b = Query("lineitem", ["l_returnflag"], ["="], ["N"])
+    union = DisjunctiveQuery("lineitem", [a, b])
+    inq = Query("lineitem", ["l_returnflag"], ["in"], [["A", "N"]])
+
+    hist = MaxDiffHistogram(data, meta, cols, limit=500)
+    bn_s = BayesNet(data, meta, cols, max_model_domain=64, num_samples=128)
+    bn_e = BayesNet(data, meta, cols, max_model_domain=64, inference="exact")
+    rs = QueryRegionSize(meta)
+    for est in (hist, bn_s, bn_e, rs):
+        u, i = est.query(union), est.query(inq)
+        assert abs(u - i) < 1e-6 * max(u, 1.0), (type(est).__name__, u, i)
+        assert u >= 0
+    # BN exact additivity on disjoint single-column events
+    assert abs(bn_e.query(union) - (bn_e.query(a) + bn_e.query(b))) <= 1.0
+    # region volume: disjoint union adds exactly
+    assert rs.query(union) == rs.query(a) + rs.query(b)
+    # repeated-column AND term intersects, never multiplies: (x AND x) == x
+    aa = Query("lineitem", ["l_returnflag", "l_returnflag"], ["=", "="], ["A", "A"])
+    assert rs.query(aa) == rs.query(a)
+    assert hist.query(aa) == hist.query(a)
+    # overlapping disjunction never exceeds the sum of branches
+    ov = DisjunctiveQuery(
+        "lineitem",
+        [
+            Query("lineitem", ["l_quantity"], ["<="], [30.0]),
+            Query("lineitem", ["l_quantity"], [">="], [10.0]),
+        ],
+    )
+    for est in (hist, bn_e, rs):
+        assert est.query(ov) <= est.query(ov.branches[0]) + est.query(ov.branches[1]) + 1e-6
+
+
 def test_chow_liu_recovers_chain():
     """x0 -> x1 -> x2 chain: MST must pick edges (0,1), (1,2)."""
     rng = np.random.RandomState(1)
