@@ -1377,6 +1377,233 @@ ORDER BY c_nationkey
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every size-10 part supplied from the ASIA
+    region, the cheapest qualifying supplier (the corpus has no partsupp —
+    the observed DISTINCT lineitem (partkey, suppkey) pairs are the supply
+    relation, and s_acctbal stands in for ps_supplycost). Shape is the
+    argmin-per-group pattern: the fact collapses to its distinct-pair
+    support FIRST, dims broadcast in (part size-filtered, supplier
+    region-filtered through the nation chain), then a rank-1 window per
+    part with full deterministic tiebreaks. Top-100 by (s_acctbal desc,
+    p_partkey asc) plans as TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    supply = _load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 10)
+        .select("p_partkey", "p_brand")
+    )
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+def sql_min_cost_supplier() -> str:
+    return """
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+FROM (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  JOIN part ON l_partkey = p_partkey AND p_size = 10
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+) WHERE rn = 1
+ORDER BY s_acctbal DESC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_1-supplied revenue exceeds a
+    fraction of the nation's total (important-stock HAVING against a
+    GLOBAL scalar). Both the per-part values and the total accumulate in
+    EXACT decimals in one pass each; the threshold is total * 1/1000
+    computed exactly in python Decimal and folded in as a literal — a
+    2-row broadcast at any scale, never a per-row subquery. Values round
+    to 2 only in the OUTPUT (the filter compares unrounded exact
+    decimals, so the cut is bit-deterministic)."""
+    from decimal import Decimal
+
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = (
+        _load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    pruned = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    total = pruned.agg(F.sum(vol).alias("t")).collect()[0]["t"]  # exact Decimal
+    threshold = Decimal(total) * Decimal("0.001")  # exact decimal product
+    per_part = pruned.groupBy("l_partkey").agg(F.sum(vol).alias("value_d"))
+    return (
+        per_part.filter(F.col("value_d") > F.lit(threshold))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_d"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def sql_important_parts() -> str:
+    return """
+WITH pruned AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT l_partkey, CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS part_value
+FROM pruned
+GROUP BY l_partkey
+HAVING SUM(vol) > (SELECT SUM(vol) * 0.001 FROM pruned)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_2 suppliers who shipped more than 50 units
+    of some widget part in 1996 — the semi-join CHAIN (part filter ->
+    per-(part,supplier) quantity aggregate -> threshold -> supplier
+    semi-join) that TPC-H uses to find suppliers with excess stock. Every
+    reduction happens BEFORE touching the supplier dim; quantities
+    accumulate in decimal so the >50 cut is exact."""
+    part = (
+        _load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_d"))
+        .filter(F.col("qty_d") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    supp = _load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_excess_suppliers() -> str:
+    return """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50
+  )
+ORDER BY s_suppkey
+"""
+
+
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order (late = shipped after the order date; the corpus
+    has no commit/receipt dates). TPC-H states this as EXISTS + NOT
+    EXISTS self-joins on lineitem; the Spark-first re-expression is ONE
+    aggregation per order — count distinct suppliers and distinct LATE
+    suppliers, keep (n_supp > 1, n_late_supp == 1) orders, then join the
+    late lines of those orders back and count per supplier. Self-join
+    becomes a per-key aggregate: one shuffle on the order key instead of
+    two correlated scans. Top-20 with deterministic tiebreak."""
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+    )
+    sole = (
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey")
+    )
+    late_lines = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_lines.join(sole, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+def sql_waiting_orders() -> str:
+    return """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate > o_orderdate AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sole AS (
+  SELECT l_orderkey FROM lo GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+     AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) ll
+JOIN sole USING (l_orderkey)
+JOIN supplier ON ll.l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (A-plane scale lever, SURVEY §2): lineitem
     and orders persisted ``bucketBy(8, orderkey)`` + in-bucket sorted, then
@@ -1547,6 +1774,10 @@ def build_registry():
         "customer_distribution_q13": q_customer_distribution,
         "parts_supplier_count_q16": q_parts_supplier_count,
         "global_sales_opportunity_q22": q_global_sales_opportunity,
+        "min_cost_supplier_q2": q_min_cost_supplier,
+        "important_parts_q11": q_important_parts,
+        "excess_suppliers_q20": q_excess_suppliers,
+        "waiting_orders_q21": q_waiting_orders,
         "bucketed_join_agg": q_bucketed_join_agg,
         "bloom_pruned_join": q_bloom_pruned_join,
     }
@@ -1584,6 +1815,10 @@ def build_registry():
         "customer_distribution_q13": sql_customer_distribution(),
         "parts_supplier_count_q16": sql_parts_supplier_count(),
         "global_sales_opportunity_q22": sql_global_sales_opportunity(),
+        "min_cost_supplier_q2": sql_min_cost_supplier(),
+        "important_parts_q11": sql_important_parts(),
+        "excess_suppliers_q20": sql_excess_suppliers(),
+        "waiting_orders_q21": sql_waiting_orders(),
         "bucketed_join_agg": sql_bucketed_join_agg(),
         "bloom_pruned_join": sql_bloom_pruned_join(),
     }

@@ -364,6 +364,41 @@ def test_q22_anti_join_threshold_literal(spark):
     assert "GreaterThan(c_acctbal" in plan  # threshold literal reached the scan
 
 
+def test_q2_argmin_take_ordered_no_cartesian(spark):
+    """Q2's argmin-per-part plans as a rank-1 window over broadcast-joined
+    dims with the top-100 as TakeOrderedAndProject, no cartesian/NL."""
+    from naru_spark.entry_queries import q_min_cost_supplier
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_min_cost_supplier(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_chain(spark):
+    """Q20's excess-stock chain ends in a LEFT SEMI against the aggregated
+    heavy-supplier set (supplier rows never multiply)."""
+    from naru_spark.entry_queries import q_excess_suppliers
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_excess_suppliers(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_q21_aggregates_not_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is re-expressed as ONE per-order
+    aggregate (count distinct suppliers / late suppliers): the plan
+    carries partial aggregation and exactly one scan family per input,
+    not correlated lineitem self-joins."""
+    from naru_spark.entry_queries import q_waiting_orders
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_str(q_waiting_orders(spark, SF_SMOKE))
+    assert "partial_count" in plan or "count(distinct" in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q7_prefiltered_dims_broadcast(spark):
     """Q7's supplier/customer sides are nation-filtered THEN broadcast:
     the plan must carry broadcast joins for both and no cartesian/NL."""
