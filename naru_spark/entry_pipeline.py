@@ -2048,6 +2048,37 @@ FROM documents WHERE doc_id % 2 = 1
 """
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP in the hard gate (pipeline.multimodal.
+    audio_features): decode the synthetic PCM clips and emit
+    integer-exact zero-crossing count, peak amplitude, and energy — each
+    re-derived by the oracle from the closed-form sample sequence
+    ((i*37 + id) % 65536 - 32768). The FFT spectral centroid stays out of
+    the gated projection (no SQL twin); its signal properties are pinned
+    in tests/test_pipeline.py."""
+    from naru_spark.pipeline.multimodal import attach_synth_media, audio_features
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    return audio_features(attach_synth_media(docs)).select(
+        "blob_id", "n_samples", "zero_crossings", "peak", "energy"
+    )
+
+
+def sql_multimodal_audio_features() -> str:
+    return """
+SELECT doc_id AS blob_id, CAST(1024 AS INTEGER) AS n_samples,
+       CAST((SELECT COUNT(*) FROM UNNEST(range(1, 1024)) t(i)
+             WHERE ((((i*37 + doc_id) % 65536) - 32768 >= 0))
+                <> ((((i-1)*37 + doc_id) % 65536) - 32768 >= 0)) AS INTEGER) AS zero_crossings,
+       CAST((SELECT MAX(ABS(((i*37 + doc_id) % 65536) - 32768))
+             FROM UNNEST(range(0, 1024)) t(i)) AS INTEGER) AS peak,
+       CAST((SELECT SUM((((i*37 + doc_id) % 65536) - 32768)
+                        * (((i*37 + doc_id) % 65536) - 32768))
+             FROM UNNEST(range(0, 1024)) t(i)) AS BIGINT) AS energy
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 2D nearest-neighbor thumbnail of the decoded P5 images
     (numpy index-grid resample): output dims + resized-pixel checksum,
@@ -2566,6 +2597,7 @@ def build_pipeline_registry():
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_resize_real": q_multimodal_resize_real,
         "similarity_topk_pq": q_similarity_pq,
         "similarity_topk_ivfpq": q_similarity_ivfpq,
@@ -2642,6 +2674,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "stratified_sample": sql_stratified_sample(),
         "chunk_documents": sql_chunk_documents(),
         "multimodal_real_decode": sql_multimodal_real_decode(),
+        "multimodal_audio_features": sql_multimodal_audio_features(),
         "multimodal_resize_real": sql_multimodal_resize_real(),
         "similarity_topk_pq": sql_similarity_pq(),
         "similarity_topk_ivfpq": sql_similarity_ivfpq(),

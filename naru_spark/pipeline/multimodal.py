@@ -324,6 +324,52 @@ def resize_image_real(df: DataFrame, width: int = 8, height: int = 6) -> DataFra
     return df.select("blob_id", "blob").mapInPandas(run, schema=out_schema)
 
 
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio DSP over decoded PCM WAV blobs (one numpy pass per
+    payload, Arrow-batched):
+
+      zero_crossings / peak / energy — integer-EXACT (int64 sample math),
+        so the closed-form synthetic clips make them SQL-verifiable and
+        the whole decode+DSP path sits in the hard gate;
+      spectral_centroid — amplitude-weighted mean frequency over the real
+        FFT (the brightness feature an audio curation pipeline filters
+        on). An O(N log N) transform has no SQL twin, so it is gated by
+        signal-property tests instead (a pure tone's centroid is the tone
+        frequency; its crossing count is 2 f T).
+
+    Multi-channel clips analyze channel 0."""
+    out_schema = (
+        "blob_id long, n_samples int, zero_crossings int, peak int,"
+        " energy long, spectral_centroid double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf["blob_id"], pdf["blob"]):
+                samples, rate = decode_wav(bytes(blob))
+                xi = samples[:, 0].astype(np.int64)
+                pos = xi >= 0
+                zc = int(np.sum(pos[1:] != pos[:-1]))
+                peak = int(np.abs(xi).max()) if len(xi) else 0
+                energy = int(np.sum(xi * xi))
+                spec = np.abs(np.fft.rfft(xi.astype(np.float64)))
+                freqs = np.fft.rfftfreq(len(xi), 1.0 / rate)
+                centroid = float((freqs * spec).sum() / max(spec.sum(), 1e-12))
+                rows.append(
+                    (int(bid), int(len(xi)), zc, peak, energy, round(centroid, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "n_samples", "zero_crossings", "peak",
+                    "energy", "spectral_centroid",
+                ],
+            )
+
+    return df.select("blob_id", "blob").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     """'Frame sampling' over the fake byte stream: one row per sampled
     offset — the same explode-by-offset plumbing a real video frame sampler

@@ -1160,6 +1160,37 @@ def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
     assert "embedding" not in spark.read.parquet(path).columns
 
 
+def test_audio_features_signal_properties(spark):
+    """Real-DSP sanity on a constructed pure tone: a 1 kHz sine sampled at
+    8 kHz for 1 s has spectral centroid ~1 kHz (amplitude-weighted mean
+    frequency collapses onto the single spectral line) and ~2*f*T zero
+    crossings; the integer features match direct numpy computation."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from naru_spark.pipeline.multimodal import audio_features
+
+    rate, dur, freq = 8000, 1.0, 1000.0
+    t = np.arange(int(rate * dur)) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    df = spark.createDataFrame([(1, buf.getvalue())], "blob_id long, blob binary")
+    row = audio_features(df).collect()[0]
+    assert row["n_samples"] == 8000
+    assert abs(row["spectral_centroid"] - freq) < 25.0  # single line + leakage
+    assert abs(row["zero_crossings"] - 2 * freq * dur) <= 2
+    xi = samples.astype(np.int64)
+    assert row["peak"] == int(np.abs(xi).max())
+    assert row["energy"] == int((xi * xi).sum())
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """PageRank over a small directed graph equals the dense numpy power
     iteration (same damping, dangling redistribution, iteration count) to
