@@ -926,6 +926,59 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.id
 """
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup accounting (pipeline.dedup.exact_substring_spans,
+    Lee et al. 2022 semantics): per doc, how many tokens the
+    keep-first-occurrence policy removes — the interval-union length of
+    all duplicated >=8-token spans. Pure window arithmetic on both
+    engines, so the oracle replays the identical rank + running-max-end
+    computation; counts are exact integers."""
+    from naru_spark.pipeline.dedup import exact_substring_spans
+
+    return exact_substring_spans(_docs(spark, sf_dir), k=8)
+
+
+def sql_exact_substring_dedup(k: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE {_SQL_TOKS} END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, i - 1 AS pos, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+  WHERE len(t) >= {k}
+),
+ds AS (
+  SELECT id, pos FROM (
+    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY id, pos) AS rn
+    FROM sh
+  ) WHERE rn >= 2
+),
+rem AS (
+  SELECT id, COUNT(*) AS n_dup_starts,
+         SUM(GREATEST(0, pos + {k} - GREATEST(pos, COALESCE(prev_max, 0)))) AS n_removed
+  FROM (
+    SELECT id, pos,
+           MAX(pos + {k}) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM ds
+  ) GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(len(t.t) AS INTEGER) AS n_tokens,
+       CAST(COALESCE(n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       CASE WHEN len(t.t) > 0
+            THEN ROUND(COALESCE(n_removed, 0) / CAST(len(t.t) AS DOUBLE), 6)
+            ELSE 0.0 END AS removed_fraction
+FROM documents d
+JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN rem ON d.doc_id = rem.id
+"""
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best exact dedup. The gate corpus has NO exact dups at sf0.01,
     which would reduce this to identity — so the entry plants deterministic
@@ -2574,6 +2627,7 @@ def build_pipeline_registry():
         "ngram_topk": q_ngram_topk,
         "doc_lm_bigram": q_doc_lm_bigram,
         "dup_span_fraction": q_dup_span_fraction,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "dedup_canonical": q_dedup_canonical,
         "dedup_incremental": q_dedup_incremental,
         "pii_redact": q_pii_redact,
@@ -2652,6 +2706,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "ngram_topk": sql_ngram_topk(),
         "doc_lm_bigram": sql_doc_lm_bigram(),
         "dup_span_fraction": sql_dup_span_fraction(),
+        "exact_substring_dedup": sql_exact_substring_dedup(),
         "dedup_canonical": sql_dedup_canonical(),
         "dedup_incremental": sql_dedup_incremental(),
         "pii_redact": sql_pii_redact(),

@@ -544,6 +544,78 @@ def dup_span_fraction(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """ExactSubstr dedup accounting (the Lee et al. 2022 "Deduplicating
+    Training Data" semantics, re-expressed Spark-first): every occurrence
+    of a >= ``k``-token span that appears ANYWHERE else in the corpus is
+    removed except the globally FIRST occurrence (ordered by id, then
+    position). Emits per doc: token count, duplicate span starts, removed
+    token count (the union length of the [pos, pos+k) intervals), and the
+    removed fraction.
+
+    Pure window arithmetic, zero Python: (1) one shuffle on the shingle
+    for the global first-occurrence rank (suffix-array implementations pay
+    the same corpus-sized sort); (2) one shuffle on the doc id where the
+    interval-UNION length falls out of the running-max-end increment
+    trick — increment = max(0, pos + k - max(pos, prev_max_end)) — with
+    no island grouping at all. Hot shingles skew the rank window; AQE's
+    skew handling owns that at scale (boilerplate spans ARE the hot keys
+    this op exists to find)."""
+    from pyspark.sql import Window
+
+    from naru_spark.pipeline.text import ngrams_col, tokens_col
+
+    toks = tokens_col(text_col)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ngrams_col(toks, k)).alias("pos", "shingle"),
+    )
+    w_first = Window.partitionBy("shingle").orderBy("id", "pos")
+    dup_starts = (
+        sh.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") >= 2)
+        .select("id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(0))
+    removed = (
+        dup_starts.withColumn(
+            "inc",
+            F.greatest(
+                F.lit(0), (F.col("pos") + k) - F.greatest(F.col("pos"), prev_max_end)
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_starts"),
+            F.sum("inc").alias("n_removed_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens"))
+        .join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_dup_starts"), F.lit(0)).alias("n_dup_starts"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0)).alias("n_removed_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("n_removed_tokens"), F.lit(0)) / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removed_fraction"),
+        )
+    )
+
+
 def canonicalize(
     df: DataFrame,
     id_col: str = "doc_id",

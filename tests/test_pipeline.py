@@ -1160,6 +1160,31 @@ def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
     assert "embedding" not in spark.read.parquet(path).columns
 
 
+def test_exact_substring_spans_semantics(spark):
+    """ExactSubstr accounting on a constructed corpus: the globally FIRST
+    occurrence of a shared run survives; later occurrences are removed;
+    overlapping duplicated shingle intervals merge (union, not sum)."""
+    from naru_spark.pipeline.dedup import exact_substring_spans
+
+    run = " ".join(f"w{i}" for i in range(10))  # 10-token shared run
+    rows = [
+        (0, run + " alpha beta gamma"),              # first occurrence: kept
+        (1, "x0 x1 " + run),                          # repeat: run removed
+        (2, "totally unique tokens only here yes"),  # no shingles duplicated
+        (3, run),                                     # another repeat, exact
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in exact_substring_spans(df, k=8).collect()}
+    assert got[0]["n_removed_tokens"] == 0  # first occurrence owns the run
+    # doc 1: duplicated 8-gram starts at positions 2,3,4 -> union [2, 12) = 10
+    assert got[1]["n_dup_starts"] == 3
+    assert got[1]["n_removed_tokens"] == 10  # merged, NOT 3*8
+    assert got[2]["n_removed_tokens"] == 0 and got[2]["n_dup_starts"] == 0
+    # doc 3: starts 0,1,2 -> union [0, 10) = all 10 tokens
+    assert got[3]["n_removed_tokens"] == 10
+    assert abs(got[3]["removed_fraction"] - 1.0) < 1e-9
+
+
 def test_audio_features_signal_properties(spark):
     """Real-DSP sanity on a constructed pure tone: a 1 kHz sine sampled at
     8 kHz for 1 s has spectral centroid ~1 kHz (amplitude-weighted mean
