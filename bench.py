@@ -77,10 +77,13 @@ def main():
     # production), so steady-state entry walls should not carry them. The
     # warm cost is reported separately, never hidden.
     from naru_spark.entry_model import warm_model_cache
+    from naru_spark.entry_pipeline import warm_pipeline_caches
 
     warm_s = {}
-    warm_s[str(sf)] = round(warm_model_cache(spark, sf_dir), 3)
-    print(f"# [{sf_dir}] model-cache warm: {warm_s[str(sf)]:.2f}s", file=sys.stderr)
+    warm_s[str(sf)] = round(
+        warm_model_cache(spark, sf_dir) + warm_pipeline_caches(spark, sf_dir), 3
+    )
+    print(f"# [{sf_dir}] model+stats cache warm: {warm_s[str(sf)]:.2f}s", file=sys.stderr)
 
     timings, errors = _run_block(spark, entry_mod, sf_dir)
 
@@ -97,8 +100,10 @@ def main():
 
     sf_blocks = {str(sf): {"total_s": total, "queries": timings, **({"errors": errors} if errors else {})}}
     for d in extra_dirs:
-        warm_s[str(_sf_of(d))] = round(warm_model_cache(spark, d), 3)
-        print(f"# [{d}] model-cache warm: {warm_s[str(_sf_of(d))]:.2f}s", file=sys.stderr)
+        warm_s[str(_sf_of(d))] = round(
+            warm_model_cache(spark, d) + warm_pipeline_caches(spark, d), 3
+        )
+        print(f"# [{d}] model+stats cache warm: {warm_s[str(_sf_of(d))]:.2f}s", file=sys.stderr)
         t2, e2 = _run_block(spark, entry_mod, d)
         sf_blocks[str(_sf_of(d))] = {
             "total_s": round(sum(t2.values()), 3),
