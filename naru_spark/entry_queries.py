@@ -1604,6 +1604,85 @@ LIMIT 20
 """
 
 
+def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join split, re-verified on EVERY driver run (inline
+    executed-plan assert, same promotion bloom_pruned_join gives the Bloom
+    filter): lineitem's order key is collapsed so ~90% of rows share ONE
+    hot key, joined sort-merge (broadcast disabled) against the distinct
+    key set. With test-sized thresholds AQE must split the hot shuffle
+    partition at runtime — the FINAL adaptive plan carries skew=true —
+    while the join RESULT is conf-independent, so the plain-join SQL is an
+    exact oracle. This is the third runtime scale lever (after broadcast
+    advice and Bloom pruning) pinned in the hard gate."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    skew_key = F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    # repartition BEFORE the key projection: AQE splits a skewed reduce
+    # partition at MAP-OUTPUT granularity, and the single-file test-SF scan
+    # is one map task — unsplittable no matter the thresholds. 32 mappers
+    # restore the production shape (a 100 TB fact scan has thousands).
+    li = _load(spark, sf_dir, "lineitem").repartition(32).select(
+        skew_key.alias("k"), "l_extendedprice", "l_discount"
+    )
+    # distinct over BOTH columns on purpose: a distinct on k alone leaves
+    # the right side already hash-partitioned on the join key, the join
+    # inserts no fresh exchange there, and AQE cannot replay/split a
+    # non-shuffle child — the (k, grp) partitioning forces an
+    # ENSURE_REQUIREMENTS exchange on k that the skew rule CAN split
+    # (grp is functionally dependent on k, so the rows are identical)
+    right = li.select("k", (F.col("k") % 7).alias("grp")).distinct()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # test-sized thresholds (production defaults 256MB / factor 5;
+        # the split mechanism is identical)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        j = li.join(right, "k")
+        out = (
+            j.groupBy("grp")
+            .agg(_decimal_revenue().alias("revenue"), F.count("*").alias("n_rows"))
+            .orderBy("grp")
+        )
+        out.collect()  # materialize under the pinned confs -> final plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def sql_aqe_skew_join() -> str:
+    return """
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE l_orderkey END AS k,
+         l_extendedprice, l_discount
+  FROM lineitem
+),
+r AS (SELECT DISTINCT k, k % 7 AS grp FROM l)
+SELECT grp,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM l JOIN r USING (k)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (A-plane scale lever, SURVEY §2): lineitem
     and orders persisted ``bucketBy(8, orderkey)`` + in-bucket sorted, then
@@ -1780,6 +1859,7 @@ def build_registry():
         "waiting_orders_q21": q_waiting_orders,
         "bucketed_join_agg": q_bucketed_join_agg,
         "bloom_pruned_join": q_bloom_pruned_join,
+        "aqe_skew_join": q_aqe_skew_join,
     }
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
@@ -1821,6 +1901,7 @@ def build_registry():
         "waiting_orders_q21": sql_waiting_orders(),
         "bucketed_join_agg": sql_bucketed_join_agg(),
         "bloom_pruned_join": sql_bloom_pruned_join(),
+        "aqe_skew_join": sql_aqe_skew_join(),
     }
     from naru_spark.entry_pipeline import build_pipeline_registry
     from naru_spark.entry_model import build_model_registry
