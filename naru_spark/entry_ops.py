@@ -35,6 +35,73 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+# ---------------------------------------------------------- salted join
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted join (operators.joins.salted_join): the manual
+    lever for joins AQE's runtime split cannot reach. Same 90%-hot-key
+    lineitem shape as aqe_skew_join, but the hot key is spread over 8
+    deterministic hash salts at PLAN time — the small side rides one
+    row-local explode, the join key becomes (key, salt), and the inline
+    assert pins that the plan carries no single hot partition risk:
+    partitioning is by BOTH columns. Results are provably identical to the
+    unsalted join, so the plain-join SQL is an exact oracle."""
+    from naru_spark.operators.joins import salted_join
+
+    skew_key = F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    big = _load(spark, sf_dir, "lineitem").select(
+        skew_key.alias("k"), "l_extendedprice", "l_discount"
+    )
+    small = (
+        big.select("k").distinct().select("k", (F.col("k") % 7).alias("grp"))
+    )
+    j = salted_join(big, small, "k", salts=8)
+    assert "__salt" not in j.columns  # salt never leaks into the result
+    out = (
+        j.groupBy("grp")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("grp")
+    )
+    # the join must hash on (k, __salt) — a single-column hash would put
+    # the hot key back into one partition
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in phys, "salted join did not partition on the salt"
+    return out
+
+
+def sql_salted_join() -> str:
+    return """
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE l_orderkey END AS k,
+         l_extendedprice, l_discount
+  FROM lineitem
+),
+r AS (SELECT DISTINCT k, k % 7 AS grp FROM l)
+SELECT grp,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM l JOIN r USING (k)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 # ------------------------------------------------------------- as-of join
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase event joined to the user's most recent prior-or-equal
@@ -762,6 +829,7 @@ def build_ops_registry():
         "join_card_estimates": q_join_card_estimates,
         "advised_q5": q_advised_q5,
         "asof_purchase_view": q_asof_purchase_view,
+        "salted_join": q_salted_join,
         "range_join_windows": q_range_join_windows,
         "semi_join_urgent": q_semi_join_urgent,
         "anti_join_no_urgent": q_anti_join_no_urgent,
@@ -792,6 +860,7 @@ def build_ops_registry():
         # planning must be result-invariant: same oracle as the plain Q5
         "advised_q5": sql_local_supplier_volume(),
         "asof_purchase_view": sql_asof_purchase_view(),
+        "salted_join": sql_salted_join(),
         "range_join_windows": sql_range_join_windows(),
         "semi_join_urgent": sql_semi_join_urgent(),
         "anti_join_no_urgent": sql_anti_join_no_urgent(),

@@ -141,3 +141,38 @@ def semi_join(left: DataFrame, right: DataFrame, cond) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, cond) -> DataFrame:
     """NOT EXISTS: left rows with no right match."""
     return left.join(right, cond, "left_anti")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 8,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explicit skew-salted equi-join: the MANUAL skew lever for the cases
+    AQE's runtime split cannot reach — stream-stream / stream-static joins
+    (no runtime re-plan), and engines/stages where map-output granularity
+    blocks a split (see aqe_skew_join's single-mapper note).
+
+    The big side gets a DETERMINISTIC salt in [0, salts) hashed from
+    ``salt_cols`` (default: every non-key column — xxhash64, so the same
+    row always lands in the same subpartition and results are
+    repartition-invariant, unlike a rand() salt); the small side is
+    replicated ``salts`` times via one row-local ``explode(sequence)``.
+    Joining on (key, salt) spreads each hot key over ``salts`` shuffle
+    partitions at the cost of a ``salts``-times-larger small side — the
+    standard trade, sized by the caller. Inner equi-join semantics are
+    IDENTICAL to ``big.join(small, key)``; only the partitioning changes.
+
+    Columns named __salt are reserved."""
+    other = salt_cols or [c for c in big.columns if c != key]
+    if not other:
+        raise ValueError("salted_join needs at least one non-key column to hash")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in other]), F.lit(salts))
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")

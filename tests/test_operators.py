@@ -25,6 +25,45 @@ def _ts(s: str) -> dt.datetime:
     return dt.datetime.fromisoformat(s)
 
 
+# ----------------------------------------------------------- salted join
+def test_salted_join_identity_and_spread(spark):
+    """salted_join == plain inner equi-join row-for-row (salting only
+    changes partitioning), the salt is deterministic (repartition-
+    invariant results), and the hot key's rows actually spread over
+    multiple salts."""
+    from naru_spark.operators.joins import salted_join
+
+    rows = [(0, i, f"p{i}") for i in range(900)] + [
+        (k, 1000 + k, f"q{k}") for k in range(1, 40)
+    ]
+    big = spark.createDataFrame(rows, ["k", "v", "pay"])
+    small = spark.createDataFrame([(k, k % 5) for k in range(0, 40)], ["k", "grp"])
+
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = salted_join(big, small, "k", salts=8)
+    assert {tuple(r) for r in salted.collect()} == plain
+    assert "__salt" not in salted.columns
+    # deterministic under repartitioning (a rand() salt would not be)
+    again = {
+        tuple(r)
+        for r in salted_join(big.repartition(7), small, "k", salts=8).collect()
+    }
+    assert again == plain
+    # the hot key's 900 rows spread across several salt buckets
+    from pyspark.sql import functions as FF
+
+    spread = (
+        big.filter(FF.col("k") == 0)
+        .withColumn(
+            "__salt", FF.pmod(FF.xxhash64(FF.col("v"), FF.col("pay")), FF.lit(8))
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread >= 6
+
+
 # ------------------------------------------------------------- as-of join
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Edge cases a window bug would miss: equal timestamps (inclusive),
