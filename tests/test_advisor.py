@@ -49,13 +49,55 @@ def test_heuristic_routing(li):
     assert abs(adv.estimate(f) - truth) <= 1
 
 
+def test_extract_disjunction_and_in(li):
+    """OR filters DNF-expand to DisjunctiveQuery; IN parses as a value-set
+    op; And-of-Or distributes — and every shape routed to Oracle matches
+    the exact filtered count."""
+    from naru_spark.predicates import DisjunctiveQuery
+
+    adv = CardinalityAdvisor(Oracle(li), "lineitem")
+
+    f_or = li.filter((F.col("l_quantity") < 5) | (F.col("l_tax") > 0.05))
+    q = extract_query(f_or, "lineitem")
+    assert isinstance(q, DisjunctiveQuery) and len(q.branches) == 2
+    assert adv.estimate(f_or) == f_or.count()
+
+    f_in = li.filter(F.col("l_returnflag").isin("A", "N"))
+    q_in = extract_query(f_in, "lineitem")
+    # Catalyst may keep In or rewrite small sets to Or-of-equals; both are
+    # in-surface and must count exactly
+    assert adv.estimate(f_in) == f_in.count()
+
+    f_mix = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & ((F.col("l_quantity") < 5) | (F.col("l_returnflag") == "R"))
+    )
+    q_mix = extract_query(f_mix, "lineitem")
+    assert isinstance(q_mix, DisjunctiveQuery) and len(q_mix.branches) == 2
+    # the conjunct distributed into BOTH branches
+    assert all("l_shipdate" in b.cols for b in q_mix.branches)
+    assert adv.estimate(f_mix) == f_mix.count()
+
+
+def test_dnf_cap_rejects_blowup(li):
+    cond = None
+    for c, v in [
+        ("l_quantity", 5), ("l_tax", 0.05), ("l_discount", 0.05),
+        ("l_linenumber", 2),
+    ]:
+        leaf = (F.col(c) < v) | (F.col(c) > v * 2)
+        cond = leaf if cond is None else (cond & leaf)
+    with pytest.raises(UnsupportedPlanError, match="DNF"):
+        extract_query(li.filter(cond))  # 2^4 = 16 branches > cap 8
+
+
 def test_unsupported_shapes_rejected(li):
-    with pytest.raises(UnsupportedPlanError):
-        extract_query(li.filter((F.col("l_quantity") < 5) | (F.col("l_tax") > 0.05)))
     with pytest.raises(UnsupportedPlanError):
         extract_query(li)  # no filter
     with pytest.raises(UnsupportedPlanError):
         extract_query(li.filter(F.col("l_quantity") < F.col("l_linenumber")))
+    with pytest.raises(UnsupportedPlanError):
+        extract_query(li.filter(F.col("l_returnflag").like("A%")))
 
 
 def test_estimate_join_rows_formula_and_accuracy(spark):
