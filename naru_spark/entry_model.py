@@ -422,11 +422,76 @@ def q_psample_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_estimator_report_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval driver on the IN / OR-of-conjunctions workload: every
+    estimator family that supports the disjunctive surface (neural PS,
+    BN sampled + exact, MaxDiff, Heuristic, SampleFromModel — all via
+    predicates.ie_terms) scored against exact truth. Rows-only
+    (stochastic members + timings); the per-family identity and bound
+    properties are pytest-gated, the exact counts hash-gated by
+    workload_oracle_disjunctive."""
+    import time
+
+    import numpy as np
+
+    from naru_spark.entry_queries import LINEITEM_COLS, disjunctive_workload
+    from naru_spark.estimators import Heuristic, Oracle, q_error
+    from naru_spark.estimators.bayes import BayesNet
+    from naru_spark.estimators.histogram import MaxDiffHistogram
+    from naru_spark.estimators.progressive import ProgressiveSampling, SampleFromModel
+
+    df, enc, meta, model = _fitted(spark, sf_dir)
+    # half the workload + trimmed baseline budgets: this entry exists to
+    # SHOW the whole stack answers the disjunctive surface, not to re-run
+    # the full report — the identity/bound properties carry the rigor
+    wl = list(disjunctive_workload())[:15]
+    truths = Oracle(df).query_batch(wl)
+
+    sample_rows = 50_000
+    sel = enc.transform(df.select(*LINEITEM_COLS)).select(
+        *[f"{c}__bin" for c in LINEITEM_COLS]
+    )
+    if meta.cardinality > sample_rows:
+        sel = sel.sample(fraction=min(1.0, sample_rows / meta.cardinality * 1.1), seed=0)
+    data = sel.toPandas().to_numpy(dtype="int64")
+    scale = meta.cardinality / len(data)
+
+    ests = [
+        Heuristic(df, meta),
+        ProgressiveSampling(model, num_samples=128, seed=7),
+        SampleFromModel(model, num_samples=1000, seed=7),
+        MaxDiffHistogram(data, meta, LINEITEM_COLS, limit=500, scale=scale),
+        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=64, inference="exact"),
+    ]
+    rows = []
+    for est in ests:
+        t0 = time.time()
+        vals = est.query_batch(wl)
+        ms = (time.time() - t0) * 1e3 / len(wl)
+        errs = [q_error(max(e, 1.0), t) for e, t in zip(vals, truths) if t > 0]
+        rows.append(
+            (
+                est.name,
+                float(np.median(errs)),
+                float(np.quantile(errs, 0.95)),
+                float(np.max(errs)),
+                float(ms),
+                bool(getattr(est, "batch_scan", False)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "estimator string, q50 double, q95 double, qmax double,"
+        " ms_per_query double, batch boolean",
+    )
+
+
 def build_model_registry():
     return {
         "psample_estimates": q_psample_estimates,
         "psample_events": q_psample_events,
         "psample_disjunctive": q_psample_disjunctive,
+        "estimator_report_disjunctive": q_estimator_report_disjunctive,
         "psample_distributed": q_psample_distributed,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
