@@ -562,6 +562,134 @@ GROUP BY event_type
 """
 
 
+def q_partition_overwrite_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (sources.sinks.overwrite_partitions) —
+    the parquet-native reprocess-one-slice upsert: write events partitioned
+    by type, then rewrite ONLY the click partition with transformed values
+    (value + 1). Reading back must show updated clicks and bit-identical
+    untouched partitions — which is exactly what the oracle checks, since
+    a STATIC overwrite (the classic footgun this path guards against)
+    would have wiped every other partition to zero rows."""
+    from naru_spark.sources.sinks import (
+        overwrite_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _tmpdir(prefix="events_upsert_") + "/events"
+    write_partitioned(ev, path, ["event_type"])
+    updated = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + 1
+    )
+    overwrite_partitions(updated, path, ["event_type"])
+    back = read_partitioned(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+def sql_partition_overwrite_upsert() -> str:
+    return """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value + CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (sources.sinks.read_merged_schema): an early batch
+    written WITHOUT n_chars, a later batch with it, both appended into one
+    directory; mergeSchema surfaces the old rows with NULL — the
+    append-only column-add pattern every long-lived dataset hits. The
+    aggregate counts rows and sums coalesce(n_chars, 0) per lang, so the
+    NULL-for-predating-files semantics is exactly what the oracle pins."""
+    from naru_spark.sources.sinks import read_merged_schema
+
+    docs = _load(spark, sf_dir, "documents")
+    path = _tmpdir(prefix="docs_evolve_") + "/docs"
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    back = read_merged_schema(spark, path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars_known"),
+            F.sum(F.col("n_chars").isNull().cast("long")).alias("n_legacy_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_schema_evolution_read() -> str:
+    return """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars_known,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sources.sinks.compact): lineitem written
+    deliberately over-partitioned (64 files), compacted to <= 4 with ONE
+    narrow coalesce — both the file-count reduction and the no-shuffle
+    property are asserted INLINE on every driver run (small files are the
+    silent scan killer at 100 TB; a compactor that shuffles would pay a
+    full data movement for a layout fix). The aggregate proves the data
+    survived byte-for-byte."""
+    import os as _os
+
+    from naru_spark.sources.sinks import compact
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    base = _tmpdir(prefix="li_compact_")
+    scattered, compacted = base + "/scattered", base + "/compacted"
+    li.repartition(64).write.mode("overwrite").parquet(scattered)
+    n_small = len([f for f in _os.listdir(scattered) if f.endswith(".parquet")])
+    assert n_small >= 32, f"expected an over-partitioned source, got {n_small} files"
+
+    c = compact(scattered, spark, target_files=4)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "compaction must be a narrow coalesce"
+    c.write.mode("overwrite").parquet(compacted)
+    n_big = len([f for f in _os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_big <= 4, f"compaction left {n_big} files"
+
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sql_compact_small_files() -> str:
+    return """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + explicit-schema source round-trip over documents."""
     from naru_spark.sources.sinks import read_jsonl, write_jsonl
@@ -846,6 +974,9 @@ def build_ops_registry():
         "quantiles_quantity": q_quantiles_quantity,
         "workload_oracle_limited": q_workload_oracle_limited,
         "partitioned_sink_roundtrip": q_partitioned_sink,
+        "partition_overwrite_upsert": q_partition_overwrite_upsert,
+        "schema_evolution_read": q_schema_evolution_read,
+        "compact_small_files": q_compact_small_files,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_stream": q_dedup_stream,
@@ -876,6 +1007,9 @@ def build_ops_registry():
         "quantiles_quantity": sql_quantiles_quantity(),
         "workload_oracle_limited": sql_workload_oracle_limited(),
         "partitioned_sink_roundtrip": sql_partitioned_sink(),
+        "partition_overwrite_upsert": sql_partition_overwrite_upsert(),
+        "schema_evolution_read": sql_schema_evolution_read(),
+        "compact_small_files": sql_compact_small_files(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),
         "dedup_stream": sql_dedup_stream(),

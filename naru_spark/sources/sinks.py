@@ -38,6 +38,50 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Dynamic partition overwrite — the parquet-native UPSERT-by-partition:
+    only the partitions PRESENT in ``df`` are replaced; every other
+    partition directory survives untouched. This is how a 100 TB pipeline
+    reprocesses one day/source without rewriting the table (and without a
+    table format): mode=overwrite + partitionOverwriteMode=dynamic. The
+    conf is pinned per-write and restored (STATIC overwrite would wipe the
+    whole table — the failure mode this helper exists to prevent)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, saved)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files carry EVOLVED schemas
+    (columns added over time): mergeSchema unions the footers so old files
+    surface NULL for columns they predate. Schema merge reads every
+    footer — fine per-directory, never over a whole 100 TB lake (persist
+    the merged schema once instead)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact(df_or_path, spark: SparkSession | None = None, target_files: int = 4) -> DataFrame:
+    """Small-files compaction: re-read (or take) a DataFrame and coalesce
+    its output to ``target_files`` files on the next write. Small files are
+    the silent scan killer at scale (per-file open + footer cost dominates
+    under ~16 MB); compaction is one narrow coalesce — NO shuffle (plan
+    carries Coalesce, not Exchange), so it only ever merges, never
+    redistributes."""
+    df = (
+        spark.read.parquet(df_or_path)
+        if isinstance(df_or_path, str)
+        else df_or_path
+    )
+    return df.coalesce(target_files)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 

@@ -42,6 +42,44 @@ def test_partitioned_roundtrip_complete(spark):
     assert a == b
 
 
+def test_dynamic_partition_overwrite_preserves_others(spark, tmp_path):
+    """overwrite_partitions replaces ONLY the partitions present in the
+    incoming frame; untouched partitions survive byte-for-byte. A static
+    overwrite (the footgun the helper pins the conf against) would wipe
+    them — asserted by contrast."""
+    from naru_spark.sources.sinks import overwrite_partitions
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(20)],
+        ["id", "part", "v"],
+    )
+    write_partitioned(base, path, ["part"])
+    upd = spark.createDataFrame([(100, "a", 999.0)], ["id", "part", "v"])
+    overwrite_partitions(upd, path, ["part"])
+    back = read_partitioned(spark, path)
+    assert back.filter(F.col("part") == "a").count() == 1  # replaced
+    assert back.filter(F.col("part") == "b").count() == 10  # untouched
+    # contrast: STATIC overwrite wipes everything else
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    upd.write.mode("overwrite").partitionBy("part").parquet(path)
+    assert read_partitioned(spark, path).filter(F.col("part") == "b").count() == 0
+
+
+def test_merged_schema_read_nulls_legacy_rows(spark, tmp_path):
+    """read_merged_schema unions evolved parquet footers: rows from files
+    predating a column surface NULL there, newer rows keep their values."""
+    from naru_spark.sources.sinks import read_merged_schema
+
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "x")], ["id", "s"]).write.parquet(path)
+    spark.createDataFrame([(2, "y", 7)], ["id", "s", "extra"]).write.mode(
+        "append"
+    ).parquet(path)
+    rows = {r["id"]: r for r in read_merged_schema(spark, path).collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == 7
+
+
 def test_jsonl_roundtrip_exact(spark):
     docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang", "n_chars")
     path = tempfile.mkdtemp(prefix="jsonl_test_") + "/docs"
