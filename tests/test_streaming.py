@@ -192,3 +192,91 @@ def test_stream_static_dedup_stateless_ingest(spark):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in want.collect()
     )
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Watermark semantics, demonstrated across REAL micro-batch
+    boundaries: maxFilesPerTrigger=1 under availableNow processes the two
+    files as two batches in mtime order, the watermark advances to
+    (batch-1 max event time - 10 min) between them, and batch 2's
+    too-late row (event time far below the watermark) is DROPPED from the
+    windowed aggregate — while its fresh rows land normally. Without a
+    watermark the same pipeline cannot even run in append mode, which is
+    the state-bound trade the watermark exists to make."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    base = "2024-01-01 "
+    # Three observed semantics pinned here: (1) lateness is judged by
+    # WINDOW END vs watermark, not raw event time; (2) the filtering
+    # watermark LAGS one batch behind the eviction watermark (a row for a
+    # just-closed window one batch later is still healed into the state,
+    # not dropped); (3) only a row arriving two batches after its window
+    # closed is dropped, and the drop shows in numRowsDroppedByWatermark.
+    f1 = [(1, base + "00:05:00"), (2, base + "00:25:00"), (3, base + "01:30:00")]
+    f2 = [(5, base + "03:10:00"), (6, base + "03:40:00")]  # advances wm to 03:30
+    f3 = [(4, base + "00:10:00")]  # late by TWO batches -> dropped
+
+    def write_one(rows, path, mtime):
+        pdf = spark.createDataFrame(rows, ["id", "ts_s"]).select(
+            "id", F.to_timestamp("ts_s").alias("ts")
+        )
+        pdf.coalesce(1).write.mode("overwrite").parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+    now = _time.time()
+    write_one(f1, d + "/b1", now - 100)
+    write_one(f2, d + "/b2", now - 50)
+    write_one(f3, d + "/b3", now)
+    # flatten: file source lists leaf files; move parquet parts up
+    import shutil
+
+    for sub, mt in (("b1", now - 100), ("b2", now - 50), ("b3", now)):
+        for f in os.listdir(os.path.join(d, sub)):
+            if f.endswith(".parquet"):
+                src = os.path.join(d, sub, f)
+                dst = os.path.join(d, f"{sub}_{f}")
+                shutil.move(src, dst)
+                os.utime(dst, (mt, mt))
+        shutil.rmtree(os.path.join(d, sub))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    from naru_spark.streaming.events import run_stream_to_memory
+
+    got = {
+        r["w_start"]: r["n"]
+        for r in run_stream_to_memory(
+            spark, agg, output_mode="append"
+        ).collect()
+    }
+    # the 00:00 window holds ONLY batch-1's 2 rows: id=4 (00:10) arrived
+    # two batches after the watermark closed its window and was dropped
+    assert got.get("2024-01-01 00:00:00") == 2, got
+    assert got.get("2024-01-01 01:00:00") == 1, got
+    # the 03:00 window is NOT emitted (final wm 03:30 < its end 04:00) —
+    # append mode only releases watermark-finalized windows
+    assert "2024-01-01 03:00:00" not in got, got
+    # a batch aggregate over the same files (no watermark) WOULD count it
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").cast("string").alias("w_start"), "n")
+    )
+    bgot = {r["w_start"]: r["n"] for r in batch.collect()}
+    assert bgot["2024-01-01 00:00:00"] == 3
