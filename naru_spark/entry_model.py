@@ -486,11 +486,62 @@ def q_estimator_report_disjunctive(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _fitted_join(spark: SparkSession, sf_dir: str):
+    """ResMADE over the lineitem x orders JOIN (NeuroCard-style multi-table
+    surface): one key join, dictionary-encode the mixed-table columns, fit
+    on a bounded sample. Fanout-free join (1:1 on the lineitem side), so
+    the model learns the true joint distribution with no fanout
+    reweighting — the simplest correct multi-table regime."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.entry_queries import JOIN_COLS, join_view
+    from naru_spark.model.train import NaruEstimator
+
+    key = (sf_dir, "join")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    df = join_view(spark, sf_dir).cache()
+    enc = DictionaryEncoder(JOIN_COLS).fit(df)
+    meta = enc.table_meta(df, "li_orders")
+    model = NaruEstimator(
+        JOIN_COLS, hidden=48, blocks=2, max_model_domain=256, epochs=2,
+        batch_size=2048, lr=7e-3, sample_rows=60_000, seed=0,
+    ).fit(df, meta, enc)
+    _MODEL_CACHE[key] = (df, enc, meta, model)
+    return _MODEL_CACHE[key]
+
+
+def q_psample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProgressiveSampling over the JOINED model on the mixed-table
+    workload: per-query (est, true, q_err). The scale story: the join is
+    paid ONCE at fit time on a bounded sample; every subsequent
+    cross-table cardinality question is answered in milliseconds with no
+    re-join. Rows-only (stochastic); q-error distribution gated in
+    tests/test_model.py, exact counts hash-gated by
+    workload_oracle_join."""
+    from naru_spark.entry_queries import join_workload
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+
+    df, enc, meta, model = _fitted_join(spark, sf_dir)
+    wl = list(join_workload())
+    truths = Oracle(df).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    ests = [float(ps.query(q)) for q in wl]
+    rows = [
+        (i, float(e), int(t), float(q_error(max(e, 1.0), t)) if t > 0 else None)
+        for i, (e, t) in enumerate(zip(ests, truths))
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, est_card double, true_card bigint, q_err double"
+    )
+
+
 def build_model_registry():
     return {
         "psample_estimates": q_psample_estimates,
         "psample_events": q_psample_events,
         "psample_disjunctive": q_psample_disjunctive,
+        "psample_join": q_psample_join,
         "estimator_report_disjunctive": q_estimator_report_disjunctive,
         "psample_distributed": q_psample_distributed,
         "estimator_report": q_estimator_report,

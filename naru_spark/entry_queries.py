@@ -78,6 +78,61 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+# ------------------------------------------------------ multi-table surface
+# NeuroCard-style extension beyond the single-table reference: the 'table'
+# is the lineitem x orders join (fanout-free key join: every lineitem has
+# exactly one order, so |join| == |lineitem| and the joint distribution is
+# well-defined); queries mix columns of BOTH base tables.
+JOIN_COLS = [
+    "l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+    "o_orderpriority", "o_orderstatus",
+]
+
+
+@lru_cache(maxsize=1)
+def _join_pdf_meta():
+    """The joined frame + meta, materialized engine-independently (pandas
+    merge over pyarrow reads) so workload predicate values are byte-equal
+    on the Spark and DuckDB sides."""
+    from naru_spark.workload import pdf_table_meta
+
+    li = load_table_pandas(
+        WORKLOAD_SF, "lineitem",
+        ["l_orderkey"] + [c for c in JOIN_COLS if c.startswith("l_")],
+    )
+    orders = load_table_pandas(
+        WORKLOAD_SF, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus"]
+    )
+    joined = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[JOIN_COLS]
+    return joined, pdf_table_meta(joined, "li_orders")
+
+
+@lru_cache(maxsize=1)
+def join_workload() -> tuple[Query, ...]:
+    from naru_spark.workload import generate_workload_from_pdf
+
+    joined, meta = _join_pdf_meta()
+    return tuple(
+        generate_workload_from_pdf(
+            joined, meta, "li_orders", WORKLOAD_N, seed=WORKLOAD_SEED + 2
+        )
+    )
+
+
+def join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of the joined 'table': one key join, projected to
+    JOIN_COLS. At scale this is the fact-fact shuffle the estimator
+    amortizes away — the model trains ONCE on a bounded sample of the
+    join, then answers every mixed-table conjunction without re-joining."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", *[c for c in JOIN_COLS if c.startswith("l_")]
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(*JOIN_COLS)
+
+
 # --------------------------------------------------------------------------
 # B1 Oracle: exact conjunctive counts, one-pass batch (SURVEY §2 B1)
 # --------------------------------------------------------------------------
@@ -95,6 +150,28 @@ def sql_workload_oracle() -> str:
     parts = [
         f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem WHERE {sql_predicate(q)}) AS card"
         for i, q in enumerate(workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_workload_oracle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact counts for the MULTI-TABLE workload (conjunctions over
+    lineitem x orders columns — the NeuroCard-style surface the
+    single-table reference lacks): the same one-scan conditional
+    aggregation, running over the key join. Full DuckDB oracle."""
+    from naru_spark.estimators import Oracle
+
+    cards = Oracle(join_view(spark, sf_dir)).query_batch(list(join_workload()))
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle_join() -> str:
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem "
+        f"JOIN orders ON l_orderkey = o_orderkey WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(join_workload())
     ]
     return " UNION ALL ".join(parts)
 
@@ -1821,6 +1898,7 @@ def build_registry():
     queries = {
         "workload_oracle_counts": q_workload_oracle,
         "workload_oracle_disjunctive": q_workload_oracle_disjunctive,
+        "workload_oracle_join": q_workload_oracle_join,
         "heuristic_estimates": q_heuristic,
         "region_size": q_region_size,
         "encode_returnflag": _q_encode("l_returnflag"),
@@ -1864,6 +1942,7 @@ def build_registry():
     oracles = {
         "workload_oracle_counts": sql_workload_oracle(),
         "workload_oracle_disjunctive": sql_workload_oracle_disjunctive(),
+        "workload_oracle_join": sql_workload_oracle_join(),
         "heuristic_estimates": sql_heuristic(),
         "region_size": sql_region_size(),
         "encode_returnflag": _sql_encode("l_returnflag"),

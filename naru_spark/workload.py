@@ -84,6 +84,33 @@ def generate_workload(
     return [generate_query(pdf, meta, rng, table_name) for _ in range(num_queries)]
 
 
+def generate_workload_from_pdf(
+    pdf: pd.DataFrame,
+    meta: TableMeta,
+    table_name: str,
+    num_queries: int,
+    seed: int = 1234,
+) -> list[Query]:
+    """Same generator over a PREPARED frame — used for the multi-table
+    surface, where 'the table' is a join materialized engine-independently
+    (pandas merge) so Spark and DuckDB see identical predicate values."""
+    rng = np.random.RandomState(seed)
+    return [generate_query(pdf, meta, rng, table_name) for _ in range(num_queries)]
+
+
+def pdf_table_meta(pdf: pd.DataFrame, name: str) -> TableMeta:
+    """TableMeta from a pandas frame (domain sizes for the
+    sensible_to_do_range rule) — no Spark needed at workload-generation
+    time; mirrors the per-column accounting of DictionaryEncoder."""
+    from naru_spark.meta import ColumnMeta
+
+    cols = []
+    for c in pdf.columns:
+        n = int(pdf[c].nunique(dropna=True)) + int(pdf[c].isnull().any())
+        cols.append(ColumnMeta(c, str(pdf[c].dtype), n, bool(pdf[c].isnull().any())))
+    return TableMeta(name, cols, len(pdf))
+
+
 # ------------------------------------------------------- disjunctive surface
 # Beyond the reference's conjunctive-only generator: IN value sets and ORs
 # of conjunctions (predicates.DisjunctiveQuery). Opt-in via its own entry

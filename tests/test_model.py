@@ -1108,6 +1108,53 @@ def test_fit_distributed_learns_and_estimates(spark):
     df.unpersist()
 
 
+def test_psample_join_multi_table(spark):
+    """NeuroCard-style multi-table surface: a ResMADE fitted over the
+    lineitem x orders JOIN answers conjunctions mixing both tables'
+    columns — median q-error within a tight bound against exact truth
+    computed on the join. The join is fanout-free (1:1 from the lineitem
+    side), so the model learns the true joint distribution directly."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload_from_pdf, pdf_table_meta
+    from tests.conftest import SF_SMOKE
+
+    cols = [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+        "o_orderpriority", "o_orderstatus",
+    ]
+    li = load_table(spark, "lineitem", SF_SMOKE).select(
+        "l_orderkey", *[c for c in cols if c.startswith("l_")]
+    )
+    orders = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(*cols).cache()
+    assert joined.count() == li.count()  # fanout-free: 1:1 on the fact side
+
+    enc = DictionaryEncoder(cols).fit(joined)
+    meta = enc.table_meta(joined, "li_orders")
+    model = NaruEstimator(
+        cols, hidden=48, blocks=2, max_model_domain=128, epochs=4, lr=7e-3, seed=0
+    ).fit(joined, meta, enc)
+
+    pdf = joined.toPandas()
+    wl = generate_workload_from_pdf(
+        pdf, pdf_table_meta(pdf, "li_orders"), "li_orders", 12, seed=99
+    )
+    truths = Oracle(joined).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    errs = [
+        q_error(max(ps.query(q), 1.0), t) for q, t in zip(wl, truths) if t > 0
+    ]
+    assert len(errs) >= 6
+    assert np.median(errs) <= 3.0, errs
+    joined.unpersist()
+
+
 def test_fit_distributed_cycles_masks(spark):
     """num_masks>1 must NOT silently no-op on the distributed path: shards
     resample connectivity per round (same seed across shards, so the
