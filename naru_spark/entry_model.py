@@ -435,7 +435,7 @@ def q_estimator_report_disjunctive(spark: SparkSession, sf_dir: str) -> DataFram
     import numpy as np
 
     from naru_spark.entry_queries import LINEITEM_COLS, disjunctive_workload
-    from naru_spark.estimators import Heuristic, Oracle, q_error
+    from naru_spark.estimators import Oracle, q_error
     from naru_spark.estimators.bayes import BayesNet
     from naru_spark.estimators.histogram import MaxDiffHistogram
     from naru_spark.estimators.progressive import ProgressiveSampling, SampleFromModel
@@ -456,8 +456,11 @@ def q_estimator_report_disjunctive(spark: SparkSession, sf_dir: str) -> DataFram
     data = sel.toPandas().to_numpy(dtype="int64")
     scale = meta.cardinality / len(data)
 
+    # Heuristic is excluded on purpose: its IE expansion multiplies into
+    # hundreds of conditional aggregates (a full scan family per chunk) —
+    # its disjunctive bounds are pytest-gated instead, keeping this entry
+    # to the model-local estimators that answer from fitted state
     ests = [
-        Heuristic(df, meta),
         ProgressiveSampling(model, num_samples=128, seed=7),
         SampleFromModel(model, num_samples=1000, seed=7),
         MaxDiffHistogram(data, meta, LINEITEM_COLS, limit=500, scale=scale),
