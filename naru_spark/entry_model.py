@@ -539,12 +539,101 @@ def q_psample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FANOUT_COLS = ["c_mktsegment", "c_nationkey", "o_orderpriority", "o_orderstatus", "fanout"]
+
+
+def _fitted_fanout(spark: SparkSession, sf_dir: str):
+    """ResMADE over the 1:N customer x orders join WITH the fanout column
+    (per-customer order count) — the full NeuroCard regime: the join-space
+    model answers BASE-TABLE questions through inverse-fanout downscaling
+    (ProgressiveSampling.query_weighted). Fanout rides LAST in the
+    ordering so its conditional expectation closes the chain; its domain
+    (max ~25) stays unbinned, making the 1/f weight vector exact. Every
+    customer has >= 1 order at every test SF, so the inner join loses no
+    base rows (a production NeuroCard uses outer joins + virtual fanout-1
+    rows for the childless side)."""
+    from pyspark.sql import functions as F
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+
+    key = (sf_dir, "fanout")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    fan = orders.groupBy("o_custkey").agg(F.count("*").alias("fanout"))
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(fan, "o_custkey")
+        .select(*FANOUT_COLS)
+        .cache()
+    )
+    enc = DictionaryEncoder(FANOUT_COLS).fit(joined)
+    meta = enc.table_meta(joined, "cust_orders")
+    model = NaruEstimator(
+        FANOUT_COLS, hidden=48, blocks=2, max_model_domain=256, epochs=3,
+        batch_size=2048, lr=7e-3, sample_rows=60_000, seed=0,
+    ).fit(joined, meta, enc)
+    binning = model.binnings["fanout"]
+    d = enc.dictionaries["fanout"]
+    # exact inverse-fanout weights need the column UNBINNED
+    assert binning.model_size == len(d.values) + int(d.has_null)
+    import numpy as np
+
+    w = 1.0 / d.values.astype(np.float64)
+    w_vec = np.concatenate([[0.0], w]) if d.has_null else w
+    _MODEL_CACHE[key] = (joined, enc, meta, model, w_vec)
+    return _MODEL_CACHE[key]
+
+
+def q_psample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASE-TABLE cardinalities from the JOIN-trained model (NeuroCard
+    downscaling): for customer-only predicates, estimate
+    E[1/fanout * 1{pred}] * |join| — each base row appears fanout times in
+    the join, so the inverse-fanout expectation de-duplicates it — and
+    compare against the exact count on the CUSTOMER table (which the
+    model never saw directly). Rows-only (stochastic); the q-error
+    distribution and the no-predicate identity (estimate ~= |customer|)
+    are gated in tests/test_model.py."""
+    from naru_spark.entry_queries import WORKLOAD_SF
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.predicates import Query
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload_from_pdf, load_table_pandas, pdf_table_meta
+
+    joined, enc, meta, model, w_vec = _fitted_fanout(spark, sf_dir)
+    cpdf = load_table_pandas(WORKLOAD_SF, "customer", ["c_mktsegment", "c_nationkey"])
+    cmeta = pdf_table_meta(cpdf, "customer")
+    wl = generate_workload_from_pdf(cpdf, cmeta, "customer", 15, seed=4242)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_mktsegment", "c_nationkey"
+    )
+    truths = Oracle(cust).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    ests = [float(ps.query_weighted(q, "fanout", w_vec)) for q in wl]
+    rows = [
+        (i, float(e), int(t), float(q_error(max(e, 1.0), t)) if t > 0 else None)
+        for i, (e, t) in enumerate(zip(ests, truths))
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, est_card double, true_card bigint, q_err double"
+    )
+
+
 def build_model_registry():
     return {
         "psample_estimates": q_psample_estimates,
         "psample_events": q_psample_events,
         "psample_disjunctive": q_psample_disjunctive,
         "psample_join": q_psample_join,
+        "psample_fanout": q_psample_fanout,
         "estimator_report_disjunctive": q_estimator_report_disjunctive,
         "psample_distributed": q_psample_distributed,
         "estimator_report": q_estimator_report,

@@ -94,6 +94,73 @@ class ProgressiveSampling(CardEst):
         sel = self._sel_pinned(q)
         return float(np.ceil(sel * self.model.meta.cardinality))
 
+    def query_weighted(self, q: Query, weight_col: str, weight_values) -> float:
+        """NeuroCard-style weighted expectation over the model:
+
+            E[ w(weight_col) * 1{pred} ] * cardinality
+
+        With w = 1/fanout over a 1:N join-trained model this DOWNSCALES
+        join-space probabilities back to the one side's base-table
+        cardinality (each base row appears fanout times in the join, so
+        1/fanout de-duplicates it in expectation) — the identity that lets
+        one join-trained model answer base-table questions.
+
+        ``weight_values`` is the per-MODEL-BIN weight vector for
+        ``weight_col`` (exact when the column is unbinned — its domain
+        fits max_model_domain — which the caller should ensure for
+        fanouts). The weight column must be LAST in the model's ordering:
+        its expectation is taken conditioned on the full sampled prefix,
+        Σ_v P(v | prefix) w(v), and nothing samples after it — putting it
+        earlier would require integrating the rest of the chain over v.
+        The column must also be unfiltered in ``q``."""
+        made = self.model.made
+        cols = self.model.columns
+        wi = cols.index(weight_col)
+        assert made.order[-1] == wi, "weight column must be last in the ordering"
+        assert weight_col not in q.cols, "weight column must be unfiltered"
+        w_vec = np.asarray(weight_values, dtype=np.float64)
+
+        rng = np.random.RandomState(self.seed)
+        S = self.num_samples
+        masks = self._masks(q)
+        made.begin_sampling(S)
+        bits = made.new_input_buffer(S)
+        p = np.ones(S, dtype=np.float64)
+        use_fast = hasattr(made, "sample_logits_for_col")
+        for c in made.order:
+            is_weight = c == wi
+            if not is_weight and masks[c] is None and made.column_masking:
+                made.write_mask_token(bits, c)
+                continue
+            if use_fast:
+                lg = made.sample_logits_for_col(c, bits)
+            else:
+                h = made.hidden_nograd(bits)
+                lg = made.logits_for_col(c, h)
+            mx = lg.max(axis=1, keepdims=True)
+            probs = np.exp(lg - mx)
+            probs /= probs.sum(axis=1, keepdims=True)
+            if is_weight:
+                # last column: fold in E[w | prefix]; no further sampling
+                p *= probs @ w_vec
+                break
+            mask = masks[c]
+            if mask is not None:
+                masked = probs * mask[None, :]
+                s = masked.sum(axis=1)
+                p *= s
+                safe = np.where(s > 0, s, 1.0)
+                dist = masked / safe[:, None]
+                dist[s <= 0] = 0
+                dist[s <= 0, 0] = 1.0
+            else:
+                dist = probs
+            cum = dist.cumsum(axis=1)
+            u = rng.rand(S, 1)
+            choice = np.minimum((u > cum).sum(axis=1), dist.shape[1] - 1)
+            made._write_bits(bits, c, choice)
+        return float(np.ceil(p.mean() * self.model.meta.cardinality))
+
     def _sel_pinned(self, q: Query) -> float:
         rng = np.random.RandomState(self.seed)
         made = self.model.made

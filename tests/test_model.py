@@ -1155,6 +1155,56 @@ def test_psample_join_multi_table(spark):
     joined.unpersist()
 
 
+def test_psample_fanout_downscaling(spark):
+    """NeuroCard inverse-fanout downscaling: the model trained on the 1:N
+    customer x orders JOIN answers CUSTOMER-table cardinalities via
+    E[1/fanout * 1{pred}] * |join|. Two gates: the no-predicate identity
+    (estimate ~= |customer|, which the join model never saw as a row
+    count) and the q-error distribution on customer-only predicates."""
+    from naru_spark.entry_model import _fitted_fanout
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.predicates import Query
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload_from_pdf, pdf_table_meta
+    from tests.conftest import SF_SMOKE
+
+    joined, enc, meta, model, w_vec = _fitted_fanout(spark, SF_SMOKE)
+    cust = load_table(spark, "customer", SF_SMOKE).select(
+        "c_mktsegment", "c_nationkey"
+    )
+    n_cust = cust.count()
+    ps = ProgressiveSampling(model, num_samples=512, seed=7)
+
+    # identity: sum over join of 1/fanout == |customer| exactly; the model
+    # estimate of that expectation must land within a loose band (at the
+    # 1.5k-row smoke SF the 3-epoch model's fanout marginal is coarse —
+    # the sf0.01 entry measures median q-error 1.03 on real predicates)
+    est_total = ps.query_weighted(
+        Query("cust_orders", [], [], []), "fanout", w_vec
+    )
+    assert abs(est_total - n_cust) / n_cust < 0.35, (est_total, n_cust)
+    # and the EXACT identity holds on the data itself (the estimator's
+    # target is well-defined): sum over the join of 1/fanout == |customer|
+    import pyspark.sql.functions as FF
+
+    exact = joined.agg(FF.sum(1.0 / FF.col("fanout"))).collect()[0][0]
+    assert abs(exact - n_cust) < 1e-6
+
+    pdf = cust.toPandas()
+    wl = generate_workload_from_pdf(
+        pdf, pdf_table_meta(pdf, "customer"), "customer", 12, seed=4242
+    )
+    truths = Oracle(cust).query_batch(wl)
+    errs = [
+        q_error(max(ps.query_weighted(q, "fanout", w_vec), 1.0), t)
+        for q, t in zip(wl, truths)
+        if t > 0
+    ]
+    assert len(errs) >= 6
+    assert np.median(errs) <= 2.0, errs
+
+
 def test_fit_distributed_cycles_masks(spark):
     """num_masks>1 must NOT silently no-op on the distributed path: shards
     resample connectivity per round (same seed across shards, so the
