@@ -29,6 +29,8 @@ def warm_model_cache(spark: SparkSession, sf_dir: str) -> float:
     _fitted(spark, sf_dir)
     _fitted_variants(spark, sf_dir)
     _fitted_reversed_transformer(spark, sf_dir)
+    _fitted_join(spark, sf_dir)
+    _fitted_fanout(spark, sf_dir)
     return time.time() - t0
 
 
