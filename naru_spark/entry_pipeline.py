@@ -1856,6 +1856,108 @@ FROM s
 """
 
 
+def _sql_clf_features() -> str:
+    """The classifier's four features + the Gopher weak label, as one
+    SELECT — every fragment identical to the gate-proven text SQL."""
+    from naru_spark.pipeline.curation import GOPHER_REQUIRED_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+    sw_hits = _sql_stopword_hits("en")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6)
+              ELSE 0.0 END AS mtl,
+         CASE WHEN length(text) > 0
+              THEN ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(CAST({sw_hits} AS DOUBLE) / len(toks), 6)
+              ELSE 0.0 END AS stopword_ratio
+  FROM t
+)
+SELECT doc_id,
+       ROUND(LEAST(n_tokens, 200) / 200.0, 6) AS f_len,
+       ROUND(LEAST(mtl, 12.0) / 12.0, 6) AS f_mtl,
+       punct_ratio, stopword_ratio,
+       ((n_tokens >= 20 AND n_tokens <= 100000)
+        AND (CASE WHEN len(toks) > 0
+             THEN ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+             ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+        AND (CASE WHEN len(toks) > 0
+             THEN ROUND(((length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks), 6)
+             ELSE 0.0 END <= 0.1)
+        AND (CASE WHEN len(toks) > 0
+             THEN ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+             ELSE 0.0 END >= 0.8)
+        AND (len(list_intersect(list_distinct(toks), [{stop}])) >= 2)) AS keep
+FROM f
+"""
+
+
+@lru_cache(maxsize=1)
+def _quality_clf_weights():
+    """Train the logistic quality classifier ONCE on the driver's
+    correctness SF via DuckDB-computed features (engine-independent: no
+    SparkSession at oracle-generation time; the Spark-side features are
+    the same gate-proven statistics). Deterministic full-batch GD;
+    weights rounded 6 for literal inlining."""
+    import duckdb
+    import numpy as np
+
+    from naru_spark.entry_queries import WORKLOAD_SF
+    from naru_spark.pipeline.classifier import train_logistic
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{WORKLOAD_SF}/documents.parquet'"
+    )
+    rows = con.execute(_sql_clf_features()).fetchall()
+    X = np.array([[r[1], r[2], r[3], r[4]] for r in rows], dtype=np.float64)
+    y = np.array([1.0 if r[5] else 0.0 for r in rows], dtype=np.float64)
+    return train_logistic(X, y)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality filter in the hard gate (pipeline.classifier): the
+    fastText-style learned upgrade of the hand-written quality score —
+    logistic regression on the rounded text-stat features with the Gopher
+    rule as weak label, trained once on the correctness SF, weights
+    inlined as literals into one fixed-order row-local expression. The
+    oracle re-derives every logit bit-for-bit; classifier agreement with
+    the Gopher label is gated in tests/test_pipeline.py."""
+    from naru_spark.pipeline.classifier import score_logit
+
+    w, b = _quality_clf_weights()
+    return score_logit(_docs(spark, sf_dir), w, b).select(
+        "doc_id", "f_len", "f_mtl", "punct_ratio", "stopword_ratio",
+        "logit", "pred_keep",
+    )
+
+
+def sql_quality_classifier() -> str:
+    w, b = _quality_clf_weights()
+    terms = " + ".join(
+        f"{float(wv)!r} * {name}"
+        for wv, name in zip(w, ["f_len", "f_mtl", "punct_ratio", "stopword_ratio"])
+    )
+    return f"""
+WITH feats AS ({_sql_clf_features()})
+SELECT doc_id, f_len, f_mtl, punct_ratio, stopword_ratio,
+       ROUND({float(b)!r} + {terms}, 6) AS logit,
+       (ROUND({float(b)!r} + {terms}, 6) > 0) AS pred_keep
+FROM feats
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 1 of distributed BPE training (pipeline.bpe.bpe_pair_counts):
     adjacent character-pair frequencies weighted by the corpus word count —
@@ -2658,6 +2760,7 @@ def build_pipeline_registry():
         "like_estimates": q_like_estimates,
         "like_estimates_anchored": q_like_estimates_anchored,
         "gopher_filter": q_gopher_filter,
+        "quality_classifier": q_quality_classifier,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
@@ -2737,6 +2840,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "like_estimates": sql_like_estimates(),
         "like_estimates_anchored": sql_like_estimates_anchored(),
         "gopher_filter": sql_gopher_filter(),
+        "quality_classifier": sql_quality_classifier(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
         "bpe_pack_manifest": sql_bpe_pack_manifest(),
         "knn_pagerank_oracle": sql_knn_pagerank_oracle(),

@@ -1160,6 +1160,42 @@ def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
     assert "embedding" not in spark.read.parquet(path).columns
 
 
+def test_quality_classifier_learns_and_scores(spark):
+    """The trained quality classifier (pipeline.classifier): full-batch
+    logistic GD is deterministic, the inlined-literal scoring agrees with
+    a direct numpy forward on the same features, and agreement with the
+    Gopher weak label beats the majority-class baseline (it learned a
+    boundary, not a constant)."""
+    import numpy as np
+
+    from naru_spark.entry_pipeline import _quality_clf_weights
+    from naru_spark.pipeline.classifier import FEATURE_NAMES, score_logit
+    from naru_spark.pipeline.curation import gopher_filter
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    w, b = _quality_clf_weights()
+    w2, b2 = _quality_clf_weights()  # cached + deterministic
+    assert (w == w2).all() and b == b2
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    scored = score_logit(docs, w, b)
+    rows = scored.select("doc_id", *FEATURE_NAMES, "logit", "pred_keep").collect()
+    X = np.array([[r[f] for f in FEATURE_NAMES] for r in rows])
+    direct = np.round(b + X @ w, 6)
+    got = np.array([r["logit"] for r in rows])
+    assert np.allclose(got, direct, atol=2e-6)
+
+    labels = {
+        r["doc_id"]: r["keep"] for r in gopher_filter(docs, min_words=20).collect()
+    }
+    y = np.array([labels[r["doc_id"]] for r in rows], dtype=bool)
+    pred = np.array([r["pred_keep"] for r in rows], dtype=bool)
+    majority = max(y.mean(), 1 - y.mean())
+    acc = (pred == y).mean()
+    assert acc > majority + 0.05, (acc, majority)
+
+
 def test_exact_substring_spans_semantics(spark):
     """ExactSubstr accounting on a constructed corpus: the globally FIRST
     occurrence of a shared run survives; later occurrences are removed;
