@@ -23,6 +23,9 @@ ENTRIES = [
     "multiorder_nll",
     "dedup_embedding_lsh",
     "dedup_minhash_md5",
+    # round-5 additions worth a scaling probe
+    "workload_oracle_disjunctive",
+    "knn_pagerank_oracle",
 ]
 
 

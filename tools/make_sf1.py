@@ -14,9 +14,10 @@ would distort the workload shape:
 - ``lineitem``: pure key-shifted tiling — the estimator entries read value
   distributions, which tiling preserves exactly.
 
-Output: /root/repo/.sf1data/{lineitem,documents,embeddings}.parquet
-(only the tables the 5 slowest entries touch). NOT driver data — a
-scaling probe, not a correctness surface.
+Output: /root/repo/.sf1data/{lineitem,orders,customer,documents,
+embeddings}.parquet (the tables the spot-bench entries and the model-cache
+warm touch; order/customer keys shift consistently so joins stay valid).
+NOT driver data — a scaling probe, not a correctness surface.
 """
 
 from __future__ import annotations
@@ -34,9 +35,12 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW li AS SELECT * FROM '{SRC}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW ords AS SELECT * FROM '{SRC}/orders.parquet'")
+    con.execute(f"CREATE VIEW cust AS SELECT * FROM '{SRC}/customer.parquet'")
     con.execute(f"CREATE VIEW docs AS SELECT * FROM '{SRC}/documents.parquet'")
     con.execute(f"CREATE VIEW emb AS SELECT * FROM '{SRC}/embeddings.parquet'")
     n_ok = con.execute("SELECT max(l_orderkey) + 1 FROM li").fetchone()[0]
+    n_ck = con.execute("SELECT max(c_custkey) + 1 FROM cust").fetchone()[0]
     n_doc = con.execute("SELECT max(doc_id) + 1 FROM docs").fetchone()[0]
     n_vec = con.execute("SELECT max(vec_id) + 1 FROM emb").fetchone()[0]
 
@@ -46,6 +50,25 @@ COPY (
   SELECT li.* REPLACE (l_orderkey + c.i * {n_ok} AS l_orderkey)
   FROM li CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
 ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT ords.* REPLACE (
+    o_orderkey + c.i * {n_ok} AS o_orderkey,
+    o_custkey + c.i * {n_ck} AS o_custkey
+  )
+  FROM ords CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT cust.* REPLACE (c_custkey + c.i * {n_ck} AS c_custkey)
+  FROM cust CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/customer.parquet' (FORMAT PARQUET)
 """
     )
     con.execute(
@@ -70,7 +93,7 @@ COPY (
 ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
 """
     )
-    for t in ("lineitem", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
