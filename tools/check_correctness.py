@@ -63,6 +63,7 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_ok = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,6 +77,7 @@ def main():
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{spark_s:.1f}s]")
+            n_rows_only += 1
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
@@ -90,7 +92,9 @@ def main():
         hs, hd = (value_hash(sdf), value_hash(ddf)) if ok_cols else ("-", "x")
         ok = ok_rows and ok_cols and hs == hd
         status = "OK  " if ok else "FAIL"
-        if not ok:
+        if ok:
+            n_ok += 1
+        else:
             failures.append(name)
         print(f"{status}  {name}: rows {len(sdf)}/{len(ddf)} cols_match={ok_cols} hash {hs}/{hd} [{spark_s:.1f}s]")
         if not ok and ok_cols:
@@ -99,7 +103,11 @@ def main():
             diff = merged[merged["_merge"] != "both"]
             if len(diff):
                 print(diff.head(6).to_string())
-    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    print(
+        f"\nSUMMARY: {n_ok} oracle hash-match, {n_rows_only} rows-only clean, "
+        f"{len(failures)} failed"
+    )
+    print("ALL OK" if not failures else f"FAILURES: {failures}")
     sys.exit(1 if failures else 0)
 
 
