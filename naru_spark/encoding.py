@@ -219,7 +219,13 @@ class DictionaryEncoder:
             spark = df.sparkSession
             bc = spark.sparkContext.broadcast({c: self.dictionaries[c] for c in small_cols})
             schema_add = ", ".join(f"`{c}{suffix}` int" for c in small_cols)
-            out_schema = df.schema.simpleString()[7:-1] + ", " + schema_add  # struct<...>
+            # per-field DDL with backticks — simpleString() would emit
+            # unquoted names, which breaks on columns containing spaces
+            # (e.g. the reference's DMV headers like `Record Type`)
+            base = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            out_schema = base + ", " + schema_add
 
             def encode_batches(it):
                 dicts = bc.value

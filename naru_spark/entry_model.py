@@ -295,6 +295,45 @@ def q_fit_distributed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "fit_path string, median_qerr double, max_qerr double")
 
 
+def q_fit_distributed_transformer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transformer twin of q_fit_distributed_report: the SAME data-parallel
+    scheme (partition-local SGD + row-weighted parameter averaging; the
+    worker loop is arch-agnostic, exchanging the transformer's flat Param
+    list instead of (W, b) layer pairs) applied to the order-respecting
+    causal transformer, reported against the collected-sample fit.
+    Rows-only (stochastic); the q-error bound is asserted in
+    tests/test_model.py::test_fit_distributed_transformer."""
+    import numpy as np
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", sf_dir, cols).repartition(4).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    est = NaruEstimator(
+        cols, arch="transformer", hidden=16, blocks=1, epochs=1, lr=5e-3, seed=0
+    )
+    wl = generate_workload(sf_dir, meta, "lineitem", 8, seed=21)
+    truths = Oracle(df).query_batch(wl)
+
+    rows = []
+    for name, model in (
+        ("fit_collected", est.fit(df, meta, enc)),
+        ("fit_distributed", est.fit_distributed(df, meta, enc, rounds=2)),
+    ):
+        ps = ProgressiveSampling(model, num_samples=128, seed=7)
+        errs = [q_error(ps.query(q), t) for q, t in zip(wl, truths) if t > 0]
+        rows.append((name, float(np.median(errs)), float(np.max(errs))))
+    df.unpersist()
+    return spark.createDataFrame(rows, "fit_path string, median_qerr double, max_qerr double")
+
+
 def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-time multi-order NLL ensemble metric (reference
     train_model.py:208-228): per-order NLL and the logsumexp ensemble NLL
@@ -645,5 +684,6 @@ def build_model_registry():
         "psample_distributed": q_psample_distributed,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
+        "fit_distributed_transformer_report": q_fit_distributed_transformer_report,
         "multiorder_nll": q_multiorder_nll,
     }, {}

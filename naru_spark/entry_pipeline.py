@@ -2011,13 +2011,17 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned merges
     (pipeline.bpe.bpe_encode): broadcast merge table, map-only Arrow
-    batches, per-word memo — the 100 TB-shaped encode job. Rows-only
-    (greedy rank-ordered merging is iterative, not SQL-expressible);
-    token-for-token parity with a pure-python reference encoder is
-    asserted in tests/test_pipeline.py."""
+    batches, per-word memo — the 100 TB-shaped encode job. Applies the
+    FIXED merge artifact (_bpe_merges_fixed, same as bpe_pack_manifest:
+    the 'ship one tokenizer artifact everywhere' discipline), which makes
+    the tokenizer itself oracle-backed — the DuckDB twin replays the
+    greedy merge chain per word via the same recursive CTE the pack
+    oracle proved out, emitting per-doc total AND distinct token counts.
+    Token-for-token parity with a pure-python reference encoder is
+    additionally asserted in tests/test_pipeline.py."""
     from naru_spark.pipeline.bpe import bpe_encode
 
-    return bpe_encode(_docs(spark, sf_dir), _bpe_merges(spark, sf_dir))
+    return bpe_encode(_docs(spark, sf_dir), list(_bpe_merges_fixed()))
 
 
 @lru_cache(maxsize=1)
@@ -2054,20 +2058,21 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
-def sql_bpe_pack_manifest(seq_len: int = 256) -> str:
-    """Faithful greedy-BPE replay in SQL: per DISTINCT word, a recursive
-    CTE applies ONE merge per step — the lowest-rank merge present in the
-    symbol string (symbols '|'-delimited, so '|l|r|' only matches whole
-    adjacent symbols; the corpus contains no literal '|'), spliced at its
-    LEFTMOST occurrence via substr. That is exactly the encoder's
+def _sql_bpe_replay_ctes() -> str:
+    """Shared greedy-BPE replay CTE prefix (used by sql_bpe_pack_manifest
+    AND sql_bpe_encode): per DISTINCT word, a recursive CTE applies ONE
+    merge per step — the lowest-rank merge present in the symbol string
+    (symbols '|'-delimited, so '|l|r|' only matches whole adjacent
+    symbols; the corpus contains no literal '|'), spliced at its LEFTMOST
+    occurrence via substr. That is exactly the encoder's
     pick-min-rank-then-first-position loop, so segmentations (not just
-    counts) agree step for step; the final state per word is the one no
-    merge applies to. Recursion depth <= word length. A single global
-    replace-to-fixpoint would NOT be faithful: it consumes the shared
-    delimiter between back-to-back pair occurrences and mis-segments runs
-    (equivalence + the run counter-example are pinned in
-    tests/test_pipeline.py). Word counts then join back per occurrence and
-    feed the same concat-and-chunk pack accounting as sql_pack_sequences."""
+    counts) agree step for step; ``final_state(w, s)`` is the per-word
+    fixpoint no merge applies to. Recursion depth <= word length. A
+    single global replace-to-fixpoint would NOT be faithful: it consumes
+    the shared delimiter between back-to-back pair occurrences and
+    mis-segments runs (equivalence + the run counter-example are pinned
+    in tests/test_pipeline.py). ``doc_words`` re-expands per occurrence
+    for the join-back."""
     merge_values = ", ".join(
         f"({rank}, '{_sql_quote(l)}', '{_sql_quote(r)}')"
         for rank, l, r, _ in _bpe_merges_fixed()
@@ -2095,8 +2100,8 @@ enc(w, s) AS (
     )
   )
 ),
-final AS (
-  SELECT w, len(string_split(s, '|')) - 2 AS n FROM enc e
+final_state AS (
+  SELECT w, s FROM enc e
   WHERE NOT EXISTS (
     SELECT 1 FROM merges m WHERE strpos(e.s, '|' || m.l || '|' || m.r || '|') > 0
   )
@@ -2104,6 +2109,44 @@ final AS (
 doc_words AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
   WHERE length(trim(text)) > 0
+)"""
+
+
+def sql_bpe_encode() -> str:
+    """Oracle twin of q_bpe_encode: replay the greedy merge chain per
+    distinct word (_sql_bpe_replay_ctes), explode each word's final
+    segmentation into its token list, join back per occurrence, and count
+    per doc — total tokens (one row per word-occurrence x token) and
+    DISTINCT tokens (over the doc's full token multiset). Docs with no
+    words (empty/whitespace text) emit 0/0, matching the encoder's
+    ``str(text).split()`` on empty input."""
+    return (
+        _sql_bpe_replay_ctes()
+        + """,
+word_tok AS (
+  SELECT w, unnest(list_filter(string_split(s, '|'), x -> length(x) > 0)) AS tok
+  FROM final_state
+),
+per_doc AS (
+  SELECT dw.doc_id, COUNT(*) AS cnt, COUNT(DISTINCT wt.tok) AS dcnt
+  FROM doc_words dw JOIN word_tok wt ON wt.w = dw.w
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.cnt, 0) AS INTEGER) AS n_bpe_tokens,
+       CAST(COALESCE(p.dcnt, 0) AS INTEGER) AS n_distinct_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+    )
+
+
+def sql_bpe_pack_manifest(seq_len: int = 256) -> str:
+    """Greedy-BPE replay (see _sql_bpe_replay_ctes) -> per-word token
+    counts -> per-occurrence join-back -> the same concat-and-chunk pack
+    accounting as sql_pack_sequences."""
+    return f"""{_sql_bpe_replay_ctes()},
+final AS (
+  SELECT w, len(string_split(s, '|')) - 2 AS n FROM final_state
 ),
 doc_counts AS (
   SELECT dw.doc_id, SUM(f.n) AS n FROM doc_words dw
@@ -2853,6 +2896,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "gopher_filter": sql_gopher_filter(),
         "quality_classifier": sql_quality_classifier(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
+        "bpe_encode": sql_bpe_encode(),
         "bpe_pack_manifest": sql_bpe_pack_manifest(),
         "knn_pagerank_oracle": sql_knn_pagerank_oracle(),
         "stratified_sample": sql_stratified_sample(),

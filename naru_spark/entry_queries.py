@@ -526,16 +526,24 @@ def sql_advisor_estimates() -> str:
 # Beyond-reference relational coverage: window functions (rank per group)
 # --------------------------------------------------------------------------
 def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by total price within each market segment. The dim-side
-    (customer) is broadcast; the window partitions by segment — 5 groups, so
-    at 100 TB the skew lever is a two-stage top-k (partial top-k per
-    partition, then per-group merge), which AQE's skew handling plus the
-    rank<=3 pushdown approximates here."""
+    """Top-3 orders by total price within each market segment. The
+    customer dimension's broadcast-vs-sort-merge strategy is
+    ESTIMATE-DRIVEN (plans.joinplan.advised_side, like Q5/Q10/Q18):
+    customer is sf x 150k rows — broadcastable at test SFs, an executor
+    OOM at TPC-H sf100k — so the decision must come from a row-count
+    estimate, never a static hint (asserted in tests/test_plans.py).
+    The window partitions by segment — 5 groups, so at 100 TB the skew
+    lever is a two-stage top-k (partial top-k per partition, then
+    per-group merge), which AQE's skew handling plus the rank<=3 pushdown
+    approximates here."""
     from pyspark.sql import Window
 
-    cust = _load(spark, sf_dir, "customer")
+    from naru_spark.plans.joinplan import advised_side
+
+    cust_raw = _load(spark, sf_dir, "customer")
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
     orders = _load(spark, sf_dir, "orders")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust_raw.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -569,13 +577,23 @@ FROM (
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue of unshipped BUILDING-segment orders, top 10. Ordering is on
     the ROUNDED revenue with the unique order key as tiebreak, so the top-10
-    cutoff is engine-independent."""
-    cust = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff is engine-independent.
+
+    The segment filter keeps ~1/5 of customer — a fraction that still
+    GROWS with sf, so the filtered dim's broadcast-vs-sort-merge strategy
+    is ESTIMATE-DRIVEN (plans.joinplan.advised_side) on the filtered row
+    count, never a static hint (asserted in tests/test_plans.py)."""
+    from naru_spark.plans.joinplan import advised_side
+
+    cust_raw = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
     orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
     li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust_raw.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -1078,21 +1096,28 @@ WHERE p.p_brand = 'Brand#5'
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
     quarter — the reference view + argmax. Revenue per supplier is one
-    map-side-combined aggregation in exact decimals; the argmax is a
-    rank-1 window over the tiny aggregate (ties all kept, like the
-    spec)."""
-    from pyspark.sql import Window
-
+    map-side-combined aggregation in exact decimals; the argmax is
+    max + join-back (ties all kept, like the spec): a scalar MAX over the
+    per-supplier aggregate (single-pass, skew-proof — an unpartitioned
+    rank window would funnel every supplier row through one task),
+    broadcast back as a one-row equality filter. The rank-1 row set is
+    TINY at every scale, so IT is the broadcast side of the supplier
+    join — broadcasting full supplier (sf x 10k rows) would be backwards
+    at 100x."""
     li = _load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     rev = li.groupBy("l_suppkey").agg(_decimal_revenue().alias("total_revenue"))
+    # revenue values are identically-rounded doubles from the same agg,
+    # so the equality join-back is exact (the oracle SQL does the same)
+    max_rev = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    top = rev.join(
+        F.broadcast(max_rev), rev.total_revenue == F.col("__max_rev")
+    ).drop("__max_rev")
     supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = rev.withColumn("__r", F.rank().over(w)).filter(F.col("__r") == 1).drop("__r")
     return (
-        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        supp.join(F.broadcast(top), top.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1197,21 +1222,28 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_1's share of supply revenue to ASIA-region
-    customers, per order year. Fact side shuffles once on the order key;
-    the supplier/customer/nation/region dims are bounded (supplier tiny,
-    customer region-filtered through a broadcast nation->region chain).
-    The share is a ratio of two EXACT decimal sums: the conditional
-    numerator and the total accumulate in the same decimal pass, then ONE
-    double division + round — order-free on both engines."""
+    customers, per order year. Fact side shuffles once on the order key.
+    Nation (25 rows) and region (5 rows) are CONSTANT at every scale, so
+    their broadcasts stay static; customer (region-filtered to ~1/5 of an
+    sf-scaled table) and supplier (sf x 10k rows) both GROW with sf, so
+    their broadcast-vs-sort-merge strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side) on the post-filter row counts — never a
+    static hint (asserted in tests/test_plans.py). The share is a ratio
+    of two EXACT decimal sums: the conditional numerator and the total
+    accumulate in the same decimal pass, then ONE double division +
+    round — order-free on both engines."""
+    from naru_spark.plans.joinplan import advised_side
+
     region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _load(spark, sf_dir, "nation")
-    cust = (
+    cust_raw = (
         _load(spark, sf_dir, "customer")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("c_custkey")
     )
-    supp = (
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
+    supp_raw = (
         _load(spark, sf_dir, "supplier")
         .join(
             F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
@@ -1219,6 +1251,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "supp_nation")
     )
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
     orders = _load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
@@ -1229,8 +1262,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust_raw.c_custkey)
+        .join(supp, li.l_suppkey == supp_raw.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -1276,14 +1309,23 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year). The corpus has no partsupp, so supply cost is modeled as
     20% of p_retailprice per unit — the structure (part-name filter
     pruning the fact through a broadcast dim, profit = revenue minus cost
-    in EXACT decimal arithmetic, two-level group) is Q9's. Part carries
-    the selective filter, so it broadcasts at any corpus scale."""
-    part = (
+    in EXACT decimal arithmetic, two-level group) is Q9's.
+
+    Join strategy per dim: nation (25 rows) is constant — static
+    broadcast; part (name-filtered) and supplier both GROW with sf, so
+    their broadcast-vs-sort-merge strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side) on the post-filter row counts, never a
+    static hint (asserted in tests/test_plans.py)."""
+    from naru_spark.plans.joinplan import advised_side
+
+    part_raw = (
         _load(spark, sf_dir, "part")
         .filter(F.col("p_name").contains("widget"))
         .select("p_partkey", "p_retailprice")
     )
-    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part, _part_decision = advised_side(part_raw, part_raw.count(), "part")
+    supp_raw = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
     nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _load(spark, sf_dir, "lineitem")
@@ -1293,10 +1335,10 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     ) * F.lit(0.2).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part_raw.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(supp, li.l_suppkey == supp_raw.s_suppkey)
+        .join(F.broadcast(nation), supp_raw.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(F.sum(amount), 2).cast("double").alias("sum_profit"),
@@ -2067,6 +2109,27 @@ for _rnd, _names in (
         "source_temperature_mix", "stratified_sample", "stream_stream_join",
         "text_stats", "token_counts", "token_histogram", "token_idf",
         "top_supplier_q15", "user_totals_stateful", "volume_shipping_q7",
+    )),
+    (5, (
+        "advised_q5", "advisor_estimates", "anti_join_no_urgent",
+        "aqe_skew_join", "asof_purchase_view", "bloom_pruned_join",
+        "bpe_pack_manifest", "compact_small_files", "cube_pricing",
+        "customer_distribution_q13", "encode_linestatus",
+        "encode_returnflag", "encode_shipdate", "encoded_histogram",
+        "events_hourly", "exact_substring_dedup", "excess_suppliers_q20",
+        "forecast_revenue_q6", "global_sales_opportunity_q22",
+        "heuristic_estimates", "important_parts_q11", "join_card_estimates",
+        "knn_pagerank_oracle", "market_share_q8", "min_cost_supplier_q2",
+        "multimodal_audio_features", "order_priority_check_q4",
+        "partition_overwrite_upsert", "parts_supplier_count_q16",
+        "pivot_event_counts", "pricing_summary_q1", "product_profit_q9",
+        "quality_classifier", "range_join_windows", "region_size",
+        "revenue_by_priority", "rollup_pricing", "salted_join",
+        "schema_evolution_read", "semi_join_urgent", "set_ops_buyers",
+        "shipping_priority_q3", "table_entropy", "top_orders_per_segment",
+        "value_counts_returnflag", "value_counts_salted",
+        "waiting_orders_q21", "workload_oracle_counts",
+        "workload_oracle_disjunctive", "workload_oracle_join",
     )),
 ):
     for _n in _names:

@@ -116,14 +116,24 @@ class Heuristic(CardEst):
         # (predicates.ie_terms) — every term is conjunctive, so the
         # per-column singles of ALL terms of ALL queries still ride ONE
         # conditional-aggregation scan; a conjunctive query expands to
-        # itself with coefficient 1.
-        from naru_spark.predicates import ie_terms
+        # itself with coefficient 1. Same-column '='/'in' constraints
+        # inside a merged term INTERSECT first (normalize_conjunct):
+        # contradictory equalities from OR branches sharing a column
+        # (c='A' AND c='N') make the term exactly 0 — an independence
+        # product over the raw repeated predicates would subtract a
+        # spurious nonzero intersection and bias disjunctive estimates
+        # downward.
+        from naru_spark.predicates import ie_terms, normalize_conjunct
 
-        terms = [ie_terms(q) for q in queries]
+        terms = [
+            [(coef, normalize_conjunct(t)) for coef, t in ie_terms(q)]
+            for q in queries
+        ]
         singles = [
             Query(t.table, [c], [op], [v])
             for qterms in terms
             for _, t in qterms
+            if t is not None
             for c, op, v in zip(t.cols, t.ops, t.vals)
         ]
         counts = _conditional_counts(self.df, singles)
@@ -131,6 +141,8 @@ class Heuristic(CardEst):
         for qterms in terms:
             total = 0.0
             for coef, t in qterms:
+                if t is None:  # unsatisfiable merged term: exact 0
+                    continue
                 sel = 1.0
                 for _ in t.cols:
                     sel *= counts[k] / self.cardinality
@@ -192,10 +204,24 @@ class QueryRegionSize(CardEst):
     def query(self, q: Query) -> float:
         # disjunctions by inclusion-exclusion — EXACT for volumes (the
         # measure of a union of hyper-rectangles); conjunctive input is its
-        # own single term
+        # own single term. The union-measure argument requires
+        # count_wildcards=True: every branch volume must be measured over
+        # the SAME full bin space (unqueried columns contribute their
+        # domain size). With count_wildcards=False, branches over different
+        # column subsets are in incompatible units (unqueried columns
+        # contribute 1), so the signed sum is not a union measure — fail
+        # loudly rather than return a meaningless number.
         from naru_spark.predicates import ie_terms
 
-        total = sum(coef * self._volume(t) for coef, t in ie_terms(q))
+        terms = ie_terms(q)
+        if len(terms) > 1 and not self.count_wildcards:
+            raise ValueError(
+                "QueryRegionSize: disjunctive inclusion-exclusion requires "
+                "count_wildcards=True (branch volumes over different column "
+                "subsets are unit-incompatible when unqueried columns "
+                "contribute 1)"
+            )
+        total = sum(coef * self._volume(t) for coef, t in terms)
         return max(total, 0.0)
 
     def _volume(self, q: Query) -> float:

@@ -299,8 +299,8 @@ class NaruEstimator:
         import pickle
         import warnings
 
-        if self.arch != "made":
-            raise NotImplementedError("distributed fit: ResMADE only")
+        if self.arch not in ("made", "transformer"):
+            raise NotImplementedError(f"distributed fit: unknown arch {self.arch}")
         if self.warmups or self.order_cycle:
             # shard-local SGD runs constant-lr, single-ordering; a model
             # configured with these would silently train differently here
@@ -318,16 +318,10 @@ class NaruEstimator:
             c: ModelBinning(encoder.dictionaries[c], self.max_model_domain) for c in self.columns
         }
         sizes = [binnings[c].model_size for c in self.columns]
-        made = ResMADE(
-            sizes, hidden=self.hidden, blocks=self.blocks, seed=self.seed,
-            dtype=np.float32, column_masking=self.column_masking, order=self.order,
-            input_encoding=self.input_encoding, embed_size=self.embed_size,
-            direct_io=self.direct_io, output_encoding=self.output_encoding,
-            input_no_emb_if_leq=self.input_no_emb_if_leq,
-        )
         bin_cols = [f"{c}__bin" for c in self.columns]
         encoded = encoder.transform(df.select(*self.columns)).select(*bin_cols)
 
+        arch = self.arch
         columns = list(self.columns)
         hidden, blocks, seed = self.hidden, self.blocks, self.seed
         column_masking, order = self.column_masking, self.order
@@ -339,13 +333,53 @@ class NaruEstimator:
         batch_size, lr = self.batch_size, self.lr
         sc = df.sparkSession.sparkContext
 
+        # Arch-agnostic worker protocol, closed over LOCALS only (no self):
+        # identical construction on driver and every shard (same seed, so
+        # parameter shapes always line up — only VALUES travel), plus flat
+        # get/install of the trainable arrays. ResMADE exchanges (W, b) per
+        # layer; the transformer exchanges its flat Param list.
+        def construct():
+            if arch == "transformer":
+                from naru_spark.model.transformer import ARTransformer
+
+                return ARTransformer(
+                    sizes, d_model=hidden, d_ff=hidden * 4, n_heads=4,
+                    blocks=blocks, seed=seed, dtype=np.float32,
+                    column_masking=column_masking, order=order,
+                )
+            return ResMADE(
+                sizes, hidden=hidden, blocks=blocks, seed=seed,
+                dtype=np.float32, column_masking=column_masking, order=order,
+                input_encoding=input_encoding, embed_size=embed_size,
+                direct_io=direct_io, output_encoding=output_encoding,
+                input_no_emb_if_leq=input_no_emb_if_leq,
+            )
+
+        def get_weights(m):
+            if arch == "transformer":
+                return [p.v.copy() for p in m.params()]
+            return [(l.W.copy(), l.b.copy()) for l in m.layers()]
+
+        def install_weights(m, ws, cast32: bool = False):
+            if arch == "transformer":
+                for p, w in zip(m.params(), ws):
+                    p.v = w.astype(np.float32) if cast32 else w.copy()
+            else:
+                for l, (W, b) in zip(m.layers(), ws):
+                    if cast32:
+                        l.W, l.b = W.astype(np.float32), b.astype(np.float32)
+                    else:
+                        l.W, l.b = W.copy(), b.copy()
+
+        made = construct()
+
         # Ship ONLY the per-column raw->model lookup arrays (all encode()
         # needs), broadcast once for all rounds — closure-capturing the
         # binnings dict would serialize every ColumnDictionary into every
         # task of every round (O(distinct values) per high-card column).
         enc_bc = sc.broadcast({c: binnings[c].raw_to_model for c in columns})
 
-        weights = [(l.W.copy(), l.b.copy()) for l in made.layers()]
+        weights = get_weights(made)
         for rnd in range(rounds):
             w_bc = sc.broadcast(pickle.dumps(weights))
 
@@ -361,15 +395,8 @@ class NaruEstimator:
                 data = np.stack(
                     [lookup[c][raw[:, i]] for i, c in enumerate(columns)], axis=1
                 )
-                local = ResMADE(
-                    sizes, hidden=hidden, blocks=blocks, seed=seed,
-                    dtype=np.float32, column_masking=column_masking, order=order,
-                    input_encoding=input_encoding, embed_size=embed_size,
-                    direct_io=direct_io, output_encoding=output_encoding,
-                    input_no_emb_if_leq=input_no_emb_if_leq,
-                )
-                for l, (W, b) in zip(local.layers(), pickle.loads(w_bc.value)):
-                    l.W, l.b = W.copy(), b.copy()
+                local = construct()
+                install_weights(local, pickle.loads(w_bc.value))
                 if num_masks > 1:
                     # connectivity-mask cycling on the distributed path: one
                     # mask per ROUND, identical across shards (seeded by the
@@ -377,28 +404,39 @@ class NaruEstimator:
                     # under the SAME connectivity or the row-weighted weight
                     # average mixes incompatible masked subnetworks.
                     local.resample_masks(seed + (rnd % num_masks))
-                opt = Adam(local, lr=lr)
+                if arch == "transformer":
+                    from naru_spark.model.transformer import AdamT
+
+                    opt = AdamT(local, lr=lr)
+                else:
+                    opt = Adam(local, lr=lr)
                 pid = TaskContext.get().partitionId() if TaskContext.get() else 0
                 rng = np.random.RandomState(seed + 1009 * rnd + pid)
                 N, D = len(data), len(columns)
-                pre_bits = local.encode_bits(data)
+                # MADE pre-encodes the whole shard to input bits once; the
+                # transformer embeds per batch inside forward()
+                pre_bits = local.encode_bits(data) if arch == "made" else None
                 for _ in range(epochs):
                     perm = rng.permutation(N)
                     for lo in range(0, N, batch_size):
                         idx = perm[lo : lo + batch_size]
                         b = data[idx]
-                        bits_b = pre_bits[idx]
+                        observed = None
                         if column_masking:
                             p_mask = rng.randint(0, D + 1) / D
                             observed = rng.rand(len(b), D) >= p_mask
-                            bits_b = local.apply_observed(bits_b, observed)
-                        logits = local.forward_encoded(bits_b)
+                        if pre_bits is not None:
+                            bits_b = pre_bits[idx]
+                            if observed is not None:
+                                bits_b = local.apply_observed(bits_b, observed)
+                            logits = local.forward_encoded(bits_b)
+                        else:
+                            logits = local.forward(b, observed=observed)
                         _, dl = local.nll(logits, b)
                         local.zero_grad()
                         local.backward(dl)
                         opt.step()
-                out = [(l.W, l.b) for l in local.layers()]
-                yield pd.DataFrame({"n": [N], "w": [pickle.dumps(out)]})
+                yield pd.DataFrame({"n": [N], "w": [pickle.dumps(get_weights(local))]})
 
             rows = encoded.mapInPandas(train_shard, schema="n long, w binary").collect()
             if not rows:
@@ -410,7 +448,12 @@ class NaruEstimator:
             for r in rows:
                 shard = pickle.loads(bytes(r.w))
                 frac = r.n / total
-                if acc is None:
+                if arch == "transformer":  # flat Param arrays
+                    if acc is None:
+                        acc = [w * frac for w in shard]
+                    else:
+                        acc = [a + w * frac for a, w in zip(acc, shard)]
+                elif acc is None:
                     acc = [(W * frac, b * frac) for W, b in shard]
                 else:
                     acc = [
@@ -421,10 +464,17 @@ class NaruEstimator:
             w_bc.unpersist()
         enc_bc.unpersist()
 
-        for l, (W, b) in zip(made.layers(), weights):
-            l.W, l.b = W.astype(np.float32), b.astype(np.float32)
+        if num_masks > 1:
+            # The averaged weights were trained under the per-round cycled
+            # connectivity masks, never under the construction-time
+            # deterministic masks — leave the driver model on the LAST
+            # round's mask (the single-node fit() likewise ends on its last
+            # trained mask), or inference would run averaged weights under
+            # an untrained connectivity pattern.
+            made.resample_masks(seed + ((rounds - 1) % num_masks))
+        install_weights(made, weights, cast32=True)
         fit_info = {
-            "arch": "made",
+            "arch": arch,
             "epochs": epochs * rounds,
             "seed": seed,
             "model_bits": float("nan"),

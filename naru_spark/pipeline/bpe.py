@@ -204,12 +204,17 @@ def bpe_encode(
         memo: dict = {}
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # zip over column arrays, never pdf.iterrows(): a per-row
+            # pandas Series allocation would dominate the map-only encode
+            # cost at corpus scale
+            for rid, text, *extras in zip(
+                pdf[id_col], pdf[text_col], *(pdf[c] for c in extra_cols)
+            ):
                 toks: list = []
-                for w in str(r[text_col]).split():
+                for w in str(text).split():
                     toks.extend(encode_word(w, memo))
-                out = [int(r[id_col]), len(toks), len(set(toks))]
-                out += [r[c] for c in extra_cols]
+                out = [int(rid), len(toks), len(set(toks))]
+                out += extras
                 if emit_tokens:
                     out.append(list(toks))
                 if vocab is not None:

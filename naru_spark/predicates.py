@@ -117,6 +117,56 @@ def ie_terms(q) -> list:
     return out
 
 
+def normalize_conjunct(q: Query):
+    """Intersect same-column '='/'in' constraints inside one conjunctive
+    query (IE's merged AND terms repeat columns whenever OR branches share
+    one): the set of admissible values for a column is the INTERSECTION of
+    its '=' singletons and 'in' sets. Returns the normalized Query, or
+    ``None`` when some column's intersection is empty — the conjunction is
+    provably unsatisfiable, so the term's cardinality is exactly 0.
+
+    Without this, an independence-product evaluator (Heuristic) would
+    multiply the per-predicate selectivities of contradictory equalities
+    (c='A' AND c='N') into a spurious nonzero intersection estimate — the
+    mask-based paths (ProgressiveSampling, QueryRegionSize, MaxDiff)
+    already intersect masks and don't need it. Range predicates pass
+    through untouched; first-occurrence column order is preserved so
+    downstream multiplication order stays deterministic."""
+    eq_sets: dict[str, list] = {}
+    for c, op, v in zip(q.cols, q.ops, q.vals):
+        if op == "=":
+            eq_sets.setdefault(c, []).append([v])
+        elif op == "in":
+            eq_sets.setdefault(c, []).append(list(v))
+    merged: dict[str, list] = {}
+    for c, sets in eq_sets.items():
+        if len(sets) == 1:
+            merged[c] = sets[0]
+            continue
+        # order-preserving intersection (first set's order), value equality
+        acc = sets[0]
+        for s in sets[1:]:
+            acc = [v for v in acc if any(v == x for x in s)]
+        if not acc:
+            return None
+        merged[c] = acc
+    cols, ops, vals = [], [], []
+    emitted: set = set()
+    for c, op, v in zip(q.cols, q.ops, q.vals):
+        if op in ("=", "in"):
+            if c in emitted:
+                continue
+            emitted.add(c)
+            vs = merged[c]
+            if len(vs) == 1:
+                cols.append(c), ops.append("="), vals.append(vs[0])
+            else:
+                cols.append(c), ops.append("in"), vals.append(vs)
+        else:
+            cols.append(c), ops.append(op), vals.append(v)
+    return Query(q.table, cols, ops, vals)
+
+
 def spark_predicate(q) -> SparkCol:
     """AND-fold into one Spark Column; Catalyst pushes each conjunct to the
     scan (reference ``Oracle`` mask fold, estimators.py:505-536).

@@ -139,6 +139,69 @@ def test_heuristic_disjunctive_bounds(lineitem, disjunctive_workload):
     assert h.query(single) == h.query(b)
 
 
+def test_normalize_conjunct_intersects_same_column_equalities():
+    """IE merged terms with same-column '='/'in' constraints: contradictory
+    equalities -> None (exact 0); overlapping 'in' sets intersect; range
+    predicates and distinct columns pass through untouched."""
+    from naru_spark.predicates import normalize_conjunct
+
+    # contradictory equalities: provably empty
+    q = Query("t", ["c", "c"], ["=", "="], ["A", "N"])
+    assert normalize_conjunct(q) is None
+    # 'in' sets intersect (first-set order kept); singleton collapses to '='
+    q = Query("t", ["c", "c"], ["in", "in"], [["A", "B", "C"], ["C", "B"]])
+    n = normalize_conjunct(q)
+    assert (n.cols, n.ops, n.vals) == (["c"], ["in"], [["B", "C"]])
+    q = Query("t", ["c", "c"], ["in", "="], [["A", "B"], "B"])
+    n = normalize_conjunct(q)
+    assert (n.cols, n.ops, n.vals) == (["c"], ["="], ["B"])
+    # disjoint 'in' sets: empty
+    assert normalize_conjunct(Query("t", ["c", "c"], ["in", "in"], [["A"], ["B"]])) is None
+    # ranges and other columns untouched, order preserved
+    q = Query("t", ["a", "c", "c"], [">", "=", "="], [5, "X", "X"])
+    n = normalize_conjunct(q)
+    assert (n.cols, n.ops, n.vals) == (["a", "c"], [">", "="], [5, "X"])
+
+
+def test_heuristic_contradictory_or_branches_not_biased(lineitem):
+    """OR branches sharing a column with different equality values: the
+    pairwise IE term (c='A' AND c='N') is unsatisfiable, so Heuristic's
+    disjunctive estimate must equal the SUM of the branch estimates — the
+    raw independence product over repeated predicates would subtract a
+    spurious nonzero intersection and bias the estimate downward."""
+    from naru_spark.predicates import DisjunctiveQuery
+
+    df, meta = lineitem
+    h = Heuristic(df, meta)
+    a = Query("lineitem", ["l_returnflag"], ["="], ["A"])
+    b = Query("lineitem", ["l_returnflag"], ["="], ["N"])
+    disj = DisjunctiveQuery("lineitem", [a, b])
+    est_a, est_b, est_or = h.query(a), h.query(b), h.query(disj)
+    assert est_a > 0 and est_b > 0
+    # ceil per-query makes the sum comparison off-by-rounding at most
+    assert abs(est_or - (est_a + est_b)) <= 2
+
+
+def test_region_size_rejects_disjunctive_without_wildcard_counting(lineitem):
+    """count_wildcards=False makes branch volumes over different column
+    subsets unit-incompatible — the IE path must fail loudly, while the
+    conjunctive path still works."""
+    from naru_spark.predicates import DisjunctiveQuery
+
+    _, meta = lineitem
+    r = QueryRegionSize(meta, count_wildcards=False)
+    conj = Query("lineitem", ["l_returnflag"], ["="], ["A"])
+    assert r.query(conj) >= 0  # conjunctive: fine
+    disj = DisjunctiveQuery(
+        "lineitem",
+        [conj, Query("lineitem", ["l_linestatus"], ["="], ["O"])],
+    )
+    with pytest.raises(ValueError, match="count_wildcards"):
+        r.query(disj)
+    # the shipped config (count_wildcards=True) keeps the exact-union path
+    assert QueryRegionSize(meta).query(disj) >= 0
+
+
 def test_oracle_single_equals_batch(lineitem, workload):
     df, _ = lineitem
     oracle = Oracle(df)

@@ -1233,6 +1233,82 @@ def test_fit_distributed_cycles_masks(spark):
     df.unpersist()
 
 
+def test_fit_distributed_transformer(spark):
+    """The arch-agnostic data-parallel path applied to the transformer:
+    partition-local SGD + row-weighted averaging of the flat Param list.
+    The averaged model must drive ProgressiveSampling to sane estimates
+    (loose q-error bound; no row leaves its partition)."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols).repartition(4).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    model = NaruEstimator(
+        cols, arch="transformer", hidden=16, blocks=1, epochs=2, lr=5e-3, seed=0
+    ).fit_distributed(df, meta, enc, rounds=2)
+    assert model.fit_info["distributed_rounds"] == 2
+    assert model.fit_info["arch"] == "transformer"
+
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 10, seed=21)
+    truths = Oracle(df).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=128, seed=7)
+    errs = [q_error(ps.query(q), t) for q, t in zip(wl, truths) if t > 0]
+    assert len(errs) >= 6
+    assert np.median(errs) <= 5.0, errs
+    # num_masks is a MADE concept — the constructor already refuses the
+    # combination, so the distributed path can never see it
+    with pytest.raises(AssertionError, match="ResMADE only"):
+        NaruEstimator(
+            cols, arch="transformer", hidden=16, blocks=1, epochs=1, seed=0, num_masks=2
+        )
+    df.unpersist()
+
+
+def test_fit_distributed_returns_last_round_mask(spark):
+    """With num_masks>1 the returned driver model must carry the LAST
+    round's trained connectivity mask — not the construction-time
+    deterministic mask, which the averaged weights were never trained
+    under (ADVICE round 5). The single-node fit() likewise ends on its
+    last trained mask."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.model.made import ResMADE
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols).limit(1000).repartition(2).cache()
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    seed, rounds, num_masks = 0, 2, 2
+    est = NaruEstimator(
+        cols, hidden=16, blocks=1, epochs=1, lr=5e-3, seed=seed, num_masks=num_masks
+    )
+    model = est.fit_distributed(df, meta, enc, rounds=rounds)
+
+    # expected end-state degree vector: the mask the LAST round trained under
+    twin = ResMADE(
+        [b.model_size for b in model.binnings.values()],
+        hidden=16, blocks=1, seed=seed, dtype=np.float32,
+    )
+    twin.resample_masks(seed + ((rounds - 1) % num_masks))
+    assert np.array_equal(model.made.hid_deg, twin.hid_deg)
+    # and it must differ from the construction-time deterministic masks
+    fresh = ResMADE(
+        [b.model_size for b in model.binnings.values()],
+        hidden=16, blocks=1, seed=seed, dtype=np.float32,
+    )
+    assert not np.array_equal(model.made.hid_deg, fresh.hid_deg)
+    df.unpersist()
+
+
 def test_transformer_relu_activation_gradient_and_decode_parity():
     """The reference restricts transformer activation to {'relu','gelu'}
     (transformer.py:326-327); check the relu backward against finite

@@ -299,6 +299,92 @@ def test_q18_customer_decision_is_estimate_driven(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_top_orders_customer_decision_is_estimate_driven(spark):
+    """top_orders_per_segment's customer side must route through
+    advised_side (same defect class as Q10/Q18): no static broadcast of
+    customer in the source, and the under-threshold test-SF estimate
+    still plans a broadcast join."""
+    import inspect
+
+    from naru_spark.entry_queries import q_top_orders_per_segment
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_top_orders_per_segment)
+    assert "advised_side" in src
+    assert "F.broadcast(cust" not in src
+    plan = plan_str(q_top_orders_per_segment(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q3_customer_decision_is_estimate_driven(spark):
+    """Q3's segment-filtered customer keeps ~1/5 of an sf-scaled dim —
+    still grows with sf, so the strategy must come from the FILTERED
+    row-count estimate via advised_side, not a static hint."""
+    import inspect
+
+    from naru_spark.entry_queries import q_shipping_priority
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_shipping_priority)
+    assert "advised_side" in src
+    assert "F.broadcast(cust" not in src
+    plan = plan_str(q_shipping_priority(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q8_dim_decisions_are_estimate_driven(spark):
+    """Q8's region-filtered customer AND supplier both scale with sf, so
+    both route through advised_side; nation/region broadcasts stay static
+    (constant 25/5 rows at every scale)."""
+    import inspect
+
+    from naru_spark.entry_queries import q_market_share
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_market_share)
+    assert src.count("advised_side(") >= 2
+    assert "F.broadcast(cust" not in src
+    assert "F.broadcast(supp" not in src
+    plan = plan_str(q_market_share(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q9_dim_decisions_are_estimate_driven(spark):
+    """Q9's name-filtered part and full supplier both scale with sf, so
+    both route through advised_side; only the constant-25-row nation
+    keeps a static broadcast."""
+    import inspect
+
+    from naru_spark.entry_queries import q_product_profit
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_product_profit)
+    assert src.count("advised_side(") >= 2
+    assert "F.broadcast(part" not in src
+    assert "F.broadcast(supp" not in src
+    plan = plan_str(q_product_profit(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_broadcasts_rank1_side_and_avoids_global_window(spark):
+    """Q15 must broadcast the rank-1 row set (tiny at every scale) into
+    supplier — never full supplier into the aggregate — and compute the
+    argmax as max + join-back rather than an unpartitioned rank window
+    (which would funnel all suppliers through one task)."""
+    import inspect
+
+    from naru_spark.entry_queries import q_top_supplier
+    from tests.conftest import SF_SMOKE
+
+    src = inspect.getsource(q_top_supplier)
+    assert "F.broadcast(supp" not in src
+    assert "F.broadcast(top)" in src and "F.broadcast(max_rev)" in src
+    assert "Window.orderBy" not in src  # no global (unpartitioned) window
+    plan = plan_str(q_top_supplier(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
 def test_q17_avg_qty_decision_is_estimate_driven(spark):
     """Q17's avg_qty side (one row per brand-filtered part — ~1/25 of the
     part table, past broadcast range at 100x) must route through
