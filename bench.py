@@ -6,6 +6,11 @@ The per-query numbers mirror the reference's reporting (mean per-query wall
 time, estimators.py:85-90): `workload_oracle_counts` is 30 exact conjunctive
 counts answered in one conditional-aggregation scan; `heuristic_estimates`
 is ~240 single-column selectivities in one scan.
+
+Profiles: default runs EVERY registry entry at the primary SF plus the
+extra-SF block (the driver's path). `python bench.py --profile fast` (or
+SPARK_GRAFT_BENCH_PROFILE=fast) runs only the oracle-backed entries at the
+primary SF — the fast local iteration loop.
 """
 
 from __future__ import annotations
@@ -25,8 +30,9 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def _run_block(spark, entry_mod, sf_dir: str):
-    """Run every registry entry at one scale factor.
+def _run_block(spark, entry_mod, sf_dir: str, only: set | None = None):
+    """Run every registry entry at one scale factor (or the ``only``
+    subset, for --profile fast).
 
     Per-entry isolation: one failing entry must never kill the benchmark —
     the JSON line is ALWAYS emitted, with failed entries reported by name.
@@ -34,6 +40,8 @@ def _run_block(spark, entry_mod, sf_dir: str):
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -52,6 +60,17 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
 
+    # --profile fast (or SPARK_GRAFT_BENCH_PROFILE=fast): run only the
+    # oracle-backed entries — the correctness-critical surface — and skip
+    # the extra-SF block. ~Half the wall of the full sweep; meant for
+    # local iteration. DEFAULT (the driver's path) is unchanged: every
+    # entry, two SFs.
+    profile = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "full")
+    if "--profile" in sys.argv:
+        profile = sys.argv[sys.argv.index("--profile") + 1]
+    if profile not in ("full", "fast"):
+        raise SystemExit(f"unknown --profile {profile!r} (full|fast)")
+
     # Second scale factor: gives the perf gate a scaling SLOPE, not a point —
     # a fixed-overhead-dominated entry and a data-bound entry look identical
     # at one SF but separate immediately across two. Disable with
@@ -61,6 +80,8 @@ def main():
         d for d in (p.strip() for p in extra_env.split(",") if p.strip())
         if d != sf_dir and os.path.isdir(d)
     ]
+    if profile == "fast":
+        extra_dirs = []
 
     from naru_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -85,11 +106,13 @@ def main():
     )
     print(f"# [{sf_dir}] model+stats cache warm: {warm_s[str(sf)]:.2f}s", file=sys.stderr)
 
-    timings, errors = _run_block(spark, entry_mod, sf_dir)
+    only = set(entry_mod.oracle_sql()) if profile == "fast" else None
+    timings, errors = _run_block(spark, entry_mod, sf_dir, only=only)
 
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
+        **({"profile": profile} if profile != "full" else {}),
         "value": total,
         "unit": "sec",
         "queries": timings,

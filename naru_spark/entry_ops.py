@@ -690,6 +690,76 @@ ORDER BY l_returnflag
 """
 
 
+def q_zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (sources.sinks.zorder_write — the
+    Delta/Iceberg OPTIMIZE ZORDER analog): lineitem re-laid-out on the
+    Morton interleave of (l_partkey, l_suppkey), then a two-column range
+    box is answered over the clustered files. The data-skipping property
+    is asserted INLINE on every run via per-file min/max stats
+    (file_skip_fraction — the same stats parquet row groups carry): a
+    ~12%-per-dim box must intersect at most half of the 16 files, which a
+    single-column sort or random layout cannot achieve for BOTH columns.
+    Layout never changes results, so the oracle is the plain box
+    aggregate; the box bounds derive from min/max by the SAME arithmetic
+    on both engines (exact integer min/max, one multiply-add)."""
+    from naru_spark.sources.sinks import file_skip_fraction, zorder_write
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
+    )
+    path = _tmpdir(prefix="li_zorder_") + "/li"
+    info = zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=16, bits=8)
+
+    def box(c: str, lo_f: float, hi_f: float) -> tuple[float, float]:
+        lo = info["mins"][c] + lo_f * (info["maxs"][c] - info["mins"][c])
+        hi = info["mins"][c] + hi_f * (info["maxs"][c] - info["mins"][c])
+        return lo, hi
+
+    lo_p, hi_p = box("l_partkey", 0.4, 0.52)
+    lo_s, hi_s = box("l_suppkey", 0.4, 0.52)
+    m, t = file_skip_fraction(
+        spark, path, {"l_partkey": (lo_p, hi_p), "l_suppkey": (lo_s, hi_s)}
+    )
+    assert t >= 8, f"expected a multi-file layout, got {t}"
+    assert m <= t // 2, f"z-order failed to skip: {m}/{t} files intersect the box"
+
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= hi_p)
+            & (F.col("l_suppkey") >= lo_s) & (F.col("l_suppkey") <= hi_s)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sql_zorder_data_skipping() -> str:
+    # identical box arithmetic: min + f*(max-min) on exact integer min/max
+    return """
+WITH r AS (
+  SELECT CAST(MIN(l_partkey) AS DOUBLE) AS pmin, CAST(MAX(l_partkey) AS DOUBLE) AS pmax,
+         CAST(MIN(l_suppkey) AS DOUBLE) AS smin, CAST(MAX(l_suppkey) AS DOUBLE) AS smax
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem, r
+WHERE l_partkey >= r.pmin + 0.4 * (r.pmax - r.pmin)
+  AND l_partkey <= r.pmin + 0.52 * (r.pmax - r.pmin)
+  AND l_suppkey >= r.smin + 0.4 * (r.smax - r.smin)
+  AND l_suppkey <= r.smin + 0.52 * (r.smax - r.smin)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + explicit-schema source round-trip over documents."""
     from naru_spark.sources.sinks import read_jsonl, write_jsonl
@@ -977,6 +1047,7 @@ def build_ops_registry():
         "partition_overwrite_upsert": q_partition_overwrite_upsert,
         "schema_evolution_read": q_schema_evolution_read,
         "compact_small_files": q_compact_small_files,
+        "zorder_data_skipping": q_zorder_data_skipping,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_stream": q_dedup_stream,
@@ -1010,6 +1081,7 @@ def build_ops_registry():
         "partition_overwrite_upsert": sql_partition_overwrite_upsert(),
         "schema_evolution_read": sql_schema_evolution_read(),
         "compact_small_files": sql_compact_small_files(),
+        "zorder_data_skipping": sql_zorder_data_skipping(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),
         "dedup_stream": sql_dedup_stream(),

@@ -217,6 +217,77 @@ FROM (
 """
 
 
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "stream window agg"),
+    (2, "vector scan filter"),
+    (3, "customer order query"),
+    (4, "slow batch sort"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (pipeline.retrieval.bm25_topk): Okapi BM25
+    with the Lucene +1 idf over the documents table, five fixed probe
+    queries. One term-keyed shuffle builds tf; df aggregates the
+    aggregate; scoring joins tf against the BROADCAST query-term list
+    (the inverted-index probe — posting lists only, never the full tf
+    table); per-term contributions round to 6 decimals and sum as
+    DECIMAL(18,6), so the oracle reproduces scores bit-for-bit."""
+    from naru_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+
+
+def sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    q_values = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, qs in _BM25_QUERIES
+        for t in dict.fromkeys(qs.split())
+    )
+    # operation order mirrors the Spark expression exactly:
+    # idf * tf * (k1+1) / (tf + k1*((1-b) + b*dl/avgdl)), round 6, decimal sum
+    return f"""
+WITH q(query_id, term) AS (
+  VALUES
+    {q_values}
+),
+terms AS (
+  SELECT doc_id, x AS term FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS x FROM documents
+  ) WHERE length(x) > 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, len(list_filter({_SQL_TOKS}, x -> length(x) > 0)) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(CAST(ROUND(
+           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {k1 + 1.0}
+             / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / s.avgdl)),
+           6) AS DECIMAL(18,6))) AS score_d
+  FROM tf
+  JOIN q qt USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, CAST(score_d AS DOUBLE) AS score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_d DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM bits/token per document (CCNet-style quality signal)."""
     from naru_spark.pipeline.text import doc_lm_score
@@ -2422,6 +2493,22 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_similarity_ivfpq(k: int = 10, n_probe: int = 8, m: int = 8, dsub: int = 8) -> str:
+    return (
+        _sql_ivfpq_scored_ctes(n_probe, m, dsub)
+        + f"""
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+    )
+
+
+def _sql_ivfpq_scored_ctes(n_probe: int = 8, m: int = 8, dsub: int = 8) -> str:
+    """Shared IVF-PQ replay CTE prefix ending in ``scored(query_id,
+    neighbor_id, adc)`` — used by the plain ADC oracle and the refined
+    (exact re-rank) oracle."""
     from naru_spark.entry_queries import WORKLOAD_SF
 
     cents = _ivf_oracle_centroids(WORKLOAD_SF)
@@ -2497,13 +2584,59 @@ scored AS (
   JOIN code_assign ca ON ca.vec_id = c.neighbor_id
   JOIN qtab t ON t.query_id = c.query_id AND t.sub = ca.sub AND t.code = ca.code
   GROUP BY c.query_id, c.neighbor_id
+)"""
+
+
+def q_similarity_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (pipeline.similarity.ivfpq_topk_refined —
+    FAISS IndexRefineFlat shape): the ADC pass shortlists k_refine=30
+    candidates per query, whose float vectors are fetched via ONE
+    broadcast semi-join against the corpus and re-scored with exact
+    cosine; final top-10 ranks on the exact score. Recall vs exact top-k
+    is additionally gated in tests/test_pipeline.py."""
+    from naru_spark.pipeline.similarity import ivfpq_topk_refined
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk_refined(
+        emb, queries, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir),
+        k=10, k_refine=30, n_probe=8, decimals=6,
+    )
+
+
+def sql_similarity_ivfpq_refined(
+    k: int = 10, k_refine: int = 30, n_probe: int = 8, m: int = 8, dsub: int = 8
+) -> str:
+    """Refined oracle: the shared ADC CTEs produce the same shortlist
+    (rank <= k_refine on ADC), then exact cosine against the float
+    embeddings re-ranks it."""
+    return (
+        _sql_ivfpq_scored_ctes(n_probe, m, dsub)
+        + f""",
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {k_refine}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_cosine_similarity(CAST(ne.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[])), 6) AS cosine
+  FROM short s
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id
 )
-SELECT query_id, neighbor_id, adc, rank FROM (
+SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank
-  FROM scored
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM exact
 ) WHERE rank <= {k}
 """
+    )
 
 
 def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2767,6 +2900,7 @@ def build_pipeline_registry():
         "token_histogram": q_token_histogram,
         "doc_repetition": q_doc_repetition,
         "token_idf": q_token_idf,
+        "bm25_topk": q_bm25_topk,
         "doc_lm_score": q_doc_lm_score,
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
@@ -2826,6 +2960,7 @@ def build_pipeline_registry():
         "multimodal_resize_real": q_multimodal_resize_real,
         "similarity_topk_pq": q_similarity_pq,
         "similarity_topk_ivfpq": q_similarity_ivfpq,
+        "similarity_topk_ivfpq_refined": q_similarity_ivfpq_refined,
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
@@ -2843,6 +2978,7 @@ def build_pipeline_registry():
         "token_histogram": sql_token_histogram(),
         "doc_repetition": sql_doc_repetition(),
         "token_idf": sql_token_idf(),
+        "bm25_topk": sql_bm25_topk(),
         "doc_lm_score": sql_doc_lm_score(),
         "source_mix": sql_source_mix(),
         "embedding_norms": sql_embedding_norms(),
@@ -2906,6 +3042,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "multimodal_resize_real": sql_multimodal_resize_real(),
         "similarity_topk_pq": sql_similarity_pq(),
         "similarity_topk_ivfpq": sql_similarity_ivfpq(),
+        "similarity_topk_ivfpq_refined": sql_similarity_ivfpq_refined(),
         # serving layout must never change answers: the persisted-index
         # path shares the in-memory composition's oracle verbatim
         "similarity_topk_ivfpq_index": sql_similarity_ivfpq(),

@@ -1,0 +1,112 @@
+"""BM25 full-text retrieval over the documents table — the classic
+inverted-index ranking function, re-expressed as three aggregate passes on
+a (doc, term) frequency table. The training-data-pipeline use case is
+query-driven corpus curation (pull the top-k most relevant docs per probe
+query for inspection / eval-set mining / targeted decontamination).
+
+Okapi BM25 (Robertson et al.; the +1 idf variant Lucene uses, which keeps
+idf >= 0 even when a term appears in more than half the corpus):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d) = sum_{t in q} idf(t) * tf * (k1+1)
+                  / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Scale shape (100 TB): ONE term-keyed shuffle builds tf(doc, term); df(term)
+is an aggregate OF that aggregate (map-side combined, reduce side bounded
+by the vocabulary); doc length is row-local; N / sum(dl) are one scalar
+pass. Query scoring joins tf against a BROADCAST term list — only rows
+whose term appears in some query survive, so the scoring join touches the
+posting lists of the query terms, never the whole tf table (the classic
+inverted-index probe, as a broadcast-hash semi pattern). Top-k per query
+is a bounded per-group window.
+
+Determinism: tf/df/dl/N are exact integers; avgdl is ONE double division
+of exact integers; each per-term contribution is rounded to 6 decimals
+and cast to DECIMAL(18,6) BEFORE summing, so the per-doc score is an
+ORDER-FREE decimal sum both engines reproduce bit-for-bit (the repo's
+standard big-float-sum discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# whitespace tokenization, identical to the oracle's
+# regexp_split_to_array(trim(text), '\s+') (entry_pipeline._SQL_TOKS)
+_TOKENS = F.split(F.trim(F.col("text")), r"\s+")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by BM25. ``queries`` is a small driver-side
+    list of (query_id, query_string) — probe queries are human-authored
+    and few; the CORPUS side is the scale dimension.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k by
+    (score desc, doc_id asc) — the unique-id tiebreak makes the cutoff
+    engine-independent."""
+    spark = docs.sparkSession
+
+    terms = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_TOKENS).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
+        )
+    )
+    # N and sum(dl): exact integers, one scalar pass; avgdl is ONE double
+    # division, reproduced identically by the oracle from the same integers
+    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["sdl"]) / int(row["n"])
+
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    q_terms = [
+        (int(qid), t)
+        for qid, qs in queries
+        for t in dict.fromkeys(qs.split())  # dedupe, keep order
+        if t
+    ]
+    q_df = spark.createDataFrame(q_terms, "query_id int, term string")
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+
+    scored = (
+        tf.join(F.broadcast(q_df), "term")  # inverted-index probe
+        .join(F.broadcast(df_t.join(F.broadcast(q_df.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_d").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_d").cast("double").alias("score"),
+            "rank",
+        )
+    )

@@ -899,3 +899,61 @@ def ivfpq_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def ivfpq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    k_refine: int = 30,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    decimals: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with the standard exact re-rank refine stage (FAISS
+    ``IndexRefineFlat``): the quantized ADC pass produces a SHORTLIST of
+    ``k_refine > k`` candidates per query, whose float vectors are then
+    fetched and scored with EXACT cosine; the final top-k ranks on the
+    exact score. ADC error (product-quantization distortion) can reorder
+    true neighbors near the cutoff — refining a 3x shortlist recovers most
+    of that recall while still touching only ``k_refine`` float vectors
+    per query instead of the whole corpus.
+
+    100 TB shape: stage 1 is ``ivfpq_topk`` (partition-pruned byte reads);
+    stage 2 broadcasts the tiny (query, neighbor) shortlist into ONE
+    corpus scan that fetches just the shortlisted vectors (a broadcast
+    semi-join — never a #queries x #corpus product), and the exact cosine
+    is JVM-side ``cosine_expr``. Composition argument for the oracle:
+    with probe-all + k_refine = |corpus| this reduces to brute force;
+    the shipped config's shortlist membership is itself oracle-verified
+    (same CTE as ``similarity_topk_ivfpq``), so the refine stage only
+    re-scores rows both engines agree on."""
+    shortlist = ivfpq_topk(
+        corpus, queries, centroids, codebooks,
+        k=k_refine, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        decimals=decimals,
+    ).select("query_id", "neighbor_id")
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").withColumn(
+        "cosine", cosine_expr("__nvec", "__qvec", decimals if decimals is not None else 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -113,3 +113,98 @@ def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFr
     """Explicit-schema CSV source (schema inference at 100 TB means an
     extra full scan AND type drift between runs — never infer)."""
     return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> dict:
+    """Z-order (Morton-curve) clustered parquet write — the multi-column
+    data-skipping layout (Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog).
+
+    A single-column sort lets parquet min/max row-group stats prune only
+    the LEADING column's predicates; interleaving the bit-planes of every
+    cluster column into one z-value and range-partitioning + sorting on it
+    makes each output file cover a small HYPER-RECTANGLE of the clustered
+    space, so conjunctive range predicates on ANY subset of the columns
+    skip most files.
+
+    Mechanics (all JVM-side, one shuffle):
+    1. per column: min/max from ONE scalar scan, then a linear
+       quantization to ``2^bits`` buckets (monotone, so range predicates
+       map to bucket ranges);
+    2. bit-interleave the bucket ids into the z-value with shift/or
+       expressions built in a Python loop (no UDF);
+    3. ``repartitionByRange(n_files, z)`` + ``sortWithinPartitions(z)``
+       — the range exchange is the one unavoidable shuffle (any
+       clustering re-layout pays it), the sort is in-partition.
+
+    Returns {"path", "n_files", "mins", "maxs"} so callers can rebuild
+    the bucket mapping for skipping checks. Layout never changes results
+    — which is what lets the entry share a plain-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    row = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).collect()[0]
+    mins = {c: float(row[f"min_{c}"]) for c in cols}
+    maxs = {c: float(row[f"max_{c}"]) for c in cols}
+    n_buckets = 1 << bits
+
+    def bucket(c: str):
+        span = maxs[c] - mins[c]
+        if span <= 0:
+            return F.lit(0)
+        scaled = (F.col(c).cast("double") - F.lit(mins[c])) / F.lit(span) * F.lit(
+            float(n_buckets)
+        )
+        return F.least(F.floor(scaled).cast("int"), F.lit(n_buckets - 1))
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            # bit i of column j lands at position i*len(cols)+j
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket(c), i).bitwiseAND(F.lit(1)).cast("long"),
+                    i * len(cols) + j,
+                )
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return {"path": path, "n_files": n_files, "mins": mins, "maxs": maxs}
+
+
+def file_skip_fraction(
+    spark: SparkSession, path: str, predicates: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """Data-skipping audit: per-FILE min/max of the predicate columns
+    (the same stats parquet keeps per row group), intersected with the
+    [lo, hi] box — returns (files_matching, files_total). A well-clustered
+    layout keeps files_matching << files_total for small boxes; a random
+    layout intersects nearly every file."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in predicates:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(f"max_{c}") >= lo) & (F.col(f"min_{c}") <= hi)
+    total = stats.count()
+    matching = stats.filter(cond).count()
+    return matching, total

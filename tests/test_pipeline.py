@@ -1127,6 +1127,70 @@ def test_ivfpq_topk_plan_and_equivalence(spark):
     assert all(1 <= r["rank"] <= 10 for r in pruned)
 
 
+def test_ivfpq_refined_recall_and_reduction(spark):
+    """Exact re-rank refine stage: (1) recall vs exact brute-force top-k
+    strictly improves on (or matches) the unrefined ADC ranking — PQ
+    distortion reorders near the cutoff, the exact re-score repairs it;
+    (2) with probe-all + k_refine = |corpus| the refined result IS
+    brute force (the composition/reduction argument the oracle rests on);
+    (3) no cartesian in the plan."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        ivfpq_topk_refined,
+        kmeans_np,
+        pq_fit,
+    )
+
+    rng = np.random.RandomState(2)
+    base = rng.randn(40, 64)
+    # clustered corpus (ANN's intended regime): 300 vectors near 40 seeds
+    vecs = np.repeat(base, 8, axis=0)[:300] + 0.15 * rng.randn(300, 64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = kmeans_np(vecs, 8, seed=5)
+    cb = pq_fit(vecs, m=8, k=16, seed=5)
+
+    exact = brute_force_topk(df, queries, k=10)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(res) -> float:
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return np.mean(
+            [len(exact_sets[q] & got.get(q, set())) / len(exact_sets[q]) for q in exact_sets]
+        )
+
+    plain = ivfpq_topk(df, queries, cents, cb, k=10, n_probe=8, decimals=6)
+    refined = ivfpq_topk_refined(
+        df, queries, cents, cb, k=10, k_refine=60, n_probe=8, decimals=6
+    )
+    plan = refined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    r_plain, r_refined = recall(plain), recall(refined)
+    assert r_refined >= r_plain
+    assert r_refined >= 0.9, (r_plain, r_refined)
+
+    # reduction: probe-all + full-corpus shortlist == brute force
+    full = ivfpq_topk_refined(
+        df, queries, cents, cb, k=10, k_refine=300, n_probe=8, decimals=6
+    )
+    got = sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in full.collect())
+    want = sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in exact.collect())
+    assert got == want
+
+
 def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
     """Persisted IVF-PQ: the probe scan is partition-pruned (cell
     PartitionFilters — only probed directories are opened) and results
@@ -1290,3 +1354,48 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     }
     for v in range(n):
         assert abs(rounded[v] - got[v]) < 12 * 5e-10, (v, rounded[v], got[v])
+
+
+def test_bm25_topk_matches_numpy_reference(spark, docs):
+    """BM25 vs an independent pure-python computation on the same corpus:
+    identical (query, doc, score, rank) tuples — idf formula, length
+    normalization, rounding discipline, and tiebreak all pinned. Plan has
+    no cartesian; every hit actually contains a query term."""
+    import math
+
+    from naru_spark.pipeline.retrieval import bm25_topk
+
+    queries = [(0, "hash join merge"), (1, "stream window agg")]
+    res = bm25_topk(docs, queries, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = sorted((r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in res.collect())
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = {int(r.doc_id): str(r.text).strip().split() for r in pdf.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    k1, b = 1.2, 0.75
+    expect = []
+    for qid, qs in queries:
+        scores = []
+        for d, t in toks.items():
+            s = 0
+            for term in dict.fromkeys(qs.split()):
+                tf = t.count(term)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (float(n) - df[term] + 0.5) / (df[term] + 0.5))
+                contrib = idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * len(t) / avgdl))
+                # decimal(18,6) accumulation == integer-cent arithmetic
+                s += round(round(contrib, 6) * 1e6)
+            if s > 0:
+                scores.append((d, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scores[:10], 1):
+            expect.append((qid, d, s / 1e6, rank))
+    assert got == sorted(expect)

@@ -127,3 +127,52 @@ def test_csv_roundtrip_lossless_with_schema(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    """Z-order vs single-column sort: for a two-column box, the z-ordered
+    layout's per-file min/max stats must prune files on BOTH dimensions,
+    while a layout sorted only on col A cannot prune a predicate on col B
+    alone. Results are layout-invariant (identical box aggregates)."""
+    from naru_spark.sources import load_table
+    from naru_spark.sources.sinks import file_skip_fraction, zorder_write
+    from tests.conftest import SF_T2
+
+    li = load_table(spark, "lineitem", SF_T2).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    info = zorder_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=16, bits=8)
+    # baseline: range-sorted on l_partkey ONLY, same file count
+    li.repartitionByRange(16, F.col("l_partkey")).sortWithinPartitions(
+        "l_partkey"
+    ).write.mode("overwrite").parquet(spath)
+
+    def frac(c):
+        lo = info["mins"][c] + 0.4 * (info["maxs"][c] - info["mins"][c])
+        hi = info["mins"][c] + 0.52 * (info["maxs"][c] - info["mins"][c])
+        return lo, hi
+
+    box = {"l_partkey": frac("l_partkey"), "l_suppkey": frac("l_suppkey")}
+    zm, zt = file_skip_fraction(spark, zpath, box)
+    assert zt >= 8 and zm <= zt // 2, (zm, zt)
+
+    # suppkey-only predicate: the partkey-sorted layout cannot skip
+    supp_box = {"l_suppkey": box["l_suppkey"]}
+    sm, st = file_skip_fraction(spark, spath, supp_box)
+    zm2, _ = file_skip_fraction(spark, zpath, supp_box)
+    assert sm >= st - 1  # linear layout: essentially every file intersects
+    assert zm2 < sm  # z-order: strictly fewer files touched
+
+    # layout invariance: identical aggregates over the box
+    def agg(path):
+        df = spark.read.parquet(path)
+        for c, (lo, hi) in box.items():
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"),
+        ).collect()[0]
+        return int(r["n"]), str(r["s"])
+
+    assert agg(zpath) == agg(spath)

@@ -26,6 +26,12 @@ ENTRIES = [
     # round-5 additions worth a scaling probe
     "workload_oracle_disjunctive",
     "knn_pagerank_oracle",
+    # round-6: the star-join plane (VERDICT r05 item 8) — the estimate-
+    # driven dim decisions and the zero-Exchange bucketed join get the
+    # same super-linearity check the estimators got
+    "local_supplier_volume_q5",
+    "market_share_q8",
+    "bucketed_join_agg",
 ]
 
 

@@ -39,15 +39,27 @@ def main() -> None:
     con.execute(f"CREATE VIEW cust AS SELECT * FROM '{SRC}/customer.parquet'")
     con.execute(f"CREATE VIEW docs AS SELECT * FROM '{SRC}/documents.parquet'")
     con.execute(f"CREATE VIEW emb AS SELECT * FROM '{SRC}/embeddings.parquet'")
+    con.execute(f"CREATE VIEW supp AS SELECT * FROM '{SRC}/supplier.parquet'")
+    con.execute(f"CREATE VIEW prt AS SELECT * FROM '{SRC}/part.parquet'")
     n_ok = con.execute("SELECT max(l_orderkey) + 1 FROM li").fetchone()[0]
     n_ck = con.execute("SELECT max(c_custkey) + 1 FROM cust").fetchone()[0]
     n_doc = con.execute("SELECT max(doc_id) + 1 FROM docs").fetchone()[0]
     n_vec = con.execute("SELECT max(vec_id) + 1 FROM emb").fetchone()[0]
+    n_sk = con.execute("SELECT max(s_suppkey) + 1 FROM supp").fetchone()[0]
+    n_pk = con.execute("SELECT max(p_partkey) + 1 FROM prt").fetchone()[0]
 
+    # lineitem copies shift ALL their foreign keys consistently with the
+    # tiled orders/supplier/part, so star joins at sf1 keep the sf0.1
+    # match rate per copy (un-shifted supp/part keys would make copies 1-9
+    # join-miss every tiled dim row and distort the join-plane probes)
     con.execute(
         f"""
 COPY (
-  SELECT li.* REPLACE (l_orderkey + c.i * {n_ok} AS l_orderkey)
+  SELECT li.* REPLACE (
+    l_orderkey + c.i * {n_ok} AS l_orderkey,
+    l_suppkey + c.i * {n_sk} AS l_suppkey,
+    l_partkey + c.i * {n_pk} AS l_partkey
+  )
   FROM li CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
 ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
 """
@@ -93,7 +105,33 @@ COPY (
 ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
 """
     )
-    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+    # supplier/part: key-shifted tiling (nationkey/brand/etc. preserved —
+    # the distributions the join-plane probes read)
+    con.execute(
+        f"""
+COPY (
+  SELECT supp.* REPLACE (s_suppkey + c.i * {n_sk} AS s_suppkey)
+  FROM supp CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/supplier.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT prt.* REPLACE (p_partkey + c.i * {n_pk} AS p_partkey)
+  FROM prt CROSS JOIN (SELECT unnest(range({COPIES})) AS i) c
+) TO '{DST}/part.parquet' (FORMAT PARQUET)
+"""
+    )
+    # nation/region are CONSTANT-size dims at every TPC-H scale — verbatim
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in (
+        "lineitem", "orders", "customer", "documents", "embeddings",
+        "supplier", "part", "nation", "region",
+    ):
         n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
