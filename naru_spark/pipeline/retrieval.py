@@ -53,9 +53,16 @@ def bm25_topk(
     engine-independent."""
     spark = docs.sparkSession
 
+    q_term_list = sorted({t for _, qs in queries for t in qs.split() if t})
+    # the term filter pushes BELOW the tf aggregation: df(term) and
+    # tf(doc, term) restricted to query terms are identical to their
+    # full-corpus values for those terms, so the one shuffle carries only
+    # the query terms' postings — the inverted-index probe applied at
+    # BUILD time, not just at join time
     terms = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(_TOKENS).alias("term"))
         .filter(F.length("term") > 0)
+        .filter(F.col("term").isin(q_term_list))
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = (

@@ -335,3 +335,31 @@ def test_bn_root_choice_reroots_tree():
     # greedy structure rejects re-rooting (its tree is natural-order-anchored)
     with pytest.raises(AssertionError):
         BayesNet(data, meta, cols, max_model_domain=8, structure="greedy", root=1)
+
+
+def test_catalyst_cbo_batch_matches_sequential(spark):
+    """The threaded query_batch must return exactly the sequential
+    estimates — a worker thread that loses the active session would read
+    cbo.enabled=false and silently estimate 1.0 everywhere (the bug the
+    per-thread session pin fixes)."""
+    from naru_spark.estimators.catalyst import CatalystCBO
+    from naru_spark.workload import generate_workload
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.sources import load_table
+    from naru_spark.sources.registry import ESTIMATOR_COLUMNS
+    from tests.conftest import SF_SMOKE
+
+    cols = ESTIMATOR_COLUMNS["lineitem"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    wl = generate_workload(SF_SMOKE, meta, "lineitem", 8, seed=3)
+
+    cbo = CatalystCBO(spark, f"{SF_SMOKE}/lineitem.parquet", "cbo_batch_t")
+    seq = [cbo.query(q) for q in wl]
+    fc = cbo.fallback_count
+    batch = cbo.query_batch(wl)
+    assert batch == seq
+    assert cbo.fallback_count == 2 * fc  # same fallbacks fired again
+    # no silent degradation: at least one estimate must differ from 1.0
+    assert any(e != 1.0 for e in batch)
