@@ -239,6 +239,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
 
 
+def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 serving path (pipeline.retrieval.bm25_write_index /
+    bm25_topk_from_index): postings hive-partitioned by crc32(term)
+    bucket, df/dl/stats sidecars; the probe's scan is partition-pruned to
+    the query terms' buckets (PartitionFilters asserted INLINE on every
+    run). Identical results to bm25_topk, so this entry SHARES its
+    oracle — the serving layout must never change answers."""
+    from naru_spark.pipeline.retrieval import bm25_topk_from_index, bm25_write_index
+    from naru_spark.tmp import tmpdir
+
+    path = tmpdir(prefix="bm25_index_") + "/idx"
+    bm25_write_index(_docs(spark, sf_dir), path)
+    out = bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan, (
+        "postings scan must be partition-pruned on the term bucket"
+    )
+    return out
+
+
 def sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     q_values = ",\n    ".join(
         f"({qid}, '{t}')"
@@ -2901,6 +2921,7 @@ def build_pipeline_registry():
         "doc_repetition": q_doc_repetition,
         "token_idf": q_token_idf,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_index": q_bm25_topk_index,
         "doc_lm_score": q_doc_lm_score,
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
@@ -2979,6 +3000,7 @@ def build_pipeline_registry():
         "doc_repetition": sql_doc_repetition(),
         "token_idf": sql_token_idf(),
         "bm25_topk": sql_bm25_topk(),
+        "bm25_topk_index": sql_bm25_topk(),
         "doc_lm_score": sql_doc_lm_score(),
         "source_mix": sql_source_mix(),
         "embedding_norms": sql_embedding_norms(),

@@ -86,6 +86,25 @@ def bm25_topk(
     ]
     q_df = spark.createDataFrame(q_terms, "query_id int, term string")
 
+    return _score_topk(tf, q_df, df_t, dl, n_docs, avgdl, k, k1, b)
+
+
+def _score_topk(
+    tf: DataFrame,
+    q_df: DataFrame,
+    df_t: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring tail (in-memory and from-index paths run the
+    SAME expression, which is what lets the index entry share the plain
+    entry's oracle): join postings to the broadcast query-term list and
+    per-term df, attach doc length, round each contribution to 6 decimals,
+    decimal-sum per (query, doc), top-k per query."""
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -96,7 +115,6 @@ def bm25_topk(
     contrib = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).cast(
         "decimal(18,6)"
     )
-
     scored = (
         tf.join(F.broadcast(q_df), "term")  # inverted-index probe
         .join(F.broadcast(df_t.join(F.broadcast(q_df.select("term").distinct()), "term")), "term")
@@ -117,3 +135,91 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def _query_terms_df(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (int(qid), t)
+            for qid, qs in queries
+            for t in dict.fromkeys(qs.split())
+            if t
+        ],
+        "query_id int, term string",
+    )
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> dict:
+    """Persist the BM25 inverted index — build once, serve many (the same
+    serving discipline as the IVF/IVF-PQ indexes): posting rows
+    (doc_id, term, tf) written hive-partitioned by ``crc32(term) %
+    n_buckets``, so a query's probe reads ONLY its terms' partitions
+    (PartitionFilters — plan-asserted in tests); per-term df (vocabulary-
+    bounded) plus doc lengths and the one-row corpus stats land beside it.
+    df here is the FULL-corpus document frequency computed at build time —
+    the index answers any future query without touching the corpus."""
+    import os
+
+    terms = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_TOKENS).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    (
+        tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    tf.groupBy("term").agg(F.count("*").alias("df")).write.mode("overwrite").parquet(
+        os.path.join(path, "df")
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "dl"))
+    dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "stats"))
+    return {"path": path, "n_buckets": n_buckets}
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Serve BM25 top-k from a persisted index: the probe computes its
+    terms' crc32 buckets DRIVER-side (zlib.crc32 == F.crc32 on UTF-8
+    bytes) and the postings scan prunes to those partitions — at 100 TB
+    the query touches #query-term buckets of postings, never the corpus.
+    Identical results to ``bm25_topk`` given the same corpus, so the
+    entry shares its oracle."""
+    import os
+    import zlib
+
+    row = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["sdl"]) / int(row["n"])
+
+    q_df = _query_terms_df(spark, queries)
+    probe_terms = sorted({t for _, qs in queries for t in qs.split() if t})
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in probe_terms})
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))  # partition-pruned read
+        .filter(F.col("term").isin(probe_terms))
+        .select("doc_id", "term", "tf")
+    )
+    df_t = spark.read.parquet(os.path.join(path, "df"))
+    dl = spark.read.parquet(os.path.join(path, "dl"))
+    return _score_topk(postings, q_df, df_t, dl, n_docs, avgdl, k, k1, b)

@@ -1399,3 +1399,38 @@ def test_bm25_topk_matches_numpy_reference(spark, docs):
         for rank, (d, s) in enumerate(scores[:10], 1):
             expect.append((qid, d, s / 1e6, rank))
     assert got == sorted(expect)
+
+
+def test_bm25_index_bucket_hash_and_identity(spark, docs, tmp_path):
+    """The from-index probe prunes to driver-computed crc32 buckets —
+    zlib.crc32 must agree with F.crc32 on every corpus term or pruning
+    silently drops postings. Also: index path == in-memory path exactly."""
+    import zlib
+
+    from naru_spark.pipeline.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+
+    # hash agreement over the whole corpus vocabulary
+    vocab = [
+        r["term"]
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        ).filter(F.length("term") > 0).distinct().collect()
+    ]
+    jvm = {
+        r["term"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in vocab], "term string")
+        .select("term", F.crc32(F.col("term")).alias("h"))
+        .collect()
+    }
+    assert all(jvm[t] == zlib.crc32(t.encode("utf-8")) for t in vocab)
+
+    queries = [(0, "hash join merge"), (1, "stream window agg")]
+    path = str(tmp_path / "idx")
+    bm25_write_index(docs, path, n_buckets=8)
+    a = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8).collect()))
+    assert a == b
