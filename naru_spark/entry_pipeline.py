@@ -394,6 +394,35 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm"))
 
 
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16
+    (pipeline.similarity.random_projection): one seeded Gaussian matrix,
+    one map-only Arrow matmul per partition, zero shuffle — the
+    dimensional pre-reduction in front of ANN/clustering at scale.
+    Long-form output (vec_id, dim, value rounded 6); the oracle inlines
+    the SAME matrix and replays each output dim as a literal inner
+    product. Distance preservation (the JL bound) is statistically gated
+    in tests/test_pipeline.py."""
+    from naru_spark.pipeline.similarity import random_projection
+
+    return random_projection(_emb(spark, sf_dir), out_dim=16, seed=11)
+
+
+def sql_embedding_random_projection(out_dim: int = 16, seed: int = 11) -> str:
+    from naru_spark.pipeline.similarity import projection_matrix
+
+    P = projection_matrix(64, out_dim, seed)
+    parts = []
+    for j in range(out_dim):
+        col = ", ".join(repr(float(x)) for x in P[:, j])
+        parts.append(
+            f"SELECT vec_id, {j} AS dim,\n"
+            f"       ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), [{col}]), 6) AS value\n"
+            f"FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def sql_embedding_norms() -> str:
     return """
 SELECT vec_id,
@@ -2925,6 +2954,7 @@ def build_pipeline_registry():
         "doc_lm_score": q_doc_lm_score,
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
+        "embedding_random_projection": q_embedding_random_projection,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
@@ -3004,6 +3034,7 @@ def build_pipeline_registry():
         "doc_lm_score": sql_doc_lm_score(),
         "source_mix": sql_source_mix(),
         "embedding_norms": sql_embedding_norms(),
+        "embedding_random_projection": sql_embedding_random_projection(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),

@@ -957,3 +957,60 @@ def ivfpq_topk_refined(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection — the standard dimensional
+    pre-reduction in front of ANN / clustering / dedup at scale (project
+    once, then every downstream pairwise op costs out_dim instead of d).
+    The Gaussian matrix is drawn ONCE from a seeded numpy RNG and scaled
+    by 1/sqrt(out_dim), so E[|Px - Py|^2] = |x - y|^2 (distance-preserving
+    in expectation; the JL tail bound is statistically gated in tests).
+
+    Execution is one Arrow-batched mapInPandas matmul per partition —
+    map-only, zero shuffle, the projection matrix broadcast in the
+    closure (KBs). Output is LONG form (vec_id, dim, value) with values
+    rounded to ``decimals`` — engine-independent (the oracle inlines the
+    same matrix and replays each output dim as a literal inner product).
+
+    ``projection_matrix(in_dim, out_dim, seed)`` exposes the exact matrix
+    for the oracle/tests."""
+    spark = emb.sparkSession
+    in_dim = len(emb.select(vec_col).first()[0])
+    P = projection_matrix(in_dim, out_dim, seed)
+    bc = spark.sparkContext.broadcast(P)
+
+    def project(batches):
+        M = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = np.round(mat @ M, decimals)
+            n, d = out.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), d),
+                    "dim": np.tile(np.arange(d, dtype=np.int32), n),
+                    "value": out.reshape(-1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        project, schema="vec_id long, dim int, value double"
+    )
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """The deterministic JL matrix (in_dim x out_dim), float64: seeded
+    standard normals scaled by 1/sqrt(out_dim). Shared by the Spark path,
+    the oracle SQL generator, and the JL-bound test."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(in_dim, out_dim) / np.sqrt(out_dim)

@@ -1434,3 +1434,36 @@ def test_bm25_index_bucket_hash_and_identity(spark, docs, tmp_path):
     a = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
     b = sorted(map(tuple, bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8).collect()))
     assert a == b
+
+
+def test_random_projection_preserves_distances(spark, emb):
+    """JL property: squared pairwise distances in the 16-dim projection
+    concentrate around the 64-dim originals — median ratio within
+    [0.7, 1.3] over 200 sampled pairs (distance-preserving in
+    expectation, variance ~1/sqrt(out_dim)). Plus exactness: the Spark
+    long-form output equals the numpy matmul it claims to be."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import projection_matrix, random_projection
+
+    pdf = emb.select("vec_id", "embedding").toPandas().head(100)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    P = projection_matrix(X.shape[1], 16, seed=11)
+
+    out = random_projection(emb.limit(100), out_dim=16, seed=11).toPandas()
+    got = out.pivot(index="vec_id", columns="dim", values="value")
+    got = got.loc[pdf["vec_id"].to_numpy()].to_numpy()
+    assert np.array_equal(got, np.round(X @ P, 6))
+
+    Y = X @ P
+    rng = np.random.RandomState(0)
+    ratios = []
+    for _ in range(200):
+        i, j = rng.randint(0, len(X), 2)
+        if i == j:
+            continue
+        d_hi = float(np.sum((X[i] - X[j]) ** 2))
+        d_lo = float(np.sum((Y[i] - Y[j]) ** 2))
+        if d_hi > 0:
+            ratios.append(d_lo / d_hi)
+    assert 0.7 <= float(np.median(ratios)) <= 1.3, np.median(ratios)
