@@ -601,6 +601,74 @@ ORDER BY event_type
 """
 
 
+def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO (operators.merge.merge_into — the
+    Delta/Iceberg CDC apply as ONE keyed full-outer join): a
+    deterministic changeset against documents — doc_id % 13 == 0
+    deleted, else % 7 == 0 updated (n_chars recomputed +1000), plus
+    brand-new inserted ids above the current max — then the merged table
+    is aggregated per source. The oracle replays MERGE semantics in
+    plain SQL (anti-join the deletes, coalesce updates over base, union
+    the inserts), so matched-update / matched-delete / unmatched-insert
+    all hash-verify."""
+    from naru_spark.operators.merge import merge_into
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "source", "lang", "n_chars", F.lit("D").alias("op")
+    )
+    updates = (
+        docs.filter((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .select("doc_id", "source", "lang", "n_chars", F.lit("U").alias("op"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(int(max_id) + 1)).alias("doc_id"),
+            F.lit("src_new").alias("source"),
+            "lang",
+            "n_chars",
+            F.lit("U").alias("op"),
+        )
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = merge_into(docs, changes, key="doc_id")
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_merge_into_cdc() -> str:
+    return """
+WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+base AS (SELECT doc_id, source, lang, n_chars FROM documents),
+merged AS (
+  SELECT b.doc_id, b.source, b.lang,
+         CASE WHEN b.doc_id % 7 = 0 THEN b.n_chars + 1000 ELSE b.n_chars END AS n_chars
+  FROM base b WHERE b.doc_id % 13 <> 0
+  UNION ALL
+  SELECT b.doc_id + m.mx + 1, 'src_new', b.lang, b.n_chars
+  FROM base b, m WHERE b.doc_id % 11 = 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution (sources.sinks.read_merged_schema): an early batch
     written WITHOUT n_chars, a later batch with it, both appended into one
@@ -1048,6 +1116,7 @@ def build_ops_registry():
         "schema_evolution_read": q_schema_evolution_read,
         "compact_small_files": q_compact_small_files,
         "zorder_data_skipping": q_zorder_data_skipping,
+        "merge_into_cdc": q_merge_into_cdc,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_stream": q_dedup_stream,
@@ -1082,6 +1151,7 @@ def build_ops_registry():
         "schema_evolution_read": sql_schema_evolution_read(),
         "compact_small_files": sql_compact_small_files(),
         "zorder_data_skipping": sql_zorder_data_skipping(),
+        "merge_into_cdc": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),
         "dedup_stream": sql_dedup_stream(),

@@ -1,0 +1,49 @@
+"""Row-level MERGE INTO — the Delta/Iceberg CDC apply, expressed as ONE
+keyed full-outer join over plain DataFrames (no table format required).
+
+A changeset row carries an ``op``: 'U' (upsert — update if the key exists,
+insert if not) or 'D' (delete). Semantics match ``MERGE INTO base USING
+changes ON key WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN
+UPDATE SET * / WHEN NOT MATCHED AND op<>'D' THEN INSERT *``.
+
+Scale shape: one shuffle on the merge key for each side (the minimum any
+keyed merge pays); at 100 TB the base side is typically bucketed/
+partitioned on the key so only the changed partitions rewrite — compose
+with ``sources.sinks.overwrite_partitions`` for the physical apply. The
+changeset is usually small; Catalyst broadcast-plans it under the
+threshold automatically, and the full-outer degrades gracefully to
+sort-merge when it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_into(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply the changeset to ``base``; returns the merged table with the
+    base schema. Exactly one changeset row per key is required (the SQL
+    MERGE precondition) — enforce upstream with a dedup-by-latest."""
+    cols = [c for c in base.columns if c != key]
+    b = base.alias("b")
+    c = changes.alias("c")
+    j = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    keep = (
+        # matched delete drops the row; unmatched delete is a no-op row to drop
+        ~(F.col(f"c.{op_col}") == "D").eqNullSafe(F.lit(True))
+    )
+    out_key = F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)
+    out_cols = [
+        # matched update / unmatched insert take the changeset's value;
+        # rows without a change keep the base value
+        F.when(F.col(f"c.{key}").isNotNull(), F.col(f"c.{col}"))
+        .otherwise(F.col(f"b.{col}"))
+        .alias(col)
+        for col in cols
+    ]
+    return j.filter(keep).select(out_key, *out_cols)

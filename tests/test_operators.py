@@ -229,3 +229,28 @@ def test_approx_distinct_within_tolerance(spark):
     for c in cols:
         rel = abs(approx[f"d_{c}"] - exact[f"d_{c}"]) / max(exact[f"d_{c}"], 1)
         assert rel <= 0.06, (c, exact[f"d_{c}"], approx[f"d_{c}"])
+
+
+def test_merge_into_semantics(spark):
+    """MERGE INTO on a hand-built table: matched update, matched delete,
+    unmatched insert, unmatched-delete no-op, untouched rows — and the
+    result carries the base schema exactly."""
+    from naru_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 200, "U"),   # matched update
+            (3, None, 0, "D"),    # matched delete
+            (5, "e", 50, "U"),    # unmatched insert
+            (9, None, 0, "D"),    # unmatched delete: no-op
+        ],
+        "id long, name string, v long, op string",
+    )
+    out = merge_into(base, changes, key="id")
+    assert out.columns == ["id", "name", "v"]
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, "a", 10), (2, "B", 200), (4, "d", 40), (5, "e", 50)]
