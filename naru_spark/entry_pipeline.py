@@ -2322,6 +2322,59 @@ FROM (SELECT doc_id, source, substr(md5('{salt}' || text), 1, 8) AS h8 FROM docu
 """
 
 
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (pipeline.curation.expect — the
+    Great-Expectations/dbt-test shape): six rules audited in ONE
+    aggregation pass over documents (not-null id, non-negative length,
+    known language, non-empty text, length consistency, source prefix)
+    plus a doc_id uniqueness expectation. NULL never passes a rule
+    (violation iff not TRUE — SQL three-valued logic pinned on both
+    engines). The report is the ingest gate a 100 TB pipeline runs before
+    accepting a batch."""
+    from naru_spark.pipeline.curation import expect
+
+    docs = _docs(spark, sf_dir)
+    return expect(
+        docs,
+        [
+            ("doc_id_not_null", F.col("doc_id").isNotNull()),
+            ("n_chars_non_negative", F.col("n_chars") >= 0),
+            ("lang_known", F.col("lang").isin("en", "de", "fr", "es", "xx")),
+            ("text_non_empty", F.length(F.trim(F.col("text"))) > 0),
+            ("n_chars_matches_text", F.col("n_chars") == F.length("text")),
+            ("source_prefixed", F.col("source").startswith("src")),
+        ],
+        unique_keys=["doc_id"],
+    )
+
+
+def sql_data_quality_checks() -> str:
+    rules = [
+        ("doc_id_not_null", "doc_id IS NOT NULL"),
+        ("n_chars_non_negative", "n_chars >= 0"),
+        ("lang_known", "lang IN ('en','de','fr','es','xx')"),
+        ("text_non_empty", "length(trim(text)) > 0"),
+        ("n_chars_matches_text", "n_chars = length(text)"),
+        ("source_prefixed", "source LIKE 'src%'"),
+    ]
+    parts = [
+        f"SELECT '{n}' AS rule,\n"
+        f"       CAST(SUM(CASE WHEN ({c}) THEN 0 ELSE 1 END) AS BIGINT) AS violations,\n"
+        f"       COUNT(*) AS total,\n"
+        f"       SUM(CASE WHEN ({c}) THEN 0 ELSE 1 END) = 0 AS pass\n"
+        f"FROM documents"
+        for n, c in rules
+    ]
+    parts.append(
+        "SELECT 'unique_doc_id' AS rule,\n"
+        "       CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS violations,\n"
+        "       COUNT(*) AS total,\n"
+        "       COUNT(doc_id) = COUNT(DISTINCT doc_id) AS pass\n"
+        "FROM documents"
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping character-window chunking
     (pipeline.curation.chunk_documents): the context-length prep step.
@@ -3006,6 +3059,7 @@ def build_pipeline_registry():
         "bpe_pack_manifest": q_bpe_pack_manifest,
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
+        "data_quality_checks": q_data_quality_checks,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_resize_real": q_multimodal_resize_real,
@@ -3090,6 +3144,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "knn_pagerank_oracle": sql_knn_pagerank_oracle(),
         "stratified_sample": sql_stratified_sample(),
         "chunk_documents": sql_chunk_documents(),
+        "data_quality_checks": sql_data_quality_checks(),
         "multimodal_real_decode": sql_multimodal_real_decode(),
         "multimodal_audio_features": sql_multimodal_audio_features(),
         "multimodal_resize_real": sql_multimodal_resize_real(),

@@ -427,3 +427,46 @@ def chunk_documents(
         chunk.alias("chunk"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+def expect(
+    df,
+    rules: "list[tuple[str, object]]",
+    unique_keys: "list[str] | None" = None,
+):
+    """Data-quality expectations (Great-Expectations / dbt-test shape) in
+    ONE aggregation pass: each rule is (name, boolean Column) counted as
+    SUM(NOT rule) violations over a single scan — at 100 TB that is one
+    map-side-combined job regardless of how many rules ride it.
+    ``unique_keys`` adds a uniqueness expectation per key column
+    (COUNT(*) - COUNT(DISTINCT k) duplicate rows), which needs its own
+    distinct aggregate but still shares the same scan.
+
+    Returns (rule, violations, total, pass) — the report a pipeline gates
+    ingest on."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("__total")]
+    for name, cond in rules:
+        # NULL never passes a rule: NOT(NULL) is NULL, so count via
+        # "not true" semantics — violation iff the condition is not TRUE
+        aggs.append(
+            F.sum((~cond.eqNullSafe(F.lit(True))).cast("long")).alias(f"v_{name}")
+        )
+    for k in unique_keys or []:
+        aggs.append(
+            (F.count(k) - F.count_distinct(F.col(k))).alias(f"v_unique_{k}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    total = int(row["__total"])
+    out = []
+    for name, _ in rules:
+        v = int(row[f"v_{name}"])
+        out.append((name, v, total, v == 0))
+    for k in unique_keys or []:
+        v = int(row[f"v_unique_{k}"])
+        out.append((f"unique_{k}", v, total, v == 0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "rule string, violations bigint, total bigint, pass boolean"
+    )

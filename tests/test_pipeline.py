@@ -1467,3 +1467,23 @@ def test_random_projection_preserves_distances(spark, emb):
         if d_hi > 0:
             ratios.append(d_lo / d_hi)
     assert 0.7 <= float(np.median(ratios)) <= 1.3, np.median(ratios)
+
+
+def test_expect_null_semantics_and_uniqueness(spark):
+    """expect(): a NULL rule input counts as a violation (not TRUE), the
+    uniqueness expectation counts duplicate ROWS (total - distinct), and
+    all rules ride one aggregation job."""
+    from naru_spark.pipeline.curation import expect
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -1), (3, 7)], "id long, v long"
+    )
+    out = expect(
+        df,
+        [("v_non_negative", F.col("v") >= 0)],
+        unique_keys=["id"],
+    )
+    got = {r["rule"]: (r["violations"], r["total"], r["pass"]) for r in out.collect()}
+    # NULL v and -1 v both violate; 4 rows, one duplicated id -> 1 dup row
+    assert got["v_non_negative"] == (2, 4, False)
+    assert got["unique_id"] == (1, 4, False)
