@@ -2120,12 +2120,28 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge loop (pipeline.bpe.bpe_learn): one distributed word
     count, then 20 deterministic merges on the driver over the bounded
-    vocabulary table. Rows-only entry (the loop is iterative, not
-    SQL-expressible); the merge sequence itself is unit-tested against a
-    hand-computed example in tests/test_pipeline.py."""
+    vocabulary table. ORACLE-BACKED via the engine-independent pandas
+    trainer (bpe_learn_pandas — pyarrow word count + the SAME merge
+    loop, no Spark anywhere): its output for the gate SF is inlined as a
+    VALUES literal, so the distributed trainer must reproduce the
+    reference trainer's merge SEQUENCE bit-for-bit (Spark/pandas parity
+    additionally unit-tested, and the merge loop itself against a
+    hand-computed example, in tests/test_pipeline.py)."""
     return spark.createDataFrame(
         _bpe_merges(spark, sf_dir), "rank int, left string, right string, pair_count long"
     )
+
+
+def sql_bpe_learn() -> str:
+    values = ",\n    ".join(
+        f"({rank}, '{_sql_quote(l)}', '{_sql_quote(r)}', {cnt})"
+        for rank, l, r, cnt in _bpe_merges_fixed()
+    )
+    return f"""
+SELECT * FROM (VALUES
+    {values}
+) AS t(rank, "left", "right", pair_count)
+"""
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3139,6 +3155,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "gopher_filter": sql_gopher_filter(),
         "quality_classifier": sql_quality_classifier(),
         "bpe_pair_counts": sql_bpe_pair_counts(),
+        "bpe_learn": sql_bpe_learn(),
         "bpe_encode": sql_bpe_encode(),
         "bpe_pack_manifest": sql_bpe_pack_manifest(),
         "knn_pagerank_oracle": sql_knn_pagerank_oracle(),
