@@ -394,6 +394,62 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm"))
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative contrastive triplet mining (embedding-model training
+    data): for each probe vector, positives are its nearest non-self
+    neighbors (cosine ranks 2-4) and HARD negatives the near-but-not-top
+    band (ranks 20-22) — the standard in-batch-hard-negative recipe,
+    paired positionally (rank r with rank r+18). One brute-force top-22
+    pass feeds both bands; at scale the same composition runs on the IVF
+    shortlist instead. Fully oracle-able: both bands come from the exact
+    cosine ranking."""
+    from naru_spark.pipeline.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ranked = brute_force_topk(emb, queries, k=22).cache()
+    pos = ranked.filter(F.col("rank").between(2, 4)).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+        F.col("rank").alias("rank"),
+    )
+    neg = ranked.filter(F.col("rank").between(20, 22)).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+        (F.col("rank") - 18).alias("rank"),
+    )
+    return (
+        pos.join(neg, ["query_id", "rank"])
+        .select("query_id", "rank", "pos_id", "pos_cos", "neg_id", "neg_cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+def sql_contrastive_triplets() -> str:
+    return """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e, embeddings q WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT p.query_id, CAST(p.rnk AS INT) AS rank,
+       p.neighbor_id AS pos_id, p.cosine AS pos_cos,
+       n.neighbor_id AS neg_id, n.cosine AS neg_cos
+FROM (SELECT * FROM ranked WHERE rnk BETWEEN 2 AND 4) p
+JOIN (SELECT * FROM ranked WHERE rnk BETWEEN 20 AND 22) n
+  ON n.query_id = p.query_id AND n.rnk = p.rnk + 18
+ORDER BY p.query_id, rank
+"""
+
+
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 16
     (pipeline.similarity.random_projection): one seeded Gaussian matrix,
@@ -3024,6 +3080,7 @@ def build_pipeline_registry():
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
         "embedding_random_projection": q_embedding_random_projection,
+        "contrastive_triplets": q_contrastive_triplets,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
@@ -3105,6 +3162,7 @@ def build_pipeline_registry():
         "source_mix": sql_source_mix(),
         "embedding_norms": sql_embedding_norms(),
         "embedding_random_projection": sql_embedding_random_projection(),
+        "contrastive_triplets": sql_contrastive_triplets(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),

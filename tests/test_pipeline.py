@@ -1487,3 +1487,18 @@ def test_expect_null_semantics_and_uniqueness(spark):
     # NULL v and -1 v both violate; 4 rows, one duplicated id -> 1 dup row
     assert got["v_non_negative"] == (2, 4, False)
     assert got["unique_id"] == (1, 4, False)
+
+
+def test_contrastive_triplets_bands(spark, emb):
+    """Triplet mining: positives strictly more similar than their paired
+    hard negatives, self never appears, bands have the advertised sizes."""
+    from naru_spark.entry_pipeline import q_contrastive_triplets
+    from tests.conftest import SF_T2
+
+    rows = q_contrastive_triplets(spark, SF_T2).collect()
+    assert len(rows) == 5 * 3
+    for r in rows:
+        assert r["pos_cos"] > r["neg_cos"]
+        assert r["pos_id"] != r["query_id"]  # rank 1 (self) excluded
+        assert r["neg_id"] != r["pos_id"]
+        assert 1 <= r["rank"] - 1 <= 3 or 2 <= r["rank"] <= 4
