@@ -601,6 +601,47 @@ ORDER BY event_type
 """
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel (sources.sinks.write_snapshot /
+    read_snapshot — Iceberg/Delta-lite): v1 commits the even-doc_id half,
+    v2 appends the odd half; readers open ONE manifest and exactly the
+    files it names (no directory listing — the object-store-safe shape),
+    so version 1 stays byte-identical AFTER the v2 append. The entry
+    aggregates BOTH versions; the oracle replays the parity split."""
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_") + "/docs"
+    v1 = write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), path)
+    v2 = write_snapshot(docs.filter(F.col("doc_id") % 2 == 1), path)
+    assert (v1, v2) == (1, 2), (v1, v2)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.lit(version).alias("version"),
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    out = agg(read_snapshot(spark, path, version=1), 1).unionByName(
+        agg(read_snapshot(spark, path), 2)  # latest
+    )
+    return out.select("version", "source", "n", "sum_chars").orderBy("version", "source")
+
+
+def sql_snapshot_time_travel() -> str:
+    return """
+SELECT 1 AS version, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY source
+UNION ALL
+SELECT 2 AS version, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+ORDER BY version, source
+"""
+
+
 def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MERGE INTO (operators.merge.merge_into — the
     Delta/Iceberg CDC apply as ONE keyed full-outer join): a
@@ -1117,6 +1158,7 @@ def build_ops_registry():
         "compact_small_files": q_compact_small_files,
         "zorder_data_skipping": q_zorder_data_skipping,
         "merge_into_cdc": q_merge_into_cdc,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_stream": q_dedup_stream,
@@ -1152,6 +1194,7 @@ def build_ops_registry():
         "compact_small_files": sql_compact_small_files(),
         "zorder_data_skipping": sql_zorder_data_skipping(),
         "merge_into_cdc": sql_merge_into_cdc(),
+        "snapshot_time_travel": sql_snapshot_time_travel(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),
         "dedup_stream": sql_dedup_stream(),

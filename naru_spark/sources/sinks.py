@@ -190,21 +190,93 @@ def zorder_write(
 def file_skip_fraction(
     spark: SparkSession, path: str, predicates: dict[str, tuple[float, float]]
 ) -> tuple[int, int]:
-    """Data-skipping audit: per-FILE min/max of the predicate columns
-    (the same stats parquet keeps per row group), intersected with the
-    [lo, hi] box — returns (files_matching, files_total). A well-clustered
+    """Data-skipping audit via parquet FOOTER statistics — the actual
+    mechanism a scan's row-group pruning uses: per file, the min/max of
+    each predicate column across its row groups is read from metadata
+    (pyarrow; ZERO data bytes touched), then intersected with the
+    [lo, hi] box. Returns (files_matching, files_total). A well-clustered
     layout keeps files_matching << files_total for small boxes; a random
-    layout intersects nearly every file."""
-    from pyspark.sql import functions as F
+    layout intersects nearly every file. (``spark`` kept in the signature
+    for call-site symmetry; the audit itself needs no Spark job.)"""
+    import os
 
-    df = spark.read.parquet(path)
-    aggs = []
-    for c in predicates:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    stats = df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
-    cond = F.lit(True)
-    for c, (lo, hi) in predicates.items():
-        cond = cond & (F.col(f"max_{c}") >= lo) & (F.col(f"min_{c}") <= hi)
-    total = stats.count()
-    matching = stats.filter(cond).count()
-    return matching, total
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    matching = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            cmin, cmax = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[c]).statistics
+                if st is None or not st.has_min_max:
+                    cmin, cmax = None, None
+                    break
+                cmin = st.min if cmin is None else min(cmin, st.min)
+                cmax = st.max if cmax is None else max(cmax, st.max)
+            if cmin is None:  # no stats -> cannot skip this file
+                continue
+            if not (cmax >= lo and cmin <= hi):
+                ok = False
+                break
+        matching += int(ok)
+    return matching, len(files)
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append-only SNAPSHOT write (Iceberg/Delta-lite time travel): each
+    call lands its data files under ``path/data/v{N}/`` and commits a
+    manifest ``path/_manifests/v{N}.json`` listing every data directory
+    visible at version N (the previous manifest's list plus the new dir).
+    Readers NEVER list the data tree — they read one manifest and open
+    exactly the files it names, which is what makes concurrent appends
+    and time travel safe on an object store (no rename, no eventual-
+    consistency window; the manifest commit is the atomic point).
+    Returns the new version number."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    prev = []
+    if versions:
+        with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
+            prev = json.load(fh)["dirs"]
+    n = (versions[-1] + 1) if versions else 1
+    data_dir = os.path.join(path, "data", f"v{n}")
+    df.write.mode("error").parquet(data_dir)
+    manifest = {"version": n, "dirs": prev + [data_dir]}
+    tmp = os.path.join(man_dir, f".v{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(man_dir, f"v{n}.json"))  # atomic commit
+    return n
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: open the manifest for ``version`` (latest when
+    None) and read exactly its data directories — an old version stays
+    readable forever regardless of later appends."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    if version is None:
+        version = max(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+    with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    return spark.read.parquet(*dirs)

@@ -1,6 +1,11 @@
-"""sf1 scaling spot-bench (VERDICT r04 item 8): run the 5 historically
-slowest registry entries once against the local sf1 slice
-(tools/make_sf1.py) and flag any super-linear cost.
+"""sf1 scaling spot-bench (VERDICT r04 item 8, widened r05/r06): run a
+12-probe set — the historically slowest estimator/dedup entries, the
+star-join plane, and the round-6 corpus-shaped newcomers — once against
+the local sf1 slice (tools/make_sf1.py) and flag any super-linear cost.
+
+Run it QUIET: concurrent Spark jobs on this box have inflated probe
+walls 3-4x before (a 13.6x false flag on dedup_minhash_md5) — never
+record a run that overlapped another job.
 
 A healthy linear-ish entry lands well under 12x its sf0.1 wall at 10x the
 data (per the verdict's bar); anything past that is a scaling bug to chase
@@ -32,6 +37,9 @@ ENTRIES = [
     "local_supplier_volume_q5",
     "market_share_q8",
     "bucketed_join_agg",
+    # round-6 newcomers with corpus-shaped cost curves
+    "bm25_topk",
+    "zorder_data_skipping",
 ]
 
 
