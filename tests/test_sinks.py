@@ -176,3 +176,28 @@ def test_zorder_skips_on_both_dims(spark, tmp_path):
         return int(r["n"]), str(r["s"])
 
     assert agg(zpath) == agg(spath)
+
+
+def test_snapshot_time_travel_isolation(spark, tmp_path):
+    """Snapshot semantics: v1 stays byte-identical after the v2 append
+    (time travel), latest sees both, the manifest commit is atomic
+    (no .tmp left behind), and a reader never needs to list data dirs."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "t")
+    a = spark.range(0, 10).withColumnRenamed("id", "k")
+    b = spark.range(10, 15).withColumnRenamed("id", "k")
+    assert write_snapshot(a, path) == 1
+    v1_before = sorted(r["k"] for r in read_snapshot(spark, path, version=1).collect())
+    assert write_snapshot(b, path) == 2
+    v1_after = sorted(r["k"] for r in read_snapshot(spark, path, version=1).collect())
+    assert v1_before == v1_after == list(range(10))
+    latest = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert latest == list(range(15))
+    man_dir = os.path.join(path, "_manifests")
+    assert sorted(os.listdir(man_dir)) == ["v1.json", "v2.json"]  # no .tmp
+    m2 = json.load(open(os.path.join(man_dir, "v2.json")))
+    assert len(m2["dirs"]) == 2 and m2["version"] == 2
