@@ -532,10 +532,12 @@ def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is sf x 150k rows — broadcastable at test SFs, an executor
     OOM at TPC-H sf100k — so the decision must come from a row-count
     estimate, never a static hint (asserted in tests/test_plans.py).
-    The window partitions by segment — 5 groups, so at 100 TB the skew
-    lever is a two-stage top-k (partial top-k per partition, then
-    per-group merge), which AQE's skew handling plus the rank<=3 pushdown
-    approximates here."""
+    The window partitions by segment — 5 groups, which would funnel every
+    order through 5 reducers at 100 TB — EXCEPT that the rank<=3 filter
+    rewrites to a two-stage WindowGroupLimit (Partial before the shuffle:
+    each map task keeps only its own top-3 per segment; Final after), so
+    the 5-reducer stage sees <= 3 x #maps rows, not the table
+    (plan-asserted in tests/test_plans.py)."""
     from pyspark.sql import Window
 
     from naru_spark.plans.joinplan import advised_side

@@ -314,6 +314,12 @@ def test_top_orders_customer_decision_is_estimate_driven(spark):
     assert "F.broadcast(cust" not in src
     plan = plan_str(q_top_orders_per_segment(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+    # rank<=3 over 5 segment groups must plan the two-stage top-k:
+    # a Partial WindowGroupLimit BEFORE the shuffle keeps each map task's
+    # top-3 per segment, so the 5-reducer window stage never sees the
+    # full table at 100 TB
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan and "Final" in plan
 
 
 def test_q3_customer_decision_is_estimate_driven(spark):
