@@ -2900,6 +2900,78 @@ ORDER BY source
 """
 
 
+def q_stream_ivm_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (IVM): a per-source
+    totals VIEW kept current while the corpus streams in across MULTIPLE
+    micro-batches (the source is re-laid-out as 4 files, streamed one per
+    trigger). Each batch folds its DELTA aggregate into the previous
+    materialized state and commits the new state as a snapshot version —
+    the view is always a readable, atomic version, and the maintenance
+    cost per batch is O(|delta| + |view|), never a re-scan of history.
+    Because sum/count are commutative monoids, the FINAL state is
+    independent of the batch split — so the entry shares a plain batch
+    aggregate oracle, and >= 2 committed versions are asserted inline to
+    prove the run was genuinely incremental."""
+    import os
+
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+    from naru_spark.tmp import tmpdir
+
+    base = tmpdir(prefix="ivm_")
+    src_dir = base + "/src"
+    view = base + "/view"
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    docs.repartition(4).write.parquet(src_dir)  # multi-file -> multi-batch
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def fold(batch_df, batch_id):
+        delta = batch_df.groupBy("source").agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+        )
+        try:
+            prev = read_snapshot(spark, view)
+            state = prev.unionByName(delta)
+        except (FileNotFoundError, ValueError):
+            state = delta
+        merged = state.groupBy("source").agg(
+            F.sum("n").alias("n"), F.sum("sum_chars").alias("sum_chars")
+        )
+        # replace-mode commit: the view is a FULL state rewrite per batch
+        # (old versions stay time-travelable; their dirs are immutable,
+        # so the lazy read of the previous version scans exactly the
+        # files its manifest named — no checkpoint needed)
+        write_snapshot(merged, view, mode="replace")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    n_versions = len(os.listdir(os.path.join(view, "_manifests")))
+    assert n_versions >= 2, f"expected a multi-batch incremental run, got {n_versions}"
+    return (
+        read_snapshot(spark, view)
+        .select("source", "n", F.col("sum_chars").cast("long").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_stream_ivm_running_totals() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality over the k-NN similarity graph (pipeline.graph.pagerank
     on pipeline.similarity.knn_graph edges): the signal that picks the
@@ -3187,6 +3259,7 @@ def build_pipeline_registry():
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
         "gopher_stream": q_gopher_stream,
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
+        "stream_ivm_running_totals": q_stream_ivm_running_totals,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -3276,6 +3349,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),
         "stream_snapshot_ingest": sql_stream_snapshot_ingest(),
+        "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /

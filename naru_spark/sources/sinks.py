@@ -230,19 +230,23 @@ def file_skip_fraction(
     return matching, len(files)
 
 
-def write_snapshot(df: DataFrame, path: str) -> int:
-    """Append-only SNAPSHOT write (Iceberg/Delta-lite time travel): each
-    call lands its data files under ``path/data/v{N}/`` and commits a
-    manifest ``path/_manifests/v{N}.json`` listing every data directory
-    visible at version N (the previous manifest's list plus the new dir).
-    Readers NEVER list the data tree — they read one manifest and open
-    exactly the files it names, which is what makes concurrent appends
-    and time travel safe on an object store (no rename, no eventual-
-    consistency window; the manifest commit is the atomic point).
-    Returns the new version number."""
+def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+    """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
+    its data files under ``path/data/v{N}/`` and commits a manifest
+    ``path/_manifests/v{N}.json`` listing every data directory visible at
+    version N — the previous manifest's list plus the new dir
+    (``mode="append"``), or ONLY the new dir (``mode="replace"`` — a full
+    rewrite of the logical table, e.g. a maintained materialized view;
+    earlier versions stay time-travelable because their manifests and
+    data dirs are immutable either way). Readers NEVER list the data
+    tree — they read one manifest and open exactly the files it names,
+    which is what makes concurrent commits and time travel safe on an
+    object store (no rename, no eventual-consistency window; the
+    manifest commit is the atomic point). Returns the new version."""
     import json
     import os
 
+    assert mode in ("append", "replace"), mode
     man_dir = os.path.join(path, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
     versions = sorted(
@@ -250,7 +254,7 @@ def write_snapshot(df: DataFrame, path: str) -> int:
         if f.startswith("v") and f.endswith(".json")
     )
     prev = []
-    if versions:
+    if versions and mode == "append":
         with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
             prev = json.load(fh)["dirs"]
     n = (versions[-1] + 1) if versions else 1

@@ -201,3 +201,18 @@ def test_snapshot_time_travel_isolation(spark, tmp_path):
     assert sorted(os.listdir(man_dir)) == ["v1.json", "v2.json"]  # no .tmp
     m2 = json.load(open(os.path.join(man_dir, "v2.json")))
     assert len(m2["dirs"]) == 2 and m2["version"] == 2
+
+
+def test_snapshot_replace_mode_time_travel(spark, tmp_path):
+    """replace-mode commits: latest sees ONLY the new rewrite, while the
+    earlier append chain stays time-travelable."""
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(5, 8).withColumnRenamed("id", "k"), path)
+    write_snapshot(
+        spark.range(100, 102).withColumnRenamed("id", "k"), path, mode="replace"
+    )
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [100, 101]
+    assert sorted(r["k"] for r in read_snapshot(spark, path, version=2).collect()) == list(range(8))
