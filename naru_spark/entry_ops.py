@@ -710,6 +710,60 @@ ORDER BY source
 """
 
 
+def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta-style MERGE workflow: base table committed as
+    snapshot v1, the CDC changeset applied via operators.merge.merge_into
+    against the v1 READ, and the merged state committed as a REPLACE
+    snapshot v2 — readers atomically flip from pre- to post-merge, and
+    v1 stays byte-identical for time travel (asserted inline). Exactly
+    merge_into_cdc's changeset and aggregate, so this entry SHARES its
+    oracle — the snapshot plumbing must never change answers."""
+    from naru_spark.operators.merge import merge_into
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    n_docs = docs.count()
+    path = _tmpdir(prefix="docs_snapmerge_") + "/docs"
+    assert write_snapshot(docs, path) == 1
+
+    base = read_snapshot(spark, path, version=1)
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]
+    deletes = base.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "source", "lang", "n_chars", F.lit("D").alias("op")
+    )
+    updates = (
+        base.filter((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .select("doc_id", "source", "lang", "n_chars", F.lit("U").alias("op"))
+    )
+    inserts = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(int(max_id) + 1)).alias("doc_id"),
+        F.lit("src_new").alias("source"),
+        "lang",
+        "n_chars",
+        F.lit("U").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = merge_into(base, changes, key="doc_id")
+    assert write_snapshot(merged, path, mode="replace") == 2
+    # time travel: the pre-merge version is still intact after the commit
+    assert read_snapshot(spark, path, version=1).count() == n_docs
+
+    return (
+        read_snapshot(spark, path)  # latest = post-merge
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution (sources.sinks.read_merged_schema): an early batch
     written WITHOUT n_chars, a later batch with it, both appended into one
@@ -1161,6 +1215,7 @@ def build_ops_registry():
         "zorder_data_skipping": q_zorder_data_skipping,
         "merge_into_cdc": q_merge_into_cdc,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_stream": q_dedup_stream,
@@ -1197,6 +1252,7 @@ def build_ops_registry():
         "zorder_data_skipping": sql_zorder_data_skipping(),
         "merge_into_cdc": sql_merge_into_cdc(),
         "snapshot_time_travel": sql_snapshot_time_travel(),
+        "snapshot_merge_upsert": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),
         "dedup_stream": sql_dedup_stream(),

@@ -284,3 +284,36 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         dirs = json.load(fh)["dirs"]
     return spark.read.parquet(*dirs)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
+    but the last ``keep_last`` manifests, then delete every data
+    directory no kept manifest references. Time travel shrinks to the
+    kept window; the CURRENT version is never touchable (keep_last >= 1
+    enforced). Returns the deleted data dirs (for audit logs)."""
+    import json
+    import os
+    import shutil
+
+    assert keep_last >= 1, "the current version must always survive"
+    man_dir = os.path.join(path, "_manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            referenced.update(json.load(fh)["dirs"])
+    deleted = []
+    data_root = os.path.join(path, "data")
+    for d in sorted(os.listdir(data_root)):
+        full = os.path.join(data_root, d)
+        if full not in referenced:
+            shutil.rmtree(full)
+            deleted.append(full)
+    for v in drop:
+        os.remove(os.path.join(man_dir, f"v{v}.json"))
+    return deleted

@@ -216,3 +216,37 @@ def test_snapshot_replace_mode_time_travel(spark, tmp_path):
     )
     assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [100, 101]
     assert sorted(r["k"] for r in read_snapshot(spark, path, version=2).collect()) == list(range(8))
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """expire_snapshots keeps the last N manifests and deletes every data
+    dir no kept manifest references — current version always readable,
+    expired versions gone, referenced-by-kept dirs preserved."""
+    import os
+
+    import pytest as _pytest
+
+    from naru_spark.sources.sinks import expire_snapshots, read_snapshot, write_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path)       # v1
+    write_snapshot(spark.range(5, 8).withColumnRenamed("id", "k"), path)       # v2 (refs v1 dir too)
+    write_snapshot(spark.range(100, 102).withColumnRenamed("id", "k"), path,   # v3 replace
+                   mode="replace")
+    deleted = expire_snapshots(path, keep_last=1)
+    # v3 references only its own dir; v1/v2 dirs are unreferenced -> gone
+    assert len(deleted) == 2
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [100, 101]
+    assert os.listdir(os.path.join(path, "_manifests")) == ["v3.json"]
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=2)
+    # keep_last=0 would delete the current version: refused
+    with _pytest.raises(AssertionError):
+        expire_snapshots(path, keep_last=0)
+
+    # append-chain retention: kept manifests protect the dirs they reference
+    p2 = str(tmp_path / "t2")
+    write_snapshot(spark.range(0, 3).withColumnRenamed("id", "k"), p2)   # v1
+    write_snapshot(spark.range(3, 6).withColumnRenamed("id", "k"), p2)   # v2 refs v1+v2 dirs
+    assert expire_snapshots(p2, keep_last=1) == []  # v2's manifest refs BOTH dirs
+    assert sorted(r["k"] for r in read_snapshot(spark, p2).collect()) == list(range(6))
