@@ -77,15 +77,7 @@ def bm25_topk(
     n_docs, avgdl = int(row["n"]), float(row["sdl"]) / int(row["n"])
 
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    q_terms = [
-        (int(qid), t)
-        for qid, qs in queries
-        for t in dict.fromkeys(qs.split())  # dedupe, keep order
-        if t
-    ]
-    q_df = spark.createDataFrame(q_terms, "query_id int, term string")
-
+    q_df = _query_terms_df(spark, queries)
     return _score_topk(tf, q_df, df_t, dl, n_docs, avgdl, k, k1, b)
 
 
