@@ -166,21 +166,28 @@ def zorder_write(
         )
         return F.least(F.floor(scaled).cast("int"), F.lit(n_buckets - 1))
 
+    # materialize each bucket once (a Python-side loop would otherwise
+    # embed the quantization expression 2*bits times per column)
+    staged = df
+    for c in cols:
+        staged = staged.withColumn(f"__b_{c}", bucket(c))
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
             # bit i of column j lands at position i*len(cols)+j
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(bucket(c), i).bitwiseAND(F.lit(1)).cast("long"),
+                    F.shiftright(F.col(f"__b_{c}"), i)
+                    .bitwiseAND(F.lit(1))
+                    .cast("long"),
                     i * len(cols) + j,
                 )
             )
     (
-        df.withColumn("__z", z)
+        staged.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", *[f"__b_{c}" for c in cols])
         .write.mode(mode)
         .parquet(path)
     )
