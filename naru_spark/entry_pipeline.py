@@ -332,6 +332,48 @@ GROUP BY doc_id
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail selection (pipeline.text.perplexity_buckets):
+    per-language terciles of unigram-LM bits/token — boundaries from ONE
+    exact-percentile aggregate per language + a broadcast CASE (never a
+    per-language global sort). Full per-doc oracle: DuckDB replays the LM
+    score and the quantile_cont boundaries and must assign every document
+    to the same bucket."""
+    from naru_spark.pipeline.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+def sql_perplexity_buckets() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab),
+scored AS (
+  SELECT doc_id, ROUND(AVG(-LOG2((cnt + 0.5) / (n + 0.5 * v))), 4) AS bits_per_token
+  FROM toks JOIN vocab USING (token), tot
+  GROUP BY doc_id
+),
+s AS (
+  SELECT d.doc_id, d.lang, sc.bits_per_token
+  FROM documents d JOIN scored sc ON sc.doc_id = d.doc_id
+),
+bounds AS (
+  SELECT lang, quantile_cont(bits_per_token, {1/3!r}) AS b1,
+         quantile_cont(bits_per_token, {2/3!r}) AS b2
+  FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.bits_per_token,
+       CASE WHEN s.bits_per_token <= b.b1 THEN 'head'
+            WHEN s.bits_per_token <= b.b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN bounds b ON b.lang = s.lang
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.pipeline.text import with_fingerprint
 
@@ -3191,6 +3233,7 @@ def build_pipeline_registry():
         "bm25_topk": q_bm25_topk,
         "bm25_topk_index": q_bm25_topk_index,
         "doc_lm_score": q_doc_lm_score,
+        "perplexity_buckets": q_perplexity_buckets,
         "source_mix": q_source_mix,
         "embedding_norms": q_embedding_norms,
         "embedding_random_projection": q_embedding_random_projection,
@@ -3275,6 +3318,7 @@ def build_pipeline_registry():
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_index": sql_bm25_topk(),
         "doc_lm_score": sql_doc_lm_score(),
+        "perplexity_buckets": sql_perplexity_buckets(),
         "source_mix": sql_source_mix(),
         "embedding_norms": sql_embedding_norms(),
         "embedding_random_projection": sql_embedding_random_projection(),

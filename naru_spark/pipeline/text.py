@@ -380,3 +380,43 @@ def vocab_coverage(
         (n_tok - n_in).alias("n_oov"),
         F.when(n_tok > 0, F.round((n_tok - n_in) / n_tok, 6)).otherwise(F.lit(0.0)).alias("oov_rate"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: per LANGUAGE, split documents
+    into head / middle / tail thirds by their unigram-LM bits/token
+    (doc_lm_score) — the selection CCNet feeds to training (head =
+    most-typical text; tail = rare-token soup, usually dropped or
+    down-weighted).
+
+    Scale shape: the naive NTILE window would globally sort every
+    language partition; instead the tercile BOUNDARIES come from ONE
+    exact-percentile aggregate per language (SQL PERCENTILE_CONT
+    semantics — the engine-parity-pinned p*(n-1) interpolation) and
+    assignment is a broadcast-join CASE — no per-language global sort
+    anywhere. Boundaries compare against the ROUNDED score both engines
+    share, so bucket assignment is engine-exact."""
+    scored = doc_lm_score(df, id_col=id_col, text_col=text_col)
+    docs = df.select(id_col, F.col(lang_col).alias("lang"))
+    s = scored.join(docs, id_col)
+    bounds = s.groupBy("lang").agg(
+        F.expr(f"percentile(bits_per_token, {1/3!r})").alias("__b1"),
+        F.expr(f"percentile(bits_per_token, {2/3!r})").alias("__b2"),
+    )
+    return (
+        s.join(F.broadcast(bounds), "lang")
+        .select(
+            id_col,
+            "lang",
+            "bits_per_token",
+            F.when(F.col("bits_per_token") <= F.col("__b1"), F.lit("head"))
+            .when(F.col("bits_per_token") <= F.col("__b2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

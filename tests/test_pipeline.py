@@ -1502,3 +1502,22 @@ def test_contrastive_triplets_bands(spark, emb):
         assert r["pos_id"] != r["query_id"]  # rank 1 (self) excluded
         assert r["neg_id"] != r["pos_id"]
         assert 1 <= r["rank"] - 1 <= 3 or 2 <= r["rank"] <= 4
+
+
+def test_perplexity_buckets_properties(spark, docs):
+    """CCNet bucketing: per language, the three buckets are within one
+    doc of a true tercile split, and every head score <= every tail
+    score (the selection invariant CCNet relies on)."""
+    from naru_spark.pipeline.text import perplexity_buckets
+
+    pdf = perplexity_buckets(docs).toPandas()
+    for lang, g in pdf.groupby("lang"):
+        sizes = g["bucket"].value_counts()
+        assert set(sizes.index) <= {"head", "middle", "tail"}
+        # boundaries are percentiles; tied (rounded) scores all fall to
+        # the earlier bucket, so sizes are terciles up to the tie mass
+        n = len(g)
+        for b in ("head", "middle", "tail"):
+            assert abs(sizes.get(b, 0) - n / 3) <= max(3, 0.15 * n), (lang, dict(sizes))
+        assert g.loc[g.bucket == "head", "bits_per_token"].max() <= \
+               g.loc[g.bucket == "tail", "bits_per_token"].min()
