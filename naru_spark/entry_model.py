@@ -347,6 +347,71 @@ def q_fit_distributed_transformer_report(spark: SparkSession, sf_dir: str) -> Da
     return spark.createDataFrame(rows, "fit_path string, median_qerr double, max_qerr double")
 
 
+def q_model_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data-shift experiment (its ``limit_first_n``
+    machinery exists for exactly this, and its DMV benchmark orders by
+    registration date): fit one model on the FIRST HALF of lineitem in
+    the stable (l_shipdate, l_orderkey, l_linenumber) order — the 'model
+    trained before the cutoff date', inducing REAL covariate shift since
+    l_shipdate is a model column whose later values the stale model has
+    never seen — and one on the full table, then score BOTH against
+    exact truths on the full table. The stale model's estimates are
+    size-corrected by n_full/n_half (the standard staleness correction),
+    so its residual error is pure DISTRIBUTION drift, not row count.
+    Rows-only (stochastic); bounds in tests/test_model.py."""
+    import numpy as np
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+
+    from pyspark.sql import functions as F
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"]
+    full_c = load_table(spark, "lineitem", sf_dir, cols).cache()
+    n_full = full_c.count()
+    # pre-cutoff half via the MEDIAN ship date — a pushed-down filter scan,
+    # no global sort (orderBy+limit would sort the whole table just to
+    # take a prefix)
+    cutoff = full_c.agg(
+        F.expr("percentile(cast(l_shipdate as long), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    half = full_c.filter(F.col("l_shipdate").cast("long") < F.lit(cutoff)).cache()
+
+    def fit_on(df):
+        enc = DictionaryEncoder(cols).fit(df)
+        meta = enc.table_meta(df, "lineitem")
+        est = NaruEstimator(
+            cols, hidden=32, blocks=2, epochs=2, lr=7e-3, seed=0,
+            sample_rows=30_000,  # the drift story needs the DOMAIN gap,
+            # not a big sample — bounds the two fits at larger SFs
+        )
+        return est.fit(df, meta, enc), meta
+
+    stale, meta_half = fit_on(half)
+    fresh, meta_full = fit_on(full_c)
+    assert 0.3 * n_full <= meta_half.cardinality <= 0.7 * n_full
+    wl = generate_workload(sf_dir, meta_full, "lineitem", 10, seed=77)
+    truths = Oracle(full_c).query_batch(wl)
+    scale = n_full / max(meta_half.cardinality, 1)
+
+    rows = []
+    for name, model, corr in (("fresh_full", fresh, 1.0), ("stale_half", stale, scale)):
+        ps = ProgressiveSampling(model, num_samples=256, seed=7)
+        errs = [
+            q_error(max(ps.query(q) * corr, 1.0), t)
+            for q, t in zip(wl, truths)
+            if t > 0
+        ]
+        rows.append((name, float(np.median(errs)), float(np.max(errs))))
+    half.unpersist()
+    full_c.unpersist()
+    return spark.createDataFrame(rows, "model string, median_qerr double, max_qerr double")
+
+
 def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-time multi-order NLL ensemble metric (reference
     train_model.py:208-228): per-order NLL and the logsumexp ensemble NLL
@@ -698,5 +763,6 @@ def build_model_registry():
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
         "fit_distributed_transformer_report": q_fit_distributed_transformer_report,
+        "model_drift_report": q_model_drift_report,
         "multiorder_nll": q_multiorder_nll,
     }, {}

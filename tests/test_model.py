@@ -1421,3 +1421,18 @@ def test_psample_events_second_table(spark):
     assert len(errs) >= 5
     assert float(np.median(errs)) < 3.0, errs
     assert max(errs) < 100.0, errs
+
+
+def test_model_drift_report_shows_covariate_shift(spark):
+    """Data-shift experiment: a model fit on the pre-cutoff (shipdate-
+    ordered) half, size-corrected, must degrade RELATIVE to the fresh
+    full-table fit — the stale model has never seen post-cutoff shipdate
+    values — while the fresh model stays calibrated."""
+    from naru_spark.entry_model import q_model_drift_report
+    from tests.conftest import SF_T2
+
+    rows = {r["model"]: r for r in q_model_drift_report(spark, SF_T2).collect()}
+    fresh, stale = rows["fresh_full"], rows["stale_half"]
+    assert fresh["median_qerr"] <= 3.0
+    assert stale["median_qerr"] >= fresh["median_qerr"]
+    assert stale["max_qerr"] > fresh["max_qerr"]  # the post-cutoff tail
