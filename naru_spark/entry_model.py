@@ -412,6 +412,55 @@ def q_model_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "model string, median_qerr double, max_qerr double")
 
 
+def q_model_refresh_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production model-refresh path measured end to end
+    (domain-stable: ONE encoder fit on the full table serves every
+    model, so weight shapes match and ``fit(warm_start=...)`` can
+    install yesterday's weights): a stale model trained on the
+    pre-cutoff half is REFRESHED with a single warm-started epoch over
+    current data and compared against (a) itself un-refreshed and (b) a
+    cold 1-epoch fit with the same budget. Warm start begins near
+    yesterday's solution, so the refresh recovers fresh-model accuracy
+    at a fraction of the from-scratch cost. Rows-only (stochastic);
+    relative bounds in tests/test_model.py."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"]
+    full = load_table(spark, "lineitem", sf_dir, cols).cache()
+    enc = DictionaryEncoder(cols).fit(full)
+    meta = enc.table_meta(full, "lineitem")
+    cutoff = full.agg(
+        F.expr("percentile(cast(l_shipdate as long), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    half = full.filter(F.col("l_shipdate").cast("long") < F.lit(cutoff))
+
+    kw = dict(hidden=32, blocks=2, lr=7e-3, seed=0, sample_rows=30_000)
+    stale = NaruEstimator(cols, epochs=2, **kw).fit(half, meta, enc)
+    warm = NaruEstimator(cols, epochs=1, **kw).fit(full, meta, enc, warm_start=stale)
+    cold1 = NaruEstimator(cols, epochs=1, **kw).fit(full, meta, enc)
+
+    wl = generate_workload(sf_dir, meta, "lineitem", 10, seed=77)
+    truths = Oracle(full).query_batch(wl)
+    rows = []
+    for name, model in (("stale", stale), ("warm_refresh_1ep", warm), ("cold_1ep", cold1)):
+        ps = ProgressiveSampling(model, num_samples=256, seed=7)
+        errs = [
+            q_error(max(ps.query(q), 1.0), t) for q, t in zip(wl, truths) if t > 0
+        ]
+        rows.append((name, float(np.median(errs)), float(np.max(errs))))
+    full.unpersist()
+    return spark.createDataFrame(rows, "model string, median_qerr double, max_qerr double")
+
+
 def q_multiorder_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-time multi-order NLL ensemble metric (reference
     train_model.py:208-228): per-order NLL and the logsumexp ensemble NLL
@@ -764,5 +813,6 @@ def build_model_registry():
         "fit_distributed_report": q_fit_distributed_report,
         "fit_distributed_transformer_report": q_fit_distributed_transformer_report,
         "model_drift_report": q_model_drift_report,
+        "model_refresh_report": q_model_refresh_report,
         "multiorder_nll": q_multiorder_nll,
     }, {}

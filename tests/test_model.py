@@ -1436,3 +1436,18 @@ def test_model_drift_report_shows_covariate_shift(spark):
     assert fresh["median_qerr"] <= 3.0
     assert stale["median_qerr"] >= fresh["median_qerr"]
     assert stale["max_qerr"] > fresh["max_qerr"]  # the post-cutoff tail
+
+
+def test_model_refresh_warm_start_cures_drift(spark):
+    """Warm-started refresh: one epoch over current data starting from the
+    stale model's weights must cure the drift tail (median and max both
+    collapse toward the fresh fit) and land within 1.5x of a cold fit
+    with the identical budget."""
+    from naru_spark.entry_model import q_model_refresh_report
+    from tests.conftest import SF_T2
+
+    rows = {r["model"]: r for r in q_model_refresh_report(spark, SF_T2).collect()}
+    stale, warm, cold = rows["stale"], rows["warm_refresh_1ep"], rows["cold_1ep"]
+    assert warm["median_qerr"] <= stale["median_qerr"]
+    assert warm["max_qerr"] < stale["max_qerr"] / 2  # the drift tail is cured
+    assert warm["median_qerr"] <= cold["median_qerr"] * 1.5
