@@ -32,6 +32,7 @@ def warm_model_cache(spark: SparkSession, sf_dir: str) -> float:
     try:
         _fitted_join(spark, sf_dir)
         _fitted_fanout(spark, sf_dir)
+        _fitted_star3(spark, sf_dir)
     except FileNotFoundError:
         # partial datasets (e.g. the sf1 scaling slice) may lack the
         # orders/customer tables — warming is best-effort, never fatal
@@ -712,6 +713,55 @@ def q_psample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fitted_star3(spark: SparkSession, sf_dir: str):
+    """ResMADE over the 3-way star join lineitem x orders x customer —
+    the full-schema NeuroCard shape one step up from _fitted_join: the
+    l->o->c chain is fanout-free from the lineitem side (one order per
+    line, one customer per order), so the joint distribution over all
+    six mixed-table columns trains with no reweighting. Two key joins
+    paid ONCE at fit time on a bounded sample; every 3-table conjunction
+    answers in milliseconds after."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.entry_queries import STAR3_COLS, star3_view
+    from naru_spark.model.train import NaruEstimator
+
+    key = (sf_dir, "star3")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    df = star3_view(spark, sf_dir).cache()
+    enc = DictionaryEncoder(STAR3_COLS).fit(df)
+    meta = enc.table_meta(df, "li_orders_cust")
+    model = NaruEstimator(
+        STAR3_COLS, hidden=48, blocks=2, max_model_domain=256, epochs=2,
+        batch_size=2048, lr=7e-3, sample_rows=60_000, seed=0,
+    ).fit(df, meta, enc)
+    _MODEL_CACHE[key] = (df, enc, meta, model)
+    return _MODEL_CACHE[key]
+
+
+def q_psample_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProgressiveSampling over the 3-table star model on the mixed
+    lineitem/orders/customer workload: per-query (est, true, q_err).
+    Rows-only (stochastic); q-error gated in tests/test_model.py, exact
+    counts hash-gated by workload_oracle_star3."""
+    from naru_spark.entry_queries import star3_workload
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+
+    df, enc, meta, model = _fitted_star3(spark, sf_dir)
+    wl = list(star3_workload())
+    truths = Oracle(df).query_batch(wl)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+    ests = [float(ps.query(q)) for q in wl]
+    rows = [
+        (i, float(e), int(t), float(q_error(max(e, 1.0), t)) if t > 0 else None)
+        for i, (e, t) in enumerate(zip(ests, truths))
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, est_card double, true_card bigint, q_err double"
+    )
+
+
 FANOUT_COLS = ["c_mktsegment", "c_nationkey", "o_orderpriority", "o_orderstatus", "fanout"]
 
 
@@ -809,6 +859,7 @@ def build_model_registry():
         "psample_fanout": q_psample_fanout,
         "estimator_report_disjunctive": q_estimator_report_disjunctive,
         "psample_distributed": q_psample_distributed,
+        "psample_star3": q_psample_star3,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
         "fit_distributed_transformer_report": q_fit_distributed_transformer_report,

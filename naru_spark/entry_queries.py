@@ -119,6 +119,72 @@ def join_workload() -> tuple[Query, ...]:
     )
 
 
+STAR3_COLS = [
+    "l_returnflag", "l_quantity",
+    "o_orderpriority", "o_orderstatus",
+    "c_mktsegment", "c_nationkey",
+]
+
+
+@lru_cache(maxsize=1)
+def _star3_pdf_meta():
+    """The 3-way star frame (lineitem x orders x customer), materialized
+    engine-independently for workload generation. The l->o->c chain is
+    FANOUT-FREE from the lineitem side (each line has exactly one order,
+    each order one customer), so the joint distribution needs no fanout
+    reweighting — the full-schema NeuroCard regime's simplest case."""
+    from naru_spark.workload import pdf_table_meta
+
+    li = load_table_pandas(
+        WORKLOAD_SF, "lineitem",
+        ["l_orderkey"] + [c for c in STAR3_COLS if c.startswith("l_")],
+    )
+    orders = load_table_pandas(
+        WORKLOAD_SF, "orders",
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+    cust = load_table_pandas(
+        WORKLOAD_SF, "customer", ["c_custkey", "c_mktsegment", "c_nationkey"]
+    )
+    joined = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")[STAR3_COLS]
+    )
+    return joined, pdf_table_meta(joined, "li_orders_cust")
+
+
+@lru_cache(maxsize=1)
+def star3_workload() -> tuple[Query, ...]:
+    from naru_spark.workload import generate_workload_from_pdf
+
+    joined, meta = _star3_pdf_meta()
+    return tuple(
+        generate_workload_from_pdf(
+            joined, meta, "li_orders_cust", WORKLOAD_N, seed=WORKLOAD_SEED + 3
+        )
+    )
+
+
+def star3_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the 3-way star 'table': two key joins projected to
+    STAR3_COLS — paid ONCE at fit time; the model then answers every
+    3-table conjunction without re-joining."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", *[c for c in STAR3_COLS if c.startswith("l_")]
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(*STAR3_COLS)
+    )
+
+
 def join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark side of the joined 'table': one key join, projected to
     JOIN_COLS. At scale this is the fact-fact shuffle the estimator
@@ -172,6 +238,29 @@ def sql_workload_oracle_join() -> str:
         f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem "
         f"JOIN orders ON l_orderkey = o_orderkey WHERE {sql_predicate(q)}) AS card"
         for i, q in enumerate(join_workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_workload_oracle_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact counts for the 3-TABLE star workload (conjunctions over
+    lineitem x orders x customer columns): one conditional-aggregation
+    scan over the two-key-join view. Full DuckDB oracle — the exact-count
+    twin that hash-gates the psample_star3 model surface."""
+    from naru_spark.estimators import Oracle
+
+    cards = Oracle(star3_view(spark, sf_dir)).query_batch(list(star3_workload()))
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle_star3() -> str:
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem "
+        f"JOIN orders ON l_orderkey = o_orderkey "
+        f"JOIN customer ON o_custkey = c_custkey WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(star3_workload())
     ]
     return " UNION ALL ".join(parts)
 
@@ -1943,6 +2032,7 @@ def build_registry():
         "workload_oracle_counts": q_workload_oracle,
         "workload_oracle_disjunctive": q_workload_oracle_disjunctive,
         "workload_oracle_join": q_workload_oracle_join,
+        "workload_oracle_star3": q_workload_oracle_star3,
         "heuristic_estimates": q_heuristic,
         "region_size": q_region_size,
         "encode_returnflag": _q_encode("l_returnflag"),
@@ -1987,6 +2077,7 @@ def build_registry():
         "workload_oracle_counts": sql_workload_oracle(),
         "workload_oracle_disjunctive": sql_workload_oracle_disjunctive(),
         "workload_oracle_join": sql_workload_oracle_join(),
+        "workload_oracle_star3": sql_workload_oracle_star3(),
         "heuristic_estimates": sql_heuristic(),
         "region_size": sql_region_size(),
         "encode_returnflag": _sql_encode("l_returnflag"),

@@ -1451,3 +1451,19 @@ def test_model_refresh_warm_start_cures_drift(spark):
     assert warm["median_qerr"] <= stale["median_qerr"]
     assert warm["max_qerr"] < stale["max_qerr"] / 2  # the drift tail is cured
     assert warm["median_qerr"] <= cold["median_qerr"] * 1.5
+
+
+def test_psample_star3_calibrated(spark):
+    """The 3-table star model (lineitem x orders x customer, fanout-free
+    chain) must drive ProgressiveSampling to calibrated estimates on the
+    mixed-table workload."""
+    import numpy as np
+
+    from naru_spark.entry_model import q_psample_star3
+    from tests.conftest import SF_T2
+
+    rows = q_psample_star3(spark, SF_T2).collect()
+    errs = [r["q_err"] for r in rows if r["q_err"] is not None]
+    assert len(errs) >= 20
+    assert np.median(errs) <= 2.0, np.median(errs)
+    assert all(np.isfinite(e) for e in errs)
