@@ -40,6 +40,9 @@ ENTRIES = [
     # round-6 newcomers with corpus-shaped cost curves
     "bm25_topk",
     "zorder_data_skipping",
+    # 3-table star model: the two-key join + bounded-sample fit must stay
+    # sub-linear (the join is the data-bound part; the fit is capped)
+    "psample_star3",
 ]
 
 
