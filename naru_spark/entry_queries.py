@@ -879,22 +879,28 @@ LIMIT 20
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
     year — lineitem x orders shuffle on the key; supplier/customer are
-    PRE-FILTERED to the two nations via a broadcast nation dim and then
-    broadcast themselves (the nation filter makes both sides tiny no matter
-    the corpus scale, so this plan survives 100 TB where broadcasting raw
-    customer would not)."""
+    PRE-FILTERED to the two nations via a broadcast nation dim (nation is
+    a FIXED 25-row table, always broadcastable). The filtered supplier and
+    customer sides are sf-SCALED (2/25 of each table grows linearly with
+    the corpus), so their strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side): broadcast at test SFs, sort-merge once
+    the post-filter estimate crosses the threshold at 100x."""
+    from naru_spark.plans.joinplan import advised_side
+
     pair = ["NATION_1", "NATION_2"]
     nation = _load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
-    supp = (
+    supp_raw = (
         _load(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    cust = (
+    cust_raw = (
         _load(spark, sf_dir, "customer")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
+    cust, _cust_decision = advised_side(cust_raw, cust_raw.count(), "customer")
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -902,8 +908,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(_decimal_revenue().alias("revenue"), F.count("*").alias("n_lineitems"))
@@ -975,8 +981,14 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share for one month. Both sums
     accumulate exactly in decimal(18,4); the percentage is ONE double
     division of the two exact sums (engine-reproducible — a running double
-    ratio would not be)."""
-    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ratio would not be). The join side is the FULL part table (sf x 200k
+    rows, no filter), so its strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side): broadcast at test SFs, sort-merge once
+    the estimate crosses the threshold at 100x."""
+    from naru_spark.plans.joinplan import advised_side
+
+    part_raw = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    part, _part_decision = advised_side(part_raw, part_raw.count(), "part")
     li = _load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
@@ -985,7 +997,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
     )
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part_raw.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", dec)).alias("promo_d"),
             F.sum(dec).alias("total_d"),
@@ -1084,17 +1096,22 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic manual rewrite that pushes 90%+ of the pruning into the scans
     (PushedFilters plan-asserted in tests/test_plans.py) while the exact
     OR runs on the few surviving rows. At 100 TB this is the difference
-    between scanning every part/lineitem row and scanning three brands."""
+    between scanning every part/lineitem row and scanning three brands.
+    The brand+size-filtered part slice still grows linearly with sf, so
+    its join strategy is ESTIMATE-DRIVEN (plans.joinplan.advised_side)."""
+    from naru_spark.plans.joinplan import advised_side
+
     brands = [b for b, *_ in _Q19_BRANCHES]
     size_lo = min(s for _, s, _, _, _ in _Q19_BRANCHES)
     size_hi = max(s for _, _, s, _, _ in _Q19_BRANCHES)
     qty_lo = min(q for _, _, _, q, _ in _Q19_BRANCHES)
     qty_hi = max(q for _, _, _, _, q in _Q19_BRANCHES)
-    part = (
+    part_raw = (
         _load(spark, sf_dir, "part")
         .select("p_partkey", "p_brand", "p_size")
         .filter(F.col("p_brand").isin(brands) & F.col("p_size").between(size_lo, size_hi))
     )
+    part, _part_decision = advised_side(part_raw, part_raw.count(), "part")
     li = _load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(qty_lo, qty_hi)
     )
@@ -1107,7 +1124,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cond = branch if cond is None else (cond | branch)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part_raw.p_partkey)
         .filter(cond)
         .agg(_decimal_revenue().alias("revenue"), F.count("*").alias("n_lineitems"))
     )
@@ -1138,26 +1155,27 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery. The average is exact on both engines (integer-exact sum,
     one division), so the 0.2*avg threshold decision is deterministic.
 
-    The avg_qty side has exactly one row per brand-filtered part
-    (~1/25 of the part table — far past broadcast range at 100x scale),
-    so its join strategy is ESTIMATE-DRIVEN (plans.joinplan.advised_side)
-    using the brand-filtered part count as the estimate. When the estimate
-    pins sort-merge, the join is still cheap: avg_qty shares sub's join
-    key, so both sides hash-partition on l_partkey."""
+    Both sf-scaled sides are ESTIMATE-DRIVEN (plans.joinplan.advised_side):
+    the brand-filtered part slice (~1/25 of the table — far past broadcast
+    range at 100x scale) AND the avg_qty side (exactly one row per
+    brand-filtered part) share the same post-filter count as the estimate.
+    When the estimate pins sort-merge, the joins are still cheap: part,
+    sub, and avg_qty all hash-partition on the same l_partkey/p_partkey."""
     from naru_spark.plans.joinplan import advised_side
 
-    part = (
+    part_raw = (
         _load(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#5")
         .select("p_partkey")
     )
     # exact one-row-per-part bound on avg_qty's size; the pushed-down
     # brand filter makes this a cheap metadata-ish scan of one column
-    n_brand_parts = part.count()
+    n_brand_parts = part_raw.count()
+    part, _part_decision = advised_side(part_raw, n_brand_parts, "part")
     li = _load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    sub = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    sub = li.join(part, li.l_partkey == part_raw.p_partkey)
     avg_qty = sub.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     avg_qty, _avg_decision = advised_side(avg_qty, n_brand_parts, "avg_qty")
     return (
@@ -1501,16 +1519,22 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observed lineitem (partkey, suppkey) pairs ARE the supply
     relation. Distinct-pair reduction FIRST (one shuffle that collapses
     the fact table to its |part x supplier| support), then the
-    brand-filtered part dim broadcasts in, then count_distinct per group.
-    Exact counts."""
+    brand-filtered part dim joins in, then count_distinct per group.
+    Exact counts. The brand exclusion keeps ~24/25 of the sf-scaled part
+    table, so the dim's strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side) — near-full part must sort-merge at
+    100x, never broadcast."""
+    from naru_spark.plans.joinplan import advised_side
+
     li = _load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    part = (
+    part_raw = (
         _load(spark, sf_dir, "part")
         .filter(F.col("p_brand") != "Brand#1")
         .select("p_partkey", "p_brand", "p_size")
     )
+    part, _part_decision = advised_side(part_raw, part_raw.count(), "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part_raw.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
@@ -1593,14 +1617,19 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observed DISTINCT lineitem (partkey, suppkey) pairs are the supply
     relation, and s_acctbal stands in for ps_supplycost). Shape is the
     argmin-per-group pattern: the fact collapses to its distinct-pair
-    support FIRST, dims broadcast in (part size-filtered, supplier
-    region-filtered through the nation chain), then a rank-1 window per
-    part with full deterministic tiebreaks. Top-100 by (s_acctbal desc,
-    p_partkey asc) plans as TakeOrderedAndProject."""
+    support FIRST, dims join in (part size-filtered, supplier
+    region-filtered through the nation chain — nation/region are FIXED
+    25/5-row tables, always broadcastable; the filtered part (~1/50) and
+    supplier (~1/5) slices are sf-SCALED, so their strategy is
+    ESTIMATE-DRIVEN via plans.joinplan.advised_side), then a rank-1 window
+    per part with full deterministic tiebreaks. Top-100 by (s_acctbal
+    desc, p_partkey asc) plans as TakeOrderedAndProject."""
     from pyspark.sql import Window
 
+    from naru_spark.plans.joinplan import advised_side
+
     supply = _load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    part = (
+    part_raw = (
         _load(spark, sf_dir, "part")
         .filter(F.col("p_size") == 10)
         .select("p_partkey", "p_brand")
@@ -1609,17 +1638,19 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _load(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     )
-    supp = (
+    supp_raw = (
         _load(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    part, _part_decision = advised_side(part_raw, part_raw.count(), "part")
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
     )
     return (
-        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey)
+        supply.join(part, supply.l_partkey == part_raw.p_partkey)
+        .join(supp, supply.l_suppkey == supp_raw.s_suppkey)
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -1654,20 +1685,26 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed exactly in python Decimal and folded in as a literal — a
     2-row broadcast at any scale, never a per-row subquery. Values round
     to 2 only in the OUTPUT (the filter compares unrounded exact
-    decimals, so the cut is bit-deterministic)."""
+    decimals, so the cut is bit-deterministic). The nation-filtered
+    supplier slice (1/25 of an sf-scaled table) is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side); the 25-row nation dim stays a static
+    broadcast."""
     from decimal import Decimal
 
+    from naru_spark.plans.joinplan import advised_side
+
     nation = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    supp = (
+    supp_raw = (
         _load(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
     li = _load(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
         F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
     )
-    pruned = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    pruned = li.join(supp, li.l_suppkey == supp_raw.s_suppkey)
     total = pruned.agg(F.sum(vol).alias("t")).collect()[0]["t"]  # exact Decimal
     threshold = Decimal(total) * Decimal("0.001")  # exact decimal product
     per_part = pruned.groupBy("l_partkey").agg(F.sum(vol).alias("value_d"))
@@ -1706,18 +1743,24 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(part,supplier) quantity aggregate -> threshold -> supplier
     semi-join) that TPC-H uses to find suppliers with excess stock. Every
     reduction happens BEFORE touching the supplier dim; quantities
-    accumulate in decimal so the >50 cut is exact."""
-    part = (
+    accumulate in decimal so the >50 cut is exact. The name-filtered part
+    slice is still sf-scaled (a fixed fraction of the table grows linearly
+    with the corpus), so its strategy is ESTIMATE-DRIVEN
+    (plans.joinplan.advised_side)."""
+    from naru_spark.plans.joinplan import advised_side
+
+    part_raw = (
         _load(spark, sf_dir, "part")
         .filter(F.col("p_name").contains("widget"))
         .select("p_partkey")
     )
+    part, _part_decision = advised_side(part_raw, part_raw.count(), "part")
     li = _load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part_raw.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_d"))
         .filter(F.col("qty_d") > 50)
@@ -1761,7 +1804,12 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers, keep (n_supp > 1, n_late_supp == 1) orders, then join the
     late lines of those orders back and count per supplier. Self-join
     becomes a per-key aggregate: one shuffle on the order key instead of
-    two correlated scans. Top-20 with deterministic tiebreak."""
+    two correlated scans. Top-20 with deterministic tiebreak. The FULL
+    supplier dim (sf x 10k rows) joins only the tiny per-supplier
+    aggregate, but its own size is sf-scaled, so its strategy is
+    ESTIMATE-DRIVEN (plans.joinplan.advised_side)."""
+    from naru_spark.plans.joinplan import advised_side
+
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -1781,12 +1829,13 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     late_lines = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
-    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    supp_raw = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    supp, _supp_decision = advised_side(supp_raw, supp_raw.count(), "supplier")
     return (
         late_lines.join(sole, "l_orderkey", "left_semi")
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp_raw.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(20)
@@ -2223,6 +2272,27 @@ for _rnd, _names in (
         "value_counts_returnflag", "value_counts_salted",
         "waiting_orders_q21", "workload_oracle_counts",
         "workload_oracle_disjunctive", "workload_oracle_join",
+    )),
+    (6, (
+        "advised_star_join", "bm25_topk", "bm25_topk_index", "bpe_encode",
+        "bpe_learn", "contrastive_triplets", "csv_roundtrip",
+        "data_quality_checks", "data_split", "dedup_canonical",
+        "dedup_incremental", "dedup_minhash_md5", "dedup_simhash_md5",
+        "dedup_stream", "dedup_stream_static", "distinct_counts",
+        "doc_lm_bigram", "dup_span_fraction",
+        "embedding_random_projection", "events_json_props",
+        "hypertable_daily", "jsonl_roundtrip", "knn_graph",
+        "length_buckets", "like_estimates", "local_supplier_volume_q5",
+        "merge_into_cdc", "moving_avg_daily_revenue", "ngram_topk",
+        "orc_roundtrip", "partitioned_sink_roundtrip",
+        "perplexity_buckets", "pii_redact", "quality_stream",
+        "quantiles_quantity", "returned_items_q10", "semantic_dedup",
+        "similarity_topk_ivf_oracle", "similarity_topk_ivfpq_refined",
+        "similarity_topk_lsh_oracle", "snapshot_merge_upsert",
+        "snapshot_time_travel", "stream_ivm_running_totals",
+        "stream_parquet_resume", "stream_snapshot_ingest",
+        "text_normalize", "vocab_coverage", "workload_oracle_limited",
+        "workload_oracle_star3", "zorder_data_skipping",
     )),
 ):
     for _n in _names:

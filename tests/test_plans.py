@@ -640,3 +640,47 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_static_sf_scaled_broadcast_in_entry_queries():
+    """Structural guard (VERDICT r06 item 1): every ``F.broadcast``
+    argument in entry_queries.py must be a bounded-size expression — the
+    fixed 25-row nation / 5-row region dims or a rank-1/scalar derived
+    set. Anything rooted at an sf-SCALED table variable (customer,
+    supplier, part, orders, lineitem scans or their filtered slices) must
+    route through ``plans.joinplan.advised_side`` so broadcast-vs-
+    sort-merge follows the post-filter ESTIMATE, not the author's static
+    guess. A new static broadcast of an sf-scaled side fails this test
+    until its root name is consciously added to the allowlist below."""
+    import ast
+    import inspect
+
+    import naru_spark.entry_queries as eq
+
+    tree = ast.parse(inspect.getsource(eq))
+    # bounded by construction: nation (25 rows), region (5 rows),
+    # max_rev (1-row global max), top (rank-1 supplier set, Q15)
+    allowed_roots = {"nation", "region", "max_rev", "top"}
+
+    def root_name(node):
+        while isinstance(node, (ast.Call, ast.Attribute, ast.Subscript)):
+            node = node.func if isinstance(node, ast.Call) else node.value
+        return node.id if isinstance(node, ast.Name) else None
+
+    offenders = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.args
+        ):
+            root = root_name(node.args[0])
+            if root not in allowed_roots:
+                offenders.append(f"line {node.lineno}: F.broadcast({ast.unparse(node.args[0])})")
+    assert not offenders, (
+        "static F.broadcast of a potentially sf-scaled side — route through "
+        "plans.joinplan.advised_side instead:\n" + "\n".join(offenders)
+    )
