@@ -13,12 +13,15 @@ idf >= 0 even when a term appears in more than half the corpus):
 
 Scale shape (100 TB): ONE term-keyed shuffle builds tf(doc, term); df(term)
 is an aggregate OF that aggregate (map-side combined, reduce side bounded
-by the vocabulary); doc length is row-local; N / sum(dl) are one scalar
-pass. Query scoring joins tf against a BROADCAST term list — only rows
-whose term appears in some query survive, so the scoring join touches the
-posting lists of the query terms, never the whole tf table (the classic
-inverted-index probe, as a broadcast-hash semi pattern). Top-k per query
-is a bounded per-group window.
+by the vocabulary); doc length is row-local and DENORMALIZED onto every
+posting row (the Lucene norms pattern — dl rides with (doc, term, tf)
+through the one shuffle for free, since it is functionally dependent on
+the doc key); N / sum(dl) are one scalar pass. Query scoring joins
+postings against a BROADCAST term list — only rows whose term appears in
+some query survive, so the scoring join touches the posting lists of the
+query terms and NOTHING corpus-sized (no per-probe join against a
+corpus-scale doc-length table). Top-k per query is a bounded per-group
+window.
 
 Determinism: tf/df/dl/N are exact integers; avgdl is ONE double division
 of exact integers; each per-term contribution is rounded to 6 decimals
@@ -58,34 +61,37 @@ def bm25_topk(
     # tf(doc, term) restricted to query terms are identical to their
     # full-corpus values for those terms, so the one shuffle carries only
     # the query terms' postings — the inverted-index probe applied at
-    # BUILD time, not just at join time
+    # BUILD time, not just at join time. dl is row-local and functionally
+    # dependent on doc_id, so grouping by it denormalizes it onto every
+    # posting row for free (Lucene norms pattern — no dl join at scoring)
     terms = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(_TOKENS).alias("term"))
-        .filter(F.length("term") > 0)
-        .filter(F.col("term").isin(q_term_list))
-    )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
+            F.explode(_TOKENS).alias("term"),
         )
+        .filter(F.length("term") > 0)
+        .filter(F.col("term").isin(q_term_list))
     )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     # N and sum(dl): exact integers, one scalar pass; avgdl is ONE double
     # division, reproduced identically by the oracle from the same integers
-    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    row = (
+        docs.select(F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
     n_docs, avgdl = int(row["n"]), float(row["sdl"]) / int(row["n"])
 
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     q_df = _query_terms_df(spark, queries)
-    return _score_topk(tf, q_df, df_t, dl, n_docs, avgdl, k, k1, b)
+    return _score_topk(tf, q_df, df_t, n_docs, avgdl, k, k1, b)
 
 
 def _score_topk(
     tf: DataFrame,
     q_df: DataFrame,
     df_t: DataFrame,
-    dl: DataFrame,
     n_docs: int,
     avgdl: float,
     k: int,
@@ -94,9 +100,10 @@ def _score_topk(
 ) -> DataFrame:
     """Shared BM25 scoring tail (in-memory and from-index paths run the
     SAME expression, which is what lets the index entry share the plain
-    entry's oracle): join postings to the broadcast query-term list and
-    per-term df, attach doc length, round each contribution to 6 decimals,
-    decimal-sum per (query, doc), top-k per query."""
+    entry's oracle): join postings — which carry their doc length
+    denormalized, so nothing corpus-sized joins here — to the broadcast
+    query-term list and per-term df, round each contribution to 6
+    decimals, decimal-sum per (query, doc), top-k per query."""
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -110,7 +117,6 @@ def _score_topk(
     scored = (
         tf.join(F.broadcast(q_df), "term")  # inverted-index probe
         .join(F.broadcast(df_t.join(F.broadcast(q_df.select("term").distinct()), "term")), "term")
-        .join(dl, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("score_d"))
     )
@@ -149,19 +155,26 @@ def bm25_write_index(
 ) -> dict:
     """Persist the BM25 inverted index — build once, serve many (the same
     serving discipline as the IVF/IVF-PQ indexes): posting rows
-    (doc_id, term, tf) written hive-partitioned by ``crc32(term) %
+    (doc_id, term, tf, dl) written hive-partitioned by ``crc32(term) %
     n_buckets``, so a query's probe reads ONLY its terms' partitions
-    (PartitionFilters — plan-asserted in tests); per-term df (vocabulary-
-    bounded) plus doc lengths and the one-row corpus stats land beside it.
-    df here is the FULL-corpus document frequency computed at build time —
-    the index answers any future query without touching the corpus."""
+    (PartitionFilters — plan-asserted in tests). Doc length is
+    DENORMALIZED onto every posting row at build time (the Lucene norms
+    pattern), so the probe never joins a corpus-sized doc-length table;
+    per-term df (vocabulary-bounded) and the one-row corpus stats land
+    beside the postings. df here is the FULL-corpus document frequency
+    computed at build time — the index answers any future query without
+    touching the corpus."""
     import os
 
     terms = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(_TOKENS).alias("term"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
+            F.explode(_TOKENS).alias("term"),
+        )
         .filter(F.length("term") > 0)
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     (
         tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
         .write.mode("overwrite")
@@ -171,14 +184,12 @@ def bm25_write_index(
     tf.groupBy("term").agg(F.count("*").alias("df")).write.mode("overwrite").parquet(
         os.path.join(path, "df")
     )
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
+    (
+        docs.select(F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "stats"))
     )
-    dl.write.mode("overwrite").parquet(os.path.join(path, "dl"))
-    dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "stats"))
     return {"path": path, "n_buckets": n_buckets}
 
 
@@ -194,9 +205,10 @@ def bm25_topk_from_index(
     """Serve BM25 top-k from a persisted index: the probe computes its
     terms' crc32 buckets DRIVER-side (zlib.crc32 == F.crc32 on UTF-8
     bytes) and the postings scan prunes to those partitions — at 100 TB
-    the query touches #query-term buckets of postings, never the corpus.
-    Identical results to ``bm25_topk`` given the same corpus, so the
-    entry shares its oracle."""
+    the query touches #query-term buckets of postings, never the corpus
+    (doc length rides on the posting rows, so no corpus-sized side ever
+    enters the probe plan). Identical results to ``bm25_topk`` given the
+    same corpus, so the entry shares its oracle."""
     import os
     import zlib
 
@@ -210,8 +222,7 @@ def bm25_topk_from_index(
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets))  # partition-pruned read
         .filter(F.col("term").isin(probe_terms))
-        .select("doc_id", "term", "tf")
+        .select("doc_id", "term", "tf", "dl")
     )
     df_t = spark.read.parquet(os.path.join(path, "df"))
-    dl = spark.read.parquet(os.path.join(path, "dl"))
-    return _score_topk(postings, q_df, df_t, dl, n_docs, avgdl, k, k1, b)
+    return _score_topk(postings, q_df, df_t, n_docs, avgdl, k, k1, b)

@@ -1432,8 +1432,17 @@ def test_bm25_index_bucket_hash_and_identity(spark, docs, tmp_path):
     path = str(tmp_path / "idx")
     bm25_write_index(docs, path, n_buckets=8)
     a = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
-    b = sorted(map(tuple, bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8).collect()))
+    idx_df = bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8)
+    b = sorted(map(tuple, idx_df.collect()))
     assert a == b
+
+    # probe plan: postings scan partition-pruned to the query buckets, and
+    # NO corpus-sized side anywhere — dl is denormalized onto the posting
+    # rows (Lucene norms pattern), so the only scans are postings + df
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    assert "/dl" not in plan
 
 
 def test_random_projection_preserves_distances(spark, emb):
