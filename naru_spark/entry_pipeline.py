@@ -2906,9 +2906,13 @@ def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     version atomically, so readers always see either the pre- or
     post-batch table, never a torn write — exactly-once content because
     the FINAL manifest is the union of all batch dirs REGARDLESS of how
-    the stream was split into batches. availableNow drains the documents
-    stream, then the latest snapshot must aggregate identically to the
-    batch table — the entry shares a plain batch oracle."""
+    the stream was split into batches, and each commit carries the
+    micro-batch id as a txn_id so an at-least-once batch REPLAY (retry
+    after a successful write but failed checkpoint commit) is skipped
+    instead of double-appended (Delta txnAppId/txnVersion pattern).
+    availableNow drains the documents stream, then the latest snapshot
+    must aggregate identically to the batch table — the entry shares a
+    plain batch oracle."""
     from naru_spark.sources.sinks import read_snapshot, write_snapshot
     from naru_spark.streaming.events import documents_stream
     from naru_spark.tmp import tmpdir
@@ -2918,7 +2922,7 @@ def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = documents_stream(spark, sf_dir).select("doc_id", "source", "n_chars")
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, bid: write_snapshot(bdf, path)
+            lambda bdf, bid: write_snapshot(bdf, path, txn_id=f"ingest:{bid}")
         )
         .trigger(availableNow=True)
         .option("checkpointLocation", base + "/ckpt")
@@ -2986,8 +2990,11 @@ def q_stream_ivm_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replace-mode commit: the view is a FULL state rewrite per batch
         # (old versions stay time-travelable; their dirs are immutable,
         # so the lazy read of the previous version scans exactly the
-        # files its manifest named — no checkpoint needed)
-        write_snapshot(merged, view, mode="replace")
+        # files its manifest named — no checkpoint needed). txn_id makes
+        # an at-least-once batch replay fold exactly once: a re-fired
+        # batch_id whose commit already landed is a no-op, so the view
+        # never double-counts a delta.
+        write_snapshot(merged, view, mode="replace", txn_id=f"ivm:{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(fold)

@@ -237,21 +237,49 @@ def file_skip_fraction(
     return matching, len(files)
 
 
-def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first — the
+    loser must re-read the latest manifest and retry, never overwrite."""
+
+
+def write_snapshot(
+    df: DataFrame, path: str, mode: str = "append", txn_id: str | None = None
+) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
-    its data files under ``path/data/v{N}/`` and commits a manifest
+    its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
+    (two racing writers never collide on data — only the manifest publish
+    decides the winner, exactly the Iceberg/Delta commit model; a loser's
+    orphan dir is unreferenced and swept by expire_snapshots) and commits
+    a manifest
     ``path/_manifests/v{N}.json`` listing every data directory visible at
     version N — the previous manifest's list plus the new dir
     (``mode="append"``), or ONLY the new dir (``mode="replace"`` — a full
     rewrite of the logical table, e.g. a maintained materialized view;
     earlier versions stay time-travelable because their manifests and
     data dirs are immutable either way). Readers NEVER list the data
-    tree — they read one manifest and open exactly the files it names,
-    which is what makes concurrent commits and time travel safe on an
-    object store (no rename, no eventual-consistency window; the
-    manifest commit is the atomic point). Returns the new version."""
+    tree — they read one manifest and open exactly the files it names.
+
+    Commit protocol: the manifest is written to a hidden temp file and
+    published with a CREATE-EXCLUSIVE hard link — if a concurrent writer
+    already claimed v{N}, the link fails and ``SnapshotConflictError``
+    is raised (the loser re-reads and retries); the winner's manifest is
+    never clobbered. On a real object store the same atomic point is a
+    conditional PUT (If-None-Match) on the manifest key.
+
+    ``txn_id`` (Delta txnAppId/txnVersion pattern): an idempotence token
+    recorded in the manifest's cumulative ``txns`` map. Re-committing a
+    txn_id that a manifest already records is a NO-OP returning the
+    original version — this is what makes ``foreachBatch`` ingest
+    exactly-once-by-content under Structured Streaming's at-least-once
+    batch replay (a retried batch whose write succeeded but whose
+    checkpoint commit did not is skipped, not double-appended).
+
+    Returns the committed (or previously-committed, for a replayed
+    txn_id) version."""
     import json
     import os
+    import shutil
+    import uuid
 
     assert mode in ("append", "replace"), mode
     man_dir = os.path.join(path, "_manifests")
@@ -260,18 +288,35 @@ def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
         int(f[1:-5]) for f in os.listdir(man_dir)
         if f.startswith("v") and f.endswith(".json")
     )
-    prev = []
-    if versions and mode == "append":
+    prev, txns = [], {}
+    if versions:
         with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
-            prev = json.load(fh)["dirs"]
+            latest = json.load(fh)
+        txns = dict(latest.get("txns", {}))
+        if mode == "append":
+            prev = latest["dirs"]
+    if txn_id is not None and txn_id in txns:
+        return int(txns[txn_id])  # replayed batch: already committed
     n = (versions[-1] + 1) if versions else 1
-    data_dir = os.path.join(path, "data", f"v{n}")
+    data_dir = os.path.join(path, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
-    manifest = {"version": n, "dirs": prev + [data_dir]}
-    tmp = os.path.join(man_dir, f".v{n}.json.tmp")
+    if txn_id is not None:
+        txns[txn_id] = n
+    manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns}
+    tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(man_dir, f"v{n}.json"))  # atomic commit
+    final = os.path.join(man_dir, f"v{n}.json")
+    try:
+        os.link(tmp, final)  # create-exclusive publish: racer loses loudly
+    except FileExistsError:
+        os.remove(tmp)
+        shutil.rmtree(data_dir)  # loser's orphan data: ours, safe to drop
+        raise SnapshotConflictError(
+            f"version {n} at {path} was committed concurrently; "
+            "re-read the latest manifest and retry"
+        )
+    os.remove(tmp)
     return n
 
 

@@ -250,3 +250,59 @@ def test_expire_snapshots_retention(spark, tmp_path):
     write_snapshot(spark.range(3, 6).withColumnRenamed("id", "k"), p2)   # v2 refs v1+v2 dirs
     assert expire_snapshots(p2, keep_last=1) == []  # v2's manifest refs BOTH dirs
     assert sorted(r["k"] for r in read_snapshot(spark, p2).collect()) == list(range(6))
+
+
+def test_snapshot_concurrent_commit_raises_history_intact(spark, tmp_path):
+    """Two writers claiming the same version: the loser's manifest publish
+    must fail loudly (create-exclusive link -> SnapshotConflictError),
+    never silently last-win — and the winner's history stays readable.
+    The race window is simulated by giving the loser a STALE manifest
+    listing (it does not see the winner's just-committed version)."""
+    import os
+    import unittest.mock as mock
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        SnapshotConflictError,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path)  # v1
+    write_snapshot(spark.range(5, 8).withColumnRenamed("id", "k"), path)  # v2: winner
+
+    man_dir = os.path.join(path, "_manifests")
+    real_listdir = os.listdir
+
+    def stale_listdir(p):
+        out = real_listdir(p)
+        if os.path.abspath(str(p)) == os.path.abspath(man_dir):
+            return [f for f in out if f != "v2.json"]  # loser can't see v2
+        return out
+
+    with mock.patch("os.listdir", side_effect=stale_listdir):
+        with pytest.raises(SnapshotConflictError):
+            write_snapshot(spark.range(8, 9).withColumnRenamed("id", "k"), path)
+
+    # winner's chain untouched: v2 is still the winner's manifest and reads
+    assert sorted(r["k"] for r in read_snapshot(spark, path, version=2).collect()) == list(range(8))
+    assert sorted(r["k"] for r in read_snapshot(spark, path, version=1).collect()) == list(range(5))
+
+
+def test_snapshot_txn_id_replay_is_noop(spark, tmp_path):
+    """Delta txnAppId/txnVersion pattern: re-committing an already-
+    recorded txn_id (Structured Streaming's at-least-once batch replay)
+    returns the original version and appends nothing."""
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "snap")
+    a = spark.range(0, 4).withColumnRenamed("id", "k")
+    b = spark.range(4, 6).withColumnRenamed("id", "k")
+    assert write_snapshot(a, path, txn_id="ingest:0") == 1
+    assert write_snapshot(b, path, txn_id="ingest:1") == 2
+    # replayed batch 1: same txn_id -> no-op, version unchanged
+    assert write_snapshot(b, path, txn_id="ingest:1") == 2
+    rows = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert rows == [0, 1, 2, 3, 4, 5]  # no double-count
