@@ -66,8 +66,13 @@ def main():
     # local iteration. DEFAULT (the driver's path) is unchanged: every
     # entry, two SFs.
     profile = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "full")
-    if "--profile" in sys.argv:
-        profile = sys.argv[sys.argv.index("--profile") + 1]
+    for i, a in enumerate(sys.argv):
+        if a == "--profile":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--profile requires a value (full|fast)")
+            profile = sys.argv[i + 1]
+        elif a.startswith("--profile="):
+            profile = a.split("=", 1)[1]
     if profile not in ("full", "fast"):
         raise SystemExit(f"unknown --profile {profile!r} (full|fast)")
 

@@ -25,10 +25,29 @@ def merge_into(
     changes: DataFrame,
     key: str,
     op_col: str = "op",
+    validate: bool = True,
 ) -> DataFrame:
     """Apply the changeset to ``base``; returns the merged table with the
     base schema. Exactly one changeset row per key is required (the SQL
-    MERGE precondition) — enforce upstream with a dedup-by-latest."""
+    MERGE precondition); ``validate=True`` (default) enforces it with one
+    cheap aggregate over the changeset — a duplicate key raises like SQL
+    MERGE's "multiple source rows matched" error instead of silently
+    fanning base rows out through the join. Pass ``validate=False`` only
+    when the changeset is already deduped-by-latest upstream."""
+    if validate:
+        dup = (
+            changes.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"changeset has {dup[0]['count']} rows for key "
+                f"{dup[0][key]!r} — SQL MERGE requires one changeset row "
+                "per key; dedup-by-latest upstream or pass validate=False"
+            )
     cols = [c for c in base.columns if c != key]
     b = base.alias("b")
     c = changes.alias("c")

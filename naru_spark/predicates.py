@@ -141,6 +141,8 @@ def normalize_conjunct(q: Query):
     merged: dict[str, list] = {}
     for c, sets in eq_sets.items():
         if len(sets) == 1:
+            if not sets[0]:
+                return None  # a lone 'in []' is already unsatisfiable
             merged[c] = sets[0]
             continue
         # order-preserving intersection (first set's order), value equality

@@ -157,6 +157,12 @@ def test_normalize_conjunct_intersects_same_column_equalities():
     assert (n.cols, n.ops, n.vals) == (["c"], ["="], ["B"])
     # disjoint 'in' sets: empty
     assert normalize_conjunct(Query("t", ["c", "c"], ["in", "in"], [["A"], ["B"]])) is None
+    # a LONE 'in []' is rejected at Query construction; normalize_conjunct
+    # independently returns None if an empty set ever reaches its shortcut
+    import pytest
+
+    with pytest.raises(AssertionError):
+        Query("t", ["c"], ["in"], [[]])
     # ranges and other columns untouched, order preserved
     q = Query("t", ["a", "c", "c"], [">", "=", "="], [5, "X", "X"])
     n = normalize_conjunct(q)

@@ -254,3 +254,17 @@ def test_merge_into_semantics(spark):
     assert out.columns == ["id", "name", "v"]
     got = sorted(map(tuple, out.collect()))
     assert got == [(1, "a", 10), (2, "B", 200), (4, "d", 40), (5, "e", 50)]
+
+    # duplicate changeset keys violate the SQL MERGE one-row-per-key
+    # precondition: fail loudly (like "multiple source rows matched"),
+    # never silently fan base rows out through the full-outer join
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(2, "B", 200, "U"), (2, "BB", 201, "U")],
+        "id long, name string, v long, op string",
+    )
+    with pytest.raises(ValueError, match="one changeset row"):
+        merge_into(base, dup, key="id")
+    # pre-validated changesets can opt out of the extra aggregate
+    assert merge_into(base, changes, key="id", validate=False).count() == 4

@@ -187,7 +187,6 @@ def test_load_dmv_reference_tiny_verbatim(spark):
     assert types["Reg Valid Date"] == "timestamp"
     assert df.filter(F.col("`Reg Valid Date`").isNull()).count() == 0
     # first data row of the file, verbatim (untrimmed county/color)
-    row = df.filter(F.col("VIN") == "5NMSGDAB5AH372379") if "VIN" in df.columns else None
     first = df.filter(
         (F.col("`Reg Valid Date`") == datetime.datetime(2017, 6, 26))
         & (F.col("County") == "JEFFERSON   ")
