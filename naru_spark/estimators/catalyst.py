@@ -60,16 +60,23 @@ class CatalystCBO(CardEst):
             return 1.0
         return float(str(rc.get()))
 
-    def query_batch(self, queries: list[Query]) -> list[float]:
-        """Concurrent plan-only estimation: each estimate is a driver-JVM
-        Catalyst optimization pass (~100 ms, no executor work). Measured
-        gain is modest (~1.2x at 8 threads — the shared session state
-        serializes most of the optimizer), but the path also keeps
-        fallback accounting race-free by counting via returned flags
-        instead of cross-thread increments. Results are IDENTICAL to the
-        sequential path (asserted in tests): each worker thread must pin
-        the active session first, or SQLConf falls back to defaults where
-        cbo.enabled=false and every estimate silently degrades to 1.0."""
+    def query_batch(self, queries: list[Query], threads: int = 1) -> list[float]:
+        """Plan-only batch estimation: each estimate is a driver-JVM
+        Catalyst optimization pass (no executor work). SEQUENTIAL by
+        default — a quiet warm A/B on sf0.1 (30 seeded queries, 2 warmup
+        passes, idle box) measured the 8-thread path at 107-120 ms/q vs
+        77-83 ms/q sequential: the shared session state serializes the
+        optimizer, so the threads only add pool coordination and
+        per-thread session-pin overhead (this was the round-over-round
+        78->92 ms/q regression, now reverted). ``threads>1`` keeps the
+        concurrent path available; its results are IDENTICAL to
+        sequential (asserted in tests) because each worker pins the
+        active session first — without the pin a fresh JVM thread's
+        SQLConf falls back to defaults where cbo.enabled=false and every
+        estimate silently degrades to 1.0."""
+        if threads <= 1:
+            return [self.query(q) for q in queries]
+
         from concurrent.futures import ThreadPoolExecutor
 
         def one(q: Query) -> tuple[float, int]:
@@ -87,7 +94,7 @@ class CatalystCBO(CardEst):
                     raise
                 return self._fallback_estimate(q), 1
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
             results = list(ex.map(one, queries))
         self.fallback_count += sum(f for _, f in results)
         return [est for est, _ in results]

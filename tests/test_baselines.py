@@ -358,7 +358,7 @@ def test_catalyst_cbo_batch_matches_sequential(spark):
     cbo = CatalystCBO(spark, f"{SF_SMOKE}/lineitem.parquet", "cbo_batch_t")
     seq = [cbo.query(q) for q in wl]
     fc = cbo.fallback_count
-    batch = cbo.query_batch(wl)
+    batch = cbo.query_batch(wl, threads=8)
     assert batch == seq
     assert cbo.fallback_count == 2 * fc  # same fallbacks fired again
     # no silent degradation: at least one estimate must differ from 1.0
