@@ -762,6 +762,128 @@ def q_psample_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fitted_star4(spark: SparkSession, sf_dir: str):
+    """ResMADE over the 4-way star join lineitem x orders x customer x
+    supplier — the estimation plane's capstone: all three edges are N:1
+    from the lineitem side (one order per line, one customer per order,
+    one supplier per line), so the join-grain joint over the seven mixed
+    columns trains with no reweighting, AND the model carries the
+    per-order fanout (lineitems per order, domain 1..7, unbinned, LAST in
+    the ordering) so ORDER-GRAIN questions downscale exactly via
+    ProgressiveSampling.query_weighted — the full NeuroCard composition
+    the 2-table psample_fanout entry proves in isolation. Three key joins
+    paid ONCE at fit time on a bounded sample."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.entry_queries import STAR4_COLS
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+
+    key = (sf_dir, "star4")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_returnflag", "l_quantity"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    fan = li.groupBy("l_orderkey").agg(F.count("*").alias("fanout_o"))
+    cols = STAR4_COLS + ["fanout_o"]
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(fan, "l_orderkey")
+        .select(*cols)
+        .cache()
+    )
+    enc = DictionaryEncoder(cols).fit(joined)
+    meta = enc.table_meta(joined, "li_orders_cust_supp")
+    model = NaruEstimator(
+        cols, hidden=64, blocks=2, max_model_domain=256, epochs=2,
+        batch_size=2048, lr=7e-3, sample_rows=60_000, seed=0,
+    ).fit(joined, meta, enc)
+    # exact inverse-fanout weights need the column UNBINNED (domain 1..7)
+    binning = model.binnings["fanout_o"]
+    d = enc.dictionaries["fanout_o"]
+    assert binning.model_size == len(d.values) + int(d.has_null)
+    w = 1.0 / d.values.astype(np.float64)
+    w_vec = np.concatenate([[0.0], w]) if d.has_null else w
+    _MODEL_CACHE[key] = (joined, enc, meta, model, w_vec)
+    return _MODEL_CACHE[key]
+
+
+def q_psample_star4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProgressiveSampling over the 4-table star model, BOTH grains:
+    join-grain conjunctions over the mixed lineitem/orders/customer/
+    supplier workload (grain='join'), and ORDER-GRAIN questions answered
+    by the SAME lineitem-grain model through exact inverse-fanout
+    downscaling (grain='order'; query_weighted with w=1/fanout_o, truths
+    counted on the orders x customer view the model never saw at that
+    grain). Rows-only (stochastic); q-error gated per grain in
+    tests/test_model.py, exact join-grain counts hash-gated by
+    workload_oracle_star4."""
+    from naru_spark.entry_queries import (
+        WORKLOAD_N,
+        WORKLOAD_SEED,
+        WORKLOAD_SF,
+        star4_view,
+        star4_workload,
+    )
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.sources import load_table
+    from naru_spark.workload import (
+        generate_workload_from_pdf,
+        load_table_pandas,
+        pdf_table_meta,
+    )
+
+    joined, enc, meta, model, w_vec = _fitted_star4(spark, sf_dir)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+
+    rows = []
+    wl = list(star4_workload())
+    truths = Oracle(star4_view(spark, sf_dir)).query_batch(wl)
+    for i, (q, t) in enumerate(zip(wl, truths)):
+        e = float(ps.query(q))
+        rows.append(
+            ("join", i, e, int(t), float(q_error(max(e, 1.0), t)) if t > 0 else None)
+        )
+
+    # order-grain: generate predicates on orders/customer columns only,
+    # downscale the join-grain probability by E[1/fanout_o * 1{pred}]
+    oc_cols = ["o_orderpriority", "o_orderstatus", "c_mktsegment", "c_nationkey"]
+    o_pdf = load_table_pandas(WORKLOAD_SF, "orders", ["o_custkey"] + oc_cols[:2])
+    c_pdf = load_table_pandas(WORKLOAD_SF, "customer", ["c_custkey"] + oc_cols[2:])
+    oc_pdf = o_pdf.merge(c_pdf, left_on="o_custkey", right_on="c_custkey")[oc_cols]
+    oc_meta = pdf_table_meta(oc_pdf, "orders_cust")
+    owl = generate_workload_from_pdf(
+        oc_pdf, oc_meta, "orders_cust", 15, seed=WORKLOAD_SEED + 5
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", *oc_cols[:2])
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", *oc_cols[2:])
+    oc_view = orders.join(cust, orders.o_custkey == cust.c_custkey).select(*oc_cols)
+    otruths = Oracle(oc_view).query_batch(owl)
+    for i, (q, t) in enumerate(zip(owl, otruths)):
+        e = float(ps.query_weighted(q, "fanout_o", w_vec))
+        rows.append(
+            ("order", i, e, int(t), float(q_error(max(e, 1.0), t)) if t > 0 else None)
+        )
+    return spark.createDataFrame(
+        rows,
+        "grain string, query_id int, est_card double, true_card bigint, q_err double",
+    )
+
+
 FANOUT_COLS = ["c_mktsegment", "c_nationkey", "o_orderpriority", "o_orderstatus", "fanout"]
 
 
@@ -860,6 +982,7 @@ def build_model_registry():
         "estimator_report_disjunctive": q_estimator_report_disjunctive,
         "psample_distributed": q_psample_distributed,
         "psample_star3": q_psample_star3,
+        "psample_star4": q_psample_star4,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
         "fit_distributed_transformer_report": q_fit_distributed_transformer_report,

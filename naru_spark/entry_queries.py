@@ -165,6 +165,80 @@ def star3_workload() -> tuple[Query, ...]:
     )
 
 
+STAR4_COLS = [
+    "l_returnflag", "l_quantity",
+    "o_orderpriority", "o_orderstatus",
+    "c_mktsegment", "c_nationkey",
+    "s_nationkey",
+]
+
+
+@lru_cache(maxsize=1)
+def _star4_pdf_meta():
+    """The 4-way star frame (lineitem x orders x customer x supplier),
+    materialized engine-independently for workload generation. All three
+    edges are N:1 FROM THE LINEITEM SIDE (one order per line, one
+    customer per order, one supplier per line), so the join-grain joint
+    distribution over the seven mixed-table columns needs no fanout
+    reweighting; the MODEL additionally carries a per-order fanout column
+    (see entry_model._fitted_star4) so order-grain questions downscale
+    via query_weighted."""
+    from naru_spark.workload import pdf_table_meta
+
+    li = load_table_pandas(
+        WORKLOAD_SF, "lineitem",
+        ["l_orderkey", "l_suppkey"] + [c for c in STAR4_COLS if c.startswith("l_")],
+    )
+    orders = load_table_pandas(
+        WORKLOAD_SF, "orders",
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+    cust = load_table_pandas(
+        WORKLOAD_SF, "customer", ["c_custkey", "c_mktsegment", "c_nationkey"]
+    )
+    supp = load_table_pandas(WORKLOAD_SF, "supplier", ["s_suppkey", "s_nationkey"])
+    joined = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")[STAR4_COLS]
+    )
+    return joined, pdf_table_meta(joined, "li_orders_cust_supp")
+
+
+@lru_cache(maxsize=1)
+def star4_workload() -> tuple[Query, ...]:
+    from naru_spark.workload import generate_workload_from_pdf
+
+    joined, meta = _star4_pdf_meta()
+    return tuple(
+        generate_workload_from_pdf(
+            joined, meta, "li_orders_cust_supp", WORKLOAD_N, seed=WORKLOAD_SEED + 4
+        )
+    )
+
+
+def star4_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the 4-way star 'table': three key joins projected to
+    STAR4_COLS — paid ONCE at fit time; the model then answers every
+    4-table conjunction without re-joining."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", *[c for c in STAR4_COLS if c.startswith("l_")]
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(*STAR4_COLS)
+    )
+
+
 def star3_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the 3-way star 'table': two key joins projected to
     STAR3_COLS — paid ONCE at fit time; the model then answers every
@@ -261,6 +335,31 @@ def sql_workload_oracle_star3() -> str:
         f"JOIN orders ON l_orderkey = o_orderkey "
         f"JOIN customer ON o_custkey = c_custkey WHERE {sql_predicate(q)}) AS card"
         for i, q in enumerate(star3_workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_workload_oracle_star4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact counts for the 4-TABLE star workload (conjunctions over
+    lineitem x orders x customer x supplier columns): one conditional-
+    aggregation scan over the three-key-join view. Full DuckDB oracle —
+    the exact-count twin that hash-gates the psample_star4 model
+    surface."""
+    from naru_spark.estimators import Oracle
+
+    cards = Oracle(star4_view(spark, sf_dir)).query_batch(list(star4_workload()))
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle_star4() -> str:
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem "
+        f"JOIN orders ON l_orderkey = o_orderkey "
+        f"JOIN customer ON o_custkey = c_custkey "
+        f"JOIN supplier ON l_suppkey = s_suppkey WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(star4_workload())
     ]
     return " UNION ALL ".join(parts)
 
@@ -2082,6 +2181,7 @@ def build_registry():
         "workload_oracle_disjunctive": q_workload_oracle_disjunctive,
         "workload_oracle_join": q_workload_oracle_join,
         "workload_oracle_star3": q_workload_oracle_star3,
+        "workload_oracle_star4": q_workload_oracle_star4,
         "heuristic_estimates": q_heuristic,
         "region_size": q_region_size,
         "encode_returnflag": _q_encode("l_returnflag"),
@@ -2127,6 +2227,7 @@ def build_registry():
         "workload_oracle_disjunctive": sql_workload_oracle_disjunctive(),
         "workload_oracle_join": sql_workload_oracle_join(),
         "workload_oracle_star3": sql_workload_oracle_star3(),
+        "workload_oracle_star4": sql_workload_oracle_star4(),
         "heuristic_estimates": sql_heuristic(),
         "region_size": sql_region_size(),
         "encode_returnflag": _sql_encode("l_returnflag"),

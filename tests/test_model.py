@@ -1467,3 +1467,25 @@ def test_psample_star3_calibrated(spark):
     assert len(errs) >= 20
     assert np.median(errs) <= 2.0, np.median(errs)
     assert all(np.isfinite(e) for e in errs)
+
+
+def test_psample_star4_calibrated_both_grains(spark):
+    """The 4-table star model (lineitem x orders x customer x supplier,
+    all N:1 edges from the lineitem side) must drive ProgressiveSampling
+    to calibrated estimates at JOIN grain, and — the NeuroCard capstone —
+    answer ORDER-GRAIN questions through exact inverse-fanout downscaling
+    (query_weighted over the unbinned per-order fanout), landing within a
+    calibrated band against counts on the orders x customer view the
+    model never trained on at that grain."""
+    import numpy as np
+
+    from naru_spark.entry_model import q_psample_star4
+    from tests.conftest import SF_T2
+
+    rows = q_psample_star4(spark, SF_T2).collect()
+    join_errs = [r["q_err"] for r in rows if r["grain"] == "join" and r["q_err"] is not None]
+    order_errs = [r["q_err"] for r in rows if r["grain"] == "order" and r["q_err"] is not None]
+    assert len(join_errs) >= 20 and len(order_errs) >= 10
+    assert np.median(join_errs) <= 2.0, np.median(join_errs)
+    assert np.median(order_errs) <= 2.0, np.median(order_errs)
+    assert all(np.isfinite(e) for e in join_errs + order_errs)
