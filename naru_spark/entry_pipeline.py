@@ -138,12 +138,29 @@ FROM documents,
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over fake blobs (rows-only: byte-level checksum isn't
-    cleanly SQL-expressible over UTF-8 text; exactness vs a pure-python
-    reference is asserted in tests/test_pipeline.py)."""
+    """Resize plumbing over fake blobs (UTF-8 text bytes through the real
+    Arrow-batched decode->resample->summary map). ORACLE-BACKED: the
+    nearest-neighbor byte-stride checksum is SQL-expressible because the
+    synthetic corpus is pure ASCII (byte == code point, so DuckDB's
+    ascii(substr(...)) reads the same values numpy strides over;
+    exactness vs a pure-python reference over ARBITRARY bytes stays
+    asserted in tests/test_pipeline.py)."""
     from naru_spark.pipeline.multimodal import attach_fake_blobs, resize
 
     return resize(attach_fake_blobs(_docs(spark, sf_dir)), width=8, height=8)
+
+
+def sql_multimodal_resize(width: int = 8, height: int = 8) -> str:
+    n = width * height
+    return f"""
+SELECT doc_id AS blob_id, CAST({width} AS INTEGER) AS width,
+       CAST({height} AS INTEGER) AS height,
+       CASE WHEN strlen(text) = 0 THEN 0 ELSE
+         (SELECT CAST(SUM(ascii(substr(text,
+                  CAST((s.i * strlen(text)) // {n} AS INTEGER) + 1, 1))) AS BIGINT)
+          FROM UNNEST(range(0, {n})) s(i)) END AS checksum
+FROM documents
+"""
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3389,6 +3406,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "data_quality_checks": sql_data_quality_checks(),
         "multimodal_real_decode": sql_multimodal_real_decode(),
         "multimodal_audio_features": sql_multimodal_audio_features(),
+        "multimodal_resize": sql_multimodal_resize(),
         "multimodal_resize_real": sql_multimodal_resize_real(),
         "similarity_topk_pq": sql_similarity_pq(),
         "similarity_topk_ivfpq": sql_similarity_ivfpq(),
