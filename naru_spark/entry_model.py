@@ -33,6 +33,7 @@ def warm_model_cache(spark: SparkSession, sf_dir: str) -> float:
         _fitted_join(spark, sf_dir)
         _fitted_fanout(spark, sf_dir)
         _fitted_star3(spark, sf_dir)
+        _fitted_star4(spark, sf_dir)
     except FileNotFoundError:
         # partial datasets (e.g. the sf1 scaling slice) may lack the
         # orders/customer tables — warming is best-effort, never fatal

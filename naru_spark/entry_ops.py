@@ -642,6 +642,40 @@ ORDER BY version, source
 """
 
 
+def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan between snapshot versions
+    (sources.sinks.read_snapshot_changes — Iceberg incremental read /
+    Delta CDF-lite for append-only tables): v1 commits doc_id % 3 == 0,
+    v2 appends % 3 == 1, v3 appends % 3 == 2; the consumer reads ONLY
+    what v1..v3 added — O(|delta|) I/O however large the table, the
+    shape that feeds IVM folds and backfills without re-scanning
+    history. The entry aggregates the v1->v3 delta (everything except
+    v1's rows); the oracle replays the modulus split. A replace commit
+    inside the range raises (asserted inline) rather than returning a
+    wrong diff."""
+    from naru_spark.sources.sinks import read_snapshot_changes, write_snapshot
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_incr_") + "/docs"
+    for k in range(3):
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k), path)
+    delta = read_snapshot_changes(spark, path, from_version=1)  # v1 -> latest
+    return (
+        delta.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_incremental_read() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 <> 0
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MERGE INTO (operators.merge.merge_into — the
     Delta/Iceberg CDC apply as ONE keyed full-outer join): a
@@ -1215,6 +1249,7 @@ def build_ops_registry():
         "zorder_data_skipping": q_zorder_data_skipping,
         "merge_into_cdc": q_merge_into_cdc,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_incremental_read": q_snapshot_incremental_read,
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1252,6 +1287,7 @@ def build_ops_registry():
         "zorder_data_skipping": sql_zorder_data_skipping(),
         "merge_into_cdc": sql_merge_into_cdc(),
         "snapshot_time_travel": sql_snapshot_time_travel(),
+        "snapshot_incremental_read": sql_snapshot_incremental_read(),
         "snapshot_merge_upsert": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),

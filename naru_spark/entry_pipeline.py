@@ -258,11 +258,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted BM25 serving path (pipeline.retrieval.bm25_write_index /
-    bm25_topk_from_index): postings hive-partitioned by crc32(term)
-    bucket, df/dl/stats sidecars; the probe's scan is partition-pruned to
-    the query terms' buckets (PartitionFilters asserted INLINE on every
-    run). Identical results to bm25_topk, so this entry SHARES its
-    oracle — the serving layout must never change answers."""
+    bm25_topk_from_index): postings (with doc length denormalized onto
+    each row) hive-partitioned by crc32(term) bucket, df/stats sidecars;
+    the probe's scan is partition-pruned to the query terms' buckets
+    (PartitionFilters asserted INLINE on every run) and joins nothing
+    corpus-sized. Identical results to bm25_topk, so this entry SHARES
+    its oracle — the serving layout must never change answers."""
     from naru_spark.pipeline.retrieval import bm25_topk_from_index, bm25_write_index
     from naru_spark.tmp import tmpdir
 

@@ -338,6 +338,49 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     return spark.read.parquet(*dirs)
 
 
+def read_snapshot_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental scan (Iceberg incremental read / Delta CDF-lite for
+    append-only tables): read EXACTLY the data directories committed
+    AFTER ``from_version`` up to ``to_version`` (latest when None) —
+    O(|delta|) I/O regardless of table size, the shape that lets
+    downstream incremental consumers (IVM folds, backfills, CDC fan-out)
+    consume a 100 TB table without ever re-scanning history.
+    ``from_version=0`` means everything up to ``to_version``.
+
+    Append-mode manifests only: every commit's dir list must be a
+    superset of its predecessor's. A replace commit in the range rewrites
+    the list, so the dir-set difference no longer means "the new rows" —
+    that raises instead of silently returning wrong changes."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+
+    def dirs_of(v: int) -> list[str]:
+        if v == 0:
+            return []
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            return json.load(fh)["dirs"]
+
+    if to_version is None:
+        to_version = max(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+    assert from_version < to_version, (from_version, to_version)
+    base, head = dirs_of(from_version), dirs_of(to_version)
+    if not set(base) <= set(head):
+        raise ValueError(
+            f"versions {from_version}..{to_version} of {path} include a "
+            "replace commit — the dir diff is not an append delta; read "
+            "full versions and diff by key instead"
+        )
+    delta = [d for d in head if d not in set(base)]
+    return spark.read.parquet(*delta)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
     but the last ``keep_last`` manifests, then delete every data

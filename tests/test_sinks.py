@@ -306,3 +306,41 @@ def test_snapshot_txn_id_replay_is_noop(spark, tmp_path):
     assert write_snapshot(b, path, txn_id="ingest:1") == 2
     rows = sorted(r["k"] for r in read_snapshot(spark, path).collect())
     assert rows == [0, 1, 2, 3, 4, 5]  # no double-count
+
+def test_read_snapshot_changes_incremental(spark, tmp_path):
+    """Incremental scan (Iceberg incremental read): the v(i)..v(j) delta
+    is exactly the rows the commits in that range appended; from_version=0
+    means everything; a replace commit inside the range raises instead of
+    returning a wrong diff."""
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        read_snapshot_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path)    # v1
+    write_snapshot(spark.range(5, 8).withColumnRenamed("id", "k"), path)    # v2
+    write_snapshot(spark.range(8, 10).withColumnRenamed("id", "k"), path)   # v3
+
+    d12 = sorted(r["k"] for r in read_snapshot_changes(spark, path, 1, 2).collect())
+    assert d12 == [5, 6, 7]
+    d13 = sorted(r["k"] for r in read_snapshot_changes(spark, path, 1).collect())
+    assert d13 == [5, 6, 7, 8, 9]  # to_version defaults to latest
+    d03 = sorted(r["k"] for r in read_snapshot_changes(spark, path, 0).collect())
+    assert d03 == list(range(10))  # from 0 = full table
+    # degenerate range refused
+    with pytest.raises(AssertionError):
+        read_snapshot_changes(spark, path, 3, 3)
+
+    # a replace commit breaks the append-superset invariant -> loud error
+    write_snapshot(
+        spark.range(100, 102).withColumnRenamed("id", "k"), path, mode="replace"
+    )  # v4
+    with pytest.raises(ValueError, match="replace commit"):
+        read_snapshot_changes(spark, path, 1, 4)
+    # ranges entirely after the replace are fine again
+    write_snapshot(spark.range(102, 104).withColumnRenamed("id", "k"), path)  # v5
+    d45 = sorted(r["k"] for r in read_snapshot_changes(spark, path, 4, 5).collect())
+    assert d45 == [102, 103]

@@ -43,7 +43,62 @@ ENTRIES = [
     # 3-table star model: the two-key join + bounded-sample fit must stay
     # sub-linear (the join is the data-bound part; the fit is capped)
     "psample_star3",
+    # 4-table star capstone (three-key join data-bound, fit capped)
+    "psample_star4",
 ]
+
+
+def index_serving_probes(spark, sf_dir: str, timings: dict) -> None:
+    """round-7 (VERDICT r06 item 8): the PERSISTED-INDEX serving paths.
+    "Probe cost is flat in corpus size" is the whole point of the
+    build-once/serve-pruned indexes, so build and probe are timed
+    SEPARATELY — the build is corpus-bound (one pass, allowed to scale);
+    the probe must stay near-flat at 10x data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from naru_spark.entry_pipeline import (
+        _BM25_QUERIES,
+        _ivf_oracle_centroids,
+        _pq_codebooks,
+    )
+    from naru_spark.pipeline.retrieval import bm25_topk_from_index, bm25_write_index
+    from naru_spark.pipeline.similarity import ivfpq_topk_from_index, ivfpq_write_index
+    from naru_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = tempfile.mkdtemp(prefix="sf1_bm25_") + "/idx"
+    t0 = time.time()
+    bm25_write_index(docs, path)
+    timings["bm25_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10).count()
+    timings["bm25_index_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# bm25 index: build {timings['bm25_index_build']:.2f}s, "
+        f"probe {timings['bm25_index_probe']:.2f}s ({n} rows)",
+        file=sys.stderr,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.time()
+    cents = _ivf_oracle_centroids(sf_dir)
+    cb = _pq_codebooks(sf_dir)
+    ipath = tempfile.mkdtemp(prefix="sf1_ivfpq_") + "/idx"
+    ivfpq_write_index(emb, ipath, cents, cb, decimals=6)
+    timings["ivfpq_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = ivfpq_topk_from_index(spark, ipath, queries, k=10, n_probe=8, decimals=6).count()
+    timings["ivfpq_index_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# ivfpq index: build {timings['ivfpq_index_build']:.2f}s, "
+        f"probe {timings['ivfpq_index_probe']:.2f}s ({n} rows)",
+        file=sys.stderr,
+    )
 
 
 def main() -> None:
@@ -77,6 +132,12 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}".splitlines()[0][:200]
             timings[name] = round(time.time() - t0, 3)
             print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+
+    try:
+        index_serving_probes(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001 — per-entry isolation
+        errors["index_serving_probes"] = f"{type(e).__name__}: {e}".splitlines()[0][:200]
+        print(f"# index_serving_probes: FAILED — {errors['index_serving_probes']}", file=sys.stderr)
 
     out = {
         "metric": "sf1_spot_bench",
