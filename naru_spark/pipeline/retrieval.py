@@ -163,9 +163,18 @@ def bm25_write_index(
     per-term df (vocabulary-bounded) and the one-row corpus stats land
     beside the postings. df here is the FULL-corpus document frequency
     computed at build time — the index answers any future query without
-    touching the corpus."""
+    touching the corpus.
+
+    The corpus-wide tokenize+explode+shuffle runs ONCE: df is derived
+    from the just-written postings parquet (a read over compact
+    (doc_id, term, tf) rows, output bounded by the vocabulary), not by
+    re-running the explode over the raw corpus — at 100 TB that halves
+    the build's heavy passes. The stats sidecar is a map-only aggregate
+    over the corpus (no shuffle), kept on ``docs`` because zero-token
+    documents count toward N but never reach a posting row."""
     import os
 
+    spark = docs.sparkSession
     terms = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -181,8 +190,12 @@ def bm25_write_index(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    tf.groupBy("term").agg(F.count("*").alias("df")).write.mode("overwrite").parquet(
-        os.path.join(path, "df")
+    (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "df"))
     )
     (
         docs.select(F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"))
