@@ -676,6 +676,44 @@ ORDER BY source
 """
 
 
+def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources.sinks.compact_snapshot — Iceberg
+    rewrite_data_files / Delta OPTIMIZE): three append commits land the
+    corpus as many small parquet files; compaction rewrites the latest
+    snapshot into 4 files as a replace commit. Asserted INLINE on every
+    run: the file count actually shrank, and the PRE-compaction v3 stays
+    time-travelable with identical row count (compaction must never be
+    observable to readers except in file layout). The entry aggregates
+    the compacted table; the oracle is the same aggregate on the raw
+    corpus — content invariance IS the correctness claim."""
+    from naru_spark.sources.sinks import compact_snapshot, read_snapshot, write_snapshot
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    path = _tmpdir(prefix="docs_snap_compact_") + "/docs"
+    for k in range(3):
+        # repartition(6) forces small files: 18 files across 3 commits
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k).repartition(6), path)
+    info = compact_snapshot(spark, path, target_files=4)
+    assert info["version"] == 4 and info["files_after"] < info["files_before"], info
+    n_total = docs.count()
+    assert read_snapshot(spark, path, version=3).count() == n_total  # pre-compaction intact
+    return (
+        read_snapshot(spark, path)  # the compacted v4
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source", "lang")
+    )
+
+
+def sql_snapshot_compaction() -> str:
+    return """
+SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MERGE INTO (operators.merge.merge_into — the
     Delta/Iceberg CDC apply as ONE keyed full-outer join): a
@@ -1250,6 +1288,7 @@ def build_ops_registry():
         "merge_into_cdc": q_merge_into_cdc,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_incremental_read": q_snapshot_incremental_read,
+        "snapshot_compaction": q_snapshot_compaction,
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1288,6 +1327,7 @@ def build_ops_registry():
         "merge_into_cdc": sql_merge_into_cdc(),
         "snapshot_time_travel": sql_snapshot_time_travel(),
         "snapshot_incremental_read": sql_snapshot_incremental_read(),
+        "snapshot_compaction": sql_snapshot_compaction(),
         "snapshot_merge_upsert": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),

@@ -381,6 +381,52 @@ def read_snapshot_changes(
     return spark.read.parquet(*delta)
 
 
+def compact_snapshot(
+    spark: SparkSession, path: str, target_files: int = 4
+) -> dict:
+    """Small-file compaction for a snapshot table (Iceberg
+    ``rewrite_data_files`` / Delta OPTIMIZE analog): read the LATEST
+    snapshot, rewrite its rows into ``target_files`` parquet files, and
+    commit the rewrite as a replace-mode snapshot — content-identical,
+    pre-compaction versions stay time-travelable (their manifests and
+    data dirs are immutable), and the superseded small files become
+    unreferenced-by-latest, reclaimed later by ``expire_snapshots``.
+    A concurrent commit surfaces as ``SnapshotConflictError`` — the
+    maintenance job re-reads and retries, exactly Iceberg's optimistic
+    rewrite loop.
+
+    The rewrite uses ``coalesce`` (bin-packs existing partitions, NO
+    shuffle) — at 100 TB compaction is I/O-bound rewriting, and a full
+    repartition shuffle would double the data movement for no benefit.
+    File counts come from the manifest's dir list (metadata-only walk,
+    never a data read).
+
+    Returns {"version", "files_before", "files_after"}."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+
+    def n_files(ds: list[str]) -> int:
+        return sum(
+            1 for d in ds for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = n_files(dirs)
+    version = write_snapshot(
+        spark.read.parquet(*dirs).coalesce(target_files), path, mode="replace"
+    )
+    with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+        after = n_files(json.load(fh)["dirs"])
+    return {"version": version, "files_before": before, "files_after": after}
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
     but the last ``keep_last`` manifests, then delete every data

@@ -344,3 +344,33 @@ def test_read_snapshot_changes_incremental(spark, tmp_path):
     write_snapshot(spark.range(102, 104).withColumnRenamed("id", "k"), path)  # v5
     d45 = sorted(r["k"] for r in read_snapshot_changes(spark, path, 4, 5).collect())
     assert d45 == [102, 103]
+
+def test_compact_snapshot_content_invariant(spark, tmp_path):
+    """Compaction (Iceberg rewrite_data_files analog): the rewrite shrinks
+    the file count, changes NO rows, commits as a replace version that
+    leaves earlier versions time-travelable, and the superseded small
+    files are reclaimed by expire_snapshots afterwards."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 40).withColumnRenamed("id", "k").repartition(5), path)
+    write_snapshot(spark.range(40, 60).withColumnRenamed("id", "k").repartition(5), path)
+    info = compact_snapshot(spark, path, target_files=2)
+    assert info["version"] == 3
+    assert info["files_before"] == 10 and info["files_after"] <= 2, info
+    # content invariant, pre-compaction versions intact
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(60))
+    assert sorted(r["k"] for r in read_snapshot(spark, path, version=2).collect()) == list(range(60))
+    assert sorted(r["k"] for r in read_snapshot(spark, path, version=1).collect()) == list(range(40))
+    # retention reclaims the superseded small-file dirs (v3 refs only its own)
+    deleted = expire_snapshots(path, keep_last=1)
+    assert len(deleted) == 2
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(60))
+    assert os.listdir(os.path.join(path, "_manifests")) == ["v3.json"]
