@@ -644,7 +644,7 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
 
 def test_no_static_sf_scaled_broadcast_in_entry_queries():
     """Structural guard (VERDICT r06 item 1): every ``F.broadcast``
-    argument in entry_queries.py must be a bounded-size expression — the
+    argument in the four entry modules must be a bounded-size expression — the
     fixed 25-row nation / 5-row region dims or a rank-1/scalar derived
     set. Anything rooted at an sf-SCALED table variable (customer,
     supplier, part, orders, lineitem scans or their filtered slices) must
@@ -655,9 +655,11 @@ def test_no_static_sf_scaled_broadcast_in_entry_queries():
     import ast
     import inspect
 
+    import naru_spark.entry_model as em
+    import naru_spark.entry_ops as eo
+    import naru_spark.entry_pipeline as ep
     import naru_spark.entry_queries as eq
 
-    tree = ast.parse(inspect.getsource(eq))
     # bounded by construction: nation (25 rows), region (5 rows),
     # max_rev (1-row global max), top (rank-1 supplier set, Q15)
     allowed_roots = {"nation", "region", "max_rev", "top"}
@@ -668,18 +670,23 @@ def test_no_static_sf_scaled_broadcast_in_entry_queries():
         return node.id if isinstance(node, ast.Name) else None
 
     offenders = []
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Attribute)
-            and node.func.attr == "broadcast"
-            and isinstance(node.func.value, ast.Name)
-            and node.func.value.id == "F"
-            and node.args
-        ):
-            root = root_name(node.args[0])
-            if root not in allowed_roots:
-                offenders.append(f"line {node.lineno}: F.broadcast({ast.unparse(node.args[0])})")
+    for mod in (eq, eo, ep, em):
+        tree = ast.parse(inspect.getsource(mod))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+                and node.args
+            ):
+                root = root_name(node.args[0])
+                if root not in allowed_roots:
+                    offenders.append(
+                        f"{mod.__name__} line {node.lineno}: "
+                        f"F.broadcast({ast.unparse(node.args[0])})"
+                    )
     assert not offenders, (
         "static F.broadcast of a potentially sf-scaled side — route through "
         "plans.joinplan.advised_side instead:\n" + "\n".join(offenders)
