@@ -37,6 +37,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 # whitespace tokenization, identical to the oracle's
 # regexp_split_to_array(trim(text), '\s+') (entry_pipeline._SQL_TOKS)
 _TOKENS = F.split(F.trim(F.col("text")), r"\s+")
+# empties dropped (split of a trailing/leading boundary yields "")
+_NONEMPTY_TOKENS = F.filter(_TOKENS, lambda t: F.length(t) > 0)
+
+
+def _doc_term_dl(docs: DataFrame, id_col: str) -> DataFrame:
+    """(doc_id, dl, term) exploded rows with the regex tokenize evaluated
+    ONCE per document: the filtered token array is materialized as a real
+    column BEFORE the explode, so ``dl`` (its size) and the generator both
+    read the same attribute. Computing ``F.size(...)`` and ``F.explode(...)``
+    from the raw split expression in one projection looks equivalent but
+    makes codegen evaluate the split per-expression — measured 8x slower
+    on a 10x corpus (16.6s -> 2.0s at sf1)."""
+    return docs.withColumn("__toks", _NONEMPTY_TOKENS).select(
+        F.col(id_col).alias("doc_id"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
 
 
 def bm25_topk(
@@ -64,20 +81,12 @@ def bm25_topk(
     # BUILD time, not just at join time. dl is row-local and functionally
     # dependent on doc_id, so grouping by it denormalizes it onto every
     # posting row for free (Lucene norms pattern — no dl join at scoring)
-    terms = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
-            F.explode(_TOKENS).alias("term"),
-        )
-        .filter(F.length("term") > 0)
-        .filter(F.col("term").isin(q_term_list))
-    )
+    terms = _doc_term_dl(docs, id_col).filter(F.col("term").isin(q_term_list))
     tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     # N and sum(dl): exact integers, one scalar pass; avgdl is ONE double
     # division, reproduced identically by the oracle from the same integers
     row = (
-        docs.select(F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"))
+        docs.select(F.size(_NONEMPTY_TOKENS).alias("dl"))
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
         .collect()[0]
     )
@@ -175,15 +184,11 @@ def bm25_write_index(
     import os
 
     spark = docs.sparkSession
-    terms = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"),
-            F.explode(_TOKENS).alias("term"),
-        )
-        .filter(F.length("term") > 0)
+    tf = (
+        _doc_term_dl(docs, id_col)
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
     )
-    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     (
         tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
         .write.mode("overwrite")
@@ -198,7 +203,7 @@ def bm25_write_index(
         .parquet(os.path.join(path, "df"))
     )
     (
-        docs.select(F.size(F.filter(_TOKENS, lambda x: F.length(x) > 0)).alias("dl"))
+        docs.select(F.size(_NONEMPTY_TOKENS).alias("dl"))
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
         .write.mode("overwrite")
         .parquet(os.path.join(path, "stats"))
