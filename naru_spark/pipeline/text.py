@@ -275,18 +275,24 @@ def doc_lm_bigram_score(
     of the exploded positions against those tables (AQE broadcasts them
     while small) and one groupBy(doc). Nothing is ever row x vocab.
     """
-    toks = tokens_col(text_col)
+    # materialize the token array ONCE before the filter/explode — the
+    # slice/size references below would otherwise each re-evaluate the
+    # regex split (subexpression elimination does not cross the
+    # Filter/Generate operator boundary; same measured fix as BM25's
+    # retrieval._doc_term_dl, ~5 evaluations -> 1)
+    tdf = df.withColumn("__toks", tokens_col(text_col))
+    toks = F.col("__toks")
     pairs = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
     )
     pos = (
-        df.filter(F.size(toks) >= 2)
+        tdf.filter(F.size(toks) >= 2)
         .select(F.col(id_col).alias("__id"), F.explode(pairs).alias("pc"))
         .select("__id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
     )
-    uni = df.select(F.explode(toks).alias("token")).groupBy("token").agg(
+    uni = tdf.select(F.explode(toks).alias("token")).groupBy("token").agg(
         F.count("*").alias("ucnt")
     )
     tot = uni.agg(F.sum("ucnt").alias("n"), F.count("*").alias("v")).collect()[0]
