@@ -2964,6 +2964,54 @@ ORDER BY source
 """
 
 
+def q_stream_snapshot_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read FROM the snapshot table
+    (sources.sinks.snapshot_stream_source — Delta "stream from a table"
+    analog, the pair of q_stream_snapshot_ingest): two commits land
+    before the stream starts; one availableNow drain consumes them; a
+    THIRD commit lands after, and a second drain on the SAME checkpoint
+    picks up exactly the new commit's rows — asserted inline by row
+    count, the O(|delta|)-per-trigger property that lets a downstream
+    consumer follow a 100 TB table without rescans. The final
+    accumulated output must equal the full corpus (the oracle)."""
+    from naru_spark.sources.sinks import snapshot_stream_source, write_snapshot
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    base = tmpdir(prefix="snap_follow_")
+    path = base + "/docs"
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 0), path)
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 1), path)
+
+    out_dir, ckpt = base + "/out", base + "/ckpt"
+
+    def drain() -> None:
+        q = (
+            snapshot_stream_source(spark, path)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # consumes commits 1+2
+    n_first = spark.read.parquet(out_dir).count()
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 2), path)  # v3 lands late
+    drain()  # same checkpoint: must add ONLY v3's rows
+    n_total = spark.read.parquet(out_dir).count()
+    n_v3 = docs.filter(F.col("doc_id") % 3 == 2).count()
+    assert n_total - n_first == n_v3, (n_first, n_total, n_v3)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def q_stream_ivm_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (IVM): a per-source
     totals VIEW kept current while the corpus streams in across MULTIPLE
@@ -3327,6 +3375,7 @@ def build_pipeline_registry():
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
         "gopher_stream": q_gopher_stream,
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
+        "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
         "quality_stream": q_quality_stream,
     }
@@ -3419,6 +3468,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),
         "stream_snapshot_ingest": sql_stream_snapshot_ingest(),
+        "stream_snapshot_follow": sql_stream_snapshot_ingest(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),

@@ -381,6 +381,63 @@ def read_snapshot_changes(
     return spark.read.parquet(*delta)
 
 
+def snapshot_stream_source(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Stream FROM a snapshot table (Delta's "stream from a table" /
+    Iceberg streaming-read analog, the pair of the foreachBatch ingest
+    path): a parquet file stream rooted at the table's data tree, so
+    every future commit's files are discovered incrementally — each
+    micro-batch carries exactly the newly committed rows, O(|delta|)
+    per trigger however large the table.
+
+    APPEND-ONLY tables only, enforced at start: a replace commit leaves
+    its superseded dirs on disk (until expire_snapshots), and a file
+    stream would re-read them as live data. Start-up verifies (1) every
+    manifest's dir list is a superset of its predecessor's (no replace
+    in history) and (2) no orphan data dirs exist outside the latest
+    manifest (a conflict loser's leftovers) — both raise instead of
+    silently streaming wrong rows. The same discipline must hold while
+    the stream runs.
+
+    ``schema`` defaults to the latest snapshot's (streams cannot infer)."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert versions, f"no snapshot committed at {path}"
+    prev: list[str] = []
+    for v in versions:
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            dirs = json.load(fh)["dirs"]
+        if not set(prev) <= set(dirs):
+            raise ValueError(
+                f"snapshot history at {path} contains a replace commit "
+                f"(v{v}); a file stream would re-read superseded data — "
+                "stream only append-only snapshot tables"
+            )
+        prev = dirs
+    data_root = os.path.join(path, "data")
+    on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
+    orphans = on_disk - set(prev)
+    if orphans:
+        raise ValueError(
+            f"orphan data dirs not referenced by the latest manifest at "
+            f"{path}: {sorted(orphans)} — run expire_snapshots first"
+        )
+    if schema is None:
+        schema = spark.read.parquet(*prev).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(data_root)
+    )
+
+
 def compact_snapshot(
     spark: SparkSession, path: str, target_files: int = 4
 ) -> dict:

@@ -374,3 +374,52 @@ def test_compact_snapshot_content_invariant(spark, tmp_path):
     assert len(deleted) == 2
     assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(60))
     assert os.listdir(os.path.join(path, "_manifests")) == ["v3.json"]
+
+def test_snapshot_stream_source_guards_and_tailing(spark, tmp_path):
+    """Stream-from-snapshot: an availableNow drain sees exactly the
+    committed rows; a second drain on the same checkpoint picks up ONLY a
+    later commit; replace-in-history and orphan data dirs raise at start
+    instead of streaming wrong rows."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        snapshot_stream_source,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 6).withColumnRenamed("id", "k"), path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            snapshot_stream_source(spark, path)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(range(6))
+    write_snapshot(spark.range(6, 9).withColumnRenamed("id", "k"), path)
+    drain()  # only the delta is appended
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(range(9))
+
+    # orphan data dir (conflict loser's leftovers) -> refuse to start
+    os.makedirs(os.path.join(path, "data", "v9-orphan"))
+    with pytest.raises(ValueError, match="orphan"):
+        snapshot_stream_source(spark, path)
+    os.rmdir(os.path.join(path, "data", "v9-orphan"))
+
+    # replace commit in history -> refuse to start
+    write_snapshot(
+        spark.range(100, 102).withColumnRenamed("id", "k"), path, mode="replace"
+    )
+    with pytest.raises(ValueError, match="replace commit"):
+        snapshot_stream_source(spark, path)
