@@ -400,6 +400,15 @@ def snapshot_stream_source(
     silently streaming wrong rows. The same discipline must hold while
     the stream runs.
 
+    Scale note: Spark's file source re-lists the directory tree each
+    trigger and keeps a seen-files map in the checkpoint, so at very
+    large file counts the LISTING (not the data) becomes the per-trigger
+    cost — the same reason Delta streams from its transaction log
+    instead. For tables past ~10^5 files, drive the consumer from the
+    manifests instead: poll the latest version and feed
+    ``read_snapshot_changes(spark, path, last_seen, latest)`` to the
+    sink — O(new manifests) per poll, zero listing.
+
     ``schema`` defaults to the latest snapshot's (streams cannot infer)."""
     import json
     import os
@@ -439,7 +448,8 @@ def snapshot_stream_source(
 
 
 def compact_snapshot(
-    spark: SparkSession, path: str, target_files: int = 4
+    spark: SparkSession, path: str, target_files: int | None = None,
+    target_file_bytes: int = 512 * 1024 * 1024,
 ) -> dict:
     """Small-file compaction for a snapshot table (Iceberg
     ``rewrite_data_files`` / Delta OPTIMIZE analog): read the LATEST
@@ -455,11 +465,16 @@ def compact_snapshot(
     The rewrite uses ``coalesce`` (bin-packs existing partitions, NO
     shuffle) — at 100 TB compaction is I/O-bound rewriting, and a full
     repartition shuffle would double the data movement for no benefit.
-    File counts come from the manifest's dir list (metadata-only walk,
-    never a data read).
+    ``target_files`` defaults to ``ceil(current bytes / target_file_bytes)``
+    (512 MB files), so a huge table compacts into MANY right-sized files
+    with matching rewrite parallelism — a hand-picked tiny target would
+    serialize the rewrite into that many tasks. File counts and sizes
+    come from the manifest's dir list (metadata-only walk, never a data
+    read).
 
     Returns {"version", "files_before", "files_after"}."""
     import json
+    import math
     import os
 
     man_dir = os.path.join(path, "_manifests")
@@ -476,6 +491,12 @@ def compact_snapshot(
         )
 
     before = n_files(dirs)
+    if target_files is None:
+        total_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        target_files = max(1, math.ceil(total_bytes / target_file_bytes))
     version = write_snapshot(
         spark.read.parquet(*dirs).coalesce(target_files), path, mode="replace"
     )

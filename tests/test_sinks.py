@@ -374,6 +374,11 @@ def test_compact_snapshot_content_invariant(spark, tmp_path):
     assert len(deleted) == 2
     assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(60))
     assert os.listdir(os.path.join(path, "_manifests")) == ["v3.json"]
+    # default target_files: derived from current bytes / target size — a
+    # tiny table bin-packs to ONE file
+    info2 = compact_snapshot(spark, path)
+    assert info2["files_after"] == 1, info2
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(60))
 
 def test_snapshot_stream_source_guards_and_tailing(spark, tmp_path):
     """Stream-from-snapshot: an availableNow drain sees exactly the
