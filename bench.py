@@ -158,6 +158,11 @@ def main():
                 prev_q = json.load(fh).get("sf_blocks", {}).get(str(sf), {}).get("queries", {})
             for name, s in timings.items():
                 p = prev_q.get(name)
+                # an errored entry's wall is its time-to-failure, not a
+                # measurement — never compare it (the baseline writer below
+                # excludes errored entries, so prev values are always clean)
+                if name in errors:
+                    continue
                 if p and s > p * 1.5 and s - p > 1.0:
                     regressions.append([name, p, s, round(s / p, 2)])
             regressions.sort(key=lambda r: -r[3])
@@ -168,8 +173,18 @@ def main():
         for name, p, s, ratio in regressions[:8]:
             print(f"# REGRESSION {name}: {p:.2f}s -> {s:.2f}s ({ratio}x)", file=sys.stderr)
     if profile == "full":
+        clean_blocks = {
+            k: {
+                **v,
+                "queries": {
+                    n: t for n, t in v["queries"].items()
+                    if n not in v.get("errors", {})
+                },
+            }
+            for k, v in sf_blocks.items()
+        }
         with open(last_path, "w") as fh:
-            json.dump({"sf_blocks": sf_blocks, "model_warm_s": warm_s}, fh)
+            json.dump({"sf_blocks": clean_blocks, "model_warm_s": warm_s}, fh)
     print(json.dumps(out))
 
     # Second, COMPACT summary line (VERDICT r03 item 2): the driver's BENCH

@@ -749,7 +749,10 @@ def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
-    merged = merge_into(docs, changes, key="doc_id")
+    # deletes/updates/inserts are key-disjoint by construction
+    # (%13==0 vs %13!=0&%7==0 vs shifted-above-max ids), so skip the
+    # validator's extra changeset aggregation job
+    merged = merge_into(docs, changes, key="doc_id", validate=False)
     return (
         merged.groupBy("source")
         .agg(
@@ -818,7 +821,9 @@ def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("op"),
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
-    merged = merge_into(base, changes, key="doc_id")
+    # key-disjoint by construction (same modulus split as the CDC
+    # entry) — skip the validator's extra changeset aggregation job
+    merged = merge_into(base, changes, key="doc_id", validate=False)
     assert write_snapshot(merged, path, mode="replace") == 2
     # time travel: the pre-merge version is still intact after the commit
     assert read_snapshot(spark, path, version=1).count() == n_docs

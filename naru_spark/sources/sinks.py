@@ -243,7 +243,11 @@ class SnapshotConflictError(RuntimeError):
 
 
 def write_snapshot(
-    df: DataFrame, path: str, mode: str = "append", txn_id: str | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn_id: str | None = None,
+    base_version: int | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -266,13 +270,27 @@ def write_snapshot(
     never clobbered. On a real object store the same atomic point is a
     conditional PUT (If-None-Match) on the manifest key.
 
-    ``txn_id`` (Delta txnAppId/txnVersion pattern): an idempotence token
-    recorded in the manifest's cumulative ``txns`` map. Re-committing a
-    txn_id that a manifest already records is a NO-OP returning the
-    original version — this is what makes ``foreachBatch`` ingest
-    exactly-once-by-content under Structured Streaming's at-least-once
-    batch replay (a retried batch whose write succeeded but whose
-    checkpoint commit did not is skipped, not double-appended).
+    ``txn_id`` (the Delta txnAppId/txnVersion pattern, ``"app:version"``):
+    an idempotence token recorded in the manifest's ``txns`` map, which
+    holds ONE entry per app — ``{app: {"v": last_version, "commit":
+    snapshot_version}}`` — so the map is bounded by the number of writers,
+    not by total batches ever processed (a cumulative per-batch map would
+    grow manifests O(batches)). Re-committing an app version <= the
+    recorded one is a NO-OP returning that app's last commit — this is
+    what makes ``foreachBatch`` ingest exactly-once-by-content under
+    Structured Streaming's at-least-once batch replay (a retried batch
+    whose write succeeded but whose checkpoint commit did not is skipped,
+    not double-appended). A txn_id with no numeric ``:version`` suffix is
+    treated as version 0 of its own app (single-shot idempotence).
+
+    ``base_version`` (optimistic concurrency for read-modify-write
+    commits, e.g. compaction): when given, the commit is built against
+    EXACTLY that manifest and claims version base+1 — if any other
+    commit landed after the caller read ``base_version``, the
+    create-exclusive publish of v{base+1} fails with
+    ``SnapshotConflictError`` instead of silently superseding the
+    interleaved commit's rows. Without it the commit chains onto
+    whatever is latest at publish time (safe for blind appends only).
 
     Returns the committed (or previously-committed, for a replayed
     txn_id) version."""
@@ -288,20 +306,30 @@ def write_snapshot(
         int(f[1:-5]) for f in os.listdir(man_dir)
         if f.startswith("v") and f.endswith(".json")
     )
+    base = versions[-1] if versions else 0
+    if base_version is not None:
+        assert base_version == 0 or base_version in versions, (
+            f"base_version {base_version} was never committed at {path}"
+        )
+        base = base_version
     prev, txns = [], {}
-    if versions:
-        with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
+    if base:
+        with open(os.path.join(man_dir, f"v{base}.json")) as fh:
             latest = json.load(fh)
         txns = dict(latest.get("txns", {}))
         if mode == "append":
             prev = latest["dirs"]
-    if txn_id is not None and txn_id in txns:
-        return int(txns[txn_id])  # replayed batch: already committed
-    n = (versions[-1] + 1) if versions else 1
+    if txn_id is not None:
+        app, _, ver_s = txn_id.rpartition(":")
+        app, ver = (app, int(ver_s)) if app and ver_s.isdigit() else (txn_id, 0)
+        rec = txns.get(app)
+        if rec is not None and ver <= int(rec["v"]):
+            return int(rec["commit"])  # replayed batch: already committed
+    n = base + 1
     data_dir = os.path.join(path, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     if txn_id is not None:
-        txns[txn_id] = n
+        txns[app] = {"v": ver, "commit": n}
     manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns}
     tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
@@ -400,6 +428,17 @@ def snapshot_stream_source(
     silently streaming wrong rows. The same discipline must hold while
     the stream runs.
 
+    Commit-visibility caveat: data files land BEFORE the manifest
+    publish, so a trigger firing inside that window can emit rows of a
+    version that is not yet (or, for a conflict loser, never) committed
+    — and a stream STARTING in that window trips the orphan check. This
+    convenience path therefore assumes quiesced commits during triggers
+    (e.g. a single writer on a batch cadence). A consumer that needs
+    strict committed-only reads under concurrent writers should poll
+    manifests and feed ``read_snapshot_changes`` per new version
+    instead — manifests are the source of truth; the file listing is
+    not.
+
     Scale note: Spark's file source re-lists the directory tree each
     trigger and keeps a seen-files map in the checkpoint, so at very
     large file counts the LISTING (not the data) becomes the per-trigger
@@ -497,8 +536,14 @@ def compact_snapshot(
             for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
         )
         target_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    # base_version pins the rewrite to the manifest we actually read: an
+    # append landing between our read and our publish makes the commit
+    # raise instead of silently superseding (and later expiring) its rows
     version = write_snapshot(
-        spark.read.parquet(*dirs).coalesce(target_files), path, mode="replace"
+        spark.read.parquet(*dirs).coalesce(target_files),
+        path,
+        mode="replace",
+        base_version=latest,
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = n_files(json.load(fh)["dirs"])

@@ -428,3 +428,68 @@ def test_snapshot_stream_source_guards_and_tailing(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="replace commit"):
         snapshot_stream_source(spark, path)
+
+def test_snapshot_base_version_stale_read_conflicts(spark, tmp_path):
+    """Optimistic concurrency for read-modify-write commits: a replace
+    built against a base that is no longer latest (an append landed in
+    between) must raise, never silently supersede the interleaved rows —
+    the compaction lost-update case."""
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        SnapshotConflictError,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path)   # v1
+    write_snapshot(spark.range(5, 8).withColumnRenamed("id", "k"), path)   # v2
+    # compactor reads latest=2; a writer appends v3 before it commits
+    write_snapshot(spark.range(8, 10).withColumnRenamed("id", "k"), path)  # v3
+    with pytest.raises(SnapshotConflictError):
+        write_snapshot(
+            spark.range(0, 8).withColumnRenamed("id", "k").coalesce(1),
+            path, mode="replace", base_version=2,
+        )
+    # nothing lost: v3's rows still in the current table
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(10))
+    # retry against the true latest succeeds
+    v = write_snapshot(
+        spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1),
+        path, mode="replace", base_version=3,
+    )
+    assert v == 4
+    # a base that never existed is refused outright
+    with pytest.raises(AssertionError):
+        write_snapshot(
+            spark.range(0, 1).withColumnRenamed("id", "k"), path, base_version=99
+        )
+
+
+def test_snapshot_txns_map_bounded_per_app(spark, tmp_path):
+    """Delta txnAppId/txnVersion pattern: the manifest's txns map holds
+    ONE entry per app however many batches commit, and replaying any
+    already-recorded batch version is a no-op."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "snap")
+    for b in range(4):
+        write_snapshot(
+            spark.range(b * 2, b * 2 + 2).withColumnRenamed("id", "k"),
+            path, txn_id=f"ingest:{b}",
+        )
+    man = json.load(open(os.path.join(path, "_manifests", "v4.json")))
+    assert list(man["txns"]) == ["ingest"], man["txns"]  # bounded: one app entry
+    assert man["txns"]["ingest"] == {"v": 3, "commit": 4}
+    # replay of the LAST batch returns its own commit; an OLDER batch is
+    # equally skipped (at-least-once replay never re-appends)
+    assert write_snapshot(spark.range(6, 8).withColumnRenamed("id", "k"),
+                          path, txn_id="ingest:3") == 4
+    write_snapshot(spark.range(2, 4).withColumnRenamed("id", "k"),
+                   path, txn_id="ingest:1")
+    rows = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert rows == list(range(8))  # no double-counts from either replay
