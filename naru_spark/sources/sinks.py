@@ -348,10 +348,23 @@ def write_snapshot(
     return n
 
 
-def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
-    readable forever regardless of later appends."""
+    readable forever regardless of later appends.
+
+    ``merge_schema=True`` unions the schemas across commits (Iceberg/
+    Delta-style additive schema evolution: an append that introduced a
+    new column reads back with NULLs for pre-evolution rows, and a
+    time-travel read of a pre-evolution version still sees the ORIGINAL
+    narrow schema because only that version's dirs are opened). Off by
+    default — footer merging reads every file's footer up front, which
+    a fixed-schema table should not pay."""
     import json
     import os
 
@@ -363,7 +376,10 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
         )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         dirs = json.load(fh)["dirs"]
-    return spark.read.parquet(*dirs)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*dirs)
 
 
 def read_snapshot_changes(

@@ -493,3 +493,16 @@ def test_snapshot_txns_map_bounded_per_app(spark, tmp_path):
                    path, txn_id="ingest:1")
     rows = sorted(r["k"] for r in read_snapshot(spark, path).collect())
     assert rows == list(range(8))  # no double-counts from either replay
+
+def test_snapshot_schema_evolution_read(spark, tmp_path):
+    """Additive schema evolution across snapshot commits: mergeSchema
+    reads the evolved union with NULLs for pre-evolution rows; time
+    travel to a pre-evolution version still sees the narrow schema."""
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.createDataFrame([(1, "a")], ["k", "s"]), path)          # v1
+    write_snapshot(spark.createDataFrame([(2, "b", 7.5)], ["k", "s", "x"]), path)  # v2 adds x
+    rows = {r["k"]: r for r in read_snapshot(spark, path, merge_schema=True).collect()}
+    assert rows[1]["x"] is None and rows[2]["x"] == 7.5
+    assert read_snapshot(spark, path, version=1).columns == ["k", "s"]
