@@ -2899,6 +2899,43 @@ def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance
+    (pipeline.similarity.ivfpq_append_index — FAISS IndexIVFPQ.add): the
+    index is built on HALF the corpus, then the other half is encoded
+    under the index's saved quantizers and appended into the existing
+    cell partitions — O(|new batch|) work at any index size, the path
+    that keeps a billion-vector index current between rebuilds. Because
+    the quantizers never refit, build+append assigns bit-identical codes
+    to a full rebuild, so the probe must return EXACTLY the full index's
+    answers — this entry shares the in-memory IVF-PQ oracle, which is
+    that claim made checkable."""
+    import os
+
+    from naru_spark.pipeline.similarity import (
+        ivfpq_append_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    key = ("ivfpq_index_append", sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        path = os.path.join(_tmpdir("ivfpq_append_"), "index")
+        ivfpq_write_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6,
+        )
+        ivfpq_append_index(emb.filter(F.col("vec_id") % 2 == 1), path, decimals=6)
+        _IVF_CENT_CACHE[key] = path
+    return ivfpq_topk_from_index(
+        spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
+    )
+
+
 def q_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME Gopher composite gate applied to the documents STREAM
     (stateless JVM expressions — the streaming fast path, no watermark or
@@ -3370,6 +3407,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq": q_similarity_ivfpq,
         "similarity_topk_ivfpq_refined": q_similarity_ivfpq_refined,
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
+        "similarity_topk_ivfpq_index_append": q_similarity_ivfpq_index_append,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
@@ -3464,6 +3502,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # serving layout must never change answers: the persisted-index
         # path shares the in-memory composition's oracle verbatim
         "similarity_topk_ivfpq_index": sql_similarity_ivfpq(),
+        "similarity_topk_ivfpq_index_append": sql_similarity_ivfpq(),
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),

@@ -784,6 +784,27 @@ def ivfpq_write_index(
     index build at 100 TB."""
     import os
 
+    (
+        _ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col, decimals)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    np.save(os.path.join(path, "_centroids.npy"), centroids)
+    np.save(os.path.join(path, "_codebooks.npy"), codebooks)
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    decimals: int | None,
+) -> DataFrame:
+    """(vec_id, cell, codes) rows for a vector batch under FIXED
+    quantizers — shared by the full build and the incremental append, so
+    both paths provably assign identical codes to identical vectors."""
     spark = corpus.sparkSession
     m, kk, dsub = codebooks.shape
     bc = spark.sparkContext.broadcast((centroids, codebooks))
@@ -811,15 +832,40 @@ def ivfpq_write_index(
                 }
             )
 
+    return corpus.select(id_col, vec_col).mapInPandas(
+        index_rows, schema="vec_id long, cell int, codes array<int>"
+    )
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int | None = None,
+) -> None:
+    """Incremental index maintenance (FAISS ``IndexIVFPQ.add`` analog):
+    encode ONLY the new vectors under the index's SAVED quantizers and
+    append their code files into the existing cell partitions — O(|new
+    batch|) work however large the index, the nightly-ingest path that
+    makes a billion-vector index maintainable without rebuilds. Because
+    the quantizers are loaded from the index (never refit), the appended
+    codes are bit-identical to what a full rebuild over the union would
+    assign, so probes return exactly the rebuilt index's answers — the
+    append entry shares the rebuild's oracle on that argument. Quantizer
+    drift (cells that grow unbalanced as the distribution shifts) is the
+    signal to schedule a REBUILD; that decision is the caller's, exactly
+    as in FAISS."""
+    import os
+
+    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    codebooks = np.load(os.path.join(path, "_codebooks.npy"))
     (
-        corpus.select(id_col, vec_col)
-        .mapInPandas(index_rows, schema="vec_id long, cell int, codes array<int>")
-        .write.mode("overwrite")
+        _ivfpq_encode(new_vectors, centroids, codebooks, id_col, vec_col, decimals)
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
     )
-    np.save(os.path.join(path, "_centroids.npy"), centroids)
-    np.save(os.path.join(path, "_codebooks.npy"), codebooks)
 
 
 def ivfpq_topk_from_index(

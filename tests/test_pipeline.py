@@ -1224,6 +1224,46 @@ def test_ivfpq_index_partition_pruned_and_identical(spark, emb, tmp_path):
     assert "embedding" not in spark.read.parquet(path).columns
 
 
+def test_ivfpq_append_equals_rebuild(spark, emb, tmp_path):
+    """Incremental add (FAISS IndexIVFPQ.add analog): building on half
+    the corpus then appending the other half yields byte-identical code
+    ROWS to a full rebuild (fixed quantizers never refit), so probes
+    return exactly the rebuilt index's answers."""
+    from naru_spark.pipeline.similarity import (
+        ivfpq_append_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_np(mat, 16, seed=5)
+    cb = pq_fit(mat, m=8, k=16, seed=5)
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    ivfpq_write_index(emb, full, cents, cb, decimals=6)
+    ivfpq_write_index(emb.filter(F.col("vec_id") % 2 == 0), incr, cents, cb, decimals=6)
+    ivfpq_append_index(emb.filter(F.col("vec_id") % 2 == 1), incr, decimals=6)
+
+    rows_full = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(full).collect()
+    }
+    rows_incr = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(incr).collect()
+    }
+    assert rows_incr == rows_full  # identical code rows, not just results
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {tuple(r) for r in ivfpq_topk_from_index(spark, full, q, k=10, n_probe=4, decimals=6).collect()}
+    b = {tuple(r) for r in ivfpq_topk_from_index(spark, incr, q, k=10, n_probe=4, decimals=6).collect()}
+    assert a == b
+
+
 def test_quality_classifier_learns_and_scores(spark):
     """The trained quality classifier (pipeline.classifier): full-batch
     logistic GD is deterministic, the inlined-literal scoring agrees with

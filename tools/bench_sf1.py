@@ -94,9 +94,19 @@ def index_serving_probes(spark, sf_dir: str, timings: dict) -> None:
     t0 = time.time()
     n = ivfpq_topk_from_index(spark, ipath, queries, k=10, n_probe=8, decimals=6).count()
     timings["ivfpq_index_probe"] = round(time.time() - t0, 3)
+    # incremental add: a 5% batch appended under the saved quantizers must
+    # cost O(|batch|), not O(index) — near-flat however big the index grows
+    from naru_spark.pipeline.similarity import ivfpq_append_index
+
+    t0 = time.time()
+    ivfpq_append_index(
+        emb.filter(F.col("vec_id") % 20 == 0), ipath, decimals=6
+    )
+    timings["ivfpq_index_append"] = round(time.time() - t0, 3)
     print(
         f"# ivfpq index: build {timings['ivfpq_index_build']:.2f}s, "
-        f"probe {timings['ivfpq_index_probe']:.2f}s ({n} rows)",
+        f"probe {timings['ivfpq_index_probe']:.2f}s ({n} rows), "
+        f"append(5%) {timings['ivfpq_index_append']:.2f}s",
         file=sys.stderr,
     )
 
