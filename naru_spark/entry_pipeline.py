@@ -277,6 +277,30 @@ def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_bm25_topk_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance
+    (pipeline.retrieval.bm25_append_index — Lucene segment add): the
+    index is built on HALF the corpus, then the other half's postings
+    are appended into the existing bucket partitions, per-term df folded
+    in via one vocabulary-bounded merge, and the corpus stats updated —
+    O(|new batch|) at any index size, never a corpus rescan. Every
+    statistic is an exact integer count over disjoint doc sets, so the
+    probe must return EXACTLY the full rebuild's ranking — this entry
+    shares bm25_topk's oracle, which is that claim made checkable."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_append_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir)
+    path = tmpdir(prefix="bm25_append_") + "/idx"
+    bm25_write_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
+
+
 def sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     q_values = ",\n    ".join(
         f"({qid}, '{t}')"
@@ -3342,6 +3366,7 @@ def build_pipeline_registry():
         "token_idf": q_token_idf,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_index": q_bm25_topk_index,
+        "bm25_topk_index_append": q_bm25_topk_index_append,
         "doc_lm_score": q_doc_lm_score,
         "perplexity_buckets": q_perplexity_buckets,
         "source_mix": q_source_mix,
@@ -3429,6 +3454,7 @@ def build_pipeline_registry():
         "token_idf": sql_token_idf(),
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_index": sql_bm25_topk(),
+        "bm25_topk_index_append": sql_bm25_topk(),
         "doc_lm_score": sql_doc_lm_score(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "source_mix": sql_source_mix(),

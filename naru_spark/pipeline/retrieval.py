@@ -211,6 +211,78 @@ def bm25_write_index(
     return {"path": path, "n_buckets": n_buckets}
 
 
+def bm25_append_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Incremental index maintenance (Lucene segment-add analog): tokenize
+    ONLY the new documents, append their posting rows into the existing
+    crc32 bucket partitions, fold their per-term document frequencies into
+    the df sidecar (one vocabulary-bounded merge — never a corpus rescan)
+    and add their counts to the one-row stats. O(|new batch|) however
+    large the index. Because every statistic is an exact integer count
+    over disjoint doc sets, append-then-probe returns EXACTLY what a full
+    rebuild over the union would — the append entry shares the rebuild's
+    oracle. New doc_ids must not already be indexed (an upsert needs a
+    delete pass first, as in Lucene).
+
+    The df/stats sidecars are replaced via write-new-then-swap (reading
+    and overwriting the same parquet dir in one job is illegal); on an
+    object store the swap is a prefix rename."""
+    import os
+    import shutil
+    import uuid
+
+    spark = new_docs.sparkSession
+    tf = (
+        _doc_term_dl(new_docs, id_col)
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    (
+        tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+
+    def swap_in(df: DataFrame, final_dir: str) -> None:
+        tmp = final_dir + f".new-{uuid.uuid4().hex[:8]}"
+        df.write.parquet(tmp)
+        old = final_dir + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(final_dir, old)
+        os.rename(tmp, final_dir)
+        shutil.rmtree(old)
+
+    df_dir = os.path.join(path, "df")
+    delta_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    merged = (
+        spark.read.parquet(df_dir)
+        .unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    swap_in(merged, df_dir)
+
+    stats_dir = os.path.join(path, "stats")
+    old_row = spark.read.parquet(stats_dir).collect()[0]
+    add = (
+        new_docs.select(F.size(_NONEMPTY_TOKENS).alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
+    swap_in(
+        spark.createDataFrame(
+            [(int(old_row["n"]) + int(add["n"]),
+              int(old_row["sdl"]) + int(add["sdl"]))],
+            "n long, sdl long",
+        ),
+        stats_dir,
+    )
+
+
 def bm25_topk_from_index(
     spark,
     path: str,

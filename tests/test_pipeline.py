@@ -1264,6 +1264,35 @@ def test_ivfpq_append_equals_rebuild(spark, emb, tmp_path):
     assert a == b
 
 
+def test_bm25_append_equals_rebuild(spark, docs, tmp_path):
+    """Incremental BM25 add (Lucene segment-add analog): build-half +
+    append-half equals a full rebuild — identical df sidecar, identical
+    corpus stats, identical posting ROWS, identical probe ranking."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_append_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+
+    queries = [(0, "data spark"), (1, "model training")]
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    bm25_write_index(docs, full, n_buckets=8)
+    bm25_write_index(docs.filter(F.col("doc_id") % 2 == 0), incr, n_buckets=8)
+    bm25_append_index(docs.filter(F.col("doc_id") % 2 == 1), incr, n_buckets=8)
+
+    for sub in ("df", "stats"):
+        a = {tuple(r) for r in spark.read.parquet(f"{full}/{sub}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{incr}/{sub}").collect()}
+        assert a == b, sub
+    pa = {tuple(r) for r in spark.read.parquet(f"{full}/postings").collect()}
+    pb = {tuple(r) for r in spark.read.parquet(f"{incr}/postings").collect()}
+    assert pa == pb
+
+    ra = sorted(map(tuple, bm25_topk_from_index(spark, full, queries, k=10, n_buckets=8).collect()))
+    rb = sorted(map(tuple, bm25_topk_from_index(spark, incr, queries, k=10, n_buckets=8).collect()))
+    assert ra == rb
+
+
 def test_quality_classifier_learns_and_scores(spark):
     """The trained quality classifier (pipeline.classifier): full-batch
     logistic GD is deterministic, the inlined-literal scoring agrees with
