@@ -301,7 +301,37 @@ def q_bm25_topk_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
-def sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+def q_bm25_topk_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes from the persisted BM25 index
+    (pipeline.retrieval.bm25_delete_from_index — Lucene
+    delete+expunge done eagerly): a ~1% victim batch is anti-joined out
+    of the postings in ONE index-sized pass (compact posting rows, no
+    re-tokenization, never a corpus read), df recomputed
+    vocabulary-bounded, stats decremented by the victims' exact counts.
+    The probe afterwards must return EXACTLY what an index built fresh
+    over the surviving documents returns — the oracle is the same BM25
+    SQL restricted to the survivors, which makes that equivalence
+    row-for-row checkable."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_delete_from_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir)
+    path = tmpdir(prefix="bm25_delete_") + "/idx"
+    bm25_write_index(docs, path)
+    victim_ids = [
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id").collect()
+    ]
+    n_del = bm25_delete_from_index(spark, path, victim_ids)
+    assert n_del == len(victim_ids), (n_del, len(victim_ids))
+    return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
+
+
+def sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75, where: str = "") -> str:
     q_values = ",\n    ".join(
         f"({qid}, '{t}')"
         for qid, qs in _BM25_QUERIES
@@ -316,13 +346,13 @@ WITH q(query_id, term) AS (
 ),
 terms AS (
   SELECT doc_id, x AS term FROM (
-    SELECT doc_id, unnest({_SQL_TOKS}) AS x FROM documents
+    SELECT doc_id, unnest({_SQL_TOKS}) AS x FROM documents {where}
   ) WHERE length(x) > 0
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
 dl AS (
   SELECT doc_id, len(list_filter({_SQL_TOKS}, x -> length(x) > 0)) AS dl
-  FROM documents
+  FROM documents {where}
 ),
 stats AS (
   SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
@@ -3367,6 +3397,7 @@ def build_pipeline_registry():
         "bm25_topk": q_bm25_topk,
         "bm25_topk_index": q_bm25_topk_index,
         "bm25_topk_index_append": q_bm25_topk_index_append,
+        "bm25_topk_index_delete": q_bm25_topk_index_delete,
         "doc_lm_score": q_doc_lm_score,
         "perplexity_buckets": q_perplexity_buckets,
         "source_mix": q_source_mix,
@@ -3455,6 +3486,7 @@ def build_pipeline_registry():
         "bm25_topk": sql_bm25_topk(),
         "bm25_topk_index": sql_bm25_topk(),
         "bm25_topk_index_append": sql_bm25_topk(),
+        "bm25_topk_index_delete": sql_bm25_topk(where="WHERE doc_id % 97 <> 0"),
         "doc_lm_score": sql_doc_lm_score(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "source_mix": sql_source_mix(),

@@ -228,12 +228,10 @@ def bm25_append_index(
     oracle. New doc_ids must not already be indexed (an upsert needs a
     delete pass first, as in Lucene).
 
-    The df/stats sidecars are replaced via write-new-then-swap (reading
-    and overwriting the same parquet dir in one job is illegal); on an
+    The df/stats sidecars are replaced via ``_swap_in`` (reading and
+    overwriting the same parquet dir in one job is illegal); on an
     object store the swap is a prefix rename."""
     import os
-    import shutil
-    import uuid
 
     spark = new_docs.sparkSession
     tf = (
@@ -248,14 +246,6 @@ def bm25_append_index(
         .parquet(os.path.join(path, "postings"))
     )
 
-    def swap_in(df: DataFrame, final_dir: str) -> None:
-        tmp = final_dir + f".new-{uuid.uuid4().hex[:8]}"
-        df.write.parquet(tmp)
-        old = final_dir + f".old-{uuid.uuid4().hex[:8]}"
-        os.rename(final_dir, old)
-        os.rename(tmp, final_dir)
-        shutil.rmtree(old)
-
     df_dir = os.path.join(path, "df")
     delta_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     merged = (
@@ -264,7 +254,7 @@ def bm25_append_index(
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
     )
-    swap_in(merged, df_dir)
+    _swap_in(merged, df_dir)
 
     stats_dir = os.path.join(path, "stats")
     old_row = spark.read.parquet(stats_dir).collect()[0]
@@ -273,7 +263,7 @@ def bm25_append_index(
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
         .collect()[0]
     )
-    swap_in(
+    _swap_in(
         spark.createDataFrame(
             [(int(old_row["n"]) + int(add["n"]),
               int(old_row["sdl"]) + int(add["sdl"]))],
@@ -281,6 +271,81 @@ def bm25_append_index(
         ),
         stats_dir,
     )
+
+
+def bm25_delete_from_index(
+    spark,
+    path: str,
+    doc_ids: list[int],
+    n_buckets: int = 32,
+) -> int:
+    """Delete documents from the persisted index (Lucene's
+    delete-then-expunge, done eagerly): anti-join the victim ids out of
+    the postings (one index-sized pass over COMPACT posting rows — no
+    re-tokenization, never a corpus read), recompute the
+    vocabulary-bounded df from the surviving postings, and decrement the
+    corpus stats by the victims' exact (n, sum dl) gathered from their
+    own posting rows. After the call the index is byte-equivalent in
+    content to a fresh build over the remaining documents — probes
+    return exactly the rebuild's ranking, which is what lets the delete
+    entry share the filtered oracle. Zero-token documents leave no
+    posting rows and therefore cannot be located for deletion (their N
+    contribution stays; documented limit of an id-index-free layout).
+
+    Batch deletes, then call once: the pass costs the same however many
+    ids it removes. Returns the number of documents actually deleted."""
+    import os
+
+    post_dir = os.path.join(path, "postings")
+    ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    postings = spark.read.parquet(post_dir)
+    victims = (
+        postings.join(F.broadcast(ids_df), "doc_id")
+        .select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
+    n_del = int(victims["n"] or 0)
+    if n_del == 0:
+        return 0
+    remaining = postings.join(
+        F.broadcast(ids_df), "doc_id", "left_anti"
+    ).select("doc_id", "dl", "term", "tf", "bucket")  # original schema order
+    _swap_in(
+        remaining, post_dir,
+        writer=lambda df, tmp: df.write.partitionBy("bucket").parquet(tmp),
+    )
+    _swap_in(
+        spark.read.parquet(post_dir)
+        .groupBy("term").agg(F.count("*").alias("df")),
+        os.path.join(path, "df"),
+    )
+    stats_dir = os.path.join(path, "stats")
+    old = spark.read.parquet(stats_dir).collect()[0]
+    _swap_in(
+        spark.createDataFrame(
+            [(int(old["n"]) - n_del, int(old["sdl"]) - int(victims["sdl"]))],
+            "n long, sdl long",
+        ),
+        stats_dir,
+    )
+    return n_del
+
+
+def _swap_in(df: DataFrame, final_dir: str, writer=None) -> None:
+    """Replace a parquet dir with a freshly-written one (read-and-
+    overwrite of the same dir in one job is illegal); on an object store
+    the renames are prefix copies or a metadata pointer flip."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = final_dir + f".new-{uuid.uuid4().hex[:8]}"
+    (writer or (lambda d, t: d.write.parquet(t)))(df, tmp)
+    old = final_dir + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(final_dir, old)
+    os.rename(tmp, final_dir)
+    shutil.rmtree(old)
 
 
 def bm25_topk_from_index(

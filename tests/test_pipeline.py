@@ -1293,6 +1293,35 @@ def test_bm25_append_equals_rebuild(spark, docs, tmp_path):
     assert ra == rb
 
 
+def test_bm25_delete_equals_rebuild_over_survivors(spark, docs, tmp_path):
+    """Eager delete (Lucene delete+expunge): after removing a victim set,
+    the index's df/stats/postings equal a fresh build over the surviving
+    docs, and probes return the same ranking. Deleting an unknown id is
+    a no-op returning 0."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_delete_from_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+
+    queries = [(0, "data spark"), (1, "model training")]
+    full, ref = str(tmp_path / "full"), str(tmp_path / "ref")
+    bm25_write_index(docs, full, n_buckets=8)
+    victims = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()]
+    assert bm25_delete_from_index(spark, full, victims, n_buckets=8) == len(victims)
+    bm25_write_index(docs.filter(F.col("doc_id") % 5 != 0), ref, n_buckets=8)
+
+    for sub in ("df", "stats", "postings"):
+        a = {tuple(r) for r in spark.read.parquet(f"{full}/{sub}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect()}
+        assert a == b, sub
+    ra = sorted(map(tuple, bm25_topk_from_index(spark, full, queries, k=10, n_buckets=8).collect()))
+    rb = sorted(map(tuple, bm25_topk_from_index(spark, ref, queries, k=10, n_buckets=8).collect()))
+    assert ra == rb
+    assert bm25_delete_from_index(spark, full, [10**12], n_buckets=8) == 0
+
+
 def test_quality_classifier_learns_and_scores(spark):
     """The trained quality classifier (pipeline.classifier): full-batch
     logistic GD is deterministic, the inlined-literal scoring agrees with
