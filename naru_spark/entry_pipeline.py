@@ -2780,9 +2780,11 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_similarity_ivfpq(k: int = 10, n_probe: int = 8, m: int = 8, dsub: int = 8) -> str:
+def sql_similarity_ivfpq(
+    k: int = 10, n_probe: int = 8, m: int = 8, dsub: int = 8, neighbor_where: str = ""
+) -> str:
     return (
-        _sql_ivfpq_scored_ctes(n_probe, m, dsub)
+        _sql_ivfpq_scored_ctes(n_probe, m, dsub, neighbor_where)
         + f"""
 SELECT query_id, neighbor_id, adc, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2793,7 +2795,9 @@ SELECT query_id, neighbor_id, adc, rank FROM (
     )
 
 
-def _sql_ivfpq_scored_ctes(n_probe: int = 8, m: int = 8, dsub: int = 8) -> str:
+def _sql_ivfpq_scored_ctes(
+    n_probe: int = 8, m: int = 8, dsub: int = 8, neighbor_where: str = ""
+) -> str:
     """Shared IVF-PQ replay CTE prefix ending in ``scored(query_id,
     neighbor_id, adc)`` — used by the plain ADC oracle and the refined
     (exact re-rank) oracle."""
@@ -2864,7 +2868,7 @@ qtab AS (
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
-  FROM probes p JOIN cell_assign a USING (cell)
+  FROM probes p JOIN cell_assign a USING (cell) {neighbor_where}
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id, ROUND(SUM(t.d2), 6) AS adc
@@ -2984,6 +2988,45 @@ def q_similarity_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFra
             _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6,
         )
         ivfpq_append_index(emb.filter(F.col("vec_id") % 2 == 1), path, decimals=6)
+        _IVF_CENT_CACHE[key] = path
+    return ivfpq_topk_from_index(
+        spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
+    )
+
+
+def q_similarity_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes from the persisted IVF-PQ index
+    (pipeline.similarity.ivfpq_delete_from_index — FAISS remove_ids): a
+    ~1% victim batch anti-joined out of the code rows in ONE index-sized
+    pass over BYTES (quantizers untouched, no corpus read), after which
+    the index is byte-identical to a fresh build over the survivors.
+    The oracle is the IVF-PQ replay with the victims excluded from the
+    candidate set — removing code rows IS removing candidates, made
+    row-for-row checkable."""
+    import os
+
+    from naru_spark.pipeline.similarity import (
+        ivfpq_delete_from_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    key = ("ivfpq_index_delete", sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        path = os.path.join(_tmpdir("ivfpq_delete_"), "index")
+        ivfpq_write_index(
+            emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
+        )
+        victims = [
+            r["vec_id"] for r in emb.filter(F.col("vec_id") % 97 == 0)
+            .select("vec_id").collect()
+        ]
+        n = ivfpq_delete_from_index(spark, path, victims)
+        assert n == len(victims), (n, len(victims))
         _IVF_CENT_CACHE[key] = path
     return ivfpq_topk_from_index(
         spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
@@ -3464,6 +3507,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_refined": q_similarity_ivfpq_refined,
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "similarity_topk_ivfpq_index_append": q_similarity_ivfpq_index_append,
+        "similarity_topk_ivfpq_index_delete": q_similarity_ivfpq_index_delete,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
@@ -3561,6 +3605,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # path shares the in-memory composition's oracle verbatim
         "similarity_topk_ivfpq_index": sql_similarity_ivfpq(),
         "similarity_topk_ivfpq_index_append": sql_similarity_ivfpq(),
+        "similarity_topk_ivfpq_index_delete": sql_similarity_ivfpq(
+            neighbor_where="WHERE a.vec_id % 97 <> 0"
+        ),
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),

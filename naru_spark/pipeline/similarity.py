@@ -868,6 +868,47 @@ def ivfpq_append_index(
     )
 
 
+def ivfpq_delete_from_index(
+    spark,
+    path: str,
+    vec_ids: list[int],
+) -> int:
+    """Delete vectors from the persisted IVF-PQ index (FAISS
+    ``remove_ids`` analog): anti-join the victim ids out of the code
+    rows in ONE index-sized pass (codes are bytes — this never touches
+    float vectors or any corpus-scale table) and swap the rewritten
+    cell-partitioned tree in. Quantizers are untouched, so the surviving
+    rows are byte-identical to a fresh build over the survivors and
+    probes return exactly the rebuilt index's answers. Batch ids, call
+    once. Returns the number of vectors removed."""
+    import os
+
+    from naru_spark.pipeline.retrieval import _swap_in
+
+    ids_df = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
+    index = spark.read.parquet(path)
+    n_del = index.join(F.broadcast(ids_df), "vec_id").count()
+    if n_del == 0:
+        return 0
+    remaining = index.join(F.broadcast(ids_df), "vec_id", "left_anti").select(
+        "vec_id", "codes", "cell"  # original schema order
+    )
+    # the .npy quantizer sidecars live inside `path`; swap only the parquet
+    # cell dirs by writing the survivors beside them and moving the tree
+    quant = {
+        f: os.path.join(path, f)
+        for f in ("_centroids.npy", "_codebooks.npy")
+    }
+    saved = {f: np.load(p) for f, p in quant.items()}
+    _swap_in(
+        remaining, path,
+        writer=lambda df, tmp: df.write.partitionBy("cell").parquet(tmp),
+    )
+    for f, arr in saved.items():
+        np.save(os.path.join(path, f), arr)
+    return n_del
+
+
 def ivfpq_topk_from_index(
     spark,
     path: str,

@@ -1322,6 +1322,44 @@ def test_bm25_delete_equals_rebuild_over_survivors(spark, docs, tmp_path):
     assert bm25_delete_from_index(spark, full, [10**12], n_buckets=8) == 0
 
 
+def test_ivfpq_delete_equals_rebuild_over_survivors(spark, emb, tmp_path):
+    """FAISS remove_ids analog: after deleting a victim set the code rows
+    equal a fresh build over the survivors, quantizer sidecars survive
+    the swap, and probes match. Unknown ids are a no-op returning 0."""
+    from naru_spark.pipeline.similarity import (
+        ivfpq_delete_from_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_np(mat, 16, seed=5)
+    cb = pq_fit(mat, m=8, k=16, seed=5)
+    full, ref = str(tmp_path / "full"), str(tmp_path / "ref")
+    ivfpq_write_index(emb, full, cents, cb, decimals=6)
+    victims = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 5 == 0)
+               .select("vec_id").collect()]
+    assert ivfpq_delete_from_index(spark, full, victims) == len(victims)
+    ivfpq_write_index(emb.filter(F.col("vec_id") % 5 != 0), ref, cents, cb, decimals=6)
+
+    a = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+         for r in spark.read.parquet(full).collect()}
+    b = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+         for r in spark.read.parquet(ref).collect()}
+    assert a == b
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ra = sorted(map(tuple, ivfpq_topk_from_index(spark, full, q, k=10, n_probe=4, decimals=6).collect()))
+    rb = sorted(map(tuple, ivfpq_topk_from_index(spark, ref, q, k=10, n_probe=4, decimals=6).collect()))
+    assert ra == rb
+    assert ivfpq_delete_from_index(spark, full, [10**12]) == 0
+
+
 def test_quality_classifier_learns_and_scores(spark):
     """The trained quality classifier (pipeline.classifier): full-batch
     logistic GD is deterministic, the inlined-literal scoring agrees with
