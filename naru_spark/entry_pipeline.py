@@ -2987,7 +2987,9 @@ def q_similarity_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFra
             emb.filter(F.col("vec_id") % 2 == 0), path,
             _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6,
         )
-        ivfpq_append_index(emb.filter(F.col("vec_id") % 2 == 1), path, decimals=6)
+        # decimals intentionally omitted: append reads it from the index's
+        # _meta.json sidecar, proving the no-drift default in the hash gate
+        ivfpq_append_index(emb.filter(F.col("vec_id") % 2 == 1), path)
         _IVF_CENT_CACHE[key] = path
     return ivfpq_topk_from_index(
         spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6

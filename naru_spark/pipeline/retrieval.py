@@ -230,14 +230,28 @@ def bm25_append_index(
 
     The df/stats sidecars are replaced via ``_swap_in`` (reading and
     overwriting the same parquet dir in one job is illegal); on an
-    object store the swap is a prefix rename."""
+    object store the swap is a prefix rename. The batch is tokenized
+    ONCE: the (doc, term, tf) rows are persisted across the postings
+    write and the df-delta aggregate (the build path's single-heavy-pass
+    discipline, applied to the delta). An EMPTY batch is a legal no-op —
+    Structured Streaming delivers them routinely."""
     import os
 
     spark = new_docs.sparkSession
+    # the empty-batch stats row sums to NULL — coalesce, and skip the
+    # sidecar swaps entirely for a no-op batch
+    add = (
+        new_docs.select(F.size(_NONEMPTY_TOKENS).alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
+    if int(add["n"]) == 0:
+        return
     tf = (
         _doc_term_dl(new_docs, id_col)
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()  # one tokenize feeds BOTH the postings write and the df delta
     )
     (
         tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
@@ -255,18 +269,14 @@ def bm25_append_index(
         .agg(F.sum("df").cast("long").alias("df"))
     )
     _swap_in(merged, df_dir)
+    tf.unpersist()
 
     stats_dir = os.path.join(path, "stats")
     old_row = spark.read.parquet(stats_dir).collect()[0]
-    add = (
-        new_docs.select(F.size(_NONEMPTY_TOKENS).alias("dl"))
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
-        .collect()[0]
-    )
     _swap_in(
         spark.createDataFrame(
-            [(int(old_row["n"]) + int(add["n"]),
-              int(old_row["sdl"]) + int(add["sdl"]))],
+            [(int(old_row["n"] or 0) + int(add["n"]),
+              int(old_row["sdl"] or 0) + int(add["sdl"] or 0))],
             "n long, sdl long",
         ),
         stats_dir,
@@ -277,7 +287,6 @@ def bm25_delete_from_index(
     spark,
     path: str,
     doc_ids: list[int],
-    n_buckets: int = 32,
 ) -> int:
     """Delete documents from the persisted index (Lucene's
     delete-then-expunge, done eagerly): anti-join the victim ids out of
@@ -293,11 +302,19 @@ def bm25_delete_from_index(
     contribution stays; documented limit of an id-index-free layout).
 
     Batch deletes, then call once: the pass costs the same however many
-    ids it removes. Returns the number of documents actually deleted."""
+    ids it removes. Deleting EVERY remaining document is refused before
+    any mutation (an empty partitioned write leaves a schema-less dir
+    that breaks all subsequent reads — drop the index dir instead).
+    Returns the number of documents actually deleted.
+
+    The bucket layout is carried unchanged from the existing rows, so no
+    bucket-count parameter exists to get wrong."""
     import os
 
     post_dir = os.path.join(path, "postings")
-    ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in set(doc_ids)], "doc_id long"
+    )
     postings = spark.read.parquet(post_dir)
     victims = (
         postings.join(F.broadcast(ids_df), "doc_id")
@@ -311,6 +328,11 @@ def bm25_delete_from_index(
     remaining = postings.join(
         F.broadcast(ids_df), "doc_id", "left_anti"
     ).select("doc_id", "dl", "term", "tf", "bucket")  # original schema order
+    if remaining.limit(1).count() == 0:
+        raise ValueError(
+            "delete would remove every indexed document — an empty "
+            "partitioned index is unreadable; drop the index dir instead"
+        )
     _swap_in(
         remaining, post_dir,
         writer=lambda df, tmp: df.write.partitionBy("bucket").parquet(tmp),

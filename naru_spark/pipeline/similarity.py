@@ -784,6 +784,8 @@ def ivfpq_write_index(
     index build at 100 TB."""
     import os
 
+    import json
+
     (
         _ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col, decimals)
         .write.mode("overwrite")
@@ -792,6 +794,10 @@ def ivfpq_write_index(
     )
     np.save(os.path.join(path, "_centroids.npy"), centroids)
     np.save(os.path.join(path, "_codebooks.npy"), codebooks)
+    # decimals is part of the encoding config exactly like the quantizers:
+    # append must reuse it or borderline vectors drift from a rebuild
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"decimals": decimals}, fh)
 
 
 def _ivfpq_encode(
@@ -837,12 +843,15 @@ def _ivfpq_encode(
     )
 
 
+_META_AUTO = "auto"
+
+
 def ivfpq_append_index(
     new_vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    decimals: int | None = None,
+    decimals: int | None | str = _META_AUTO,
 ) -> None:
     """Incremental index maintenance (FAISS ``IndexIVFPQ.add`` analog):
     encode ONLY the new vectors under the index's SAVED quantizers and
@@ -855,9 +864,22 @@ def ivfpq_append_index(
     append entry shares the rebuild's oracle on that argument. Quantizer
     drift (cells that grow unbalanced as the distribution shifts) is the
     signal to schedule a REBUILD; that decision is the caller's, exactly
-    as in FAISS."""
+    as in FAISS.
+
+    ``decimals`` defaults to the value the INDEX was built with (read
+    from the _meta.json sidecar — it is part of the encoding config
+    exactly like the quantizers, so a caller-remembered argument would
+    be a silent drift hazard); pass an explicit value only to override.
+    New ids must not already be indexed (an upsert deletes first)."""
+    import json
     import os
 
+    if decimals == _META_AUTO:
+        meta_path = os.path.join(path, "_meta.json")
+        decimals = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                decimals = json.load(fh).get("decimals")
     centroids = np.load(os.path.join(path, "_centroids.npy"))
     codebooks = np.load(os.path.join(path, "_codebooks.npy"))
     (
@@ -880,12 +902,18 @@ def ivfpq_delete_from_index(
     cell-partitioned tree in. Quantizers are untouched, so the surviving
     rows are byte-identical to a fresh build over the survivors and
     probes return exactly the rebuilt index's answers. Batch ids, call
-    once. Returns the number of vectors removed."""
+    once; duplicates in ``vec_ids`` are deduped. Deleting EVERY vector
+    is refused before any mutation (an empty partitioned write leaves a
+    schema-less dir — drop the index dir instead). Returns the number of
+    distinct vectors removed."""
     import os
+    import shutil
 
     from naru_spark.pipeline.retrieval import _swap_in
 
-    ids_df = spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in set(vec_ids)], "vec_id long"
+    )
     index = spark.read.parquet(path)
     n_del = index.join(F.broadcast(ids_df), "vec_id").count()
     if n_del == 0:
@@ -893,19 +921,27 @@ def ivfpq_delete_from_index(
     remaining = index.join(F.broadcast(ids_df), "vec_id", "left_anti").select(
         "vec_id", "codes", "cell"  # original schema order
     )
-    # the .npy quantizer sidecars live inside `path`; swap only the parquet
-    # cell dirs by writing the survivors beside them and moving the tree
-    quant = {
-        f: os.path.join(path, f)
-        for f in ("_centroids.npy", "_codebooks.npy")
-    }
-    saved = {f: np.load(p) for f, p in quant.items()}
-    _swap_in(
-        remaining, path,
-        writer=lambda df, tmp: df.write.partitionBy("cell").parquet(tmp),
-    )
-    for f, arr in saved.items():
-        np.save(os.path.join(path, f), arr)
+    if remaining.limit(1).count() == 0:
+        raise ValueError(
+            "delete would remove every indexed vector — an empty "
+            "partitioned index is unreadable; drop the index dir instead"
+        )
+
+    # the quantizer/meta sidecars must be COPIED INTO the replacement tree
+    # BEFORE the rename: if the sidecars only existed in process memory
+    # during the swap, a crash in that window would leave codes on disk
+    # with no codebooks to decode them — a bricked index
+    sidecars = [
+        f for f in ("_centroids.npy", "_codebooks.npy", "_meta.json")
+        if os.path.exists(os.path.join(path, f))
+    ]
+
+    def write_with_sidecars(df: DataFrame, tmp: str) -> None:
+        df.write.partitionBy("cell").parquet(tmp)
+        for f in sidecars:
+            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+
+    _swap_in(remaining, path, writer=write_with_sidecars)
     return n_del
 
 

@@ -242,6 +242,27 @@ class SnapshotConflictError(RuntimeError):
     loser must re-read the latest manifest and retry, never overwrite."""
 
 
+def _normalize_txns(raw: dict) -> dict:
+    """Upgrade a manifest's txns map to the bounded per-app format
+    ``{app: {"v": last_version, "commit": snapshot_version}}``. Older
+    manifests recorded one flat ``{txn_id: commit}`` entry per batch —
+    without this migration a replayed old-format batch would be
+    re-appended (silent double-count), and a colon-free legacy key would
+    crash the replay check on ``rec["v"]``. Legacy entries for the same
+    app keep the highest batch version."""
+    txns: dict = {}
+    for key, val in raw.items():
+        if isinstance(val, dict):
+            txns[key] = dict(val)
+            continue
+        app, _, ver_s = key.rpartition(":")
+        app, ver = (app, int(ver_s)) if app and ver_s.isdigit() else (key, 0)
+        rec = txns.get(app)
+        if rec is None or ver > int(rec["v"]):
+            txns[app] = {"v": ver, "commit": int(val)}
+    return txns
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -316,7 +337,7 @@ def write_snapshot(
     if base:
         with open(os.path.join(man_dir, f"v{base}.json")) as fh:
             latest = json.load(fh)
-        txns = dict(latest.get("txns", {}))
+        txns = _normalize_txns(latest.get("txns", {}))
         if mode == "append":
             prev = latest["dirs"]
     if txn_id is not None:

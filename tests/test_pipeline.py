@@ -1309,7 +1309,7 @@ def test_bm25_delete_equals_rebuild_over_survivors(spark, docs, tmp_path):
     bm25_write_index(docs, full, n_buckets=8)
     victims = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 5 == 0)
                .select("doc_id").collect()]
-    assert bm25_delete_from_index(spark, full, victims, n_buckets=8) == len(victims)
+    assert bm25_delete_from_index(spark, full, victims) == len(victims)
     bm25_write_index(docs.filter(F.col("doc_id") % 5 != 0), ref, n_buckets=8)
 
     for sub in ("df", "stats", "postings"):
@@ -1319,7 +1319,7 @@ def test_bm25_delete_equals_rebuild_over_survivors(spark, docs, tmp_path):
     ra = sorted(map(tuple, bm25_topk_from_index(spark, full, queries, k=10, n_buckets=8).collect()))
     rb = sorted(map(tuple, bm25_topk_from_index(spark, ref, queries, k=10, n_buckets=8).collect()))
     assert ra == rb
-    assert bm25_delete_from_index(spark, full, [10**12], n_buckets=8) == 0
+    assert bm25_delete_from_index(spark, full, [10**12]) == 0
 
 
 def test_ivfpq_delete_equals_rebuild_over_survivors(spark, emb, tmp_path):
@@ -1358,6 +1358,33 @@ def test_ivfpq_delete_equals_rebuild_over_survivors(spark, emb, tmp_path):
     rb = sorted(map(tuple, ivfpq_topk_from_index(spark, ref, q, k=10, n_probe=4, decimals=6).collect()))
     assert ra == rb
     assert ivfpq_delete_from_index(spark, full, [10**12]) == 0
+    # duplicate ids are deduped in the count
+    assert ivfpq_delete_from_index(spark, full, [1, 1]) == 1
+    # removing every remaining vector is refused before any mutation
+    import pytest
+    rest = [r["vec_id"] for r in spark.read.parquet(full).select("vec_id").collect()]
+    with pytest.raises(ValueError, match="every indexed vector"):
+        ivfpq_delete_from_index(spark, full, rest)
+    assert ivfpq_delete_from_index(spark, full, []) == 0
+
+
+def test_bm25_append_empty_batch_is_noop(spark, docs, tmp_path):
+    """An empty micro-batch (routine under Structured Streaming) must be
+    a no-op, not a crash on the NULL stats sum."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_topk_from_index,
+        bm25_append_index,
+        bm25_write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    bm25_write_index(docs, path, n_buckets=8)
+    before = sorted(map(tuple, bm25_topk_from_index(
+        spark, path, [(0, "data spark")], k=5, n_buckets=8).collect()))
+    bm25_append_index(docs.filter(F.lit(False)), path, n_buckets=8)
+    after = sorted(map(tuple, bm25_topk_from_index(
+        spark, path, [(0, "data spark")], k=5, n_buckets=8).collect()))
+    assert before == after
 
 
 def test_quality_classifier_learns_and_scores(spark):

@@ -506,3 +506,34 @@ def test_snapshot_schema_evolution_read(spark, tmp_path):
     rows = {r["k"]: r for r in read_snapshot(spark, path, merge_schema=True).collect()}
     assert rows[1]["x"] is None and rows[2]["x"] == 7.5
     assert read_snapshot(spark, path, version=1).columns == ["k", "s"]
+
+
+def test_snapshot_txns_legacy_format_migrates(spark, tmp_path):
+    """Manifests written by the old flat {txn_id: commit} format must keep
+    their idempotence under the new per-app map: a replayed old-format
+    batch is skipped (no double-append) and colon-free legacy keys do not
+    crash the replay check."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 4).withColumnRenamed("id", "k"), path)  # v1
+    # forge a legacy-format manifest (what pre-change code wrote)
+    man = os.path.join(path, "_manifests", "v1.json")
+    m = json.load(open(man))
+    m["txns"] = {"ingest:0": 1, "once": 1}
+    json.dump(m, open(man, "w"))
+    # replay of the legacy-recorded batch: no-op, no double-count
+    assert write_snapshot(spark.range(0, 4).withColumnRenamed("id", "k"),
+                          path, txn_id="ingest:0") == 1
+    assert write_snapshot(spark.range(9, 10).withColumnRenamed("id", "k"),
+                          path, txn_id="once") == 1  # colon-free legacy key
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [0, 1, 2, 3]
+    # a NEW batch still commits and upgrades the map format
+    assert write_snapshot(spark.range(4, 6).withColumnRenamed("id", "k"),
+                          path, txn_id="ingest:1") == 2
+    m2 = json.load(open(os.path.join(path, "_manifests", "v2.json")))
+    assert m2["txns"]["ingest"] == {"v": 1, "commit": 2}
+    assert m2["txns"]["once"] == {"v": 0, "commit": 1}

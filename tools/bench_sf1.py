@@ -99,8 +99,13 @@ def index_serving_probes(spark, sf_dir: str, timings: dict) -> None:
     from naru_spark.pipeline.similarity import ivfpq_append_index
 
     t0 = time.time()
+    # shift the ids above the corpus range: append requires NEW ids, and
+    # re-adding existing ones would leave duplicate code rows behind
     ivfpq_append_index(
-        emb.filter(F.col("vec_id") % 20 == 0), ipath, decimals=6
+        emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000_000)
+        ),
+        ipath,
     )
     timings["ivfpq_index_append"] = round(time.time() - t0, 3)
     print(
