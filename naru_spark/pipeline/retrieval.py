@@ -216,6 +216,7 @@ def bm25_append_index(
     path: str,
     id_col: str = "doc_id",
     n_buckets: int = 32,
+    validate: bool = False,
 ) -> None:
     """Incremental index maintenance (Lucene segment-add analog): tokenize
     ONLY the new documents, append their posting rows into the existing
@@ -226,7 +227,10 @@ def bm25_append_index(
     over disjoint doc sets, append-then-probe returns EXACTLY what a full
     rebuild over the union would — the append entry shares the rebuild's
     oracle. New doc_ids must not already be indexed (an upsert needs a
-    delete pass first, as in Lucene).
+    delete pass first, as in Lucene); ``validate=True`` enforces it with
+    one broadcast semi-join of the batch ids against the postings —
+    an index-sized scan, so off by default exactly like Lucene/FAISS,
+    which also trust the caller here.
 
     The df/stats sidecars are replaced via ``_swap_in`` (reading and
     overwriting the same parquet dir in one job is illegal); on an
@@ -247,6 +251,20 @@ def bm25_append_index(
     )
     if int(add["n"]) == 0:
         return
+    if validate:
+        clash = (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .join(
+                F.broadcast(new_docs.select(F.col(id_col).alias("doc_id")).distinct()),
+                "doc_id",
+            )
+            .select("doc_id").limit(1).collect()
+        )
+        if clash:
+            raise ValueError(
+                f"doc_id {clash[0]['doc_id']} is already indexed — append "
+                "requires new ids; delete first for an upsert"
+            )
     tf = (
         _doc_term_dl(new_docs, id_col)
         .groupBy("doc_id", "dl", "term")

@@ -852,6 +852,7 @@ def ivfpq_append_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int | None | str = _META_AUTO,
+    validate: bool = False,
 ) -> None:
     """Incremental index maintenance (FAISS ``IndexIVFPQ.add`` analog):
     encode ONLY the new vectors under the index's SAVED quantizers and
@@ -870,10 +871,29 @@ def ivfpq_append_index(
     from the _meta.json sidecar — it is part of the encoding config
     exactly like the quantizers, so a caller-remembered argument would
     be a silent drift hazard); pass an explicit value only to override.
-    New ids must not already be indexed (an upsert deletes first)."""
+    New ids must not already be indexed (an upsert deletes first);
+    ``validate=True`` enforces it with one broadcast semi-join against
+    the code rows — index-sized, so off by default exactly as in FAISS,
+    which also trusts the caller here."""
     import json
     import os
 
+    if validate:
+        clash = (
+            new_vectors.sparkSession.read.parquet(path)
+            .join(
+                F.broadcast(
+                    new_vectors.select(F.col(id_col).alias("vec_id")).distinct()
+                ),
+                "vec_id",
+            )
+            .select("vec_id").limit(1).collect()
+        )
+        if clash:
+            raise ValueError(
+                f"vec_id {clash[0]['vec_id']} is already indexed — append "
+                "requires new ids; delete first for an upsert"
+            )
     if decimals == _META_AUTO:
         meta_path = os.path.join(path, "_meta.json")
         decimals = None

@@ -1262,6 +1262,10 @@ def test_ivfpq_append_equals_rebuild(spark, emb, tmp_path):
     a = {tuple(r) for r in ivfpq_topk_from_index(spark, full, q, k=10, n_probe=4, decimals=6).collect()}
     b = {tuple(r) for r in ivfpq_topk_from_index(spark, incr, q, k=10, n_probe=4, decimals=6).collect()}
     assert a == b
+    # validate=True refuses an id that is already indexed
+    import pytest
+    with pytest.raises(ValueError, match="already indexed"):
+        ivfpq_append_index(emb.limit(1), incr, validate=True)
 
 
 def test_bm25_append_equals_rebuild(spark, docs, tmp_path):
@@ -1291,6 +1295,10 @@ def test_bm25_append_equals_rebuild(spark, docs, tmp_path):
     ra = sorted(map(tuple, bm25_topk_from_index(spark, full, queries, k=10, n_buckets=8).collect()))
     rb = sorted(map(tuple, bm25_topk_from_index(spark, incr, queries, k=10, n_buckets=8).collect()))
     assert ra == rb
+    # validate=True refuses an id that is already indexed
+    import pytest
+    with pytest.raises(ValueError, match="already indexed"):
+        bm25_append_index(docs.limit(1), incr, n_buckets=8, validate=True)
 
 
 def test_bm25_delete_equals_rebuild_over_survivors(spark, docs, tmp_path):
