@@ -2996,6 +2996,76 @@ def q_similarity_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_similarity_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REBUILD-TRIGGER signal for the maintained ANN index: rows per
+    cell and each cell's share of the index, from ONE scan of the
+    persisted code rows (bytes — no corpus or float read). The append
+    path's docstring says quantizer drift (cells growing unbalanced as
+    the ingest distribution shifts) is when to schedule a rebuild; this
+    is that signal made measurable, the FAISS imbalance_factor analog.
+    Oracle: replay the cell assignment and count."""
+    import os
+
+    from naru_spark.pipeline.similarity import ivfpq_write_index
+
+    emb = _emb(spark, sf_dir)
+    key = ("ivfpq_index", sf_dir)  # shared with q_similarity_ivfpq_index
+    if key not in _IVF_CENT_CACHE:
+        path = os.path.join(_tmpdir("ivfpq_index_"), "index")
+        ivfpq_write_index(
+            emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
+        )
+        _IVF_CENT_CACHE[key] = path
+    counts = (
+        spark.read.parquet(_IVF_CENT_CACHE[key])
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    total = counts.agg(F.sum("n_vectors").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors").cast("double") / F.col("__t"), 6).alias("share"),
+        )
+        .orderBy("cell")
+    )
+
+
+def sql_similarity_ivfpq_index_stats() -> str:
+    from naru_spark.entry_queries import WORKLOAD_SF
+
+    cents = _ivf_oracle_centroids(WORKLOAD_SF)
+    cent_values = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in row)}] AS DOUBLE[]))"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, v) AS (
+  VALUES
+    {cent_values}
+),
+cell_scored AS (
+  SELECT e.vec_id, c.cell,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v), 6) AS s
+  FROM embeddings e, cents c
+),
+cell_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+counts AS (SELECT cell, COUNT(*) AS n_vectors FROM cell_assign GROUP BY cell)
+SELECT cell, n_vectors,
+       ROUND(CAST(n_vectors AS DOUBLE) / (SELECT SUM(n_vectors) FROM counts), 6) AS share
+FROM counts
+ORDER BY cell
+"""
+
+
 def q_similarity_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletes from the persisted IVF-PQ index
     (pipeline.similarity.ivfpq_delete_from_index — FAISS remove_ids): a
@@ -3510,6 +3580,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "similarity_topk_ivfpq_index_append": q_similarity_ivfpq_index_append,
         "similarity_topk_ivfpq_index_delete": q_similarity_ivfpq_index_delete,
+        "similarity_ivfpq_index_stats": q_similarity_ivfpq_index_stats,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
@@ -3610,6 +3681,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "similarity_topk_ivfpq_index_delete": sql_similarity_ivfpq(
             neighbor_where="WHERE a.vec_id % 97 <> 0"
         ),
+        "similarity_ivfpq_index_stats": sql_similarity_ivfpq_index_stats(),
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),

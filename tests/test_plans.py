@@ -661,8 +661,9 @@ def test_no_static_sf_scaled_broadcast_in_entry_queries():
     import naru_spark.entry_queries as eq
 
     # bounded by construction: nation (25 rows), region (5 rows),
-    # max_rev (1-row global max), top (rank-1 supplier set, Q15)
-    allowed_roots = {"nation", "region", "max_rev", "top"}
+    # max_rev (1-row global max), top (rank-1 supplier set, Q15),
+    # total (1-row scalar aggregate, ivfpq index stats share)
+    allowed_roots = {"nation", "region", "max_rev", "top", "total"}
 
     def root_name(node):
         while isinstance(node, (ast.Call, ast.Attribute, ast.Subscript)):
