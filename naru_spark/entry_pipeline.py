@@ -2931,6 +2931,25 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     )
 
 
+def _shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path for the full-corpus persisted IVF-PQ index shared
+    by the topk and stats entries — one build site, so the two entries
+    can never measure differently-built indexes."""
+    import os
+
+    from naru_spark.pipeline.similarity import ivfpq_write_index
+
+    key = ("ivfpq_index", sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        path = os.path.join(_tmpdir("ivfpq_index_"), "index")
+        ivfpq_write_index(
+            _emb(spark, sf_dir), path,
+            _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6,
+        )
+        _IVF_CENT_CACHE[key] = path
+    return _IVF_CENT_CACHE[key]
+
+
 def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF-PQ serving path (pipeline.similarity.ivfpq_write_index
     / ivfpq_topk_from_index): the index stores codes hive-partitioned by
@@ -2938,22 +2957,13 @@ def q_similarity_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never touched at query time. Same quantizers as
     `similarity_topk_ivfpq`, so results are identical and this entry
     SHARES its oracle (the serving layout must never change answers)."""
-    import os
-    from naru_spark.pipeline.similarity import ivfpq_topk_from_index, ivfpq_write_index
+    from naru_spark.pipeline.similarity import ivfpq_topk_from_index
 
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    key = ("ivfpq_index", sf_dir)
-    if key not in _IVF_CENT_CACHE:
-        path = os.path.join(_tmpdir("ivfpq_index_"), "index")
-        ivfpq_write_index(
-            emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
-        )
-        _IVF_CENT_CACHE[key] = path
     return ivfpq_topk_from_index(
-        spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
+        spark, _shared_ivfpq_index(spark, sf_dir), queries, k=10, n_probe=8, decimals=6
     )
 
 
@@ -3004,20 +3014,8 @@ def q_similarity_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFram
     the ingest distribution shifts) is when to schedule a rebuild; this
     is that signal made measurable, the FAISS imbalance_factor analog.
     Oracle: replay the cell assignment and count."""
-    import os
-
-    from naru_spark.pipeline.similarity import ivfpq_write_index
-
-    emb = _emb(spark, sf_dir)
-    key = ("ivfpq_index", sf_dir)  # shared with q_similarity_ivfpq_index
-    if key not in _IVF_CENT_CACHE:
-        path = os.path.join(_tmpdir("ivfpq_index_"), "index")
-        ivfpq_write_index(
-            emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
-        )
-        _IVF_CENT_CACHE[key] = path
     counts = (
-        spark.read.parquet(_IVF_CENT_CACHE[key])
+        spark.read.parquet(_shared_ivfpq_index(spark, sf_dir))
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
     )

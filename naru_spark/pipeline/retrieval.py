@@ -271,23 +271,25 @@ def bm25_append_index(
         .agg(F.count("*").alias("tf"))
         .persist()  # one tokenize feeds BOTH the postings write and the df delta
     )
-    (
-        tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
-    )
+    try:
+        (
+            tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "postings"))
+        )
 
-    df_dir = os.path.join(path, "df")
-    delta_df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    merged = (
-        spark.read.parquet(df_dir)
-        .unionByName(delta_df)
-        .groupBy("term")
-        .agg(F.sum("df").cast("long").alias("df"))
-    )
-    _swap_in(merged, df_dir)
-    tf.unpersist()
+        df_dir = os.path.join(path, "df")
+        delta_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+        merged = (
+            spark.read.parquet(df_dir)
+            .unionByName(delta_df)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        _swap_in(merged, df_dir)
+    finally:
+        tf.unpersist()  # a failed write must not pin the cache for the session
 
     stats_dir = os.path.join(path, "stats")
     old_row = spark.read.parquet(stats_dir).collect()[0]
@@ -337,7 +339,10 @@ def bm25_delete_from_index(
     victims = (
         postings.join(F.broadcast(ids_df), "doc_id")
         .select("doc_id", "dl").distinct()
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        # countDistinct on doc_id, not pair count: a precondition-violating
+        # double-append with changed text leaves two (doc_id, dl) pairs for
+        # one document, and the contract counts DOCUMENTS
+        .agg(F.countDistinct("doc_id").alias("n"), F.sum("dl").alias("sdl"))
         .collect()[0]
     )
     n_del = int(victims["n"] or 0)

@@ -785,19 +785,33 @@ def ivfpq_write_index(
     import os
 
     import json
+    import shutil
+    import uuid
 
+    # build into a side tree and swap: a REBUILD over an existing index
+    # (the drift-triggered maintenance path) must never wipe the old
+    # sidecars before the corpus-sized parquet write finishes — a crash
+    # in that window would leave codes with no codebooks (bricked index),
+    # the same discipline the delete path follows
+    tmp = path + f".new-{uuid.uuid4().hex[:8]}"
     (
         _ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col, decimals)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
+        .write.partitionBy("cell")
+        .parquet(tmp)
     )
-    np.save(os.path.join(path, "_centroids.npy"), centroids)
-    np.save(os.path.join(path, "_codebooks.npy"), codebooks)
+    np.save(os.path.join(tmp, "_centroids.npy"), centroids)
+    np.save(os.path.join(tmp, "_codebooks.npy"), codebooks)
     # decimals is part of the encoding config exactly like the quantizers:
     # append must reuse it or borderline vectors drift from a rebuild
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
+    with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump({"decimals": decimals}, fh)
+    if os.path.exists(path):
+        old = path + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
 
 
 def _ivfpq_encode(
@@ -896,10 +910,15 @@ def ivfpq_append_index(
             )
     if decimals == _META_AUTO:
         meta_path = os.path.join(path, "_meta.json")
-        decimals = None
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                decimals = json.load(fh).get("decimals")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"no _meta.json at {path} — this index predates the "
+                "encoding-config sidecar, so the build's decimals cannot "
+                "be recovered; pass decimals= explicitly (a silent guess "
+                "would drift appended codes from a rebuild)"
+            )
+        with open(meta_path) as fh:
+            decimals = json.load(fh).get("decimals")
     centroids = np.load(os.path.join(path, "_centroids.npy"))
     codebooks = np.load(os.path.join(path, "_codebooks.npy"))
     (
@@ -935,7 +954,12 @@ def ivfpq_delete_from_index(
         [(int(i),) for i in set(vec_ids)], "vec_id long"
     )
     index = spark.read.parquet(path)
-    n_del = index.join(F.broadcast(ids_df), "vec_id").count()
+    # countDistinct, not row count: a precondition-violating double-append
+    # can leave duplicate rows per id, and the contract counts VECTORS
+    n_del = int(
+        index.join(F.broadcast(ids_df), "vec_id")
+        .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
+    )
     if n_del == 0:
         return 0
     remaining = index.join(F.broadcast(ids_df), "vec_id", "left_anti").select(

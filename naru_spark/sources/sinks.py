@@ -242,6 +242,14 @@ class SnapshotConflictError(RuntimeError):
     loser must re-read the latest manifest and retry, never overwrite."""
 
 
+def _parse_txn_id(txn_id: str) -> tuple[str, int]:
+    """``"app:version"`` -> (app, version); a colon-free or non-numeric
+    id is version 0 of its own app. The write path and the legacy-map
+    migration MUST parse identically or replay idempotence breaks."""
+    app, _, ver_s = txn_id.rpartition(":")
+    return (app, int(ver_s)) if app and ver_s.isdigit() else (txn_id, 0)
+
+
 def _normalize_txns(raw: dict) -> dict:
     """Upgrade a manifest's txns map to the bounded per-app format
     ``{app: {"v": last_version, "commit": snapshot_version}}``. Older
@@ -255,8 +263,7 @@ def _normalize_txns(raw: dict) -> dict:
         if isinstance(val, dict):
             txns[key] = dict(val)
             continue
-        app, _, ver_s = key.rpartition(":")
-        app, ver = (app, int(ver_s)) if app and ver_s.isdigit() else (key, 0)
+        app, ver = _parse_txn_id(key)
         rec = txns.get(app)
         if rec is None or ver > int(rec["v"]):
             txns[app] = {"v": ver, "commit": int(val)}
@@ -341,8 +348,7 @@ def write_snapshot(
         if mode == "append":
             prev = latest["dirs"]
     if txn_id is not None:
-        app, _, ver_s = txn_id.rpartition(":")
-        app, ver = (app, int(ver_s)) if app and ver_s.isdigit() else (txn_id, 0)
+        app, ver = _parse_txn_id(txn_id)
         rec = txns.get(app)
         if rec is not None and ver <= int(rec["v"]):
             return int(rec["commit"])  # replayed batch: already committed
