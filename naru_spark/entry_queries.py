@@ -2395,6 +2395,29 @@ for _rnd, _names in (
         "text_normalize", "vocab_coverage", "workload_oracle_limited",
         "workload_oracle_star3", "zorder_data_skipping",
     )),
+    (7, (
+        "bm25_topk_index_append", "bm25_topk_index_delete",
+        "bpe_pair_counts", "chunk_documents", "corpus_curation",
+        "cumulative_revenue", "decontaminate", "dedup_components",
+        "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
+        "dedup_ngram_jaccard", "doc_fingerprint", "doc_lm_score",
+        "doc_quality", "doc_repetition", "embedding_norms",
+        "events_hourly_stream", "frame_sample", "gopher_filter",
+        "lang_id", "like_estimates_anchored", "multimodal_bytes",
+        "multimodal_real_decode", "multimodal_resize",
+        "multimodal_resize_real", "pack_sequences", "sessionize",
+        "sessionize_stream", "similarity_ivfpq_index_stats",
+        "similarity_topk", "similarity_topk_ivfpq",
+        "similarity_topk_ivfpq_index",
+        "similarity_topk_ivfpq_index_append",
+        "similarity_topk_ivfpq_index_delete", "similarity_topk_pq",
+        "snapshot_compaction", "snapshot_incremental_read",
+        "source_cap", "source_mix", "source_temperature_mix",
+        "stratified_sample", "stream_snapshot_follow",
+        "stream_stream_join", "text_stats", "token_counts",
+        "token_histogram", "token_idf", "user_totals_stateful",
+        "workload_oracle_star4",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
