@@ -306,12 +306,16 @@ def q_bm25_topk_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipeline.retrieval.bm25_delete_from_index — Lucene
     delete+expunge done eagerly): a ~1% victim batch is anti-joined out
     of the postings in ONE index-sized pass (compact posting rows, no
-    re-tokenization, never a corpus read), df recomputed
-    vocabulary-bounded, stats decremented by the victims' exact counts.
-    The probe afterwards must return EXACTLY what an index built fresh
-    over the surviving documents returns — the oracle is the same BM25
-    SQL restricted to the survivors, which makes that equivalence
-    row-for-row checkable."""
+    re-tokenization, never a corpus read), df decremented from the
+    victims' own posting rows (vocabulary-bounded merge — the survivor
+    postings are never re-aggregated), stats decremented by the victims'
+    exact counts. The victims are passed as a PREDICATE-DEFINED
+    DataFrame, never collected: at 100 TB a 1% victim set routed
+    through the driver as an id list is exactly the materialization
+    this API shape removes. The probe afterwards must return EXACTLY
+    what an index built fresh over the surviving documents returns —
+    the oracle is the same BM25 SQL restricted to the survivors, which
+    makes that equivalence row-for-row checkable."""
     from naru_spark.pipeline.retrieval import (
         bm25_delete_from_index,
         bm25_topk_from_index,
@@ -322,12 +326,10 @@ def q_bm25_topk_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     path = tmpdir(prefix="bm25_delete_") + "/idx"
     bm25_write_index(docs, path)
-    victim_ids = [
-        r["doc_id"] for r in docs.filter(F.col("doc_id") % 97 == 0)
-        .select("doc_id").collect()
-    ]
-    n_del = bm25_delete_from_index(spark, path, victim_ids)
-    assert n_del == len(victim_ids), (n_del, len(victim_ids))
+    victims = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    n_del = bm25_delete_from_index(spark, path, victims=victims)
+    n_victims = victims.count()
+    assert n_del == n_victims, (n_del, n_victims)
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
@@ -3070,6 +3072,8 @@ def q_similarity_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFra
     ~1% victim batch anti-joined out of the code rows in ONE index-sized
     pass over BYTES (quantizers untouched, no corpus read), after which
     the index is byte-identical to a fresh build over the survivors.
+    The victims are passed as a PREDICATE-DEFINED DataFrame, never
+    collected to the driver (the delete-by-predicate API shape).
     The oracle is the IVF-PQ replay with the victims excluded from the
     candidate set — removing code rows IS removing candidates, made
     row-for-row checkable."""
@@ -3091,12 +3095,10 @@ def q_similarity_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFra
         ivfpq_write_index(
             emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
         )
-        victims = [
-            r["vec_id"] for r in emb.filter(F.col("vec_id") % 97 == 0)
-            .select("vec_id").collect()
-        ]
-        n = ivfpq_delete_from_index(spark, path, victims)
-        assert n == len(victims), (n, len(victims))
+        victims = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id")
+        n = ivfpq_delete_from_index(spark, path, victims=victims)
+        n_victims = victims.count()
+        assert n == n_victims, (n, n_victims)
         _IVF_CENT_CACHE[key] = path
     return ivfpq_topk_from_index(
         spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6

@@ -306,20 +306,34 @@ def bm25_append_index(
 def bm25_delete_from_index(
     spark,
     path: str,
-    doc_ids: list[int],
+    doc_ids: list[int] | None = None,
+    victims: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> int:
     """Delete documents from the persisted index (Lucene's
-    delete-then-expunge, done eagerly): anti-join the victim ids out of
-    the postings (one index-sized pass over COMPACT posting rows — no
-    re-tokenization, never a corpus read), recompute the
-    vocabulary-bounded df from the surviving postings, and decrement the
-    corpus stats by the victims' exact (n, sum dl) gathered from their
-    own posting rows. After the call the index is byte-equivalent in
-    content to a fresh build over the remaining documents — probes
-    return exactly the rebuild's ranking, which is what lets the delete
-    entry share the filtered oracle. Zero-token documents leave no
-    posting rows and therefore cannot be located for deletion (their N
-    contribution stays; documented limit of an id-index-free layout).
+    delete-then-expunge, done eagerly). Victims are given EITHER as an
+    id list (``doc_ids``, the FAISS/Lucene-shaped API, broadcast-joined)
+    OR as a DataFrame (``victims`` — any frame whose ``id_col`` column
+    holds the victim ids, e.g. the result of a predicate over the
+    corpus). The DataFrame form never routes ids through the driver, so
+    a delete-by-predicate that matches 1% of a 100 TB corpus stays fully
+    distributed (join strategy left to AQE — a corpus-fraction side must
+    not be forced broadcast).
+
+    One index-sized pass over COMPACT posting rows (no re-tokenization,
+    never a corpus read) rewrites the survivors; the victims' OWN
+    posting rows — a victim-sized frame isolated and cached before the
+    rewrite — supply both the stats decrement (exact n / sum dl) and the
+    per-term df decrement, which is folded into the df sidecar as a
+    vocabulary-bounded merge. Because posting rows partition exactly
+    into victim rows and survivor rows, ``df_old - victim_rows(term) ==
+    survivor_rows(term)`` unconditionally, so the sidecar equals what a
+    fresh rebuild over the remaining documents computes — probes return
+    exactly the rebuild's ranking, which is what lets the delete entry
+    share the filtered oracle (asserted identical to a rebuild in
+    tests). Zero-token documents leave no posting rows and therefore
+    cannot be located for deletion (their N contribution stays;
+    documented limit of an id-index-free layout).
 
     Batch deletes, then call once: the pass costs the same however many
     ids it removes. Deleting EVERY remaining document is refused before
@@ -332,44 +346,82 @@ def bm25_delete_from_index(
     import os
 
     post_dir = os.path.join(path, "postings")
-    ids_df = spark.createDataFrame(
-        [(int(i),) for i in set(doc_ids)], "doc_id long"
-    )
-    postings = spark.read.parquet(post_dir)
-    victims = (
-        postings.join(F.broadcast(ids_df), "doc_id")
-        .select("doc_id", "dl").distinct()
-        # countDistinct on doc_id, not pair count: a precondition-violating
-        # double-append with changed text leaves two (doc_id, dl) pairs for
-        # one document, and the contract counts DOCUMENTS
-        .agg(F.countDistinct("doc_id").alias("n"), F.sum("dl").alias("sdl"))
-        .collect()[0]
-    )
-    n_del = int(victims["n"] or 0)
-    if n_del == 0:
-        return 0
-    remaining = postings.join(
-        F.broadcast(ids_df), "doc_id", "left_anti"
-    ).select("doc_id", "dl", "term", "tf", "bucket")  # original schema order
-    if remaining.limit(1).count() == 0:
-        raise ValueError(
-            "delete would remove every indexed document — an empty "
-            "partitioned index is unreadable; drop the index dir instead"
+    if (doc_ids is None) == (victims is None):
+        raise ValueError("pass exactly one of doc_ids= or victims=")
+    if victims is not None:
+        ids_df = victims.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ).distinct()
+        join_side = ids_df  # corpus-fraction side: AQE picks the strategy
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in set(doc_ids)], "doc_id long"
         )
-    _swap_in(
-        remaining, post_dir,
-        writer=lambda df, tmp: df.write.partitionBy("bucket").parquet(tmp),
-    )
-    _swap_in(
-        spark.read.parquet(post_dir)
-        .groupBy("term").agg(F.count("*").alias("df")),
-        os.path.join(path, "df"),
-    )
+        join_side = F.broadcast(ids_df)
+    postings = spark.read.parquet(post_dir)
+    # the victims' own posting rows: victim-sized, cached because they feed
+    # BOTH the stats decrement and the df delta, and must be materialized
+    # BEFORE the survivor swap deletes their source files
+    victim_rows = postings.join(join_side, "doc_id").select(
+        "doc_id", "dl", "term"
+    ).persist()
+    try:
+        stats_del = (
+            victim_rows.select("doc_id", "dl").distinct()
+            # countDistinct on doc_id, not pair count: a precondition-
+            # violating double-append with changed text leaves two
+            # (doc_id, dl) pairs for one document, and the contract
+            # counts DOCUMENTS
+            .agg(F.countDistinct("doc_id").alias("n"),
+                 F.sum("dl").alias("sdl"))
+            .collect()[0]
+        )
+        n_del = int(stats_del["n"] or 0)
+        if n_del == 0:
+            return 0
+        # per-term victim ROW counts (count(*), not countDistinct: the df
+        # sidecar is defined as posting-row counts, and rows partition into
+        # victim + survivor, so subtraction is exact even for pathological
+        # duplicate rows)
+        df_delta = victim_rows.groupBy("term").agg(
+            F.count("*").alias("ddf")
+        )
+        df_dir = os.path.join(path, "df")
+        new_df = (
+            spark.read.parquet(df_dir)
+            .join(df_delta, "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0)))
+                .cast("long").alias("df"),
+            )
+            .filter(F.col("df") > 0)  # a term wholly deleted has no row
+        )
+        remaining = postings.join(
+            join_side, "doc_id", "left_anti"
+        ).select("doc_id", "dl", "term", "tf", "bucket")  # original schema order
+        if remaining.limit(1).count() == 0:
+            raise ValueError(
+                "delete would remove every indexed document — an empty "
+                "partitioned index is unreadable; drop the index dir instead"
+            )
+        # df first: its merge reads only the old sidecar + the victim rows —
+        # never the rewritten postings (that second index-sized pass is the
+        # whole cost this path avoids) — and doing it before the postings
+        # swap means an evicted victim_rows partition recomputes against the
+        # UNTOUCHED postings, never the survivor tree
+        _swap_in(new_df, df_dir)
+        _swap_in(
+            remaining, post_dir,
+            writer=lambda df, tmp: df.write.partitionBy("bucket").parquet(tmp),
+        )
+    finally:
+        victim_rows.unpersist()
     stats_dir = os.path.join(path, "stats")
     old = spark.read.parquet(stats_dir).collect()[0]
     _swap_in(
         spark.createDataFrame(
-            [(int(old["n"]) - n_del, int(old["sdl"]) - int(victims["sdl"]))],
+            [(int(old["n"]) - n_del, int(old["sdl"]) - int(stats_del["sdl"]))],
             "n long, sdl long",
         ),
         stats_dir,

@@ -932,16 +932,25 @@ def ivfpq_append_index(
 def ivfpq_delete_from_index(
     spark,
     path: str,
-    vec_ids: list[int],
+    vec_ids: list[int] | None = None,
+    victims: DataFrame | None = None,
+    id_col: str = "vec_id",
 ) -> int:
     """Delete vectors from the persisted IVF-PQ index (FAISS
     ``remove_ids`` analog): anti-join the victim ids out of the code
     rows in ONE index-sized pass (codes are bytes — this never touches
     float vectors or any corpus-scale table) and swap the rewritten
-    cell-partitioned tree in. Quantizers are untouched, so the surviving
+    cell-partitioned tree in. Victims are given EITHER as an id list
+    (``vec_ids``, the FAISS-shaped API, broadcast-joined) OR as a
+    DataFrame (``victims`` — any frame whose ``id_col`` column holds the
+    victim ids, e.g. the result of a predicate over the corpus). The
+    DataFrame form never routes ids through the driver, so a
+    delete-by-predicate matching a corpus fraction stays fully
+    distributed (join strategy left to AQE — such a side must not be
+    forced broadcast). Quantizers are untouched, so the surviving
     rows are byte-identical to a fresh build over the survivors and
     probes return exactly the rebuilt index's answers. Batch ids, call
-    once; duplicates in ``vec_ids`` are deduped. Deleting EVERY vector
+    once; duplicate victim ids are deduped. Deleting EVERY vector
     is refused before any mutation (an empty partitioned write leaves a
     schema-less dir — drop the index dir instead). Returns the number of
     distinct vectors removed."""
@@ -950,19 +959,28 @@ def ivfpq_delete_from_index(
 
     from naru_spark.pipeline.retrieval import _swap_in
 
-    ids_df = spark.createDataFrame(
-        [(int(i),) for i in set(vec_ids)], "vec_id long"
-    )
+    if (vec_ids is None) == (victims is None):
+        raise ValueError("pass exactly one of vec_ids= or victims=")
+    if victims is not None:
+        ids_df = victims.select(
+            F.col(id_col).cast("long").alias("vec_id")
+        ).distinct()
+        join_side = ids_df  # corpus-fraction side: AQE picks the strategy
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in set(vec_ids)], "vec_id long"
+        )
+        join_side = F.broadcast(ids_df)
     index = spark.read.parquet(path)
     # countDistinct, not row count: a precondition-violating double-append
     # can leave duplicate rows per id, and the contract counts VECTORS
     n_del = int(
-        index.join(F.broadcast(ids_df), "vec_id")
+        index.join(join_side, "vec_id")
         .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
     )
     if n_del == 0:
         return 0
-    remaining = index.join(F.broadcast(ids_df), "vec_id", "left_anti").select(
+    remaining = index.join(join_side, "vec_id", "left_anti").select(
         "vec_id", "codes", "cell"  # original schema order
     )
     if remaining.limit(1).count() == 0:

@@ -1376,6 +1376,65 @@ def test_ivfpq_delete_equals_rebuild_over_survivors(spark, emb, tmp_path):
     assert ivfpq_delete_from_index(spark, full, []) == 0
 
 
+def test_delete_by_predicate_dataframe_victims(spark, docs, emb, tmp_path):
+    """The victims= DataFrame form (delete-by-predicate): same result as
+    the id-list form, but the ids never route through the driver — the
+    victim side joins distributed (plain join, AQE strategy). Passing
+    both or neither victim spec is refused."""
+    import pytest
+
+    from naru_spark.pipeline.retrieval import (
+        bm25_delete_from_index,
+        bm25_write_index,
+    )
+    from naru_spark.pipeline.similarity import (
+        ivfpq_delete_from_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    # BM25: DataFrame-victims delete equals id-list delete
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    bm25_write_index(docs, a, n_buckets=8)
+    bm25_write_index(docs, b, n_buckets=8)
+    pred = F.col("doc_id") % 7 == 0
+    ids = [r["doc_id"] for r in docs.filter(pred).select("doc_id").collect()]
+    n_df = bm25_delete_from_index(spark, a, victims=docs.filter(pred).select("doc_id"))
+    n_ls = bm25_delete_from_index(spark, b, doc_ids=ids)
+    assert n_df == n_ls == len(ids)
+    for sub in ("df", "stats", "postings"):
+        ra = {tuple(r) for r in spark.read.parquet(f"{a}/{sub}").collect()}
+        rb = {tuple(r) for r in spark.read.parquet(f"{b}/{sub}").collect()}
+        assert ra == rb, sub
+    with pytest.raises(ValueError, match="exactly one"):
+        bm25_delete_from_index(spark, a, doc_ids=[1], victims=docs.select("doc_id"))
+    with pytest.raises(ValueError, match="exactly one"):
+        bm25_delete_from_index(spark, a)
+
+    # IVF-PQ: same equivalence
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_np(mat, 16, seed=5)
+    cb = pq_fit(mat, m=8, k=16, seed=5)
+    va, vb = str(tmp_path / "va"), str(tmp_path / "vb")
+    ivfpq_write_index(emb, va, cents, cb, decimals=6)
+    ivfpq_write_index(emb, vb, cents, cb, decimals=6)
+    vpred = F.col("vec_id") % 7 == 0
+    vids = [r["vec_id"] for r in emb.filter(vpred).select("vec_id").collect()]
+    assert ivfpq_delete_from_index(
+        spark, va, victims=emb.filter(vpred).select("vec_id")
+    ) == len(vids)
+    assert ivfpq_delete_from_index(spark, vb, vec_ids=vids) == len(vids)
+    sa = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+          for r in spark.read.parquet(va).collect()}
+    sb = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+          for r in spark.read.parquet(vb).collect()}
+    assert sa == sb
+    with pytest.raises(ValueError, match="exactly one"):
+        ivfpq_delete_from_index(spark, va)
+
+
 def test_bm25_append_empty_batch_is_noop(spark, docs, tmp_path):
     """An empty micro-batch (routine under Structured Streaming) must be
     a no-op, not a crash on the NULL stats sum."""
