@@ -333,7 +333,13 @@ def q_bm25_topk_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
-def sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75, where: str = "") -> str:
+def sql_bm25_topk(
+    k: int = 10, k1: float = 1.2, b: float = 0.75, where: str = "",
+    corpus_sql: str = "documents",
+) -> str:
+    """``corpus_sql`` swaps the corpus relation (e.g. a derived-table
+    expression aliased ``AS documents`` for the maintain entry, which
+    replays BM25 over the post-upsert corpus)."""
     q_values = ",\n    ".join(
         f"({qid}, '{t}')"
         for qid, qs in _BM25_QUERIES
@@ -348,13 +354,13 @@ WITH q(query_id, term) AS (
 ),
 terms AS (
   SELECT doc_id, x AS term FROM (
-    SELECT doc_id, unnest({_SQL_TOKS}) AS x FROM documents {where}
+    SELECT doc_id, unnest({_SQL_TOKS}) AS x FROM {corpus_sql} {where}
   ) WHERE length(x) > 0
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
 dl AS (
   SELECT doc_id, len(list_filter({_SQL_TOKS}, x -> length(x) > 0)) AS dl
-  FROM documents {where}
+  FROM {corpus_sql} {where}
 ),
 stats AS (
   SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
@@ -380,6 +386,69 @@ SELECT query_id, doc_id, CAST(score_d AS DOUBLE) AS score, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --- index-maintenance drift spec, shared verbatim by the Spark entries,
+# --- the oracle generators, and the deterministic refit: ~1/13 of ids get
+# --- REPLACED content (upsert path), ~1/17 arrive as NEW ids (append path)
+_MAINT_REPLACE_MOD = 13
+_MAINT_NEW_MOD = 17
+_MAINT_ID_OFFSET = 100_000_000  # above any real doc_id/vec_id at every SF
+_MAINT_DOC_SUFFIX = " drifted segment maintenance"
+_MAINT_NEW_DOC_SUFFIX = " fresh shard ingest"
+
+# the post-maintenance corpus as ONE derived table the BM25 oracle replays
+_MAINT_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    f"WHERE doc_id % {_MAINT_REPLACE_MOD} <> 0 "
+    f"UNION ALL SELECT doc_id, text || '{_MAINT_DOC_SUFFIX}' AS text "
+    f"FROM documents WHERE doc_id % {_MAINT_REPLACE_MOD} = 0 "
+    f"UNION ALL SELECT doc_id + {_MAINT_ID_OFFSET} AS doc_id, "
+    f"text || '{_MAINT_NEW_DOC_SUFFIX}' AS text "
+    f"FROM documents WHERE doc_id % {_MAINT_NEW_MOD} = 0)"
+)
+
+
+def _maintain_doc_batch(docs: DataFrame) -> DataFrame:
+    """The maintenance ingest batch: replaced docs (same id, drifted text)
+    plus brand-new docs (offset id) — the Spark twin of _MAINT_DOCS_SQL's
+    two non-survivor branches."""
+    replaced = docs.filter(F.col("doc_id") % _MAINT_REPLACE_MOD == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_MAINT_DOC_SUFFIX)).alias("text")
+    )
+    new = docs.filter(F.col("doc_id") % _MAINT_NEW_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_MAINT_ID_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MAINT_NEW_DOC_SUFFIX)).alias("text"),
+    )
+    return replaced.unionByName(new)
+
+
+def q_bm25_topk_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 index-maintenance composition
+    (pipeline.retrieval.bm25_upsert_index — Lucene updateDocument):
+    ONE call ingests a mixed batch of replaced documents (ids already
+    indexed, drifted text) and brand-new documents. The upsert expunges
+    the replaced ids in one pass over compact posting rows (the batch
+    itself is the anti-join side — no ids through the driver), then
+    tokenizes the whole batch once and appends O(|batch|). Every statistic
+    is an exact integer fold over disjoint doc sets, so the maintained
+    index must equal a fresh build over the post-ingest corpus — the
+    oracle IS that fresh build's BM25 replay over the same corpus,
+    expressed as one derived table."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_topk_from_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir)
+    path = tmpdir(prefix="bm25_maintain_") + "/idx"
+    bm25_write_index(docs, path)
+    n_replaced = bm25_upsert_index(_maintain_doc_batch(docs), path)
+    expected = docs.filter(F.col("doc_id") % _MAINT_REPLACE_MOD == 0).count()
+    assert n_replaced == expected, (n_replaced, expected)
+    return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2783,10 +2852,11 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_similarity_ivfpq(
-    k: int = 10, n_probe: int = 8, m: int = 8, dsub: int = 8, neighbor_where: str = ""
+    k: int = 10, n_probe: int = 8, m: int = 8, dsub: int = 8, neighbor_where: str = "",
+    cents=None, cb=None, corpus_sql: str = "embeddings",
 ) -> str:
     return (
-        _sql_ivfpq_scored_ctes(n_probe, m, dsub, neighbor_where)
+        _sql_ivfpq_scored_ctes(n_probe, m, dsub, neighbor_where, cents, cb, corpus_sql)
         + f"""
 SELECT query_id, neighbor_id, adc, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2798,15 +2868,19 @@ SELECT query_id, neighbor_id, adc, rank FROM (
 
 
 def _sql_ivfpq_scored_ctes(
-    n_probe: int = 8, m: int = 8, dsub: int = 8, neighbor_where: str = ""
+    n_probe: int = 8, m: int = 8, dsub: int = 8, neighbor_where: str = "",
+    cents=None, cb=None, corpus_sql: str = "embeddings",
 ) -> str:
     """Shared IVF-PQ replay CTE prefix ending in ``scored(query_id,
-    neighbor_id, adc)`` — used by the plain ADC oracle and the refined
-    (exact re-rank) oracle."""
+    neighbor_id, adc)`` — used by the plain ADC oracle, the refined
+    (exact re-rank) oracle, and (with explicit quantizers + a derived
+    corpus relation aliased ``AS embeddings``) the maintain oracle."""
     from naru_spark.entry_queries import WORKLOAD_SF
 
-    cents = _ivf_oracle_centroids(WORKLOAD_SF)
-    cb = _pq_codebooks(WORKLOAD_SF)
+    if cents is None:
+        cents = _ivf_oracle_centroids(WORKLOAD_SF)
+    if cb is None:
+        cb = _pq_codebooks(WORKLOAD_SF)
     cent_values = ",\n    ".join(
         f"({i}, CAST([{', '.join(repr(float(x)) for x in row)}] AS DOUBLE[]))"
         for i, row in enumerate(cents)
@@ -2832,7 +2906,7 @@ cb(sub, code, cv) AS (
 cell_scored AS (
   SELECT e.vec_id, c.cell,
          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v), 6) AS s
-  FROM embeddings e, cents c
+  FROM {corpus_sql} e, cents c
 ),
 cell_assign AS (
   SELECT vec_id, cell FROM (
@@ -2852,7 +2926,7 @@ subs AS (SELECT CAST(s AS INTEGER) AS sub FROM UNNEST(range(0, {m})) t(s)),
 corpus_sub AS (
   SELECT vec_id, sub,
          CAST(embedding[sub*{dsub}+1 : sub*{dsub}+{dsub}] AS DOUBLE[]) AS x
-  FROM embeddings, subs
+  FROM {corpus_sql}, subs
 ),
 dists AS (
   SELECT vec_id, sub, code, {d2} AS d2
@@ -3103,6 +3177,136 @@ def q_similarity_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFra
     return ivfpq_topk_from_index(
         spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
     )
+
+
+# the drifted embedding: near-constant direction (x*0.05 + 0.5), so the
+# batch crowds into one coarse cell and the imbalance trigger fires.
+# Halving-free but still IEEE-exact in BOTH engines: float32 widens to
+# double exactly, then one double multiply + one double add
+_MAINT_EMB_SQL = (
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings "
+    f"WHERE vec_id % {_MAINT_REPLACE_MOD} <> 0 "
+    "UNION ALL SELECT vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.05 + 0.5) AS embedding "
+    f"FROM embeddings WHERE vec_id % {_MAINT_REPLACE_MOD} = 0 "
+    f"UNION ALL SELECT vec_id + {_MAINT_ID_OFFSET} AS vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.05 + 0.5) AS embedding "
+    f"FROM embeddings WHERE vec_id % {_MAINT_NEW_MOD} = 0)"
+)
+
+
+def _maintain_emb_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(batch, post-ingest corpus) for the ANN maintenance entry — the
+    Spark twin of _MAINT_EMB_SQL. All three branches carry array<double>
+    embeddings so the drift arithmetic is the same IEEE double ops the
+    oracle runs."""
+
+    def drifted(c):
+        return F.transform(
+            c.cast("array<double>"), lambda x: x * F.lit(0.05) + F.lit(0.5)
+        )
+
+    survivors = emb.filter(F.col("vec_id") % _MAINT_REPLACE_MOD != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    replaced = emb.filter(F.col("vec_id") % _MAINT_REPLACE_MOD == 0).select(
+        "vec_id", drifted(F.col("embedding")).alias("embedding")
+    )
+    new = emb.filter(F.col("vec_id") % _MAINT_NEW_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_MAINT_ID_OFFSET)).alias("vec_id"),
+        drifted(F.col("embedding")).alias("embedding"),
+    )
+    batch = replaced.unionByName(new)
+    return batch, survivors.unionByName(batch)
+
+
+_MAINT_FIT_CACHE: dict = {}
+
+
+def _maintain_fit(sf_dir: str, n_cells: int = 64, m: int = 8, k: int = 16,
+                  seed: int = 7):
+    """Deterministic quantizer REFIT over the post-maintenance corpus,
+    shared by the entry's refit callable and the oracle generator (the
+    `_ivf_oracle_centroids` protocol): pandas read sorted by vec_id, the
+    drift applied as the same IEEE double ops, rows re-sorted by the
+    post-ingest vec_id, numpy k-means / PQ fit. No SparkSession needed,
+    so build_registry() can inline the exact refit quantizers into the
+    oracle SQL."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import kmeans_np, pq_fit
+    from naru_spark.workload import load_table_pandas
+
+    key = (sf_dir, n_cells, m, k, seed)
+    if key not in _MAINT_FIT_CACHE:
+        pdf = load_table_pandas(sf_dir, "embeddings", ["vec_id", "embedding"]).sort_values(
+            "vec_id"
+        )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        drift = mat * 0.05 + 0.5
+        keep = ids % _MAINT_REPLACE_MOD != 0
+        new = ids % _MAINT_NEW_MOD == 0
+        vec_ids = np.concatenate([ids[keep], ids[~keep], ids[new] + _MAINT_ID_OFFSET])
+        rows = np.vstack([mat[keep], drift[~keep], drift[new]])
+        order = np.argsort(vec_ids, kind="stable")
+        final = rows[order]
+        _MAINT_FIT_CACHE[key] = (
+            kmeans_np(final, n_cells, seed),
+            pq_fit(final, m=m, k=k, seed=seed),
+        )
+    return _MAINT_FIT_CACHE[key]
+
+
+def q_similarity_ivfpq_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index-maintenance decision loop
+    (pipeline.similarity.ivfpq_maintain_index), composing every lifecycle
+    piece round 7 built: a DRIFTED ingest batch (replaced ids + new ids,
+    embeddings collapsed toward one direction) is UPSERTED
+    (delete-then-append under the saved quantizers), the cell-imbalance
+    signal (`similarity_ivfpq_index_stats` made a number — FAISS
+    imbalance_factor) is measured before and after, the drift trips the
+    relative threshold, and the operator REBUILDS: quantizers refit over
+    the post-ingest corpus, index rewritten through the side-tree swap.
+    The entry asserts the rebuild actually fired, then probes. The
+    oracle is a fresh build's IVF-PQ replay over the same post-ingest
+    corpus under the same (deterministically refit) quantizers — the
+    maintained index must be indistinguishable from that fresh build."""
+    import os
+
+    from naru_spark.pipeline.similarity import (
+        ivfpq_maintain_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    key = ("ivfpq_index_maintain", sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        path = os.path.join(_tmpdir("ivfpq_maintain_"), "index")
+        ivfpq_write_index(
+            emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
+        )
+        batch, corpus = _maintain_emb_parts(emb)
+        res = ivfpq_maintain_index(
+            batch, path, corpus, refit=lambda _corpus: _maintain_fit(sf_dir)
+        )
+        assert res["action"] == "rebuild", res
+        _IVF_CENT_CACHE[key] = path
+    _, corpus = _maintain_emb_parts(emb)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk_from_index(
+        spark, _IVF_CENT_CACHE[key], queries, k=10, n_probe=8, decimals=6
+    )
+
+
+def sql_similarity_ivfpq_maintain() -> str:
+    from naru_spark.entry_queries import WORKLOAD_SF
+
+    cents, cb = _maintain_fit(WORKLOAD_SF)
+    return sql_similarity_ivfpq(cents=cents, cb=cb, corpus_sql=_MAINT_EMB_SQL)
 
 
 def q_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3513,6 +3717,7 @@ def build_pipeline_registry():
         "bm25_topk_index": q_bm25_topk_index,
         "bm25_topk_index_append": q_bm25_topk_index_append,
         "bm25_topk_index_delete": q_bm25_topk_index_delete,
+        "bm25_topk_index_maintain": q_bm25_topk_index_maintain,
         "doc_lm_score": q_doc_lm_score,
         "perplexity_buckets": q_perplexity_buckets,
         "source_mix": q_source_mix,
@@ -3580,6 +3785,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_index": q_similarity_ivfpq_index,
         "similarity_topk_ivfpq_index_append": q_similarity_ivfpq_index_append,
         "similarity_topk_ivfpq_index_delete": q_similarity_ivfpq_index_delete,
+        "similarity_topk_ivfpq_index_maintain": q_similarity_ivfpq_index_maintain,
         "similarity_ivfpq_index_stats": q_similarity_ivfpq_index_stats,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
@@ -3604,6 +3810,9 @@ def build_pipeline_registry():
         "bm25_topk_index": sql_bm25_topk(),
         "bm25_topk_index_append": sql_bm25_topk(),
         "bm25_topk_index_delete": sql_bm25_topk(where="WHERE doc_id % 97 <> 0"),
+        # maintained index == fresh build over the post-ingest corpus:
+        # the oracle replays BM25 over that corpus as one derived table
+        "bm25_topk_index_maintain": sql_bm25_topk(corpus_sql=_MAINT_DOCS_SQL),
         "doc_lm_score": sql_doc_lm_score(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "source_mix": sql_source_mix(),
@@ -3681,6 +3890,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "similarity_topk_ivfpq_index_delete": sql_similarity_ivfpq(
             neighbor_where="WHERE a.vec_id % 97 <> 0"
         ),
+        # maintained index == fresh build over the post-ingest corpus
+        # under the deterministically refit quantizers
+        "similarity_topk_ivfpq_index_maintain": sql_similarity_ivfpq_maintain(),
         "similarity_ivfpq_index_stats": sql_similarity_ivfpq_index_stats(),
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle

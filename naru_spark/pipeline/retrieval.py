@@ -429,6 +429,33 @@ def bm25_delete_from_index(
     return n_del
 
 
+def bm25_upsert_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> int:
+    """Upsert = delete-then-append, Lucene's ``updateDocument`` made one
+    call: batch ids already indexed are expunged first (one pass over
+    compact posting rows; the victim ids never touch the driver — the
+    batch itself is the anti-join side), then the whole batch is
+    tokenized once and appended O(|batch|). Every statistic is an exact
+    integer fold over disjoint doc sets, so the index equals a fresh
+    build over (corpus - replaced + batch) and probes return exactly the
+    rebuild's ranking — the append and delete shared-oracle arguments,
+    composed. Returns how many existing documents were replaced.
+
+    Zero-token documents leave no posting rows, so a replacement of one
+    cannot find it to delete and its stats contribution double-counts —
+    the id-index-free layout's documented limit, inherited from delete."""
+    spark = new_docs.sparkSession
+    n_replaced = bm25_delete_from_index(
+        spark, path, victims=new_docs.select(id_col), id_col=id_col
+    )
+    bm25_append_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
+    return n_replaced
+
+
 def _swap_in(df: DataFrame, final_dir: str, writer=None) -> None:
     """Replace a parquet dir with a freshly-written one (read-and-
     overwrite of the same dir in one job is illegal); on an object store

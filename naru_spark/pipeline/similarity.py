@@ -1007,6 +1007,107 @@ def ivfpq_delete_from_index(
     return n_del
 
 
+def ivfpq_imbalance(spark, path: str) -> float:
+    """FAISS ``imbalance_factor`` over the persisted index: ``k * sum(c_i^2)
+    / n^2`` where ``c_i`` are per-cell row counts and ``k`` the CONFIGURED
+    cell count (from the saved centroids — empty cells count, exactly as in
+    FAISS). 1.0 = perfectly uniform; k = everything in one cell. ONE
+    bytes-only scan of the code rows; counts are exact integers, so the
+    factor is engine-deterministic."""
+    import os
+
+    k = int(np.load(os.path.join(path, "_centroids.npy")).shape[0])
+    row = (
+        spark.read.parquet(path)
+        .groupBy("cell").agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    if n == 0:
+        return 0.0
+    return k * int(row["ss"]) / (n * n)
+
+
+def ivfpq_upsert_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Upsert = delete-then-append, the FAISS/Lucene update idiom made one
+    call: batch ids already indexed are anti-joined out (one bytes-only
+    index pass; ids never touch the driver), then the WHOLE batch is
+    encoded under the saved quantizers and appended O(|batch|). Codes are
+    bit-identical to a rebuild over (index - replaced + batch), so probes
+    match a fresh build — the same shared-oracle argument as append and
+    delete, composed. Returns how many existing vectors were replaced."""
+    spark = batch.sparkSession
+    n_replaced = ivfpq_delete_from_index(
+        spark, path, victims=batch.select(id_col), id_col=id_col
+    )
+    ivfpq_append_index(batch, path, id_col=id_col, vec_col=vec_col)
+    return n_replaced
+
+
+def ivfpq_maintain_index(
+    batch: DataFrame,
+    path: str,
+    corpus: DataFrame,
+    refit,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_ratio: float = 1.25,
+) -> dict:
+    """The index-maintenance decision loop, composed from the lifecycle
+    pieces: UPSERT the batch (delete-then-append under the saved
+    quantizers), measure cell imbalance before and after (two bytes-only
+    scans of code rows — the ``imbalance_factor`` signal the stats entry
+    exposes), and when the ingest drifted the distribution enough that
+    ``after > rebuild_ratio * before``, REBUILD: refit quantizers via the
+    caller's ``refit(corpus) -> (centroids, codebooks)`` and rewrite the
+    index from ``corpus`` (the authoritative current vector set — codes
+    cannot be decoded back to floats, so a rebuild needs the source, just
+    as FAISS ``train`` does; sample inside ``refit`` at scale). The
+    rebuild reuses the index's saved ``decimals`` from _meta.json and
+    writes through the side-tree swap, so a crash mid-rebuild leaves the
+    pre-rebuild index intact and serving.
+
+    The trigger is RELATIVE (this ingest's drift), deliberately: an
+    absolute threshold would depend on the fit quality of the day the
+    index was born. Slow drift across many small batches accrues below
+    the ratio — callers wanting an absolute policy read the stats entry
+    and call the rebuild explicitly. Returns ``{"action": "rebuild"|
+    "upsert", "imbalance_before": b, "imbalance_after": a,
+    "n_replaced": r}``."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    before = ivfpq_imbalance(spark, path)
+    n_replaced = ivfpq_upsert_index(batch, path, id_col=id_col, vec_col=vec_col)
+    after = ivfpq_imbalance(spark, path)
+    action = "upsert"
+    if after > rebuild_ratio * before:
+        with open(os.path.join(path, "_meta.json")) as fh:
+            decimals = json.load(fh).get("decimals")
+        centroids, codebooks = refit(corpus)
+        ivfpq_write_index(
+            corpus, path, centroids, codebooks,
+            id_col=id_col, vec_col=vec_col, decimals=decimals,
+        )
+        action = "rebuild"
+    return {
+        "action": action,
+        "imbalance_before": before,
+        "imbalance_after": after,
+        "n_replaced": n_replaced,
+    }
+
+
 def ivfpq_topk_from_index(
     spark,
     path: str,

@@ -1435,6 +1435,108 @@ def test_delete_by_predicate_dataframe_victims(spark, docs, emb, tmp_path):
         ivfpq_delete_from_index(spark, va)
 
 
+def test_ivfpq_maintain_drift_triggers_one_rebuild(spark, emb, tmp_path):
+    """The maintenance decision loop: a drifted ingest (replaced ids with
+    a collapsed embedding distribution + new ids) trips the relative
+    imbalance threshold and triggers EXACTLY ONE rebuild, after which
+    probes equal a fresh build over the post-ingest corpus under the
+    refit quantizers. A benign same-distribution ingest upserts without
+    any rebuild (refit never called)."""
+    from naru_spark.pipeline.similarity import (
+        ivfpq_maintain_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_np(mat, 16, seed=5)
+    cb = pq_fit(mat, m=8, k=16, seed=5)
+    path = str(tmp_path / "idx")
+    ivfpq_write_index(emb, path, cents, cb, decimals=6)
+
+    def drifted(c):
+        return F.transform(c.cast("array<double>"),
+                           lambda x: x * F.lit(0.05) + F.lit(0.5))
+
+    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    replaced = emb_d.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", drifted(F.col("embedding")).alias("embedding"))
+    new = emb_d.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        drifted(F.col("embedding")).alias("embedding"))
+    batch = replaced.unionByName(new)
+    corpus = emb_d.filter(F.col("vec_id") % 5 != 0).unionByName(batch)
+
+    calls = []
+
+    def refit(corpus_df):
+        cpdf = corpus_df.toPandas().sort_values("vec_id")
+        cmat = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
+        calls.append(1)
+        return kmeans_np(cmat, 16, seed=9), pq_fit(cmat, m=8, k=16, seed=9)
+
+    res = ivfpq_maintain_index(batch, path, corpus, refit)
+    assert res["action"] == "rebuild", res
+    assert len(calls) == 1  # exactly one rebuild
+    assert res["imbalance_after"] > 1.25 * res["imbalance_before"]
+    assert res["n_replaced"] == emb_d.filter(F.col("vec_id") % 5 == 0).count()
+
+    # probes equal a fresh build over the post-ingest corpus
+    ref = str(tmp_path / "ref")
+    ivfpq_write_index(corpus, ref, *refit(corpus), decimals=6)
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    ra = sorted(map(tuple, ivfpq_topk_from_index(spark, path, q, k=10, n_probe=4, decimals=6).collect()))
+    rb = sorted(map(tuple, ivfpq_topk_from_index(spark, ref, q, k=10, n_probe=4, decimals=6).collect()))
+    assert ra == rb
+
+    # benign ingest: same-distribution new ids -> upsert, NO rebuild
+    calls.clear()
+    benign = emb_d.limit(20).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    res2 = ivfpq_maintain_index(benign, path, corpus.unionByName(benign), refit)
+    assert res2["action"] == "upsert", res2
+    assert res2["n_replaced"] == 0
+    assert calls == []
+
+
+def test_bm25_upsert_equals_rebuild(spark, docs, tmp_path):
+    """Upsert (delete-then-append in one call) over a mixed batch of
+    replaced + new documents leaves the index identical to a fresh build
+    over the post-ingest corpus — df, stats, postings, and probe
+    ranking."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_topk_from_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+
+    path, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    bm25_write_index(docs, path, n_buckets=8)
+    replaced = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated body")).alias("text"))
+    new = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh body")).alias("text"))
+    batch = replaced.unionByName(new)
+    n_rep = bm25_upsert_index(batch, path, n_buckets=8)
+    assert n_rep == docs.filter(F.col("doc_id") % 5 == 0).count()
+
+    final = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(batch)
+    bm25_write_index(final, ref, n_buckets=8)
+    for sub in ("df", "stats", "postings"):
+        a = {tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect()}
+        assert a == b, sub
+    queries = [(0, "data spark"), (1, "model training")]
+    ra = sorted(map(tuple, bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8).collect()))
+    rb = sorted(map(tuple, bm25_topk_from_index(spark, ref, queries, k=10, n_buckets=8).collect()))
+    assert ra == rb
+
+
 def test_bm25_append_empty_batch_is_noop(spark, docs, tmp_path):
     """An empty micro-batch (routine under Structured Streaming) must be
     a no-op, not a crash on the NULL stats sum."""
