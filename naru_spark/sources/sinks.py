@@ -593,6 +593,44 @@ def compact_snapshot(
     return {"version": version, "files_before": before, "files_after": after}
 
 
+def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
+    """Orphan-file cleanup (Iceberg ``remove_orphan_files`` analog):
+    delete data directories referenced by NO manifest of ANY version —
+    a conflict loser's leftovers, or debris from a writer that crashed
+    between its data write and its manifest publish. Unlike
+    ``expire_snapshots`` this keeps every manifest, so time travel is
+    untouched; its one job is unblocking ``snapshot_stream_source``'s
+    no-orphan startup check without giving up history.
+
+    ``older_than_s`` is the safety window against IN-FLIGHT commits
+    (data lands before the manifest publish — collecting a dir inside
+    that window would brick the commit that is about to reference it):
+    only dirs whose mtime is at least this old are collected. Iceberg
+    defaults the same knob to 3 days; the 0.0 default here is only safe
+    with quiesced writers, so production maintenance should pass a real
+    age. Returns the deleted dirs (for audit logs)."""
+    import json
+    import os
+    import shutil
+    import time
+
+    man_dir = os.path.join(path, "_manifests")
+    referenced: set[str] = set()
+    for f in os.listdir(man_dir):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(man_dir, f)) as fh:
+                referenced.update(json.load(fh)["dirs"])
+    deleted = []
+    now = time.time()
+    data_root = os.path.join(path, "data")
+    for d in sorted(os.listdir(data_root)):
+        full = os.path.join(data_root, d)
+        if full not in referenced and now - os.path.getmtime(full) >= older_than_s:
+            shutil.rmtree(full)
+            deleted.append(full)
+    return deleted
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
     but the last ``keep_last`` manifests, then delete every data

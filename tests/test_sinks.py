@@ -433,6 +433,48 @@ def test_snapshot_stream_source_guards_and_tailing(spark, tmp_path):
     with pytest.raises(ValueError, match="replace commit"):
         snapshot_stream_source(spark, path)
 
+def test_gc_orphans_unblocks_stream_history_intact(spark, tmp_path):
+    """A forged conflict-loser data dir blocks snapshot_stream_source's
+    startup; gc_orphans collects exactly that dir (every referenced dir
+    of every version survives — time travel intact), the stream then
+    starts. The older_than_s safety window spares young dirs (the
+    in-flight-commit guard)."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        gc_orphans,
+        read_snapshot,
+        snapshot_stream_source,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    write_snapshot(spark.range(0, 4).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(4, 7).withColumnRenamed("id", "k"), path)
+
+    loser = os.path.join(path, "data", "v3-deadbeef")
+    os.makedirs(loser)
+    with open(os.path.join(loser, "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+    with pytest.raises(ValueError, match="orphan"):
+        snapshot_stream_source(spark, path)
+
+    # a young orphan survives the safety window...
+    assert gc_orphans(path, older_than_s=3600) == []
+    # ...and is collected once eligible
+    assert gc_orphans(path) == [loser]
+    assert not os.path.exists(loser)
+
+    # stream now starts; both historical versions still read
+    snapshot_stream_source(spark, path)
+    assert read_snapshot(spark, path, version=1).count() == 4
+    assert read_snapshot(spark, path, version=2).count() == 7
+    # idempotent on a clean tree
+    assert gc_orphans(path) == []
+
+
 def test_snapshot_base_version_stale_read_conflicts(spark, tmp_path):
     """Optimistic concurrency for read-modify-write commits: a replace
     built against a base that is no longer latest (an append landed in
