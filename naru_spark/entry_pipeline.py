@@ -424,20 +424,23 @@ def _maintain_doc_batch(docs: DataFrame) -> DataFrame:
 
 
 def q_bm25_topk_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BM25 index-maintenance composition
-    (pipeline.retrieval.bm25_upsert_index — Lucene updateDocument):
-    ONE call ingests a mixed batch of replaced documents (ids already
-    indexed, drifted text) and brand-new documents. The upsert expunges
-    the replaced ids in one pass over compact posting rows (the batch
-    itself is the anti-join side — no ids through the driver), then
-    tokenizes the whole batch once and appends O(|batch|). Every statistic
-    is an exact integer fold over disjoint doc sets, so the maintained
-    index must equal a fresh build over the post-ingest corpus — the
-    oracle IS that fresh build's BM25 replay over the same corpus,
-    expressed as one derived table."""
+    """The BM25 index-maintenance decision loop
+    (pipeline.retrieval.bm25_maintain_index — Lucene updateDocument +
+    TieredMergePolicy): ONE call ingests a mixed batch of replaced
+    documents (ids already indexed, drifted text) and brand-new
+    documents — the upsert expunges the replaced ids in one pass over
+    compact posting rows (the batch itself is the anti-join side — no
+    ids through the driver), tokenizes the whole batch once and appends
+    O(|batch|) — then measures segment fragmentation and MERGES the
+    postings back to one file per bucket (``merge_factor=1`` here so the
+    merge branch provably runs at every SF). The merge moves rows
+    without changing them, and every statistic is an exact integer fold
+    over disjoint doc sets, so the maintained index must equal a fresh
+    build over the post-ingest corpus — the oracle IS that fresh
+    build's BM25 replay over the same corpus, as one derived table."""
     from naru_spark.pipeline.retrieval import (
+        bm25_maintain_index,
         bm25_topk_from_index,
-        bm25_upsert_index,
         bm25_write_index,
     )
     from naru_spark.tmp import tmpdir
@@ -445,9 +448,10 @@ def q_bm25_topk_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     path = tmpdir(prefix="bm25_maintain_") + "/idx"
     bm25_write_index(docs, path)
-    n_replaced = bm25_upsert_index(_maintain_doc_batch(docs), path)
+    res = bm25_maintain_index(_maintain_doc_batch(docs), path, merge_factor=1)
     expected = docs.filter(F.col("doc_id") % _MAINT_REPLACE_MOD == 0).count()
-    assert n_replaced == expected, (n_replaced, expected)
+    assert res["n_replaced"] == expected, (res, expected)
+    assert res["action"] == "merge" and res["files_after"] < res["files_before"], res
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 

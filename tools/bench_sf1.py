@@ -116,6 +116,99 @@ def index_serving_probes(spark, sf_dir: str, timings: dict) -> None:
     )
 
 
+def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
+    """round-8 (VERDICT r07 item 7): the snapshot plane claims O(|delta|)
+    incremental reads and per-trigger stream follows at any table size —
+    the same 10x check the serving indexes got. The table build and the
+    stream's FIRST drain are corpus-sized by definition (timed separately,
+    allowed to scale); the incremental read and the post-delta drain must
+    track the ~10k-row delta, not the sf1 table."""
+    import tempfile
+
+    from naru_spark.sources import load_table
+    from naru_spark.sources.sinks import (
+        read_snapshot_changes,
+        snapshot_stream_source,
+        write_snapshot,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="sf1_snap_")
+    path = root + "/tbl"
+    t0 = time.time()
+    v1 = write_snapshot(li, path)
+    timings["snapshot_table_build"] = round(time.time() - t0, 3)
+
+    delta = li.limit(10_000)
+    v2 = write_snapshot(delta, path)
+    t0 = time.time()
+    n = read_snapshot_changes(spark, path, v1, v2).count()
+    timings["snapshot_incremental_read_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# snapshot: build {timings['snapshot_table_build']:.2f}s, "
+        f"incremental read of v{v1}->v{v2} "
+        f"{timings['snapshot_incremental_read_probe']:.2f}s ({n} rows)",
+        file=sys.stderr,
+    )
+
+    out, ckpt = root + "/out", root + "/ckpt"
+
+    def drain():
+        q = (
+            snapshot_stream_source(spark, path)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = time.time()
+    drain()  # bootstrap: table-sized by definition
+    timings["snapshot_stream_bootstrap"] = round(time.time() - t0, 3)
+    write_snapshot(li.limit(10_000), path)
+    t0 = time.time()
+    drain()  # the steady-state trigger: listing + the new delta only
+    timings["snapshot_stream_follow_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# snapshot stream: bootstrap {timings['snapshot_stream_bootstrap']:.2f}s, "
+        f"post-delta drain {timings['snapshot_stream_follow_probe']:.2f}s",
+        file=sys.stderr,
+    )
+
+
+# contention canaries (VERDICT r07 item 9): if these two drift past 2x the
+# COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
+# and must not be recorded (the rule that falsely flagged dedup entries in
+# rounds 5-7, mechanized)
+_CANARIES = ("zorder_data_skipping", "psample_star3")
+
+
+def _check_canaries(timings: dict) -> bool:
+    ref_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json"
+    )
+    if not os.path.exists(ref_path):
+        return False
+    with open(ref_path) as fh:
+        ref = json.load(fh).get("queries", {})
+    contended = False
+    for name in _CANARIES:
+        got, want = timings.get(name), ref.get(name)
+        if got and want and got > 2.0 * want:
+            print(
+                f"# CONTENDED: canary {name} {got:.2f}s > 2x committed "
+                f"{want:.2f}s — do NOT record this run",
+                file=sys.stderr,
+            )
+            contended = True
+    return contended
+
+
 def main() -> None:
     sf_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1data"
@@ -148,11 +241,12 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
             print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
 
-    try:
-        index_serving_probes(spark, sf_dir, timings)
-    except Exception as e:  # noqa: BLE001 — per-entry isolation
-        errors["index_serving_probes"] = f"{type(e).__name__}: {e}".splitlines()[0][:200]
-        print(f"# index_serving_probes: FAILED — {errors['index_serving_probes']}", file=sys.stderr)
+    for probes in (index_serving_probes, snapshot_plane_probes):
+        try:
+            probes(spark, sf_dir, timings)
+        except Exception as e:  # noqa: BLE001 — per-entry isolation
+            errors[probes.__name__] = f"{type(e).__name__}: {e}".splitlines()[0][:200]
+            print(f"# {probes.__name__}: FAILED — {errors[probes.__name__]}", file=sys.stderr)
 
     out = {
         "metric": "sf1_spot_bench",
@@ -162,6 +256,8 @@ def main() -> None:
         "sf": 1.0,
         "model_warm_s": warm,
     }
+    if _check_canaries(timings):
+        out["contended"] = True
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
