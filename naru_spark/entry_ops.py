@@ -714,6 +714,86 @@ ORDER BY source, lang
 """
 
 
+def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate delete (sources.sinks.delete_from_snapshot —
+    Delta DELETE FROM WHERE, the GDPR-delete shape): the corpus is
+    committed, then every ``doc_id % 7 == 0`` row of source 'web' is
+    deleted as a replace commit pinned to the read version. Asserted
+    inline: the reported delete count is exact, and the PRE-delete v1
+    stays time-travelable with the full row count (deletes must be
+    invisible to historical readers until retention expiry). The entry
+    aggregates the post-delete table; the oracle replays the survivor
+    predicate — including Delta's NULL semantics, since rows where the
+    condition is NULL must survive."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_delete_") + "/docs"
+    write_snapshot(docs, path)
+    info = delete_from_snapshot(
+        spark, path, "source = 'web' AND doc_id % 7 = 0"
+    )
+    expected = docs.where(
+        (F.col("source") == "web") & (F.col("doc_id") % 7 == 0)
+    ).count()
+    assert info["n_deleted"] == expected, (info, expected)
+    assert read_snapshot(spark, path, version=1).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_delete_where() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE NOT (source = 'web' AND doc_id % 7 = 0)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table's maintenance decision loop
+    (sources.sinks.maintain_snapshot — Delta auto-OPTIMIZE shape,
+    the storage twin of the serving indexes' maintain entries): three
+    fragmented ingest commits, then ONE maintenance call measures file
+    count against the right-sized target from the manifest (metadata
+    only) and triggers exactly one compaction; a second call on the
+    now-compact table is a no-op. Asserted inline; pre-compaction
+    history stays time-travelable. Content invariance is the
+    correctness claim — the oracle aggregates the raw corpus."""
+    from naru_spark.sources.sinks import (
+        maintain_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    path = _tmpdir(prefix="docs_snap_maintain_") + "/docs"
+    for k in range(3):
+        # repartition(6) forces small files: 18 across 3 commits
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k).repartition(6), path)
+    res = maintain_snapshot(spark, path, merge_factor=2)
+    assert res["action"] == "compact" and res["files_after"] < res["files"], res
+    res2 = maintain_snapshot(spark, path, merge_factor=2)
+    assert res2["action"] == "noop", res2
+    assert read_snapshot(spark, path, version=3).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source", "lang")
+    )
+
+
 def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MERGE INTO (operators.merge.merge_into — the
     Delta/Iceberg CDC apply as ONE keyed full-outer join): a
@@ -1294,6 +1374,8 @@ def build_ops_registry():
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_incremental_read": q_snapshot_incremental_read,
         "snapshot_compaction": q_snapshot_compaction,
+        "snapshot_delete_where": q_snapshot_delete_where,
+        "snapshot_maintain": q_snapshot_maintain,
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1333,6 +1415,9 @@ def build_ops_registry():
         "snapshot_time_travel": sql_snapshot_time_travel(),
         "snapshot_incremental_read": sql_snapshot_incremental_read(),
         "snapshot_compaction": sql_snapshot_compaction(),
+        "snapshot_delete_where": sql_snapshot_delete_where(),
+        # content invariance: maintenance must never change answers
+        "snapshot_maintain": sql_snapshot_compaction(),
         "snapshot_merge_upsert": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),

@@ -593,6 +593,81 @@ def compact_snapshot(
     return {"version": version, "files_before": before, "files_after": after}
 
 
+def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict:
+    """Row-level delete on a snapshot table (Delta ``DELETE FROM ...
+    WHERE`` analog — the GDPR-delete shape): rows matching ``condition``
+    are removed by committing the SURVIVORS as a replace-mode snapshot,
+    pinned to the version read (``base_version`` — a concurrent commit
+    raises instead of being silently thrown away). Pre-delete versions
+    stay time-travelable until ``expire_snapshots``; Delta semantics on
+    NULLs (a NULL condition never matches, so its row SURVIVES — plain
+    ``filter(NOT cond)`` would wrongly drop it).
+
+    One aggregate scan counts the matches, one rewrite commits the
+    survivors — at 100 TB both are full-table passes, the same cost
+    Delta pays when deletes touch every file; predicate-clustered
+    layouts (Z-ORDER on the delete key) shrink the rewrite to the
+    matching files. Returns {"version", "n_deleted"}."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    df = read_snapshot(spark, path)
+    cond = F.expr(condition)
+    n_deleted = df.where(cond).count()
+    version = write_snapshot(
+        df.where(~cond | cond.isNull()),
+        path,
+        mode="replace",
+        base_version=latest,
+    )
+    return {"version": version, "n_deleted": int(n_deleted)}
+
+
+def maintain_snapshot(
+    spark: SparkSession, path: str, merge_factor: int = 4,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> dict:
+    """The snapshot table's maintenance decision loop (Delta
+    auto-OPTIMIZE / Iceberg maintenance-job shape), composed from the
+    pieces: measure fragmentation from the LATEST manifest's dir list (a
+    metadata-only walk — never a data read), and when the table holds
+    more than ``merge_factor`` times its right-sized file count
+    (``ceil(bytes / target_file_bytes)``), run ``compact_snapshot``.
+    An already-compact table is a metadata-only no-op, so schedulers can
+    call this after every ingest batch. Returns {"action":
+    "compact"|"noop", "files": n, "target_files": t, and on compact the
+    compaction's version/files_before/files_after}."""
+    import json
+    import math
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    files = [
+        os.path.join(d, f)
+        for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    target = max(1, math.ceil(total_bytes / target_file_bytes))
+    if len(files) <= merge_factor * target:
+        return {"action": "noop", "files": len(files), "target_files": target}
+    info = compact_snapshot(spark, path, target_files=target,
+                            target_file_bytes=target_file_bytes)
+    info.update({"action": "compact", "files": len(files), "target_files": target})
+    return info
+
+
 def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
     """Orphan-file cleanup (Iceberg ``remove_orphan_files`` analog):
     delete data directories referenced by NO manifest of ANY version —

@@ -475,6 +475,56 @@ def test_gc_orphans_unblocks_stream_history_intact(spark, tmp_path):
     assert gc_orphans(path) == []
 
 
+def test_delete_from_snapshot_null_semantics_and_history(spark, tmp_path):
+    """Delta DELETE semantics: rows where the condition is NULL never
+    match, so they SURVIVE; the matched count is exact; pre-delete
+    versions stay time-travelable; the delete commit is pinned to the
+    version it read."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3), (4, 99), (5, None)], "k int, v int"
+    )
+    write_snapshot(df, path)
+    info = delete_from_snapshot(spark, path, "v > 5")
+    assert info == {"version": 2, "n_deleted": 2}  # k=1 and k=4
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [2, 3, 5]
+    # NULL-v rows survived; history intact
+    assert read_snapshot(spark, path, version=1).count() == 5
+    # deleting nothing still commits a (content-identical) version
+    info2 = delete_from_snapshot(spark, path, "v > 1000")
+    assert info2["n_deleted"] == 0
+
+
+def test_maintain_snapshot_policy(spark, tmp_path):
+    """The auto-OPTIMIZE loop: fragmented commits trip the file-count
+    policy and compact exactly once; a compact table is a metadata-only
+    no-op; history stays readable."""
+    from naru_spark.sources.sinks import (
+        maintain_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 40, 80):
+        write_snapshot(
+            spark.range(lo, lo + 40).withColumnRenamed("id", "k").repartition(5),
+            path,
+        )
+    res = maintain_snapshot(spark, path, merge_factor=2)
+    assert res["action"] == "compact"
+    assert res["files_after"] <= res["target_files"] < res["files"]
+    assert maintain_snapshot(spark, path, merge_factor=2)["action"] == "noop"
+    assert read_snapshot(spark, path).count() == 120
+    assert read_snapshot(spark, path, version=2).count() == 80
+
+
 def test_snapshot_base_version_stale_read_conflicts(spark, tmp_path):
     """Optimistic concurrency for read-modify-write commits: a replace
     built against a base that is no longer latest (an append landed in
