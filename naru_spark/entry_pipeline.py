@@ -3378,6 +3378,63 @@ ORDER BY source
 """
 
 
+def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the maintained serving index (foreachBatch +
+    pipeline.retrieval.bm25_maintain_index — the production shape for a
+    search index that follows a document stream): the corpus arrives as
+    micro-batches (file stream, maxFilesPerTrigger=1 over a pre-split
+    tree); the first batch bootstraps the index, every later batch runs
+    the FULL maintenance loop — upsert (no ids repeat here, so appends),
+    fragmentation check, segment merge. The final index must be
+    CONTENT-IDENTICAL to a batch build over the whole corpus regardless
+    of how the stream happened to batch (every statistic is an exact
+    integer fold over disjoint doc sets), so the probe shares the plain
+    BM25 oracle. Asserted inline: the stream really delivered multiple
+    batches and the maintenance path really ran."""
+    import os
+
+    from naru_spark.pipeline.retrieval import (
+        bm25_maintain_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tmpdir(prefix="bm25_stream_idx_")
+    src, path = base + "/src", base + "/idx"
+    # pre-split the corpus so availableNow yields real micro-batches
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    actions: list = []  # foreachBatch runs on the driver — plain list works
+
+    def ingest(bdf: DataFrame, bid: int) -> None:
+        if not os.path.exists(os.path.join(path, "postings")):
+            bm25_write_index(bdf, path)
+            actions.append("bootstrap")
+        else:
+            res = bm25_maintain_index(bdf, path, merge_factor=2)
+            assert res["n_replaced"] == 0, res  # stream ids never repeat
+            actions.append(res["action"])
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert len(actions) >= 3 and actions[0] == "bootstrap", actions
+    return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
+
+
 def q_stream_snapshot_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read FROM the snapshot table
     (sources.sinks.snapshot_stream_source — Delta "stream from a table"
@@ -3796,6 +3853,7 @@ def build_pipeline_registry():
         "knn_pagerank_oracle": q_knn_pagerank_oracle,
         "gopher_stream": q_gopher_stream,
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
+        "stream_bm25_index_maintain": q_stream_bm25_index_maintain,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
         "quality_stream": q_quality_stream,
@@ -3902,6 +3960,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # batch/stream parity: identical operator, identical oracle
         "gopher_stream": sql_gopher_filter(),
         "stream_snapshot_ingest": sql_stream_snapshot_ingest(),
+        # batch-split invariance: the streamed-maintained index must answer
+        # exactly like a batch build over the whole corpus
+        "stream_bm25_index_maintain": sql_bm25_topk(),
         "stream_snapshot_follow": sql_stream_snapshot_ingest(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
