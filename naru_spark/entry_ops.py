@@ -751,10 +751,13 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_snapshot_delete_where() -> str:
+    # IS NOT TRUE, not NOT(...): a NULL condition must SURVIVE the delete
+    # (Delta semantics, mirrored by the entry's ~cond | cond.isNull()) —
+    # plain NOT would drop NULL-condition rows if the corpus ever gains them
     return """
 SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
-WHERE NOT (source = 'web' AND doc_id % 7 = 0)
+WHERE (source = 'web' AND doc_id % 7 = 0) IS NOT TRUE
 GROUP BY source
 ORDER BY source
 """

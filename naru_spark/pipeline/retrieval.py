@@ -349,9 +349,16 @@ def bm25_delete_from_index(
     if (doc_ids is None) == (victims is None):
         raise ValueError("pass exactly one of doc_ids= or victims=")
     if victims is not None:
+        # pin ONE evaluation of the caller's plan: the victim set feeds the
+        # stats/df decrements AND the survivor anti-join as separate jobs,
+        # and a non-deterministic victims frame (sample/limit/mutating
+        # source) evaluated twice would desynchronize sidecars from
+        # postings. Eager localCheckpoint severs the lineage, so a lost
+        # block fails the job loudly instead of silently recomputing a
+        # different draw.
         ids_df = victims.select(
             F.col(id_col).cast("long").alias("doc_id")
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         join_side = ids_df  # corpus-fraction side: AQE picks the strategy
     else:
         ids_df = spark.createDataFrame(
@@ -447,11 +454,28 @@ def bm25_upsert_index(
 
     Zero-token documents leave no posting rows, so a replacement of one
     cannot find it to delete and its stats contribution double-counts —
-    the id-index-free layout's documented limit, inherited from delete."""
+    the id-index-free layout's documented limit, inherited from delete.
+
+    A batch covering EVERY indexed id (the full-refresh maintenance op)
+    is legal here even though the bare delete refuses it: the transient
+    empty tree never needs to exist, because the upsert rebuilds the
+    index from the batch directly."""
+    import os
+
     spark = new_docs.sparkSession
-    n_replaced = bm25_delete_from_index(
-        spark, path, victims=new_docs.select(id_col), id_col=id_col
-    )
+    try:
+        n_replaced = bm25_delete_from_index(
+            spark, path, victims=new_docs.select(id_col), id_col=id_col
+        )
+    except ValueError as e:
+        if "every indexed document" not in str(e):
+            raise
+        n_replaced = int(
+            spark.read.parquet(os.path.join(path, "postings"))
+            .agg(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
+        )
+        bm25_write_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
+        return n_replaced
     bm25_append_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
     return n_replaced
 

@@ -962,9 +962,13 @@ def ivfpq_delete_from_index(
     if (vec_ids is None) == (victims is None):
         raise ValueError("pass exactly one of vec_ids= or victims=")
     if victims is not None:
+        # pin ONE evaluation of the caller's plan (count + anti-join are
+        # separate jobs; a non-deterministic victims frame evaluated twice
+        # would count one draw and delete another). Eager localCheckpoint
+        # severs lineage: a lost block fails loudly, never re-draws.
         ids_df = victims.select(
             F.col(id_col).cast("long").alias("vec_id")
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         join_side = ids_df  # corpus-fraction side: AQE picks the strategy
     else:
         ids_df = spark.createDataFrame(
@@ -1044,11 +1048,36 @@ def ivfpq_upsert_index(
     encoded under the saved quantizers and appended O(|batch|). Codes are
     bit-identical to a rebuild over (index - replaced + batch), so probes
     match a fresh build — the same shared-oracle argument as append and
-    delete, composed. Returns how many existing vectors were replaced."""
+    delete, composed. Returns how many existing vectors were replaced.
+
+    A batch covering EVERY indexed id (the full re-embedding refresh) is
+    legal here even though the bare delete refuses it: the index is
+    rebuilt from the batch under the SAVED quantizers via the crash-safe
+    side-tree swap, so the transient empty tree never exists."""
+    import json
+    import os
+
     spark = batch.sparkSession
-    n_replaced = ivfpq_delete_from_index(
-        spark, path, victims=batch.select(id_col), id_col=id_col
-    )
+    try:
+        n_replaced = ivfpq_delete_from_index(
+            spark, path, victims=batch.select(id_col), id_col=id_col
+        )
+    except ValueError as e:
+        if "every indexed vector" not in str(e):
+            raise
+        n_replaced = int(
+            spark.read.parquet(path)
+            .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
+        )
+        with open(os.path.join(path, "_meta.json")) as fh:
+            decimals = json.load(fh).get("decimals")
+        centroids = np.load(os.path.join(path, "_centroids.npy"))
+        codebooks = np.load(os.path.join(path, "_codebooks.npy"))
+        ivfpq_write_index(
+            batch, path, centroids, codebooks,
+            id_col=id_col, vec_col=vec_col, decimals=decimals,
+        )
+        return n_replaced
     ivfpq_append_index(batch, path, id_col=id_col, vec_col=vec_col)
     return n_replaced
 

@@ -619,14 +619,20 @@ def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict
     )
     df = read_snapshot(spark, path)
     cond = F.expr(condition)
-    n_deleted = df.where(cond).count()
+    n_deleted = int(df.where(cond).count())
+    if n_deleted == 0:
+        # Delta no-ops here too: a no-match delete must not rewrite the
+        # table, must not double storage until expiry, and must not plant
+        # a replace commit that breaks incremental reads / stream follows
+        # over the version range
+        return {"version": latest, "n_deleted": 0}
     version = write_snapshot(
         df.where(~cond | cond.isNull()),
         path,
         mode="replace",
         base_version=latest,
     )
-    return {"version": version, "n_deleted": int(n_deleted)}
+    return {"version": version, "n_deleted": n_deleted}
 
 
 def maintain_snapshot(
@@ -694,13 +700,27 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
     for f in os.listdir(man_dir):
         if f.startswith("v") and f.endswith(".json"):
             with open(os.path.join(man_dir, f)) as fh:
-                referenced.update(json.load(fh)["dirs"])
+                # realpath-normalize: manifests store the path as the WRITER
+                # spelled it; a maintenance job calling with a different
+                # spelling (relative vs absolute, symlinked mount) must not
+                # misclassify every live dir as an orphan
+                referenced.update(os.path.realpath(d) for d in json.load(fh)["dirs"])
+    data_root = os.path.join(path, "data")
+    on_disk = {
+        d: os.path.realpath(os.path.join(data_root, d))
+        for d in sorted(os.listdir(data_root))
+    }
+    if on_disk and referenced and not (set(on_disk.values()) & referenced):
+        raise ValueError(
+            f"no on-disk data dir under {data_root} matches ANY manifest "
+            "reference — path-spelling mismatch between writer and GC is "
+            "far likelier than a 100%-orphan table; refusing to delete"
+        )
     deleted = []
     now = time.time()
-    data_root = os.path.join(path, "data")
-    for d in sorted(os.listdir(data_root)):
+    for d, real in on_disk.items():
         full = os.path.join(data_root, d)
-        if full not in referenced and now - os.path.getmtime(full) >= older_than_s:
+        if real not in referenced and now - os.path.getmtime(full) >= older_than_s:
             shutil.rmtree(full)
             deleted.append(full)
     return deleted

@@ -1537,6 +1537,59 @@ def test_bm25_upsert_equals_rebuild(spark, docs, tmp_path):
     assert ra == rb
 
 
+def test_upsert_full_refresh_rebuilds(spark, docs, emb, tmp_path):
+    """A batch covering EVERY indexed id (the full-refresh maintenance op)
+    must upsert cleanly — the bare delete's refusal to empty the index is
+    bypassed by rebuilding from the batch — and equal a fresh build."""
+    from naru_spark.pipeline.retrieval import (
+        bm25_topk_from_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+    from naru_spark.pipeline.similarity import (
+        ivfpq_topk_from_index,
+        ivfpq_upsert_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    # BM25: every doc re-ingested with changed text
+    path, ref = str(tmp_path / "b"), str(tmp_path / "br")
+    bm25_write_index(docs, path, n_buckets=8)
+    refreshed = docs.select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+    assert bm25_upsert_index(refreshed, path, n_buckets=8) == docs.count()
+    bm25_write_index(refreshed, ref, n_buckets=8)
+    for sub in ("df", "stats", "postings"):
+        a = {tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect()}
+        assert a == b, sub
+
+    # IVF-PQ: every vector re-embedded (saved quantizers reused)
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents, cb = kmeans_np(mat, 16, seed=5), pq_fit(mat, m=8, k=16, seed=5)
+    vpath, vref = str(tmp_path / "v"), str(tmp_path / "vr")
+    ivfpq_write_index(emb, vpath, cents, cb, decimals=6)
+    re_emb = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    assert ivfpq_upsert_index(re_emb, vpath) == emb.count()
+    ivfpq_write_index(re_emb, vref, cents, cb, decimals=6)
+    sa = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+          for r in spark.read.parquet(vpath).collect()}
+    sb = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+          for r in spark.read.parquet(vref).collect()}
+    assert sa == sb
+    q = re_emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    ra = sorted(map(tuple, ivfpq_topk_from_index(spark, vpath, q, k=5, n_probe=4, decimals=6).collect()))
+    rb = sorted(map(tuple, ivfpq_topk_from_index(spark, vref, q, k=5, n_probe=4, decimals=6).collect()))
+    assert ra == rb
+
+
 def test_bm25_maintain_merge_policy(spark, docs, tmp_path):
     """The Lucene merge-policy analog: a lax merge_factor leaves the
     upsert's fragmentation in place (action=upsert); a tight one merges

@@ -496,9 +496,11 @@ def test_delete_from_snapshot_null_semantics_and_history(spark, tmp_path):
     assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [2, 3, 5]
     # NULL-v rows survived; history intact
     assert read_snapshot(spark, path, version=1).count() == 5
-    # deleting nothing still commits a (content-identical) version
+    # a no-match delete is a NO-OP: no rewrite, no replace commit, same
+    # version (Delta behavior — a replace commit here would break
+    # incremental reads over the range for nothing)
     info2 = delete_from_snapshot(spark, path, "v > 1000")
-    assert info2["n_deleted"] == 0
+    assert info2 == {"version": 2, "n_deleted": 0}
 
 
 def test_maintain_snapshot_policy(spark, tmp_path):
