@@ -3435,6 +3435,64 @@ def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
+def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the persisted ANN index (foreachBatch +
+    pipeline.similarity.ivfpq_append_index — vectors follow the stream,
+    the pair of `stream_bm25_index_maintain` on the similarity side):
+    the embedding corpus arrives as micro-batches; the first bootstraps
+    the index under the deterministic quantizers, every later batch is
+    encoded under the index's SAVED quantizers and appended O(|batch|).
+    Appended codes are bit-identical to a full build's (the quantizers
+    never refit between rebuilds), so the final index answers EXACTLY
+    like the batch-built one regardless of batch boundaries — the entry
+    shares the in-memory IVF-PQ oracle."""
+    import os
+
+    from naru_spark.pipeline.similarity import (
+        ivfpq_append_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = _tmpdir("ivfpq_stream_")
+    src, path = base + "/src", base + "/idx"
+    for k in range(3):
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    actions: list = []
+
+    def ingest(bdf: DataFrame, bid: int) -> None:
+        if not os.path.exists(os.path.join(path, "_centroids.npy")):
+            ivfpq_write_index(
+                bdf, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir),
+                decimals=6,
+            )
+            actions.append("bootstrap")
+        else:
+            ivfpq_append_index(bdf, path)  # decimals from _meta.json
+            actions.append("append")
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert len(actions) >= 3 and actions[0] == "bootstrap", actions
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk_from_index(spark, path, queries, k=10, n_probe=8, decimals=6)
+
+
 def q_stream_snapshot_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read FROM the snapshot table
     (sources.sinks.snapshot_stream_source — Delta "stream from a table"
@@ -3854,6 +3912,7 @@ def build_pipeline_registry():
         "gopher_stream": q_gopher_stream,
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "stream_bm25_index_maintain": q_stream_bm25_index_maintain,
+        "stream_ivfpq_index_ingest": q_stream_ivfpq_index_ingest,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
         "quality_stream": q_quality_stream,
@@ -3963,6 +4022,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # batch-split invariance: the streamed-maintained index must answer
         # exactly like a batch build over the whole corpus
         "stream_bm25_index_maintain": sql_bm25_topk(),
+        # batch-split invariance for the ANN side: appended codes are
+        # bit-identical to a full build's under the saved quantizers
+        "stream_ivfpq_index_ingest": sql_similarity_ivfpq(),
         "stream_snapshot_follow": sql_stream_snapshot_ingest(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle

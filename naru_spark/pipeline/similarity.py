@@ -801,10 +801,29 @@ def ivfpq_write_index(
     )
     np.save(os.path.join(tmp, "_centroids.npy"), centroids)
     np.save(os.path.join(tmp, "_codebooks.npy"), codebooks)
+    # the build's own cell balance, measured from the just-written codes
+    # (ONE bytes-only scan of the side tree, before the swap so the meta
+    # is crash-consistent): the anchor for maintain's absolute drift
+    # policy — "rebuild when imbalance exceeds ratio x what THIS fit
+    # achieved", which catches slow drift accrued across many small
+    # ingests that each pass the per-ingest check
+    spark = corpus.sparkSession
+    k = int(centroids.shape[0])
+    row = (
+        spark.read.parquet(tmp)
+        .groupBy("cell").agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("n"),
+             F.sum(F.col("c") * F.col("c")).alias("ss"))
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    imbalance_at_build = (k * int(row["ss"]) / (n * n)) if n else 0.0
     # decimals is part of the encoding config exactly like the quantizers:
     # append must reuse it or borderline vectors drift from a rebuild
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
-        json.dump({"decimals": decimals}, fh)
+        json.dump(
+            {"decimals": decimals, "imbalance_at_build": imbalance_at_build}, fh
+        )
     if os.path.exists(path):
         old = path + f".old-{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
@@ -1090,6 +1109,7 @@ def ivfpq_maintain_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rebuild_ratio: float = 1.25,
+    policy: str = "ingest",
 ) -> dict:
     """The index-maintenance decision loop, composed from the lifecycle
     pieces: UPSERT the batch (delete-then-append under the saved
@@ -1105,34 +1125,57 @@ def ivfpq_maintain_index(
     writes through the side-tree swap, so a crash mid-rebuild leaves the
     pre-rebuild index intact and serving.
 
-    The trigger is RELATIVE (this ingest's drift), deliberately: an
-    absolute threshold would depend on the fit quality of the day the
-    index was born. Slow drift across many small batches accrues below
-    the ratio — callers wanting an absolute policy read the stats entry
-    and call the rebuild explicitly. Returns ``{"action": "rebuild"|
-    "upsert", "imbalance_before": b, "imbalance_after": a,
-    "n_replaced": r}``."""
+    Two trigger policies:
+
+    - ``policy="ingest"`` (default): rebuild when THIS ingest moved the
+      imbalance past ``rebuild_ratio`` times its pre-ingest value. Pure
+      per-batch signal — but slow drift accrued across many small
+      batches never fires it.
+    - ``policy="build"``: rebuild when the post-ingest imbalance exceeds
+      ``rebuild_ratio`` times ``imbalance_at_build`` — the value the
+      CURRENT fit achieved on its own training set, persisted in
+      _meta.json by every build/rebuild. Cumulative, so slow drift
+      eventually trips it; anchored to the live fit's own quality, so it
+      does not depend on an absolute constant. Raises if the index
+      predates the sidecar field (a guessed anchor would be a silent
+      policy change) — rebuild once to stamp it.
+
+    Returns ``{"action": "rebuild"|"upsert", "imbalance_before": b,
+    "imbalance_after": a, "baseline": anchor, "n_replaced": r}``."""
     import json
     import os
 
+    if policy not in ("ingest", "build"):
+        raise ValueError(f"unknown policy {policy!r} (ingest|build)")
     spark = batch.sparkSession
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
     before = ivfpq_imbalance(spark, path)
+    if policy == "build":
+        baseline = meta.get("imbalance_at_build")
+        if baseline is None:
+            raise ValueError(
+                f"no imbalance_at_build in {path}/_meta.json — this index "
+                "predates the balance sidecar; rebuild once to stamp it "
+                "before using policy='build'"
+            )
+    else:
+        baseline = before
     n_replaced = ivfpq_upsert_index(batch, path, id_col=id_col, vec_col=vec_col)
     after = ivfpq_imbalance(spark, path)
     action = "upsert"
-    if after > rebuild_ratio * before:
-        with open(os.path.join(path, "_meta.json")) as fh:
-            decimals = json.load(fh).get("decimals")
+    if after > rebuild_ratio * baseline:
         centroids, codebooks = refit(corpus)
         ivfpq_write_index(
             corpus, path, centroids, codebooks,
-            id_col=id_col, vec_col=vec_col, decimals=decimals,
+            id_col=id_col, vec_col=vec_col, decimals=meta.get("decimals"),
         )
         action = "rebuild"
     return {
         "action": action,
         "imbalance_before": before,
         "imbalance_after": after,
+        "baseline": baseline,
         "n_replaced": n_replaced,
     }
 

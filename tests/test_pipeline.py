@@ -1503,6 +1503,73 @@ def test_ivfpq_maintain_drift_triggers_one_rebuild(spark, emb, tmp_path):
     assert calls == []
 
 
+def test_ivfpq_maintain_build_policy_catches_slow_drift(spark, emb, tmp_path):
+    """Four small drifted ingests (4% of ids each, replaced in place) each
+    pass the per-ingest check (max step ~1.14x < 1.25), so
+    policy='ingest' never rebuilds — the documented blind spot. The
+    build-anchored policy compares against imbalance_at_build from
+    _meta.json and fires exactly once, on the cumulative crossing
+    (batch 4, ~1.36x). An index whose meta predates the sidecar field
+    refuses policy='build' instead of guessing an anchor."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.pipeline.similarity import (
+        ivfpq_maintain_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents, cb = kmeans_np(mat, 16, seed=5), pq_fit(mat, m=8, k=16, seed=5)
+
+    def drifted_batch(k):
+        return emb.filter(F.col("vec_id") % 25 == k).select(
+            "vec_id",
+            F.transform(F.col("embedding").cast("array<double>"),
+                        lambda x: x * F.lit(0.05) + F.lit(0.5)).alias("embedding"),
+        )
+
+    calls = []
+
+    def refit(corpus_df):
+        calls.append(1)
+        cpdf = corpus_df.toPandas().sort_values("vec_id")
+        cmat = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
+        return kmeans_np(cmat, 16, seed=9), pq_fit(cmat, m=8, k=16, seed=9)
+
+    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    for policy, expected in (("ingest", ["upsert"] * 4),
+                             ("build", ["upsert"] * 3 + ["rebuild"])):
+        calls.clear()
+        path = str(tmp_path / policy)
+        ivfpq_write_index(emb, path, cents, cb, decimals=6)
+        corpus = emb_d
+        actions = []
+        for k in range(4):
+            batch = drifted_batch(k)
+            corpus = corpus.join(batch.select("vec_id"), "vec_id", "left_anti").unionByName(batch)
+            res = ivfpq_maintain_index(batch, path, corpus, refit, policy=policy)
+            actions.append(res["action"])
+        assert actions == expected, (policy, actions)
+        assert len(calls) == (1 if policy == "build" else 0)
+
+    # meta predating the sidecar field -> loud refusal for policy='build'
+    path = str(tmp_path / "legacy")
+    ivfpq_write_index(emb, path, cents, cb, decimals=6)
+    meta_p = os.path.join(path, "_meta.json")
+    json.dump({"decimals": 6}, open(meta_p, "w"))
+    with pytest.raises(ValueError, match="imbalance_at_build"):
+        ivfpq_maintain_index(drifted_batch(0), path, emb_d, refit, policy="build")
+    with pytest.raises(ValueError, match="unknown policy"):
+        ivfpq_maintain_index(drifted_batch(0), path, emb_d, refit, policy="bogus")
+
+
 def test_bm25_upsert_equals_rebuild(spark, docs, tmp_path):
     """Upsert (delete-then-append in one call) over a mixed batch of
     replaced + new documents leaves the index identical to a fresh build
