@@ -3183,6 +3183,70 @@ def q_similarity_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ index against exact brute-force cosine
+    (pipeline.similarity.ann_recall_at_k — the FAISS-benchmark deployment
+    metric, and the QUALITY signal that pairs with the maintain loop's
+    imbalance COST signal: distribution drift that dodges the balance
+    check still surfaces here as recall decay). Both rankings are already
+    oracle-proven separately; this entry verifies their COMPOSITION into
+    the per-query metric — the oracle replays exact and ADC rankings and
+    counts the overlap."""
+    from naru_spark.pipeline.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivfpq_topk(
+        emb, queries, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir),
+        k=10, n_probe=8, decimals=6,
+    )
+    return ann_recall_at_k(exact, approx, k=10)
+
+
+def sql_similarity_ann_recall(k: int = 10, n_probe: int = 8) -> str:
+    return (
+        _sql_ivfpq_scored_ctes(n_probe)
+        + f"""
+, approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e, embeddings q WHERE q.vec_id < 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS h
+  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+)
+SELECT q.query_id, ROUND(COALESCE(h, 0) / {float(k)}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+    )
+
+
 # the drifted embedding: near-constant direction (x*0.05 + 0.5), so the
 # batch crowds into one coarse cell and the imbalance trigger fires.
 # Halving-free but still IEEE-exact in BOTH engines: float32 widens to
@@ -3905,6 +3969,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_index_append": q_similarity_ivfpq_index_append,
         "similarity_topk_ivfpq_index_delete": q_similarity_ivfpq_index_delete,
         "similarity_topk_ivfpq_index_maintain": q_similarity_ivfpq_index_maintain,
+        "similarity_ann_recall": q_similarity_ann_recall,
         "similarity_ivfpq_index_stats": q_similarity_ivfpq_index_stats,
         "corpus_report": q_corpus_report,
         "knn_pagerank": q_knn_pagerank,
@@ -4014,6 +4079,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # maintained index == fresh build over the post-ingest corpus
         # under the deterministically refit quantizers
         "similarity_topk_ivfpq_index_maintain": sql_similarity_ivfpq_maintain(),
+        "similarity_ann_recall": sql_similarity_ann_recall(),
         "similarity_ivfpq_index_stats": sql_similarity_ivfpq_index_stats(),
         "corpus_report": sql_corpus_report(),
         # batch/stream parity: identical operator, identical oracle

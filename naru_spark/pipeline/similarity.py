@@ -1180,6 +1180,35 @@ def ivfpq_maintain_index(
     }
 
 
+def ann_recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k — THE deployment metric for an ANN index (FAISS's
+    benchmark standard): per query, the fraction of the exact top-k the
+    approximate ranking recovered. One equi-join on (query_id,
+    neighbor_id) + a bounded per-query count, so it costs queries x k
+    rows however large the corpus — cheap enough to run continuously as
+    the QUALITY signal beside the maintain loop's imbalance COST signal
+    (drift that survives the imbalance check still shows up here as
+    recall decay). Queries the approximate index missed entirely still
+    report (recall 0.0) via the left join from the exact side."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def ivfpq_topk_from_index(
     spark,
     path: str,

@@ -1604,6 +1604,23 @@ def test_bm25_upsert_equals_rebuild(spark, docs, tmp_path):
     assert ra == rb
 
 
+def test_ann_recall_at_k_zero_and_partial(spark):
+    """recall@k: partial overlap counts hits/k; a query the approximate
+    side missed entirely still reports 0.0 (left join from exact)."""
+    from naru_spark.pipeline.similarity import ann_recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, n) for n in (10, 11, 12, 13)] + [(2, n) for n in (20, 21, 22, 23)],
+        "query_id int, neighbor_id int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)],  # query 2 absent entirely
+        "query_id int, neighbor_id int",
+    )
+    got = {r["query_id"]: r["recall"] for r in ann_recall_at_k(exact, approx, k=4).collect()}
+    assert got == {1: 0.5, 2: 0.0}
+
+
 def test_upsert_full_refresh_rebuilds(spark, docs, emb, tmp_path):
     """A batch covering EVERY indexed id (the full-refresh maintenance op)
     must upsert cleanly — the bare delete's refusal to empty the index is
