@@ -424,6 +424,10 @@ def bm25_delete_from_index(
         )
     finally:
         victim_rows.unpersist()
+        if victims is not None:
+            # best-effort: a foreachBatch loop calling delete/upsert per
+            # micro-batch must not accumulate checkpointed id blocks
+            ids_df.unpersist()
     stats_dir = os.path.join(path, "stats")
     old = spark.read.parquet(stats_dir).collect()[0]
     _swap_in(
@@ -470,11 +474,22 @@ def bm25_upsert_index(
     except ValueError as e:
         if "every indexed document" not in str(e):
             raise
+        import shutil
+        import uuid
+
         n_replaced = int(
             spark.read.parquet(os.path.join(path, "postings"))
             .agg(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
         )
-        bm25_write_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
+        # crash-safe full refresh: build into a side tree and swap the
+        # WHOLE index dir — rebuilding in place would overwrite postings
+        # first and leave a probe (or a crash) a torn postings/df/stats mix
+        tmp = path + f".new-{uuid.uuid4().hex[:8]}"
+        bm25_write_index(new_docs, tmp, id_col=id_col, n_buckets=n_buckets)
+        old = path + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
         return n_replaced
     bm25_append_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
     return n_replaced

@@ -802,22 +802,24 @@ def ivfpq_write_index(
     np.save(os.path.join(tmp, "_centroids.npy"), centroids)
     np.save(os.path.join(tmp, "_codebooks.npy"), codebooks)
     # the build's own cell balance, measured from the just-written codes
-    # (ONE bytes-only scan of the side tree, before the swap so the meta
-    # is crash-consistent): the anchor for maintain's absolute drift
-    # policy — "rebuild when imbalance exceeds ratio x what THIS fit
-    # achieved", which catches slow drift accrued across many small
-    # ingests that each pass the per-ingest check
+    # (ONE bytes-only scan of the side tree — the same ivfpq_imbalance the
+    # maintain loop measures with, so anchor and signal can never diverge
+    # — before the swap so the meta is crash-consistent): the anchor for
+    # maintain's absolute drift policy, "rebuild when imbalance exceeds
+    # ratio x what THIS fit achieved", which catches slow drift accrued
+    # across many small ingests that each pass the per-ingest check
     spark = corpus.sparkSession
-    k = int(centroids.shape[0])
-    row = (
-        spark.read.parquet(tmp)
-        .groupBy("cell").agg(F.count("*").alias("c"))
-        .agg(F.sum("c").alias("n"),
-             F.sum(F.col("c") * F.col("c")).alias("ss"))
-        .collect()[0]
-    )
-    n = int(row["n"] or 0)
-    imbalance_at_build = (k * int(row["ss"]) / (n * n)) if n else 0.0
+    try:
+        imbalance_at_build = ivfpq_imbalance(spark, tmp)
+    except Exception as e:
+        # an empty corpus writes a partitioned dir with no part files and
+        # the read-back fails schema inference — refuse cleanly (an empty
+        # index is unreadable everywhere else too) and drop the side tree
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            "refusing to build an IVF-PQ index over an empty corpus "
+            "(no code rows written)"
+        ) from e
     # decimals is part of the encoding config exactly like the quantizers:
     # append must reuse it or borderline vectors drift from a rebuild
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
@@ -994,40 +996,46 @@ def ivfpq_delete_from_index(
             [(int(i),) for i in set(vec_ids)], "vec_id long"
         )
         join_side = F.broadcast(ids_df)
-    index = spark.read.parquet(path)
-    # countDistinct, not row count: a precondition-violating double-append
-    # can leave duplicate rows per id, and the contract counts VECTORS
-    n_del = int(
-        index.join(join_side, "vec_id")
-        .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
-    )
-    if n_del == 0:
-        return 0
-    remaining = index.join(join_side, "vec_id", "left_anti").select(
-        "vec_id", "codes", "cell"  # original schema order
-    )
-    if remaining.limit(1).count() == 0:
-        raise ValueError(
-            "delete would remove every indexed vector — an empty "
-            "partitioned index is unreadable; drop the index dir instead"
+    try:
+        index = spark.read.parquet(path)
+        # countDistinct, not row count: a precondition-violating double-append
+        # can leave duplicate rows per id, and the contract counts VECTORS
+        n_del = int(
+            index.join(join_side, "vec_id")
+            .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
         )
+        if n_del == 0:
+            return 0
+        remaining = index.join(join_side, "vec_id", "left_anti").select(
+            "vec_id", "codes", "cell"  # original schema order
+        )
+        if remaining.limit(1).count() == 0:
+            raise ValueError(
+                "delete would remove every indexed vector — an empty "
+                "partitioned index is unreadable; drop the index dir instead"
+            )
 
-    # the quantizer/meta sidecars must be COPIED INTO the replacement tree
-    # BEFORE the rename: if the sidecars only existed in process memory
-    # during the swap, a crash in that window would leave codes on disk
-    # with no codebooks to decode them — a bricked index
-    sidecars = [
-        f for f in ("_centroids.npy", "_codebooks.npy", "_meta.json")
-        if os.path.exists(os.path.join(path, f))
-    ]
+        # the quantizer/meta sidecars must be COPIED INTO the replacement
+        # tree BEFORE the rename: if the sidecars only existed in process
+        # memory during the swap, a crash in that window would leave codes
+        # on disk with no codebooks to decode them — a bricked index
+        sidecars = [
+            f for f in ("_centroids.npy", "_codebooks.npy", "_meta.json")
+            if os.path.exists(os.path.join(path, f))
+        ]
 
-    def write_with_sidecars(df: DataFrame, tmp: str) -> None:
-        df.write.partitionBy("cell").parquet(tmp)
-        for f in sidecars:
-            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+        def write_with_sidecars(df: DataFrame, tmp: str) -> None:
+            df.write.partitionBy("cell").parquet(tmp)
+            for f in sidecars:
+                shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
 
-    _swap_in(remaining, path, writer=write_with_sidecars)
-    return n_del
+        _swap_in(remaining, path, writer=write_with_sidecars)
+        return n_del
+    finally:
+        if victims is not None:
+            # best-effort: per-micro-batch delete/upsert loops must not
+            # accumulate checkpointed id blocks
+            ids_df.unpersist()
 
 
 def ivfpq_imbalance(spark, path: str) -> float:
@@ -1148,20 +1156,24 @@ def ivfpq_maintain_index(
     if policy not in ("ingest", "build"):
         raise ValueError(f"unknown policy {policy!r} (ingest|build)")
     spark = batch.sparkSession
-    with open(os.path.join(path, "_meta.json")) as fh:
+    meta_path = os.path.join(path, "_meta.json")
+    with open(meta_path) as fh:
         meta = json.load(fh)
+    if policy == "build" and meta.get("imbalance_at_build") is None:
+        # fail fast BEFORE mutating anything
+        raise ValueError(
+            f"no imbalance_at_build in {path}/_meta.json — this index "
+            "predates the balance sidecar; rebuild once to stamp it "
+            "before using policy='build'"
+        )
     before = ivfpq_imbalance(spark, path)
-    if policy == "build":
-        baseline = meta.get("imbalance_at_build")
-        if baseline is None:
-            raise ValueError(
-                f"no imbalance_at_build in {path}/_meta.json — this index "
-                "predates the balance sidecar; rebuild once to stamp it "
-                "before using policy='build'"
-            )
-    else:
-        baseline = before
     n_replaced = ivfpq_upsert_index(batch, path, id_col=id_col, vec_col=vec_col)
+    # re-read meta AFTER the upsert: a full-refresh batch routes through
+    # ivfpq_write_index, which re-stamps imbalance_at_build — the anchor
+    # must be the one on disk, not a stale pre-refresh value
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    baseline = meta["imbalance_at_build"] if policy == "build" else before
     after = ivfpq_imbalance(spark, path)
     action = "upsert"
     if after > rebuild_ratio * baseline:

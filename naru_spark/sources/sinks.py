@@ -696,34 +696,49 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
     import time
 
     man_dir = os.path.join(path, "_manifests")
-    referenced: set[str] = set()
-    for f in os.listdir(man_dir):
-        if f.startswith("v") and f.endswith(".json"):
-            with open(os.path.join(man_dir, f)) as fh:
-                # realpath-normalize: manifests store the path as the WRITER
-                # spelled it; a maintenance job calling with a different
-                # spelling (relative vs absolute, symlinked mount) must not
-                # misclassify every live dir as an orphan
-                referenced.update(os.path.realpath(d) for d in json.load(fh)["dirs"])
+    # compare by BASENAME, not full path: every data dir of this table
+    # lives directly under path/data, so the dir name IS its identity —
+    # manifests store the path as the WRITER spelled it (absolute,
+    # relative, symlinked mount), and a GC process comparing raw strings
+    # from a different spelling would misclassify every live dir as an
+    # orphan and delete the table
+    referenced = _referenced_dir_names(man_dir)
     data_root = os.path.join(path, "data")
-    on_disk = {
-        d: os.path.realpath(os.path.join(data_root, d))
-        for d in sorted(os.listdir(data_root))
-    }
-    if on_disk and referenced and not (set(on_disk.values()) & referenced):
+    on_disk = sorted(os.listdir(data_root))
+    if on_disk and referenced and not (set(on_disk) & referenced):
         raise ValueError(
             f"no on-disk data dir under {data_root} matches ANY manifest "
-            "reference — path-spelling mismatch between writer and GC is "
-            "far likelier than a 100%-orphan table; refusing to delete"
+            "reference — a corrupted or foreign manifest set is far "
+            "likelier than a 100%-orphan table; refusing to delete"
         )
     deleted = []
     now = time.time()
-    for d, real in on_disk.items():
+    for d in on_disk:
         full = os.path.join(data_root, d)
-        if real not in referenced and now - os.path.getmtime(full) >= older_than_s:
+        if d not in referenced and now - os.path.getmtime(full) >= older_than_s:
             shutil.rmtree(full)
             deleted.append(full)
     return deleted
+
+
+def _referenced_dir_names(man_dir: str, versions=None) -> set:
+    """Basenames of every data dir the (given or all) manifests reference —
+    the path-spelling-proof identity the GC paths compare on."""
+    import json
+    import os
+
+    names: set = set()
+    for f in os.listdir(man_dir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        if versions is not None and int(f[1:-5]) not in versions:
+            continue
+        with open(os.path.join(man_dir, f)) as fh:
+            names.update(
+                os.path.basename(os.path.normpath(d))
+                for d in json.load(fh)["dirs"]
+            )
+    return names
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
@@ -743,15 +758,15 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
         if f.startswith("v") and f.endswith(".json")
     )
     keep, drop = versions[-keep_last:], versions[:-keep_last]
-    referenced: set[str] = set()
-    for v in keep:
-        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
-            referenced.update(json.load(fh)["dirs"])
+    # basename comparison, like gc_orphans: manifests carry the writer's
+    # path spelling, and a raw-string mismatch here would delete EVERY
+    # data dir including the current version's
+    referenced = _referenced_dir_names(man_dir, versions=set(keep))
     deleted = []
     data_root = os.path.join(path, "data")
     for d in sorted(os.listdir(data_root)):
         full = os.path.join(data_root, d)
-        if full not in referenced:
+        if d not in referenced:
             shutil.rmtree(full)
             deleted.append(full)
     for v in drop:

@@ -1604,6 +1604,25 @@ def test_bm25_upsert_equals_rebuild(spark, docs, tmp_path):
     assert ra == rb
 
 
+def test_ivfpq_build_refuses_empty_corpus(spark, emb, tmp_path):
+    """An empty corpus must refuse cleanly (an empty partitioned index is
+    unreadable everywhere) and leave no side tree behind."""
+    import os
+
+    import pytest
+
+    from naru_spark.pipeline.similarity import ivfpq_write_index, kmeans_np, pq_fit
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents, cb = kmeans_np(mat, 16, seed=5), pq_fit(mat, m=8, k=16, seed=5)
+    path = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivfpq_write_index(emb.filter(F.col("vec_id") < 0), path, cents, cb, decimals=6)
+    assert not os.path.exists(path)
+    assert not [d for d in os.listdir(tmp_path) if d.startswith("idx.new-")]
+
+
 def test_ann_recall_at_k_zero_and_partial(spark):
     """recall@k: partial overlap counts hits/k; a query the approximate
     side missed entirely still reports 0.0 (left join from exact)."""

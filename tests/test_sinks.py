@@ -527,6 +527,53 @@ def test_maintain_snapshot_policy(spark, tmp_path):
     assert read_snapshot(spark, path, version=2).count() == 80
 
 
+def test_gc_and_expire_survive_path_respelling(spark, tmp_path):
+    """Manifests carry the WRITER's path spelling; GC paths compare data
+    dirs by basename, so a respelled manifest (relative prefix, doubled
+    slashes) must not cause live dirs to be deleted — and a manifest set
+    that matches NOTHING on disk makes gc_orphans refuse outright."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        expire_snapshots,
+        gc_orphans,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(5, 8).withColumnRenamed("id", "k"), path)
+
+    # respell v1's manifest dirs (writer used a different spelling)
+    man1 = os.path.join(path, "_manifests", "v1.json")
+    m = json.load(open(man1))
+    m["dirs"] = ["./" + d.replace(path, os.path.relpath(path)) + "/" for d in m["dirs"]]
+    json.dump(m, open(man1, "w"))
+
+    assert gc_orphans(path) == []  # v1's respelled dirs are NOT orphans
+    assert read_snapshot(spark, path, version=1).count() == 5
+    deleted = expire_snapshots(path, keep_last=2)  # keeps v1+v2 -> nothing
+    assert deleted == []
+    assert read_snapshot(spark, path).count() == 8
+
+    # a manifest set matching NOTHING on disk -> refuse, delete nothing
+    for f in os.listdir(os.path.join(path, "_manifests")):
+        mp = os.path.join(path, "_manifests", f)
+        mm = json.load(open(mp))
+        mm["dirs"] = ["/elsewhere/data/" + os.path.basename(os.path.normpath(d)) + "-x"
+                      for d in mm["dirs"]]
+        json.dump(mm, open(mp, "w"))
+    n_dirs = len(os.listdir(os.path.join(path, "data")))
+    with pytest.raises(ValueError, match="refusing to delete"):
+        gc_orphans(path)
+    # nothing was touched
+    assert len(os.listdir(os.path.join(path, "data"))) == n_dirs
+
+
 def test_snapshot_base_version_stale_read_conflicts(spark, tmp_path):
     """Optimistic concurrency for read-modify-write commits: a replace
     built against a base that is no longer latest (an append landed in
