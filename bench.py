@@ -172,7 +172,19 @@ def main():
         out["regressions"] = regressions[:8]
         for name, p, s, ratio in regressions[:8]:
             print(f"# REGRESSION {name}: {p:.2f}s -> {s:.2f}s ({ratio}x)", file=sys.stderr)
-    if profile == "full":
+    if profile == "full" and regressions:
+        # a run that tripped the watchdog is SUSPECT (box contention or a
+        # real regression) — either way it must not become the compare
+        # base: a contended baseline masks real drift on the next run, and
+        # a regressed one silently accepts the regression. Keep the last
+        # good baseline; refresh happens on the next clean run (or by
+        # hand-merging per-entry walls, the documented discipline).
+        print(
+            f"# baseline NOT refreshed: {len(regressions)} regression(s) "
+            "flagged — keeping the previous BENCH_LAST_FULL.json",
+            file=sys.stderr,
+        )
+    elif profile == "full":
         clean_blocks = {
             k: {
                 **v,
