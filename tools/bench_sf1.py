@@ -45,6 +45,12 @@ ENTRIES = [
     "psample_star3",
     # 4-table star capstone (three-key join data-bound, fit capped)
     "psample_star4",
+    # round-8: the full index-maintenance decision loops at 10x — build +
+    # upsert + imbalance/fragmentation checks + rebuild/merge + probe;
+    # every pass is corpus- or index-sized at most once, so the composition
+    # must scale like its pieces
+    "bm25_topk_index_maintain",
+    "similarity_topk_ivfpq_index_maintain",
 ]
 
 
