@@ -2418,6 +2418,28 @@ for _rnd, _names in (
         "token_histogram", "token_idf", "user_totals_stateful",
         "workload_oracle_star4",
     )),
+    (8, (
+        "advised_q5", "anti_join_no_urgent", "asof_purchase_view",
+        "bm25_topk_index_maintain", "bpe_pack_manifest",
+        "bucketed_join_agg", "compact_small_files", "corpus_report",
+        "cube_pricing", "disjunctive_revenue_q19", "encode_linestatus",
+        "encode_returnflag", "encode_shipdate", "encoded_histogram",
+        "exact_substring_dedup", "gopher_stream", "heuristic_estimates",
+        "join_card_estimates", "knn_pagerank_oracle", "large_orders_q18",
+        "multimodal_audio_features", "partition_overwrite_upsert",
+        "pivot_event_counts", "pricing_summary_q1", "priority_counts_q12",
+        "promo_revenue_q14", "quality_classifier", "range_join_windows",
+        "region_size", "revenue_by_priority", "rollup_pricing",
+        "salted_join", "schema_evolution_read", "semi_join_urgent",
+        "set_ops_buyers", "similarity_ann_recall",
+        "similarity_topk_ivfpq_index_maintain", "small_qty_revenue_q17",
+        "snapshot_delete_where", "snapshot_maintain",
+        "stream_bm25_index_maintain", "stream_ivfpq_index_ingest",
+        "table_entropy", "top_supplier_q15", "value_counts_returnflag",
+        "value_counts_salted", "volume_shipping_q7",
+        "workload_oracle_counts", "workload_oracle_disjunctive",
+        "workload_oracle_join",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

@@ -208,14 +208,60 @@ def bm25_write_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "stats"))
     )
+    # persist the bucketing modulus beside the data (the IVF-PQ index
+    # persists its encoding decimals for exactly the same reason): an
+    # append/upsert run with a DIFFERENT n_buckets would land postings
+    # under the wrong crc32 modulus and pruned probes would silently
+    # miss them. Written LAST so a crashed build has no meta.
+    import json
+
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
     return {"path": path, "n_buckets": n_buckets}
+
+
+def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
+    """Resolve the index's bucketing modulus: the ``_meta.json`` stamped
+    at build time is authoritative; a caller-passed value that disagrees
+    is the silent-drift bug this sidecar exists to catch, so it raises.
+    Legacy indexes (built before the sidecar) fall back to the caller's
+    value (default 32), sanity-checked against the bucket= partition
+    dirs actually on disk."""
+    import json
+    import os
+
+    meta_p = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            stored = int(json.load(fh)["n_buckets"])
+        if n_buckets is not None and int(n_buckets) != stored:
+            raise ValueError(
+                f"index at {path} was built with n_buckets={stored}; "
+                f"got n_buckets={n_buckets} — appending under a different "
+                "crc32 modulus would make pruned probes miss the new rows"
+            )
+        return stored
+    resolved = 32 if n_buckets is None else int(n_buckets)
+    post_dir = os.path.join(path, "postings")
+    if os.path.isdir(post_dir):
+        seen = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(post_dir)
+            if d.startswith("bucket=")
+        ]
+        if seen and max(seen) >= resolved:
+            raise ValueError(
+                f"index at {path} has bucket={max(seen)} partitions but "
+                f"n_buckets={resolved} — the modulus does not match the layout"
+            )
+    return resolved
 
 
 def bm25_append_index(
     new_docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     validate: bool = False,
 ) -> None:
     """Incremental index maintenance (Lucene segment-add analog): tokenize
@@ -242,6 +288,7 @@ def bm25_append_index(
     import os
 
     spark = new_docs.sparkSession
+    n_buckets = _bm25_n_buckets(path, n_buckets)
     # the empty-batch stats row sums to NULL — coalesce, and skip the
     # sidecar swaps entirely for a no-op batch
     add = (
@@ -416,7 +463,15 @@ def bm25_delete_from_index(
         # never the rewritten postings (that second index-sized pass is the
         # whole cost this path avoids) — and doing it before the postings
         # swap means an evicted victim_rows partition recomputes against the
-        # UNTOUCHED postings, never the survivor tree
+        # UNTOUCHED postings, never the survivor tree.
+        # CRASH WINDOW: a crash between the two swaps leaves df decremented
+        # while victim postings survive (probes under-score until repaired),
+        # and RE-RUNNING the delete does NOT repair it — the df would be
+        # decremented twice. Recovery after a torn delete is a rebuild (or
+        # bm25_upsert_index full refresh), the Lucene fsck answer. The three
+        # sidecar swaps are not atomic as a group by design: making them so
+        # would need a manifest commit layer (the snapshot plane has one)
+        # that the plain-directory index format deliberately avoids.
         _swap_in(new_df, df_dir)
         _swap_in(
             remaining, post_dir,
@@ -444,7 +499,7 @@ def bm25_upsert_index(
     new_docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> int:
     """Upsert = delete-then-append, Lucene's ``updateDocument`` made one
     call: batch ids already indexed are expunged first (one pass over
@@ -467,6 +522,7 @@ def bm25_upsert_index(
     import os
 
     spark = new_docs.sparkSession
+    n_buckets = _bm25_n_buckets(path, n_buckets)
     try:
         n_replaced = bm25_delete_from_index(
             spark, path, victims=new_docs.select(id_col), id_col=id_col
@@ -513,7 +569,7 @@ def bm25_maintain_index(
     new_docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     merge_factor: int = 4,
 ) -> dict:
     """The BM25 index-maintenance decision loop (Lucene's
@@ -532,6 +588,7 @@ def bm25_maintain_index(
     "files_before": b, "files_after": a}``."""
     import os
 
+    n_buckets = _bm25_n_buckets(path, n_buckets)
     n_replaced = bm25_upsert_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
     spark = new_docs.sparkSession
     before = bm25_postings_file_count(path)
@@ -579,7 +636,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Serve BM25 top-k from a persisted index: the probe computes its
     terms' crc32 buckets DRIVER-side (zlib.crc32 == F.crc32 on UTF-8
@@ -591,6 +648,7 @@ def bm25_topk_from_index(
     import os
     import zlib
 
+    n_buckets = _bm25_n_buckets(path, n_buckets)
     row = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["sdl"]) / int(row["n"])
 

@@ -1149,7 +1149,14 @@ def ivfpq_maintain_index(
       policy change) — rebuild once to stamp it.
 
     Returns ``{"action": "rebuild"|"upsert", "imbalance_before": b,
-    "imbalance_after": a, "baseline": anchor, "n_replaced": r}``."""
+    "imbalance_after": a, "imbalance_final": f, "baseline": anchor,
+    "n_replaced": r}``. ``imbalance_after`` is the POST-INGEST,
+    PRE-REBUILD measurement — the value the trigger compared (kept so
+    callers can audit the decision). ``imbalance_final`` is the state
+    the call left behind: equal to ``imbalance_after`` on upsert, and on
+    rebuild the ``imbalance_at_build`` the rebuild just stamped into
+    _meta.json (measured on the side tree before the swap — no extra
+    scan). Monitoring should chart ``imbalance_final``."""
     import json
     import os
 
@@ -1175,7 +1182,7 @@ def ivfpq_maintain_index(
         meta = json.load(fh)
     baseline = meta["imbalance_at_build"] if policy == "build" else before
     after = ivfpq_imbalance(spark, path)
-    action = "upsert"
+    action, final = "upsert", after
     if after > rebuild_ratio * baseline:
         centroids, codebooks = refit(corpus)
         ivfpq_write_index(
@@ -1183,10 +1190,15 @@ def ivfpq_maintain_index(
             id_col=id_col, vec_col=vec_col, decimals=meta.get("decimals"),
         )
         action = "rebuild"
+        # the rebuild measured its own imbalance on the side tree and
+        # stamped it — reuse it as the post-call state, no extra scan
+        with open(meta_path) as fh:
+            final = json.load(fh)["imbalance_at_build"]
     return {
         "action": action,
         "imbalance_before": before,
         "imbalance_after": after,
+        "imbalance_final": final,
         "baseline": baseline,
         "n_replaced": n_replaced,
     }
