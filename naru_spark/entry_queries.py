@@ -2440,6 +2440,29 @@ for _rnd, _names in (
         "workload_oracle_counts", "workload_oracle_disjunctive",
         "workload_oracle_join",
     )),
+    (9, (
+        "advised_star_join", "advisor_estimates", "aqe_skew_join",
+        "bloom_pruned_join", "bm25_topk", "bm25_topk_index",
+        "contrastive_triplets", "csv_roundtrip",
+        "customer_distribution_q13", "data_split", "dedup_canonical",
+        "dedup_incremental", "dedup_stream", "dedup_stream_static",
+        "distinct_counts", "doc_lm_bigram", "dup_span_fraction",
+        "embedding_random_projection", "events_hourly",
+        "events_json_props", "excess_suppliers_q20",
+        "forecast_revenue_q6", "global_sales_opportunity_q22",
+        "hypertable_daily", "important_parts_q11", "jsonl_roundtrip",
+        "knn_graph", "length_buckets", "market_share_q8",
+        "merge_into_cdc", "min_cost_supplier_q2",
+        "moving_avg_daily_revenue", "ngram_topk", "orc_roundtrip",
+        "order_priority_check_q4", "partitioned_sink_roundtrip",
+        "parts_supplier_count_q16", "perplexity_buckets", "pii_redact",
+        "product_profit_q9", "quantiles_quantity",
+        "shipping_priority_q3", "snapshot_merge_upsert",
+        "snapshot_time_travel", "stream_parquet_resume",
+        "text_normalize", "top_orders_per_segment",
+        "waiting_orders_q21", "workload_oracle_limited",
+        "zorder_data_skipping",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
