@@ -717,14 +717,18 @@ ORDER BY source, lang
 def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level predicate delete (sources.sinks.delete_from_snapshot —
     Delta DELETE FROM WHERE, the GDPR-delete shape): the corpus is
-    committed, then every ``doc_id % 7 == 0`` row of source 'web' is
-    deleted as a replace commit pinned to the read version. Asserted
-    inline: the reported delete count is exact, and the PRE-delete v1
+    committed, then every ``doc_id % 7 == 0`` row of the first doc_id
+    third is deleted as a replace commit pinned to the read version. Asserted
+    inline: the reported delete count is exact, the PRE-delete v1
     stays time-travelable with the full row count (deletes must be
-    invisible to historical readers until retention expiry). The entry
-    aggregates the post-delete table; the oracle replays the survivor
-    predicate — including Delta's NULL semantics, since rows where the
-    condition is NULL must survive."""
+    invisible to historical readers until retention expiry), and the
+    rewrite is FILE-PRUNED — the corpus is committed in three disjoint
+    doc_id ranges and the predicate is bounded to the first, so the two
+    non-overlapping commits must carry into the new manifest verbatim
+    (Delta's delete path: pay for matching files, not the table). The
+    entry aggregates the post-delete table; the oracle replays the
+    survivor predicate — including Delta's NULL semantics, since rows
+    where the condition is NULL must survive."""
     from naru_spark.sources.sinks import (
         delete_from_snapshot,
         read_snapshot,
@@ -733,15 +737,23 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     path = _tmpdir(prefix="docs_snap_delete_") + "/docs"
-    write_snapshot(docs, path)
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    t1 = max_id // 3
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path)
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)), path
+    )
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)
     info = delete_from_snapshot(
-        spark, path, "source = 'web' AND doc_id % 7 = 0"
+        spark, path, f"doc_id % 7 = 0 AND doc_id <= {t1}"
     )
     expected = docs.where(
-        (F.col("source") == "web") & (F.col("doc_id") % 7 == 0)
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") <= t1)
     ).count()
-    assert info["n_deleted"] == expected, (info, expected)
-    assert read_snapshot(spark, path, version=1).count() == docs.count()
+    assert 0 < info["n_deleted"] == expected, (info, expected)
+    # file pruning: the two out-of-range commits carry forward untouched
+    assert info["files_carried"] >= 2, info
+    assert read_snapshot(spark, path, version=3).count() == docs.count()
     return (
         read_snapshot(spark, path)
         .groupBy("source")
@@ -753,13 +765,47 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_snapshot_delete_where() -> str:
     # IS NOT TRUE, not NOT(...): a NULL condition must SURVIVE the delete
     # (Delta semantics, mirrored by the entry's ~cond | cond.isNull()) —
-    # plain NOT would drop NULL-condition rows if the corpus ever gains them
+    # plain NOT would drop NULL-condition rows if the corpus ever gains
+    # them. The doc_id bound replays the entry's first-third range
+    # (MAX//3, integer division in both engines).
     return """
 SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
-WHERE (source = 'web' AND doc_id % 7 = 0) IS NOT TRUE
+WHERE (doc_id % 7 = 0
+       AND doc_id <= (SELECT MAX(doc_id) // 3 FROM documents)) IS NOT TRUE
 GROUP BY source
 ORDER BY source
+"""
+
+
+def q_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table stats per snapshot version
+    (sources.sinks.snapshot_stats — Iceberg's snapshots metadata table):
+    the corpus is committed in three deterministic slices (doc_id % 3),
+    then each version's exact row count is answered from the MANIFEST's
+    per-entry stats stamped at commit — zero data reads, zero file
+    listings. The oracle recomputes the cumulative slice counts from the
+    raw corpus, so the stamped stats themselves are hash-verified."""
+    from naru_spark.sources.sinks import snapshot_stats, write_snapshot
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    path = _tmpdir(prefix="docs_snap_stats_") + "/docs"
+    for k in range(3):
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k), path)
+    rows = []
+    for v in (1, 2, 3):
+        s = snapshot_stats(path, version=v)
+        assert s["n_bytes"] > 0 and s["n_files"] >= s["n_entries"] >= v, s
+        rows.append((v, int(s["n_rows"])))
+    return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+def sql_snapshot_stats() -> str:
+    return """
+SELECT v.version, (SELECT COUNT(*) FROM documents
+                   WHERE doc_id % 3 < v.version) AS n_rows
+FROM (VALUES (1), (2), (3)) AS v(version)
+ORDER BY v.version
 """
 
 
@@ -1378,6 +1424,7 @@ def build_ops_registry():
         "snapshot_incremental_read": q_snapshot_incremental_read,
         "snapshot_compaction": q_snapshot_compaction,
         "snapshot_delete_where": q_snapshot_delete_where,
+        "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -1419,6 +1466,7 @@ def build_ops_registry():
         "snapshot_incremental_read": sql_snapshot_incremental_read(),
         "snapshot_compaction": sql_snapshot_compaction(),
         "snapshot_delete_where": sql_snapshot_delete_where(),
+        "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),
         "snapshot_merge_upsert": sql_merge_into_cdc(),

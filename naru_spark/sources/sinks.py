@@ -242,6 +242,54 @@ class SnapshotConflictError(RuntimeError):
     loser must re-read the latest manifest and retry, never overwrite."""
 
 
+def _entry_files(entry: str) -> list[str]:
+    """Data files of one manifest entry. An entry is either a data DIR
+    (one per commit) or, after a file-pruned DELETE, an individual
+    parquet FILE carried forward from a partially-rewritten commit."""
+    import os
+
+    if entry.endswith(".parquet"):
+        return [entry]
+    return [
+        os.path.join(entry, f)
+        for f in sorted(os.listdir(entry))
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+
+
+def _strip_file_uri(uri: str) -> str:
+    """``input_file_name()``'s ``file:///...`` (URL-encoded) -> local path."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path) if "://" in uri else uri
+
+
+def _entry_stats(entry: str) -> dict:
+    """{n_rows, n_bytes, n_files} for one manifest entry, from parquet
+    FOOTERS only (pyarrow metadata + getsize — zero data bytes). Called
+    at commit time for entries the previous manifest has no stats for:
+    the just-written delta dir (O(Δ)), file entries split out by a
+    delete, or — once, self-healing — a legacy stats-less manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = _entry_files(entry)
+    return {
+        "n_rows": int(sum(pq.ParquetFile(f).metadata.num_rows for f in files)),
+        "n_bytes": int(sum(os.path.getsize(f) for f in files)),
+        "n_files": len(files),
+    }
+
+
+def _manifest_stats(man: dict) -> dict:
+    """Per-entry stats for every entry of a loaded manifest, preferring
+    the stats stamped at commit (metadata-only read) and falling back to
+    a one-time footer walk for legacy manifests written before stats."""
+    stamped = man.get("stats", {})
+    return {e: (stamped.get(e) or _entry_stats(e)) for e in man["dirs"]}
+
+
 def _parse_txn_id(txn_id: str) -> tuple[str, int]:
     """``"app:version"`` -> (app, version); a colon-free or non-numeric
     id is version 0 of its own app. The write path and the legacy-map
@@ -276,6 +324,7 @@ def write_snapshot(
     mode: str = "append",
     txn_id: str | None = None,
     base_version: int | None = None,
+    carry: list[str] | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -320,6 +369,20 @@ def write_snapshot(
     interleaved commit's rows. Without it the commit chains onto
     whatever is latest at publish time (safe for blind appends only).
 
+    ``carry`` (replace mode only): manifest entries from the base
+    version to carry into the new manifest VERBATIM alongside the new
+    data dir — the file-pruned DELETE/partial-rewrite shape, where
+    untouched files are re-referenced, never rewritten. Entries may be
+    data dirs or individual parquet files.
+
+    Every manifest also stamps per-entry ``stats`` ({n_rows, n_bytes,
+    n_files}, Iceberg manifest-stats analog) read from the parquet
+    footers of the JUST-WRITTEN delta at commit time — O(Δ) metadata-only
+    work; carried entries reuse the base manifest's stamped stats, so
+    maintenance and stats readers never walk the data tree. The first
+    commit over a legacy stats-less manifest back-fills stats with a
+    one-time footer sweep (footers only, never data pages).
+
     Returns the committed (or previously-committed, for a replayed
     txn_id) version."""
     import json
@@ -328,6 +391,7 @@ def write_snapshot(
     import uuid
 
     assert mode in ("append", "replace"), mode
+    assert carry is None or mode == "replace", "carry is a replace-mode refinement"
     man_dir = os.path.join(path, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
     versions = sorted(
@@ -340,13 +404,16 @@ def write_snapshot(
             f"base_version {base_version} was never committed at {path}"
         )
         base = base_version
-    prev, txns = [], {}
+    prev, txns, prev_stats = [], {}, {}
     if base:
         with open(os.path.join(man_dir, f"v{base}.json")) as fh:
             latest = json.load(fh)
         txns = _normalize_txns(latest.get("txns", {}))
+        prev_stats = latest.get("stats", {})
         if mode == "append":
             prev = latest["dirs"]
+    if carry is not None:
+        prev = list(carry)
     if txn_id is not None:
         app, ver = _parse_txn_id(txn_id)
         rec = txns.get(app)
@@ -357,7 +424,13 @@ def write_snapshot(
     df.write.mode("error").parquet(data_dir)
     if txn_id is not None:
         txns[app] = {"v": ver, "commit": n}
-    manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns}
+    # stats: reuse the base manifest's stamp for carried entries (file
+    # entries split out of a dir by a delete, or legacy entries, compute
+    # once from footers); the new delta dir is always a fresh footer read
+    stats = {e: (prev_stats.get(e) or _entry_stats(e)) for e in prev}
+    stats[data_dir] = _entry_stats(data_dir)
+    manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns,
+                "stats": stats}
     tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -565,19 +638,14 @@ def compact_snapshot(
         if f.startswith("v") and f.endswith(".json")
     )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
-
-    def n_files(ds: list[str]) -> int:
-        return sum(
-            1 for d in ds for f in os.listdir(d) if f.endswith(".parquet")
-        )
-
-    before = n_files(dirs)
+        man = json.load(fh)
+    dirs = man["dirs"]
+    # file counts/sizes from the manifest's stamped stats — metadata only,
+    # zero filesystem walks (legacy stats-less manifests back-fill once)
+    stats = _manifest_stats(man)
+    before = sum(s["n_files"] for s in stats.values())
     if target_files is None:
-        total_bytes = sum(
-            os.path.getsize(os.path.join(d, f))
-            for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
-        )
+        total_bytes = sum(s["n_bytes"] for s in stats.values())
         target_files = max(1, math.ceil(total_bytes / target_file_bytes))
     # base_version pins the rewrite to the manifest we actually read: an
     # append landing between our read and our publish makes the commit
@@ -589,7 +657,9 @@ def compact_snapshot(
         base_version=latest,
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
-        after = n_files(json.load(fh)["dirs"])
+        after = sum(
+            s["n_files"] for s in _manifest_stats(json.load(fh)).values()
+        )
     return {"version": version, "files_before": before, "files_after": after}
 
 
@@ -603,11 +673,18 @@ def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict
     NULLs (a NULL condition never matches, so its row SURVIVES — plain
     ``filter(NOT cond)`` would wrongly drop it).
 
-    One aggregate scan counts the matches, one rewrite commits the
-    survivors — at 100 TB both are full-table passes, the same cost
-    Delta pays when deletes touch every file; predicate-clustered
-    layouts (Z-ORDER on the delete key) shrink the rewrite to the
-    matching files. Returns {"version", "n_deleted"}."""
+    FILE-PRUNED rewrite (Delta's actual delete path): ONE aggregate scan
+    groups the matches by ``input_file_name()`` — the parquet reader's
+    own footer min/max row-group pruning means non-matching files cost a
+    footer read, never data pages — and only the files that hold at
+    least one matching row are rewritten (their survivors land in the
+    new commit's data dir). Every untouched file is carried into the new
+    manifest VERBATIM as a file entry (byte-identical on disk, zero
+    rewrite I/O), so a 0.1% delete on a predicate-clustered layout
+    (Z-ORDER on the delete key) pays for the matching files, not the
+    table. Returns {"version", "n_deleted", "files_rewritten",
+    "files_carried"}."""
+    import json
     import os
 
     from pyspark.sql import functions as F
@@ -617,22 +694,45 @@ def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict
         int(f[1:-5]) for f in os.listdir(man_dir)
         if f.startswith("v") and f.endswith(".json")
     )
-    df = read_snapshot(spark, path)
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        entries = json.load(fh)["dirs"]
+    df = spark.read.parquet(*entries)
     cond = F.expr(condition)
-    n_deleted = int(df.where(cond).count())
+    # one pushdown-pruned scan: which files hold matches, and how many
+    per_file = (
+        df.where(cond)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_deleted = int(sum(r["n"] for r in per_file))
     if n_deleted == 0:
         # Delta no-ops here too: a no-match delete must not rewrite the
         # table, must not double storage until expiry, and must not plant
         # a replace commit that breaks incremental reads / stream follows
         # over the version range
-        return {"version": latest, "n_deleted": 0}
+        return {"version": latest, "n_deleted": 0,
+                "files_rewritten": 0, "files_carried": 0}
+    matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
+    carried, touched = [], []
+    for e in entries:
+        files = _entry_files(e)
+        hit = [f for f in files if os.path.realpath(f) in matching]
+        if not hit:
+            carried.append(e)  # whole entry untouched: re-reference as-is
+        else:
+            touched.extend(hit)
+            carried.extend(f for f in files if os.path.realpath(f) not in matching)
+    # rewrite ONLY the matching files' survivors; NULL condition survives
     version = write_snapshot(
-        df.where(~cond | cond.isNull()),
+        spark.read.parquet(*touched).where(~cond | cond.isNull()),
         path,
         mode="replace",
         base_version=latest,
+        carry=carried,
     )
-    return {"version": version, "n_deleted": n_deleted}
+    return {"version": version, "n_deleted": n_deleted,
+            "files_rewritten": len(touched), "files_carried": len(carried)}
 
 
 def maintain_snapshot(
@@ -646,9 +746,17 @@ def maintain_snapshot(
     more than ``merge_factor`` times its right-sized file count
     (``ceil(bytes / target_file_bytes)``), run ``compact_snapshot``.
     An already-compact table is a metadata-only no-op, so schedulers can
-    call this after every ingest batch. Returns {"action":
-    "compact"|"noop", "files": n, "target_files": t, and on compact the
-    compaction's version/files_before/files_after}."""
+    call this after every ingest batch.
+
+    The fragmentation signal (file count, total bytes) is read from the
+    manifest's per-entry ``stats`` stamped at commit — ONE manifest read,
+    zero filesystem LIST/HEAD calls however many data files the table
+    holds (Iceberg's maintenance-from-manifest-stats model; at 100 TB a
+    per-tick os.listdir+getsize walk would be millions of object-store
+    calls). Legacy stats-less manifests back-fill with a one-time footer
+    walk. Returns {"action": "compact"|"noop", "files": n,
+    "target_files": t, and on compact the compaction's
+    version/files_before/files_after}."""
     import json
     import math
     import os
@@ -659,19 +767,46 @@ def maintain_snapshot(
         if f.startswith("v") and f.endswith(".json")
     )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
-    files = [
-        os.path.join(d, f)
-        for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
+        stats = _manifest_stats(json.load(fh))
+    n_files = sum(s["n_files"] for s in stats.values())
+    total_bytes = sum(s["n_bytes"] for s in stats.values())
     target = max(1, math.ceil(total_bytes / target_file_bytes))
-    if len(files) <= merge_factor * target:
-        return {"action": "noop", "files": len(files), "target_files": target}
+    if n_files <= merge_factor * target:
+        return {"action": "noop", "files": n_files, "target_files": target}
     info = compact_snapshot(spark, path, target_files=target,
                             target_file_bytes=target_file_bytes)
-    info.update({"action": "compact", "files": len(files), "target_files": target})
+    info.update({"action": "compact", "files": n_files, "target_files": target})
     return info
+
+
+def snapshot_stats(path: str, version: int | None = None) -> dict:
+    """Table-level stats for one snapshot version (latest when None) —
+    {"version", "n_rows", "n_bytes", "n_files", "n_entries"} — from the
+    manifest's per-entry stats stamped at commit: ONE manifest read,
+    zero data I/O and zero file listings (Iceberg's
+    ``SELECT ... FROM table.snapshots``-style metadata query). Row counts
+    per version are exact, so ``SELECT COUNT(*)`` over any version is a
+    metadata-only answer. Legacy stats-less manifests back-fill with a
+    one-time footer walk."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    if version is None:
+        version = max(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+    with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    stats = _manifest_stats(man)
+    return {
+        "version": version,
+        "n_rows": sum(s["n_rows"] for s in stats.values()),
+        "n_bytes": sum(s["n_bytes"] for s in stats.values()),
+        "n_files": sum(s["n_files"] for s in stats.values()),
+        "n_entries": len(man["dirs"]),
+    }
 
 
 def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
@@ -723,9 +858,17 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
 
 def _referenced_dir_names(man_dir: str, versions=None) -> set:
     """Basenames of every data dir the (given or all) manifests reference —
-    the path-spelling-proof identity the GC paths compare on."""
+    the path-spelling-proof identity the GC paths compare on. A FILE
+    entry (carried forward by a file-pruned delete) references its
+    PARENT data dir: as long as any file in a dir is live, the dir must
+    survive GC/expiry (its superseded siblings are reclaimed when a
+    later compaction collapses the manifest back to whole dirs)."""
     import json
     import os
+
+    def dir_name(entry: str) -> str:
+        p = os.path.normpath(entry)
+        return os.path.basename(os.path.dirname(p) if p.endswith(".parquet") else p)
 
     names: set = set()
     for f in os.listdir(man_dir):
@@ -734,10 +877,7 @@ def _referenced_dir_names(man_dir: str, versions=None) -> set:
         if versions is not None and int(f[1:-5]) not in versions:
             continue
         with open(os.path.join(man_dir, f)) as fh:
-            names.update(
-                os.path.basename(os.path.normpath(d))
-                for d in json.load(fh)["dirs"]
-            )
+            names.update(dir_name(d) for d in json.load(fh)["dirs"])
     return names
 
 

@@ -492,7 +492,7 @@ def test_delete_from_snapshot_null_semantics_and_history(spark, tmp_path):
     )
     write_snapshot(df, path)
     info = delete_from_snapshot(spark, path, "v > 5")
-    assert info == {"version": 2, "n_deleted": 2}  # k=1 and k=4
+    assert (info["version"], info["n_deleted"]) == (2, 2)  # k=1 and k=4
     assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [2, 3, 5]
     # NULL-v rows survived; history intact
     assert read_snapshot(spark, path, version=1).count() == 5
@@ -500,7 +500,8 @@ def test_delete_from_snapshot_null_semantics_and_history(spark, tmp_path):
     # version (Delta behavior — a replace commit here would break
     # incremental reads over the range for nothing)
     info2 = delete_from_snapshot(spark, path, "v > 1000")
-    assert info2 == {"version": 2, "n_deleted": 0}
+    assert (info2["version"], info2["n_deleted"]) == (2, 0)
+    assert info2["files_rewritten"] == 0
 
 
 def test_maintain_snapshot_policy(spark, tmp_path):
@@ -682,3 +683,123 @@ def test_snapshot_txns_legacy_format_migrates(spark, tmp_path):
     m2 = json.load(open(os.path.join(path, "_manifests", "v2.json")))
     assert m2["txns"]["ingest"] == {"v": 1, "commit": 2}
     assert m2["txns"]["once"] == {"v": 0, "commit": 1}
+
+
+def test_delete_from_snapshot_file_pruned_rewrite(spark, tmp_path):
+    """A selective delete rewrites ONLY the files holding matching rows:
+    untouched files are carried into the new manifest verbatim as FILE
+    entries — same path, byte-identical on disk — and whole commits with
+    no match carry forward as dir entries."""
+    import hashlib
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    # three commits with disjoint key ranges -> the predicate hits only v2
+    write_snapshot(spark.range(0, 40).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(40, 80).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(80, 120).withColumnRenamed("id", "k"), path)
+    man_dir = os.path.join(path, "_manifests")
+    v3 = json.load(open(os.path.join(man_dir, "v3.json")))
+    untouched_dirs = v3["dirs"][:1] + v3["dirs"][2:]  # v1 + v3 commits
+
+    def digest(p):
+        return {
+            f: hashlib.md5(open(os.path.join(p, f), "rb").read()).hexdigest()
+            for f in os.listdir(p) if f.endswith(".parquet")
+        }
+
+    before = {d: digest(d) for d in untouched_dirs}
+    info = delete_from_snapshot(spark, path, "k >= 50 and k < 60")
+    assert info["n_deleted"] == 10
+    # untouched commits carried verbatim, bytes unchanged
+    v4 = json.load(open(os.path.join(man_dir, "v4.json")))
+    for d in untouched_dirs:
+        assert d in v4["dirs"], "non-overlapping commit must carry as-is"
+        assert digest(d) == before[d]
+    # the rewrite touched only v2's matching files
+    v2_dir = v3["dirs"][1]
+    n_v2_files = sum(1 for f in os.listdir(v2_dir) if f.endswith(".parquet"))
+    assert 1 <= info["files_rewritten"] <= n_v2_files
+    # v2's non-matching files (if any) carry forward as FILE entries
+    assert info["files_carried"] >= 2
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == (
+        list(range(0, 50)) + list(range(60, 120))
+    )
+    # pre-delete versions stay time-travelable
+    assert read_snapshot(spark, path, version=2).count() == 80
+
+
+def test_delete_file_entries_survive_gc_expire_and_redelete(spark, tmp_path):
+    """After a file-pruned delete the manifest holds FILE entries; GC and
+    expiry must treat them as references to their parent dir (not delete
+    a dir whose files are still live), and a second delete over a
+    file-entry manifest still works."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        expire_snapshots,
+        gc_orphans,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(0, 100).withColumnRenamed("id", "k").repartition(4), path
+    )
+    info = delete_from_snapshot(spark, path, "k % 10 = 0")  # hits all files
+    assert info["n_deleted"] == 10
+    # second delete over the (possibly file-entry) manifest
+    info2 = delete_from_snapshot(spark, path, "k = 55")
+    assert info2["n_deleted"] == 1
+    assert gc_orphans(path) == []  # nothing live is an orphan
+    expire_snapshots(path, keep_last=1)  # drop pre-delete versions
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == [k for k in range(100) if k % 10 != 0 and k != 55]
+
+
+def test_manifest_stats_stamped_and_maintain_metadata_only(spark, tmp_path):
+    """Every commit stamps per-entry {n_rows,n_bytes,n_files} stats into
+    the manifest (footer-read at commit, O(delta)); maintain_snapshot's
+    no-op decision then reads the MANIFEST only — zero data-file
+    getsize/listdir calls — and a legacy stats-less manifest back-fills."""
+    import json
+    import os
+    from unittest import mock
+
+    from naru_spark.sources.sinks import maintain_snapshot, write_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 50).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(50, 60).withColumnRenamed("id", "k"), path)
+    man_dir = os.path.join(path, "_manifests")
+    man = json.load(open(os.path.join(man_dir, "v2.json")))
+    assert set(man["stats"]) == set(man["dirs"])
+    for e in man["dirs"]:
+        n_parquet = sum(1 for f in os.listdir(e) if f.endswith(".parquet"))
+        assert man["stats"][e]["n_files"] == n_parquet
+        assert man["stats"][e]["n_bytes"] > 0
+    assert sum(s["n_rows"] for s in man["stats"].values()) == 60
+    # the no-op maintenance decision must not stat/list any data file
+    with mock.patch("os.path.getsize", side_effect=AssertionError("walked!")):
+        res = maintain_snapshot(spark, path, merge_factor=1000)
+    assert res["action"] == "noop"
+    # legacy manifest (no stats key): maintenance back-fills from footers
+    del man["stats"]
+    json.dump(man, open(os.path.join(man_dir, "v2.json"), "w"))
+    res2 = maintain_snapshot(spark, path, merge_factor=1000)
+    assert res2 == res
+    # and the next commit re-stamps stats for every entry
+    write_snapshot(spark.range(60, 70).withColumnRenamed("id", "k"), path)
+    man3 = json.load(open(os.path.join(man_dir, "v3.json")))
+    assert set(man3["stats"]) == set(man3["dirs"])
+    assert sum(s["n_rows"] for s in man3["stats"].values()) == 70

@@ -186,6 +186,29 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-10: file-pruned DELETE WHERE — a selective delete on a
+    # key-clustered layout must pay for the MATCHING files, not the table
+    # (its wall tracks files_rewritten; compare snapshot_table_build, the
+    # full-table write cost). Separate range-sorted table so file min/max
+    # stats are disjoint on the delete key, like a Z-ORDERed 100 TB table.
+    from naru_spark.sources.sinks import delete_from_snapshot
+
+    dpath = root + "/tbl_clustered"
+    write_snapshot(li.repartitionByRange(32, "l_orderkey"), dpath)
+    lo = li.agg({"l_orderkey": "max"}).collect()[0][0] // 100
+    t0 = time.time()
+    info = delete_from_snapshot(spark, dpath, f"l_orderkey <= {lo}")
+    timings["snapshot_delete_selective_probe"] = round(time.time() - t0, 3)
+    timings["snapshot_delete_files_rewritten"] = info["files_rewritten"]
+    timings["snapshot_delete_files_carried"] = info["files_carried"]
+    print(
+        f"# snapshot delete (~1% key range): "
+        f"{timings['snapshot_delete_selective_probe']:.2f}s, rewrote "
+        f"{info['files_rewritten']} files, carried {info['files_carried']} "
+        f"({info['n_deleted']} rows deleted)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
