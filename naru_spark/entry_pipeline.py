@@ -3500,48 +3500,64 @@ def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest INTO the persisted ANN index (foreachBatch +
-    pipeline.similarity.ivfpq_append_index — vectors follow the stream,
-    the pair of `stream_bm25_index_maintain` on the similarity side):
-    the embedding corpus arrives as micro-batches; the first bootstraps
-    the index under the deterministic quantizers, every later batch is
-    encoded under the index's SAVED quantizers and appended O(|batch|).
-    Appended codes are bit-identical to a full build's (the quantizers
-    never refit between rebuilds), so the final index answers EXACTLY
-    like the batch-built one regardless of batch boundaries — the entry
-    shares the in-memory IVF-PQ oracle."""
-    import os
-
+    """Streaming ingest INTO the MAINTAINED persisted ANN index
+    (foreachBatch + pipeline.similarity.ivfpq_maintain_index with
+    policy="build" — the full pair of `stream_bm25_index_maintain` on
+    the similarity side): the index bootstraps over the original corpus,
+    then the DRIFTED ingest (the shared `_maintain_fit` drift spec:
+    replaced ids + new ids, embeddings collapsed toward one direction)
+    arrives as micro-batches, and EVERY batch runs the full maintenance
+    loop — upsert under the saved quantizers, then the cumulative
+    imbalance check against the live fit's own stamped anchor. No single
+    micro-batch moves the balance much (exactly the slow-drift blind
+    spot of the per-batch "ingest" policy), but the accrued drift trips
+    the build-anchored threshold and fires a rebuild mid-stream. The
+    rebuild's corpus is the authoritative vector store the stream ALSO
+    maintains (survivors + every staged batch — at scale, the snapshot
+    table the embeddings live in), refit via the deterministic shared
+    fit, so the final index is content-identical to a fresh build over
+    the post-ingest corpus REGARDLESS of batch boundaries or when the
+    rebuild fired — the entry shares the maintain oracle
+    (sql_similarity_ivfpq under the refit quantizers)."""
     from naru_spark.pipeline.similarity import (
-        ivfpq_append_index,
+        ivfpq_maintain_index,
         ivfpq_topk_from_index,
         ivfpq_write_index,
     )
 
     emb = _emb(spark, sf_dir)
     base = _tmpdir("ivfpq_stream_")
-    src, path = base + "/src", base + "/idx"
+    src, path, staged = base + "/src", base + "/idx", base + "/staged"
+    # bootstrap: the index serves the ORIGINAL corpus before the stream
+    ivfpq_write_index(
+        emb, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6
+    )
+    batch, corpus = _maintain_emb_parts(emb)
+    survivors = emb.filter(F.col("vec_id") % _MAINT_REPLACE_MOD != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     for k in range(3):
-        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+        batch.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
             "append"
         ).parquet(src)
     stream = (
-        spark.readStream.schema(emb.schema)
+        spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     actions: list = []
 
     def ingest(bdf: DataFrame, bid: int) -> None:
-        if not os.path.exists(os.path.join(path, "_centroids.npy")):
-            ivfpq_write_index(
-                bdf, path, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir),
-                decimals=6,
-            )
-            actions.append("bootstrap")
-        else:
-            ivfpq_append_index(bdf, path)  # decimals from _meta.json
-            actions.append("append")
+        # the stream maintains the vector source-of-truth too: codes
+        # cannot be decoded back to floats, so a rebuild needs the source
+        bdf.write.mode("append").parquet(staged)
+        current = survivors.unionByName(spark.read.parquet(staged))
+        res = ivfpq_maintain_index(
+            bdf, path, current,
+            refit=lambda _corpus: _maintain_fit(sf_dir),
+            policy="build",
+        )
+        actions.append(res["action"])
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -3550,8 +3566,12 @@ def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert len(actions) >= 3 and actions[0] == "bootstrap", actions
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    # the drift must have accrued into a rebuild; content is invariant to
+    # HOW MANY fired (each rewrites from the authoritative store under the
+    # same deterministic fit — at some SFs a later drifted batch re-trips
+    # the fresh anchor, which is correct behavior, not flake)
+    assert len(actions) >= 3 and actions.count("rebuild") >= 1, actions
+    queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivfpq_topk_from_index(spark, path, queries, k=10, n_probe=8, decimals=6)
@@ -4088,9 +4108,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # batch-split invariance: the streamed-maintained index must answer
         # exactly like a batch build over the whole corpus
         "stream_bm25_index_maintain": sql_bm25_topk(),
-        # batch-split invariance for the ANN side: appended codes are
-        # bit-identical to a full build's under the saved quantizers
-        "stream_ivfpq_index_ingest": sql_similarity_ivfpq(),
+        # maintained stream: the drift fires one rebuild mid-stream, so the
+        # index ends refit over the post-ingest corpus — the maintain oracle
+        "stream_ivfpq_index_ingest": sql_similarity_ivfpq_maintain(),
         "stream_snapshot_follow": sql_stream_snapshot_ingest(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
