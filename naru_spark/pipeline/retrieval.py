@@ -184,6 +184,13 @@ def bm25_write_index(
     import os
 
     spark = docs.sparkSession
+    # an in-place REBUILD overwrites postings/df/stats below; the OLD meta
+    # must not survive a crash mid-rebuild (a stale, possibly
+    # wrong-modulus meta would then be trusted unconditionally — worse
+    # than the no-meta legacy case, which at least raises)
+    meta_p = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_p):
+        os.remove(meta_p)
     tf = (
         _doc_term_dl(docs, id_col)
         .groupBy("doc_id", "dl", "term")
@@ -212,28 +219,54 @@ def bm25_write_index(
     # persists its encoding decimals for exactly the same reason): an
     # append/upsert run with a DIFFERENT n_buckets would land postings
     # under the wrong crc32 modulus and pruned probes would silently
-    # miss them. Written LAST so a crashed build has no meta.
-    import json
-
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump({"n_buckets": int(n_buckets)}, fh)
+    # miss them. Written LAST (and removed FIRST, above) so a crashed
+    # build or rebuild has no meta rather than a stale or torn one.
+    _write_bm25_meta(path, n_buckets)
     return {"path": path, "n_buckets": n_buckets}
+
+
+def _write_bm25_meta(path: str, n_buckets: int) -> None:
+    """Atomic ``_meta.json`` publish — tmp file + ``os.replace``, the same
+    swap discipline as the index trees: a crash mid-write must leave
+    either no meta or a complete one, never truncated JSON that every
+    later ``_bm25_n_buckets`` call would choke on."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(path, f"._meta.{uuid.uuid4().hex[:8]}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
 
 
 def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
     """Resolve the index's bucketing modulus: the ``_meta.json`` stamped
     at build time is authoritative; a caller-passed value that disagrees
     is the silent-drift bug this sidecar exists to catch, so it raises.
-    Legacy indexes (built before the sidecar) fall back to the caller's
-    value (default 32), sanity-checked against the bucket= partition
-    dirs actually on disk."""
+
+    Legacy indexes (built before the sidecar) must pass the original
+    build value explicitly ONCE — the on-disk ``bucket=`` dirs only
+    bound the modulus from below (a sparse layout need not populate the
+    top bucket), and guessing low would land future postings (and prune
+    probes) under the wrong crc32 modulus, the exact silent-miss bug
+    class this function exists to catch. The passed value is
+    sanity-checked against the layout and then FROZEN into _meta.json,
+    so every later call self-serves without a value."""
     import json
     import os
 
     meta_p = os.path.join(path, "_meta.json")
     if os.path.exists(meta_p):
-        with open(meta_p) as fh:
-            stored = int(json.load(fh)["n_buckets"])
+        try:
+            with open(meta_p) as fh:
+                stored = int(json.load(fh)["n_buckets"])
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+            raise ValueError(
+                f"corrupt _meta.json at {path} ({e!r}) — likely a writer "
+                "that crashed before the round-10 atomic publish; rebuild "
+                "the index (bm25_write_index) to restore it"
+            ) from e
         if n_buckets is not None and int(n_buckets) != stored:
             raise ValueError(
                 f"index at {path} was built with n_buckets={stored}; "
@@ -241,7 +274,13 @@ def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
                 "crc32 modulus would make pruned probes miss the new rows"
             )
         return stored
-    resolved = 32 if n_buckets is None else int(n_buckets)
+    if n_buckets is None:
+        raise ValueError(
+            f"index at {path} has no _meta.json (built before the modulus "
+            "sidecar) and no n_buckets was passed — pass the original "
+            "build value once; it will be stamped into _meta.json"
+        )
+    resolved = int(n_buckets)
     post_dir = os.path.join(path, "postings")
     if os.path.isdir(post_dir):
         seen = [
@@ -254,6 +293,7 @@ def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
                 f"index at {path} has bucket={max(seen)} partitions but "
                 f"n_buckets={resolved} — the modulus does not match the layout"
             )
+        _write_bm25_meta(path, resolved)  # freeze the legacy choice
     return resolved
 
 

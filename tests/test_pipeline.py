@@ -2060,3 +2060,54 @@ def test_perplexity_buckets_properties(spark, docs):
             assert abs(sizes.get(b, 0) - n / 3) <= max(3, 0.15 * n), (lang, dict(sizes))
         assert g.loc[g.bucket == "head", "bits_per_token"].max() <= \
                g.loc[g.bucket == "tail", "bits_per_token"].min()
+
+
+def test_bm25_meta_sidecar_branches(spark, docs, tmp_path):
+    """The n_buckets _meta.json sidecar's guard branches: (1) a caller
+    value conflicting with the stamped one raises; (2) a corrupt
+    (truncated) meta raises a descriptive error, not JSONDecodeError;
+    (3) a legacy meta-less index requires an explicit value once —
+    sanity-checked against the bucket= layout, then FROZEN into
+    _meta.json so later calls self-serve; (4) an in-place rebuild
+    removes the old meta before overwriting postings (no stale-modulus
+    window)."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.pipeline.retrieval import (
+        _bm25_n_buckets,
+        bm25_append_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    bm25_write_index(docs, path, n_buckets=8)
+    # (1) conflicting caller value: loud, not silent modulus drift
+    with pytest.raises(ValueError, match="built with n_buckets=8"):
+        bm25_append_index(docs.limit(1), path, n_buckets=16)
+    # (2) corrupt meta: descriptive raise
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        fh.write('{"n_bu')  # torn write
+    with pytest.raises(ValueError, match="corrupt _meta.json"):
+        _bm25_n_buckets(path, None)
+    # (3) legacy (meta-less) index: no value -> raise; right value ->
+    # frozen; a too-small value contradicts the on-disk layout -> raise
+    os.remove(os.path.join(path, "_meta.json"))
+    with pytest.raises(ValueError, match="no _meta.json"):
+        _bm25_n_buckets(path, None)
+    with pytest.raises(ValueError, match="does not match the layout"):
+        _bm25_n_buckets(path, 4)  # docs vocab fills buckets 4..7 too
+    assert _bm25_n_buckets(path, 8) == 8
+    meta = json.load(open(os.path.join(path, "_meta.json")))
+    assert meta == {"n_buckets": 8}  # frozen: self-serves from now on
+    assert _bm25_n_buckets(path, None) == 8
+    queries = [(0, "data spark")]
+    r = bm25_topk_from_index(spark, path, queries, k=5)
+    assert r.count() > 0
+    # (4) rebuild over the existing dir: stale meta removed up front,
+    # fresh meta stamped last, new modulus wins
+    bm25_write_index(docs, path, n_buckets=16)
+    assert _bm25_n_buckets(path, None) == 16
