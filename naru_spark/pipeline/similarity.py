@@ -1118,6 +1118,10 @@ def ivfpq_maintain_index(
     vec_col: str = "embedding",
     rebuild_ratio: float = 1.25,
     policy: str = "ingest",
+    recall_queries: DataFrame | None = None,
+    recall_k: int = 10,
+    recall_n_probe: int = 8,
+    min_recall: float = 0.9,
 ) -> dict:
     """The index-maintenance decision loop, composed from the lifecycle
     pieces: UPSERT the batch (delete-then-append under the saved
@@ -1148,15 +1152,32 @@ def ivfpq_maintain_index(
       predates the sidecar field (a guessed anchor would be a silent
       policy change) — rebuild once to stamp it.
 
+    QUALITY trigger (``recall_queries``): imbalance is a COST signal —
+    drift that keeps cells balanced but moves vectors into regions the
+    saved PQ codebooks quantize badly degrades answers while imbalance
+    stays flat. When a fixed probe-query set is given, the post-ingest
+    index's recall@``recall_k`` is evaluated against exact brute force
+    over ``corpus`` (``ann_recall_at_k``; cost bounded by the small
+    fixed query set — ONE corpus pass for the exact side, and the
+    queries × k join), and mean recall below ``min_recall`` fires the
+    same rebuild even when the imbalance check passed. This is the
+    FAISS-operations pairing: imbalance for shard cost, recall-decay for
+    answer quality.
+
     Returns ``{"action": "rebuild"|"upsert", "imbalance_before": b,
     "imbalance_after": a, "imbalance_final": f, "baseline": anchor,
-    "n_replaced": r}``. ``imbalance_after`` is the POST-INGEST,
-    PRE-REBUILD measurement — the value the trigger compared (kept so
-    callers can audit the decision). ``imbalance_final`` is the state
-    the call left behind: equal to ``imbalance_after`` on upsert, and on
-    rebuild the ``imbalance_at_build`` the rebuild just stamped into
-    _meta.json (measured on the side tree before the swap — no extra
-    scan). Monitoring should chart ``imbalance_final``."""
+    "n_replaced": r, "trigger": None|"imbalance"|"recall",
+    "recall": mean_recall_or_None}``. ``imbalance_after`` is the
+    POST-INGEST, PRE-REBUILD measurement — the value the trigger
+    compared (kept so callers can audit the decision).
+    ``imbalance_final`` is the state the call left behind: equal to
+    ``imbalance_after`` on upsert, and on rebuild the
+    ``imbalance_at_build`` the rebuild just stamped into _meta.json
+    (measured on the side tree before the swap — no extra scan).
+    ``recall`` is the PRE-REBUILD measurement that was compared (None
+    when not evaluated: no query set, or the imbalance trigger already
+    fired). Monitoring should chart ``imbalance_final`` and
+    ``recall``."""
     import json
     import os
 
@@ -1182,8 +1203,29 @@ def ivfpq_maintain_index(
         meta = json.load(fh)
     baseline = meta["imbalance_at_build"] if policy == "build" else before
     after = ivfpq_imbalance(spark, path)
-    action, final = "upsert", after
+    action, final, trigger, recall = "upsert", after, None, None
     if after > rebuild_ratio * baseline:
+        trigger = "imbalance"
+    elif recall_queries is not None:
+        # quality signal: the balanced-but-stale-codes drift the
+        # imbalance check is blind to. Exact side reads the source
+        # corpus (codes cannot be decoded back), approx side probes the
+        # post-ingest index — both bounded by the fixed query set.
+        exact = brute_force_topk(
+            corpus, recall_queries, k=recall_k, id_col=id_col, vec_col=vec_col
+        )
+        approx = ivfpq_topk_from_index(
+            spark, path, recall_queries, k=recall_k,
+            n_probe=recall_n_probe, decimals=meta.get("decimals"),
+        )
+        row = (
+            ann_recall_at_k(exact, approx, recall_k)
+            .agg(F.avg("recall").alias("r")).collect()[0]
+        )
+        recall = float(row["r"]) if row["r"] is not None else 0.0
+        if recall < min_recall:
+            trigger = "recall"
+    if trigger is not None:
         centroids, codebooks = refit(corpus)
         ivfpq_write_index(
             corpus, path, centroids, codebooks,
@@ -1201,6 +1243,8 @@ def ivfpq_maintain_index(
         "imbalance_final": final,
         "baseline": baseline,
         "n_replaced": n_replaced,
+        "trigger": trigger,
+        "recall": recall,
     }
 
 

@@ -2111,3 +2111,85 @@ def test_bm25_meta_sidecar_branches(spark, docs, tmp_path):
     # fresh meta stamped last, new modulus wins
     bm25_write_index(docs, path, n_buckets=16)
     assert _bm25_n_buckets(path, None) == 16
+
+
+def test_ivfpq_maintain_recall_trigger_catches_balanced_drift(spark, tmp_path):
+    """The QUALITY trigger: a pure SCALE drift (every vector replaced by
+    4x itself) keeps cell assignment — and therefore the imbalance
+    signal — EXACTLY flat (cells come from unit-normalized cosine; PQ
+    codes quantize raw values), but the saved codebooks quantize the
+    scaled values as garbage, so recall vs exact decays. The recall
+    check fires exactly one rebuild; after the refit a benign
+    same-distribution ingest passes both checks, and the maintained
+    index's probes equal a fresh build over the post-ingest corpus."""
+    import numpy as np
+
+    from naru_spark.pipeline.similarity import (
+        ivfpq_maintain_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+        kmeans_np,
+        pq_fit,
+    )
+
+    rng = np.random.RandomState(3)
+    d, n = 4, 200
+    base = rng.randn(n, d)
+
+    def mk(mat, ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    emb = mk(base, np.arange(n))
+    path = str(tmp_path / "idx")
+    ivfpq_write_index(
+        emb, path, kmeans_np(base, 4, seed=5), pq_fit(base, m=4, k=32, seed=5),
+        decimals=6,
+    )
+
+    batch = mk(base * 4.0, np.arange(n))  # same directions, 4x magnitude
+    corpus = batch
+    q = corpus.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    calls = []
+
+    def refit(cdf):
+        pdf = cdf.toPandas().sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        calls.append(1)
+        return kmeans_np(mat, 4, seed=9), pq_fit(mat, m=4, k=32, seed=9)
+
+    res = ivfpq_maintain_index(
+        batch, path, corpus, refit,
+        recall_queries=q, recall_k=10, recall_n_probe=4, min_recall=0.7,
+    )
+    # the imbalance signal was BLIND to this drift...
+    assert res["imbalance_after"] <= 1.25 * res["baseline"], res
+    # ...but the recall check caught it and fired exactly one rebuild
+    assert res["action"] == "rebuild" and res["trigger"] == "recall", res
+    assert res["recall"] < 0.7 and len(calls) == 1
+
+    # probes equal a fresh build over the post-ingest corpus (the shared
+    # oracle of every rebuild path)
+    ref = str(tmp_path / "ref")
+    ivfpq_write_index(corpus, ref, *refit(corpus), decimals=6)
+    ra = sorted(map(tuple, ivfpq_topk_from_index(
+        spark, path, q, k=10, n_probe=4, decimals=6).collect()))
+    rb = sorted(map(tuple, ivfpq_topk_from_index(
+        spark, ref, q, k=10, n_probe=4, decimals=6).collect()))
+    assert ra == rb
+
+    # benign follow-up under the refit quantizers: the refit codebooks
+    # cover the new same-distribution vectors, recall stays healthy, no
+    # second rebuild (refit not called again), trigger None
+    calls.clear()
+    benign = mk(-base[:20] * 4.0, np.arange(10_000, 10_020))
+    res2 = ivfpq_maintain_index(
+        benign, path, corpus.unionByName(benign), refit,
+        recall_queries=q, recall_k=10, recall_n_probe=4, min_recall=0.7,
+    )
+    assert res2["action"] == "upsert" and res2["trigger"] is None, res2
+    assert res2["recall"] >= 0.7 and calls == []
