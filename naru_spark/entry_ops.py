@@ -843,6 +843,83 @@ def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY inside the maintenance loop
+    (sources.sinks.maintain_snapshot(zorder_by=...) — Delta auto-OPTIMIZE
+    with a clustering spec): three fragmented ingest commits trip the
+    file-count policy, and the triggered rewrite routes through the
+    Morton-interleave clustering instead of plain coalesce — same rewrite
+    I/O, one extra range-exchange shuffle, and every compacted file now
+    covers a small (doc_id, n_chars) hyper-rectangle. Asserted inline
+    against a plain-coalesce twin over the same commits: the z-ordered
+    layout's parquet FOOTER min/max stats prune strictly more files for
+    a 2-D box (the mechanism the file-pruned DELETE and every scan use).
+    Clustering never changes content — the entry shares compaction's
+    content-invariance oracle."""
+    from naru_spark.sources.sinks import (
+        file_skip_fraction,
+        maintain_snapshot,
+        read_snapshot,
+        snapshot_stats,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    base = _tmpdir(prefix="docs_snap_zorder_")
+    zpath, ppath = base + "/z", base + "/plain"
+    for path in (zpath, ppath):
+        for k in range(3):
+            write_snapshot(docs.filter(F.col("doc_id") % 3 == k).repartition(6), path)
+    # right-size to ~12 files at every SF so the skip audit has files to
+    # prune (metadata-only: bytes come from the manifest stats)
+    tfb = max(1, snapshot_stats(zpath)["n_bytes"] // 12)
+    res_z = maintain_snapshot(
+        spark, zpath, merge_factor=1, target_file_bytes=tfb,
+        zorder_by=["doc_id", "n_chars"],
+    )
+    res_p = maintain_snapshot(spark, ppath, merge_factor=1, target_file_bytes=tfb)
+    assert res_z["action"] == res_p["action"] == "compact", (res_z, res_p)
+
+    def compacted_dir(path: str) -> str:
+        import json
+        import os
+
+        man_dir = os.path.join(path, "_manifests")
+        latest = max(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+            dirs = json.load(fh)["dirs"]
+        assert len(dirs) == 1, dirs  # replace commit: one rewritten dir
+        return dirs[0]
+
+    # a mid-range 2-D box: the clustered layout must touch strictly fewer
+    # files than the coalesced one (which preserves ingest order)
+    row = docs.agg(
+        F.min("doc_id").alias("dlo"), F.max("doc_id").alias("dhi"),
+        F.min("n_chars").alias("clo"), F.max("n_chars").alias("chi"),
+    ).collect()[0]
+    box = {
+        "doc_id": (row["dlo"] + 0.40 * (row["dhi"] - row["dlo"]),
+                   row["dlo"] + 0.55 * (row["dhi"] - row["dlo"])),
+        "n_chars": (row["clo"] + 0.40 * (row["chi"] - row["clo"]),
+                    row["clo"] + 0.55 * (row["chi"] - row["clo"])),
+    }
+    zm, zt = file_skip_fraction(spark, compacted_dir(zpath), box)
+    pm, pt = file_skip_fraction(spark, compacted_dir(ppath), box)
+    if pt >= 8:  # enough files for skipping to be measurable at this SF
+        assert zm / zt < pm / pt, (zm, zt, pm, pt)
+    return (
+        read_snapshot(spark, zpath)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source", "lang")
+    )
+
+
 def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MERGE INTO (operators.merge.merge_into — the
     Delta/Iceberg CDC apply as ONE keyed full-outer join): a
@@ -1426,6 +1503,7 @@ def build_ops_registry():
         "snapshot_delete_where": q_snapshot_delete_where,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
+        "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1469,6 +1547,8 @@ def build_ops_registry():
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),
+        # clustering never changes content: same compaction oracle
+        "snapshot_optimize_zorder": sql_snapshot_compaction(),
         "snapshot_merge_upsert": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),

@@ -146,6 +146,19 @@ def zorder_write(
     Returns {"path", "n_files", "mins", "maxs"} so callers can rebuild
     the bucket mapping for skipping checks. Layout never changes results
     — which is what lets the entry share a plain-SQL oracle."""
+    clustered, mins, maxs = _zorder_cluster(df, cols, n_files, bits)
+    clustered.write.mode(mode).parquet(path)
+    return {"path": path, "n_files": n_files, "mins": mins, "maxs": maxs}
+
+
+def _zorder_cluster(
+    df: DataFrame, cols: Sequence[str], n_files: int, bits: int = 8
+) -> tuple[DataFrame, dict, dict]:
+    """The Morton-interleave clustering transform behind ``zorder_write``,
+    factored out so any rewrite path (plain sink, snapshot compaction)
+    can route through it: returns (clustered df, mins, maxs). The range
+    exchange on the z-value is the one shuffle; the sort is
+    in-partition."""
     from pyspark.sql import functions as F
 
     cols = list(cols)
@@ -183,15 +196,13 @@ def zorder_write(
                     i * len(cols) + j,
                 )
             )
-    (
+    clustered = (
         staged.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z", *[f"__b_{c}" for c in cols])
-        .write.mode(mode)
-        .parquet(path)
     )
-    return {"path": path, "n_files": n_files, "mins": mins, "maxs": maxs}
+    return clustered, mins, maxs
 
 
 def file_skip_fraction(
@@ -605,6 +616,7 @@ def snapshot_stream_source(
 def compact_snapshot(
     spark: SparkSession, path: str, target_files: int | None = None,
     target_file_bytes: int = 512 * 1024 * 1024,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict:
     """Small-file compaction for a snapshot table (Iceberg
     ``rewrite_data_files`` / Delta OPTIMIZE analog): read the LATEST
@@ -624,8 +636,16 @@ def compact_snapshot(
     (512 MB files), so a huge table compacts into MANY right-sized files
     with matching rewrite parallelism — a hand-picked tiny target would
     serialize the rewrite into that many tasks. File counts and sizes
-    come from the manifest's dir list (metadata-only walk, never a data
+    come from the manifest's stamped stats (metadata-only, never a data
     read).
+
+    ``zorder_by``: Delta ``OPTIMIZE ... ZORDER BY`` — the rewrite routes
+    through the Morton-interleave clustering instead of coalesce, so the
+    compacted files each cover a small hyper-rectangle of the clustered
+    space and later scans' footer min/max pruning (and the file-pruned
+    DELETE) touch far fewer files. Clustering pays the one range-exchange
+    shuffle that any re-layout costs; content is unchanged, so the same
+    oracle covers both modes.
 
     Returns {"version", "files_before", "files_after"}."""
     import json
@@ -647,11 +667,16 @@ def compact_snapshot(
     if target_files is None:
         total_bytes = sum(s["n_bytes"] for s in stats.values())
         target_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    current = spark.read.parquet(*dirs)
+    if zorder_by is not None:
+        rewritten, _, _ = _zorder_cluster(current, zorder_by, target_files)
+    else:
+        rewritten = current.coalesce(target_files)
     # base_version pins the rewrite to the manifest we actually read: an
     # append landing between our read and our publish makes the commit
     # raise instead of silently superseding (and later expiring) its rows
     version = write_snapshot(
-        spark.read.parquet(*dirs).coalesce(target_files),
+        rewritten,
         path,
         mode="replace",
         base_version=latest,
@@ -738,6 +763,7 @@ def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict
 def maintain_snapshot(
     spark: SparkSession, path: str, merge_factor: int = 4,
     target_file_bytes: int = 512 * 1024 * 1024,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict:
     """The snapshot table's maintenance decision loop (Delta
     auto-OPTIMIZE / Iceberg maintenance-job shape), composed from the
@@ -773,8 +799,13 @@ def maintain_snapshot(
     target = max(1, math.ceil(total_bytes / target_file_bytes))
     if n_files <= merge_factor * target:
         return {"action": "noop", "files": n_files, "target_files": target}
+    # zorder_by makes the triggered rewrite CLUSTER while it compacts
+    # (Delta auto-OPTIMIZE with a ZORDER table property): same rewrite
+    # I/O the compaction pays anyway, plus one range-exchange shuffle,
+    # buying footer-stats pruning for every later scan and delete
     info = compact_snapshot(spark, path, target_files=target,
-                            target_file_bytes=target_file_bytes)
+                            target_file_bytes=target_file_bytes,
+                            zorder_by=zorder_by)
     info.update({"action": "compact", "files": n_files, "target_files": target})
     return info
 

@@ -803,3 +803,47 @@ def test_manifest_stats_stamped_and_maintain_metadata_only(spark, tmp_path):
     man3 = json.load(open(os.path.join(man_dir, "v3.json")))
     assert set(man3["stats"]) == set(man3["dirs"])
     assert sum(s["n_rows"] for s in man3["stats"].values()) == 70
+
+
+def test_maintain_snapshot_zorder_clusters_the_rewrite(spark, tmp_path):
+    """maintain_snapshot(zorder_by=...) routes the triggered compaction
+    through the Morton-interleave clustering: content identical to the
+    plain-coalesce rewrite, file count right-sized the same way, and the
+    compacted files' footer min/max stats prune a 2-D box strictly
+    better than the coalesced layout."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        file_skip_fraction,
+        maintain_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    zp, pp = str(tmp_path / "z"), str(tmp_path / "p")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("a"), (F.col("id") * 37 % 4000).alias("b")
+    )
+    for path in (zp, pp):
+        for k in range(3):
+            write_snapshot(df.filter(F.col("a") % 3 == k).repartition(6), path)
+    kw = dict(merge_factor=1, target_file_bytes=4 * 1024)
+    rz = maintain_snapshot(spark, zp, zorder_by=["a", "b"], **kw)
+    rp = maintain_snapshot(spark, pp, **kw)
+    assert rz["action"] == rp["action"] == "compact"
+
+    def one_dir(path):
+        man_dir = os.path.join(path, "_manifests")
+        latest = max(int(f[1:-5]) for f in os.listdir(man_dir)
+                     if f.startswith("v") and f.endswith(".json"))
+        (d,) = json.load(open(os.path.join(man_dir, f"v{latest}.json")))["dirs"]
+        return d
+
+    box = {"a": (1600.0, 2200.0), "b": (1600.0, 2200.0)}
+    zm, zt = file_skip_fraction(spark, one_dir(zp), box)
+    pm, pt = file_skip_fraction(spark, one_dir(pp), box)
+    assert zt >= 8 and zm / zt < pm / pt, (zm, zt, pm, pt)
+    a = sorted(map(tuple, read_snapshot(spark, zp).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, pp).collect()))
+    assert a == b  # clustering never changes content
