@@ -764,6 +764,8 @@ def maintain_snapshot(
     spark: SparkSession, path: str, merge_factor: int = 4,
     target_file_bytes: int = 512 * 1024 * 1024,
     zorder_by: Sequence[str] | None = None,
+    keep_last: int | None = None,
+    gc_older_than_s: float | None = None,
 ) -> dict:
     """The snapshot table's maintenance decision loop (Delta
     auto-OPTIMIZE / Iceberg maintenance-job shape), composed from the
@@ -780,9 +782,22 @@ def maintain_snapshot(
     holds (Iceberg's maintenance-from-manifest-stats model; at 100 TB a
     per-tick os.listdir+getsize walk would be millions of object-store
     calls). Legacy stats-less manifests back-fill with a one-time footer
-    walk. Returns {"action": "compact"|"noop", "files": n,
-    "target_files": t, and on compact the compaction's
-    version/files_before/files_after}."""
+    walk.
+
+    RETENTION composes into the same tick (the full Iceberg maintenance
+    job: rewrite_data_files + expire_snapshots + remove_orphan_files):
+    ``keep_last=N`` expires all but the last N versions AFTER any
+    compaction, so the freshly compacted version anchors the kept window
+    — time travel works exactly to the retention boundary, and the
+    superseded pre-compaction files are reclaimed in the same tick.
+    ``gc_older_than_s`` then sweeps never-referenced debris (conflict
+    losers, crashed writers) older than the safety window — what keeps
+    ``snapshot_stream_source``'s no-orphan startup check passing on a
+    table that has seen failed commits.
+
+    Returns {"action": "compact"|"noop", "files": n, "target_files": t,
+    on compact the compaction's version/files_before/files_after, and
+    when retention ran, "expired_dirs"/"gc_dirs" counts}."""
     import json
     import math
     import os
@@ -798,15 +813,23 @@ def maintain_snapshot(
     total_bytes = sum(s["n_bytes"] for s in stats.values())
     target = max(1, math.ceil(total_bytes / target_file_bytes))
     if n_files <= merge_factor * target:
-        return {"action": "noop", "files": n_files, "target_files": target}
-    # zorder_by makes the triggered rewrite CLUSTER while it compacts
-    # (Delta auto-OPTIMIZE with a ZORDER table property): same rewrite
-    # I/O the compaction pays anyway, plus one range-exchange shuffle,
-    # buying footer-stats pruning for every later scan and delete
-    info = compact_snapshot(spark, path, target_files=target,
-                            target_file_bytes=target_file_bytes,
-                            zorder_by=zorder_by)
-    info.update({"action": "compact", "files": n_files, "target_files": target})
+        info = {"action": "noop", "files": n_files, "target_files": target}
+    else:
+        # zorder_by makes the triggered rewrite CLUSTER while it compacts
+        # (Delta auto-OPTIMIZE with a ZORDER table property): same rewrite
+        # I/O the compaction pays anyway, plus one range-exchange shuffle,
+        # buying footer-stats pruning for every later scan and delete
+        info = compact_snapshot(spark, path, target_files=target,
+                                target_file_bytes=target_file_bytes,
+                                zorder_by=zorder_by)
+        info.update({"action": "compact", "files": n_files,
+                     "target_files": target})
+    # retention AFTER the (possible) compaction: the new version anchors
+    # the kept window and its superseded inputs reclaim in the same tick
+    if keep_last is not None:
+        info["expired_dirs"] = len(expire_snapshots(path, keep_last=keep_last))
+    if gc_older_than_s is not None:
+        info["gc_dirs"] = len(gc_orphans(path, older_than_s=gc_older_than_s))
     return info
 
 

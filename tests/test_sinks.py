@@ -847,3 +847,64 @@ def test_maintain_snapshot_zorder_clusters_the_rewrite(spark, tmp_path):
     a = sorted(map(tuple, read_snapshot(spark, zp).collect()))
     b = sorted(map(tuple, read_snapshot(spark, pp).collect()))
     assert a == b  # clustering never changes content
+
+
+def test_maintain_snapshot_retention_composition(spark, tmp_path):
+    """maintain_snapshot(keep_last=, gc_older_than_s=) is the full
+    maintenance tick: compaction first, then expiry anchored on the
+    fresh version, then orphan GC. Time travel works exactly to the
+    retention boundary, crash debris is swept, and the stream source
+    starts cleanly afterwards."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        maintain_snapshot,
+        read_snapshot,
+        snapshot_stream_source,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    for k in range(3):
+        write_snapshot(
+            spark.range(k * 40, k * 40 + 40).withColumnRenamed("id", "k")
+            .repartition(5),
+            path,
+        )
+    # crash debris: a data dir no manifest references
+    debris = os.path.join(path, "data", "v9-deadbeef")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+
+    res = maintain_snapshot(spark, path, merge_factor=2, keep_last=1)
+    assert res["action"] == "compact"
+    # the 3 superseded ingest dirs AND the never-referenced debris all
+    # expire (expiry keeps exactly what the kept manifests reference)
+    assert res["expired_dirs"] == 4 and not os.path.exists(debris)
+    assert "gc_dirs" not in res
+    # time travel: exactly the retention boundary
+    assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == list(range(120))
+    assert read_snapshot(spark, path, version=4).count() == 120
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=3)
+    # fresh debris with history PRESERVED: the gc knob sweeps it without
+    # touching manifests (time travel to every kept version intact)
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+    res2 = maintain_snapshot(spark, path, merge_factor=2, gc_older_than_s=0.0)
+    assert res2["action"] == "noop"
+    assert "expired_dirs" not in res2 and res2["gc_dirs"] == 1
+    assert not os.path.exists(debris)
+    # the stream source starts on the retained table (no orphans, and the
+    # expired replace history is gone with its manifests)
+    snapshot_stream_source(spark, path)
+    # a second full tick on the now-compact table: noop, nothing to retire
+    res3 = maintain_snapshot(
+        spark, path, merge_factor=2, keep_last=1, gc_older_than_s=0.0
+    )
+    assert res3["action"] == "noop"
+    assert res3["expired_dirs"] == 0 and res3["gc_dirs"] == 0
