@@ -279,7 +279,10 @@ def main() -> None:
 
     out = {
         "metric": "sf1_spot_bench",
-        "value": round(sum(timings.values()), 3),
+        # counts (files_rewritten/carried) ride in queries for the record
+        # but must not pollute the seconds headline
+        "value": round(sum(v for k, v in timings.items()
+                           if not k.endswith(("_files_rewritten", "_files_carried"))), 3),
         "unit": "sec",
         "queries": timings,
         "sf": 1.0,
