@@ -778,6 +778,97 @@ ORDER BY source
 """
 
 
+def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (sources.sinks.delete_from_snapshot with
+    mode="merge-on-read" — Iceberg v2 / Hudi MoR, the write-cheap twin of
+    the copy-on-write snapshot_delete_where): the corpus lands in three
+    commits, a predicate delete commits METADATA-ONLY (asserted inline:
+    zero new data files), a LATER append adds offset-id rows the earlier
+    predicate must NOT touch (sequence semantics — each predicate pins
+    the entries visible when it committed), then a second predicate
+    stacks. The read plan is a union of per-predicate-set filtered scans
+    (filters pushed into the parquet scans); the oracle replays both
+    predicates with their sequence scope and Delta NULL semantics in
+    plain SQL. Finally compaction materializes the deletes and the
+    re-read must aggregate identically."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_mor_") + "/docs"
+    for k in range(3):
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k), path)
+    n_files_before = sum(
+        1 for d in os.listdir(os.path.join(path, "data"))
+        for f in os.listdir(os.path.join(path, "data", d)) if f.endswith(".parquet")
+    )
+    info = delete_from_snapshot(
+        spark, path, "doc_id % 7 = 0", mode="merge-on-read"
+    )
+    assert info["n_deleted"] is None and info["files_rewritten"] == 0, info
+    n_files_after = sum(
+        1 for d in os.listdir(os.path.join(path, "data"))
+        for f in os.listdir(os.path.join(path, "data", d)) if f.endswith(".parquet")
+    )
+    assert n_files_after == n_files_before, "MoR delete must be metadata-only"
+    # sequence semantics: offset-id re-appends land AFTER the delete, so
+    # doc_id % 7 = 0 must not touch them even where it matches
+    write_snapshot(
+        docs.select(
+            (F.col("doc_id") + OFFSET).alias("doc_id"), "source", "n_chars"
+        ),
+        path,
+    )
+    delete_from_snapshot(spark, path, "source = 'web'", mode="merge-on-read")
+    agg = (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+    pre = {tuple(r) for r in agg.collect()}
+    # compaction materializes the predicates; content must be unchanged
+    res = compact_snapshot(spark, path)
+    with open(os.path.join(path, "_manifests", f"v{res['version']}.json")) as fh:
+        assert json.load(fh).get("deletes", []) == []
+    out = (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+    assert {tuple(r) for r in out.collect()} == pre
+    return out
+
+
+def sql_snapshot_delete_mor() -> str:
+    # predicate 1 (doc_id % 7 = 0) scopes to the ORIGINAL three commits
+    # only (sequence semantics); predicate 2 (source = 'web') scopes to
+    # everything including the offset re-append. IS NOT TRUE keeps Delta
+    # NULL-survival semantics in both.
+    return """
+WITH mor AS (
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE (doc_id % 7 = 0) IS NOT TRUE
+    UNION ALL
+    SELECT doc_id + 100000000 AS doc_id, source, n_chars FROM documents
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mor
+WHERE (source = 'web') IS NOT TRUE
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only table stats per snapshot version
     (sources.sinks.snapshot_stats — Iceberg's snapshots metadata table):
@@ -1501,6 +1592,7 @@ def build_ops_registry():
         "snapshot_incremental_read": q_snapshot_incremental_read,
         "snapshot_compaction": q_snapshot_compaction,
         "snapshot_delete_where": q_snapshot_delete_where,
+        "snapshot_delete_mor": q_snapshot_delete_mor,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -1544,6 +1636,7 @@ def build_ops_registry():
         "snapshot_incremental_read": sql_snapshot_incremental_read(),
         "snapshot_compaction": sql_snapshot_compaction(),
         "snapshot_delete_where": sql_snapshot_delete_where(),
+        "snapshot_delete_mor": sql_snapshot_delete_mor(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

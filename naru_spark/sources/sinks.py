@@ -329,6 +329,31 @@ def _normalize_txns(raw: dict) -> dict:
     return txns
 
 
+def _publish_manifest(man_dir: str, n: int, manifest: dict) -> None:
+    """Atomic create-exclusive manifest publish shared by every commit
+    path: write a hidden temp file, hard-link it to ``v{n}.json`` (the
+    atomic claim — a concurrent winner makes the link fail), raise
+    ``SnapshotConflictError`` for the loser. The caller cleans up any
+    data it wrote before re-raising decisions."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(man_dir, f"v{n}.json")
+    try:
+        os.link(tmp, final)  # create-exclusive publish: racer loses loudly
+    except FileExistsError:
+        os.remove(tmp)
+        raise SnapshotConflictError(
+            f"version {n} was committed concurrently; "
+            "re-read the latest manifest and retry"
+        )
+    os.remove(tmp)
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -415,14 +440,28 @@ def write_snapshot(
             f"base_version {base_version} was never committed at {path}"
         )
         base = base_version
-    prev, txns, prev_stats = [], {}, {}
+    prev, txns, prev_stats, prev_deletes = [], {}, {}, []
     if base:
         with open(os.path.join(man_dir, f"v{base}.json")) as fh:
             latest = json.load(fh)
         txns = _normalize_txns(latest.get("txns", {}))
         prev_stats = latest.get("stats", {})
+        prev_deletes = latest.get("deletes", [])
         if mode == "append":
             prev = latest["dirs"]
+    # merge-on-read delete predicates: appends carry them (they pin the
+    # dirs they were committed against, so new data is unaffected); a
+    # replace commit is the new truth and clears them — EXCEPT a partial
+    # rewrite (carry), which re-references old files and would resurrect
+    # their logically-deleted rows: refuse, compaction materializes first
+    deletes = prev_deletes if mode == "append" else []
+    if carry is not None and prev_deletes:
+        raise ValueError(
+            f"partial-rewrite commit over {len(prev_deletes)} pending "
+            "merge-on-read delete(s) at " + path + " — carried files would "
+            "resurrect logically-deleted rows; compact_snapshot first to "
+            "materialize them"
+        )
     if carry is not None:
         prev = list(carry)
     if txn_id is not None:
@@ -442,20 +481,13 @@ def write_snapshot(
     stats[data_dir] = _entry_stats(data_dir)
     manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns,
                 "stats": stats}
-    tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    final = os.path.join(man_dir, f"v{n}.json")
+    if deletes:
+        manifest["deletes"] = deletes
     try:
-        os.link(tmp, final)  # create-exclusive publish: racer loses loudly
-    except FileExistsError:
-        os.remove(tmp)
+        _publish_manifest(man_dir, n, manifest)
+    except SnapshotConflictError:
         shutil.rmtree(data_dir)  # loser's orphan data: ours, safe to drop
-        raise SnapshotConflictError(
-            f"version {n} at {path} was committed concurrently; "
-            "re-read the latest manifest and retry"
-        )
-    os.remove(tmp)
+        raise
     return n
 
 
@@ -475,9 +507,21 @@ def read_snapshot(
     time-travel read of a pre-evolution version still sees the ORIGINAL
     narrow schema because only that version's dirs are opened). Off by
     default — footer merging reads every file's footer up front, which
-    a fixed-schema table should not pay."""
+    a fixed-schema table should not pay.
+
+    MERGE-ON-READ deletes: predicates recorded by
+    ``delete_from_snapshot(mode="merge-on-read")`` are applied here —
+    each predicate filters ONLY the entries that were visible when it
+    was committed (sequence semantics: later appends are unaffected), as
+    the NULL-safe survivor filter ``NOT cond OR cond IS NULL``. Entries
+    are grouped by their applicable predicate set, so the plan is a
+    union of a few filtered scans and Catalyst pushes each filter into
+    its parquet scan (footer stats prune the untouched row groups — the
+    read-side cost the MoR trade accepts until compaction clears it)."""
     import json
     import os
+
+    from pyspark.sql import functions as F
 
     man_dir = os.path.join(path, "_manifests")
     if version is None:
@@ -486,11 +530,29 @@ def read_snapshot(
             if f.startswith("v") and f.endswith(".json")
         )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
+        man = json.load(fh)
+    dirs = man["dirs"]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*dirs)
+    deletes = man.get("deletes", [])
+    if not deletes:
+        return reader.parquet(*dirs)
+    applies = [set(d["dirs"]) for d in deletes]
+    groups: dict = {}
+    for e in dirs:
+        key = tuple(i for i, a in enumerate(applies) if e in a)
+        groups.setdefault(key, []).append(e)
+    out = None
+    for key, entries in groups.items():
+        part = reader.parquet(*entries)
+        for i in key:
+            c = F.expr(deletes[i]["cond"])
+            part = part.where(~c | c.isNull())
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=merge_schema
+        )
+    return out
 
 
 def read_snapshot_changes(
@@ -507,7 +569,12 @@ def read_snapshot_changes(
     Append-mode manifests only: every commit's dir list must be a
     superset of its predecessor's. A replace commit in the range rewrites
     the list, so the dir-set difference no longer means "the new rows" —
-    that raises instead of silently returning wrong changes."""
+    that raises instead of silently returning wrong changes.
+
+    Merge-on-read DELETE commits in the range keep the dir list intact,
+    so they surface as an EMPTY delta — row removals are not change
+    events here (the same caveat as Delta streams without CDF); a
+    consumer that must see deletions should diff full versions by key."""
     import json
     import os
 
@@ -533,6 +600,10 @@ def read_snapshot_changes(
             "full versions and diff by key instead"
         )
     delta = [d for d in head if d not in set(base)]
+    if not delta:
+        # a range of metadata-only commits (merge-on-read deletes, txn
+        # replays): no new rows — empty frame with the table's schema
+        return spark.read.parquet(*head).limit(0)
     return spark.read.parquet(*delta)
 
 
@@ -588,7 +659,8 @@ def snapshot_stream_source(
     prev: list[str] = []
     for v in versions:
         with open(os.path.join(man_dir, f"v{v}.json")) as fh:
-            dirs = json.load(fh)["dirs"]
+            man = json.load(fh)
+        dirs = man["dirs"]
         if not set(prev) <= set(dirs):
             raise ValueError(
                 f"snapshot history at {path} contains a replace commit "
@@ -596,6 +668,12 @@ def snapshot_stream_source(
                 "stream only append-only snapshot tables"
             )
         prev = dirs
+    if man.get("deletes"):
+        raise ValueError(
+            f"snapshot at {path} has {len(man['deletes'])} pending "
+            "merge-on-read delete(s) — a file stream reads raw files and "
+            "would resurrect the deleted rows; compact_snapshot first"
+        )
     data_root = os.path.join(path, "data")
     on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
     orphans = on_disk - set(prev)
@@ -667,7 +745,11 @@ def compact_snapshot(
     if target_files is None:
         total_bytes = sum(s["n_bytes"] for s in stats.values())
         target_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    current = spark.read.parquet(*dirs)
+    # read_snapshot (not a raw parquet read): pending merge-on-read
+    # delete predicates are APPLIED by the rewrite — compaction is the
+    # materialization point that clears them (the replace commit below
+    # writes an empty deletes list)
+    current = read_snapshot(spark, path, version=latest)
     if zorder_by is not None:
         rewritten, _, _ = _zorder_cluster(current, zorder_by, target_files)
     else:
@@ -688,7 +770,9 @@ def compact_snapshot(
     return {"version": version, "files_before": before, "files_after": after}
 
 
-def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict:
+def delete_from_snapshot(
+    spark: SparkSession, path: str, condition: str, mode: str = "copy-on-write"
+) -> dict:
     """Row-level delete on a snapshot table (Delta ``DELETE FROM ...
     WHERE`` analog — the GDPR-delete shape): rows matching ``condition``
     are removed by committing the SURVIVORS as a replace-mode snapshot,
@@ -708,19 +792,57 @@ def delete_from_snapshot(spark: SparkSession, path: str, condition: str) -> dict
     rewrite I/O), so a 0.1% delete on a predicate-clustered layout
     (Z-ORDER on the delete key) pays for the matching files, not the
     table. Returns {"version", "n_deleted", "files_rewritten",
-    "files_carried"}."""
+    "files_carried"}.
+
+    ``mode="merge-on-read"`` (Iceberg v2 / Hudi MoR shape): the delete
+    is a METADATA-ONLY commit — the predicate is recorded in the
+    manifest pinned to the entries visible at delete time, ZERO data
+    bytes touched, O(1) at any table size. Readers apply the recorded
+    predicates (Catalyst pushes them into the scan); rows appended
+    AFTER the delete are unaffected (sequence semantics — each predicate
+    pins its dirs); ``compact_snapshot`` materializes the deletes and
+    clears them. The cost moves from the writer to readers — the right
+    trade for frequent small deletes on a huge table; compaction
+    restores read cost. Returns {"version", "n_deleted": None,
+    "files_rewritten": 0, "files_carried": len(entries)} — counting
+    matches would be the very scan this mode exists to skip.
+    ``snapshot_stream_source`` refuses tables with pending MoR deletes
+    (a file stream would resurrect the deleted rows), and copy-on-write
+    deletes / partial rewrites over pending MoR deletes refuse for the
+    same reason — compact first."""
     import json
     import os
 
     from pyspark.sql import functions as F
 
+    assert mode in ("copy-on-write", "merge-on-read"), mode
     man_dir = os.path.join(path, "_manifests")
     latest = max(
         int(f[1:-5]) for f in os.listdir(man_dir)
         if f.startswith("v") and f.endswith(".json")
     )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
-        entries = json.load(fh)["dirs"]
+        man = json.load(fh)
+    entries = man["dirs"]
+    if mode == "merge-on-read":
+        n = latest + 1
+        manifest = {
+            "version": n,
+            "dirs": entries,
+            "txns": _normalize_txns(man.get("txns", {})),
+            "stats": man.get("stats", {}),
+            "deletes": man.get("deletes", [])
+            + [{"cond": condition, "dirs": entries}],
+        }
+        _publish_manifest(man_dir, n, manifest)
+        return {"version": n, "n_deleted": None,
+                "files_rewritten": 0, "files_carried": len(entries)}
+    if man.get("deletes"):
+        raise ValueError(
+            f"copy-on-write delete over {len(man['deletes'])} pending "
+            f"merge-on-read delete(s) at {path} — carried files would "
+            "resurrect logically-deleted rows; compact_snapshot first"
+        )
     df = spark.read.parquet(*entries)
     cond = F.expr(condition)
     # one pushdown-pruned scan: which files hold matches, and how many
@@ -856,10 +978,14 @@ def snapshot_stats(path: str, version: int | None = None) -> dict:
     stats = _manifest_stats(man)
     return {
         "version": version,
+        # file-level counts (Iceberg semantics): pending merge-on-read
+        # deletes do not adjust n_rows until compaction materializes them
+        # — n_delete_preds tells the reader whether that caveat applies
         "n_rows": sum(s["n_rows"] for s in stats.values()),
         "n_bytes": sum(s["n_bytes"] for s in stats.values()),
         "n_files": sum(s["n_files"] for s in stats.values()),
         "n_entries": len(man["dirs"]),
+        "n_delete_preds": len(man.get("deletes", [])),
     }
 
 

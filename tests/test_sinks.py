@@ -908,3 +908,84 @@ def test_maintain_snapshot_retention_composition(spark, tmp_path):
     )
     assert res3["action"] == "noop"
     assert res3["expired_dirs"] == 0 and res3["gc_dirs"] == 0
+
+
+def test_merge_on_read_delete_lifecycle(spark, tmp_path):
+    """Iceberg-v2-style merge-on-read DELETE: the delete commit is
+    metadata-only (zero data files touched), readers apply the recorded
+    predicates with sequence semantics (later appends unaffected),
+    stream/copy-on-write paths refuse while deletes are pending, and
+    compaction materializes + clears them with time travel intact."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        snapshot_stats,
+        snapshot_stream_source,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 40).withColumnRenamed("id", "k"), path)   # v1
+    write_snapshot(spark.range(40, 80).withColumnRenamed("id", "k"), path)  # v2
+
+    def data_files():
+        root = os.path.join(path, "data")
+        return sorted(
+            os.path.join(d, f)
+            for d in os.listdir(root)
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        )
+
+    before = data_files()
+    info = delete_from_snapshot(spark, path, "k % 10 = 0", mode="merge-on-read")
+    assert info == {"version": 3, "n_deleted": None,
+                    "files_rewritten": 0, "files_carried": 2}
+    assert data_files() == before  # metadata-only: zero data I/O
+    assert snapshot_stats(path)["n_delete_preds"] == 1
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == [k for k in range(80) if k % 10 != 0]
+    assert read_snapshot(spark, path, version=2).count() == 80  # time travel
+
+    # sequence semantics: rows appended AFTER the delete survive even
+    # where the predicate matches them (80, 90)
+    write_snapshot(spark.range(80, 100).withColumnRenamed("id", "k"), path)  # v4
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == [k for k in range(80) if k % 10 != 0] + list(range(80, 100))
+    # the delete commit is an empty delta; the append is a real one
+    assert read_snapshot_changes(spark, path, 2, 3).count() == 0
+    assert read_snapshot_changes(spark, path, 3, 4).count() == 20
+
+    # a second predicate stacks; both apply to their own visible dirs
+    delete_from_snapshot(spark, path, "k >= 95", mode="merge-on-read")  # v5
+    expect = [k for k in range(80) if k % 10 != 0] + list(range(80, 95))
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == expect
+
+    # raw-file consumers refuse while deletes are pending
+    with pytest.raises(ValueError, match="merge-on-read"):
+        snapshot_stream_source(spark, path)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        delete_from_snapshot(spark, path, "k = 1")  # copy-on-write
+
+    # compaction materializes the deletes and clears them
+    res = compact_snapshot(spark, path, target_files=2)
+    man = json.load(open(os.path.join(
+        path, "_manifests", f"v{res['version']}.json")))
+    assert man.get("deletes", []) == []
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == expect
+    assert snapshot_stats(path)["n_rows"] == len(expect)  # stats exact again
+    # pre-compaction versions still apply their recorded predicates
+    got5 = sorted(r["k"] for r in read_snapshot(spark, path, version=5).collect())
+    assert got5 == expect
+    # copy-on-write delete works again post-materialization
+    info2 = delete_from_snapshot(spark, path, "k = 1")
+    assert info2["n_deleted"] == 1
