@@ -3442,6 +3442,86 @@ ORDER BY source
 """
 
 
+def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply INTO the snapshot table (foreachBatch +
+    operators.merge.merge_into + replace-mode write_snapshot — the Delta
+    "MERGE in foreachBatch" production pattern, composing the
+    stream_snapshot_ingest and snapshot_merge_upsert entries): the SAME
+    deterministic changeset as merge_into_cdc (deletes/updates/inserts,
+    key-disjoint by construction) arrives as three micro-batches; every
+    batch full-outer-merges into the CURRENT snapshot and commits a
+    replace version carrying the micro-batch id as txn_id, so an
+    at-least-once batch REPLAY is a no-op (asserted inline) — exactly
+    the Delta txnAppId guard this table's manifest implements. Because
+    each key appears in exactly one batch, the three sequential merges
+    compose to ONE batch merge of the full changeset — the entry shares
+    merge_into_cdc's oracle verbatim, whatever the batch boundaries.
+    Each batch pays a table rewrite (the copy-on-write MERGE cost; a
+    100 TB deploy would route the rewrite through the file-pruned
+    carry path on the matched files, as the DELETE entry does)."""
+    from naru_spark.operators.merge import merge_into
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    base = tmpdir(prefix="snap_cdc_")
+    src, path = base + "/src", base + "/docs"
+    write_snapshot(docs, path)  # v1: the base table
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "source", "lang", "n_chars", F.lit("D").alias("op")
+    )
+    updates = (
+        docs.filter((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .select("doc_id", "source", "lang", "n_chars", F.lit("U").alias("op"))
+    )
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        F.lit("src_new").alias("source"), "lang", "n_chars",
+        F.lit("U").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    for k in range(3):  # key-disjoint micro-batches
+        changes.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def apply_cdc(bdf: DataFrame, bid: int) -> None:
+        merged = merge_into(
+            read_snapshot(spark, path), bdf, key="doc_id", validate=False
+        )
+        write_snapshot(merged, path, mode="replace", txn_id=f"cdc:{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_cdc)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    # a replayed micro-batch (retry after successful write, failed
+    # checkpoint commit) must be a no-op returning the recorded version
+    replay = write_snapshot(docs.limit(1), path, mode="replace", txn_id="cdc:0")
+    assert replay == 4, replay  # v1 base + 3 CDC commits; replay added none
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest INTO the maintained serving index (foreachBatch +
     pipeline.retrieval.bm25_maintain_index — the production shape for a
@@ -3905,6 +3985,12 @@ def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- registry
+def _sql_merge_into_cdc() -> str:
+    from naru_spark.entry_ops import sql_merge_into_cdc
+
+    return sql_merge_into_cdc()
+
+
 def build_pipeline_registry():
     queries = {
         "text_stats": q_text_stats,
@@ -3997,6 +4083,7 @@ def build_pipeline_registry():
         "gopher_stream": q_gopher_stream,
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "stream_bm25_index_maintain": q_stream_bm25_index_maintain,
+        "stream_merge_cdc": q_stream_merge_cdc,
         "stream_ivfpq_index_ingest": q_stream_ivfpq_index_ingest,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
@@ -4112,6 +4199,9 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # index ends refit over the post-ingest corpus — the maintain oracle
         "stream_ivfpq_index_ingest": sql_similarity_ivfpq_maintain(),
         "stream_snapshot_follow": sql_stream_snapshot_ingest(),
+        # key-disjoint micro-batch merges compose to the one batch MERGE:
+        # the streaming CDC apply shares merge_into_cdc's oracle verbatim
+        "stream_merge_cdc": _sql_merge_into_cdc(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
