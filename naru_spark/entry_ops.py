@@ -744,13 +744,19 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)), path
     )
     write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)
+    # the prune box is derived from the condition's doc_id bound: the two
+    # out-of-range commits are eliminated from the matching scan by the
+    # MANIFEST's stamped column stats — zero I/O, not even a footer open
     info = delete_from_snapshot(
-        spark, path, f"doc_id % 7 = 0 AND doc_id <= {t1}"
+        spark, path, f"doc_id % 7 = 0 AND doc_id <= {t1}",
+        prune={"doc_id": (0, t1)},
     )
     expected = docs.where(
         (F.col("doc_id") % 7 == 0) & (F.col("doc_id") <= t1)
     ).count()
     assert 0 < info["n_deleted"] == expected, (info, expected)
+    # manifest-stats elimination: only the first commit was scanned
+    assert info["entries_pruned"] >= 2 and info["entries_scanned"] >= 1, info
     # file pruning: the two out-of-range commits carry forward untouched
     assert info["files_carried"] >= 2, info
     assert read_snapshot(spark, path, version=3).count() == docs.count()

@@ -276,21 +276,78 @@ def _strip_file_uri(uri: str) -> str:
 
 
 def _entry_stats(entry: str) -> dict:
-    """{n_rows, n_bytes, n_files} for one manifest entry, from parquet
-    FOOTERS only (pyarrow metadata + getsize — zero data bytes). Called
-    at commit time for entries the previous manifest has no stats for:
-    the just-written delta dir (O(Δ)), file entries split out by a
-    delete, or — once, self-healing — a legacy stats-less manifest."""
+    """{n_rows, n_bytes, n_files, cols} for one manifest entry, from
+    parquet FOOTERS only (pyarrow metadata + getsize — zero data bytes).
+    Called at commit time for entries the previous manifest has no stats
+    for: the just-written delta dir (O(Δ)), file entries split out by a
+    delete, or — once, self-healing — a legacy stats-less manifest.
+
+    ``cols`` holds per-column [min, max] (Delta log data-skipping /
+    Iceberg manifest column-stats analog) for every JSON-safe column
+    whose stats are present in EVERY row group of the entry — the basis
+    for pruning reads and deletes to overlapping entries without
+    touching a single footer at query time."""
     import os
 
     import pyarrow.parquet as pq
 
     files = _entry_files(entry)
+    n_rows, n_bytes = 0, 0
+    cols: dict = {}
+    dropped: set = set()
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        n_bytes += os.path.getsize(f)
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for name, i in names.items():
+            if name in dropped:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                ok = (
+                    st is not None
+                    and st.has_min_max
+                    and not isinstance(st.min, bool)
+                    and isinstance(st.min, (int, float, str))
+                    and type(st.min) is type(st.max)
+                    # long text columns would bloat every manifest and are
+                    # never useful pruning keys (Delta truncates at 32
+                    # chars; dropping is the simpler safe bound here)
+                    and not (isinstance(st.min, str) and
+                             (len(st.min) > 64 or len(st.max) > 64))
+                )
+                if not ok:
+                    dropped.add(name)
+                    cols.pop(name, None)
+                    break
+                lo, hi = cols.get(name, (st.min, st.max))
+                if isinstance(lo, str) != isinstance(st.min, str):
+                    # str in one file, numeric in another (evolved schema):
+                    # no total order — drop rather than misprune
+                    dropped.add(name)
+                    cols.pop(name, None)
+                    break
+                cols[name] = (min(lo, st.min), max(hi, st.max))
     return {
-        "n_rows": int(sum(pq.ParquetFile(f).metadata.num_rows for f in files)),
-        "n_bytes": int(sum(os.path.getsize(f) for f in files)),
+        "n_rows": int(n_rows),
+        "n_bytes": int(n_bytes),
         "n_files": len(files),
+        "cols": {k: [v[0], v[1]] for k, v in cols.items()},
     }
+
+
+def _entry_overlaps(stat: dict | None, prune: dict) -> bool:
+    """Does an entry's stamped column range intersect the [lo, hi] box?
+    Missing stats (legacy manifests) or missing columns mean CANNOT
+    SKIP — the entry is treated as overlapping, never wrongly pruned."""
+    for c, (lo, hi) in prune.items():
+        rng = (stat or {}).get("cols", {}).get(c)
+        if rng is None:
+            continue
+        if not (rng[1] >= lo and rng[0] <= hi):
+            return False
+    return True
 
 
 def _manifest_stats(man: dict) -> dict:
@@ -496,6 +553,7 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
@@ -517,7 +575,16 @@ def read_snapshot(
     are grouped by their applicable predicate set, so the plan is a
     union of a few filtered scans and Catalyst pushes each filter into
     its parquet scan (footer stats prune the untouched row groups — the
-    read-side cost the MoR trade accepts until compaction clears it)."""
+    read-side cost the MoR trade accepts until compaction clears it).
+
+    ``prune={col: (lo, hi)}`` skips manifest entries whose stamped
+    column min/max does not intersect the box — Delta's log-based data
+    skipping: entry elimination happens on ONE manifest read, before
+    Spark lists or opens anything, so a selective read on a clustered
+    100 TB table plans against just the overlapping entries. This is an
+    OPTIMIZATION HINT with the file_skip_fraction contract: the caller
+    must still apply its real predicate (the box over-approximates);
+    entries without stamped stats are never pruned."""
     import json
     import os
 
@@ -532,6 +599,12 @@ def read_snapshot(
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         man = json.load(fh)
     dirs = man["dirs"]
+    if prune:
+        stats = man.get("stats", {})
+        kept = [e for e in dirs if _entry_overlaps(stats.get(e), prune)]
+        if not kept:  # nothing can match: typed empty frame, zero data I/O
+            return spark.read.parquet(*dirs).limit(0)
+        dirs = kept
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -771,7 +844,11 @@ def compact_snapshot(
 
 
 def delete_from_snapshot(
-    spark: SparkSession, path: str, condition: str, mode: str = "copy-on-write"
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    mode: str = "copy-on-write",
+    prune: dict | None = None,
 ) -> dict:
     """Row-level delete on a snapshot table (Delta ``DELETE FROM ...
     WHERE`` analog — the GDPR-delete shape): rows matching ``condition``
@@ -809,7 +886,18 @@ def delete_from_snapshot(
     ``snapshot_stream_source`` refuses tables with pending MoR deletes
     (a file stream would resurrect the deleted rows), and copy-on-write
     deletes / partial rewrites over pending MoR deletes refuse for the
-    same reason — compact first."""
+    same reason — compact first.
+
+    ``prune={col: (lo, hi)}`` (copy-on-write only): manifest-stats entry
+    elimination BEFORE the matching scan — entries whose stamped min/max
+    misses the box are carried forward without opening a single footer,
+    so at 100 TB the delete's one scan plans against the overlapping
+    entries instead of footer-reading millions of files. CONTRACT: the
+    box must COVER the predicate (every row the condition can match lies
+    inside it — derive it from the condition, as Delta derives skipping
+    boxes from the WHERE clause); rows outside a too-small box would
+    silently survive. Returns extra keys "entries_scanned" /
+    "entries_pruned" when given."""
     import json
     import os
 
@@ -843,7 +931,25 @@ def delete_from_snapshot(
             f"merge-on-read delete(s) at {path} — carried files would "
             "resurrect logically-deleted rows; compact_snapshot first"
         )
-    df = spark.read.parquet(*entries)
+    # manifest-stats entry elimination: entries whose stamped min/max
+    # misses the caller's box carry forward with ZERO I/O (not even a
+    # footer open); only overlapping entries reach the matching scan
+    pruned: list[str] = []
+    scan_entries = entries
+    if prune:
+        stats = man.get("stats", {})
+        scan_entries = [
+            e for e in entries if _entry_overlaps(stats.get(e), prune)
+        ]
+        pruned = [e for e in entries if e not in set(scan_entries)]
+    extra = (
+        {"entries_scanned": len(scan_entries), "entries_pruned": len(pruned)}
+        if prune else {}
+    )
+    if not scan_entries:
+        return {"version": latest, "n_deleted": 0,
+                "files_rewritten": 0, "files_carried": 0, **extra}
+    df = spark.read.parquet(*scan_entries)
     cond = F.expr(condition)
     # one pushdown-pruned scan: which files hold matches, and how many
     per_file = (
@@ -859,10 +965,10 @@ def delete_from_snapshot(
         # a replace commit that breaks incremental reads / stream follows
         # over the version range
         return {"version": latest, "n_deleted": 0,
-                "files_rewritten": 0, "files_carried": 0}
+                "files_rewritten": 0, "files_carried": 0, **extra}
     matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
-    carried, touched = [], []
-    for e in entries:
+    carried, touched = list(pruned), []
+    for e in scan_entries:
         files = _entry_files(e)
         hit = [f for f in files if os.path.realpath(f) in matching]
         if not hit:
@@ -879,7 +985,8 @@ def delete_from_snapshot(
         carry=carried,
     )
     return {"version": version, "n_deleted": n_deleted,
-            "files_rewritten": len(touched), "files_carried": len(carried)}
+            "files_rewritten": len(touched), "files_carried": len(carried),
+            **extra}
 
 
 def maintain_snapshot(

@@ -989,3 +989,52 @@ def test_merge_on_read_delete_lifecycle(spark, tmp_path):
     # copy-on-write delete works again post-materialization
     info2 = delete_from_snapshot(spark, path, "k = 1")
     assert info2["n_deleted"] == 1
+
+
+def test_manifest_column_stats_prune_reads_and_deletes(spark, tmp_path):
+    """Per-column min/max stamped into the manifest at commit powers
+    entry elimination with ZERO query-time I/O: a pruned read plans
+    against only the overlapping entries (results identical to the full
+    filtered read), a fully-disjoint box yields a typed empty frame, and
+    a pruned delete scans only the overlapping commits."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):  # disjoint key ranges, one commit each
+        write_snapshot(
+            spark.range(lo, lo + 100).withColumnRenamed("id", "k"), path
+        )
+    man = json.load(open(os.path.join(path, "_manifests", "v3.json")))
+    for e in man["dirs"]:
+        rng = man["stats"][e]["cols"]["k"]
+        assert rng[1] - rng[0] == 99  # each commit's exact key range
+
+    # pruned read == full read under the same predicate
+    full = sorted(
+        r["k"] for r in read_snapshot(spark, path)
+        .where("k >= 120 and k <= 150").collect()
+    )
+    pruned = read_snapshot(spark, path, prune={"k": (120, 150)})
+    got = sorted(r["k"] for r in pruned.where("k >= 120 and k <= 150").collect())
+    assert got == full == list(range(120, 151))
+    # disjoint box: typed empty, zero rows
+    empty = read_snapshot(spark, path, prune={"k": (1000, 2000)})
+    assert empty.count() == 0 and "k" in empty.columns
+
+    # pruned delete: two commits eliminated before the matching scan
+    info = delete_from_snapshot(
+        spark, path, "k % 10 = 0 and k < 100", prune={"k": (0, 99)}
+    )
+    assert info["n_deleted"] == 10
+    assert info["entries_pruned"] == 2 and info["entries_scanned"] == 1
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == [k for k in range(300) if not (k < 100 and k % 10 == 0)]
+    # unknown column in the box: never wrongly prunes
+    assert read_snapshot(spark, path, prune={"zzz": (0, 1)}).count() == len(got)
