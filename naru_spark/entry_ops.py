@@ -784,6 +784,55 @@ ORDER BY source
 """
 
 
+def q_snapshot_delete_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index-pruned point DELETE (sources.sinks write_snapshot
+    bloom_key= + delete_from_snapshot prune_keys= — the Delta
+    bloom-filter-index / Iceberg puffin shape): the corpus lands in
+    three commits with fully INTERLEAVED doc_id ranges (doc_id % 3 —
+    every commit's min/max box overlaps everything, so the column-stats
+    pruning of snapshot_delete_where is provably useless here), each
+    commit stamping a bloom sidecar over its keys. A two-key IN-list
+    delete (the GDPR point-delete shape) probes the blooms and
+    eliminates the commit containing neither key BEFORE the matching
+    scan — asserted inline. Survivor aggregation shares a plain
+    NULL-safe oracle."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_bloom_") + "/docs"
+    for k in range(3):
+        write_snapshot(
+            docs.filter(F.col("doc_id") % 3 == k), path, bloom_key="doc_id"
+        )
+    # victims 0 (commit 1) and 7 (commit 2); commit 3 holds neither
+    info = delete_from_snapshot(
+        spark, path, "doc_id IN (0, 7)", prune_keys={"doc_id": [0, 7]}
+    )
+    assert info["n_deleted"] == 2, info
+    assert info["entries_pruned"] >= 1 and info["entries_scanned"] <= 2, info
+    assert read_snapshot(spark, path, version=3).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_delete_bloom() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE (doc_id IN (0, 7)) IS NOT TRUE
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE (sources.sinks.delete_from_snapshot with
     mode="merge-on-read" — Iceberg v2 / Hudi MoR, the write-cheap twin of
@@ -1599,6 +1648,7 @@ def build_ops_registry():
         "snapshot_compaction": q_snapshot_compaction,
         "snapshot_delete_where": q_snapshot_delete_where,
         "snapshot_delete_mor": q_snapshot_delete_mor,
+        "snapshot_delete_bloom": q_snapshot_delete_bloom,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -1643,6 +1693,7 @@ def build_ops_registry():
         "snapshot_compaction": sql_snapshot_compaction(),
         "snapshot_delete_where": sql_snapshot_delete_where(),
         "snapshot_delete_mor": sql_snapshot_delete_mor(),
+        "snapshot_delete_bloom": sql_snapshot_delete_bloom(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

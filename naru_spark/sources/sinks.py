@@ -337,6 +337,93 @@ def _entry_stats(entry: str) -> dict:
     }
 
 
+def _bloom_positions_expr(key_col: str, m: int, k: int):
+    """The k bit positions of one key value — ``pmod(xxhash64(i, key), m)``
+    for seed index i. Build and probe MUST use this same expression (the
+    probe hashes its values through a tiny Spark job so the JVM xxhash64
+    is bit-identical on both sides)."""
+    from pyspark.sql import functions as F
+
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m)).cast("long")
+        for i in range(k)
+    ])
+
+
+def _write_entry_bloom(spark, entry: str, key_col: str, path: str,
+                       n_rows: int, bits_per_key: int = 16, k: int = 7) -> dict:
+    """Build the bloom sidecar for ONE immutable manifest entry (Delta
+    bloom-filter index / Iceberg puffin-blob analog): one pass over the
+    entry's key column collects its DISTINCT bit positions (the shuffle
+    output is bounded by m bits, not by rows), the bitmap lands under
+    ``path/_blooms/<entry-basename>.bloom`` via tmp+rename. m scales
+    with the entry's stamped row count (~16 bits/key, k=7 → fpp ≈ 0.03%)
+    so big commits do not saturate. Returns the JSON meta stored in the
+    manifest's stats: {"key", "m", "k", "file"}."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    m = max(1 << 13, 1 << int(np.ceil(np.log2(max(1, n_rows) * bits_per_key))))
+    rows = (
+        spark.read.parquet(*_entry_files(entry))
+        .select(F.explode(_bloom_positions_expr(key_col, m, k)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m, dtype=np.uint8)
+    bits[[int(r["p"]) for r in rows]] = 1
+    packed = np.packbits(bits)
+    bloom_dir = os.path.join(path, "_blooms")
+    os.makedirs(bloom_dir, exist_ok=True)
+    name = os.path.basename(os.path.normpath(entry)) + ".bloom"
+    tmp = os.path.join(bloom_dir, "." + name + ".tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(packed.tobytes())
+    os.replace(tmp, os.path.join(bloom_dir, name))
+    return {"key": key_col, "m": m, "k": k, "file": name}
+
+
+def _bloom_surviving_entries(
+    spark, path: str, entries, stats: dict, key_col: str, values
+) -> list:
+    """Entries that MAY contain any of ``values`` in ``key_col`` per
+    their bloom sidecars. Entries without a bloom for this key are never
+    pruned (conservative). One tiny Spark job hashes the probe values
+    per (m, k) variant present — the same JVM xxhash64 the build used."""
+    import os
+
+    import numpy as np
+
+    variants = {}
+    for e in entries:
+        b = (stats.get(e) or {}).get("bloom")
+        if b and b["key"] == key_col:
+            variants.setdefault((b["m"], b["k"]), []).append((e, b["file"]))
+    if not variants:
+        return list(entries)
+    vals_df = spark.createDataFrame([(v,) for v in values], f"{key_col} long") \
+        if all(isinstance(v, int) for v in values) else \
+        spark.createDataFrame([(v,) for v in values], f"{key_col} string")
+    keep = set(entries) - {e for group in variants.values() for e, _ in group}
+    for (m, k), group in variants.items():
+        pos_rows = vals_df.select(
+            _bloom_positions_expr(key_col, m, k).alias("ps")
+        ).collect()
+        for e, fname in group:
+            fp = os.path.join(path, "_blooms", fname)
+            if not os.path.exists(fp):  # sidecar lost: cannot skip
+                keep.add(e)
+                continue
+            bits = np.unpackbits(
+                np.frombuffer(open(fp, "rb").read(), dtype=np.uint8)
+            )
+            if any(all(bits[int(p)] for p in r["ps"]) for r in pos_rows):
+                keep.add(e)
+    return [e for e in entries if e in keep]
+
+
 def _entry_overlaps(stat: dict | None, prune: dict) -> bool:
     """Does an entry's stamped column range intersect the [lo, hi] box?
     Missing stats (legacy manifests) or missing columns mean CANNOT
@@ -418,6 +505,7 @@ def write_snapshot(
     txn_id: str | None = None,
     base_version: int | None = None,
     carry: list[str] | None = None,
+    bloom_key: str | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -536,6 +624,17 @@ def write_snapshot(
     # once from footers); the new delta dir is always a fresh footer read
     stats = {e: (prev_stats.get(e) or _entry_stats(e)) for e in prev}
     stats[data_dir] = _entry_stats(data_dir)
+    if bloom_key is not None:
+        # key-membership sidecar for the NEW entry (Delta bloom index /
+        # Iceberg puffin shape): one pass over the just-written delta's
+        # key column; carried entries keep their existing bloom meta.
+        # Point/IN-list reads and deletes then eliminate entries whose
+        # bloom misses every probe value — the unclustered-layout
+        # complement of the min/max box pruning.
+        stats[data_dir]["bloom"] = _write_entry_bloom(
+            df.sparkSession, data_dir, bloom_key, path,
+            stats[data_dir]["n_rows"],
+        )
     manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns,
                 "stats": stats}
     if deletes:
@@ -554,6 +653,7 @@ def read_snapshot(
     version: int | None = None,
     merge_schema: bool = False,
     prune: dict | None = None,
+    prune_keys: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
@@ -584,7 +684,13 @@ def read_snapshot(
     100 TB table plans against just the overlapping entries. This is an
     OPTIMIZATION HINT with the file_skip_fraction contract: the caller
     must still apply its real predicate (the box over-approximates);
-    entries without stamped stats are never pruned."""
+    entries without stamped stats are never pruned.
+
+    ``prune_keys={col: [values]}``: the point/IN-list twin — entries
+    whose bloom sidecar (stamped by ``write_snapshot(bloom_key=...)``)
+    misses every probe value are skipped, which prunes even UNCLUSTERED
+    layouts where every entry's min/max box overlaps everything. Same
+    hint contract; bloomless entries are never pruned."""
     import json
     import os
 
@@ -599,9 +705,16 @@ def read_snapshot(
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         man = json.load(fh)
     dirs = man["dirs"]
-    if prune:
+    if prune or prune_keys:
         stats = man.get("stats", {})
-        kept = [e for e in dirs if _entry_overlaps(stats.get(e), prune)]
+        kept = list(dirs)
+        if prune:
+            kept = [e for e in kept if _entry_overlaps(stats.get(e), prune)]
+        if prune_keys:
+            for col, values in prune_keys.items():
+                kept = _bloom_surviving_entries(
+                    spark, path, kept, stats, col, list(values)
+                )
         if not kept:  # nothing can match: typed empty frame, zero data I/O
             return spark.read.parquet(*dirs).limit(0)
         dirs = kept
@@ -849,6 +962,7 @@ def delete_from_snapshot(
     condition: str,
     mode: str = "copy-on-write",
     prune: dict | None = None,
+    prune_keys: dict | None = None,
 ) -> dict:
     """Row-level delete on a snapshot table (Delta ``DELETE FROM ...
     WHERE`` analog — the GDPR-delete shape): rows matching ``condition``
@@ -932,19 +1046,28 @@ def delete_from_snapshot(
             "resurrect logically-deleted rows; compact_snapshot first"
         )
     # manifest-stats entry elimination: entries whose stamped min/max
-    # misses the caller's box carry forward with ZERO I/O (not even a
-    # footer open); only overlapping entries reach the matching scan
+    # misses the caller's box — or whose bloom sidecar misses every
+    # probe key (``prune_keys={col: [values]}``, the unclustered-layout
+    # complement) — carry forward with ZERO I/O (not even a footer
+    # open); only surviving entries reach the matching scan. Same
+    # contract as ``prune``: the values must cover the predicate's keys.
     pruned: list[str] = []
     scan_entries = entries
+    stats = man.get("stats", {})
     if prune:
-        stats = man.get("stats", {})
         scan_entries = [
-            e for e in entries if _entry_overlaps(stats.get(e), prune)
+            e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
         ]
+    if prune_keys:
+        for col, values in prune_keys.items():
+            scan_entries = _bloom_surviving_entries(
+                spark, path, scan_entries, stats, col, list(values)
+            )
+    if prune or prune_keys:
         pruned = [e for e in entries if e not in set(scan_entries)]
     extra = (
         {"entries_scanned": len(scan_entries), "entries_pruned": len(pruned)}
-        if prune else {}
+        if (prune or prune_keys) else {}
     )
     if not scan_entries:
         return {"version": latest, "n_deleted": 0,
@@ -1139,8 +1262,19 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
         full = os.path.join(data_root, d)
         if d not in referenced and now - os.path.getmtime(full) >= older_than_s:
             shutil.rmtree(full)
+            _drop_bloom(path, d)
             deleted.append(full)
     return deleted
+
+
+def _drop_bloom(path: str, dir_name: str) -> None:
+    """Remove a reclaimed data dir's bloom sidecar, if any — sidecars are
+    keyed by the dir's basename and die with it."""
+    import os
+
+    fp = os.path.join(path, "_blooms", dir_name + ".bloom")
+    if os.path.exists(fp):
+        os.remove(fp)
 
 
 def _referenced_dir_names(man_dir: str, versions=None) -> set:
@@ -1195,6 +1329,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
         full = os.path.join(data_root, d)
         if d not in referenced:
             shutil.rmtree(full)
+            _drop_bloom(path, d)
             deleted.append(full)
     for v in drop:
         os.remove(os.path.join(man_dir, f"v{v}.json"))

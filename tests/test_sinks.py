@@ -1038,3 +1038,81 @@ def test_manifest_column_stats_prune_reads_and_deletes(spark, tmp_path):
     assert got == [k for k in range(300) if not (k < 100 and k % 10 == 0)]
     # unknown column in the box: never wrongly prunes
     assert read_snapshot(spark, path, prune={"zzz": (0, 1)}).count() == len(got)
+
+
+def test_mor_and_prune_read_plans(spark, tmp_path):
+    """Plan shape pins for the snapshot read paths: (1) a merge-on-read
+    delete plans as ONE Filter fused over the FileScan (no join, no
+    shuffle — the survivor predicate rides in DataFilters); (2) a pruned
+    read's scan lists ONLY the overlapping entries' files (entry
+    elimination happened at the manifest, before the file index)."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 100).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(100, 200).withColumnRenamed("id", "k"), path)
+    delete_from_snapshot(spark, path, "k % 10 = 0", mode="merge-on-read")
+
+    df = read_snapshot(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert plan.count("Filter") >= 1 and "DataFilters: [" in plan, plan
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [k for k in range(200) if k % 10 != 0]
+
+    pruned = read_snapshot(spark, path, prune={"k": (150, 160)})
+    files = pruned.inputFiles()
+    assert files, "pruned read must still scan the overlapping entry"
+    assert all("/data/v2-" in f for f in files), files  # v1's dir eliminated
+
+
+def test_bloom_key_pruning_on_unclustered_layout(spark, tmp_path):
+    """Bloom sidecars prune point/IN-list operations where min/max boxes
+    cannot: three commits with fully-INTERLEAVED key ranges (every box
+    overlaps everything), bloom_key stamped at commit; a two-key read
+    and delete scan only the commits whose bloom may contain the keys,
+    and expiry reclaims the sidecars with their dirs."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 300).withColumnRenamed("id", "k")
+    for m in range(3):  # k % 3 == m: interleaved, boxes useless
+        write_snapshot(base.filter(F.col("k") % 3 == m), path, bloom_key="k")
+    assert len(os.listdir(os.path.join(path, "_blooms"))) == 3
+
+    # point read: only the k%3==0 commit survives the bloom probe
+    r = read_snapshot(spark, path, prune_keys={"k": [6]})
+    assert sorted(x["k"] for x in r.where("k = 6").collect()) == [6]
+    assert all("/data/v1-" in f for f in r.inputFiles()), r.inputFiles()
+
+    # IN-list delete: keys 6 (commit 1) and 7 (commit 2) — commit 3's
+    # bloom misses both, so it is eliminated before the matching scan
+    info = delete_from_snapshot(
+        spark, path, "k IN (6, 7)", prune_keys={"k": [6, 7]}
+    )
+    assert info["n_deleted"] == 2
+    assert info["entries_pruned"] == 1 and info["entries_scanned"] == 2, info
+    got = sorted(x["k"] for x in read_snapshot(spark, path).collect())
+    assert got == [k for k in range(300) if k not in (6, 7)]
+
+    # bloomless entries are never pruned: the delete's survivor dir has
+    # no bloom, and a probe for a surviving key still finds it
+    r2 = read_snapshot(spark, path, prune_keys={"k": [9]})
+    assert sorted(x["k"] for x in r2.where("k = 9").collect()) == [9]
+
+    # retention reclaims sidecars with their dirs
+    expire_snapshots(path, keep_last=1)
+    blooms_left = set(os.listdir(os.path.join(path, "_blooms")))
+    kept_dirs = set(os.listdir(os.path.join(path, "data")))
+    assert blooms_left <= {d + ".bloom" for d in kept_dirs}, (blooms_left, kept_dirs)

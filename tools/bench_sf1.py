@@ -209,6 +209,28 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-10b: merge-on-read delete is METADATA-ONLY — its wall must be
+    # milliseconds at any table size; the stats-pruned read then plans
+    # against only the overlapping entries of the clustered table
+    from naru_spark.sources.sinks import read_snapshot
+
+    t0 = time.time()
+    delete_from_snapshot(spark, dpath, f"l_orderkey <= {lo // 2}",
+                         mode="merge-on-read")
+    timings["snapshot_delete_mor_probe"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = (
+        read_snapshot(spark, dpath, prune={"l_orderkey": (0, lo)})
+        .where(f"l_orderkey <= {lo}").count()
+    )
+    timings["snapshot_pruned_read_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# snapshot MoR delete {timings['snapshot_delete_mor_probe']:.3f}s "
+        f"(metadata-only); pruned read "
+        f"{timings['snapshot_pruned_read_probe']:.2f}s ({n} rows)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
