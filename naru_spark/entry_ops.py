@@ -784,6 +784,78 @@ ORDER BY source
 """
 
 
+def q_snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-without-rewrite schema evolution
+    (sources.sinks.alter_snapshot_schema — Iceberg/Delta column-mapping):
+    half the corpus commits under the ORIGINAL column name, the rename
+    (+ a column drop) lands as a METADATA-ONLY commit (asserted inline:
+    zero new data files), the other half appends under the NEW name, and
+    the read maps both physical layouts to one logical schema at scan
+    time. Time travel to v1 still sees the original names; compaction
+    materializes and the aggregate must be unchanged. The oracle
+    aggregates the raw corpus under the post-rename name."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        alter_snapshot_schema,
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_rename_") + "/docs"
+    write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), path)  # v1: n_chars
+
+    def n_data_files() -> int:
+        root = os.path.join(path, "data")
+        return sum(
+            1 for d in os.listdir(root)
+            for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
+        )
+
+    before = n_data_files()
+    alter_snapshot_schema(path, rename={"n_chars": "chars"}, drop=["lang"])
+    assert n_data_files() == before, "schema op must be metadata-only"
+    assert set(read_snapshot(spark, path, version=1).columns) == {
+        "doc_id", "source", "lang", "n_chars"
+    }
+    # the second half appends under the LOGICAL (new) schema
+    write_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "source", F.col("n_chars").alias("chars")
+        ),
+        path,
+    )
+    agg = (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+    pre = {tuple(r) for r in agg.collect()}
+    compact_snapshot(spark, path)  # materializes the mapping
+    out = (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+    assert {tuple(r) for r in out.collect()} == pre
+    return out
+
+
+def sql_snapshot_rename_column() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_delete_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-index-pruned point DELETE (sources.sinks write_snapshot
     bloom_key= + delete_from_snapshot prune_keys= — the Delta
@@ -1649,6 +1721,7 @@ def build_ops_registry():
         "snapshot_delete_where": q_snapshot_delete_where,
         "snapshot_delete_mor": q_snapshot_delete_mor,
         "snapshot_delete_bloom": q_snapshot_delete_bloom,
+        "snapshot_rename_column": q_snapshot_rename_column,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -1694,6 +1767,7 @@ def build_ops_registry():
         "snapshot_delete_where": sql_snapshot_delete_where(),
         "snapshot_delete_mor": sql_snapshot_delete_mor(),
         "snapshot_delete_bloom": sql_snapshot_delete_bloom(),
+        "snapshot_rename_column": sql_snapshot_rename_column(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

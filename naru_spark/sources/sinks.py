@@ -607,6 +607,15 @@ def write_snapshot(
             "resurrect logically-deleted rows; compact_snapshot first to "
             "materialize them"
         )
+    prev_ops = latest.get("schema_ops", []) if base else []
+    if carry is not None and prev_ops:
+        raise ValueError(
+            f"partial-rewrite commit over {len(prev_ops)} pending schema "
+            "op(s) at " + path + " — carried file entries fall outside the "
+            "ops' pinned sets and would read under stale physical names; "
+            "compact_snapshot first to materialize them"
+        )
+    schema_ops = prev_ops if mode == "append" else []
     if carry is not None:
         prev = list(carry)
     if txn_id is not None:
@@ -639,6 +648,8 @@ def write_snapshot(
                 "stats": stats}
     if deletes:
         manifest["deletes"] = deletes
+    if schema_ops:
+        manifest["schema_ops"] = schema_ops
     try:
         _publish_manifest(man_dir, n, manifest)
     except SnapshotConflictError:
@@ -722,19 +733,28 @@ def read_snapshot(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     deletes = man.get("deletes", [])
-    if not deletes:
+    schema_ops = man.get("schema_ops", [])
+    if not deletes and not schema_ops:
         return reader.parquet(*dirs)
-    applies = [set(d["dirs"]) for d in deletes]
+    d_applies = [set(d["dirs"]) for d in deletes]
+    o_applies = [set(o["dirs"]) for o in schema_ops]
     groups: dict = {}
     for e in dirs:
-        key = tuple(i for i, a in enumerate(applies) if e in a)
+        key = (
+            tuple(i for i, a in enumerate(d_applies) if e in a),
+            tuple(i for i, a in enumerate(o_applies) if e in a),
+        )
         groups.setdefault(key, []).append(e)
     out = None
-    for key, entries in groups.items():
+    for (dkey, okey), entries in groups.items():
         part = reader.parquet(*entries)
-        for i in key:
+        for i in dkey:
             c = F.expr(deletes[i]["cond"])
             part = part.where(~c | c.isNull())
+        # rename/drop ops map this group's physical columns to the
+        # logical schema (the two planes never mix — alter/delete refuse
+        # each other's pending state — so the order here is free)
+        part = _apply_schema_ops(part, [schema_ops[i] for i in okey])
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=merge_schema
         )
@@ -859,6 +879,12 @@ def snapshot_stream_source(
             f"snapshot at {path} has {len(man['deletes'])} pending "
             "merge-on-read delete(s) — a file stream reads raw files and "
             "would resurrect the deleted rows; compact_snapshot first"
+        )
+    if man.get("schema_ops"):
+        raise ValueError(
+            f"snapshot at {path} has pending rename/drop schema ops — a "
+            "file stream reads raw files under stale physical names; "
+            "compact_snapshot first to materialize them"
         )
     data_root = os.path.join(path, "data")
     on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
@@ -1026,6 +1052,12 @@ def delete_from_snapshot(
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     entries = man["dirs"]
+    if man.get("schema_ops"):
+        raise ValueError(
+            f"snapshot at {path} has pending rename/drop schema ops — "
+            "deletes reference the logical schema while carried files "
+            "keep physical names; compact_snapshot first to materialize"
+        )
     if mode == "merge-on-read":
         n = latest + 1
         manifest = {
@@ -1183,6 +1215,75 @@ def maintain_snapshot(
     if gc_older_than_s is not None:
         info["gc_dirs"] = len(gc_orphans(path, older_than_s=gc_older_than_s))
     return info
+
+
+def alter_snapshot_schema(
+    path: str,
+    rename: dict[str, str] | None = None,
+    drop: Sequence[str] | None = None,
+) -> int:
+    """Schema evolution WITHOUT rewriting data (Iceberg column-mapping /
+    Delta column-mapping rename+drop): a METADATA-ONLY commit records the
+    rename/drop ops pinned to the entries visible now — existing parquet
+    keeps its physical column names forever; ``read_snapshot`` maps them
+    to the logical schema at scan time. Appends AFTER the rename write
+    the NEW name physically (their entries are not in the op's pinned
+    set), so the table converges to the logical schema as it rewrites
+    naturally; ``compact_snapshot`` materializes all pending ops at once.
+    Zero data I/O at any table size. (Column ADDs need no op at all —
+    ``read_snapshot(merge_schema=True)`` NULLs pre-evolution rows, the
+    existing schema_evolution_read path.)
+
+    Like merge-on-read deletes, raw-file consumers must not see pinned
+    ops: the stream source and partial-rewrite commits refuse while ops
+    are pending. Returns the committed version."""
+    import json
+    import os
+
+    assert rename or drop, "nothing to do"
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        man = json.load(fh)
+    if man.get("deletes"):
+        # op/delete predicates reference the logical schema of their own
+        # commit time; replaying them interleaved needs a total order the
+        # manifest doesn't record — keep each plane simple and refuse the
+        # mix (compaction materializes either one)
+        raise ValueError(
+            f"snapshot at {path} has pending merge-on-read deletes — "
+            "compact_snapshot first, then alter the schema"
+        )
+    ops = man.get("schema_ops", [])
+    for frm, to in (rename or {}).items():
+        ops = ops + [{"op": "rename", "from": frm, "to": to,
+                      "dirs": man["dirs"]}]
+    for col in (drop or []):
+        ops = ops + [{"op": "drop", "col": col, "dirs": man["dirs"]}]
+    n = latest + 1
+    manifest = {
+        "version": n,
+        "dirs": man["dirs"],
+        "txns": _normalize_txns(man.get("txns", {})),
+        "stats": man.get("stats", {}),
+        "schema_ops": ops,
+    }
+    _publish_manifest(man_dir, n, manifest)
+    return n
+
+
+def _apply_schema_ops(part: DataFrame, entry_ops: list) -> DataFrame:
+    """Map one entry group's PHYSICAL columns to the logical schema by
+    replaying its applicable rename/drop ops in commit order."""
+    for op in entry_ops:
+        if op["op"] == "rename" and op["from"] in part.columns:
+            part = part.withColumnRenamed(op["from"], op["to"])
+        elif op["op"] == "drop" and op["col"] in part.columns:
+            part = part.drop(op["col"])
+    return part
 
 
 def snapshot_stats(path: str, version: int | None = None) -> dict:

@@ -1116,3 +1116,72 @@ def test_bloom_key_pruning_on_unclustered_layout(spark, tmp_path):
     blooms_left = set(os.listdir(os.path.join(path, "_blooms")))
     kept_dirs = set(os.listdir(os.path.join(path, "data")))
     assert blooms_left <= {d + ".bloom" for d in kept_dirs}, (blooms_left, kept_dirs)
+
+def test_alter_snapshot_schema_rename_drop_without_rewrite(spark, tmp_path):
+    """Rename/drop without rewriting data (Iceberg/Delta column-mapping
+    shape): the op is a metadata-only commit pinned to the entries
+    visible now; reads map old physical names to the logical schema,
+    later appends write the new name physically, raw-file consumers
+    refuse while ops are pending, and compaction materializes them."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        alter_snapshot_schema,
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        snapshot_stream_source,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(i, i * 10, "x") for i in range(50)], "k int, n_chars int, junk string"
+    )
+    write_snapshot(df1, path)  # v1: physical (k, n_chars, junk)
+
+    def data_files():
+        root = os.path.join(path, "data")
+        return sorted(
+            f for d in os.listdir(root)
+            for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
+        )
+
+    before = data_files()
+    v = alter_snapshot_schema(path, rename={"n_chars": "chars"}, drop=["junk"])
+    assert v == 2 and data_files() == before  # metadata-only
+
+    got = read_snapshot(spark, path)
+    assert set(got.columns) == {"k", "chars"}
+    assert got.agg(F.sum("chars")).collect()[0][0] == sum(i * 10 for i in range(50))
+    # time travel predates the op: original names
+    assert set(read_snapshot(spark, path, version=1).columns) == {
+        "k", "n_chars", "junk"}
+
+    # appends after the op write the NEW name physically and are not in
+    # the op's pinned set
+    df2 = spark.createDataFrame([(100 + i, 7) for i in range(5)], "k int, chars int")
+    write_snapshot(df2, path)  # v3
+    got = read_snapshot(spark, path)
+    assert set(got.columns) == {"k", "chars"} and got.count() == 55
+
+    # raw-file consumers refuse while ops are pending
+    with pytest.raises(ValueError, match="schema ops"):
+        snapshot_stream_source(spark, path)
+    with pytest.raises(ValueError, match="schema ops"):
+        delete_from_snapshot(spark, path, "k = 1")
+    with pytest.raises(ValueError, match="merge-on-read|schema ops"):
+        delete_from_snapshot(spark, path, "k = 1", mode="merge-on-read")
+
+    # compaction materializes: physical == logical, ops cleared, content same
+    res = compact_snapshot(spark, path, target_files=2)
+    import json
+    man = json.load(open(os.path.join(
+        path, "_manifests", f"v{res['version']}.json")))
+    assert man.get("schema_ops", []) == []
+    got2 = read_snapshot(spark, path)
+    assert set(got2.columns) == {"k", "chars"} and got2.count() == 55
+    # and deletes work again
+    assert delete_from_snapshot(spark, path, "k = 1")["n_deleted"] == 1
