@@ -335,11 +335,15 @@ def q_bm25_topk_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_bm25_topk(
     k: int = 10, k1: float = 1.2, b: float = 0.75, where: str = "",
-    corpus_sql: str = "documents",
+    corpus_sql: str = "documents", candidate_where: str = "",
 ) -> str:
     """``corpus_sql`` swaps the corpus relation (e.g. a derived-table
     expression aliased ``AS documents`` for the maintain entry, which
-    replays BM25 over the post-upsert corpus)."""
+    replays BM25 over the post-upsert corpus). ``where`` restricts the
+    CORPUS (delete semantics: stats shrink too); ``candidate_where``
+    restricts only the SCORED candidates while idf/avgdl stay
+    corpus-level — the filtered-retrieval (Lucene filter query)
+    semantics of bm25_topk_from_index(doc_filter=...)."""
     q_values = ",\n    ".join(
         f"({qid}, '{t}')"
         for qid, qs in _BM25_QUERIES
@@ -378,6 +382,7 @@ scored AS (
   JOIN df USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {candidate_where}
   GROUP BY qt.query_id, tf.doc_id
 )
 SELECT query_id, doc_id, CAST(score_d AS DOUBLE) AS score, rank FROM (
@@ -3442,6 +3447,99 @@ ORDER BY source
 """
 
 
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED BM25 retrieval from the persisted index
+    (bm25_topk_from_index(doc_filter=...) — the Lucene filter-query
+    shape): candidates are semi-joined against an allowed-doc set
+    (doc_id % 2 = 0) BEFORE the per-query top-k, while idf/avgdl stay
+    CORPUS-level — the filter restricts who can be returned, never the
+    statistics. Per-doc scores are independent, so the result is exactly
+    the best k allowed docs; the oracle replays the same semantics via
+    sql_bm25_topk(candidate_where=...) over the full-corpus stats."""
+    from naru_spark.pipeline.retrieval import bm25_topk_from_index, bm25_write_index
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir)
+    path = tmpdir(prefix="bm25_filtered_") + "/idx"
+    bm25_write_index(docs, path)
+    allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    return bm25_topk_from_index(
+        spark, path, _BM25_QUERIES, k=10, doc_filter=allowed
+    )
+
+
+def q_similarity_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN search from the persisted IVF-PQ index
+    (ivfpq_topk_from_index(candidate_filter=...) — the vector-DB
+    metadata-filter case): candidates within the probed cells are
+    PRE-FILTERED against the allowed set (vec_id % 2 = 0) before the
+    per-query top-k, so every neighbor is allowed AND the k results are
+    the best allowed ones (post-filtering a top-k silently under-fills
+    and loses recall). Shares the IVF-PQ replay oracle restricted to the
+    same candidate set."""
+    from naru_spark.pipeline.similarity import ivfpq_topk_from_index
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    return ivfpq_topk_from_index(
+        spark, _shared_ivfpq_index(spark, sf_dir), queries,
+        k=10, n_probe=8, decimals=6, candidate_filter=allowed,
+    )
+
+
+def q_stream_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with the auto-OPTIMIZE loop fused into every
+    trigger (foreachBatch: write_snapshot + maintain_snapshot — the
+    Delta optimizeWrite/auto-compact deployment shape, closing the
+    symmetry with the serving indexes' streaming maintenance): each
+    micro-batch commits fragmented small files (repartition(6)), then
+    the maintenance decision runs on MANIFEST STATS ONLY — compacting
+    when fragmentation crosses the policy and no-oping otherwise — so
+    the table stays query-efficient while it ingests. Asserted inline:
+    at least one compaction fired mid-stream and the final table is
+    within policy. Content is invariant to all of it — the entry shares
+    the plain batch oracle."""
+    from naru_spark.sources.sinks import (
+        maintain_snapshot,
+        read_snapshot,
+        snapshot_stats,
+        write_snapshot,
+    )
+    from naru_spark.streaming.events import documents_stream
+    from naru_spark.tmp import tmpdir
+
+    base = tmpdir(prefix="snap_stream_maint_")
+    path = base + "/docs"
+    stream = documents_stream(spark, sf_dir).select("doc_id", "source", "n_chars")
+    actions: list = []
+
+    def ingest(bdf: DataFrame, bid: int) -> None:
+        write_snapshot(bdf.repartition(6), path, txn_id=f"ingest:{bid}")
+        # right-size aggressively so the loop provably compacts at every
+        # SF: target ~4 files for whatever has accumulated so far
+        tfb = max(1, snapshot_stats(path)["n_bytes"] // 4)
+        res = maintain_snapshot(spark, path, merge_factor=1, target_file_bytes=tfb)
+        actions.append(res["action"])
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert "compact" in actions, actions
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply INTO the snapshot table (foreachBatch +
     operators.merge.merge_into + replace-mode write_snapshot — the Delta
@@ -4084,6 +4182,9 @@ def build_pipeline_registry():
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "stream_bm25_index_maintain": q_stream_bm25_index_maintain,
         "stream_merge_cdc": q_stream_merge_cdc,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "similarity_topk_ivfpq_filtered": q_similarity_topk_ivfpq_filtered,
+        "stream_snapshot_maintain": q_stream_snapshot_maintain,
         "stream_ivfpq_index_ingest": q_stream_ivfpq_index_ingest,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
@@ -4202,6 +4303,14 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         # key-disjoint micro-batch merges compose to the one batch MERGE:
         # the streaming CDC apply shares merge_into_cdc's oracle verbatim
         "stream_merge_cdc": _sql_merge_into_cdc(),
+        # filtered retrieval: candidates restricted, stats corpus-level
+        "bm25_topk_filtered": sql_bm25_topk(
+            candidate_where="WHERE tf.doc_id % 2 = 0"),
+        # filtered ANN: the replay restricted to the same candidate set
+        "similarity_topk_ivfpq_filtered": sql_similarity_ivfpq(
+            neighbor_where="WHERE a.vec_id % 2 = 0"),
+        # ingest + auto-OPTIMIZE never changes content: plain batch oracle
+        "stream_snapshot_maintain": sql_stream_snapshot_ingest(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),

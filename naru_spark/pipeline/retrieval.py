@@ -677,6 +677,7 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Serve BM25 top-k from a persisted index: the probe computes its
     terms' crc32 buckets DRIVER-side (zlib.crc32 == F.crc32 on UTF-8
@@ -684,7 +685,15 @@ def bm25_topk_from_index(
     the query touches #query-term buckets of postings, never the corpus
     (doc length rides on the posting rows, so no corpus-sized side ever
     enters the probe plan). Identical results to ``bm25_topk`` given the
-    same corpus, so the entry shares its oracle."""
+    same corpus, so the entry shares its oracle.
+
+    ``doc_filter`` (a DataFrame with a ``doc_id`` column): FILTERED
+    retrieval, the Lucene filter-query case — candidates are semi-joined
+    against the allowed set BEFORE the per-query top-k, while idf/avgdl
+    stay CORPUS-level (the filter restricts who can be returned, not the
+    statistics — Lucene semantics). Per-doc BM25 scores are independent,
+    so pre-filtering candidates returns exactly the best k allowed
+    documents."""
     import os
     import zlib
 
@@ -701,5 +710,11 @@ def bm25_topk_from_index(
         .filter(F.col("term").isin(probe_terms))
         .select("doc_id", "term", "tf", "dl")
     )
+    if doc_filter is not None:
+        # pre-filter candidates (stats untouched); the semi-join runs on
+        # the already-pruned posting rows, never the corpus
+        postings = postings.join(
+            doc_filter.select("doc_id").distinct(), "doc_id", "semi"
+        )
     df_t = spark.read.parquet(os.path.join(path, "df"))
     return _score_topk(postings, q_df, df_t, n_docs, avgdl, k, k1, b)

@@ -1286,13 +1286,22 @@ def ivfpq_topk_from_index(
     query_vec_col: str = "query_vec",
     n_probe: int = 8,
     decimals: int | None = None,
+    candidate_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a persisted IVF-PQ index: probe list computed
     driver-side from the saved centroids, the scan reads ONLY the probed
     cell directories (PartitionFilters — plan-asserted in tests) and only
     CODES (bytes, not floats), then per-query ADC tables score candidates.
     Identical results to the in-memory ``ivfpq_topk`` given the same
-    quantizers — which is what lets this entry share its oracle."""
+    quantizers — which is what lets this entry share its oracle.
+
+    ``candidate_filter`` (a DataFrame with a ``vec_id`` column): FILTERED
+    ANN search, the vector-DB metadata-filter case. Candidates are
+    PRE-FILTERED — semi-joined against the allowed set BEFORE the
+    per-query top-k — so every returned neighbor is allowed AND the k
+    results are the best allowed ones (post-filtering a top-k would
+    silently return fewer than k and lose recall). The semi-join runs on
+    the probed cells' code rows only; AQE picks the join strategy."""
     import os
 
     centroids = np.load(os.path.join(path, "_centroids.npy"))
@@ -1322,6 +1331,10 @@ def ivfpq_topk_from_index(
     tab_bc = spark.sparkContext.broadcast(tables)
 
     index = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    if candidate_filter is not None:
+        index = index.join(
+            candidate_filter.select("vec_id").distinct(), "vec_id", "semi"
+        )
     probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
     cand = index.join(F.broadcast(probe_df), "cell").select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "codes"
