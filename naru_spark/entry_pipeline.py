@@ -3215,6 +3215,58 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_at_k(exact, approx, k=10)
 
 
+def q_similarity_ann_tune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-time parameter tuning (the FAISS nprobe sweep — how a
+    deployment picks its latency/recall point): recall@10 vs exact
+    brute force on a fixed query set, swept over n_probe in (1, 2, 4,
+    8). NOTE the curve is NOT guaranteed monotone: probing more cells
+    only ADDS candidates, but the ranking is by APPROXIMATE (ADC) score
+    — a newly-probed candidate with a small quantized distance can evict
+    a true neighbor from the top-k (measured here: sf0.01 gives 0.28 /
+    0.38 / 0.36 / 0.42 — the 4-probe dip is real ADC noise, exactly why
+    deployments tune on a measured curve instead of assuming more probes
+    == better). The operator returns the curve; the serving config picks
+    the cheapest point meeting its recall target. The oracle replays the
+    ADC ranking per n_probe and the exact ranking per branch."""
+    from naru_spark.pipeline.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    curves = []
+    for n_probe in (1, 2, 4, 8):
+        approx = ivfpq_topk(
+            emb, queries, _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir),
+            k=10, n_probe=n_probe, decimals=6,
+        )
+        curves.append(
+            ann_recall_at_k(exact, approx, k=10)
+            .agg(F.round(F.avg("recall"), 6).alias("mean_recall"))
+            .select(F.lit(n_probe).alias("n_probe"), "mean_recall")
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("n_probe")
+
+
+def sql_similarity_ann_tune_nprobe(k: int = 10) -> str:
+    branches = []
+    for n_probe in (1, 2, 4, 8):
+        per_query = sql_similarity_ann_recall(k=k, n_probe=n_probe)
+        branches.append(
+            f"(SELECT {n_probe} AS n_probe, ROUND(AVG(recall), 6) AS "
+            f"mean_recall FROM ({per_query}) r{n_probe})"
+        )
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY n_probe"
+
+
 def sql_similarity_ann_recall(k: int = 10, n_probe: int = 8) -> str:
     return (
         _sql_ivfpq_scored_ctes(n_probe)
@@ -4185,6 +4237,7 @@ def build_pipeline_registry():
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "similarity_topk_ivfpq_filtered": q_similarity_topk_ivfpq_filtered,
         "stream_snapshot_maintain": q_stream_snapshot_maintain,
+        "similarity_ann_tune_nprobe": q_similarity_ann_tune_nprobe,
         "stream_ivfpq_index_ingest": q_stream_ivfpq_index_ingest,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
@@ -4311,6 +4364,8 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
             neighbor_where="WHERE a.vec_id % 2 = 0"),
         # ingest + auto-OPTIMIZE never changes content: plain batch oracle
         "stream_snapshot_maintain": sql_stream_snapshot_ingest(),
+        # one UNION branch per sweep point, exact side replayed per branch
+        "similarity_ann_tune_nprobe": sql_similarity_ann_tune_nprobe(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
