@@ -366,15 +366,40 @@ def _write_entry_bloom(spark, entry: str, key_col: str, path: str,
     from pyspark.sql import functions as F
 
     m = max(1 << 13, 1 << int(np.ceil(np.log2(max(1, n_rows) * bits_per_key))))
+    # build DISTRIBUTED: each partition folds its positions into ONE
+    # packed bitmap (mapInPandas accumulates across batches and yields
+    # once), the driver ORs ~#partitions bitmaps — never a row per set
+    # bit (an entry with millions of keys would otherwise collect tens
+    # of millions of position rows; at even larger scale, tree-reduce
+    # the OR instead of collecting per-partition maps)
+    import pandas as pd
+
+    nbytes = m // 8
+
+    def pack(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if acc is None:
+                acc = np.zeros(nbytes, dtype=np.uint8)
+            p = pdf["p"].to_numpy().astype(np.int64)
+            # big-endian bit-in-byte order, matching np.unpackbits on probe
+            np.bitwise_or.at(
+                acc, p // 8, np.left_shift(1, 7 - (p % 8)).astype(np.uint8)
+            )
+        if acc is not None:
+            yield pd.DataFrame({"bm": [acc.tobytes()]})
+
     rows = (
         spark.read.parquet(*_entry_files(entry))
         .select(F.explode(_bloom_positions_expr(key_col, m, k)).alias("p"))
-        .distinct()
+        .mapInPandas(pack, schema="bm binary")
         .collect()
     )
-    bits = np.zeros(m, dtype=np.uint8)
-    bits[[int(r["p"]) for r in rows]] = 1
-    packed = np.packbits(bits)
+    packed = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        packed |= np.frombuffer(r["bm"], dtype=np.uint8)
     bloom_dir = os.path.join(path, "_blooms")
     os.makedirs(bloom_dir, exist_ok=True)
     name = os.path.basename(os.path.normpath(entry)) + ".bloom"

@@ -231,6 +231,26 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-10c: bloom-pruned point delete on an UNCLUSTERED table —
+    # interleaved key ranges make min/max boxes useless, the bloom
+    # sidecars still eliminate the non-matching commits before the scan
+    bpath = root + "/tbl_bloom"
+    li_k = li.select(F.col("l_orderkey").alias("k"), "l_quantity")
+    for m_ in range(3):
+        write_snapshot(li_k.filter(F.col("k") % 3 == m_), bpath, bloom_key="k")
+    t0 = time.time()
+    binfo = delete_from_snapshot(
+        spark, bpath, "k IN (3, 7)", prune_keys={"k": [3, 7]}
+    )
+    timings["snapshot_delete_bloom_probe"] = round(time.time() - t0, 3)
+    timings["snapshot_bloom_entries_pruned"] = binfo["entries_pruned"]
+    print(
+        f"# snapshot bloom delete {timings['snapshot_delete_bloom_probe']:.2f}s "
+        f"({binfo['n_deleted']} rows, pruned {binfo['entries_pruned']}/3 "
+        "entries on an unclustered layout)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
