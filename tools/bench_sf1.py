@@ -234,6 +234,8 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
     # round-10c: bloom-pruned point delete on an UNCLUSTERED table —
     # interleaved key ranges make min/max boxes useless, the bloom
     # sidecars still eliminate the non-matching commits before the scan
+    from pyspark.sql import functions as F
+
     bpath = root + "/tbl_bloom"
     li_k = li.select(F.col("l_orderkey").alias("k"), "l_quantity")
     for m_ in range(3):
