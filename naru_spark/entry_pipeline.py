@@ -1032,6 +1032,46 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_docs(spark, sf_dir), "doc_id", eval_mod=50, n=3)
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold decontamination
+    (pipeline.curation.decontaminate_fuzzy — the fuzzy gate beside the
+    exact-overlap one): every train/eval pair sharing a token 3-gram
+    scored by exact shingle-set Jaccard, verdict at 0.2. The eval side
+    broadcasts; the oracle replays shingling, the pair intersection and
+    both set sizes, rounding before the threshold compare."""
+    from naru_spark.pipeline.curation import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(_docs(spark, sf_dir), "doc_id", eval_mod=50, n=3)
+
+
+def sql_decontaminate_fuzzy(threshold: float = 0.2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT tr.id AS doc_id, ev.id AS eval_id, COUNT(*) AS i
+  FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+  WHERE tr.id % 50 <> 0 AND ev.id % 50 = 0
+  GROUP BY tr.id, ev.id
+)
+SELECT n.doc_id, n.eval_id,
+       ROUND(CAST(n.i AS DOUBLE) / (t.sz + e.sz - n.i), 6) AS jaccard,
+       ROUND(CAST(n.i AS DOUBLE) / (t.sz + e.sz - n.i), 6) >= {threshold}
+         AS contaminated
+FROM inter n
+JOIN sz t ON t.id = n.doc_id
+JOIN sz e ON e.id = n.eval_id
+ORDER BY n.doc_id, n.eval_id
+"""
+
+
 def sql_decontaminate() -> str:
     return f"""
 WITH toks AS (
@@ -4238,6 +4278,7 @@ def build_pipeline_registry():
         "similarity_topk_ivfpq_filtered": q_similarity_topk_ivfpq_filtered,
         "stream_snapshot_maintain": q_stream_snapshot_maintain,
         "similarity_ann_tune_nprobe": q_similarity_ann_tune_nprobe,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "stream_ivfpq_index_ingest": q_stream_ivfpq_index_ingest,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
@@ -4366,6 +4407,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "stream_snapshot_maintain": sql_stream_snapshot_ingest(),
         # one UNION branch per sweep point, exact side replayed per branch
         "similarity_ann_tune_nprobe": sql_similarity_ann_tune_nprobe(),
+        "decontaminate_fuzzy": sql_decontaminate_fuzzy(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),

@@ -58,6 +58,68 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_mod: int = 50,
+    n: int = 3,
+    threshold: float = 0.2,
+    decimals: int = 6,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the n-gram-Jaccard policy real
+    dataset pipelines pair with the exact-overlap gate): for every
+    train/eval doc pair sharing at least one token n-gram, the EXACT
+    Jaccard similarity of their distinct-shingle sets, with the
+    contamination verdict at ``threshold``. Exact decontamination flags
+    any single shared shingle; the fuzzy gate asks how MUCH of the
+    training doc is the eval doc — robust to near-verbatim leaks with
+    small edits.
+
+    Plan shape: candidate pairs come from the shared-shingle equi-join
+    with the eval side broadcast (small by definition — a benchmark
+    suite); |A∩B| is one grouped count over the join, |A| and |B| are
+    per-doc distinct-shingle counts joined back in. The train corpus
+    never shuffles on anything wider than its own shingle rows. At
+    lakehouse scale with a LARGE eval side, generate candidates with the
+    banded MinHash-LSH (dedup.minhash_lsh_pairs) and keep this as the
+    exact verify — same composition the near-dup plane uses.
+
+    Returns (doc_id, eval_id, jaccard, contaminated) for every sharing
+    pair; jaccard rounded to ``decimals`` BEFORE the threshold compare,
+    so the verdict is engine-deterministic."""
+    sh = shingle_df(df, id_col, text_col, n)  # DISTINCT (id, shingle)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    eval_sh = (
+        sh.filter(F.col("id") % eval_mod == 0)
+        .select(F.col("id").alias("eval_id"), "shingle")
+    )
+    inter = (
+        sh.filter(F.col("id") % eval_mod != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("id", "eval_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.round(
+        F.col("i").cast("double")
+        / (F.col("sz_t") + F.col("sz_e") - F.col("i")),
+        decimals,
+    )
+    return (
+        inter.join(sizes.select(F.col("id"), F.col("sz").alias("sz_t")), "id")
+        .join(
+            sizes.select(F.col("id").alias("eval_id"), F.col("sz").alias("sz_e")),
+            "eval_id",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "eval_id",
+            jac.alias("jaccard"),
+            (jac >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
