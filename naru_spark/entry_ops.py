@@ -784,6 +784,91 @@ ORDER BY source
 """
 
 
+def q_snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNED MERGE INTO the snapshot table
+    (sources.sinks.merge_into_snapshot — Delta's MERGE execution shape,
+    the batch twin of the file-pruned DELETE): the corpus lands in three
+    disjoint doc_id-range commits; the changeset's deletes and updates
+    are bounded to the FIRST range (plus offset-id inserts that match no
+    file), so the two out-of-range commits must carry into the new
+    manifest verbatim — asserted inline, along with the exact change
+    count. The oracle replays matched-delete / matched-update /
+    unmatched-insert in plain SQL over the same bounded changeset."""
+    from naru_spark.sources.sinks import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_merge_") + "/docs"
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    t1 = max_id // 3
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path)
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)), path
+    )
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)
+    in_r1 = F.col("doc_id") <= t1
+    deletes = docs.filter(in_r1 & (F.col("doc_id") % 13 == 0)).select(
+        "doc_id", "source", "n_chars", F.lit("D").alias("op")
+    )
+    updates = (
+        docs.filter(in_r1 & (F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .select("doc_id", "source", "n_chars", F.lit("U").alias("op"))
+    )
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+        F.lit("src_new").alias("source"), "n_chars", F.lit("U").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    info = merge_into_snapshot(
+        spark, path, changes, key="doc_id",
+        # manifest-stats hint: matched keys are all <= t1; inserts match
+        # nothing, and their offset range overlaps no stamped entry box
+        prune={"doc_id": (0, t1)},
+    )
+    assert info["n_changes"] == changes.count(), info
+    # the two out-of-range commits were never even scanned
+    assert info["entries_pruned"] >= 2 and info["files_carried"] >= 2, info
+    assert read_snapshot(spark, path, version=3).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_merge_pruned() -> str:
+    return """
+WITH m AS (SELECT MAX(doc_id) // 3 AS t1 FROM documents),
+merged AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.doc_id <= m.t1 AND d.doc_id % 13 <> 0
+                   AND d.doc_id % 7 = 0
+              THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+  FROM documents d, m
+  WHERE NOT (d.doc_id <= m.t1 AND d.doc_id % 13 = 0)
+  UNION ALL
+  SELECT d.doc_id + 100000000, 'src_new', d.n_chars
+  FROM documents d WHERE d.doc_id % 11 = 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rename-without-rewrite schema evolution
     (sources.sinks.alter_snapshot_schema — Iceberg/Delta column-mapping):
@@ -1722,6 +1807,7 @@ def build_ops_registry():
         "snapshot_delete_mor": q_snapshot_delete_mor,
         "snapshot_delete_bloom": q_snapshot_delete_bloom,
         "snapshot_rename_column": q_snapshot_rename_column,
+        "snapshot_merge_pruned": q_snapshot_merge_pruned,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -1768,6 +1854,7 @@ def build_ops_registry():
         "snapshot_delete_mor": sql_snapshot_delete_mor(),
         "snapshot_delete_bloom": sql_snapshot_delete_bloom(),
         "snapshot_rename_column": sql_snapshot_rename_column(),
+        "snapshot_merge_pruned": sql_snapshot_merge_pruned(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

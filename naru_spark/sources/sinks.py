@@ -1169,6 +1169,109 @@ def delete_from_snapshot(
             **extra}
 
 
+def merge_into_snapshot(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str = "doc_id",
+    op_col: str = "op",
+    prune: dict | None = None,
+    prune_keys: dict | None = None,
+) -> dict:
+    """FILE-PRUNED MERGE INTO (Delta's actual MERGE execution shape): one
+    scan joined against the changeset's distinct keys finds the files
+    holding MATCHED rows; only those files' rows enter the full-outer
+    merge (operators.merge.merge_into — matched update/delete, unmatched
+    insert), every untouched file carries into the new manifest verbatim,
+    and inserts land in the commit's new data dir. A changeset touching
+    0.1% of a 100 TB table's keys rewrites the matching files, not the
+    table — the batch-MERGE twin of the file-pruned DELETE.
+
+    A change key absent from every file simply matches no base row and
+    inserts — correct by construction (any file holding the key would
+    have been found by the scan). ``prune``/``prune_keys`` forward to
+    the same manifest-stats/bloom entry elimination the delete uses
+    (derive them from the changeset's key bounds). Refuses pending
+    merge-on-read deletes / schema ops like every partial-rewrite path.
+    Returns {"version", "n_changes", "files_rewritten", "files_carried",
+    and with hints "entries_scanned"/"entries_pruned"}."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from naru_spark.operators.merge import merge_into
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        man = json.load(fh)
+    for plane, msg in (("deletes", "merge-on-read delete(s)"),
+                       ("schema_ops", "rename/drop schema op(s)")):
+        if man.get(plane):
+            raise ValueError(
+                f"MERGE over pending {msg} at {path} — carried files would "
+                "bypass them; compact_snapshot first"
+            )
+    entries = man["dirs"]
+    stats = man.get("stats", {})
+    scan_entries = entries
+    if prune:
+        scan_entries = [
+            e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
+        ]
+    if prune_keys:
+        for col, values in prune_keys.items():
+            scan_entries = _bloom_surviving_entries(
+                spark, path, scan_entries, stats, col, list(values)
+            )
+    pruned = [e for e in entries if e not in set(scan_entries)]
+    extra = (
+        {"entries_scanned": len(scan_entries), "entries_pruned": len(pruned)}
+        if (prune or prune_keys) else {}
+    )
+    keys = changes.select(key).distinct()
+    matching: set = set()
+    if scan_entries:
+        per_file = (
+            spark.read.parquet(*scan_entries)
+            # stamp the file BEFORE the join: input_file_name() is
+            # ambiguous (and refused) once a second source joins in
+            .withColumn("__f", F.input_file_name())
+            .join(keys, key, "semi")
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        matching = {os.path.realpath(_strip_file_uri(r["__f"])) for r in per_file}
+    carried, touched = list(pruned), []
+    for e in scan_entries:
+        files = _entry_files(e)
+        hit = [f for f in files if os.path.realpath(f) in matching]
+        if not hit:
+            carried.append(e)
+        else:
+            touched.extend(hit)
+            carried.extend(
+                f for f in files if os.path.realpath(f) not in matching
+            )
+    base_touched = (
+        spark.read.parquet(*touched) if touched
+        else spark.read.parquet(*entries).limit(0)  # pure-insert changeset
+    )
+    merged = merge_into(base_touched, changes, key=key, op_col=op_col,
+                        validate=False)
+    version = write_snapshot(
+        merged, path, mode="replace", base_version=latest, carry=carried
+    )
+    return {"version": version, "n_changes": changes.count(),
+            "files_rewritten": len(touched), "files_carried": len(carried),
+            **extra}
+
+
 def maintain_snapshot(
     spark: SparkSession, path: str, merge_factor: int = 4,
     target_file_bytes: int = 512 * 1024 * 1024,

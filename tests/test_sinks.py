@@ -1185,3 +1185,41 @@ def test_alter_snapshot_schema_rename_drop_without_rewrite(spark, tmp_path):
     assert set(got2.columns) == {"k", "chars"} and got2.count() == 55
     # and deletes work again
     assert delete_from_snapshot(spark, path, "k = 1")["n_deleted"] == 1
+
+
+def test_merge_into_snapshot_file_pruned(spark, tmp_path):
+    """File-pruned MERGE: a changeset whose matched keys live in one
+    commit rewrites only that commit's matching files; untouched files
+    carry verbatim; pure inserts land in the new dir; a pure-insert
+    changeset rewrites nothing."""
+    from naru_spark.sources.sinks import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "k int, v int"
+    )
+    write_snapshot(mk(0, 100), path)
+    write_snapshot(mk(100, 200), path)
+    write_snapshot(mk(200, 300), path)
+    changes = spark.createDataFrame(
+        [(5, None, "D"), (7, 777, "U"), (1000, 1, "U")],  # del, update, insert
+        "k int, v int, op string",
+    )
+    info = merge_into_snapshot(spark, path, changes, key="k",
+                               prune={"k": (0, 99)})
+    assert info["n_changes"] == 3
+    assert info["entries_pruned"] == 2 and info["files_carried"] >= 2, info
+    rows = {r["k"]: r["v"] for r in read_snapshot(spark, path).collect()}
+    assert 5 not in rows and rows[7] == 777 and rows[1000] == 1
+    assert len(rows) == 300  # 300 - 1 del + 1 insert
+    assert rows[250] == 2500  # carried commit untouched
+
+    # pure-insert changeset: zero files rewritten
+    ins = spark.createDataFrame([(2000, 2, "U")], "k int, v int, op string")
+    info2 = merge_into_snapshot(spark, path, ins, key="k")
+    assert info2["files_rewritten"] == 0, info2
+    assert read_snapshot(spark, path).count() == 301
