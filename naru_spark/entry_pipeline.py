@@ -3646,11 +3646,11 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     each key appears in exactly one batch, the three sequential merges
     compose to ONE batch merge of the full changeset — the entry shares
     merge_into_cdc's oracle verbatim, whatever the batch boundaries.
-    Each batch pays a table rewrite (the copy-on-write MERGE cost; a
-    100 TB deploy would route the rewrite through the file-pruned
-    carry path on the matched files, as the DELETE entry does)."""
-    from naru_spark.operators.merge import merge_into
-    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+    Each batch is FILE-PRUNED (merge_into_snapshot): only the files
+    holding that batch's matched keys are rewritten, untouched files
+    carry into the new manifest verbatim — the per-trigger cost tracks
+    the batch's touched files, not the table."""
+    from naru_spark.sources.sinks import merge_into_snapshot, read_snapshot, write_snapshot
     from naru_spark.tmp import tmpdir
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
@@ -3683,10 +3683,8 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_cdc(bdf: DataFrame, bid: int) -> None:
-        merged = merge_into(
-            read_snapshot(spark, path), bdf, key="doc_id", validate=False
-        )
-        write_snapshot(merged, path, mode="replace", txn_id=f"cdc:{bid}")
+        merge_into_snapshot(spark, path, bdf, key="doc_id",
+                            txn_id=f"cdc:{bid}")
 
     q = (
         stream.writeStream.foreachBatch(apply_cdc)

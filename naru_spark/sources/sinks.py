@@ -1177,6 +1177,7 @@ def merge_into_snapshot(
     op_col: str = "op",
     prune: dict | None = None,
     prune_keys: dict | None = None,
+    txn_id: str | None = None,
 ) -> dict:
     """FILE-PRUNED MERGE INTO (Delta's actual MERGE execution shape): one
     scan joined against the changeset's distinct keys finds the files
@@ -1193,8 +1194,11 @@ def merge_into_snapshot(
     the same manifest-stats/bloom entry elimination the delete uses
     (derive them from the changeset's key bounds). Refuses pending
     merge-on-read deletes / schema ops like every partial-rewrite path.
-    Returns {"version", "n_changes", "files_rewritten", "files_carried",
-    and with hints "entries_scanned"/"entries_pruned"}."""
+    ``txn_id`` forwards to the commit for foreachBatch replay
+    idempotence (the streaming CDC shape — a replayed batch no-ops at
+    the commit, before any data write). Returns {"version", "n_changes",
+    "files_rewritten", "files_carried", and with hints
+    "entries_scanned"/"entries_pruned"}."""
     import json
     import os
 
@@ -1265,7 +1269,8 @@ def merge_into_snapshot(
     merged = merge_into(base_touched, changes, key=key, op_col=op_col,
                         validate=False)
     version = write_snapshot(
-        merged, path, mode="replace", base_version=latest, carry=carried
+        merged, path, mode="replace", base_version=latest, carry=carried,
+        txn_id=txn_id,
     )
     return {"version": version, "n_changes": changes.count(),
             "files_rewritten": len(touched), "files_carried": len(carried),
