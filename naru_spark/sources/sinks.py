@@ -679,6 +679,7 @@ def write_snapshot(
         _publish_manifest(man_dir, n, manifest)
     except SnapshotConflictError:
         shutil.rmtree(data_dir)  # loser's orphan data: ours, safe to drop
+        _drop_bloom(path, os.path.basename(data_dir))  # and its sidecar
         raise
     return n
 
@@ -1178,6 +1179,7 @@ def merge_into_snapshot(
     prune: dict | None = None,
     prune_keys: dict | None = None,
     txn_id: str | None = None,
+    validate: bool = False,
 ) -> dict:
     """FILE-PRUNED MERGE INTO (Delta's actual MERGE execution shape): one
     scan joined against the changeset's distinct keys finds the files
@@ -1266,8 +1268,11 @@ def merge_into_snapshot(
         spark.read.parquet(*touched) if touched
         else spark.read.parquet(*entries).limit(0)  # pure-insert changeset
     )
+    # validate=True forwards merge_into's one-changeset-row-per-key guard
+    # (SQL MERGE's "multiple source rows matched" error) at the cost of
+    # one aggregate over the changeset
     merged = merge_into(base_touched, changes, key=key, op_col=op_col,
-                        validate=False)
+                        validate=validate)
     version = write_snapshot(
         merged, path, mode="replace", base_version=latest, carry=carried,
         txn_id=txn_id,
