@@ -2463,6 +2463,28 @@ for _rnd, _names in (
         "waiting_orders_q21", "workload_oracle_limited",
         "zorder_data_skipping",
     )),
+    (10, (
+        "snapshot_delete_mor", "snapshot_delete_bloom",
+        "snapshot_rename_column", "snapshot_merge_pruned",
+        "snapshot_stats", "snapshot_optimize_zorder", "stream_merge_cdc",
+        "bm25_topk_filtered", "similarity_topk_ivfpq_filtered",
+        "stream_snapshot_maintain", "similarity_ann_tune_nprobe",
+        "decontaminate_fuzzy", "vocab_coverage", "semantic_dedup",
+        "dedup_minhash_md5", "dedup_simhash_md5",
+        "similarity_topk_lsh_oracle", "similarity_topk_ivf_oracle",
+        "like_estimates", "bpe_learn", "bpe_encode",
+        "data_quality_checks", "similarity_topk_ivfpq_refined",
+        "stream_snapshot_ingest", "stream_ivm_running_totals",
+        "quality_stream", "workload_oracle_star3",
+        "local_supplier_volume_q5", "returned_items_q10",
+        "cumulative_revenue", "snapshot_incremental_read",
+        "snapshot_compaction", "text_stats", "lang_id",
+        "doc_fingerprint", "doc_quality", "token_counts", "frame_sample",
+        "token_histogram", "doc_repetition", "token_idf",
+        "bm25_topk_index_append", "bm25_topk_index_delete",
+        "doc_lm_score", "source_mix", "embedding_norms", "dedup_exact",
+        "dedup_ngram_jaccard", "dedup_components", "dedup_embedding",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
