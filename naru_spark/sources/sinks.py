@@ -304,19 +304,25 @@ def _entry_stats(entry: str) -> dict:
             if name in dropped:
                 continue
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(i).statistics
-                ok = (
-                    st is not None
-                    and st.has_min_max
-                    and not isinstance(st.min, bool)
-                    and isinstance(st.min, (int, float, str))
-                    and type(st.min) is type(st.max)
-                    # long text columns would bloat every manifest and are
-                    # never useful pruning keys (Delta truncates at 32
-                    # chars; dropping is the simpler safe bound here)
-                    and not (isinstance(st.min, str) and
-                             (len(st.min) > 64 or len(st.max) > 64))
-                )
+                try:
+                    st = md.row_group(rg).column(i).statistics
+                    ok = (
+                        st is not None
+                        and st.has_min_max
+                        and not isinstance(st.min, bool)
+                        and isinstance(st.min, (int, float, str))
+                        and type(st.min) is type(st.max)
+                        # long text columns would bloat every manifest and
+                        # are never useful pruning keys (Delta truncates at
+                        # 32 chars; dropping is the simpler safe bound here)
+                        and not (isinstance(st.min, str) and
+                                 (len(st.min) > 64 or len(st.max) > 64))
+                    )
+                except Exception:
+                    # pyarrow raises "Cannot extract statistics for type"
+                    # lazily on .min for types it cannot cast (e.g.
+                    # smallint) — such a column just has no usable stats
+                    ok = False
                 if not ok:
                     dropped.add(name)
                     cols.pop(name, None)
@@ -358,24 +364,26 @@ def _write_entry_bloom(spark, entry: str, key_col: str, path: str,
     output is bounded by m bits, not by rows), the bitmap lands under
     ``path/_blooms/<entry-basename>.bloom`` via tmp+rename. m scales
     with the entry's stamped row count (~16 bits/key, k=7 → fpp ≈ 0.03%)
-    so big commits do not saturate. Returns the JSON meta stored in the
-    manifest's stats: {"key", "m", "k", "file"}."""
+    so big commits do not saturate. The key column's Spark type is
+    stamped into the meta: ``xxhash64`` is TYPE-SENSITIVE (the same
+    value hashes differently as int vs long), so the probe must cast
+    its values to exactly this type or every probe would miss and
+    wrongly prune entries that DO hold the keys. Returns the JSON meta
+    stored in the manifest's stats: {"key", "m", "k", "file", "dtype"}."""
     import os
 
     import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
     m = max(1 << 13, 1 << int(np.ceil(np.log2(max(1, n_rows) * bits_per_key))))
-    # build DISTRIBUTED: each partition folds its positions into ONE
-    # packed bitmap (mapInPandas accumulates across batches and yields
-    # once), the driver ORs ~#partitions bitmaps — never a row per set
-    # bit (an entry with millions of keys would otherwise collect tens
-    # of millions of position rows; at even larger scale, tree-reduce
-    # the OR instead of collecting per-partition maps)
-    import pandas as pd
-
     nbytes = m // 8
 
+    # build DISTRIBUTED: each partition folds its positions into ONE
+    # packed bitmap (mapInPandas accumulates across batches and yields
+    # once), then a treeReduce ORs the per-partition bitmaps — never a
+    # row per set bit, and the driver receives ONE bitmap instead of
+    # #partitions of them
     def pack(batches):
         acc = None
         for pdf in batches:
@@ -384,30 +392,85 @@ def _write_entry_bloom(spark, entry: str, key_col: str, path: str,
             if acc is None:
                 acc = np.zeros(nbytes, dtype=np.uint8)
             p = pdf["p"].to_numpy().astype(np.int64)
-            # big-endian bit-in-byte order, matching np.unpackbits on probe
+            # big-endian bit-in-byte order, matching the packed probe
             np.bitwise_or.at(
                 acc, p // 8, np.left_shift(1, 7 - (p % 8)).astype(np.uint8)
             )
         if acc is not None:
             yield pd.DataFrame({"bm": [acc.tobytes()]})
 
-    rows = (
-        spark.read.parquet(*_entry_files(entry))
+    def _or_bytes(a, b):
+        import numpy as np
+
+        return np.bitwise_or(
+            np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    entry_df = spark.read.parquet(*_entry_files(entry))
+    dtype = entry_df.schema[key_col].dataType.simpleString()
+    bitmaps = (
+        entry_df
         .select(F.explode(_bloom_positions_expr(key_col, m, k)).alias("p"))
         .mapInPandas(pack, schema="bm binary")
-        .collect()
+        .rdd.map(lambda r: bytes(r["bm"]))
     )
-    packed = np.zeros(nbytes, dtype=np.uint8)
-    for r in rows:
-        packed |= np.frombuffer(r["bm"], dtype=np.uint8)
+    try:
+        packed = bitmaps.treeReduce(_or_bytes, depth=3)
+    except ValueError:  # empty entry: nothing yielded, nothing set
+        packed = bytes(nbytes)
     bloom_dir = os.path.join(path, "_blooms")
     os.makedirs(bloom_dir, exist_ok=True)
     name = os.path.basename(os.path.normpath(entry)) + ".bloom"
     tmp = os.path.join(bloom_dir, "." + name + ".tmp")
     with open(tmp, "wb") as fh:
-        fh.write(packed.tobytes())
+        fh.write(packed)
     os.replace(tmp, os.path.join(bloom_dir, name))
-    return {"key": key_col, "m": m, "k": k, "file": name}
+    return {"key": key_col, "m": m, "k": k, "file": name, "dtype": dtype}
+
+
+# Sidecars at most this size are probed by one whole-file read; larger
+# ones are probed by per-byte pread()s (a 100 M-row entry's sidecar is
+# ~200 MB — reading it whole per probed entry would be the scan this
+# pruning exists to avoid). Module-level so tests can force the seek path.
+_BLOOM_WHOLE_READ_MAX = 4 << 20
+
+
+def _bloom_probe_file(fp: str, pos_rows: list[list[int]]) -> tuple[bool, int]:
+    """May ANY probe value be present in this sidecar? Bits are tested in
+    PACKED form — never ``np.unpackbits`` (which would materialize 8× the
+    file size on the driver). Small sidecars are read whole once; past
+    ``_BLOOM_WHOLE_READ_MAX`` the probe pread()s exactly the bytes its
+    positions land in, so probing a huge sidecar reads O(values·k) bytes,
+    not the file. Returns (may_contain, bytes_read)."""
+    import os
+
+    size = os.path.getsize(fp)
+    if size <= _BLOOM_WHOLE_READ_MAX:
+        with open(fp, "rb") as fh:
+            buf = fh.read()
+        hit = any(
+            all(buf[p >> 3] & (1 << (7 - (p & 7))) for p in r) for r in pos_rows
+        )
+        return hit, size
+    read = 0
+    cache: dict[int, int] = {}
+    with open(fp, "rb") as fh:
+        fd = fh.fileno()
+        for r in pos_rows:
+            ok = True
+            for p in r:
+                off = p >> 3
+                b = cache.get(off)
+                if b is None:
+                    b = os.pread(fd, 1, off)[0]
+                    cache[off] = b
+                    read += 1
+                if not (b & (1 << (7 - (p & 7)))):
+                    ok = False
+                    break
+            if ok:
+                return True, read
+    return False, read
 
 
 def _bloom_surviving_entries(
@@ -416,35 +479,61 @@ def _bloom_surviving_entries(
     """Entries that MAY contain any of ``values`` in ``key_col`` per
     their bloom sidecars. Entries without a bloom for this key are never
     pruned (conservative). One tiny Spark job hashes the probe values
-    per (m, k) variant present — the same JVM xxhash64 the build used."""
+    per (m, k, dtype) variant present — the values are CAST to the key
+    column's stamped Spark type first, because the build hashed the
+    column's native type and xxhash64 is type-sensitive (an int/long
+    mismatch would make every probe miss and wrongly prune entries that
+    DO hold the keys). A value that cannot represent in the stamped type
+    raises instead of pruning; legacy dtype-less sidecars never prune."""
     import os
 
-    import numpy as np
+    from pyspark.sql import functions as F
 
     variants = {}
+    keep = set()
     for e in entries:
         b = (stats.get(e) or {}).get("bloom")
-        if b and b["key"] == key_col:
-            variants.setdefault((b["m"], b["k"]), []).append((e, b["file"]))
+        if b and b["key"] == key_col and b.get("dtype"):
+            variants.setdefault((b["m"], b["k"], b["dtype"]), []).append(
+                (e, b["file"])
+            )
+        else:
+            keep.add(e)  # no bloom / legacy untyped bloom: cannot skip
     if not variants:
         return list(entries)
-    vals_df = spark.createDataFrame([(v,) for v in values], f"{key_col} long") \
-        if all(isinstance(v, int) for v in values) else \
-        spark.createDataFrame([(v,) for v in values], f"{key_col} string")
-    keep = set(entries) - {e for group in variants.values() for e, _ in group}
-    for (m, k), group in variants.items():
-        pos_rows = vals_df.select(
-            _bloom_positions_expr(key_col, m, k).alias("ps")
+    src = (
+        "bigint" if all(isinstance(v, int) and not isinstance(v, bool)
+                        for v in values)
+        else "double" if all(isinstance(v, (int, float)) for v in values)
+        else "string"
+    )
+    base_vals = spark.createDataFrame(
+        [(v,) for v in values], f"{key_col} {src}"
+    )
+    for (m, k, dtype), group in variants.items():
+        # try_cast: an unrepresentable value becomes NULL (caught below
+        # with a clear message) instead of an ANSI cast exception
+        vals_df = base_vals.select(
+            F.col(key_col).try_cast(dtype).alias(key_col)
+        )
+        rows = vals_df.select(
+            F.col(key_col).isNull().alias("bad"),
+            _bloom_positions_expr(key_col, m, k).alias("ps"),
         ).collect()
+        if any(r["bad"] for r in rows):
+            raise ValueError(
+                f"probe value(s) for {key_col!r} do not represent in the "
+                f"bloom's stamped key type {dtype!r} — refusing to prune "
+                "on a lossy cast"
+            )
+        pos_rows = [[int(p) for p in r["ps"]] for r in rows]
         for e, fname in group:
             fp = os.path.join(path, "_blooms", fname)
             if not os.path.exists(fp):  # sidecar lost: cannot skip
                 keep.add(e)
                 continue
-            bits = np.unpackbits(
-                np.frombuffer(open(fp, "rb").read(), dtype=np.uint8)
-            )
-            if any(all(bits[int(p)] for p in r["ps"]) for r in pos_rows):
+            hit, _ = _bloom_probe_file(fp, pos_rows)
+            if hit:
                 keep.add(e)
     return [e for e in entries if e in keep]
 

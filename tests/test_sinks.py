@@ -1117,6 +1117,76 @@ def test_bloom_key_pruning_on_unclustered_layout(spark, tmp_path):
     kept_dirs = set(os.listdir(os.path.join(path, "data")))
     assert blooms_left <= {d + ".bloom" for d in kept_dirs}, (blooms_left, kept_dirs)
 
+
+def test_bloom_probe_matches_non_long_key_types(spark, tmp_path):
+    """xxhash64 is TYPE-SENSITIVE: the build hashes the key column's
+    native parquet type, so a probe that hashed python ints as long
+    against an int/short/float column would miss every value and
+    WRONGLY PRUNE entries that do hold the keys (silently losing rows
+    in a pruned delete). The stamped dtype makes the probe cast first;
+    pruning must stay conservative-correct for every key type."""
+    import pytest
+
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    for dtype, probe in (("int", 6), ("smallint", 6), ("float", 6.0),
+                         ("decimal(9,2)", 6), ("string", "6")):
+        path = str(tmp_path / f"t_{dtype.split('(')[0]}")
+        base = spark.range(0, 60).select(
+            F.col("id").cast(dtype).alias("k"), F.col("id").alias("v")
+        )
+        for m in range(2):  # interleaved so boxes can't prune
+            write_snapshot(base.filter(F.col("v") % 2 == m), path,
+                           bloom_key="k")
+        r = read_snapshot(spark, path, prune_keys={"k": [probe]})
+        got = r.where(F.col("k") == F.lit(probe).cast(dtype)).collect()
+        assert len(got) == 1, (dtype, got)  # the entry holding 6 survived
+        # and the OTHER entry (odd v) was actually eliminated
+        assert len(set(r.inputFiles())) < len(
+            set(read_snapshot(spark, path).inputFiles())
+        ), dtype
+
+    # a probe value that cannot represent in the stamped type raises
+    # instead of pruning on a lossy cast
+    path = str(tmp_path / "t_int")
+    with pytest.raises(ValueError, match="stamped key type"):
+        read_snapshot(spark, path, prune_keys={"k": ["not-a-number"]})
+
+
+def test_bloom_probe_packed_seek_path(tmp_path, monkeypatch):
+    """Large sidecars are probed by per-byte pread()s on the PACKED
+    bitmap — no np.unpackbits (8× blowup) and no whole-file read. The
+    seek path must agree with the whole-read path and touch O(values·k)
+    bytes, not the file."""
+    import os
+
+    import numpy as np
+
+    from naru_spark.sources import sinks
+
+    m = 1 << 16  # 8 KiB sidecar
+    bits = np.zeros(m, dtype=np.uint8)
+    present = [[11, 222, 3333], [7, 44444, 65535]]
+    absent = [[11, 222, 3334], [12345, 54321, 1]]
+    for row in present:
+        for p in row:
+            bits[p] = 1
+    fp = str(tmp_path / "x.bloom")
+    with open(fp, "wb") as fh:
+        fh.write(np.packbits(bits).tobytes())
+    size = os.path.getsize(fp)
+
+    hit_whole, read_whole = sinks._bloom_probe_file(fp, present)
+    miss_whole, _ = sinks._bloom_probe_file(fp, absent)
+    assert hit_whole and not miss_whole and read_whole == size
+
+    monkeypatch.setattr(sinks, "_BLOOM_WHOLE_READ_MAX", 0)
+    hit_seek, read_hit = sinks._bloom_probe_file(fp, present)
+    miss_seek, read_miss = sinks._bloom_probe_file(fp, absent)
+    assert hit_seek and not miss_seek
+    # each probed position costs at most one byte; misses short-circuit
+    assert read_hit <= 6 and read_miss <= 6, (read_hit, read_miss)
+
 def test_alter_snapshot_schema_rename_drop_without_rewrite(spark, tmp_path):
     """Rename/drop without rewriting data (Iceberg/Delta column-mapping
     shape): the op is a metadata-only commit pinned to the entries
