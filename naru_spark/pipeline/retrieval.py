@@ -252,7 +252,11 @@ def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
     probes) under the wrong crc32 modulus, the exact silent-miss bug
     class this function exists to catch. The passed value is
     sanity-checked against the layout and then FROZEN into _meta.json,
-    so every later call self-serves without a value."""
+    so every later call self-serves without a value. The freeze is
+    BEST-EFFORT: resolution may run on a read-only index mount or
+    replica (probe paths route through here), where the meta write
+    fails — the resolved value is still returned and the freeze simply
+    happens on the first writable call instead."""
     import json
     import os
 
@@ -293,7 +297,10 @@ def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
                 f"index at {path} has bucket={max(seen)} partitions but "
                 f"n_buckets={resolved} — the modulus does not match the layout"
             )
-        _write_bm25_meta(path, resolved)  # freeze the legacy choice
+        try:
+            _write_bm25_meta(path, resolved)  # freeze the legacy choice
+        except OSError:
+            pass  # read-only mount/replica: probes must keep working
     return resolved
 
 

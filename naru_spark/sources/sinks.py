@@ -166,8 +166,14 @@ def _zorder_cluster(
         *[F.min(c).alias(f"min_{c}") for c in cols],
         *[F.max(c).alias(f"max_{c}") for c in cols],
     ).collect()[0]
-    mins = {c: float(row[f"min_{c}"]) for c in cols}
-    maxs = {c: float(row[f"max_{c}"]) for c in cols}
+    # empty input (or an all-NULL column) has no min/max: treat the span
+    # as 0 so the column contributes bucket 0 — the rewrite still goes
+    # through (e.g. compacting a table whose pending merge-on-read
+    # deletes removed every row) instead of crashing on float(None)
+    mins = {c: (0.0 if row[f"min_{c}"] is None else float(row[f"min_{c}"]))
+            for c in cols}
+    maxs = {c: (0.0 if row[f"max_{c}"] is None else float(row[f"max_{c}"]))
+            for c in cols}
     n_buckets = 1 << bits
 
     def bucket(c: str):
@@ -831,6 +837,7 @@ def read_snapshot(
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         man = json.load(fh)
     dirs = man["dirs"]
+    limit0 = False
     if prune or prune_keys:
         stats = man.get("stats", {})
         kept = list(dirs)
@@ -841,16 +848,22 @@ def read_snapshot(
                 kept = _bloom_surviving_entries(
                     spark, path, kept, stats, col, list(values)
                 )
-        if not kept:  # nothing can match: typed empty frame, zero data I/O
-            return spark.read.parquet(*dirs).limit(0)
-        dirs = kept
+        if not kept:
+            # nothing can match: empty frame, but built through the SAME
+            # schema path as a non-empty read (mergeSchema + pending
+            # rename/drop ops applied) — a raw limit(0) over the dirs
+            # would expose stale physical column names downstream
+            limit0 = True
+        else:
+            dirs = kept
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     deletes = man.get("deletes", [])
     schema_ops = man.get("schema_ops", [])
     if not deletes and not schema_ops:
-        return reader.parquet(*dirs)
+        out = reader.parquet(*dirs)
+        return out.limit(0) if limit0 else out
     d_applies = [set(d["dirs"]) for d in deletes]
     o_applies = [set(o["dirs"]) for o in schema_ops]
     groups: dict = {}
@@ -863,17 +876,26 @@ def read_snapshot(
     out = None
     for (dkey, okey), entries in groups.items():
         part = reader.parquet(*entries)
-        for i in dkey:
-            c = F.expr(deletes[i]["cond"])
-            part = part.where(~c | c.isNull())
-        # rename/drop ops map this group's physical columns to the
-        # logical schema (the two planes never mix — alter/delete refuse
-        # each other's pending state — so the order here is free)
-        part = _apply_schema_ops(part, [schema_ops[i] for i in okey])
+        # replay this group's deletes AND rename/drop ops in COMMIT ORDER
+        # (each item carries seq = its committing version): a delete
+        # predicate references the LOGICAL schema of its own commit time,
+        # so ops committed before it must have renamed the columns it
+        # sees, and ops after it must not. Legacy manifests (no seq)
+        # never mixed the planes, so their in-list order is total enough.
+        items = sorted(
+            [(deletes[i].get("seq", 0), 0, i, "del") for i in dkey]
+            + [(schema_ops[i].get("seq", 0), 1, i, "op") for i in okey]
+        )
+        for _, _, i, kind in items:
+            if kind == "del":
+                c = F.expr(deletes[i]["cond"])
+                part = part.where(~c | c.isNull())
+            else:
+                part = _apply_schema_ops(part, [schema_ops[i]])
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=merge_schema
         )
-    return out
+    return out.limit(0) if limit0 else out
 
 
 def read_snapshot_changes(
@@ -1141,7 +1163,13 @@ def delete_from_snapshot(
     ``snapshot_stream_source`` refuses tables with pending MoR deletes
     (a file stream would resurrect the deleted rows), and copy-on-write
     deletes / partial rewrites over pending MoR deletes refuse for the
-    same reason — compact first.
+    same reason — compact first. MoR deletes COMPOSE with pending
+    rename/drop schema ops: each delete and op carries ``seq`` (its
+    committing version) and readers replay the merged log in commit
+    order, so a predicate written after a rename references the renamed
+    column. The predicate is resolved against the logical schema BEFORE
+    the metadata publish — a typo'd condition raises instead of
+    poisoning the manifest.
 
     ``prune={col: (lo, hi)}`` (copy-on-write only): manifest-stats entry
     elimination BEFORE the matching scan — entries whose stamped min/max
@@ -1167,25 +1195,46 @@ def delete_from_snapshot(
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     entries = man["dirs"]
-    if man.get("schema_ops"):
-        raise ValueError(
-            f"snapshot at {path} has pending rename/drop schema ops — "
-            "deletes reference the logical schema while carried files "
-            "keep physical names; compact_snapshot first to materialize"
-        )
     if mode == "merge-on-read":
+        # resolve the predicate against the table's LOGICAL schema (a
+        # limit-0 read_snapshot applies pending rename/drop ops; zero
+        # data I/O) BEFORE publishing: a typo'd condition would otherwise
+        # be committed metadata-only and poison every later read AND the
+        # compaction that is the only path that clears pending deletes
+        try:
+            read_snapshot(spark, path, version=latest).limit(0).where(
+                F.expr(condition)
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"merge-on-read delete predicate {condition!r} does not "
+                f"resolve against the snapshot at {path}: {exc}"
+            ) from None
         n = latest + 1
+        # seq = the committing version: readers replay deletes and
+        # rename/drop ops in this order, so the two metadata-only planes
+        # COMPOSE (a predicate written after a rename references the
+        # renamed column; compaction materializes the whole log)
         manifest = {
             "version": n,
             "dirs": entries,
             "txns": _normalize_txns(man.get("txns", {})),
             "stats": man.get("stats", {}),
             "deletes": man.get("deletes", [])
-            + [{"cond": condition, "dirs": entries}],
+            + [{"cond": condition, "dirs": entries, "seq": n}],
         }
+        if man.get("schema_ops"):
+            manifest["schema_ops"] = man["schema_ops"]
         _publish_manifest(man_dir, n, manifest)
         return {"version": n, "n_deleted": None,
                 "files_rewritten": 0, "files_carried": len(entries)}
+    if man.get("schema_ops"):
+        raise ValueError(
+            f"snapshot at {path} has pending rename/drop schema ops — the "
+            "copy-on-write delete scans raw files under stale physical "
+            "names; compact_snapshot first to materialize, or use "
+            'mode="merge-on-read" (which composes with pending ops)'
+        )
     if man.get("deletes"):
         raise ValueError(
             f"copy-on-write delete over {len(man['deletes'])} pending "
@@ -1463,9 +1512,14 @@ def alter_snapshot_schema(
 
     Like merge-on-read deletes, raw-file consumers must not see pinned
     ops: the stream source and partial-rewrite commits refuse while ops
-    are pending. Returns the committed version."""
+    are pending. Pending MoR deletes COMPOSE (ops and deletes share one
+    seq-ordered log replayed at read time); rename/drop targets are
+    validated against the logical schema before the metadata publish so
+    a typo cannot poison the manifest. Returns the committed version."""
     import json
     import os
+
+    import pyarrow.parquet as pq
 
     assert rename or drop, "nothing to do"
     man_dir = os.path.join(path, "_manifests")
@@ -1475,22 +1529,55 @@ def alter_snapshot_schema(
     )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
-    if man.get("deletes"):
-        # op/delete predicates reference the logical schema of their own
-        # commit time; replaying them interleaved needs a total order the
-        # manifest doesn't record — keep each plane simple and refuse the
-        # mix (compaction materializes either one)
-        raise ValueError(
-            f"snapshot at {path} has pending merge-on-read deletes — "
-            "compact_snapshot first, then alter the schema"
-        )
     ops = man.get("schema_ops", [])
-    for frm, to in (rename or {}).items():
-        ops = ops + [{"op": "rename", "from": frm, "to": to,
-                      "dirs": man["dirs"]}]
-    for col in (drop or []):
-        ops = ops + [{"op": "drop", "col": col, "dirs": man["dirs"]}]
+    # validate against the LOGICAL schema (one footer per entry, pending
+    # ops replayed) BEFORE publishing — a typo'd rename/drop committed
+    # metadata-only would poison every later read, exactly like an
+    # unresolvable merge-on-read predicate would
+    logical: set = set()
+    for e in man["dirs"]:
+        files = _entry_files(e)
+        if not files:
+            continue
+        md = pq.ParquetFile(files[0]).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for op in sorted(
+            (o for o in ops if e in set(o["dirs"])),
+            key=lambda o: o.get("seq", 0),
+        ):
+            if op["op"] == "rename" and op["from"] in names:
+                names[names.index(op["from"])] = op["to"]
+            elif op["op"] == "drop" and op["col"] in names:
+                names.remove(op["col"])
+        logical.update(names)
     n = latest + 1
+    for frm, to in (rename or {}).items():
+        if frm not in logical:
+            raise ValueError(
+                f"rename of unknown column {frm!r} at {path} — the "
+                f"logical schema has {sorted(logical)}"
+            )
+        if to in logical:
+            raise ValueError(
+                f"rename {frm!r} -> {to!r} at {path} collides with an "
+                "existing column"
+            )
+        logical.discard(frm)
+        logical.add(to)
+        ops = ops + [{"op": "rename", "from": frm, "to": to,
+                      "dirs": man["dirs"], "seq": n}]
+    for col in (drop or []):
+        if col not in logical:
+            raise ValueError(
+                f"drop of unknown column {col!r} at {path} — the "
+                f"logical schema has {sorted(logical)}"
+            )
+        logical.discard(col)
+        ops = ops + [{"op": "drop", "col": col, "dirs": man["dirs"],
+                      "seq": n}]
+    # seq = the committing version: readers replay ops and pending
+    # merge-on-read deletes in one commit-ordered log, so the two
+    # metadata-only planes compose instead of refusing each other
     manifest = {
         "version": n,
         "dirs": man["dirs"],
@@ -1498,6 +1585,8 @@ def alter_snapshot_schema(
         "stats": man.get("stats", {}),
         "schema_ops": ops,
     }
+    if man.get("deletes"):
+        manifest["deletes"] = man["deletes"]
     _publish_manifest(man_dir, n, manifest)
     return n
 

@@ -2112,6 +2112,23 @@ def test_bm25_meta_sidecar_branches(spark, docs, tmp_path):
     bm25_write_index(docs, path, n_buckets=16)
     assert _bm25_n_buckets(path, None) == 16
 
+    # (5) the legacy freeze is BEST-EFFORT: on a read-only index mount
+    # (meta write raises OSError) resolution still returns the value —
+    # a probe of a legacy replica must not fail on a side-effect write
+    import naru_spark.pipeline.retrieval as retrieval_mod
+    os.remove(os.path.join(path, "_meta.json"))
+    orig = retrieval_mod._write_bm25_meta
+    retrieval_mod._write_bm25_meta = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("read-only file system"))
+    try:
+        assert _bm25_n_buckets(path, 16) == 16
+        assert not os.path.exists(os.path.join(path, "_meta.json"))
+    finally:
+        retrieval_mod._write_bm25_meta = orig
+    assert _bm25_n_buckets(path, 16) == 16  # writable again: freezes
+    assert json.load(open(os.path.join(path, "_meta.json"))) == {
+        "n_buckets": 16}
+
 
 def test_ivfpq_maintain_recall_trigger_catches_balanced_drift(spark, tmp_path):
     """The QUALITY trigger: a pure SCALE drift (every vector replaced by

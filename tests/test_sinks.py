@@ -1237,24 +1237,131 @@ def test_alter_snapshot_schema_rename_drop_without_rewrite(spark, tmp_path):
     got = read_snapshot(spark, path)
     assert set(got.columns) == {"k", "chars"} and got.count() == 55
 
-    # raw-file consumers refuse while ops are pending
+    # RAW-FILE consumers refuse while ops are pending (they would read
+    # stale physical names); metadata-only deletes COMPOSE instead
     with pytest.raises(ValueError, match="schema ops"):
         snapshot_stream_source(spark, path)
     with pytest.raises(ValueError, match="schema ops"):
         delete_from_snapshot(spark, path, "k = 1")
-    with pytest.raises(ValueError, match="merge-on-read|schema ops"):
-        delete_from_snapshot(spark, path, "k = 1", mode="merge-on-read")
+    # a typo'd rename/drop/predicate refuses BEFORE the metadata publish
+    # (a poisoned manifest would break every later read AND compaction)
+    with pytest.raises(ValueError, match="does not resolve"):
+        delete_from_snapshot(spark, path, "no_such_col = 1",
+                             mode="merge-on-read")
+    with pytest.raises(ValueError, match="unknown column"):
+        alter_snapshot_schema(path, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="collides"):
+        alter_snapshot_schema(path, rename={"chars": "k"})
+    with pytest.raises(ValueError, match="unknown column"):
+        alter_snapshot_schema(path, drop=["n_chars"])  # pre-rename name
+    # a merge-on-read delete against the LOGICAL (renamed) schema
+    # composes with the pending ops: k=7's chars=70 row is in the
+    # pre-rename v1 entry, and the replay renames before filtering
+    delete_from_snapshot(spark, path, "chars = 70", mode="merge-on-read")
+    assert read_snapshot(spark, path).count() == 54
 
-    # compaction materializes: physical == logical, ops cleared, content same
+    # compaction materializes: physical == logical, ops AND deletes
+    # cleared, content preserved
     res = compact_snapshot(spark, path, target_files=2)
     import json
     man = json.load(open(os.path.join(
         path, "_manifests", f"v{res['version']}.json")))
-    assert man.get("schema_ops", []) == []
+    assert man.get("schema_ops", []) == [] and man.get("deletes", []) == []
     got2 = read_snapshot(spark, path)
-    assert set(got2.columns) == {"k", "chars"} and got2.count() == 55
-    # and deletes work again
+    assert set(got2.columns) == {"k", "chars"} and got2.count() == 54
+    # and copy-on-write deletes work again
     assert delete_from_snapshot(spark, path, "k = 1")["n_deleted"] == 1
+
+
+def test_mor_deletes_compose_with_schema_ops(spark, tmp_path):
+    """The two metadata-only planes interleave through one commit-ordered
+    log (seq = committing version): rename -> merge-on-read delete whose
+    predicate references the POST-rename logical schema -> append ->
+    second delete; reads replay per entry in order, compaction
+    materializes the whole log, and the aggregate is invariant."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        alter_snapshot_schema,
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "k int, grp int"), path)       # v1
+    alter_snapshot_schema(path, rename={"grp": "bucket"})                # v2
+    delete_from_snapshot(spark, path, "bucket = 0",
+                         mode="merge-on-read")                           # v3
+    assert read_snapshot(spark, path).count() == 80  # k%5==0 gone
+    # append AFTER the delete: bucket=0 rows SURVIVE (sequence semantics)
+    # and write the new name physically
+    write_snapshot(spark.createDataFrame(
+        [(100 + i, 0) for i in range(10)], "k int, bucket int"), path)   # v4
+    assert read_snapshot(spark, path).count() == 90
+    # a second delete pins ALL entries; the logical schema holds everywhere
+    delete_from_snapshot(spark, path, "k >= 105", mode="merge-on-read")  # v5
+    got = read_snapshot(spark, path)
+    assert set(got.columns) == {"k", "bucket"}
+    expect = [k for k in range(100) if k % 5 != 0] + list(range(100, 105))
+    assert sorted(r["k"] for r in got.collect()) == expect
+    agg = got.agg(F.sum("k").alias("s"), F.sum("bucket").alias("b")).collect()[0]
+
+    # compaction materializes deletes AND ops in one rewrite
+    res = compact_snapshot(spark, path, target_files=2)
+    man = json.load(open(os.path.join(
+        path, "_manifests", f"v{res['version']}.json")))
+    assert man.get("deletes", []) == [] and man.get("schema_ops", []) == []
+    got2 = read_snapshot(spark, path)
+    assert sorted(r["k"] for r in got2.collect()) == expect
+    assert got2.agg(F.sum("k").alias("s"),
+                    F.sum("bucket").alias("b")).collect()[0] == agg
+    # time travel mid-log replays only seq <= 3
+    v3 = read_snapshot(spark, path, version=3)
+    assert v3.count() == 80 and set(v3.columns) == {"k", "bucket"}
+
+
+def test_pruned_to_empty_read_keeps_logical_schema(spark, tmp_path):
+    """A read whose pruning eliminates every entry must surface the same
+    LOGICAL schema as a non-empty read — pending rename ops applied, not
+    the physical pre-rename names — or downstream column references and
+    unionByName break on the empty result."""
+    from naru_spark.sources.sinks import (
+        alter_snapshot_schema,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame(
+        [(i, i) for i in range(50)], "k int, n_chars int"), path)
+    alter_snapshot_schema(path, rename={"n_chars": "chars"})
+    empty = read_snapshot(spark, path, prune={"k": (1000, 2000)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "chars"}, empty.columns
+
+
+def test_zorder_compaction_of_emptied_table(spark, tmp_path):
+    """compact_snapshot(zorder_by=...) after merge-on-read deletes
+    removed every row: the clustering's min/max aggregate sees an empty
+    input — it must compact to an empty table like the coalesce path,
+    not crash on float(None)."""
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame(
+        [(i, i) for i in range(20)], "k int, v int"), path)
+    delete_from_snapshot(spark, path, "k >= 0", mode="merge-on-read")
+    res = compact_snapshot(spark, path, target_files=2, zorder_by=["k", "v"])
+    assert read_snapshot(spark, path, version=res["version"]).count() == 0
 
 
 def test_merge_into_snapshot_file_pruned(spark, tmp_path):
