@@ -1044,27 +1044,43 @@ def compact_snapshot(
     spark: SparkSession, path: str, target_files: int | None = None,
     target_file_bytes: int = 512 * 1024 * 1024,
     zorder_by: Sequence[str] | None = None,
+    min_file_bytes: int | None = None,
+    full: bool = False,
 ) -> dict:
     """Small-file compaction for a snapshot table (Iceberg
-    ``rewrite_data_files`` / Delta OPTIMIZE analog): read the LATEST
-    snapshot, rewrite its rows into ``target_files`` parquet files, and
-    commit the rewrite as a replace-mode snapshot — content-identical,
-    pre-compaction versions stay time-travelable (their manifests and
-    data dirs are immutable), and the superseded small files become
-    unreferenced-by-latest, reclaimed later by ``expire_snapshots``.
-    A concurrent commit surfaces as ``SnapshotConflictError`` — the
-    maintenance job re-reads and retries, exactly Iceberg's optimistic
-    rewrite loop.
+    ``rewrite_data_files`` / Delta OPTIMIZE analog), SELECTIVE by
+    default — Delta OPTIMIZE's actual behavior: the manifest's stamped
+    per-entry stats pick only the UNDER-SIZED entries (average file size
+    below ``min_file_bytes``, default ``target_file_bytes``), their rows
+    are bin-packed into right-sized files, and every right-sized entry
+    is carried into the replace commit VERBATIM (byte-identical on
+    disk, zero rewrite I/O). A 100 TB table that accumulated a few
+    thousand small streaming-append files pays for THOSE files'
+    bytes, never for the ~200k right-sized cold files. Content is
+    identical either way, pre-compaction versions stay time-travelable,
+    and the superseded small files become unreferenced-by-latest,
+    reclaimed later by ``expire_snapshots``. A concurrent commit
+    surfaces as ``SnapshotConflictError`` — the maintenance job
+    re-reads and retries, exactly Iceberg's optimistic rewrite loop.
+
+    FULL-rewrite mode (``full=True``, or forced automatically) rewrites
+    the whole table; it is the MATERIALIZATION path and is forced when
+    the manifest carries pending merge-on-read deletes or rename/drop
+    schema ops (a carried file would bypass them — the rewrite applies
+    the whole log and clears it) and when ``zorder_by`` is given
+    (clustering is a GLOBAL re-layout: re-clustering only a fragment
+    would interleave two incompatible orders and gut the file-skipping
+    it buys).
 
     The rewrite uses ``coalesce`` (bin-packs existing partitions, NO
     shuffle) — at 100 TB compaction is I/O-bound rewriting, and a full
     repartition shuffle would double the data movement for no benefit.
-    ``target_files`` defaults to ``ceil(current bytes / target_file_bytes)``
-    (512 MB files), so a huge table compacts into MANY right-sized files
-    with matching rewrite parallelism — a hand-picked tiny target would
-    serialize the rewrite into that many tasks. File counts and sizes
-    come from the manifest's stamped stats (metadata-only, never a data
-    read).
+    ``target_files`` defaults to ``ceil(rewritten bytes /
+    target_file_bytes)`` (512 MB files), so a huge rewrite set compacts
+    into MANY right-sized files with matching parallelism. File counts
+    and sizes come from the manifest's stamped stats (metadata-only,
+    never a data read). Rewritten entries lose their bloom sidecars
+    (like any rewrite); carried entries keep theirs.
 
     ``zorder_by``: Delta ``OPTIMIZE ... ZORDER BY`` — the rewrite routes
     through the Morton-interleave clustering instead of coalesce, so the
@@ -1074,7 +1090,10 @@ def compact_snapshot(
     shuffle that any re-layout costs; content is unchanged, so the same
     oracle covers both modes.
 
-    Returns {"version", "files_before", "files_after"}."""
+    Returns {"version", "files_before", "files_after", "mode":
+    "selective"|"full"|"noop", "files_rewritten", "entries_carried"}
+    (a selective pass with nothing under-sized is a metadata-only noop
+    that commits nothing)."""
     import json
     import math
     import os
@@ -1091,14 +1110,45 @@ def compact_snapshot(
     # zero filesystem walks (legacy stats-less manifests back-fill once)
     stats = _manifest_stats(man)
     before = sum(s["n_files"] for s in stats.values())
+    force_full = (
+        full
+        or zorder_by is not None
+        or bool(man.get("deletes"))
+        or bool(man.get("schema_ops"))
+    )
+    threshold = target_file_bytes if min_file_bytes is None else min_file_bytes
+    if force_full:
+        under, carried = list(dirs), []
+    else:
+        under = [
+            e for e in dirs
+            if stats[e]["n_files"]
+            and stats[e]["n_bytes"] / stats[e]["n_files"] < threshold
+        ]
+        carried = [e for e in dirs if e not in set(under)]
+    rewrite_files = sum(stats[e]["n_files"] for e in under)
+    # a selective pass needs at least two files to merge — rewriting one
+    # lone under-sized file into one file is pure churn (Delta OPTIMIZE
+    # skips single-file bins the same way)
+    if not under or (not force_full and rewrite_files < 2):
+        return {"version": latest, "files_before": before,
+                "files_after": before, "mode": "noop",
+                "files_rewritten": 0, "entries_carried": len(carried)}
     if target_files is None:
-        total_bytes = sum(s["n_bytes"] for s in stats.values())
-        target_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    # read_snapshot (not a raw parquet read): pending merge-on-read
-    # delete predicates are APPLIED by the rewrite — compaction is the
-    # materialization point that clears them (the replace commit below
-    # writes an empty deletes list)
-    current = read_snapshot(spark, path, version=latest)
+        rewrite_bytes = sum(stats[e]["n_bytes"] for e in under)
+        target_files = max(1, math.ceil(rewrite_bytes / target_file_bytes))
+    if force_full:
+        # read_snapshot (not a raw parquet read): pending merge-on-read
+        # deletes and rename/drop ops are APPLIED by the rewrite —
+        # compaction is the materialization point that clears both logs
+        # (the replace commit below writes them empty)
+        current = read_snapshot(spark, path, version=latest)
+    else:
+        # no pending logs (checked above): the under-sized entries' raw
+        # files ARE their logical rows
+        current = spark.read.parquet(
+            *[f for e in under for f in _entry_files(e)]
+        )
     if zorder_by is not None:
         rewritten, _, _ = _zorder_cluster(current, zorder_by, target_files)
     else:
@@ -1111,12 +1161,15 @@ def compact_snapshot(
         path,
         mode="replace",
         base_version=latest,
+        carry=carried if carried else None,
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = sum(
             s["n_files"] for s in _manifest_stats(json.load(fh)).values()
         )
-    return {"version": version, "files_before": before, "files_after": after}
+    return {"version": version, "files_before": before, "files_after": after,
+            "mode": "full" if force_full else "selective",
+            "files_rewritten": rewrite_files, "entries_carried": len(carried)}
 
 
 def delete_from_snapshot(
@@ -1426,15 +1479,27 @@ def maintain_snapshot(
     zorder_by: Sequence[str] | None = None,
     keep_last: int | None = None,
     gc_older_than_s: float | None = None,
+    min_file_bytes: int | None = None,
 ) -> dict:
     """The snapshot table's maintenance decision loop (Delta
     auto-OPTIMIZE / Iceberg maintenance-job shape), composed from the
     pieces: measure fragmentation from the LATEST manifest's dir list (a
-    metadata-only walk — never a data read), and when the table holds
-    more than ``merge_factor`` times its right-sized file count
-    (``ceil(bytes / target_file_bytes)``), run ``compact_snapshot``.
-    An already-compact table is a metadata-only no-op, so schedulers can
-    call this after every ingest batch.
+    metadata-only walk — never a data read), and when the FRAGMENTED
+    entries (average file size below ``min_file_bytes``, default
+    ``target_file_bytes``) hold more than ``merge_factor`` times their
+    own right-sized file count (``ceil(fragmented bytes /
+    target_file_bytes)``), run ``compact_snapshot`` — which rewrites
+    ONLY those entries and carries every right-sized entry verbatim.
+    Measuring fragmentation over the fragmented subset (not the whole
+    table) is what makes the trigger fire after a few dozen small
+    streaming appends on a 100 TB table, instead of only once small
+    files outnumber ~200k right-sized cold files several-fold; the
+    selective rewrite keeps the cost of acting on it proportional to
+    the fragmented bytes. An already-compact table is a metadata-only
+    no-op, so schedulers can call this after every ingest batch.
+    Pending merge-on-read deletes / schema ops force the triggered
+    compaction into full-rewrite materialization (see
+    ``compact_snapshot``).
 
     The fragmentation signal (file count, total bytes) is read from the
     manifest's per-entry ``stats`` stamped at commit — ONE manifest read,
@@ -1468,20 +1533,36 @@ def maintain_snapshot(
         if f.startswith("v") and f.endswith(".json")
     )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
-        stats = _manifest_stats(json.load(fh))
+        man = json.load(fh)
+    stats = _manifest_stats(man)
     n_files = sum(s["n_files"] for s in stats.values())
     total_bytes = sum(s["n_bytes"] for s in stats.values())
     target = max(1, math.ceil(total_bytes / target_file_bytes))
-    if n_files <= merge_factor * target:
+    threshold = target_file_bytes if min_file_bytes is None else min_file_bytes
+    # pending metadata-only logs force full-rewrite materialization, so
+    # the trigger must then weigh the WHOLE table (that is what a
+    # triggered compaction would rewrite)
+    force_full = bool(man.get("deletes")) or bool(man.get("schema_ops"))
+    frag = [
+        s for s in stats.values()
+        if force_full
+        or (s["n_files"] and s["n_bytes"] / s["n_files"] < threshold)
+    ]
+    frag_files = sum(s["n_files"] for s in frag)
+    frag_target = max(
+        1, math.ceil(sum(s["n_bytes"] for s in frag) / target_file_bytes)
+    )
+    if frag_files <= merge_factor * frag_target:
         info = {"action": "noop", "files": n_files, "target_files": target}
     else:
         # zorder_by makes the triggered rewrite CLUSTER while it compacts
         # (Delta auto-OPTIMIZE with a ZORDER table property): same rewrite
         # I/O the compaction pays anyway, plus one range-exchange shuffle,
         # buying footer-stats pruning for every later scan and delete
-        info = compact_snapshot(spark, path, target_files=target,
+        info = compact_snapshot(spark, path,
                                 target_file_bytes=target_file_bytes,
-                                zorder_by=zorder_by)
+                                zorder_by=zorder_by,
+                                min_file_bytes=min_file_bytes)
         info.update({"action": "compact", "files": n_files,
                      "target_files": target})
     # retention AFTER the (possible) compaction: the new version anchors

@@ -504,6 +504,91 @@ def test_delete_from_snapshot_null_semantics_and_history(spark, tmp_path):
     assert info2["files_rewritten"] == 0
 
 
+def test_selective_compaction_carries_right_sized_entries(spark, tmp_path):
+    """Delta OPTIMIZE's actual behavior: only UNDER-SIZED entries (per
+    the manifest's stamped stats) are rewritten; a cold right-sized
+    entry's files survive BYTE-IDENTICAL on disk (same paths, same
+    bytes — zero rewrite I/O), the maintenance trigger fires on the
+    fragmented subset, and a table with nothing fragmented is a
+    commit-free noop."""
+    import hashlib
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        maintain_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def file_hashes(entry):
+        out = {}
+        for f in sorted(os.listdir(entry)):
+            if f.endswith(".parquet"):
+                fp = os.path.join(entry, f)
+                out[fp] = hashlib.md5(open(fp, "rb").read()).hexdigest()
+        return out
+
+    path = str(tmp_path / "t")
+    # v1: one "right-sized" cold entry (1 file); v2..v4: fragmented
+    # appends (5 tiny files each)
+    write_snapshot(
+        spark.range(0, 1000).withColumnRenamed("id", "k").coalesce(1), path
+    )
+    man1 = json.load(open(os.path.join(path, "_manifests", "v1.json")))
+    cold_entry = man1["dirs"][0]
+    cold_bytes = man1["stats"][cold_entry]["n_bytes"]
+    cold_before = file_hashes(cold_entry)
+    for lo in (1000, 1040, 1080):
+        write_snapshot(
+            spark.range(lo, lo + 40).withColumnRenamed("id", "k")
+            .repartition(5), path
+        )
+
+    # threshold below the cold file's size but above the tiny ones
+    res = compact_snapshot(spark, path, min_file_bytes=cold_bytes)
+    assert res["mode"] == "selective", res
+    assert res["files_rewritten"] == 15 and res["entries_carried"] == 1, res
+    assert res["files_after"] < res["files_before"], res
+    man = json.load(open(os.path.join(
+        path, "_manifests", f"v{res['version']}.json")))
+    assert cold_entry in man["dirs"]  # re-referenced, not rewritten
+    assert file_hashes(cold_entry) == cold_before  # byte-identical
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(1120))
+
+    # nothing fragmented left at this threshold: commit-free noop
+    versions_before = sorted(os.listdir(os.path.join(path, "_manifests")))
+    res2 = compact_snapshot(spark, path, min_file_bytes=cold_bytes)
+    assert res2["mode"] == "noop" and res2["version"] == res["version"], res2
+    assert sorted(os.listdir(os.path.join(path, "_manifests"))) == versions_before
+
+    # the maintenance trigger weighs the FRAGMENTED subset: new tiny
+    # appends on a mostly-right-sized table fire it (a whole-table count
+    # would need small files to outnumber the cold files several-fold)
+    for lo in (1120, 1160):
+        write_snapshot(
+            spark.range(lo, lo + 40).withColumnRenamed("id", "k")
+            .repartition(5), path
+        )
+    res3 = maintain_snapshot(
+        spark, path, merge_factor=2, min_file_bytes=cold_bytes
+    )
+    assert res3["action"] == "compact" and res3["mode"] == "selective", res3
+    assert file_hashes(cold_entry) == cold_before  # still untouched
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, path).collect()
+    ) == list(range(1200))
+
+    # full=True is the explicit whole-table materialization mode
+    res4 = compact_snapshot(spark, path, full=True, target_files=2)
+    assert res4["mode"] == "full", res4
+    man4 = json.load(open(os.path.join(
+        path, "_manifests", f"v{res4['version']}.json")))
+    assert cold_entry not in man4["dirs"]
+
+
 def test_maintain_snapshot_policy(spark, tmp_path):
     """The auto-OPTIMIZE loop: fragmented commits trip the file-count
     policy and compact exactly once; a compact table is a metadata-only

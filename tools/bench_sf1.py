@@ -253,6 +253,33 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-11: SELECTIVE compaction — wall tracks the FRAGMENTED bytes,
+    # not the table: a big right-sized cold entry plus a few small
+    # appends compacts in a fraction of snapshot_table_build's wall
+    # (which wrote the same cold bytes), and the cold entry carries
+    from naru_spark.sources.sinks import compact_snapshot, snapshot_stats
+
+    cpath = root + "/tbl_compact"
+    write_snapshot(li.coalesce(8), cpath)  # right-sized cold bulk
+    cold_bytes = snapshot_stats(cpath)["n_bytes"]
+    for m_ in range(4):  # fragmented small appends: ~0.4% of the table
+        write_snapshot(li.limit(25_000).repartition(4), cpath)
+    min_fb = max(1, (cold_bytes // 8) // 2)  # below cold avg, above frags
+    t0 = time.time()
+    cinfo = compact_snapshot(spark, cpath, min_file_bytes=min_fb)
+    timings["snapshot_compaction_selective_probe"] = round(time.time() - t0, 3)
+    timings["snapshot_compaction_files_rewritten"] = cinfo["files_rewritten"]
+    timings["snapshot_compaction_entries_carried"] = cinfo["entries_carried"]
+    assert cinfo["mode"] == "selective" and cinfo["entries_carried"] >= 1, cinfo
+    print(
+        f"# snapshot selective compaction "
+        f"{timings['snapshot_compaction_selective_probe']:.2f}s (rewrote "
+        f"{cinfo['files_rewritten']} fragment files, carried "
+        f"{cinfo['entries_carried']} right-sized entr(ies) verbatim; "
+        f"cold build was {timings['snapshot_table_build']:.2f}s)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
