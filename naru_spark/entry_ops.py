@@ -792,8 +792,14 @@ def q_snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded to the FIRST range (plus offset-id inserts that match no
     file), so the two out-of-range commits must carry into the new
     manifest verbatim — asserted inline, along with the exact change
-    count. The oracle replays matched-delete / matched-update /
-    unmatched-insert in plain SQL over the same bounded changeset."""
+    count. NO hand-written prune hint: the merge AUTO-DERIVES entry
+    elimination from the changeset's own distinct keys (exact per-key
+    containment against the stamped per-entry min/max — the far-out
+    insert ids correctly match no entry instead of inflating a covering
+    box), which removes the too-small-box footgun the old hand hint's
+    CONTRACT comment warned about. The oracle replays matched-delete /
+    matched-update / unmatched-insert in plain SQL over the same
+    bounded changeset."""
     from naru_spark.sources.sinks import (
         merge_into_snapshot,
         read_snapshot,
@@ -824,12 +830,7 @@ def q_snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("src_new").alias("source"), "n_chars", F.lit("U").alias("op"),
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
-    info = merge_into_snapshot(
-        spark, path, changes, key="doc_id",
-        # manifest-stats hint: matched keys are all <= t1; inserts match
-        # nothing, and their offset range overlaps no stamped entry box
-        prune={"doc_id": (0, t1)},
-    )
+    info = merge_into_snapshot(spark, path, changes, key="doc_id")
     assert info["n_changes"] == changes.count(), info
     # the two out-of-range commits were never even scanned
     assert info["entries_pruned"] >= 2 and info["files_carried"] >= 2, info

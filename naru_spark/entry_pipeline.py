@@ -3649,15 +3649,28 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each batch is FILE-PRUNED (merge_into_snapshot): only the files
     holding that batch's matched keys are rewritten, untouched files
     carry into the new manifest verbatim — the per-trigger cost tracks
-    the batch's touched files, not the table."""
+    the batch's touched files, not the table. Entry elimination is
+    AUTO-DERIVED from each batch's own keys (NO hand-written prune
+    hints — the merge collects the changeset's distinct keys and tests
+    exact containment against every entry's stamped min/max): the base
+    lands as three doc_id-RANGE commits and the batches split on the
+    same ranges, so whichever order the stream delivers them, each
+    batch's keys confine to one range and every batch eliminates at
+    least one entry — asserted inline."""
     from naru_spark.sources.sinks import merge_into_snapshot, read_snapshot, write_snapshot
     from naru_spark.tmp import tmpdir
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
     base = tmpdir(prefix="snap_cdc_")
     src, path = base + "/src", base + "/docs"
-    write_snapshot(docs, path)  # v1: the base table
     max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    t1 = max_id // 3
+    # v1-v3: the base table as three disjoint doc_id-range commits
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path)
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)), path
+    )
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)
     deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
         "doc_id", "source", "lang", "n_chars", F.lit("D").alias("op")
     )
@@ -3672,19 +3685,26 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("op"),
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
-    for k in range(3):  # key-disjoint micro-batches
-        changes.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    # key-disjoint micro-batches split on the SAME ranges as the base
+    # commits (the inserts' shifted ids all land past 2*t1)
+    for lo_b, hi_b in ((None, t1), (t1, 2 * t1), (2 * t1, None)):
+        cond = F.lit(True)
+        if lo_b is not None:
+            cond = cond & (F.col("doc_id") > lo_b)
+        if hi_b is not None:
+            cond = cond & (F.col("doc_id") <= hi_b)
+        changes.filter(cond).coalesce(1).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
 
+    infos: list = []
+
     def apply_cdc(bdf: DataFrame, bid: int) -> None:
-        merge_into_snapshot(spark, path, bdf, key="doc_id",
-                            txn_id=f"cdc:{bid}")
+        infos.append(merge_into_snapshot(spark, path, bdf, key="doc_id",
+                                         txn_id=f"cdc:{bid}"))
 
     q = (
         stream.writeStream.foreachBatch(apply_cdc)
@@ -3693,10 +3713,16 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # auto-derived pruning at work: each batch's keys confine to one
+    # range, so at least one out-of-range entry is eliminated per batch
+    # without any caller hint
+    assert all(i["entries_pruned"] >= 1 for i in infos), infos
     # a replayed micro-batch (retry after successful write, failed
     # checkpoint commit) must be a no-op returning the recorded version
     replay = write_snapshot(docs.limit(1), path, mode="replace", txn_id="cdc:0")
-    assert replay == 4, replay  # v1 base + 3 CDC commits; replay added none
+    # the bounded per-app txn map records the app's LAST commit: 3 base
+    # commits + 3 CDC commits = v6; the replay added nothing
+    assert replay == 6, replay
     return (
         read_snapshot(spark, path)
         .groupBy("source")

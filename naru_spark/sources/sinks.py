@@ -544,6 +544,26 @@ def _bloom_surviving_entries(
     return [e for e in entries if e in keep]
 
 
+def _entry_holds_any_key(stat: dict | None, col: str, sorted_vals: list) -> bool:
+    """May this entry hold ANY of the (pre-SORTED) key values, per its
+    stamped column min/max? Exact per-key containment — a key set
+    spanning a far-out insert range does not inflate into one useless
+    covering box — at O(log vals) per entry (bisect), so a 200k-entry
+    manifest against thousands of keys stays trivially cheap on the
+    driver. Missing stats, missing column, or un-comparable types mean
+    CANNOT SKIP."""
+    from bisect import bisect_left
+
+    rng = (stat or {}).get("cols", {}).get(col)
+    if rng is None:
+        return True
+    try:
+        i = bisect_left(sorted_vals, rng[0])
+        return i < len(sorted_vals) and sorted_vals[i] <= rng[1]
+    except TypeError:  # stamped str vs numeric key (or vice versa)
+        return True
+
+
 def _entry_overlaps(stat: dict | None, prune: dict) -> bool:
     """Does an entry's stamped column range intersect the [lo, hi] box?
     Missing stats (legacy manifests) or missing columns mean CANNOT
@@ -1371,6 +1391,8 @@ def merge_into_snapshot(
     prune_keys: dict | None = None,
     txn_id: str | None = None,
     validate: bool = False,
+    auto_prune: bool = True,
+    auto_prune_max_keys: int = 8192,
 ) -> dict:
     """FILE-PRUNED MERGE INTO (Delta's actual MERGE execution shape): one
     scan joined against the changeset's distinct keys finds the files
@@ -1383,15 +1405,30 @@ def merge_into_snapshot(
 
     A change key absent from every file simply matches no base row and
     inserts — correct by construction (any file holding the key would
-    have been found by the scan). ``prune``/``prune_keys`` forward to
-    the same manifest-stats/bloom entry elimination the delete uses
-    (derive them from the changeset's key bounds). Refuses pending
-    merge-on-read deletes / schema ops like every partial-rewrite path.
-    ``txn_id`` forwards to the commit for foreachBatch replay
-    idempotence (the streaming CDC shape — a replayed batch no-ops at
-    the commit, before any data write). Returns {"version", "n_changes",
-    "files_rewritten", "files_carried", and with hints
-    "entries_scanned"/"entries_pruned"}."""
+    have been found by the scan). PRUNE HINTS ARE AUTO-DERIVED from the
+    changeset itself (``auto_prune``, on by default): the distinct keys
+    are counted in the same pass that pins the changeset, and when they
+    fit under ``auto_prune_max_keys`` each manifest entry is eliminated
+    unless SOME key falls inside its stamped min/max (exact per-key
+    containment — far-out insert keys match no entry instead of
+    inflating a single covering box) and, where bloom sidecars exist,
+    unless the bloom may contain a key; past the bound a covering
+    [min, max] box is used. Auto-derivation covers the matched keys BY
+    CONSTRUCTION, removing the hand-written-hint footgun (a too-small
+    hand box silently turns missed updates into duplicate inserts).
+    Hand-passed ``prune``/``prune_keys`` still take precedence.
+
+    The changeset is evaluated EXACTLY ONCE: an eager localCheckpoint
+    pins it before any job, so a non-deterministic source (sample,
+    limit, mutating view) cannot desynchronize the key scan from the
+    merge, and the count/bounds/distinct-keys come from that pinned
+    copy. Refuses pending merge-on-read deletes / schema ops like every
+    partial-rewrite path. ``txn_id`` forwards replay idempotence (the
+    streaming CDC shape) and is checked FIRST — a replayed batch
+    returns the recorded version without evaluating the changeset at
+    all (n_changes None). Returns {"version", "n_changes",
+    "files_rewritten", "files_carried", "entries_scanned",
+    "entries_pruned"}."""
     import json
     import os
 
@@ -1406,6 +1443,15 @@ def merge_into_snapshot(
     )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
+    if txn_id is not None:
+        app, ver = _parse_txn_id(txn_id)
+        rec = _normalize_txns(man.get("txns", {})).get(app)
+        if rec is not None and ver <= int(rec["v"]):
+            # replayed batch: committed before — skip the scan AND the
+            # changeset evaluation entirely
+            return {"version": int(rec["commit"]), "n_changes": None,
+                    "files_rewritten": 0, "files_carried": 0,
+                    "entries_scanned": 0, "entries_pruned": 0}
     for plane, msg in (("deletes", "merge-on-read delete(s)"),
                        ("schema_ops", "rename/drop schema op(s)")):
         if man.get(plane):
@@ -1415,7 +1461,51 @@ def merge_into_snapshot(
             )
     entries = man["dirs"]
     stats = man.get("stats", {})
+    # pin ONE evaluation of the caller's plan: the changeset feeds the
+    # key scan, the merge, and the count as separate jobs — evaluated
+    # twice, a non-deterministic changeset would desynchronize them
+    changes = changes.localCheckpoint(eager=True)
+    n_changes = changes.count()
+    keys = changes.select(key).distinct()
     scan_entries = entries
+    if auto_prune and prune is None and prune_keys is None:
+        key_vals = [
+            r[key] for r in keys.limit(auto_prune_max_keys + 1).collect()
+        ]
+        if len(key_vals) <= auto_prune_max_keys:
+            # NULL keys never match a base row (the semi-join drops
+            # them), so eliminating entries on the non-null keys alone
+            # is exact; an all-NULL/empty key set matches nothing
+            vals = [v for v in key_vals if v is not None]
+            try:
+                vals.sort()
+            except TypeError:
+                vals = None  # mixed key types: no safe order, no pruning
+            if vals is not None:
+                scan_entries = [
+                    e for e in scan_entries
+                    if _entry_holds_any_key(stats.get(e), key, vals)
+                ]
+                if vals and len(vals) <= 1024 and all(
+                    isinstance(v, (int, float, str))
+                    and not isinstance(v, bool) for v in vals
+                ):  # bloom probes: plainly-hashable types, bounded count
+                    scan_entries = _bloom_surviving_entries(
+                        spark, path, scan_entries, stats, key, vals
+                    )
+        else:
+            # too many distinct keys to enumerate: covering box (coarse
+            # but safe — min/max over the pinned changeset)
+            row = changes.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            if row["lo"] is not None:
+                scan_entries = [
+                    e for e in scan_entries
+                    if _entry_overlaps(
+                        stats.get(e), {key: (row["lo"], row["hi"])}
+                    )
+                ]
     if prune:
         scan_entries = [
             e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
@@ -1426,11 +1516,8 @@ def merge_into_snapshot(
                 spark, path, scan_entries, stats, col, list(values)
             )
     pruned = [e for e in entries if e not in set(scan_entries)]
-    extra = (
-        {"entries_scanned": len(scan_entries), "entries_pruned": len(pruned)}
-        if (prune or prune_keys) else {}
-    )
-    keys = changes.select(key).distinct()
+    extra = {"entries_scanned": len(scan_entries),
+             "entries_pruned": len(pruned)}
     matching: set = set()
     if scan_entries:
         per_file = (
@@ -1468,7 +1555,7 @@ def merge_into_snapshot(
         merged, path, mode="replace", base_version=latest, carry=carried,
         txn_id=txn_id,
     )
-    return {"version": version, "n_changes": changes.count(),
+    return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),
             **extra}
 

@@ -1358,6 +1358,89 @@ def test_alter_snapshot_schema_rename_drop_without_rewrite(spark, tmp_path):
     assert delete_from_snapshot(spark, path, "k = 1")["n_deleted"] == 1
 
 
+def test_merge_into_snapshot_auto_prune_and_single_eval(spark, tmp_path):
+    """MERGE derives its own entry elimination from the changeset's keys
+    (exact per-key containment against the stamped min/max — a far-out
+    insert key matches NO entry instead of inflating a covering box),
+    removing the hand-hint footgun: a too-small hand box silently turns
+    a matched update into a duplicate insert. And the changeset is
+    evaluated exactly ONCE (eager localCheckpoint) — asserted via a
+    side-effecting UDF."""
+    import os
+    import uuid
+
+    from naru_spark.sources.sinks import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "k int, v int"
+    )
+
+    path = str(tmp_path / "auto")
+    for lo in (0, 100, 200):
+        write_snapshot(mk(lo, lo + 100), path)
+    changes = spark.createDataFrame(
+        [(5, -1, "U"), (7, None, "D"), (900000, -1, "U")],
+        "k int, v int, op string",
+    )
+    info = merge_into_snapshot(spark, path, changes, key="k")
+    # entries (100,199) and (200,299) were never scanned, despite the
+    # 900000 insert key lying far outside every box
+    assert info["entries_pruned"] == 2, info
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, path).collect()}
+    assert got[5] == -1 and 7 not in got and got[900000] == -1
+    assert len(got) == 300  # 300 - 1 delete + 1 insert
+
+    # the footgun: a non-covering HAND box (violating the documented
+    # contract) turns the matched update into a duplicate insert...
+    upd = spark.createDataFrame([(150, -1, "U")], "k int, v int, op string")
+    path2 = str(tmp_path / "hand")
+    for lo in (0, 100, 200):
+        write_snapshot(mk(lo, lo + 100), path2)
+    merge_into_snapshot(spark, path2, upd, key="k", prune={"k": (0, 99)})
+    assert read_snapshot(spark, path2).where("k = 150").count() == 2
+    # ...while auto-derivation covers the keys by construction
+    path3 = str(tmp_path / "auto2")
+    for lo in (0, 100, 200):
+        write_snapshot(mk(lo, lo + 100), path3)
+    merge_into_snapshot(spark, path3, upd, key="k")
+    rows = read_snapshot(spark, path3).where("k = 150").collect()
+    assert len(rows) == 1 and rows[0]["v"] == -1
+
+    # ONE evaluation: the side-effecting UDF fires once per changeset
+    # row even though the changeset feeds the count, the key scan, and
+    # the merge as separate jobs
+    marker = str(tmp_path / "evals")
+    os.makedirs(marker)
+
+    @F.udf("int")
+    def tick(k):
+        open(os.path.join(marker, uuid.uuid4().hex), "w").close()
+        return k
+
+    path4 = str(tmp_path / "once")
+    write_snapshot(mk(0, 60), path4)
+    nd = mk(0, 50).select(
+        tick("k").alias("k"), F.lit(-1).alias("v"), F.lit("U").alias("op")
+    )
+    info4 = merge_into_snapshot(spark, path4, nd, key="k")
+    assert info4["n_changes"] == 50
+    assert len(os.listdir(marker)) == 50, len(os.listdir(marker))
+    assert read_snapshot(spark, path4).where("v = -1").count() == 50
+
+    # a replayed txn returns the recorded version WITHOUT evaluating the
+    # changeset (no new UDF firings) and without committing
+    info5 = merge_into_snapshot(spark, path4, nd, key="k", txn_id="cdc:0")
+    assert info5["n_changes"] == 50  # first time for this txn: committed
+    n_marks = len(os.listdir(marker))
+    replay = merge_into_snapshot(spark, path4, nd, key="k", txn_id="cdc:0")
+    assert replay["version"] == info5["version"] and replay["n_changes"] is None
+    assert len(os.listdir(marker)) == n_marks  # changeset never touched
+
+
 def test_mor_deletes_compose_with_schema_ops(spark, tmp_path):
     """The two metadata-only planes interleave through one commit-ordered
     log (seq = committing version): rename -> merge-on-read delete whose
