@@ -848,6 +848,79 @@ def q_snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional dynamic partition overwrite on an identity-
+    PARTITIONED snapshot table (sources.sinks.replace_where — Delta
+    replaceWhere; sources.sinks.write_snapshot(partition_by=...) stamps
+    one manifest entry per partition value): the corpus lands as TWO
+    lang-partitioned commits (10 entries), then the 'en' partitions are
+    replaced with a reprocessed frame (even doc_ids only, n_chars+1000)
+    — exactly the 2 'en' entries are replaced and the other 8 carry
+    into the commit verbatim (asserted inline), a partition-pruned read
+    plans ONLY the 'en' entries footer-free (inputFiles asserted), the
+    replaceWhere constraint refuses an out-of-set frame, and
+    pre-overwrite history stays time-travelable. The oracle replays
+    keep-others + reprocessed-en in plain SQL."""
+    from naru_spark.sources.sinks import (
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _tmpdir(prefix="docs_snap_rw_") + "/docs"
+    mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    write_snapshot(docs.where(F.col("doc_id") <= mid), path,
+                   partition_by="lang")                                  # v1
+    write_snapshot(docs.where(F.col("doc_id") > mid), path,
+                   partition_by="lang")                                  # v2
+    new_en = (
+        docs.where((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    info = replace_where(spark, path, new_en, "lang", ["en"])            # v3
+    assert info["partitions_replaced"] == 2, info
+    assert info["entries_carried"] == 8, info
+    # the constraint: an out-of-set frame refuses before writing
+    try:
+        replace_where(spark, path, docs.limit(1), "lang", ["zz"])
+        raise AssertionError("out-of-set replacement frame must refuse")
+    except ValueError:
+        pass
+    # footer-free partition pruning: only en entries are planned
+    pruned = read_snapshot(spark, path, partitions={"lang": ["en"]})
+    assert all("__part_lang=en" in f for f in pruned.inputFiles())
+    # pre-overwrite history is intact
+    assert read_snapshot(spark, path, version=2).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_snapshot_replace_where() -> str:
+    return """
+WITH merged AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 1000 FROM documents
+  WHERE lang = 'en' AND doc_id % 2 = 0
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM merged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def sql_snapshot_merge_pruned() -> str:
     return """
 WITH m AS (SELECT MAX(doc_id) // 3 AS t1 FROM documents),
@@ -1809,6 +1882,7 @@ def build_ops_registry():
         "snapshot_delete_bloom": q_snapshot_delete_bloom,
         "snapshot_rename_column": q_snapshot_rename_column,
         "snapshot_merge_pruned": q_snapshot_merge_pruned,
+        "snapshot_replace_where": q_snapshot_replace_where,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -1856,6 +1930,7 @@ def build_ops_registry():
         "snapshot_delete_bloom": sql_snapshot_delete_bloom(),
         "snapshot_rename_column": sql_snapshot_rename_column(),
         "snapshot_merge_pruned": sql_snapshot_merge_pruned(),
+        "snapshot_replace_where": sql_snapshot_replace_where(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

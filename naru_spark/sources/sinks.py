@@ -564,6 +564,30 @@ def _entry_holds_any_key(stat: dict | None, col: str, sorted_vals: list) -> bool
         return True
 
 
+def _entry_partition_match(stat: dict | None, col: str, want: set) -> bool:
+    """Does an entry's STAMPED identity-partition value match any probe
+    value (compared as the directory-name string)? Entries without a
+    partition stamp for this column are never pruned (conservative —
+    unpartitioned commits and legacy manifests read in full)."""
+    v = (stat or {}).get("partition", {}).get(col)
+    return True if v is None else v in want
+
+
+def _common_partition_col(stats: dict, entries) -> str | None:
+    """The single identity-partition column shared by ALL given entries'
+    stamps, or None. Rewrite paths (delete survivors, merge output,
+    compaction) use it to re-commit their output under the SAME
+    partition spec, so a partitioned table stays partitioned — and
+    ``replace_where``-able — through its whole lifecycle."""
+    cols = [
+        set(((stats.get(e) or {}).get("partition") or {}).keys())
+        for e in entries
+    ]
+    if cols and all(c == cols[0] and len(c) == 1 for c in cols):
+        return next(iter(cols[0]))
+    return None
+
+
 def _entry_overlaps(stat: dict | None, prune: dict) -> bool:
     """Does an entry's stamped column range intersect the [lo, hi] box?
     Missing stats (legacy manifests) or missing columns mean CANNOT
@@ -646,6 +670,8 @@ def write_snapshot(
     base_version: int | None = None,
     carry: list[str] | None = None,
     bloom_key: str | None = None,
+    partition_by: str | None = None,
+    carry_partitions: dict | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -704,8 +730,18 @@ def write_snapshot(
     commit over a legacy stats-less manifest back-fills stats with a
     one-time footer sweep (footers only, never data pages).
 
-    Returns the committed (or previously-committed, for a replayed
-    txn_id) version."""
+    ``partition_by`` (identity partition spec, Iceberg partition-field /
+    Delta partitionBy analog): the delta is written hive-partitioned on
+    a DUPLICATED column (``__part_<col>=<val>`` subdirs — the real
+    column stays in the data files, so each subdir reads back with the
+    full schema), and EVERY partition subdir becomes its own manifest
+    entry stamped ``stats[entry]["partition"] = {col: "<val>"}``.
+    Partition-equality reads/deletes/``replace_where`` then eliminate
+    entries on ONE manifest read — exact identity, no footer ever
+    opened. Values are stamped as the directory-name STRING (compare
+    with ``str(value)``; int/string/date partition columns round-trip
+    exactly — avoid float partition columns). Not composable with
+    ``bloom_key`` (sidecar naming is per top-level dir)."""
     import json
     import os
     import shutil
@@ -765,14 +801,50 @@ def write_snapshot(
             return int(rec["commit"])  # replayed batch: already committed
     n = base + 1
     data_dir = os.path.join(path, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("error").parquet(data_dir)
+    if partition_by is not None:
+        if bloom_key is not None:
+            raise ValueError(
+                "bloom_key and partition_by do not compose (bloom "
+                "sidecars are named per top-level data dir) — identity "
+                "partition pruning already serves point lookups on the "
+                "partition column"
+            )
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        pcol = "__part_" + partition_by
+        (
+            df.withColumn(pcol, F.col(partition_by))
+            .write.mode("error").partitionBy(pcol).parquet(data_dir)
+        )
+        new_entries = sorted(
+            os.path.join(data_dir, d) for d in os.listdir(data_dir)
+            if d.startswith(pcol + "=")
+        )
+    else:
+        df.write.mode("error").parquet(data_dir)
+        new_entries = [data_dir]
     if txn_id is not None:
         txns[app] = {"v": ver, "commit": n}
     # stats: reuse the base manifest's stamp for carried entries (file
     # entries split out of a dir by a delete, or legacy entries, compute
-    # once from footers); the new delta dir is always a fresh footer read
-    stats = {e: (prev_stats.get(e) or _entry_stats(e)) for e in prev}
-    stats[data_dir] = _entry_stats(data_dir)
+    # once from footers); the new delta dir is always a fresh footer
+    # read. ``carry_partitions`` lets a partial-rewrite caller stamp the
+    # identity-partition value onto file entries it split out of a
+    # partition entry (the file inherits its parent's partition).
+    stats = {}
+    for e in prev:
+        s = prev_stats.get(e) or _entry_stats(e)
+        if carry_partitions and e in carry_partitions and "partition" not in s:
+            s = {**s, "partition": carry_partitions[e]}
+        stats[e] = s
+    for e in new_entries:
+        stats[e] = _entry_stats(e)
+        if partition_by is not None:
+            stats[e]["partition"] = {
+                partition_by: unquote(os.path.basename(e).split("=", 1)[1])
+            }
     if bloom_key is not None:
         # key-membership sidecar for the NEW entry (Delta bloom index /
         # Iceberg puffin shape): one pass over the just-written delta's
@@ -784,7 +856,7 @@ def write_snapshot(
             df.sparkSession, data_dir, bloom_key, path,
             stats[data_dir]["n_rows"],
         )
-    manifest = {"version": n, "dirs": prev + [data_dir], "txns": txns,
+    manifest = {"version": n, "dirs": prev + new_entries, "txns": txns,
                 "stats": stats}
     if deletes:
         manifest["deletes"] = deletes
@@ -806,6 +878,7 @@ def read_snapshot(
     merge_schema: bool = False,
     prune: dict | None = None,
     prune_keys: dict | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
@@ -842,7 +915,15 @@ def read_snapshot(
     whose bloom sidecar (stamped by ``write_snapshot(bloom_key=...)``)
     misses every probe value are skipped, which prunes even UNCLUSTERED
     layouts where every entry's min/max box overlaps everything. Same
-    hint contract; bloomless entries are never pruned."""
+    hint contract; bloomless entries are never pruned.
+
+    ``partitions={col: [values]}``: identity-partition pruning for
+    tables written with ``write_snapshot(partition_by=col)`` — entries
+    whose STAMPED partition value (dir-name string, compared with
+    ``str(value)``) matches no probe value are skipped on the manifest
+    read alone, exact and footer-free; unstamped entries are never
+    pruned. Same hint contract: the caller still applies its real
+    predicate."""
     import json
     import os
 
@@ -858,9 +939,16 @@ def read_snapshot(
         man = json.load(fh)
     dirs = man["dirs"]
     limit0 = False
-    if prune or prune_keys:
+    if prune or prune_keys or partitions:
         stats = man.get("stats", {})
         kept = list(dirs)
+        if partitions:
+            for col, values in partitions.items():
+                want = {str(v) for v in values}
+                kept = [
+                    e for e in kept
+                    if _entry_partition_match(stats.get(e), col, want)
+                ]
         if prune:
             kept = [e for e in kept if _entry_overlaps(stats.get(e), prune)]
         if prune_keys:
@@ -1044,8 +1132,10 @@ def snapshot_stream_source(
             "compact_snapshot first to materialize them"
         )
     data_root = os.path.join(path, "data")
-    on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
-    orphans = on_disk - set(prev)
+    # compare commit-dir IDENTITIES (an entry may be a partition subdir
+    # or a carried file a level below the commit dir it keeps alive)
+    referenced = _referenced_dir_names(man_dir, versions={versions[-1]})
+    orphans = set(os.listdir(data_root)) - referenced
     if orphans:
         raise ValueError(
             f"orphan data dirs not referenced by the latest manifest at "
@@ -1066,6 +1156,7 @@ def compact_snapshot(
     zorder_by: Sequence[str] | None = None,
     min_file_bytes: int | None = None,
     full: bool = False,
+    partition_by: str | None = None,
 ) -> dict:
     """Small-file compaction for a snapshot table (Iceberg
     ``rewrite_data_files`` / Delta OPTIMIZE analog), SELECTIVE by
@@ -1173,6 +1264,16 @@ def compact_snapshot(
         rewritten, _, _ = _zorder_cluster(current, zorder_by, target_files)
     else:
         rewritten = current.coalesce(target_files)
+    # a partitioned table's rewrite re-commits under the same identity
+    # spec, so compaction never strips the partition stamps that
+    # replace_where and partition pruning rely on (unless a pending
+    # schema op just dropped/renamed the partition column away). An
+    # explicit ``partition_by`` overrides the auto-detect — the way to
+    # (re-)stamp a table whose entries mix specs: compact_snapshot(
+    # full=True, partition_by=col).
+    part_col = partition_by or _common_partition_col(stats, under)
+    if part_col is not None and part_col not in rewritten.columns:
+        part_col = None
     # base_version pins the rewrite to the manifest we actually read: an
     # append landing between our read and our publish makes the commit
     # raise instead of silently superseding (and later expiring) its rows
@@ -1182,6 +1283,7 @@ def compact_snapshot(
         mode="replace",
         base_version=latest,
         carry=carried if carried else None,
+        partition_by=part_col,
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = sum(
@@ -1199,6 +1301,7 @@ def delete_from_snapshot(
     mode: str = "copy-on-write",
     prune: dict | None = None,
     prune_keys: dict | None = None,
+    partitions: dict | None = None,
 ) -> dict:
     """Row-level delete on a snapshot table (Delta ``DELETE FROM ...
     WHERE`` analog — the GDPR-delete shape): rows matching ``condition``
@@ -1323,6 +1426,16 @@ def delete_from_snapshot(
     pruned: list[str] = []
     scan_entries = entries
     stats = man.get("stats", {})
+    if partitions:
+        # identity-partition elimination (``partitions={col: [values]}``,
+        # same covering contract): exact dir-name-string match on the
+        # stamped partition value, zero I/O; unstamped entries survive
+        for col, values in partitions.items():
+            want = {str(v) for v in values}
+            scan_entries = [
+                e for e in scan_entries
+                if _entry_partition_match(stats.get(e), col, want)
+            ]
     if prune:
         scan_entries = [
             e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
@@ -1332,11 +1445,12 @@ def delete_from_snapshot(
             scan_entries = _bloom_surviving_entries(
                 spark, path, scan_entries, stats, col, list(values)
             )
-    if prune or prune_keys:
+    hinted = bool(prune or prune_keys or partitions)
+    if hinted:
         pruned = [e for e in entries if e not in set(scan_entries)]
     extra = (
         {"entries_scanned": len(scan_entries), "entries_pruned": len(pruned)}
-        if (prune or prune_keys) else {}
+        if hinted else {}
     )
     if not scan_entries:
         return {"version": latest, "n_deleted": 0,
@@ -1359,7 +1473,8 @@ def delete_from_snapshot(
         return {"version": latest, "n_deleted": 0,
                 "files_rewritten": 0, "files_carried": 0, **extra}
     matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
-    carried, touched = list(pruned), []
+    carried, touched, touched_entries = list(pruned), [], []
+    carry_parts: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
         hit = [f for f in files if os.path.realpath(f) in matching]
@@ -1367,14 +1482,23 @@ def delete_from_snapshot(
             carried.append(e)  # whole entry untouched: re-reference as-is
         else:
             touched.extend(hit)
-            carried.extend(f for f in files if os.path.realpath(f) not in matching)
-    # rewrite ONLY the matching files' survivors; NULL condition survives
+            touched_entries.append(e)
+            part = (stats.get(e) or {}).get("partition")
+            for f in files:
+                if os.path.realpath(f) not in matching:
+                    carried.append(f)
+                    if part:  # split files inherit the parent's partition
+                        carry_parts[f] = part
+    # rewrite ONLY the matching files' survivors; NULL condition survives;
+    # survivors of a partitioned table re-commit under the same spec
     version = write_snapshot(
         spark.read.parquet(*touched).where(~cond | cond.isNull()),
         path,
         mode="replace",
         base_version=latest,
         carry=carried,
+        partition_by=_common_partition_col(stats, touched_entries),
+        carry_partitions=carry_parts or None,
     )
     return {"version": version, "n_deleted": n_deleted,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -1531,7 +1655,8 @@ def merge_into_snapshot(
             .collect()
         )
         matching = {os.path.realpath(_strip_file_uri(r["__f"])) for r in per_file}
-    carried, touched = list(pruned), []
+    carried, touched, touched_entries = list(pruned), [], []
+    carry_parts: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
         hit = [f for f in files if os.path.realpath(f) in matching]
@@ -1539,9 +1664,13 @@ def merge_into_snapshot(
             carried.append(e)
         else:
             touched.extend(hit)
-            carried.extend(
-                f for f in files if os.path.realpath(f) not in matching
-            )
+            touched_entries.append(e)
+            part = (stats.get(e) or {}).get("partition")
+            for f in files:
+                if os.path.realpath(f) not in matching:
+                    carried.append(f)
+                    if part:  # split files inherit the parent's partition
+                        carry_parts[f] = part
     base_touched = (
         spark.read.parquet(*touched) if touched
         else spark.read.parquet(*entries).limit(0)  # pure-insert changeset
@@ -1551,13 +1680,102 @@ def merge_into_snapshot(
     # one aggregate over the changeset
     merged = merge_into(base_touched, changes, key=key, op_col=op_col,
                         validate=validate)
+    # a partitioned table's merge output (matched rewrites + inserts)
+    # re-commits under the same spec — but only when the WHOLE visible
+    # table shares it (inserts may land in any partition)
     version = write_snapshot(
         merged, path, mode="replace", base_version=latest, carry=carried,
         txn_id=txn_id,
+        partition_by=(
+            _common_partition_col(stats, entries) if entries else None
+        ),
+        carry_partitions=carry_parts or None,
     )
     return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),
             **extra}
+
+
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    col: str,
+    values,
+    txn_id: str | None = None,
+    base_version: int | None = None,
+) -> dict:
+    """Transactional dynamic partition overwrite on an identity-
+    PARTITIONED snapshot table (Delta ``replaceWhere`` — the reprocess-
+    one-day/source shape, now with time travel and optimistic
+    concurrency on top of the plain ``overwrite_partitions`` sink):
+    commit ``df`` as the NEW content of exactly the partitions named by
+    ``values``; every other partition's entries carry into the replace
+    commit VERBATIM (zero rewrite I/O — a one-partition overwrite on a
+    100 TB table pays for that partition's bytes).
+
+    Delta's two replaceWhere guarantees are enforced: (1) the
+    CONSTRAINT — ``df`` must contain only rows whose ``col`` is in
+    ``values`` (a NULL or out-of-set row raises BEFORE anything is
+    written; silently keeping it would corrupt the untouched
+    partitions' contract); (2) the BOUNDARY — every visible entry must
+    carry a partition stamp for ``col`` (an unstamped/unpartitioned
+    commit could hold in-set rows that a carry would wrongly preserve;
+    compact the table under the spec first). The commit pins
+    ``base_version`` (default: the manifest read here), so a concurrent
+    append/replace surfaces as ``SnapshotConflictError`` instead of
+    being silently superseded; ``txn_id`` gives foreachBatch replay
+    idempotence. Refuses pending merge-on-read deletes / schema ops
+    like every partial-rewrite path (write_snapshot's carry guard).
+
+    Returns {"version", "partitions_replaced", "entries_carried"}."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if base_version is None:
+        base_version = latest
+    with open(os.path.join(man_dir, f"v{base_version}.json")) as fh:
+        man = json.load(fh)
+    stats = man.get("stats", {})
+    vals = list(values)
+    want = {str(v) for v in vals}
+    replaced, carried = [], []
+    for e in man["dirs"]:
+        v = (stats.get(e) or {}).get("partition", {}).get(col)
+        if v is None:
+            raise ValueError(
+                f"replace_where needs every entry partition-stamped on "
+                f"{col!r}, but {e} has no stamp — write the table with "
+                f"write_snapshot(partition_by={col!r}); compact_snapshot("
+                f"full=True, partition_by={col!r}) re-stamps a mixed table"
+            )
+        (replaced if v in want else carried).append(e)
+    # the replaceWhere CONSTRAINT: every df row must fall in the named
+    # partitions — checked on a limit-1 job before any write
+    viol = (
+        df.where(~F.col(col).isin(vals) | F.col(col).isNull())
+        .limit(1).collect()
+    )
+    if viol:
+        raise ValueError(
+            f"replace_where(df, {col}={vals!r}): the replacement frame "
+            f"contains out-of-set row {viol[0].asDict()!r} — Delta "
+            "replaceWhere rejects rows outside the predicate rather than "
+            "silently dropping or leaking them"
+        )
+    version = write_snapshot(
+        df, path, mode="replace", base_version=base_version,
+        carry=carried, partition_by=col, txn_id=txn_id,
+    )
+    return {"version": version, "partitions_replaced": len(replaced),
+            "entries_carried": len(carried)}
 
 
 def maintain_snapshot(
@@ -1873,7 +2091,16 @@ def _referenced_dir_names(man_dir: str, versions=None) -> set:
     import os
 
     def dir_name(entry: str) -> str:
+        # identity = the path component directly under the table's
+        # ``data/`` dir: a partition entry (data/vN-tok/__part_c=v) or a
+        # carried FILE entry (data/vN-tok/x.parquet) both resolve to the
+        # commit dir vN-tok that owns them
         p = os.path.normpath(entry)
+        parts = p.split(os.sep)
+        if "data" in parts:
+            i = len(parts) - 1 - parts[::-1].index("data")
+            if i + 1 < len(parts):
+                return parts[i + 1]
         return os.path.basename(os.path.dirname(p) if p.endswith(".parquet") else p)
 
     names: set = set()

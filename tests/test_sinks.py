@@ -1358,6 +1358,119 @@ def test_alter_snapshot_schema_rename_drop_without_rewrite(spark, tmp_path):
     assert delete_from_snapshot(spark, path, "k = 1")["n_deleted"] == 1
 
 
+def test_partitioned_snapshot_table_and_replace_where(spark, tmp_path):
+    """Identity-partitioned snapshot tables (write_snapshot(partition_by=))
+    + transactional dynamic partition overwrite (replace_where — Delta
+    replaceWhere): per-partition manifest entries with stamped values,
+    footer-free partition pruning on reads and deletes, carry-verbatim
+    overwrite of exactly the named partitions, the replaceWhere
+    constraint and boundary guards, optimistic concurrency, and spec
+    preservation through compaction and GC."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        SnapshotConflictError,
+        compact_snapshot,
+        delete_from_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    def mk(lo, hi, srcs):
+        return spark.createDataFrame(
+            [(i, srcs[i % len(srcs)]) for i in range(lo, hi)],
+            "k int, src string",
+        )
+
+    path = str(tmp_path / "t")
+    write_snapshot(mk(0, 90, ["a", "b", "c"]), path, partition_by="src")  # v1
+    man = json.load(open(os.path.join(path, "_manifests", "v1.json")))
+    assert len(man["dirs"]) == 3  # one entry per partition value
+    stamps = sorted(
+        man["stats"][e]["partition"]["src"] for e in man["dirs"]
+    )
+    assert stamps == ["a", "b", "c"]
+
+    # footer-free partition pruning: only src=b's entry is planned
+    r = read_snapshot(spark, path, partitions={"src": ["b"]})
+    assert sorted(x["k"] for x in r.collect()) == [k for k in range(90) if k % 3 == 1]
+    assert all("__part_src=b" in f for f in r.inputFiles()), r.inputFiles()
+    # the real column is IN the data files (duplicated hive col trick)
+    assert set(r.columns) == {"k", "src"}
+
+    write_snapshot(mk(90, 120, ["b", "d"]), path, partition_by="src")   # v2
+
+    # replace src=b across BOTH commits; a, c, d carry verbatim
+    new_b = spark.createDataFrame([(1000 + i, "b") for i in range(5)],
+                                  "k int, src string")
+    info = replace_where(spark, path, new_b, "src", ["b"])              # v3
+    assert info == {"version": 3, "partitions_replaced": 2,
+                    "entries_carried": 3}, info
+    got = sorted(x["k"] for x in read_snapshot(spark, path).collect())
+    keep = [k for k in range(90) if k % 3 != 1] + \
+           [k for k in range(90, 120) if k % 2 == 1] + \
+           [1000 + i for i in range(5)]
+    assert got == sorted(keep)
+    # time travel predates the overwrite
+    assert read_snapshot(spark, path, version=2).count() == 120
+
+    # constraint guard: out-of-set and NULL rows refuse BEFORE writing
+    bad = spark.createDataFrame([(1, "zzz")], "k int, src string")
+    with pytest.raises(ValueError, match="out-of-set"):
+        replace_where(spark, path, bad, "src", ["b"])
+    with pytest.raises(ValueError, match="out-of-set"):
+        replace_where(
+            spark, path,
+            spark.createDataFrame([(1, None)], "k int, src string"),
+            "src", ["b"],
+        )
+
+    # optimistic concurrency: an append lands between read and publish
+    stale = 3
+    write_snapshot(mk(200, 210, ["a"]), path, partition_by="src")       # v4
+    with pytest.raises(SnapshotConflictError):
+        replace_where(spark, path, new_b, "src", ["b"], base_version=stale)
+
+    # partition-pruned COW delete: only src=a entries scanned
+    dinfo = delete_from_snapshot(
+        spark, path, "src = 'a' and k < 3", partitions={"src": ["a"]}
+    )
+    assert dinfo["n_deleted"] == 1 and dinfo["entries_pruned"] >= 3, dinfo
+    # ...and the table stays replace_where-able: the delete's survivor
+    # commit re-stamped its rewrite and its carried split files
+    info2 = replace_where(
+        spark, path,
+        spark.createDataFrame([(5000, "d")], "k int, src string"),
+        "src", ["d"],
+    )
+    assert info2["partitions_replaced"] >= 1
+
+    # boundary guard: an UNPARTITIONED append blocks replace_where...
+    write_snapshot(mk(300, 305, ["a"]), path)
+    with pytest.raises(ValueError, match="no stamp"):
+        replace_where(spark, path, new_b, "src", ["b"])
+    # ...and a full compaction under the spec re-stamps the whole table
+    compact_snapshot(spark, path, full=True, partition_by="src")
+    info3 = replace_where(spark, path, new_b, "src", ["b"])
+    assert info3["partitions_replaced"] >= 1
+    expected = sorted(
+        r_["k"] for r_ in read_snapshot(spark, path).collect()
+    )
+
+    # GC identity: partition entries keep their COMMIT DIR alive (the
+    # basename-under-data rule) — retention must not eat live subdir
+    # entries, and the table reads back identically afterwards
+    expire_snapshots(path, keep_last=1)
+    assert sorted(
+        r_["k"] for r_ in read_snapshot(spark, path).collect()
+    ) == expected
+
+
 def test_merge_into_snapshot_auto_prune_and_single_eval(spark, tmp_path):
     """MERGE derives its own entry elimination from the changeset's keys
     (exact per-key containment against the stamped min/max — a far-out
