@@ -3793,6 +3793,73 @@ def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
+def q_stream_bm25_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED SERVING DURING STREAMING INGEST — the closure of the
+    serving matrix (stream_bm25_index_maintain × bm25_topk_filtered):
+    the corpus streams into the maintained BM25 index in micro-batches,
+    and AFTER EVERY batch the live index answers a FILTERED probe
+    (bm25_topk_from_index(doc_filter=...) — allowed docs only, stats
+    corpus-level-so-far), exactly a search service that keeps serving
+    constrained queries while its index follows the document stream.
+    Interim probes are asserted well-formed (≤ k allowed rows per
+    query, every hit allowed); the FINAL probe runs over the fully
+    ingested index and is content-identical to the batch filtered
+    entry whatever the batch boundaries — it shares bm25_topk_filtered's
+    oracle (sql_bm25_topk(candidate_where=...)) verbatim."""
+    import os
+
+    from naru_spark.pipeline.retrieval import (
+        bm25_maintain_index,
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    base = tmpdir(prefix="bm25_serve_filtered_")
+    src, path = base + "/src", base + "/idx"
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    probes: list = []
+
+    def ingest_and_serve(bdf: DataFrame, bid: int) -> None:
+        if not os.path.exists(os.path.join(path, "postings")):
+            bm25_write_index(bdf, path)
+        else:
+            bm25_maintain_index(bdf, path, merge_factor=2)
+        # serve a constrained query off the LIVE index (cheap interim
+        # probe: 2 queries; the full set runs once at the end)
+        hits = bm25_topk_from_index(
+            spark, path, _BM25_QUERIES[:2], k=10, doc_filter=allowed
+        ).collect()
+        assert all(r["doc_id"] % 2 == 0 for r in hits), "filter leaked"
+        per_q: dict = {}
+        for r in hits:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        assert all(n <= 10 for n in per_q.values()), per_q
+        probes.append(len(hits))
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_and_serve)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert len(probes) >= 3 and all(n > 0 for n in probes), probes
+    return bm25_topk_from_index(
+        spark, path, _BM25_QUERIES, k=10, doc_filter=allowed
+    )
+
+
 def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest INTO the MAINTAINED persisted ANN index
     (foreachBatch + pipeline.similarity.ivfpq_maintain_index with
@@ -4297,6 +4364,7 @@ def build_pipeline_registry():
         "gopher_stream": q_gopher_stream,
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "stream_bm25_index_maintain": q_stream_bm25_index_maintain,
+        "stream_bm25_serve_filtered": q_stream_bm25_serve_filtered,
         "stream_merge_cdc": q_stream_merge_cdc,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "similarity_topk_ivfpq_filtered": q_similarity_topk_ivfpq_filtered,
@@ -4423,6 +4491,10 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "stream_merge_cdc": _sql_merge_into_cdc(),
         # filtered retrieval: candidates restricted, stats corpus-level
         "bm25_topk_filtered": sql_bm25_topk(
+            candidate_where="WHERE tf.doc_id % 2 = 0"),
+        # filtered serving off the maintained stream: the final probe is
+        # content-identical to the batch filtered entry — same oracle
+        "stream_bm25_serve_filtered": sql_bm25_topk(
             candidate_where="WHERE tf.doc_id % 2 = 0"),
         # filtered ANN: the replay restricted to the same candidate set
         "similarity_topk_ivfpq_filtered": sql_similarity_ivfpq(
