@@ -1150,6 +1150,46 @@ def snapshot_stream_source(
     )
 
 
+def _compaction_plan(
+    man: dict, stats: dict, threshold: int,
+    full: bool = False, zorder: bool = False,
+) -> dict:
+    """The ONE place the compaction policy lives (compact_snapshot
+    executes it; maintain_snapshot's trigger asks it what a compaction
+    WOULD do, so the two can never drift): returns {"force_full",
+    "under", "carried", "rewrite_files", "rewrite_bytes", "noop"}.
+    Full rewrite is forced by the caller flag, by pending
+    merge-on-read deletes / schema ops (materialization), or by
+    clustering (global re-layout); otherwise UNDER-SIZED entries
+    (stamped average file size below ``threshold``) are selected and a
+    sub-2-file selection is a noop (nothing to merge — Delta OPTIMIZE
+    skips single-file bins the same way)."""
+    dirs = man["dirs"]
+    force_full = (
+        full or zorder
+        or bool(man.get("deletes"))
+        or bool(man.get("schema_ops"))
+    )
+    if force_full:
+        under, carried = list(dirs), []
+    else:
+        under = [
+            e for e in dirs
+            if stats[e]["n_files"]
+            and stats[e]["n_bytes"] / stats[e]["n_files"] < threshold
+        ]
+        carried = [e for e in dirs if e not in set(under)]
+    rewrite_files = sum(stats[e]["n_files"] for e in under)
+    return {
+        "force_full": force_full,
+        "under": under,
+        "carried": carried,
+        "rewrite_files": rewrite_files,
+        "rewrite_bytes": sum(stats[e]["n_bytes"] for e in under),
+        "noop": not under or (not force_full and rewrite_files < 2),
+    }
+
+
 def compact_snapshot(
     spark: SparkSession, path: str, target_files: int | None = None,
     target_file_bytes: int = 512 * 1024 * 1024,
@@ -1221,33 +1261,21 @@ def compact_snapshot(
     # zero filesystem walks (legacy stats-less manifests back-fill once)
     stats = _manifest_stats(man)
     before = sum(s["n_files"] for s in stats.values())
-    force_full = (
-        full
-        or zorder_by is not None
-        or bool(man.get("deletes"))
-        or bool(man.get("schema_ops"))
-    )
     threshold = target_file_bytes if min_file_bytes is None else min_file_bytes
-    if force_full:
-        under, carried = list(dirs), []
-    else:
-        under = [
-            e for e in dirs
-            if stats[e]["n_files"]
-            and stats[e]["n_bytes"] / stats[e]["n_files"] < threshold
-        ]
-        carried = [e for e in dirs if e not in set(under)]
-    rewrite_files = sum(stats[e]["n_files"] for e in under)
-    # a selective pass needs at least two files to merge — rewriting one
-    # lone under-sized file into one file is pure churn (Delta OPTIMIZE
-    # skips single-file bins the same way)
-    if not under or (not force_full and rewrite_files < 2):
+    plan = _compaction_plan(man, stats, threshold, full=full,
+                            zorder=zorder_by is not None)
+    force_full, under, carried = (
+        plan["force_full"], plan["under"], plan["carried"]
+    )
+    if plan["noop"]:
         return {"version": latest, "files_before": before,
                 "files_after": before, "mode": "noop",
                 "files_rewritten": 0, "entries_carried": len(carried)}
+    rewrite_files = plan["rewrite_files"]
     if target_files is None:
-        rewrite_bytes = sum(stats[e]["n_bytes"] for e in under)
-        target_files = max(1, math.ceil(rewrite_bytes / target_file_bytes))
+        target_files = max(
+            1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
+        )
     if force_full:
         # read_snapshot (not a raw parquet read): pending merge-on-read
         # deletes and rename/drop ops are APPLIED by the rewrite —
@@ -1599,12 +1627,19 @@ def merge_into_snapshot(
         if len(key_vals) <= auto_prune_max_keys:
             # NULL keys never match a base row (the semi-join drops
             # them), so eliminating entries on the non-null keys alone
-            # is exact; an all-NULL/empty key set matches nothing
+            # is exact; an all-NULL/empty key set matches nothing. A NaN
+            # key disables pruning outright: Spark joins treat NaN as
+            # equal to itself, but NaN neither sorts (bisect would
+            # misprobe) nor appears in parquet min/max stats — no safe
+            # containment test exists for it.
             vals = [v for v in key_vals if v is not None]
-            try:
-                vals.sort()
-            except TypeError:
-                vals = None  # mixed key types: no safe order, no pruning
+            if any(isinstance(v, float) and v != v for v in vals):
+                vals = None
+            else:
+                try:
+                    vals.sort()
+                except TypeError:
+                    vals = None  # mixed key types: no safe order/pruning
             if vals is not None:
                 scan_entries = [
                     e for e in scan_entries
@@ -1614,9 +1649,17 @@ def merge_into_snapshot(
                     isinstance(v, (int, float, str))
                     and not isinstance(v, bool) for v in vals
                 ):  # bloom probes: plainly-hashable types, bounded count
-                    scan_entries = _bloom_surviving_entries(
-                        spark, path, scan_entries, stats, key, vals
-                    )
+                    try:
+                        scan_entries = _bloom_surviving_entries(
+                            spark, path, scan_entries, stats, key, vals
+                        )
+                    except ValueError:
+                        # a key unrepresentable in some bloom's stamped
+                        # dtype can never match that entry's rows, but
+                        # proving it per-entry isn't worth it here: the
+                        # AUTO path just skips bloom pruning (the raise
+                        # is the contract for EXPLICIT prune_keys only)
+                        pass
         else:
             # too many distinct keys to enumerate: covering box (coarse
             # but safe — min/max over the pinned changeset)
@@ -1757,6 +1800,10 @@ def replace_where(
                 f"full=True, partition_by={col!r}) re-stamps a mixed table"
             )
         (replaced if v in want else carried).append(e)
+    # pin ONE evaluation of the replacement frame: the constraint probe
+    # and the write are separate jobs, and a non-deterministic df could
+    # otherwise pass the probe yet write a violating row
+    df = df.localCheckpoint(eager=True)
     # the replaceWhere CONSTRAINT: every df row must fall in the named
     # partitions — checked on a limit-1 job before any write
     viol = (
@@ -1844,20 +1891,15 @@ def maintain_snapshot(
     total_bytes = sum(s["n_bytes"] for s in stats.values())
     target = max(1, math.ceil(total_bytes / target_file_bytes))
     threshold = target_file_bytes if min_file_bytes is None else min_file_bytes
-    # pending metadata-only logs force full-rewrite materialization, so
-    # the trigger must then weigh the WHOLE table (that is what a
-    # triggered compaction would rewrite)
-    force_full = bool(man.get("deletes")) or bool(man.get("schema_ops"))
-    frag = [
-        s for s in stats.values()
-        if force_full
-        or (s["n_files"] and s["n_bytes"] / s["n_files"] < threshold)
-    ]
-    frag_files = sum(s["n_files"] for s in frag)
+    # ask the compaction policy itself what a triggered pass would
+    # rewrite (pending metadata-only logs force full materialization,
+    # which weighs the whole table) — ONE shared selection, no drift
+    plan = _compaction_plan(man, stats, threshold,
+                            zorder=zorder_by is not None)
     frag_target = max(
-        1, math.ceil(sum(s["n_bytes"] for s in frag) / target_file_bytes)
+        1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
     )
-    if frag_files <= merge_factor * frag_target:
+    if plan["noop"] or plan["rewrite_files"] <= merge_factor * frag_target:
         info = {"action": "noop", "files": n_files, "target_files": target}
     else:
         # zorder_by makes the triggered rewrite CLUSTER while it compacts
@@ -2114,13 +2156,54 @@ def _referenced_dir_names(man_dir: str, versions=None) -> set:
     return names
 
 
+def _referenced_subitems(man_dir: str, versions=None) -> dict:
+    """Per commit-dir reference granularity across the (given or all)
+    manifests: ``{commit_dir_name: "whole" | {subdir names}}``. A whole-
+    dir entry (or a carried file directly under the dir) marks the dir
+    "whole"; partition-subdir entries (and carried files INSIDE a
+    subdir) mark just that subdir — which is what lets retention reclaim
+    a superseded partition subdir while its live siblings keep the
+    commit dir alive."""
+    import json
+    import os
+
+    refs: dict = {}
+    for f in os.listdir(man_dir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        if versions is not None and int(f[1:-5]) not in versions:
+            continue
+        with open(os.path.join(man_dir, f)) as fh:
+            entries = json.load(fh)["dirs"]
+        for entry in entries:
+            parts = os.path.normpath(entry).split(os.sep)
+            if "data" not in parts:
+                continue  # foreign spelling: top-level sweep handles it
+            i = len(parts) - 1 - parts[::-1].index("data")
+            rel = parts[i + 1:]
+            if not rel:
+                continue
+            name = rel[0]
+            if len(rel) == 1 or rel[1].endswith(".parquet"):
+                # the whole commit dir, or a file directly under it
+                # (unpartitioned commit): keep everything inside
+                refs[name] = "whole"
+            elif refs.get(name) != "whole":
+                refs.setdefault(name, set()).add(rel[1])
+    return refs
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
     but the last ``keep_last`` manifests, then delete every data
-    directory no kept manifest references. Time travel shrinks to the
-    kept window; the CURRENT version is never touchable (keep_last >= 1
-    enforced). Returns the deleted data dirs (for audit logs)."""
-    import json
+    directory no kept manifest references — and, inside surviving
+    commit dirs of PARTITIONED tables, every partition subdir no kept
+    manifest references (a ``replace_where`` supersedes one partition's
+    subdirs while their siblings stay live; without the subdir sweep a
+    daily reprocess-one-partition loop would leak the replaced bytes
+    forever). Time travel shrinks to the kept window; the CURRENT
+    version is never touchable (keep_last >= 1 enforced). Returns the
+    deleted data dirs/subdirs (for audit logs)."""
     import os
     import shutil
 
@@ -2135,6 +2218,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     # path spelling, and a raw-string mismatch here would delete EVERY
     # data dir including the current version's
     referenced = _referenced_dir_names(man_dir, versions=set(keep))
+    subrefs = _referenced_subitems(man_dir, versions=set(keep))
     deleted = []
     data_root = os.path.join(path, "data")
     for d in sorted(os.listdir(data_root)):
@@ -2143,6 +2227,17 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
             shutil.rmtree(full)
             _drop_bloom(path, d)
             deleted.append(full)
+            continue
+        live_subs = subrefs.get(d)
+        if isinstance(live_subs, set):
+            # the commit dir survives only through SUBDIR references:
+            # reclaim its unreferenced partition subdirs (superseded by
+            # replace_where); plain files (_SUCCESS) stay
+            for child in sorted(os.listdir(full)):
+                cp = os.path.join(full, child)
+                if os.path.isdir(cp) and child not in live_subs:
+                    shutil.rmtree(cp)
+                    deleted.append(cp)
     for v in drop:
         os.remove(os.path.join(man_dir, f"v{v}.json"))
     return deleted

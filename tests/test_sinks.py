@@ -1471,6 +1471,47 @@ def test_partitioned_snapshot_table_and_replace_where(spark, tmp_path):
     ) == expected
 
 
+def test_expire_reclaims_superseded_partition_subdirs(spark, tmp_path):
+    """A replace_where supersedes ONE partition's subdirs while their
+    siblings stay live — retention must reclaim exactly those subdirs
+    (else a daily reprocess-one-partition loop leaks the replaced bytes
+    forever), while whole-dir references keep everything."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        expire_snapshots,
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(60)], "k int, src string"
+    )
+    write_snapshot(df, path, partition_by="src")                        # v1
+    data_root = os.path.join(path, "data")
+    v1_dir = os.path.join(data_root, os.listdir(data_root)[0])
+    assert os.path.isdir(os.path.join(v1_dir, "__part_src=b"))
+
+    new_b = spark.createDataFrame([(1000, "b")], "k int, src string")
+    replace_where(spark, path, new_b, "src", ["b"])                     # v2
+    expected = sorted(
+        r["k"] for r in read_snapshot(spark, path).collect()
+    )
+
+    deleted = expire_snapshots(path, keep_last=1)
+    # v1's superseded b subdir reclaimed; live siblings a/c survive
+    assert any(d.endswith("__part_src=b") and v1_dir in d for d in deleted), (
+        deleted, v1_dir)
+    assert not os.path.exists(os.path.join(v1_dir, "__part_src=b"))
+    assert os.path.isdir(os.path.join(v1_dir, "__part_src=a"))
+    assert os.path.isdir(os.path.join(v1_dir, "__part_src=c"))
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, path).collect()
+    ) == expected
+
+
 def test_merge_into_snapshot_auto_prune_and_single_eval(spark, tmp_path):
     """MERGE derives its own entry elimination from the changeset's keys
     (exact per-key containment against the stamped min/max — a far-out
