@@ -645,8 +645,12 @@ def _publish_manifest(man_dir: str, n: int, manifest: dict) -> None:
     data it wrote before re-raising decisions."""
     import json
     import os
+    import time
     import uuid
 
+    # commit wall-clock, stamped at every publish path: what
+    # read_snapshot(as_of=...) resolves against (Delta timestampAsOf)
+    manifest.setdefault("ts", time.time())
     tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -879,10 +883,15 @@ def read_snapshot(
     prune: dict | None = None,
     prune_keys: dict | None = None,
     partitions: dict | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
-    readable forever regardless of later appends.
+    readable forever regardless of later appends. ``as_of`` (Delta
+    ``timestampAsOf``; mutually exclusive with ``version``) resolves to
+    the LAST version whose commit wall-clock is <= the given epoch
+    seconds — a time before the first commit raises; legacy stamps-less
+    manifests count as arbitrarily old (always eligible).
 
     ``merge_schema=True`` unions the schemas across commits (Iceberg/
     Delta-style additive schema evolution: an append that introduced a
@@ -930,6 +939,22 @@ def read_snapshot(
     from pyspark.sql import functions as F
 
     man_dir = os.path.join(path, "_manifests")
+    if as_of is not None:
+        assert version is None, "version and as_of are mutually exclusive"
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        for v in reversed(versions):
+            with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+                if json.load(fh).get("ts", 0.0) <= as_of:
+                    version = v
+                    break
+        if version is None:
+            raise ValueError(
+                f"as_of={as_of} predates every commit at {path} "
+                f"(earliest retained version: v{versions[0] if versions else '?'})"
+            )
     if version is None:
         version = max(
             int(f[1:-5]) for f in os.listdir(man_dir)

@@ -1471,6 +1471,32 @@ def test_partitioned_snapshot_table_and_replace_where(spark, tmp_path):
     ) == expected
 
 
+def test_read_snapshot_as_of_timestamp(spark, tmp_path):
+    """Delta timestampAsOf: every publish stamps commit wall-clock into
+    the manifest; read_snapshot(as_of=t) resolves to the LAST version
+    committed at-or-before t, and a time before the first commit
+    raises."""
+    import time
+
+    import pytest
+
+    from naru_spark.sources.sinks import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "t")
+    t_before = time.time()
+    time.sleep(0.02)
+    write_snapshot(spark.range(0, 10).withColumnRenamed("id", "k"), path)
+    time.sleep(0.02)
+    t_mid = time.time()
+    time.sleep(0.02)
+    write_snapshot(spark.range(10, 20).withColumnRenamed("id", "k"), path)
+
+    assert read_snapshot(spark, path, as_of=t_mid).count() == 10
+    assert read_snapshot(spark, path, as_of=time.time()).count() == 20
+    with pytest.raises(ValueError, match="predates every commit"):
+        read_snapshot(spark, path, as_of=t_before)
+
+
 def test_expire_reclaims_superseded_partition_subdirs(spark, tmp_path):
     """A replace_where supersedes ONE partition's subdirs while their
     siblings stay live — retention must reclaim exactly those subdirs
