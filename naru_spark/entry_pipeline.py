@@ -3938,6 +3938,75 @@ def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_from_index(spark, path, queries, k=10, n_probe=8, decimals=6)
 
 
+def q_stream_ivfpq_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN SERVING DURING STREAMING INGEST — the similarity
+    side of the serving-matrix closure (stream_ivfpq_index_ingest ×
+    similarity_topk_ivfpq_filtered): the index bootstraps over a third
+    of the corpus under the saved quantizers, the rest streams in as
+    micro-batches appended FAISS-add-style (byte-identical to a rebuild,
+    so batching never changes content), and after EVERY batch the live
+    index answers a metadata-FILTERED probe (candidate_filter= — allowed
+    vectors pre-filtered inside the probed cells, so the k results are
+    the best allowed ones, never a lossy post-filter). Interim probes
+    are asserted well-formed; the FINAL probe over the fully ingested
+    index is content-identical to the batch filtered entry and shares
+    its oracle verbatim."""
+    from naru_spark.pipeline.similarity import (
+        ivfpq_append_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = _tmpdir("ivfpq_serve_filtered_")
+    src, path = base + "/src", base + "/idx"
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # bootstrap: first third, SAME deterministic quantizers as the batch
+    # twin (appends under saved quantizers are bit-identical to a full
+    # rebuild, so the final index equals the batch entry's)
+    ivfpq_write_index(
+        emb.filter(F.col("vec_id") % 3 == 0), path,
+        _ivf_oracle_centroids(sf_dir), _pq_codebooks(sf_dir), decimals=6,
+    )
+    for k in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    probes: list = []
+
+    def ingest_and_serve(bdf: DataFrame, bid: int) -> None:
+        ivfpq_append_index(bdf, path)
+        hits = ivfpq_topk_from_index(
+            spark, path, queries.limit(1), k=10, n_probe=8, decimals=6,
+            candidate_filter=allowed,
+        ).collect()
+        assert hits and all(
+            r["neighbor_id"] % 2 == 0 for r in hits
+        ), "filter leaked"
+        probes.append(len(hits))
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_and_serve)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert len(probes) >= 2, probes
+    return ivfpq_topk_from_index(
+        spark, path, queries, k=10, n_probe=8, decimals=6,
+        candidate_filter=allowed,
+    )
+
+
 def q_stream_snapshot_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read FROM the snapshot table
     (sources.sinks.snapshot_stream_source — Delta "stream from a table"
@@ -4365,6 +4434,7 @@ def build_pipeline_registry():
         "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "stream_bm25_index_maintain": q_stream_bm25_index_maintain,
         "stream_bm25_serve_filtered": q_stream_bm25_serve_filtered,
+        "stream_ivfpq_serve_filtered": q_stream_ivfpq_serve_filtered,
         "stream_merge_cdc": q_stream_merge_cdc,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "similarity_topk_ivfpq_filtered": q_similarity_topk_ivfpq_filtered,
@@ -4498,6 +4568,10 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
             candidate_where="WHERE tf.doc_id % 2 = 0"),
         # filtered ANN: the replay restricted to the same candidate set
         "similarity_topk_ivfpq_filtered": sql_similarity_ivfpq(
+            neighbor_where="WHERE a.vec_id % 2 = 0"),
+        # filtered ANN serving off the appended stream: appends under the
+        # saved quantizers are bit-identical to a rebuild — same oracle
+        "stream_ivfpq_serve_filtered": sql_similarity_ivfpq(
             neighbor_where="WHERE a.vec_id % 2 = 0"),
         # ingest + auto-OPTIMIZE never changes content: plain batch oracle
         "stream_snapshot_maintain": sql_stream_snapshot_ingest(),
