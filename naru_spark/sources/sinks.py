@@ -573,6 +573,21 @@ def _entry_partition_match(stat: dict | None, col: str, want: set) -> bool:
     return True if v is None else v in want
 
 
+def _common_bloom_key(stats: dict, entries) -> str | None:
+    """The single bloom key column shared by ALL given entries' sidecar
+    metas, or None. Rewrite paths re-stamp their output under it, so a
+    bloom-indexed table keeps its point-lookup pruning through
+    deletes/merges/compactions (Delta OPTIMIZE rebuilds bloom indexes
+    the same way) instead of silently degrading."""
+    keys = [
+        (((stats.get(e) or {}).get("bloom")) or {}).get("key")
+        for e in entries
+    ]
+    if keys and all(k is not None and k == keys[0] for k in keys):
+        return keys[0]
+    return None
+
+
 def _common_partition_col(stats: dict, entries) -> str | None:
     """The single identity-partition column shared by ALL given entries'
     stamps, or None. Rewrite paths (delete survivors, merge output,
@@ -676,6 +691,7 @@ def write_snapshot(
     bloom_key: str | None = None,
     partition_by: str | None = None,
     carry_partitions: dict | None = None,
+    carry_blooms: dict | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -836,12 +852,17 @@ def write_snapshot(
     # once from footers); the new delta dir is always a fresh footer
     # read. ``carry_partitions`` lets a partial-rewrite caller stamp the
     # identity-partition value onto file entries it split out of a
-    # partition entry (the file inherits its parent's partition).
+    # partition entry (the file inherits its parent's partition), and
+    # ``carry_blooms`` the parent's bloom meta — the parent's sidecar is
+    # a SUPERSET filter for any file inside it, so probing a split file
+    # through it can only under-prune, never wrongly prune.
     stats = {}
     for e in prev:
         s = prev_stats.get(e) or _entry_stats(e)
         if carry_partitions and e in carry_partitions and "partition" not in s:
             s = {**s, "partition": carry_partitions[e]}
+        if carry_blooms and e in carry_blooms and "bloom" not in s:
+            s = {**s, "bloom": carry_blooms[e]}
         stats[e] = s
     for e in new_entries:
         stats[e] = _entry_stats(e)
@@ -1327,6 +1348,12 @@ def compact_snapshot(
     part_col = partition_by or _common_partition_col(stats, under)
     if part_col is not None and part_col not in rewritten.columns:
         part_col = None
+    # ...and a bloom-indexed table's rewrite re-stamps a fresh sidecar
+    # for the compacted entry (Delta OPTIMIZE rebuilds bloom indexes),
+    # so point-lookup pruning never degrades through maintenance
+    bkey = _common_bloom_key(stats, under) if part_col is None else None
+    if bkey is not None and bkey not in rewritten.columns:
+        bkey = None
     # base_version pins the rewrite to the manifest we actually read: an
     # append landing between our read and our publish makes the commit
     # raise instead of silently superseding (and later expiring) its rows
@@ -1337,6 +1364,7 @@ def compact_snapshot(
         base_version=latest,
         carry=carried if carried else None,
         partition_by=part_col,
+        bloom_key=bkey,
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = sum(
@@ -1528,6 +1556,7 @@ def delete_from_snapshot(
     matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
     carried, touched, touched_entries = list(pruned), [], []
     carry_parts: dict = {}
+    carry_blooms: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
         hit = [f for f in files if os.path.realpath(f) in matching]
@@ -1537,13 +1566,18 @@ def delete_from_snapshot(
             touched.extend(hit)
             touched_entries.append(e)
             part = (stats.get(e) or {}).get("partition")
+            bloom = (stats.get(e) or {}).get("bloom")
             for f in files:
                 if os.path.realpath(f) not in matching:
                     carried.append(f)
                     if part:  # split files inherit the parent's partition
                         carry_parts[f] = part
+                    if bloom:  # ...and its (superset) bloom sidecar
+                        carry_blooms[f] = bloom
     # rewrite ONLY the matching files' survivors; NULL condition survives;
-    # survivors of a partitioned table re-commit under the same spec
+    # survivors of a partitioned table re-commit under the same spec, and
+    # of a bloom-indexed table under a fresh sidecar (pruning never
+    # degrades through the rewrite)
     version = write_snapshot(
         spark.read.parquet(*touched).where(~cond | cond.isNull()),
         path,
@@ -1552,6 +1586,8 @@ def delete_from_snapshot(
         carry=carried,
         partition_by=_common_partition_col(stats, touched_entries),
         carry_partitions=carry_parts or None,
+        carry_blooms=carry_blooms or None,
+        bloom_key=_common_bloom_key(stats, touched_entries),
     )
     return {"version": version, "n_deleted": n_deleted,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -1725,6 +1761,7 @@ def merge_into_snapshot(
         matching = {os.path.realpath(_strip_file_uri(r["__f"])) for r in per_file}
     carried, touched, touched_entries = list(pruned), [], []
     carry_parts: dict = {}
+    carry_blooms: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
         hit = [f for f in files if os.path.realpath(f) in matching]
@@ -1734,11 +1771,14 @@ def merge_into_snapshot(
             touched.extend(hit)
             touched_entries.append(e)
             part = (stats.get(e) or {}).get("partition")
+            bloom = (stats.get(e) or {}).get("bloom")
             for f in files:
                 if os.path.realpath(f) not in matching:
                     carried.append(f)
                     if part:  # split files inherit the parent's partition
                         carry_parts[f] = part
+                    if bloom:  # ...and its (superset) bloom sidecar
+                        carry_blooms[f] = bloom
     base_touched = (
         spark.read.parquet(*touched) if touched
         else spark.read.parquet(*entries).limit(0)  # pure-insert changeset
@@ -1758,6 +1798,10 @@ def merge_into_snapshot(
             _common_partition_col(stats, entries) if entries else None
         ),
         carry_partitions=carry_parts or None,
+        carry_blooms=carry_blooms or None,
+        # the merge output (rewrites + inserts) gets a fresh sidecar when
+        # the whole visible table is bloom-indexed on the merge key space
+        bloom_key=_common_bloom_key(stats, entries) if entries else None,
     )
     return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),

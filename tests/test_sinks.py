@@ -1191,10 +1191,33 @@ def test_bloom_key_pruning_on_unclustered_layout(spark, tmp_path):
     got = sorted(x["k"] for x in read_snapshot(spark, path).collect())
     assert got == [k for k in range(300) if k not in (6, 7)]
 
-    # bloomless entries are never pruned: the delete's survivor dir has
-    # no bloom, and a probe for a surviving key still finds it
+    # the bloom index SURVIVES the rewrite: the delete re-stamped its
+    # survivor commit (fresh sidecar) and carried split files inherit
+    # their parent's superset bloom — a point probe still prunes, and a
+    # probe for a surviving key still finds it
+    import json
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(int(f[1:-5]) for f in os.listdir(man_dir)
+                 if f.startswith("v") and f.endswith(".json"))
+    man = json.load(open(os.path.join(man_dir, f"v{latest}.json")))
+    assert all(
+        (man["stats"][e].get("bloom") or {}).get("key") == "k"
+        for e in man["dirs"]
+    ), man["stats"]
     r2 = read_snapshot(spark, path, prune_keys={"k": [9]})
     assert sorted(x["k"] for x in r2.where("k = 9").collect()) == [9]
+
+    # ...and through compaction (OPTIMIZE rebuilds the bloom index)
+    from naru_spark.sources.sinks import compact_snapshot
+    res = compact_snapshot(spark, path, full=True, target_files=2)
+    man = json.load(open(os.path.join(man_dir, f"v{res['version']}.json")))
+    assert all(
+        (man["stats"][e].get("bloom") or {}).get("key") == "k"
+        for e in man["dirs"]
+    ), man["stats"]
+    r3 = read_snapshot(spark, path, prune_keys={"k": [9]})
+    assert sorted(x["k"] for x in r3.where("k = 9").collect()) == [9]
 
     # retention reclaims sidecars with their dirs
     expire_snapshots(path, keep_last=1)
