@@ -692,6 +692,7 @@ def write_snapshot(
     partition_by: str | None = None,
     carry_partitions: dict | None = None,
     carry_blooms: dict | None = None,
+    enforce_constraints: bool = True,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -782,12 +783,16 @@ def write_snapshot(
         )
         base = base_version
     prev, txns, prev_stats, prev_deletes = [], {}, {}, []
+    constraints: dict = {}
     if base:
         with open(os.path.join(man_dir, f"v{base}.json")) as fh:
             latest = json.load(fh)
         txns = _normalize_txns(latest.get("txns", {}))
         prev_stats = latest.get("stats", {})
         prev_deletes = latest.get("deletes", [])
+        # CHECK constraints are a TABLE property: every commit carries
+        # them, append or replace alike (Delta semantics)
+        constraints = latest.get("constraints", {})
         if mode == "append":
             prev = latest["dirs"]
     # merge-on-read delete predicates: appends carry them (they pin the
@@ -845,6 +850,36 @@ def write_snapshot(
     else:
         df.write.mode("error").parquet(data_dir)
         new_entries = [data_dir]
+    if constraints and enforce_constraints:
+        # enforce CHECK constraints on the JUST-WRITTEN bytes (not on the
+        # caller's plan, which would be a second evaluation of an
+        # arbitrary frame, and not via a driver-side materialization):
+        # one pushdown probe per constraint, first violation
+        # short-circuits, nothing is published on refusal. Rewrite paths
+        # (compaction, delete survivors) pass enforce_constraints=False —
+        # their rows already passed at ingest, and add_snapshot_constraint
+        # validated the whole table when the constraint appeared.
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        written = spark.read.parquet(*new_entries)
+        for cname, cexpr in constraints.items():
+            try:
+                bad = written.where(~F.expr(cexpr)).limit(1).collect()
+            except Exception as exc:
+                shutil.rmtree(data_dir)
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) no longer "
+                    f"resolves (renamed/dropped column?) at {path}: {exc} "
+                    "— drop_snapshot_constraint to recover"
+                ) from None
+            if bad:
+                shutil.rmtree(data_dir)
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"written row {bad[0].asDict()!r} — commit refused, "
+                    "data removed"
+                )
     if txn_id is not None:
         txns[app] = {"v": ver, "commit": n}
     # stats: reuse the base manifest's stamp for carried entries (file
@@ -887,6 +922,8 @@ def write_snapshot(
         manifest["deletes"] = deletes
     if schema_ops:
         manifest["schema_ops"] = schema_ops
+    if constraints:
+        manifest["constraints"] = constraints
     try:
         _publish_manifest(man_dir, n, manifest)
     except SnapshotConflictError:
@@ -1365,6 +1402,8 @@ def compact_snapshot(
         carry=carried if carried else None,
         partition_by=part_col,
         bloom_key=bkey,
+        # content-identical rewrite: every row already passed its CHECKs
+        enforce_constraints=False,
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = sum(
@@ -1482,6 +1521,8 @@ def delete_from_snapshot(
         }
         if man.get("schema_ops"):
             manifest["schema_ops"] = man["schema_ops"]
+        if man.get("constraints"):
+            manifest["constraints"] = man["constraints"]
         _publish_manifest(man_dir, n, manifest)
         return {"version": n, "n_deleted": None,
                 "files_rewritten": 0, "files_carried": len(entries)}
@@ -1588,6 +1629,9 @@ def delete_from_snapshot(
         carry_partitions=carry_parts or None,
         carry_blooms=carry_blooms or None,
         bloom_key=_common_bloom_key(stats, touched_entries),
+        # survivors are a subset of rows that already passed their
+        # write-time CHECKs (and add-time validation): no re-probe
+        enforce_constraints=False,
     )
     return {"version": version, "n_deleted": n_deleted,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -1806,6 +1850,97 @@ def merge_into_snapshot(
     return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),
             **extra}
+
+
+def add_snapshot_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Delta ``ALTER TABLE ... ADD CONSTRAINT ... CHECK`` analog: record
+    a named CHECK expression in the manifest (table property, carried by
+    every later commit) after validating that (1) it RESOLVES against
+    the table's logical schema and (2) the EXISTING rows all satisfy it
+    (one pushdown scan, first violation short-circuits) — Delta
+    validates existing data the same way, which is what lets every
+    later rewrite skip re-checking rows that were already in the table.
+    Enforcement: every data-adding commit probes its just-written files
+    and refuses (cleanly, nothing published) on the first violating
+    row. SQL CHECK semantics: a NULL-valued expression PASSES.
+    Metadata-only commit; returns the committed version."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        man = json.load(fh)
+    current = read_snapshot(spark, path, version=latest)
+    try:
+        probe = current.where(~F.expr(expr))  # resolves or raises
+    except Exception as exc:
+        raise ValueError(
+            f"constraint {name!r} ({expr}) does not resolve against the "
+            f"snapshot at {path}: {exc}"
+        ) from None
+    bad = probe.limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"constraint {name!r} ({expr}) is violated by existing row "
+            f"{bad[0].asDict()!r} — fix the data first (Delta refuses the "
+            "same way)"
+        )
+    n = latest + 1
+    manifest = {
+        "version": n,
+        "dirs": man["dirs"],
+        "txns": _normalize_txns(man.get("txns", {})),
+        "stats": man.get("stats", {}),
+        "constraints": {**man.get("constraints", {}), name: expr},
+    }
+    for plane in ("deletes", "schema_ops"):
+        if man.get(plane):
+            manifest[plane] = man[plane]
+    _publish_manifest(man_dir, n, manifest)
+    return n
+
+
+def drop_snapshot_constraint(path: str, name: str) -> int:
+    """Delta ``DROP CONSTRAINT``: metadata-only removal of a named CHECK
+    (the recovery path when a rename/drop broke a constraint's
+    expression). Returns the committed version."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        man = json.load(fh)
+    constraints = dict(man.get("constraints", {}))
+    if name not in constraints:
+        raise ValueError(f"no constraint {name!r} at {path}: "
+                         f"{sorted(constraints)}")
+    del constraints[name]
+    n = latest + 1
+    manifest = {
+        "version": n,
+        "dirs": man["dirs"],
+        "txns": _normalize_txns(man.get("txns", {})),
+        "stats": man.get("stats", {}),
+    }
+    if constraints:
+        manifest["constraints"] = constraints
+    for plane in ("deletes", "schema_ops"):
+        if man.get(plane):
+            manifest[plane] = man[plane]
+    _publish_manifest(man_dir, n, manifest)
+    return n
 
 
 def replace_where(
@@ -2084,6 +2219,8 @@ def alter_snapshot_schema(
     }
     if man.get("deletes"):
         manifest["deletes"] = man["deletes"]
+    if man.get("constraints"):
+        manifest["constraints"] = man["constraints"]
     _publish_manifest(man_dir, n, manifest)
     return n
 

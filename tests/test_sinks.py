@@ -1494,6 +1494,80 @@ def test_partitioned_snapshot_table_and_replace_where(spark, tmp_path):
     ) == expected
 
 
+def test_snapshot_check_constraints(spark, tmp_path):
+    """Delta CHECK constraints: validated against EXISTING rows when
+    added (refused if violated), enforced on the just-written bytes of
+    every data commit (violating appends/merges refuse cleanly, nothing
+    published, no orphan data), SQL NULL-passes semantics, carried
+    through metadata-only commits, skipped by content-identical
+    rewrites, and droppable to recover."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources.sinks import (
+        add_snapshot_constraint,
+        compact_snapshot,
+        delete_from_snapshot,
+        drop_snapshot_constraint,
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k int, v int"), path)        # v1
+
+    # adding a constraint the existing data violates refuses
+    with pytest.raises(ValueError, match="violated by existing row"):
+        add_snapshot_constraint(spark, path, "v_big", "v >= 100")
+    # an unresolvable expression refuses
+    with pytest.raises(ValueError, match="does not resolve"):
+        add_snapshot_constraint(spark, path, "bad", "no_col > 0")
+    v = add_snapshot_constraint(spark, path, "v_nonneg", "v >= 0")      # v2
+    assert v == 2
+
+    # a violating append refuses BEFORE publishing, leaving no orphan
+    data_root = os.path.join(path, "data")
+    dirs_before = sorted(os.listdir(data_root))
+    with pytest.raises(ValueError, match="CHECK constraint 'v_nonneg'"):
+        write_snapshot(spark.createDataFrame(
+            [(100, -5)], "k int, v int"), path)
+    assert sorted(os.listdir(data_root)) == dirs_before  # cleaned up
+    assert read_snapshot(spark, path).count() == 20
+
+    # a valid append passes and CARRIES the constraint; NULL passes
+    write_snapshot(spark.createDataFrame(
+        [(100, 7), (101, None)], "k int, v int"), path)                 # v3
+    assert read_snapshot(spark, path).count() == 22
+
+    # a violating MERGE refuses (updates are new bytes)
+    with pytest.raises(ValueError, match="CHECK constraint 'v_nonneg'"):
+        merge_into_snapshot(
+            spark, path,
+            spark.createDataFrame([(5, -1, "U")], "k int, v int, op string"),
+            key="k",
+        )
+
+    # content-identical rewrites skip the probe and keep the constraint
+    delete_from_snapshot(spark, path, "k = 0")
+    compact_snapshot(spark, path, full=True, target_files=1)
+    man_dir = os.path.join(path, "_manifests")
+    latest = max(int(f[1:-5]) for f in os.listdir(man_dir)
+                 if f.startswith("v") and f.endswith(".json"))
+    man = json.load(open(os.path.join(man_dir, f"v{latest}.json")))
+    assert man["constraints"] == {"v_nonneg": "v >= 0"}
+
+    # drop recovers: the violating append now commits
+    drop_snapshot_constraint(path, "v_nonneg")
+    write_snapshot(spark.createDataFrame([(102, -5)], "k int, v int"), path)
+    assert read_snapshot(spark, path).where("v = -5").count() == 1
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_snapshot_constraint(path, "v_nonneg")
+
+
 def test_read_snapshot_as_of_timestamp(spark, tmp_path):
     """Delta timestampAsOf: every publish stamps commit wall-clock into
     the manifest; read_snapshot(as_of=t) resolves to the LAST version
