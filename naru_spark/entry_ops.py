@@ -910,6 +910,82 @@ def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK constraints on the snapshot table
+    (sources.sinks.add_snapshot_constraint / write-time enforcement):
+    the corpus commits, a CHECK is added (validated against the existing
+    rows first — a constraint the data violates refuses), a VIOLATING
+    append is refused with nothing published and no orphan data dir
+    (asserted inline), and a valid transformed batch commits under the
+    enforcement probe. The oracle replays corpus + the valid batch in
+    plain SQL — the refused batch must have left zero trace."""
+    from naru_spark.sources.sinks import (
+        add_snapshot_constraint,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_check_") + "/docs"
+    write_snapshot(docs, path)                                           # v1
+    # a constraint the existing data violates refuses at add time
+    try:
+        add_snapshot_constraint(spark, path, "huge", "n_chars >= 1000000")
+        raise AssertionError("violated-by-existing-data CHECK must refuse")
+    except ValueError:
+        pass
+    add_snapshot_constraint(spark, path, "chars_nonneg", "n_chars >= 0")  # v2
+
+    import os
+    data_root = os.path.join(path, "data")
+    before = sorted(os.listdir(data_root))
+    bad = docs.limit(1).select(
+        (F.col("doc_id") + F.lit(2 * OFFSET)).alias("doc_id"),
+        F.lit("src_bad").alias("source"),
+        F.lit(-1).alias("n_chars"),
+    )
+    try:
+        write_snapshot(bad, path)
+        raise AssertionError("violating append must refuse")
+    except ValueError:
+        pass
+    assert sorted(os.listdir(data_root)) == before  # no orphan data
+
+    good = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+        F.lit("src_new").alias("source"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    write_snapshot(good, path)                                           # v3
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_constraints() -> str:
+    return """
+WITH merged AS (
+  SELECT doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000000, 'src_new', n_chars + 1000 FROM documents
+  WHERE doc_id % 11 = 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(doc_id) AS max_id
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def sql_snapshot_replace_where() -> str:
     return """
 WITH merged AS (
@@ -1888,6 +1964,7 @@ def build_ops_registry():
         "snapshot_rename_column": q_snapshot_rename_column,
         "snapshot_merge_pruned": q_snapshot_merge_pruned,
         "snapshot_replace_where": q_snapshot_replace_where,
+        "snapshot_constraints": q_snapshot_constraints,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -1936,6 +2013,7 @@ def build_ops_registry():
         "snapshot_rename_column": sql_snapshot_rename_column(),
         "snapshot_merge_pruned": sql_snapshot_merge_pruned(),
         "snapshot_replace_where": sql_snapshot_replace_where(),
+        "snapshot_constraints": sql_snapshot_constraints(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),
