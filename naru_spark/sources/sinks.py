@@ -652,6 +652,27 @@ def _normalize_txns(raw: dict) -> dict:
     return txns
 
 
+def _latest_version(man_dir: str) -> int:
+    """The highest committed manifest version — the read-latest idiom
+    every snapshot entry point shares."""
+    import os
+
+    return max(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _carry_planes(src: dict, manifest: dict, exclude: tuple = ()) -> None:
+    """Copy the metadata-only planes (deletes / schema_ops /
+    constraints) a commit does not itself rewrite from the base
+    manifest into the new one — ONE shared loop, so a newly added plane
+    cannot be silently dropped by a missed copy site."""
+    for plane in ("deletes", "schema_ops", "constraints"):
+        if plane not in exclude and src.get(plane):
+            manifest[plane] = src[plane]
+
+
 def _publish_manifest(man_dir: str, n: int, manifest: dict) -> None:
     """Atomic create-exclusive manifest publish shared by every commit
     path: write a hidden temp file, hard-link it to ``v{n}.json`` (the
@@ -664,8 +685,19 @@ def _publish_manifest(man_dir: str, n: int, manifest: dict) -> None:
     import uuid
 
     # commit wall-clock, stamped at every publish path: what
-    # read_snapshot(as_of=...) resolves against (Delta timestampAsOf)
-    manifest.setdefault("ts", time.time())
+    # read_snapshot(as_of=...) resolves against (Delta timestampAsOf).
+    # Clamped monotone against the predecessor's stamp (Delta adjusts
+    # commit timestamps the same way): an NTP step backwards must not
+    # let as_of=t return a version committed after an earlier one
+    prev_ts = 0.0
+    prev_p = os.path.join(man_dir, f"v{n - 1}.json")
+    if n > 1 and os.path.exists(prev_p):
+        try:
+            with open(prev_p) as fh:
+                prev_ts = float(json.load(fh).get("ts", 0.0))
+        except Exception:
+            prev_ts = 0.0
+    manifest.setdefault("ts", max(time.time(), prev_ts))
     tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -850,36 +882,54 @@ def write_snapshot(
     else:
         df.write.mode("error").parquet(data_dir)
         new_entries = [data_dir]
-    if constraints and enforce_constraints:
+    if constraints and enforce_constraints and new_entries:
         # enforce CHECK constraints on the JUST-WRITTEN bytes (not on the
         # caller's plan, which would be a second evaluation of an
         # arbitrary frame, and not via a driver-side materialization):
-        # one pushdown probe per constraint, first violation
-        # short-circuits, nothing is published on refusal. Rewrite paths
-        # (compaction, delete survivors) pass enforce_constraints=False —
-        # their rows already passed at ingest, and add_snapshot_constraint
-        # validated the whole table when the constraint appeared.
+        # ONE pushdown probe OR-combining every constraint (a K-CHECK
+        # table pays one extra delta scan per commit, not K); only a hit
+        # re-probes per constraint to name the culprit. Nothing is
+        # published on refusal. Rewrite paths (compaction, delete
+        # survivors) pass enforce_constraints=False — their rows already
+        # passed at ingest, and add_snapshot_constraint validated the
+        # whole table when the constraint appeared. An empty delta
+        # (e.g. replace_where clearing partitions) has nothing to check.
+        from functools import reduce
+
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         written = spark.read.parquet(*new_entries)
-        for cname, cexpr in constraints.items():
-            try:
-                bad = written.where(~F.expr(cexpr)).limit(1).collect()
-            except Exception as exc:
-                shutil.rmtree(data_dir)
-                raise ValueError(
-                    f"CHECK constraint {cname!r} ({cexpr}) no longer "
-                    f"resolves (renamed/dropped column?) at {path}: {exc} "
-                    "— drop_snapshot_constraint to recover"
-                ) from None
-            if bad:
-                shutil.rmtree(data_dir)
-                raise ValueError(
-                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
-                    f"written row {bad[0].asDict()!r} — commit refused, "
-                    "data removed"
-                )
+        try:
+            any_bad = written.where(
+                reduce(lambda a, b: a | b,
+                       [~F.expr(e) for e in constraints.values()])
+            ).limit(1).collect()
+        except AnalysisException as exc:
+            shutil.rmtree(data_dir)
+            raise ValueError(
+                f"a CHECK constraint of {path} no longer resolves "
+                f"(renamed/dropped column?): {exc} — "
+                "drop_snapshot_constraint to recover"
+            ) from None
+        except Exception:
+            shutil.rmtree(data_dir)  # runtime failure: no orphan, but
+            raise                     # report the REAL error untouched
+        if any_bad:
+            culprit = next(
+                (
+                    (cn, ce) for cn, ce in constraints.items()
+                    if written.where(~F.expr(ce)).limit(1).collect()
+                ),
+                (next(iter(constraints)), next(iter(constraints.values()))),
+            )
+            shutil.rmtree(data_dir)
+            raise ValueError(
+                f"CHECK constraint {culprit[0]!r} ({culprit[1]}) violated "
+                f"by written row {any_bad[0].asDict()!r} — commit refused, "
+                "data removed"
+            )
     if txn_id is not None:
         txns[app] = {"v": ver, "commit": n}
     # stats: reuse the base manifest's stamp for carried entries (file
@@ -998,7 +1048,8 @@ def read_snapshot(
 
     man_dir = os.path.join(path, "_manifests")
     if as_of is not None:
-        assert version is None, "version and as_of are mutually exclusive"
+        if version is not None:
+            raise ValueError("version and as_of are mutually exclusive")
         versions = sorted(
             int(f[1:-5]) for f in os.listdir(man_dir)
             if f.startswith("v") and f.endswith(".json")
@@ -1014,10 +1065,7 @@ def read_snapshot(
                 f"(earliest retained version: v{versions[0] if versions else '?'})"
             )
     if version is None:
-        version = max(
-            int(f[1:-5]) for f in os.listdir(man_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        version = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         man = json.load(fh)
     dirs = man["dirs"]
@@ -1121,10 +1169,7 @@ def read_snapshot_changes(
             return json.load(fh)["dirs"]
 
     if to_version is None:
-        to_version = max(
-            int(f[1:-5]) for f in os.listdir(man_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        to_version = _latest_version(man_dir)
     assert from_version < to_version, (from_version, to_version)
     base, head = dirs_of(from_version), dirs_of(to_version)
     if not set(base) <= set(head):
@@ -1333,10 +1378,7 @@ def compact_snapshot(
     import os
 
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     dirs = man["dirs"]
@@ -1484,10 +1526,7 @@ def delete_from_snapshot(
 
     assert mode in ("copy-on-write", "merge-on-read"), mode
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     entries = man["dirs"]
@@ -1519,10 +1558,7 @@ def delete_from_snapshot(
             "deletes": man.get("deletes", [])
             + [{"cond": condition, "dirs": entries, "seq": n}],
         }
-        if man.get("schema_ops"):
-            manifest["schema_ops"] = man["schema_ops"]
-        if man.get("constraints"):
-            manifest["constraints"] = man["constraints"]
+        _carry_planes(man, manifest, exclude=("deletes",))
         _publish_manifest(man_dir, n, manifest)
         return {"version": n, "n_deleted": None,
                 "files_rewritten": 0, "files_carried": len(entries)}
@@ -1694,10 +1730,7 @@ def merge_into_snapshot(
     from naru_spark.operators.merge import merge_into
 
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     if txn_id is not None:
@@ -1872,13 +1905,20 @@ def add_snapshot_constraint(
     from pyspark.sql import functions as F
 
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
-    current = read_snapshot(spark, path, version=latest)
+    if name in man.get("constraints", {}):
+        raise ValueError(
+            f"constraint {name!r} already exists at {path} "
+            f"({man['constraints'][name]!r}) — silently replacing it "
+            "could weaken enforcement; drop_snapshot_constraint first "
+            "(Delta refuses the same way)"
+        )
+    # merge_schema: an additively-evolved table's constraint may
+    # reference a column only later commits carry — resolution must see
+    # the LOGICAL (merged) schema, not whichever file wins inference
+    current = read_snapshot(spark, path, version=latest, merge_schema=True)
     try:
         probe = current.where(~F.expr(expr))  # resolves or raises
     except Exception as exc:
@@ -1901,9 +1941,7 @@ def add_snapshot_constraint(
         "stats": man.get("stats", {}),
         "constraints": {**man.get("constraints", {}), name: expr},
     }
-    for plane in ("deletes", "schema_ops"):
-        if man.get(plane):
-            manifest[plane] = man[plane]
+    _carry_planes(man, manifest, exclude=("constraints",))
     _publish_manifest(man_dir, n, manifest)
     return n
 
@@ -1916,10 +1954,7 @@ def drop_snapshot_constraint(path: str, name: str) -> int:
     import os
 
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     constraints = dict(man.get("constraints", {}))
@@ -1936,9 +1971,7 @@ def drop_snapshot_constraint(path: str, name: str) -> int:
     }
     if constraints:
         manifest["constraints"] = constraints
-    for plane in ("deletes", "schema_ops"):
-        if man.get(plane):
-            manifest[plane] = man[plane]
+    _carry_planes(man, manifest, exclude=("constraints",))
     _publish_manifest(man_dir, n, manifest)
     return n
 
@@ -1982,10 +2015,7 @@ def replace_where(
     from pyspark.sql import functions as F
 
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     if base_version is None:
         base_version = latest
     with open(os.path.join(man_dir, f"v{base_version}.json")) as fh:
@@ -2084,10 +2114,7 @@ def maintain_snapshot(
     import os
 
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     stats = _manifest_stats(man)
@@ -2155,10 +2182,7 @@ def alter_snapshot_schema(
 
     assert rename or drop, "nothing to do"
     man_dir = os.path.join(path, "_manifests")
-    latest = max(
-        int(f[1:-5]) for f in os.listdir(man_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     ops = man.get("schema_ops", [])
@@ -2183,6 +2207,20 @@ def alter_snapshot_schema(
                 names.remove(op["col"])
         logical.update(names)
     n = latest + 1
+    # a rename/drop of a column some CHECK constraint references would
+    # leave the constraint unresolvable (every later data commit
+    # refuses) or, worse, silently re-bind to a future column with the
+    # old name — refuse up front like Delta does. Identifier matching is
+    # textual (word boundary), so a name inside a string literal
+    # false-positives CONSERVATIVELY (refuse + a clear recovery path).
+    import re
+
+    cons = man.get("constraints", {})
+
+    def _constrained_by(col: str) -> list:
+        pat = rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_`])"
+        return sorted(cn for cn, ce in cons.items() if re.search(pat, ce))
+
     for frm, to in (rename or {}).items():
         if frm not in logical:
             raise ValueError(
@@ -2194,6 +2232,13 @@ def alter_snapshot_schema(
                 f"rename {frm!r} -> {to!r} at {path} collides with an "
                 "existing column"
             )
+        hits = _constrained_by(frm)
+        if hits:
+            raise ValueError(
+                f"column {frm!r} is referenced by CHECK constraint(s) "
+                f"{hits} at {path} — drop_snapshot_constraint first, "
+                "then rename and re-add under the new name"
+            )
         logical.discard(frm)
         logical.add(to)
         ops = ops + [{"op": "rename", "from": frm, "to": to,
@@ -2203,6 +2248,12 @@ def alter_snapshot_schema(
             raise ValueError(
                 f"drop of unknown column {col!r} at {path} — the "
                 f"logical schema has {sorted(logical)}"
+            )
+        hits = _constrained_by(col)
+        if hits:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint(s) "
+                f"{hits} at {path} — drop_snapshot_constraint first"
             )
         logical.discard(col)
         ops = ops + [{"op": "drop", "col": col, "dirs": man["dirs"],
@@ -2217,10 +2268,7 @@ def alter_snapshot_schema(
         "stats": man.get("stats", {}),
         "schema_ops": ops,
     }
-    if man.get("deletes"):
-        manifest["deletes"] = man["deletes"]
-    if man.get("constraints"):
-        manifest["constraints"] = man["constraints"]
+    _carry_planes(man, manifest, exclude=("schema_ops",))
     _publish_manifest(man_dir, n, manifest)
     return n
 
@@ -2250,10 +2298,7 @@ def snapshot_stats(path: str, version: int | None = None) -> dict:
 
     man_dir = os.path.join(path, "_manifests")
     if version is None:
-        version = max(
-            int(f[1:-5]) for f in os.listdir(man_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        version = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         man = json.load(fh)
     stats = _manifest_stats(man)

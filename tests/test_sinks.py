@@ -1560,9 +1560,34 @@ def test_snapshot_check_constraints(spark, tmp_path):
     man = json.load(open(os.path.join(man_dir, f"v{latest}.json")))
     assert man["constraints"] == {"v_nonneg": "v >= 0"}
 
+    # re-adding under an existing name refuses (silent weakening)
+    with pytest.raises(ValueError, match="already exists"):
+        add_snapshot_constraint(spark, path, "v_nonneg", "v >= -100")
+    # renaming/dropping a constrained column refuses up front (a stale
+    # constraint would refuse every later commit, or re-bind wrongly)
+    from naru_spark.sources.sinks import alter_snapshot_schema
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        alter_snapshot_schema(path, rename={"v": "w"})
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        alter_snapshot_schema(path, drop=["v"])
+    alter_snapshot_schema(path, rename={"k": "kk"})  # unconstrained: fine
+    compact_snapshot(spark, path, full=True, target_files=1)  # materialize
+
+    # an EMPTY constrained commit has nothing to check and must not crash
+    from naru_spark.sources.sinks import replace_where, write_snapshot as _ws
+    ppath = str(tmp_path / "p")
+    _ws(spark.createDataFrame([(1, "a"), (2, "b")], "k int, src string"),
+        ppath, partition_by="src")
+    add_snapshot_constraint(spark, ppath, "k_pos", "k > 0")
+    empty = spark.createDataFrame([], "k int, src string")
+    replace_where(spark, ppath, empty, "src", ["b"])  # clear partition b
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, ppath).collect()
+    ) == [1]
+
     # drop recovers: the violating append now commits
     drop_snapshot_constraint(path, "v_nonneg")
-    write_snapshot(spark.createDataFrame([(102, -5)], "k int, v int"), path)
+    write_snapshot(spark.createDataFrame([(102, -5)], "kk int, v int"), path)
     assert read_snapshot(spark, path).where("v = -5").count() == 1
     with pytest.raises(ValueError, match="no constraint"):
         drop_snapshot_constraint(path, "v_nonneg")
@@ -1592,6 +1617,27 @@ def test_read_snapshot_as_of_timestamp(spark, tmp_path):
     assert read_snapshot(spark, path, as_of=time.time()).count() == 20
     with pytest.raises(ValueError, match="predates every commit"):
         read_snapshot(spark, path, as_of=t_before)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_snapshot(spark, path, version=1, as_of=t_mid)
+
+    # commit stamps are clamped MONOTONE (Delta's adjustment): a clock
+    # step backwards between commits must not let as_of=t surface a
+    # version committed after an earlier one
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    v2 = json.load(open(os.path.join(man_dir, "v2.json")))
+    future = v2["ts"] + 3600.0
+    v2["ts"] = future
+    json.dump(v2, open(os.path.join(man_dir, "v2.json"), "w"))
+    write_snapshot(spark.range(20, 25).withColumnRenamed("id", "k"), path)
+    v3 = json.load(open(os.path.join(man_dir, "v3.json")))
+    assert v3["ts"] >= future  # clamped to the predecessor, not wall-clock
+    # just before the (future) v2 stamp: v1; ties resolve to the LATEST
+    # version at that stamp (Delta timestampAsOf semantics)
+    assert read_snapshot(spark, path, as_of=future - 1.0).count() == 10
+    assert read_snapshot(spark, path, as_of=future).count() == 25
 
 
 def test_expire_reclaims_superseded_partition_subdirs(spark, tmp_path):
