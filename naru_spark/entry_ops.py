@@ -1267,6 +1267,101 @@ ORDER BY v.version
 """
 
 
+def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE TABLE TO VERSION (sources.sinks.restore_snapshot):
+    the corpus commits in two slices, a copy-on-write DELETE removes
+    rows (v3), and RESTORE to v2 brings the FULL corpus back as the new
+    head (v4) — METADATA-ONLY, asserted inline: the restore commit adds
+    zero data directories, the post-delete head stays time-travelable,
+    and a second restore (to v3's state) undoes the first. The oracle is
+    the plain corpus aggregate — the delete must leave no trace in the
+    restored head."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_restore_") + "/docs"
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), path)          # v1
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 1), path)          # v2
+    n_all = docs.count()
+    delete_from_snapshot(spark, path, "doc_id % 7 = 0")                 # v3
+    assert read_snapshot(spark, path, version=3).count() < n_all
+
+    data_root = os.path.join(path, "data")
+    dirs_before = sorted(os.listdir(data_root))
+    v = restore_snapshot(path, 2)                                       # v4
+    assert v == 4
+    assert sorted(os.listdir(data_root)) == dirs_before  # metadata-only
+    assert read_snapshot(spark, path).count() == n_all
+    # the deleted head stays time-travelable, and restoring to it
+    # undoes the restore
+    assert read_snapshot(spark, path, version=3).count() < n_all
+    restore_snapshot(path, 3)                                           # v5
+    assert read_snapshot(spark, path).count() < n_all
+    restore_snapshot(path, 4)                                           # v6
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_restore() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (sources.sinks.snapshot_history — Delta history /
+    Iceberg snapshots metadata table): three deterministic slice commits
+    plus one metadata-only merge-on-read delete; every version's exact
+    row count and pending-delete count come from the MANIFESTS alone
+    (zero data reads — the stamped stats are what the oracle
+    hash-verifies, cumulative slice by slice; the MoR delete commit
+    keeps file-level n_rows and shows up as a pending predicate)."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    path = _tmpdir(prefix="docs_snap_history_") + "/docs"
+    for k in range(3):
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k), path)
+    delete_from_snapshot(spark, path, "doc_id % 5 = 0",
+                         mode="merge-on-read")                          # v4
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert all(h["ts"] is not None and h["n_files"] > 0 for h in hist)
+    return spark.createDataFrame(
+        [(h["version"], h["n_rows"], h["n_delete_preds"]) for h in hist],
+        "version int, n_rows long, n_delete_preds int",
+    )
+
+
+def sql_snapshot_history() -> str:
+    return """
+SELECT v.version,
+       (SELECT COUNT(*) FROM documents
+        WHERE doc_id % 3 < LEAST(v.version, 3)) AS n_rows,
+       CASE WHEN v.version = 4 THEN 1 ELSE 0 END AS n_delete_preds
+FROM (VALUES (1), (2), (3), (4)) AS v(version)
+ORDER BY v.version
+"""
+
+
 def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snapshot table's maintenance decision loop
     (sources.sinks.maintain_snapshot — Delta auto-OPTIMIZE shape,
@@ -1965,6 +2060,8 @@ def build_ops_registry():
         "snapshot_merge_pruned": q_snapshot_merge_pruned,
         "snapshot_replace_where": q_snapshot_replace_where,
         "snapshot_constraints": q_snapshot_constraints,
+        "snapshot_restore": q_snapshot_restore,
+        "snapshot_history": q_snapshot_history,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -2014,6 +2111,8 @@ def build_ops_registry():
         "snapshot_merge_pruned": sql_snapshot_merge_pruned(),
         "snapshot_replace_where": sql_snapshot_replace_where(),
         "snapshot_constraints": sql_snapshot_constraints(),
+        "snapshot_restore": sql_snapshot_restore(),
+        "snapshot_history": sql_snapshot_history(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

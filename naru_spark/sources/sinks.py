@@ -2315,6 +2315,77 @@ def snapshot_stats(path: str, version: int | None = None) -> dict:
     }
 
 
+def restore_snapshot(path: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION`` analog: commit the target
+    version's exact state — entries, stamped stats, and its pending
+    metadata planes (merge-on-read deletes, schema ops, constraints) —
+    as the NEW head. Metadata-only: the immutable entries are
+    re-referenced, zero data I/O at any table size; the pre-restore
+    head stays time-travelable, so a second restore undoes the first.
+    The txn idempotence map is kept from the PRE-restore head (a
+    replayed streaming batch must still no-op after a restore — Delta
+    keeps the transaction log the same way). Only versions retention
+    kept are restorable; incremental readers see the restore as a
+    replace commit (their superset check raises rather than
+    misreporting removed rows as an append delta)."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = _latest_version(man_dir)
+    target_p = os.path.join(man_dir, f"v{version}.json")
+    if not os.path.exists(target_p):
+        raise ValueError(
+            f"version {version} of {path} is not retained "
+            "(expired or never committed) — nothing to restore to"
+        )
+    with open(target_p) as fh:
+        target = json.load(fh)
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        head = json.load(fh)
+    n = latest + 1
+    manifest = {
+        "version": n,
+        "dirs": target["dirs"],
+        "txns": _normalize_txns(head.get("txns", {})),
+        "stats": target.get("stats", {}),
+    }
+    _carry_planes(target, manifest)  # the TARGET state's planes, whole
+    _publish_manifest(man_dir, n, manifest)
+    return n
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """Delta ``DESCRIBE HISTORY`` analog: one row per retained version —
+    {"version", "ts", "n_entries", "n_rows", "n_files",
+    "n_delete_preds", "n_schema_ops", "n_constraints"} — answered from
+    the manifests alone (stamped stats; zero data I/O, zero file
+    listings). Ordered oldest-first."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    out = []
+    for v in sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    ):
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            man = json.load(fh)
+        stats = _manifest_stats(man)
+        out.append({
+            "version": v,
+            "ts": man.get("ts"),
+            "n_entries": len(man["dirs"]),
+            "n_rows": int(sum(s["n_rows"] for s in stats.values())),
+            "n_files": int(sum(s["n_files"] for s in stats.values())),
+            "n_delete_preds": len(man.get("deletes", [])),
+            "n_schema_ops": len(man.get("schema_ops", [])),
+            "n_constraints": len(man.get("constraints", {})),
+        })
+    return out
+
+
 def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
     """Orphan-file cleanup (Iceberg ``remove_orphan_files`` analog):
     delete data directories referenced by NO manifest of ANY version —
