@@ -280,6 +280,32 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-11b: replace_where on an identity-partitioned table — the
+    # overwrite wall tracks the REPLACED partition's bytes + a manifest
+    # commit, never the table (untouched partitions carry verbatim)
+    from naru_spark.sources.sinks import replace_where
+    from naru_spark.sources import load_table
+
+    li_rf = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    rpath = root + "/tbl_rw"
+    t0 = time.time()
+    write_snapshot(li_rf, rpath, partition_by="l_returnflag")
+    rw_build = round(time.time() - t0, 3)
+    new_r = li_rf.where("l_returnflag = 'R'").limit(10_000)
+    t0 = time.time()
+    rinfo = replace_where(spark, rpath, new_r, "l_returnflag", ["R"])
+    timings["snapshot_replace_where_probe"] = round(time.time() - t0, 3)
+    timings["snapshot_replace_where_carried"] = rinfo["entries_carried"]
+    assert rinfo["partitions_replaced"] >= 1 and rinfo["entries_carried"] >= 2, rinfo
+    print(
+        f"# snapshot replace_where {timings['snapshot_replace_where_probe']:.2f}s "
+        f"(replaced {rinfo['partitions_replaced']} partition entr(ies), carried "
+        f"{rinfo['entries_carried']}; partitioned build was {rw_build:.2f}s)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
