@@ -2020,6 +2020,15 @@ def replace_where(
         base_version = latest
     with open(os.path.join(man_dir, f"v{base_version}.json")) as fh:
         man = json.load(fh)
+    if txn_id is not None:
+        # replay fast-path (mirrors merge_into_snapshot): a re-delivered
+        # foreachBatch batch returns the recorded commit without paying
+        # the constraint probe or evaluating the replacement frame
+        app, ver = _parse_txn_id(txn_id)
+        rec = _normalize_txns(man.get("txns", {})).get(app)
+        if rec is not None and ver <= int(rec["v"]):
+            return {"version": int(rec["commit"]),
+                    "partitions_replaced": 0, "entries_carried": 0}
     stats = man.get("stats", {})
     vals = list(values)
     want = {str(v) for v in vals}

@@ -1459,6 +1459,12 @@ def test_partitioned_snapshot_table_and_replace_where(spark, tmp_path):
     with pytest.raises(SnapshotConflictError):
         replace_where(spark, path, new_b, "src", ["b"], base_version=stale)
 
+    # txn replay: a re-delivered batch returns the recorded commit
+    # without re-validating or re-writing anything
+    r1 = replace_where(spark, path, new_b, "src", ["b"], txn_id="rw:1")
+    r2 = replace_where(spark, path, new_b, "src", ["b"], txn_id="rw:1")
+    assert r2["version"] == r1["version"] and r2["partitions_replaced"] == 0
+
     # partition-pruned COW delete: only src=a entries scanned
     dinfo = delete_from_snapshot(
         spark, path, "src = 'a' and k < 3", partitions={"src": ["a"]}
