@@ -830,12 +830,12 @@ def q_snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("src_new").alias("source"), "n_chars", F.lit("U").alias("op"),
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
-    # the changeset's distinct keys scale with the corpus (~8k at sf1 —
-    # a 2% margin under the 8192 default); raise the enumeration cap so
-    # the exact-containment path (the one this entry asserts on) holds
-    # at every SF instead of silently falling back to the covering box
-    info = merge_into_snapshot(spark, path, changes, key="doc_id",
-                               auto_prune_max_keys=1 << 20)
+    # the changeset's distinct keys scale with the corpus (~8k at sf1,
+    # past the 8192 enumeration default at larger SFs): past the cap the
+    # engine runs the SAME exact per-entry containment as a distributed
+    # range join (keys never collect to the driver), so the pruning this
+    # entry asserts on holds at every scale factor with the default cap
+    info = merge_into_snapshot(spark, path, changes, key="doc_id")
     assert info["n_changes"] == changes.count(), info
     # the two out-of-range commits were never even scanned
     assert info["entries_pruned"] >= 2 and info["files_carried"] >= 2, info

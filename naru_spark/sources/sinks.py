@@ -564,6 +564,76 @@ def _entry_holds_any_key(stat: dict | None, col: str, sorted_vals: list) -> bool
         return True
 
 
+def _entries_holding_keys_distributed(
+    spark, keys: DataFrame, key: str, entries, stats: dict
+) -> list:
+    """Exact per-entry key containment for changesets TOO LARGE to
+    enumerate on the driver: one range join of the (pinned) distinct-keys
+    frame against a broadcast frame of the entries' stamped [min, max]
+    boxes — the keys stay in executors, and the driver receives only the
+    HIT entry indices (bounded by the manifest size, never the
+    changeset). This is what keeps MERGE pruning exact at any changeset
+    size without the driver-memory cliff of collecting a million keys
+    (or the precision collapse of a single covering box).
+
+    Safety rules (CANNOT SKIP ⇒ keep): entries without a stamped range
+    for the key column; stamped types that do not compare cleanly with
+    the key column (string boxes need a string key, numeric boxes a
+    plain numeric key — int boxes join as exact bigint, never through a
+    lossy double cast); any NaN key on a float/double column (NaN never
+    appears in parquet min/max stats, so no containment proof exists).
+    NULL keys never match a base row, so they are dropped before the
+    join. Cost: a broadcast nested-loop range join, O(keys × boxed
+    entries) spread over the cluster — fine for manifest-scale box
+    counts; a table pushing ~10^5+ entries should carry a partition or
+    bloom spec so earlier elimination shrinks the box side first."""
+    from pyspark.sql import functions as F
+
+    plain = list(entries)
+    boxed: list = []
+    for i, e in enumerate(plain):
+        rng = (stats.get(e) or {}).get("cols", {}).get(key)
+        if rng is not None:
+            boxed.append((i, rng[0], rng[1]))
+    if not boxed:
+        return plain
+    vals = [v for b in boxed for v in (b[1], b[2])]
+    kdt = dict(keys.dtypes)[key]
+    if all(isinstance(v, str) for v in vals):
+        if kdt != "string":
+            return plain  # stamped str vs non-str key: no safe order
+        box_t = "string"
+    elif all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        if kdt not in ("tinyint", "smallint", "int", "bigint"):
+            return plain  # int boxes + non-integral key: lossy compare
+        box_t = "bigint"
+    elif all(
+        isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+    ):
+        if kdt not in ("float", "double"):
+            return plain
+        box_t = "double"
+    else:
+        return plain  # mixed/unknown stamped types: cannot skip
+    probe = keys.where(F.col(key).isNotNull())
+    if kdt in ("float", "double"):
+        if probe.where(F.isnan(F.col(key))).limit(1).collect():
+            return plain
+    box_df = spark.createDataFrame(
+        boxed, f"__i int, __lo {box_t}, __hi {box_t}"
+    )
+    hits = {
+        r["__i"]
+        for r in probe.join(
+            F.broadcast(box_df),
+            (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi")),
+            "inner",
+        ).select("__i").distinct().collect()
+    }
+    unboxed = {i for i, e in enumerate(plain)} - {b[0] for b in boxed}
+    return [e for i, e in enumerate(plain) if i in hits or i in unboxed]
+
+
 def _entry_partition_match(stat: dict | None, col: str, want: set) -> bool:
     """Does an entry's STAMPED identity-partition value match any probe
     value (compared as the directory-name string)? Entries without a
@@ -879,6 +949,13 @@ def write_snapshot(
             os.path.join(data_dir, d) for d in os.listdir(data_dir)
             if d.startswith(pcol + "=")
         )
+        if not new_entries:
+            # an EMPTY delta (e.g. replace_where clearing partitions)
+            # writes no partition subdirs — remove the husk dir (only
+            # _SUCCESS inside) so the table never accumulates a data dir
+            # no manifest references, which would trip
+            # snapshot_stream_source's orphan check until gc_orphans runs
+            shutil.rmtree(data_dir, ignore_errors=True)
     else:
         df.write.mode("error").parquet(data_dir)
         new_entries = [data_dir]
@@ -977,8 +1054,10 @@ def write_snapshot(
     try:
         _publish_manifest(man_dir, n, manifest)
     except SnapshotConflictError:
-        shutil.rmtree(data_dir)  # loser's orphan data: ours, safe to drop
-        _drop_bloom(path, os.path.basename(data_dir))  # and its sidecar
+        # loser's orphan data: ours, safe to drop (already gone for an
+        # empty partitioned delta), plus any sidecar it stamped
+        shutil.rmtree(data_dir, ignore_errors=True)
+        _drop_bloom(path, os.path.basename(data_dir))
         raise
     return n
 
@@ -1405,12 +1484,20 @@ def compact_snapshot(
         # read_snapshot (not a raw parquet read): pending merge-on-read
         # deletes and rename/drop ops are APPLIED by the rewrite —
         # compaction is the materialization point that clears both logs
-        # (the replace commit below writes them empty)
-        current = read_snapshot(spark, path, version=latest)
+        # (the replace commit below writes them empty). merge_schema:
+        # the rewrite must see the UNION of the entries' schemas — a
+        # plain read lets one file's footer win inference and silently
+        # drops columns added by later (additively evolved) commits
+        current = read_snapshot(spark, path, version=latest,
+                                merge_schema=True)
     else:
         # no pending logs (checked above): the under-sized entries' raw
-        # files ARE their logical rows
-        current = spark.read.parquet(
+        # files ARE their logical rows. mergeSchema for the same reason
+        # as the full path — the rewrite set may span commits with
+        # additively-evolved schemas, and the compacted entry must keep
+        # every column (pre-evolution rows surface NULL, exactly what a
+        # merge-schema read of the originals shows)
+        current = spark.read.option("mergeSchema", "true").parquet(
             *[f for e in under for f in _entry_files(e)]
         )
     if zorder_by is not None:
@@ -1535,12 +1622,17 @@ def delete_from_snapshot(
         # limit-0 read_snapshot applies pending rename/drop ops; zero
         # data I/O) BEFORE publishing: a typo'd condition would otherwise
         # be committed metadata-only and poison every later read AND the
-        # compaction that is the only path that clears pending deletes
+        # compaction that is the only path that clears pending deletes.
+        # Only ANALYSIS errors (unresolvable column, parse error) mean a
+        # bad condition — anything else (manifest I/O, missing files)
+        # propagates untouched instead of masquerading as one
+        from pyspark.errors import AnalysisException
+
         try:
             read_snapshot(spark, path, version=latest).limit(0).where(
                 F.expr(condition)
             )
-        except Exception as exc:
+        except AnalysisException as exc:
             raise ValueError(
                 f"merge-on-read delete predicate {condition!r} does not "
                 f"resolve against the snapshot at {path}: {exc}"
@@ -1705,8 +1797,11 @@ def merge_into_snapshot(
     unless SOME key falls inside its stamped min/max (exact per-key
     containment — far-out insert keys match no entry instead of
     inflating a single covering box) and, where bloom sidecars exist,
-    unless the bloom may contain a key; past the bound a covering
-    [min, max] box is used. Auto-derivation covers the matched keys BY
+    unless the bloom may contain a key; past the bound the SAME exact
+    containment runs as a distributed range join (the keys never leave
+    the executors — see ``_entries_holding_keys_distributed``), so a
+    million-key changeset prunes as precisely as a small one without a
+    driver-memory cliff. Auto-derivation covers the matched keys BY
     CONSTRUCTION, removing the hand-written-hint footgun (a too-small
     hand box silently turns missed updates into duplicate inserts).
     Hand-passed ``prune``/``prune_keys`` still take precedence.
@@ -1799,18 +1894,16 @@ def merge_into_snapshot(
                         # is the contract for EXPLICIT prune_keys only)
                         pass
         else:
-            # too many distinct keys to enumerate: covering box (coarse
-            # but safe — min/max over the pinned changeset)
-            row = changes.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
-            ).collect()[0]
-            if row["lo"] is not None:
-                scan_entries = [
-                    e for e in scan_entries
-                    if _entry_overlaps(
-                        stats.get(e), {key: (row["lo"], row["hi"])}
-                    )
-                ]
+            # too many distinct keys to enumerate on the driver: EXACT
+            # per-entry containment, computed DISTRIBUTED — the keys stay
+            # in executors and the driver receives only the hit entry
+            # INDICES (bounded by the manifest size, not the changeset),
+            # so a million-key changeset prunes as precisely as a small
+            # one without the driver-memory cliff a big collect() (or
+            # the coarse single covering box) would be
+            scan_entries = _entries_holding_keys_distributed(
+                spark, keys, key, scan_entries, stats
+            )
     if prune:
         scan_entries = [
             e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
@@ -2023,9 +2116,18 @@ def replace_where(
     if txn_id is not None:
         # replay fast-path (mirrors merge_into_snapshot): a re-delivered
         # foreachBatch batch returns the recorded commit without paying
-        # the constraint probe or evaluating the replacement frame
+        # the constraint probe or evaluating the replacement frame. The
+        # txn map is read from the LATEST manifest, not the pinned base:
+        # with an explicitly stale base_version, a batch recorded at a
+        # later version must still no-op here instead of proceeding into
+        # a doomed SnapshotConflictError
         app, ver = _parse_txn_id(txn_id)
-        rec = _normalize_txns(man.get("txns", {})).get(app)
+        if base_version == latest:
+            head_txns = man.get("txns", {})
+        else:
+            with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+                head_txns = json.load(fh).get("txns", {})
+        rec = _normalize_txns(head_txns).get(app)
         if rec is not None and ver <= int(rec["v"]):
             return {"version": int(rec["commit"]),
                     "partitions_replaced": 0, "entries_carried": 0}
@@ -2368,8 +2470,10 @@ def snapshot_history(path: str) -> list[dict]:
     """Delta ``DESCRIBE HISTORY`` analog: one row per retained version —
     {"version", "ts", "n_entries", "n_rows", "n_files",
     "n_delete_preds", "n_schema_ops", "n_constraints"} — answered from
-    the manifests alone (stamped stats; zero data I/O, zero file
-    listings). Ordered oldest-first."""
+    the manifests alone: stamped stats mean zero I/O for any manifest
+    written by this code; a legacy stats-less manifest back-fills once
+    from parquet FOOTERS (metadata pages, never data). Ordered
+    oldest-first."""
     import json
     import os
 

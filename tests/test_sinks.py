@@ -1897,3 +1897,169 @@ def test_merge_into_snapshot_file_pruned(spark, tmp_path):
     info2 = merge_into_snapshot(spark, path, ins, key="k")
     assert info2["files_rewritten"] == 0, info2
     assert read_snapshot(spark, path).count() == 301
+
+
+def test_merge_distributed_containment_past_enumeration_cap(spark, tmp_path):
+    """Past ``auto_prune_max_keys`` the keys are NOT collected to the
+    driver — the same exact per-entry containment runs as a distributed
+    range join against the stamped boxes. Forced here with a tiny cap:
+    pruning stays exact (out-of-box entries eliminated, far-out insert
+    keys match nothing) and the merge result is identical to the
+    enumerated path's."""
+    from naru_spark.sources.sinks import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "k int, v int"
+    )
+    path = str(tmp_path / "dist")
+    for lo in (0, 100, 200):
+        write_snapshot(mk(lo, lo + 100), path)
+    changes = spark.createDataFrame(
+        [(k, -1, "U") for k in range(100, 160)]
+        + [(7_000_000, -1, "U")],  # far-out insert: inside NO box
+        "k int, v int, op string",
+    )
+    info = merge_into_snapshot(spark, path, changes, key="k",
+                               auto_prune_max_keys=10)  # force the join
+    assert info["entries_pruned"] == 2, info
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, path).collect()}
+    assert all(got[k] == -1 for k in range(100, 160))
+    assert got[7_000_000] == -1 and len(got) == 301
+    # a NaN float key defeats min/max containment: nothing is pruned,
+    # nothing is lost
+    pathf = str(tmp_path / "distf")
+    write_snapshot(
+        spark.createDataFrame([(1.0, 1), (2.0, 2)], "k double, v int"), pathf
+    )
+    nan_changes = spark.createDataFrame(
+        [(float("nan"), -1, "U"), (1.0, -1, "U")], "k double, v int, op string"
+    )
+    inf = merge_into_snapshot(spark, pathf, nan_changes, key="k",
+                              auto_prune_max_keys=1)
+    assert inf["entries_pruned"] == 0, inf
+    assert read_snapshot(spark, pathf).where("v = -1").count() == 2
+
+
+def test_replace_where_replay_reads_latest_txn_map(spark, tmp_path):
+    """A replayed replace_where batch must no-op even when the caller
+    pins an explicitly STALE base_version: the replay fast-path reads
+    the txn map from the LATEST manifest (like merge_into_snapshot),
+    so the recorded commit returns instead of a doomed
+    SnapshotConflictError."""
+    from naru_spark.sources.sinks import (
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i) for i in range(40)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "rw")
+    write_snapshot(df, path, partition_by="p")                        # v1
+    new_a = df.where("p = 'a'").withColumn("v", F.col("v") + 100)
+    info = replace_where(spark, path, new_a, "p", ["a"],
+                         txn_id="job:1")                              # v2
+    # replay pinned to the PRE-commit base: returns the recorded commit
+    replay = replace_where(spark, path, new_a, "p", ["a"],
+                           txn_id="job:1", base_version=1)
+    assert replay["version"] == info["version"]
+    assert replay["partitions_replaced"] == 0
+    assert read_snapshot(spark, path).where("v >= 100").count() == 20
+
+
+def test_empty_partitioned_delta_leaves_no_orphan_dir(spark, tmp_path):
+    """replace_where with an EMPTY replacement frame (clearing a
+    partition) must not leave an unreferenced data dir behind — the
+    husk dir (only _SUCCESS) is removed at write time, so gc_orphans
+    finds nothing and the orphan startup check stays green."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        gc_orphans,
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i) for i in range(40)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "clear")
+    write_snapshot(df, path, partition_by="p")                        # v1
+    empty = df.where("1 = 0")
+    info = replace_where(spark, path, empty, "p", ["a"])              # v2
+    assert info["partitions_replaced"] == 1 and info["entries_carried"] == 1
+    out = read_snapshot(spark, path)
+    assert out.count() == 20 and out.where("p = 'a'").count() == 0
+    # no husk dir: every on-disk dir is referenced by some manifest
+    assert gc_orphans(path) == []
+    data_root = os.path.join(path, "data")
+    assert len(os.listdir(data_root)) == 1  # just v1's commit dir
+
+
+def test_selective_compaction_merges_evolved_schemas(spark, tmp_path):
+    """Selective compaction over entries whose schemas EVOLVED
+    additively must keep every column (mergeSchema read): the rewrite
+    set spans a pre-evolution and a post-evolution commit, and the
+    compacted entry carries the union schema with NULLs for
+    pre-evolution rows — a plain read would let one footer win
+    inference and silently drop the added column's data."""
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "evo")
+    write_snapshot(
+        spark.createDataFrame([(i, i) for i in range(50)], "k int, v int")
+        .repartition(4),
+        path,
+    )                                                                  # v1
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i, i * 2) for i in range(50, 100)], "k int, v int, w int"
+        ).repartition(4),
+        path,
+    )                                                                  # v2
+    info = compact_snapshot(spark, path, target_files=2)
+    assert info["mode"] == "selective", info
+    out = read_snapshot(spark, path)
+    assert "w" in out.columns
+    assert out.count() == 100
+    assert out.where("w IS NOT NULL").count() == 50
+    assert out.agg(F.sum("w")).collect()[0][0] == sum(i * 2 for i in range(50, 100))
+
+
+def test_mor_validation_propagates_runtime_errors(spark, tmp_path, monkeypatch):
+    """Only ANALYSIS failures mean a bad merge-on-read predicate; a
+    runtime failure during validation (manifest I/O, missing files)
+    propagates untouched instead of being rewrapped as 'predicate does
+    not resolve' with the real traceback suppressed."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "prop")
+    sinks.write_snapshot(
+        spark.createDataFrame([(1, 1)], "k int, v int"), path
+    )
+    # a genuinely bad predicate still maps to ValueError...
+    with pytest.raises(ValueError, match="does not resolve"):
+        sinks.delete_from_snapshot(spark, path, "no_such_col = 1",
+                                   mode="merge-on-read")
+    # ...but an unrelated runtime error surfaces as itself
+    def boom(*a, **k):
+        raise RuntimeError("manifest storage unreachable")
+
+    monkeypatch.setattr(sinks, "read_snapshot", boom)
+    with pytest.raises(RuntimeError, match="storage unreachable"):
+        sinks.delete_from_snapshot(spark, path, "k = 1",
+                                   mode="merge-on-read")
