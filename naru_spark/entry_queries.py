@@ -2485,6 +2485,29 @@ for _rnd, _names in (
         "doc_lm_score", "source_mix", "embedding_norms", "dedup_exact",
         "dedup_ngram_jaccard", "dedup_components", "dedup_embedding",
     )),
+    (11, (
+        "advised_q5", "anti_join_no_urgent", "asof_purchase_view",
+        "bpe_pair_counts", "chunk_documents", "compact_small_files",
+        "corpus_curation", "cube_pricing", "decontaminate",
+        "dedup_embedding_lsh", "events_hourly_stream", "gopher_filter",
+        "join_card_estimates", "like_estimates_anchored",
+        "multimodal_bytes", "multimodal_real_decode", "multimodal_resize",
+        "multimodal_resize_real", "pack_sequences",
+        "partition_overwrite_upsert", "pivot_event_counts",
+        "range_join_windows", "rollup_pricing", "salted_join",
+        "schema_evolution_read", "semi_join_urgent", "sessionize",
+        "sessionize_stream", "set_ops_buyers",
+        "similarity_ivfpq_index_stats", "similarity_topk",
+        "similarity_topk_ivfpq", "similarity_topk_ivfpq_index",
+        "similarity_topk_ivfpq_index_append",
+        "similarity_topk_ivfpq_index_delete", "similarity_topk_pq",
+        "snapshot_constraints", "snapshot_delete_where",
+        "snapshot_history", "snapshot_replace_where", "snapshot_restore",
+        "source_cap", "source_temperature_mix", "stratified_sample",
+        "stream_bm25_serve_filtered", "stream_ivfpq_serve_filtered",
+        "stream_snapshot_follow", "stream_stream_join",
+        "user_totals_stateful", "workload_oracle_star4",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
