@@ -1324,14 +1324,17 @@ ORDER BY source
 
 def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY (sources.sinks.snapshot_history — Delta history /
-    Iceberg snapshots metadata table): three deterministic slice commits
-    plus one metadata-only merge-on-read delete; every version's exact
-    row count and pending-delete count come from the MANIFESTS alone
-    (zero data reads — the stamped stats are what the oracle
-    hash-verifies, cumulative slice by slice; the MoR delete commit
-    keeps file-level n_rows and shows up as a pending predicate)."""
+    Iceberg snapshots metadata table): three deterministic slice commits,
+    one metadata-only merge-on-read delete, then a RESTORE to v3; every
+    version's exact row count, pending-delete count, and OPERATION
+    metadata (Delta's operation / operationParameters — what
+    distinguishes the restore from a plain replace) come from the
+    MANIFESTS alone (zero data reads — the stamped stats and op stamps
+    are what the oracle hash-verifies; the restore drops the pending
+    predicate because v3 predates it)."""
     from naru_spark.sources.sinks import (
         delete_from_snapshot,
+        restore_snapshot,
         snapshot_history,
         write_snapshot,
     )
@@ -1342,22 +1345,29 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot(docs.filter(F.col("doc_id") % 3 == k), path)
     delete_from_snapshot(spark, path, "doc_id % 5 = 0",
                          mode="merge-on-read")                          # v4
+    restore_snapshot(path, 3)                                           # v5
     hist = snapshot_history(path)
-    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert [h["version"] for h in hist] == [1, 2, 3, 4, 5]
     assert all(h["ts"] is not None and h["n_files"] > 0 for h in hist)
+    # op params are stamped too (zero-I/O, straight from the manifest)
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[4]["op_params"]["condition"] == "doc_id % 5 = 0", by_v[4]
+    assert by_v[5]["op_params"]["to_version"] == 3, by_v[5]
     return spark.createDataFrame(
-        [(h["version"], h["n_rows"], h["n_delete_preds"]) for h in hist],
-        "version int, n_rows long, n_delete_preds int",
+        [(h["version"], h["op"], h["n_rows"], h["n_delete_preds"])
+         for h in hist],
+        "version int, op string, n_rows long, n_delete_preds int",
     )
 
 
 def sql_snapshot_history() -> str:
     return """
-SELECT v.version,
+SELECT v.version, v.op,
        (SELECT COUNT(*) FROM documents
         WHERE doc_id % 3 < LEAST(v.version, 3)) AS n_rows,
        CASE WHEN v.version = 4 THEN 1 ELSE 0 END AS n_delete_preds
-FROM (VALUES (1), (2), (3), (4)) AS v(version)
+FROM (VALUES (1, 'append'), (2, 'append'), (3, 'append'),
+             (4, 'delete'), (5, 'restore')) AS v(version, op)
 ORDER BY v.version
 """
 

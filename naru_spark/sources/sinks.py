@@ -795,6 +795,7 @@ def write_snapshot(
     carry_partitions: dict | None = None,
     carry_blooms: dict | None = None,
     enforce_constraints: bool = True,
+    op_meta: dict | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -1043,8 +1044,12 @@ def write_snapshot(
             df.sparkSession, data_dir, bloom_key, path,
             stats[data_dir]["n_rows"],
         )
+    # operation metadata (Delta history's operation/operationParameters):
+    # every commit records WHAT produced it — callers (compaction, DELETE,
+    # MERGE, replace_where) pass their own op_meta; a plain write stamps
+    # its mode. Metadata-only; surfaced by snapshot_history.
     manifest = {"version": n, "dirs": prev + new_entries, "txns": txns,
-                "stats": stats}
+                "stats": stats, "op": op_meta or {"name": mode}}
     if deletes:
         manifest["deletes"] = deletes
     if schema_ops:
@@ -1533,6 +1538,11 @@ def compact_snapshot(
         bloom_key=bkey,
         # content-identical rewrite: every row already passed its CHECKs
         enforce_constraints=False,
+        op_meta={
+            "name": "compact",
+            "mode": "full" if force_full else "selective",
+            **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+        },
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = sum(
@@ -1649,6 +1659,8 @@ def delete_from_snapshot(
             "stats": man.get("stats", {}),
             "deletes": man.get("deletes", [])
             + [{"cond": condition, "dirs": entries, "seq": n}],
+            "op": {"name": "delete", "mode": "merge-on-read",
+                   "condition": condition},
         }
         _carry_planes(man, manifest, exclude=("deletes",))
         _publish_manifest(man_dir, n, manifest)
@@ -1760,6 +1772,8 @@ def delete_from_snapshot(
         # survivors are a subset of rows that already passed their
         # write-time CHECKs (and add-time validation): no re-probe
         enforce_constraints=False,
+        op_meta={"name": "delete", "mode": "copy-on-write",
+                 "condition": condition},
     )
     return {"version": version, "n_deleted": n_deleted,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -1972,6 +1986,7 @@ def merge_into_snapshot(
         # the merge output (rewrites + inserts) gets a fresh sidecar when
         # the whole visible table is bloom-indexed on the merge key space
         bloom_key=_common_bloom_key(stats, entries) if entries else None,
+        op_meta={"name": "merge", "key": key},
     )
     return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -2033,6 +2048,8 @@ def add_snapshot_constraint(
         "txns": _normalize_txns(man.get("txns", {})),
         "stats": man.get("stats", {}),
         "constraints": {**man.get("constraints", {}), name: expr},
+        "op": {"name": "add_constraint", "constraint": name,
+               "expr": expr},
     }
     _carry_planes(man, manifest, exclude=("constraints",))
     _publish_manifest(man_dir, n, manifest)
@@ -2061,6 +2078,7 @@ def drop_snapshot_constraint(path: str, name: str) -> int:
         "dirs": man["dirs"],
         "txns": _normalize_txns(man.get("txns", {})),
         "stats": man.get("stats", {}),
+        "op": {"name": "drop_constraint", "constraint": name},
     }
     if constraints:
         manifest["constraints"] = constraints
@@ -2165,6 +2183,8 @@ def replace_where(
     version = write_snapshot(
         df, path, mode="replace", base_version=base_version,
         carry=carried, partition_by=col, txn_id=txn_id,
+        op_meta={"name": "replace_where", "col": col,
+                 "values": [str(v) for v in vals]},
     )
     return {"version": version, "partitions_replaced": len(replaced),
             "entries_carried": len(carried)}
@@ -2378,6 +2398,8 @@ def alter_snapshot_schema(
         "txns": _normalize_txns(man.get("txns", {})),
         "stats": man.get("stats", {}),
         "schema_ops": ops,
+        "op": {"name": "alter_schema", "rename": dict(rename or {}),
+               "drop": list(drop or [])},
     }
     _carry_planes(man, manifest, exclude=("schema_ops",))
     _publish_manifest(man_dir, n, manifest)
@@ -2460,6 +2482,7 @@ def restore_snapshot(path: str, version: int) -> int:
         "dirs": target["dirs"],
         "txns": _normalize_txns(head.get("txns", {})),
         "stats": target.get("stats", {}),
+        "op": {"name": "restore", "to_version": version},
     }
     _carry_planes(target, manifest)  # the TARGET state's planes, whole
     _publish_manifest(man_dir, n, manifest)
@@ -2468,12 +2491,18 @@ def restore_snapshot(path: str, version: int) -> int:
 
 def snapshot_history(path: str) -> list[dict]:
     """Delta ``DESCRIBE HISTORY`` analog: one row per retained version —
-    {"version", "ts", "n_entries", "n_rows", "n_files",
-    "n_delete_preds", "n_schema_ops", "n_constraints"} — answered from
-    the manifests alone: stamped stats mean zero I/O for any manifest
-    written by this code; a legacy stats-less manifest back-fills once
-    from parquet FOOTERS (metadata pages, never data). Ordered
-    oldest-first."""
+    {"version", "ts", "op", "op_params", "n_entries", "n_rows",
+    "n_files", "n_delete_preds", "n_schema_ops", "n_constraints"} —
+    answered from the manifests alone: stamped stats mean zero I/O for
+    any manifest written by this code; a legacy stats-less manifest
+    back-fills once from parquet FOOTERS (metadata pages, never data).
+    ``op`` is the operation that produced the commit (append / replace /
+    compact / delete / merge / replace_where / add_constraint /
+    drop_constraint / alter_schema / restore — Delta's ``operation``
+    column) and ``op_params`` its parameters dict (Delta's
+    ``operationParameters``); legacy pre-op manifests surface None —
+    without this column a consumer cannot tell a restore from a
+    replace. Ordered oldest-first."""
     import json
     import os
 
@@ -2486,9 +2515,15 @@ def snapshot_history(path: str) -> list[dict]:
         with open(os.path.join(man_dir, f"v{v}.json")) as fh:
             man = json.load(fh)
         stats = _manifest_stats(man)
+        op = man.get("op")
         out.append({
             "version": v,
             "ts": man.get("ts"),
+            "op": op.get("name") if op else None,
+            "op_params": (
+                {k: v2 for k, v2 in op.items() if k != "name"}
+                if op else None
+            ),
             "n_entries": len(man["dirs"]),
             "n_rows": int(sum(s["n_rows"] for s in stats.values())),
             "n_files": int(sum(s["n_files"] for s in stats.values())),
