@@ -2197,6 +2197,7 @@ def maintain_snapshot(
     keep_last: int | None = None,
     gc_older_than_s: float | None = None,
     min_file_bytes: int | None = None,
+    retries: int = 2,
 ) -> dict:
     """The snapshot table's maintenance decision loop (Delta
     auto-OPTIMIZE / Iceberg maintenance-job shape), composed from the
@@ -2237,6 +2238,18 @@ def maintain_snapshot(
     ``snapshot_stream_source``'s no-orphan startup check passing on a
     table that has seen failed commits.
 
+    OPTIMISTIC-CONCURRENCY RETRY: a commit landing between the plan
+    read and the compaction's publish surfaces as
+    ``SnapshotConflictError`` — the tick then RE-READS the latest
+    manifest, re-plans against it, and re-commits, up to ``retries``
+    times (Iceberg's optimistic rewrite loop; the docs always
+    prescribed "re-read and retry", this is the implementation). The
+    loser's data dir is cleaned by write_snapshot before the retry, so
+    nothing leaks; past the budget the conflict propagates — under
+    sustained write pressure the scheduler's next tick retries anyway.
+    Each retry restarts from the measurement, so the decision is always
+    made against the manifest it will publish over.
+
     Returns {"action": "compact"|"noop", "files": n, "target_files": t,
     on compact the compaction's version/files_before/files_after, and
     when retention ran, "expired_dirs"/"gc_dirs" counts}."""
@@ -2245,35 +2258,44 @@ def maintain_snapshot(
     import os
 
     man_dir = os.path.join(path, "_manifests")
-    latest = _latest_version(man_dir)
-    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
-        man = json.load(fh)
-    stats = _manifest_stats(man)
-    n_files = sum(s["n_files"] for s in stats.values())
-    total_bytes = sum(s["n_bytes"] for s in stats.values())
-    target = max(1, math.ceil(total_bytes / target_file_bytes))
-    threshold = target_file_bytes if min_file_bytes is None else min_file_bytes
-    # ask the compaction policy itself what a triggered pass would
-    # rewrite (pending metadata-only logs force full materialization,
-    # which weighs the whole table) — ONE shared selection, no drift
-    plan = _compaction_plan(man, stats, threshold,
-                            zorder=zorder_by is not None)
-    frag_target = max(
-        1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
-    )
-    if plan["noop"] or plan["rewrite_files"] <= merge_factor * frag_target:
-        info = {"action": "noop", "files": n_files, "target_files": target}
-    else:
+    for attempt in range(retries + 1):
+        latest = _latest_version(man_dir)
+        with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+            man = json.load(fh)
+        stats = _manifest_stats(man)
+        n_files = sum(s["n_files"] for s in stats.values())
+        total_bytes = sum(s["n_bytes"] for s in stats.values())
+        target = max(1, math.ceil(total_bytes / target_file_bytes))
+        threshold = (target_file_bytes if min_file_bytes is None
+                     else min_file_bytes)
+        # ask the compaction policy itself what a triggered pass would
+        # rewrite (pending metadata-only logs force full materialization,
+        # which weighs the whole table) — ONE shared selection, no drift
+        plan = _compaction_plan(man, stats, threshold,
+                                zorder=zorder_by is not None)
+        frag_target = max(
+            1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
+        )
+        if plan["noop"] or plan["rewrite_files"] <= merge_factor * frag_target:
+            info = {"action": "noop", "files": n_files,
+                    "target_files": target}
+            break
         # zorder_by makes the triggered rewrite CLUSTER while it compacts
         # (Delta auto-OPTIMIZE with a ZORDER table property): same rewrite
         # I/O the compaction pays anyway, plus one range-exchange shuffle,
         # buying footer-stats pruning for every later scan and delete
-        info = compact_snapshot(spark, path,
-                                target_file_bytes=target_file_bytes,
-                                zorder_by=zorder_by,
-                                min_file_bytes=min_file_bytes)
+        try:
+            info = compact_snapshot(spark, path,
+                                    target_file_bytes=target_file_bytes,
+                                    zorder_by=zorder_by,
+                                    min_file_bytes=min_file_bytes)
+        except SnapshotConflictError:
+            if attempt == retries:
+                raise
+            continue  # re-read, re-plan, re-commit against the new head
         info.update({"action": "compact", "files": n_files,
                      "target_files": target})
+        break
     # retention AFTER the (possible) compaction: the new version anchors
     # the kept window and its superseded inputs reclaim in the same tick
     if keep_last is not None:

@@ -2063,3 +2063,49 @@ def test_mor_validation_propagates_runtime_errors(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="storage unreachable"):
         sinks.delete_from_snapshot(spark, path, "k = 1",
                                    mode="merge-on-read")
+
+
+def test_maintain_snapshot_occ_retry(spark, tmp_path, monkeypatch):
+    """A commit landing between maintenance's plan read and the
+    compaction's publish raises SnapshotConflictError — the tick
+    re-reads, re-plans against the new head, and re-commits (bounded by
+    ``retries``). Injected deterministically: the first replace-mode
+    write is preceded by a concurrent append. With retries=0 the
+    conflict propagates instead."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i) for i in range(lo, hi)], "k int, v int"
+    )
+
+    real = sinks.write_snapshot
+
+    def build(path):
+        for lo in (0, 100, 200):
+            real(mk(lo, lo + 100).repartition(6), path)
+
+    path = str(tmp_path / "occ")
+    build(path)
+    state = {"fired": 0}
+
+    def racy(df, p, **kw):
+        if kw.get("mode") == "replace" and not state["fired"]:
+            state["fired"] += 1
+            real(mk(300, 310).repartition(2), p)  # concurrent append wins
+        return real(df, p, **kw)
+
+    monkeypatch.setattr(sinks, "write_snapshot", racy)
+    info = sinks.maintain_snapshot(spark, path, merge_factor=2)
+    assert state["fired"] == 1 and info["action"] == "compact", info
+    out = sinks.read_snapshot(spark, path)
+    # the interleaved append's rows were re-planned in, not superseded
+    assert out.count() == 310
+
+    # retries=0: the conflict surfaces to the caller
+    path2 = str(tmp_path / "occ0")
+    build(path2)
+    state["fired"] = 0
+    with pytest.raises(sinks.SnapshotConflictError):
+        sinks.maintain_snapshot(spark, path2, merge_factor=2, retries=0)
