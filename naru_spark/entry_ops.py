@@ -1372,6 +1372,208 @@ ORDER BY v.version
 """
 
 
+def _build_cdf_table(spark: SparkSession, sf_dir: str, path: str) -> int:
+    """Shared fixture for the change-data-feed entries: a cdf-enabled,
+    lang-partitioned snapshot table driven through the full
+    row-mutating commit vocabulary — v1 append, v2 MERGE (update /
+    delete / insert), v3 replace_where on the 'en' partition (a REPLACE
+    commit), v4 metadata-only merge-on-read delete. Every step is a
+    deterministic function of the documents table so plain SQL can
+    replay both the per-commit change rows and the final state.
+    Returns the latest version (4)."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        merge_into_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_snapshot(docs, path, partition_by="lang", cdf=True)         # v1
+    updates = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        docs.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 5 != 0))
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+        "lang", "n_chars", F.lit("U").alias("op"),
+    )
+    merge_into_snapshot(
+        spark, path, updates.unionByName(deletes).unionByName(inserts),
+        key="doc_id",
+    )                                                                  # v2
+    new_en = (
+        docs.where((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 5000)
+    )
+    replace_where(spark, path, new_en, "lang", ["en"])                 # v3
+    delete_from_snapshot(spark, path, "doc_id % 3 = 0",
+                         mode="merge-on-read")                         # v4
+    return 4
+
+
+# the staged replay both CDF oracles build on: state after each commit of
+# _build_cdf_table, as plain SQL over the documents table
+_CDF_STAGES = """
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+upd_pre AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+upd_post AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base
+             WHERE doc_id % 5 = 0),
+del_rows AS (SELECT * FROM base
+             WHERE doc_id % 11 = 0 AND doc_id % 5 <> 0),
+ins AS (SELECT doc_id + 100000000 AS doc_id, lang, n_chars FROM base
+        WHERE doc_id % 13 = 0),
+after_v2 AS (
+  SELECT * FROM base
+  WHERE doc_id % 5 <> 0 AND NOT (doc_id % 11 = 0)
+  UNION ALL SELECT * FROM upd_post
+  UNION ALL SELECT * FROM ins
+),
+new_en AS (SELECT doc_id, lang, n_chars + 5000 AS n_chars FROM base
+           WHERE lang = 'en' AND doc_id % 2 = 0),
+v3_del AS (SELECT * FROM after_v2 WHERE lang = 'en'),
+after_v3 AS (
+  SELECT * FROM after_v2 WHERE lang <> 'en'
+  UNION ALL SELECT * FROM new_en
+),
+v4_del AS (SELECT * FROM after_v3 WHERE doc_id % 3 = 0),
+final AS (SELECT * FROM after_v3 WHERE doc_id % 3 <> 0)
+"""
+
+
+def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED (sources.sinks.read_snapshot_changes
+    (row_level=True) — Delta CDF): the cdf table's full history reads
+    back as typed change rows — append inserts from the data files,
+    MERGE's persisted delete/update_preimage/update_postimage/insert
+    plane, replace_where reconstructed from the manifest diff (THROUGH
+    a replace commit the file-level path refuses — asserted), and the
+    merge-on-read delete's matched rows persisted at delete time while
+    its data plane stayed metadata-only. The oracle replays every
+    commit's change rows in plain SQL."""
+    from naru_spark.sources.sinks import read_snapshot_changes
+
+    path = _tmpdir(prefix="docs_snap_cdf_") + "/docs"
+    latest = _build_cdf_table(spark, sf_dir, path)
+    # the file-level fast path refuses across the v3 replace...
+    try:
+        read_snapshot_changes(spark, path, 1)
+        raise AssertionError("file-level read must refuse across replace")
+    except ValueError:
+        pass
+    # ...the row-level feed serves the whole range
+    out = read_snapshot_changes(spark, path, 0, to_version=latest,
+                                row_level=True)
+    assert out.where("_commit_timestamp IS NULL").count() == 0
+    return (
+        out.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+def sql_snapshot_cdf() -> str:
+    return _CDF_STAGES + """
+, all_changes AS (
+  SELECT 1 AS commit_version, 'insert' AS change_type, doc_id, n_chars
+  FROM base
+  UNION ALL SELECT 2, 'delete', doc_id, n_chars FROM del_rows
+  UNION ALL SELECT 2, 'insert', doc_id, n_chars FROM ins
+  UNION ALL SELECT 2, 'update_preimage', doc_id, n_chars FROM upd_pre
+  UNION ALL SELECT 2, 'update_postimage', doc_id, n_chars FROM upd_post
+  UNION ALL SELECT 3, 'delete', doc_id, n_chars FROM v3_del
+  UNION ALL SELECT 3, 'insert', doc_id, n_chars FROM new_en
+  UNION ALL SELECT 4, 'delete', doc_id, n_chars FROM v4_del
+)
+SELECT commit_version, change_type, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM all_changes
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+"""
+
+
+def q_stream_snapshot_follow_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream replica following the change data feed THROUGH a
+    replace commit (the consumer shape today's file-stream follower
+    refuses): starting from a full read of v1, each new version's
+    row-level changes are applied incrementally — anti-join out the
+    delete/update_preimage keys, union in the insert/update_postimage
+    rows — exactly the Delta CDF -> foreachBatch apply pattern. Each
+    step is O(that commit's changes), never a table rescan; manifests
+    are the polling source (the documented scale path past file
+    listings). The oracle is the FINAL table state — the replica must
+    converge to it through the merge, the partition replace, and the
+    metadata-only merge-on-read delete."""
+    from naru_spark.sources.sinks import (
+        _latest_version,
+        read_snapshot,
+        read_snapshot_changes,
+    )
+
+    path = _tmpdir(prefix="docs_snap_cdff_") + "/docs"
+    _build_cdf_table(spark, sf_dir, path)
+    import os
+
+    latest = _latest_version(os.path.join(path, "_manifests"))
+    replica = read_snapshot(spark, path, version=1)
+    cols = replica.columns
+    for v in range(2, latest + 1):  # poll one version at a time
+        ch = read_snapshot_changes(spark, path, v - 1, to_version=v,
+                                   row_level=True)
+        removals = ch.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("doc_id").distinct()
+        upserts = ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        replica = (
+            replica.join(removals, "doc_id", "left_anti")
+            .unionByName(upserts)
+        )
+    # the replica converged to the table's latest state
+    expect = read_snapshot(spark, path).count()
+    got = replica.count()
+    assert got == expect, (got, expect)
+    return (
+        replica.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_stream_snapshot_follow_cdf() -> str:
+    return _CDF_STAGES + """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM final
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snapshot table's maintenance decision loop
     (sources.sinks.maintain_snapshot — Delta auto-OPTIMIZE shape,
@@ -2072,6 +2274,8 @@ def build_ops_registry():
         "snapshot_constraints": q_snapshot_constraints,
         "snapshot_restore": q_snapshot_restore,
         "snapshot_history": q_snapshot_history,
+        "snapshot_cdf": q_snapshot_cdf,
+        "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
@@ -2123,6 +2327,8 @@ def build_ops_registry():
         "snapshot_constraints": sql_snapshot_constraints(),
         "snapshot_restore": sql_snapshot_restore(),
         "snapshot_history": sql_snapshot_history(),
+        "snapshot_cdf": sql_snapshot_cdf(),
+        "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),

@@ -735,10 +735,11 @@ def _latest_version(man_dir: str) -> int:
 
 def _carry_planes(src: dict, manifest: dict, exclude: tuple = ()) -> None:
     """Copy the metadata-only planes (deletes / schema_ops /
-    constraints) a commit does not itself rewrite from the base
-    manifest into the new one — ONE shared loop, so a newly added plane
-    cannot be silently dropped by a missed copy site."""
-    for plane in ("deletes", "schema_ops", "constraints"):
+    constraints / the cdf table property) a commit does not itself
+    rewrite from the base manifest into the new one — ONE shared loop,
+    so a newly added plane cannot be silently dropped by a missed copy
+    site."""
+    for plane in ("deletes", "schema_ops", "constraints", "cdf"):
         if plane not in exclude and src.get(plane):
             manifest[plane] = src[plane]
 
@@ -796,6 +797,8 @@ def write_snapshot(
     carry_blooms: dict | None = None,
     enforce_constraints: bool = True,
     op_meta: dict | None = None,
+    cdf: bool = False,
+    change_df: DataFrame | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -865,7 +868,20 @@ def write_snapshot(
     opened. Values are stamped as the directory-name STRING (compare
     with ``str(value)``; int/string/date partition columns round-trip
     exactly — avoid float partition columns). Not composable with
-    ``bloom_key`` (sidecar naming is per top-level dir)."""
+    ``bloom_key`` (sidecar naming is per top-level dir).
+
+    ``cdf=True`` (Delta ``delta.enableChangeDataFeed``): marks the table
+    CHANGE-DATA-FEED enabled — a TABLE PROPERTY carried by every later
+    commit. From then on, row-rewriting ops (DELETE, MERGE) persist
+    their per-row changes under ``path/_changes/`` and
+    ``read_snapshot_changes(row_level=True)`` serves any version range
+    as typed change rows — including through replace commits. Appends
+    and replaces need no change files (their changes reconstruct from
+    the manifest diff alone). ``change_df`` is the internal channel
+    those ops use to hand their change rows (already carrying
+    ``_change_type``) into the same atomic commit: written before the
+    manifest publish, cleaned up with the data on a lost race, ignored
+    entirely when the property is off."""
     import json
     import os
     import shutil
@@ -887,9 +903,13 @@ def write_snapshot(
         base = base_version
     prev, txns, prev_stats, prev_deletes = [], {}, {}, []
     constraints: dict = {}
+    cdf_on = cdf
     if base:
         with open(os.path.join(man_dir, f"v{base}.json")) as fh:
             latest = json.load(fh)
+        # change-data-feed is a TABLE PROPERTY: once on, every commit
+        # carries it (Delta's enableChangeDataFeed semantics)
+        cdf_on = cdf or bool(latest.get("cdf"))
         txns = _normalize_txns(latest.get("txns", {}))
         prev_stats = latest.get("stats", {})
         prev_deletes = latest.get("deletes", [])
@@ -1044,12 +1064,31 @@ def write_snapshot(
             df.sparkSession, data_dir, bloom_key, path,
             stats[data_dir]["n_rows"],
         )
+    change_dir = None
+    if cdf_on and change_df is not None:
+        # the commit's row-level change plane (Delta CDC files): written
+        # BEFORE the manifest publish so the change rows are exactly as
+        # atomic as the data — a lost race reclaims both below
+        change_dir = os.path.join(
+            path, "_changes", os.path.basename(data_dir)
+        )
+        change_df.write.mode("error").parquet(change_dir)
     # operation metadata (Delta history's operation/operationParameters):
     # every commit records WHAT produced it — callers (compaction, DELETE,
     # MERGE, replace_where) pass their own op_meta; a plain write stamps
-    # its mode. Metadata-only; surfaced by snapshot_history.
+    # its mode (plus whether a replace carried entries — the marker the
+    # CDF reader uses to tell a pure overwrite, whose changes reconstruct
+    # from the manifest diff, from a partial rewrite, whose cannot).
     manifest = {"version": n, "dirs": prev + new_entries, "txns": txns,
-                "stats": stats, "op": op_meta or {"name": mode}}
+                "stats": stats,
+                "op": op_meta or (
+                    {"name": mode} if carry is None
+                    else {"name": mode, "carry": True}
+                )}
+    if cdf_on:
+        manifest["cdf"] = True
+    if change_dir is not None:
+        manifest["change_data"] = change_dir
     if deletes:
         manifest["deletes"] = deletes
     if schema_ops:
@@ -1060,9 +1099,11 @@ def write_snapshot(
         _publish_manifest(man_dir, n, manifest)
     except SnapshotConflictError:
         # loser's orphan data: ours, safe to drop (already gone for an
-        # empty partitioned delta), plus any sidecar it stamped
+        # empty partitioned delta), plus any sidecar/change plane it wrote
         shutil.rmtree(data_dir, ignore_errors=True)
         _drop_bloom(path, os.path.basename(data_dir))
+        if change_dir is not None:
+            shutil.rmtree(change_dir, ignore_errors=True)
         raise
     return n
 
@@ -1222,52 +1263,166 @@ def read_snapshot(
 
 
 def read_snapshot_changes(
-    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    row_level: bool = False,
 ) -> DataFrame:
-    """Incremental scan (Iceberg incremental read / Delta CDF-lite for
-    append-only tables): read EXACTLY the data directories committed
-    AFTER ``from_version`` up to ``to_version`` (latest when None) —
-    O(|delta|) I/O regardless of table size, the shape that lets
+    """Incremental scan (Iceberg incremental read / Delta CDF): changes
+    committed AFTER ``from_version`` up to ``to_version`` (latest when
+    None) — O(|delta|) I/O regardless of table size, the shape that lets
     downstream incremental consumers (IVM folds, backfills, CDC fan-out)
     consume a 100 TB table without ever re-scanning history.
     ``from_version=0`` means everything up to ``to_version``.
 
-    Append-mode manifests only: every commit's dir list must be a
-    superset of its predecessor's. A replace commit in the range rewrites
-    the list, so the dir-set difference no longer means "the new rows" —
-    that raises instead of silently returning wrong changes.
+    Default (``row_level=False``, the append-only fast path): read
+    EXACTLY the data directories added in the range. Append-mode
+    manifests only — a replace commit rewrites the dir list, so the
+    dir-set difference no longer means "the new rows"; that raises.
+    Merge-on-read DELETE commits surface as an EMPTY delta here (row
+    removals are not change events in this mode — the Delta
+    stream-without-CDF caveat).
 
-    Merge-on-read DELETE commits in the range keep the dir list intact,
-    so they surface as an EMPTY delta — row removals are not change
-    events here (the same caveat as Delta streams without CDF); a
-    consumer that must see deletions should diff full versions by key."""
+    ``row_level=True`` (Delta CHANGE DATA FEED): every commit in the
+    range is served as typed change rows — the table's columns plus
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage'), ``_commit_version`` and ``_commit_timestamp``
+    — INCLUDING through replace commits. Per commit, the cheapest exact
+    source wins:
+
+    - appends: the new entries read back as 'insert' (no change files —
+      Delta serves append commits from the data the same way);
+    - DELETE / MERGE on a ``cdf``-enabled table: the change plane the
+      commit persisted under ``path/_changes/`` (``write_snapshot``'s
+      ``change_df`` channel — survivor rewrites carry rows that did NOT
+      change, so the manifest diff cannot express these);
+    - ``replace_where`` / pure ``replace`` / ``restore``: reconstructed
+      from the manifest diff alone — removed entries' rows are
+      'delete', added entries' rows 'insert' (exact because these
+      commits move WHOLE immutable entries; zero write-side cost);
+    - compaction / clustering: skipped — a re-layout changes no rows
+      (Delta dataChange=false);
+    - anything else that mutated rows without a change plane (a DELETE
+      or MERGE committed before ``cdf`` was enabled, a restore that
+      flipped pending merge-on-read state) RAISES instead of silently
+      under-reporting.
+
+    Cost scales with the CHANGED bytes of the range, never the table;
+    schema evolution across the range unions by name (pre-evolution
+    change rows surface NULL for later columns)."""
     import json
     import os
 
+    from pyspark.sql import functions as F
+
     man_dir = os.path.join(path, "_manifests")
 
-    def dirs_of(v: int) -> list[str]:
-        if v == 0:
-            return []
+    def man_of(v: int) -> dict:
         with open(os.path.join(man_dir, f"v{v}.json")) as fh:
-            return json.load(fh)["dirs"]
+            return json.load(fh)
+
+    def dirs_of(v: int) -> list[str]:
+        return [] if v == 0 else man_of(v)["dirs"]
 
     if to_version is None:
         to_version = _latest_version(man_dir)
     assert from_version < to_version, (from_version, to_version)
-    base, head = dirs_of(from_version), dirs_of(to_version)
-    if not set(base) <= set(head):
-        raise ValueError(
-            f"versions {from_version}..{to_version} of {path} include a "
-            "replace commit — the dir diff is not an append delta; read "
-            "full versions and diff by key instead"
+    if not row_level:
+        base, head = dirs_of(from_version), dirs_of(to_version)
+        if not set(base) <= set(head):
+            raise ValueError(
+                f"versions {from_version}..{to_version} of {path} include "
+                "a replace commit — the dir diff is not an append delta; "
+                "read row-level changes (row_level=True) instead"
+            )
+        delta = [d for d in head if d not in set(base)]
+        if not delta:
+            # a range of metadata-only commits (merge-on-read deletes,
+            # txn replays): no new rows — empty frame, table schema
+            return spark.read.parquet(*head).limit(0)
+        return spark.read.parquet(*delta)
+
+    def entry_rows(entries: list[str]) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[f for e in entries for f in _entry_files(e)]
         )
-    delta = [d for d in head if d not in set(base)]
-    if not delta:
-        # a range of metadata-only commits (merge-on-read deletes, txn
-        # replays): no new rows — empty frame with the table's schema
-        return spark.read.parquet(*head).limit(0)
-    return spark.read.parquet(*delta)
+
+    prev_man = man_of(from_version) if from_version else {}
+    pieces: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        man = man_of(v)
+        op = man.get("op") or {}
+        prev_dirs, cur_dirs = prev_man.get("dirs", []), man["dirs"]
+        removed = [d for d in prev_dirs if d not in set(cur_dirs)]
+        added = [d for d in cur_dirs if d not in set(prev_dirs)]
+        mor_changed = (
+            man.get("deletes", []) != prev_man.get("deletes", [])
+        )
+        prev_man = man
+        frames: list[DataFrame] = []
+        if man.get("change_data"):
+            frames.append(spark.read.parquet(man["change_data"]))
+        elif op.get("name") == "compact":
+            pass  # re-layout: no row changed (Delta dataChange=false)
+        elif mor_changed:
+            raise ValueError(
+                f"version {v} of {path} changed merge-on-read delete "
+                "state without a change plane (committed before cdf was "
+                "enabled, or a restore across pending deletes) — cannot "
+                "serve row-level changes for this range"
+            )
+        elif not removed and not added:
+            pass  # metadata-only (constraints, schema ops, txn replays)
+        elif not removed:
+            frames.append(
+                entry_rows(added).withColumn("_change_type",
+                                             F.lit("insert"))
+            )
+        elif (op.get("name") in ("replace", "replace_where", "restore")
+              and not op.get("carry")):
+            # whole-entry moves: the manifest diff IS the row-level diff
+            frames.append(
+                entry_rows(removed).withColumn("_change_type",
+                                               F.lit("delete"))
+            )
+            if added:
+                frames.append(
+                    entry_rows(added).withColumn("_change_type",
+                                                 F.lit("insert"))
+                )
+        else:
+            raise ValueError(
+                f"version {v} of {path} rewrote files without a change "
+                f"plane (op={op.get('name') or 'unknown'!r}) — enable "
+                "the change data feed (write_snapshot(cdf=True)) before "
+                "row-rewriting commits, or consume file-level appends"
+            )
+        for f_ in frames:
+            pieces.append(
+                f_.withColumn("_commit_version", F.lit(v).cast("int"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(man.get("ts")).cast("double"),
+                )
+            )
+    if not pieces:
+        anchor = dirs_of(to_version) or dirs_of(from_version)
+        if not anchor:
+            raise ValueError(
+                f"versions {from_version}..{to_version} of {path} hold no "
+                "data entries to anchor an empty change frame's schema"
+            )
+        return (
+            entry_rows(anchor).limit(0)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0))
+            .withColumn("_commit_timestamp", F.lit(None).cast("double"))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def snapshot_stream_source(
@@ -1648,6 +1803,25 @@ def delete_from_snapshot(
                 f"resolve against the snapshot at {path}: {exc}"
             ) from None
         n = latest + 1
+        change_dir = None
+        if man.get("cdf"):
+            # the change-data-feed materializes the MATCHED rows at
+            # delete time (Delta does the same on deletion-vector
+            # tables): one pushdown scan over the visible logical rows,
+            # O(matched) bytes — the DATA plane stays metadata-only, so
+            # the MoR trade (writer O(1), readers filter) is intact and
+            # only feed consumers pay for their own row-level view
+            import uuid
+
+            change_df = (
+                read_snapshot(spark, path, version=latest)
+                .where(F.expr(condition))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            change_dir = os.path.join(
+                path, "_changes", f"v{n}-{uuid.uuid4().hex[:8]}"
+            )
+            change_df.write.mode("error").parquet(change_dir)
         # seq = the committing version: readers replay deletes and
         # rename/drop ops in this order, so the two metadata-only planes
         # COMPOSE (a predicate written after a rename references the
@@ -1662,8 +1836,17 @@ def delete_from_snapshot(
             "op": {"name": "delete", "mode": "merge-on-read",
                    "condition": condition},
         }
+        if change_dir is not None:
+            manifest["change_data"] = change_dir
         _carry_planes(man, manifest, exclude=("deletes",))
-        _publish_manifest(man_dir, n, manifest)
+        try:
+            _publish_manifest(man_dir, n, manifest)
+        except SnapshotConflictError:
+            if change_dir is not None:
+                import shutil
+
+                shutil.rmtree(change_dir, ignore_errors=True)
+            raise
         return {"version": n, "n_deleted": None,
                 "files_rewritten": 0, "files_carried": len(entries)}
     if man.get("schema_ops"):
@@ -1755,6 +1938,14 @@ def delete_from_snapshot(
                         carry_parts[f] = part
                     if bloom:  # ...and its (superset) bloom sidecar
                         carry_blooms[f] = bloom
+    change_df = None
+    if man.get("cdf"):
+        # change-data-feed: the deleted rows themselves, read back from
+        # ONLY the matching files (one extra pushdown scan, O(touched))
+        change_df = (
+            spark.read.parquet(*touched).where(cond)
+            .withColumn("_change_type", F.lit("delete"))
+        )
     # rewrite ONLY the matching files' survivors; NULL condition survives;
     # survivors of a partitioned table re-commit under the same spec, and
     # of a bloom-indexed table under a fresh sidecar (pruning never
@@ -1774,6 +1965,7 @@ def delete_from_snapshot(
         enforce_constraints=False,
         op_meta={"name": "delete", "mode": "copy-on-write",
                  "condition": condition},
+        change_df=change_df,
     )
     return {"version": version, "n_deleted": n_deleted,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -1972,6 +2164,42 @@ def merge_into_snapshot(
     # one aggregate over the changeset
     merged = merge_into(base_touched, changes, key=key, op_col=op_col,
                         validate=validate)
+    change_df = None
+    if man.get("cdf"):
+        # change-data-feed rows (Delta MERGE CDC shape): matched deletes
+        # as 'delete' pre-images, matched updates as 'update_preimage' +
+        # 'update_postimage' pairs, unmatched non-deletes as 'insert'.
+        # One extra keyed join over ONLY the touched files' rows and the
+        # pinned changeset — O(delta), never the table; a key absent
+        # from every touched file is absent everywhere (the key scan
+        # found no file holding it), so the anti-join insert test
+        # against base_touched alone is exact.
+        bcols = base_touched.columns
+        ct = F.col(f"c.{op_col}")
+        j = base_touched.alias("b").join(
+            changes.alias("c"), F.col(f"b.{key}") == F.col(f"c.{key}"),
+            "inner",
+        )
+        b_side = [F.col(f"b.{x}").alias(x) for x in bcols]
+        c_side = [
+            (F.col(f"b.{key}") if x == key else F.col(f"c.{x}")).alias(x)
+            for x in bcols
+        ]
+        change_df = (
+            j.where(ct == "D").select(*b_side)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                j.where(ct != "D").select(*b_side)
+                .withColumn("_change_type", F.lit("update_preimage")))
+            .unionByName(
+                j.where(ct != "D").select(*c_side)
+                .withColumn("_change_type", F.lit("update_postimage")))
+            .unionByName(
+                changes.join(base_touched.select(key), key, "left_anti")
+                .where(F.col(op_col) != "D")
+                .select(*[F.col(x) for x in bcols])
+                .withColumn("_change_type", F.lit("insert")))
+        )
     # a partitioned table's merge output (matched rewrites + inserts)
     # re-commits under the same spec — but only when the WHOLE visible
     # table shares it (inserts may land in any partition)
@@ -1987,6 +2215,7 @@ def merge_into_snapshot(
         # the whole visible table is bloom-indexed on the merge key space
         bloom_key=_common_bloom_key(stats, entries) if entries else None,
         op_meta={"name": "merge", "key": key},
+        change_df=change_df,
     )
     return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),
@@ -2601,6 +2830,11 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
             shutil.rmtree(full)
             _drop_bloom(path, d)
             deleted.append(full)
+    # change-data planes orphaned by lost races / crashed writers sweep
+    # under the same age gate (referenced by ANY manifest = live)
+    deleted += _sweep_change_dirs(
+        path, _referenced_change_dirs(man_dir), older_than_s
+    )
     return deleted
 
 
@@ -2646,6 +2880,48 @@ def _referenced_dir_names(man_dir: str, versions=None) -> set:
         with open(os.path.join(man_dir, f)) as fh:
             names.update(dir_name(d) for d in json.load(fh)["dirs"])
     return names
+
+
+def _referenced_change_dirs(man_dir: str, versions=None) -> set:
+    """Basenames of every change-data dir the (given or all) manifests
+    reference — the sweep identity for ``path/_changes``, mirroring
+    ``_referenced_dir_names`` for the data tree."""
+    import json
+    import os
+
+    names: set = set()
+    for f in os.listdir(man_dir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        if versions is not None and int(f[1:-5]) not in versions:
+            continue
+        with open(os.path.join(man_dir, f)) as fh:
+            cd = json.load(fh).get("change_data")
+        if cd:
+            names.add(os.path.basename(os.path.normpath(cd)))
+    return names
+
+
+def _sweep_change_dirs(path: str, referenced: set,
+                       older_than_s: float = 0.0) -> list[str]:
+    """Delete change-data dirs under ``path/_changes`` referenced by no
+    given manifest set (age-gated like the data sweep — a change plane
+    lands before its manifest publish). Returns the deleted dirs."""
+    import os
+    import shutil
+    import time
+
+    ch_root = os.path.join(path, "_changes")
+    if not os.path.isdir(ch_root):
+        return []
+    deleted = []
+    now = time.time()
+    for d in sorted(os.listdir(ch_root)):
+        full = os.path.join(ch_root, d)
+        if d not in referenced and now - os.path.getmtime(full) >= older_than_s:
+            shutil.rmtree(full)
+            deleted.append(full)
+    return deleted
 
 
 def _referenced_subitems(man_dir: str, versions=None) -> dict:
@@ -2730,6 +3006,10 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
                 if os.path.isdir(cp) and child not in live_subs:
                     shutil.rmtree(cp)
                     deleted.append(cp)
+    # change-data planes of expired versions die with their manifests
+    deleted += _sweep_change_dirs(
+        path, _referenced_change_dirs(man_dir, versions=set(keep))
+    )
     for v in drop:
         os.remove(os.path.join(man_dir, f"v{v}.json"))
     return deleted

@@ -2109,3 +2109,95 @@ def test_maintain_snapshot_occ_retry(spark, tmp_path, monkeypatch):
     state["fired"] = 0
     with pytest.raises(sinks.SnapshotConflictError):
         sinks.maintain_snapshot(spark, path2, merge_factor=2, retries=0)
+
+
+def test_change_data_feed_row_level(spark, tmp_path):
+    """Row-level CHANGE DATA FEED through the whole commit vocabulary:
+    append (inserts from the data, no change files), MERGE (persisted
+    delete / update_preimage / update_postimage / insert rows), COW
+    DELETE (persisted deletes), replace_where (reconstructed from the
+    manifest diff — through a REPLACE commit), MoR delete (persisted
+    matched rows; data plane stays metadata-only), compaction (skipped:
+    no row changed). Ranges over pre-cdf row rewrites refuse instead of
+    under-reporting; expiry reclaims change planes with their
+    manifests."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, "a" if k < 20 else "b", k) for k in range(40)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "cdf")
+    sinks.write_snapshot(df, path, partition_by="p", cdf=True)        # v1
+    changes = spark.createDataFrame(
+        [(1, "a", -1, "U"), (2, "a", -1, "U"), (3, "a", None, "D"),
+         (100, "b", 100, "U")],
+        "k int, p string, v int, op string",
+    )
+    sinks.merge_into_snapshot(spark, path, changes, key="k")          # v2
+    sinks.delete_from_snapshot(spark, path, "k >= 30 and k < 35")     # v3
+    new_a = spark.createDataFrame(
+        [(k, "a", k) for k in range(200, 205)], "k int, p string, v int"
+    )
+    sinks.replace_where(spark, path, new_a, "p", ["a"])               # v4
+    sinks.delete_from_snapshot(spark, path, "k % 10 = 9",
+                               mode="merge-on-read")                  # v5
+    info = sinks.compact_snapshot(spark, path)                        # v6
+    assert info["mode"] == "full"  # pending MoR forced materialization
+
+    out = sinks.read_snapshot_changes(spark, path, 0, row_level=True)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in out.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        (1, "insert"): 40,
+        (2, "delete"): 1, (2, "update_preimage"): 2,
+        (2, "update_postimage"): 2, (2, "insert"): 1,
+        (3, "delete"): 5,
+        (4, "delete"): 19, (4, "insert"): 5,
+        (5, "delete"): 2,
+    }, counts
+    # v5's MoR deletes named exactly the matched rows at delete time
+    mor = {r["k"] for r in out.where("_commit_version = 5").collect()}
+    assert mor == {29, 39}, mor
+    # update images pair up and timestamps ride along
+    v2 = out.where("_commit_version = 2 AND _change_type LIKE 'update%'")
+    assert v2.where("_commit_timestamp IS NULL").count() == 0
+    assert {r["v"] for r in v2.where(
+        "_change_type = 'update_postimage'").collect()} == {-1}
+    # subranges serve too (consumer following one version at a time)
+    assert sinks.read_snapshot_changes(
+        spark, path, 3, 4, row_level=True).count() == 24
+    # compaction contributed nothing
+    assert sinks.read_snapshot_changes(
+        spark, path, 5, 6, row_level=True).count() == 0
+    # the file-level fast path still refuses across the replace
+    with pytest.raises(ValueError, match="replace commit"):
+        sinks.read_snapshot_changes(spark, path, 1)
+
+    # a row-rewriting commit made with cdf OFF refuses row-level reads
+    path2 = str(tmp_path / "nocdf")
+    sinks.write_snapshot(df, path2)
+    sinks.delete_from_snapshot(spark, path2, "k = 1")
+    with pytest.raises(ValueError, match="without a change plane"):
+        sinks.read_snapshot_changes(spark, path2, 0, row_level=True)
+    # ...while plain appends serve row-level inserts without cdf
+    path3 = str(tmp_path / "appends")
+    sinks.write_snapshot(df, path3)
+    sinks.write_snapshot(df.withColumn("k", F.col("k") + 100), path3)
+    ins = sinks.read_snapshot_changes(spark, path3, 1, row_level=True)
+    assert ins.count() == 40
+    assert {r["_change_type"] for r in ins.select("_change_type")
+            .distinct().collect()} == {"insert"}
+
+    # expiry reclaims the expired versions' change planes
+    ch_root = os.path.join(path, "_changes")
+    assert len(os.listdir(ch_root)) == 3  # v2 merge, v3 delete, v5 MoR
+    sinks.expire_snapshots(path, keep_last=1)
+    assert os.listdir(ch_root) == []
