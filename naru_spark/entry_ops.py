@@ -1685,6 +1685,92 @@ def q_snapshot_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_optimize_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE (sources.sinks.compact_snapshot /
+    maintain_snapshot ``partitions={col: [values]}`` — Delta
+    ``OPTIMIZE ... WHERE``): the corpus lands lang-partitioned, three
+    fragmented appends hit ONLY the 'en' partition, and one scoped pass
+    re-clusters (ZORDER) and compacts exactly the 'en' entries — every
+    other language's entry carries byte-identical (asserted against the
+    manifests), so at 100 TB re-laying-out one hot partition costs that
+    partition's bytes, never the table. Partition pruning still plans
+    footer-free after the rewrite. Content invariance is the
+    correctness claim — the oracle replays corpus + the three appends."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        maintain_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_optw_") + "/docs"
+    write_snapshot(docs, path, partition_by="lang")                    # v1
+    en = docs.where(F.col("lang") == "en")
+    for k in (1, 2, 3):  # fragment ONLY the en partition
+        write_snapshot(
+            en.select(
+                (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+                "lang",
+                (F.col("n_chars") + F.lit(k)).alias("n_chars"),
+            ).repartition(4),
+            path, partition_by="lang",
+        )                                                        # v2..v4
+    man_dir = os.path.join(path, "_manifests")
+    with open(os.path.join(man_dir, "v4.json")) as fh:
+        man4 = json.load(fh)
+    other = [e for e in man4["dirs"] if not e.endswith("__part_lang=en")]
+    info = compact_snapshot(spark, path, partitions={"lang": ["en"]},
+                            zorder_by=["doc_id"])
+    # every non-en entry carried VERBATIM; only en entries rewrote
+    assert info["mode"] == "selective", info
+    assert info["entries_carried"] == len(other), info
+    with open(os.path.join(man_dir, f"v{info['version']}.json")) as fh:
+        man5 = json.load(fh)
+    assert all(e in man5["dirs"] for e in other)
+    # the rewrite kept the partition spec: scoped maintenance now no-ops
+    # and a partition-pruned read plans only en entries, footer-free
+    res = maintain_snapshot(spark, path, merge_factor=2,
+                            partitions={"lang": ["en"]})
+    assert res["action"] == "noop", res
+    pruned = read_snapshot(spark, path, partitions={"lang": ["en"]})
+    assert all("__part_lang=en" in f for f in pruned.inputFiles())
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_snapshot_optimize_partition() -> str:
+    return """
+WITH merged AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  UNION ALL
+  SELECT d.doc_id + 100000000 * g.k, d.lang, d.n_chars + g.k
+  FROM documents d, (VALUES (1), (2), (3)) AS g(k)
+  WHERE d.lang = 'en'
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM merged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level MERGE INTO (operators.merge.merge_into — the
     Delta/Iceberg CDC apply as ONE keyed full-outer join): a
@@ -2279,6 +2365,7 @@ def build_ops_registry():
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
+        "snapshot_optimize_partition": q_snapshot_optimize_partition,
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -2334,6 +2421,7 @@ def build_ops_registry():
         "snapshot_maintain": sql_snapshot_compaction(),
         # clustering never changes content: same compaction oracle
         "snapshot_optimize_zorder": sql_snapshot_compaction(),
+        "snapshot_optimize_partition": sql_snapshot_optimize_partition(),
         "snapshot_merge_upsert": sql_merge_into_cdc(),
         "jsonl_roundtrip": sql_jsonl_roundtrip(),
         "csv_roundtrip": sql_csv_roundtrip(),

@@ -1519,7 +1519,7 @@ def snapshot_stream_source(
 
 def _compaction_plan(
     man: dict, stats: dict, threshold: int,
-    full: bool = False, zorder: bool = False,
+    full: bool = False, zorder: bool = False, scope: set | None = None,
 ) -> dict:
     """The ONE place the compaction policy lives (compact_snapshot
     executes it; maintain_snapshot's trigger asks it what a compaction
@@ -1527,25 +1527,39 @@ def _compaction_plan(
     "under", "carried", "rewrite_files", "rewrite_bytes", "noop"}.
     Full rewrite is forced by the caller flag, by pending
     merge-on-read deletes / schema ops (materialization), or by
-    clustering (global re-layout); otherwise UNDER-SIZED entries
-    (stamped average file size below ``threshold``) are selected and a
-    sub-2-file selection is a noop (nothing to merge — Delta OPTIMIZE
-    skips single-file bins the same way)."""
+    clustering (a re-layout of every candidate); otherwise UNDER-SIZED
+    candidates (stamped average file size below ``threshold``) are
+    selected and a sub-2-file selection is a noop (nothing to merge —
+    Delta OPTIMIZE skips single-file bins the same way).
+
+    ``scope`` (Delta ``OPTIMIZE ... WHERE``) restricts the candidate
+    set to the given entries — everything else carries verbatim, and
+    ``force_full`` then means "every IN-SCOPE entry rewrites" (the
+    partition-scoped ZORDER shape: partitions are disjoint scan units,
+    so clustering one of them never interleaves with the others'
+    layout). A scoped pass over pending merge-on-read deletes / schema
+    ops REFUSES: materialization must replay the whole log over every
+    pinned entry, which a partial rewrite cannot."""
     dirs = man["dirs"]
-    force_full = (
-        full or zorder
-        or bool(man.get("deletes"))
-        or bool(man.get("schema_ops"))
-    )
+    pending = bool(man.get("deletes")) or bool(man.get("schema_ops"))
+    if scope is not None and pending:
+        raise ValueError(
+            "partition-scoped compaction over pending merge-on-read "
+            "delete(s) / schema op(s) — the pinned log must materialize "
+            "over every entry it covers; run an unscoped "
+            "compact_snapshot first"
+        )
+    candidates = dirs if scope is None else [e for e in dirs if e in scope]
+    force_full = full or zorder or pending
     if force_full:
-        under, carried = list(dirs), []
+        under = list(candidates)
     else:
         under = [
-            e for e in dirs
+            e for e in candidates
             if stats[e]["n_files"]
             and stats[e]["n_bytes"] / stats[e]["n_files"] < threshold
         ]
-        carried = [e for e in dirs if e not in set(under)]
+    carried = [e for e in dirs if e not in set(under)]
     rewrite_files = sum(stats[e]["n_files"] for e in under)
     return {
         "force_full": force_full,
@@ -1564,6 +1578,7 @@ def compact_snapshot(
     min_file_bytes: int | None = None,
     full: bool = False,
     partition_by: str | None = None,
+    partitions: dict | None = None,
 ) -> dict:
     """Small-file compaction for a snapshot table (Iceberg
     ``rewrite_data_files`` / Delta OPTIMIZE analog), SELECTIVE by
@@ -1608,10 +1623,23 @@ def compact_snapshot(
     shuffle that any re-layout costs; content is unchanged, so the same
     oracle covers both modes.
 
+    ``partitions={col: [values]}`` (Delta ``OPTIMIZE ... WHERE``): scope
+    the pass to the entries whose STAMPED identity-partition value
+    matches — compaction, and with ``zorder_by`` a CLUSTERING
+    re-layout, of just the named hot partition(s); every out-of-scope
+    entry carries byte-identical, so at 100 TB re-clustering one day's
+    partition costs that partition's bytes, never the table (partitions
+    are disjoint scan units — clustering one never interleaves with the
+    others' layout, which is why scoped ZORDER is sound while
+    fragment-scoped ZORDER of an unpartitioned table is not).
+    Unstamped entries are NEVER in scope (a maintenance op touches less
+    when unsure); pending merge-on-read deletes / schema ops refuse a
+    scoped pass (materialization is whole-log).
+
     Returns {"version", "files_before", "files_after", "mode":
     "selective"|"full"|"noop", "files_rewritten", "entries_carried"}
     (a selective pass with nothing under-sized is a metadata-only noop
-    that commits nothing)."""
+    that commits nothing; a scoped pass reports mode "selective")."""
     import json
     import math
     import os
@@ -1626,8 +1654,18 @@ def compact_snapshot(
     stats = _manifest_stats(man)
     before = sum(s["n_files"] for s in stats.values())
     threshold = target_file_bytes if min_file_bytes is None else min_file_bytes
+    scope = None
+    if partitions is not None:
+        want = {c: {str(v) for v in vals} for c, vals in partitions.items()}
+        scope = {
+            e for e in dirs
+            if all(
+                (stats.get(e) or {}).get("partition", {}).get(c) in w
+                for c, w in want.items()
+            )
+        }
     plan = _compaction_plan(man, stats, threshold, full=full,
-                            zorder=zorder_by is not None)
+                            zorder=zorder_by is not None, scope=scope)
     force_full, under, carried = (
         plan["force_full"], plan["under"], plan["carried"]
     )
@@ -1640,7 +1678,7 @@ def compact_snapshot(
         target_files = max(
             1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
         )
-    if force_full:
+    if force_full and scope is None:
         # read_snapshot (not a raw parquet read): pending merge-on-read
         # deletes and rename/drop ops are APPLIED by the rewrite —
         # compaction is the materialization point that clears both logs
@@ -1651,12 +1689,12 @@ def compact_snapshot(
         current = read_snapshot(spark, path, version=latest,
                                 merge_schema=True)
     else:
-        # no pending logs (checked above): the under-sized entries' raw
-        # files ARE their logical rows. mergeSchema for the same reason
-        # as the full path — the rewrite set may span commits with
-        # additively-evolved schemas, and the compacted entry must keep
-        # every column (pre-evolution rows surface NULL, exactly what a
-        # merge-schema read of the originals shows)
+        # no pending logs (checked above / refused for scoped passes):
+        # the rewrite set's raw files ARE their logical rows.
+        # mergeSchema for the same reason as the full path — the set may
+        # span commits with additively-evolved schemas, and the
+        # compacted entry must keep every column (pre-evolution rows
+        # surface NULL, exactly what a merge-schema read shows)
         current = spark.read.option("mergeSchema", "true").parquet(
             *[f for e in under for f in _entry_files(e)]
         )
@@ -1695,8 +1733,10 @@ def compact_snapshot(
         enforce_constraints=False,
         op_meta={
             "name": "compact",
-            "mode": "full" if force_full else "selective",
+            "mode": "full" if force_full and scope is None else "selective",
             **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+            **({"partitions": {c: sorted(w) for c, w in want.items()}}
+               if partitions is not None else {}),
         },
     )
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
@@ -1704,7 +1744,7 @@ def compact_snapshot(
             s["n_files"] for s in _manifest_stats(json.load(fh)).values()
         )
     return {"version": version, "files_before": before, "files_after": after,
-            "mode": "full" if force_full else "selective",
+            "mode": "full" if force_full and scope is None else "selective",
             "files_rewritten": rewrite_files, "entries_carried": len(carried)}
 
 
@@ -2427,6 +2467,7 @@ def maintain_snapshot(
     gc_older_than_s: float | None = None,
     min_file_bytes: int | None = None,
     retries: int = 2,
+    partitions: dict | None = None,
 ) -> dict:
     """The snapshot table's maintenance decision loop (Delta
     auto-OPTIMIZE / Iceberg maintenance-job shape), composed from the
@@ -2499,9 +2540,24 @@ def maintain_snapshot(
                      else min_file_bytes)
         # ask the compaction policy itself what a triggered pass would
         # rewrite (pending metadata-only logs force full materialization,
-        # which weighs the whole table) — ONE shared selection, no drift
+        # which weighs the whole table) — ONE shared selection, no drift.
+        # ``partitions`` scopes BOTH the trigger and the pass (Delta
+        # OPTIMIZE ... WHERE as a maintenance policy for one hot
+        # partition): only in-scope fragmentation counts, only in-scope
+        # entries rewrite.
+        scope = None
+        if partitions is not None:
+            want = {c: {str(v) for v in vals}
+                    for c, vals in partitions.items()}
+            scope = {
+                e for e in man["dirs"]
+                if all(
+                    (stats.get(e) or {}).get("partition", {}).get(c) in w
+                    for c, w in want.items()
+                )
+            }
         plan = _compaction_plan(man, stats, threshold,
-                                zorder=zorder_by is not None)
+                                zorder=zorder_by is not None, scope=scope)
         frag_target = max(
             1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
         )
@@ -2517,7 +2573,8 @@ def maintain_snapshot(
             info = compact_snapshot(spark, path,
                                     target_file_bytes=target_file_bytes,
                                     zorder_by=zorder_by,
-                                    min_file_bytes=min_file_bytes)
+                                    min_file_bytes=min_file_bytes,
+                                    partitions=partitions)
         except SnapshotConflictError:
             if attempt == retries:
                 raise

@@ -2201,3 +2201,76 @@ def test_change_data_feed_row_level(spark, tmp_path):
     assert len(os.listdir(ch_root)) == 3  # v2 merge, v3 delete, v5 MoR
     sinks.expire_snapshots(path, keep_last=1)
     assert os.listdir(ch_root) == []
+
+
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE ... WHERE: compaction (and ZORDER re-layout) scoped to
+    one partition's entries — out-of-scope entries carry byte-identical
+    into the replace commit, the scoped trigger in maintain_snapshot
+    weighs only in-scope fragmentation, and a scoped pass over pending
+    merge-on-read deletes refuses (materialization is whole-log)."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", k) for k in range(200)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "opt")
+    sinks.write_snapshot(df, path, partition_by="p")                  # v1
+    for i in range(3):  # fragment ONLY partition a
+        sinks.write_snapshot(
+            spark.createDataFrame(
+                [(1000 + 100 * i + j, "a", j) for j in range(40)],
+                "k int, p string, v int",
+            ).repartition(5),
+            path,
+            partition_by="p",
+        )
+    man_dir = os.path.join(path, "_manifests")
+    with open(os.path.join(man_dir, "v4.json")) as fh:
+        man4 = json.load(fh)
+    b_entries = [e for e in man4["dirs"] if e.endswith("__part_p=b")]
+    assert len(b_entries) == 1
+    info = sinks.compact_snapshot(
+        spark, path, partitions={"p": ["a"]}, zorder_by=["k"]
+    )
+    assert info["mode"] == "selective" and info["entries_carried"] == 1, info
+    with open(os.path.join(man_dir, f"v{info['version']}.json")) as fh:
+        man5 = json.load(fh)
+    # partition b's entry carried VERBATIM (same path string, same bytes)
+    assert b_entries[0] in man5["dirs"]
+    a_entries = [e for e in man5["dirs"] if e != b_entries[0]]
+    # the rewrite re-committed under the partition spec (stamps intact)
+    assert all(
+        man5["stats"][e]["partition"] == {"p": "a"} for e in a_entries
+    ), man5["stats"]
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 200 + 120
+    assert out.where("p = 'b'").count() == 100
+    # scoped maintenance: partition a is compact now -> noop; fragment it
+    # again and the scoped tick fires while an UNSCOPED tick with the
+    # same thresholds would also see partition b's big entry
+    res = sinks.maintain_snapshot(spark, path, merge_factor=2,
+                                  partitions={"p": ["a"]})
+    assert res["action"] == "noop", res
+    for i in range(3):
+        sinks.write_snapshot(
+            spark.createDataFrame(
+                [(2000 + 100 * i + j, "a", j) for j in range(40)],
+                "k int, p string, v int",
+            ).repartition(5),
+            path,
+            partition_by="p",
+        )
+    res2 = sinks.maintain_snapshot(spark, path, merge_factor=2,
+                                   partitions={"p": ["a"]})
+    assert res2["action"] == "compact", res2
+    # pending MoR delete: scoped pass refuses
+    sinks.delete_from_snapshot(spark, path, "v = 7", mode="merge-on-read")
+    with pytest.raises(ValueError, match="partition-scoped compaction"):
+        sinks.compact_snapshot(spark, path, partitions={"p": ["a"]})

@@ -306,6 +306,54 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-12: partition-scoped OPTIMIZE (OPTIMIZE ... WHERE + ZORDER)
+    # — fragment ONE partition with small appends, then re-cluster and
+    # compact just it: the wall tracks that partition's bytes + the
+    # fragments, never the table (every other partition carries verbatim)
+    from naru_spark.sources.sinks import compact_snapshot as _cs
+
+    for _ in range(3):
+        write_snapshot(new_r.repartition(4), rpath,
+                       partition_by="l_returnflag")
+    t0 = time.time()
+    oinfo = _cs(spark, rpath, partitions={"l_returnflag": ["R"]},
+                zorder_by=["l_orderkey"])
+    timings["snapshot_optimize_partition_probe"] = round(time.time() - t0, 3)
+    timings["snapshot_optimize_partition_carried"] = oinfo["entries_carried"]
+    assert oinfo["mode"] == "selective" and oinfo["entries_carried"] >= 2, oinfo
+    print(
+        f"# snapshot scoped optimize+zorder "
+        f"{timings['snapshot_optimize_partition_probe']:.2f}s (rewrote "
+        f"{oinfo['files_rewritten']} files of one partition, carried "
+        f"{oinfo['entries_carried']} entries; partitioned build was "
+        f"{rw_build:.2f}s)",
+        file=sys.stderr,
+    )
+
+    # round-12b: change data feed — enabling is a metadata-only commit
+    # (empty delta); the MoR delete then persists O(matched) change rows
+    # while its data plane stays metadata-only, and the row-level read of
+    # that commit reads the change plane alone, never the table
+    from naru_spark.sources.sinks import _latest_version
+
+    write_snapshot(li_rf.limit(0), rpath, partition_by="l_returnflag",
+                   cdf=True)  # the SET TBLPROPERTIES idiom
+    t0 = time.time()
+    delete_from_snapshot(spark, rpath, f"l_orderkey <= {lo // 2}",
+                         mode="merge-on-read")
+    timings["snapshot_cdf_mor_delete_probe"] = round(time.time() - t0, 3)
+    lv = _latest_version(os.path.join(rpath, "_manifests"))
+    t0 = time.time()
+    n = read_snapshot_changes(spark, rpath, lv - 1, lv,
+                              row_level=True).count()
+    timings["snapshot_cdf_read_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# snapshot CDF: MoR delete + change plane "
+        f"{timings['snapshot_cdf_mor_delete_probe']:.2f}s, row-level read "
+        f"{timings['snapshot_cdf_read_probe']:.2f}s ({n} change rows)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
