@@ -1145,6 +1145,103 @@ ORDER BY source
 """
 
 
+def q_snapshot_delete_bloom_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED pruning on one DELETE (sources.sinks.write_snapshot
+    partition_by + bloom_key — the core Delta shape: a partitioned
+    table with a bloom index on a point-lookup key inside partitions):
+    two lang-partitioned, doc_id-bloomed commits, then a two-key DELETE
+    eliminates every non-'en' entry on partition identity (exact,
+    manifest-only) and the surviving partitions' non-matching commits
+    on their per-entry bloom sidecars — both on ONE manifest read, no
+    footer opened. Spec AND bloom survive the file-pruned rewrite and a
+    full compaction (asserted from the manifests); a composed pruned
+    read still plans only 'en' files. Oracle: both commits minus the
+    two deleted ids."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_bp_") + "/docs"
+    write_snapshot(docs, path, partition_by="lang",
+                   bloom_key="doc_id")                                 # v1
+    write_snapshot(
+        docs.select((F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+                    "lang", "n_chars"),
+        path, partition_by="lang", bloom_key="doc_id",
+    )                                                                  # v2
+    targets = [
+        r["doc_id"] for r in docs.where(F.col("lang") == "en")
+        .select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    n_langs = docs.select("lang").distinct().count()
+    info = delete_from_snapshot(
+        spark, path, f"doc_id IN ({targets[0]}, {targets[1]})",
+        partitions={"lang": ["en"]}, prune_keys={"doc_id": targets},
+    )
+    assert info["n_deleted"] == 2, info
+    # partition identity alone eliminates every non-en entry; the bloom
+    # then (deterministically here: disjoint key ranges) drops v2's en
+    # entry too — the delete scanned at most the one matching entry +
+    # a possible bloom false positive
+    assert info["entries_pruned"] >= 2 * (n_langs - 1), info
+    assert info["entries_scanned"] <= 2, info
+    # spec AND bloom survive the rewrite and a full compaction
+    cinfo = compact_snapshot(spark, path, full=True)
+    man_dir = os.path.join(path, "_manifests")
+    with open(os.path.join(man_dir, f"v{cinfo['version']}.json")) as fh:
+        man = json.load(fh)
+    assert man["dirs"], man
+    for e in man["dirs"]:
+        s = man["stats"][e]
+        assert s.get("partition", {}).get("lang"), (e, s)
+        assert s.get("bloom", {}).get("key") == "doc_id", (e, s)
+    pruned = read_snapshot(spark, path, partitions={"lang": ["en"]},
+                           prune_keys={"doc_id": [targets[0] + OFFSET]})
+    assert all("__part_lang=en" in f for f in pruned.inputFiles())
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_snapshot_delete_bloom_partition() -> str:
+    return """
+WITH en2 AS (
+  SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 2
+),
+merged AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000000, lang, n_chars FROM documents
+),
+kept AS (
+  SELECT * FROM merged WHERE doc_id NOT IN (SELECT doc_id FROM en2)
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE (sources.sinks.delete_from_snapshot with
     mode="merge-on-read" — Iceberg v2 / Hudi MoR, the write-cheap twin of
@@ -2361,6 +2458,7 @@ def build_ops_registry():
         "snapshot_restore": q_snapshot_restore,
         "snapshot_history": q_snapshot_history,
         "snapshot_cdf": q_snapshot_cdf,
+        "snapshot_delete_bloom_partition": q_snapshot_delete_bloom_partition,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
@@ -2415,6 +2513,7 @@ def build_ops_registry():
         "snapshot_restore": sql_snapshot_restore(),
         "snapshot_history": sql_snapshot_history(),
         "snapshot_cdf": sql_snapshot_cdf(),
+        "snapshot_delete_bloom_partition": sql_snapshot_delete_bloom_partition(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers

@@ -363,7 +363,8 @@ def _bloom_positions_expr(key_col: str, m: int, k: int):
 
 
 def _write_entry_bloom(spark, entry: str, key_col: str, path: str,
-                       n_rows: int, bits_per_key: int = 16, k: int = 7) -> dict:
+                       n_rows: int, bits_per_key: int = 16, k: int = 7,
+                       name: str | None = None) -> dict:
     """Build the bloom sidecar for ONE immutable manifest entry (Delta
     bloom-filter index / Iceberg puffin-blob analog): one pass over the
     entry's key column collects its DISTINCT bit positions (the shuffle
@@ -426,7 +427,11 @@ def _write_entry_bloom(spark, entry: str, key_col: str, path: str,
         packed = bytes(nbytes)
     bloom_dir = os.path.join(path, "_blooms")
     os.makedirs(bloom_dir, exist_ok=True)
-    name = os.path.basename(os.path.normpath(entry)) + ".bloom"
+    # default name = the entry's basename; PARTITION entries pass an
+    # explicit "<commit-dir>.<partition-subdir>.bloom" (subdir basenames
+    # like __part_lang=en repeat across commits — the commit-dir prefix
+    # keeps sidecars collision-free and lets GC drop them by prefix)
+    name = name or (os.path.basename(os.path.normpath(entry)) + ".bloom")
     tmp = os.path.join(bloom_dir, "." + name + ".tmp")
     with open(tmp, "wb") as fh:
         fh.write(packed)
@@ -867,8 +872,10 @@ def write_snapshot(
     entries on ONE manifest read — exact identity, no footer ever
     opened. Values are stamped as the directory-name STRING (compare
     with ``str(value)``; int/string/date partition columns round-trip
-    exactly — avoid float partition columns). Not composable with
-    ``bloom_key`` (sidecar naming is per top-level dir).
+    exactly — avoid float partition columns). COMPOSES with
+    ``bloom_key``: each partition entry gets its own sidecar, so a
+    point-lookup DELETE/read eliminates first on partition identity,
+    then on bloom membership inside the surviving partitions.
 
     ``cdf=True`` (Delta ``delta.enableChangeDataFeed``): marks the table
     CHANGE-DATA-FEED enabled — a TABLE PROPERTY carried by every later
@@ -950,13 +957,6 @@ def write_snapshot(
     n = base + 1
     data_dir = os.path.join(path, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
     if partition_by is not None:
-        if bloom_key is not None:
-            raise ValueError(
-                "bloom_key and partition_by do not compose (bloom "
-                "sidecars are named per top-level data dir) — identity "
-                "partition pruning already serves point lookups on the "
-                "partition column"
-            )
         from urllib.parse import unquote
 
         from pyspark.sql import functions as F
@@ -1054,16 +1054,27 @@ def write_snapshot(
                 partition_by: unquote(os.path.basename(e).split("=", 1)[1])
             }
     if bloom_key is not None:
-        # key-membership sidecar for the NEW entry (Delta bloom index /
+        # key-membership sidecar for each NEW entry (Delta bloom index /
         # Iceberg puffin shape): one pass over the just-written delta's
         # key column; carried entries keep their existing bloom meta.
         # Point/IN-list reads and deletes then eliminate entries whose
         # bloom misses every probe value — the unclustered-layout
-        # complement of the min/max box pruning.
-        stats[data_dir]["bloom"] = _write_entry_bloom(
-            df.sparkSession, data_dir, bloom_key, path,
-            stats[data_dir]["n_rows"],
-        )
+        # complement of the min/max box pruning. COMPOSES with
+        # ``partition_by`` (a partitioned table with a point-lookup key
+        # inside partitions — the core Delta shape): each partition
+        # entry gets its OWN sidecar, named under the commit dir so
+        # repeated subdir basenames never collide; one bounded pass per
+        # partition entry — identity partitions are low-cardinality per
+        # commit by design.
+        for e in new_entries:
+            stats[e]["bloom"] = _write_entry_bloom(
+                df.sparkSession, e, bloom_key, path, stats[e]["n_rows"],
+                name=(
+                    None if partition_by is None else
+                    f"{os.path.basename(data_dir)}."
+                    f"{os.path.basename(e)}.bloom"
+                ),
+            )
     change_dir = None
     if cdf_on and change_df is not None:
         # the commit's row-level change plane (Delta CDC files): written
@@ -1712,10 +1723,11 @@ def compact_snapshot(
     part_col = partition_by or _common_partition_col(stats, under)
     if part_col is not None and part_col not in rewritten.columns:
         part_col = None
-    # ...and a bloom-indexed table's rewrite re-stamps a fresh sidecar
-    # for the compacted entry (Delta OPTIMIZE rebuilds bloom indexes),
-    # so point-lookup pruning never degrades through maintenance
-    bkey = _common_bloom_key(stats, under) if part_col is None else None
+    # ...and a bloom-indexed table's rewrite re-stamps fresh sidecars
+    # for the compacted entries (Delta OPTIMIZE rebuilds bloom indexes),
+    # so point-lookup pruning never degrades through maintenance —
+    # composing with the partition spec (per-partition-entry sidecars)
+    bkey = _common_bloom_key(stats, under)
     if bkey is not None and bkey not in rewritten.columns:
         bkey = None
     # base_version pins the rewrite to the manifest we actually read: an
@@ -2449,9 +2461,14 @@ def replace_where(
             "replaceWhere rejects rows outside the predicate rather than "
             "silently dropping or leaking them"
         )
+    # a bloom-indexed table's replacement partitions re-stamp fresh
+    # per-entry sidecars (carried entries keep theirs via their stats)
+    bkey = _common_bloom_key(stats, man["dirs"]) if man["dirs"] else None
+    if bkey is not None and bkey not in df.columns:
+        bkey = None
     version = write_snapshot(
         df, path, mode="replace", base_version=base_version,
-        carry=carried, partition_by=col, txn_id=txn_id,
+        carry=carried, partition_by=col, txn_id=txn_id, bloom_key=bkey,
         op_meta={"name": "replace_where", "col": col,
                  "values": [str(v) for v in vals]},
     )
@@ -2896,13 +2913,20 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
 
 
 def _drop_bloom(path: str, dir_name: str) -> None:
-    """Remove a reclaimed data dir's bloom sidecar, if any — sidecars are
-    keyed by the dir's basename and die with it."""
+    """Remove a reclaimed data dir's bloom sidecars, if any — the dir's
+    own (``<dir>.bloom``) and every per-partition-subdir sidecar under
+    it (``<dir>.<subdir>.bloom``); sidecars are keyed by the commit
+    dir's basename and die with it."""
     import os
 
-    fp = os.path.join(path, "_blooms", dir_name + ".bloom")
-    if os.path.exists(fp):
-        os.remove(fp)
+    bloom_dir = os.path.join(path, "_blooms")
+    if not os.path.isdir(bloom_dir):
+        return
+    for f in os.listdir(bloom_dir):
+        if f == dir_name + ".bloom" or (
+            f.startswith(dir_name + ".") and f.endswith(".bloom")
+        ):
+            os.remove(os.path.join(bloom_dir, f))
 
 
 def _referenced_dir_names(man_dir: str, versions=None) -> set:
@@ -3062,6 +3086,10 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
                 cp = os.path.join(full, child)
                 if os.path.isdir(cp) and child not in live_subs:
                     shutil.rmtree(cp)
+                    bf = os.path.join(path, "_blooms",
+                                      f"{d}.{child}.bloom")
+                    if os.path.exists(bf):  # the subdir's own sidecar
+                        os.remove(bf)
                     deleted.append(cp)
     # change-data planes of expired versions die with their manifests
     deleted += _sweep_change_dirs(

@@ -2274,3 +2274,55 @@ def test_partition_scoped_optimize(spark, tmp_path):
     sinks.delete_from_snapshot(spark, path, "v = 7", mode="merge-on-read")
     with pytest.raises(ValueError, match="partition-scoped compaction"):
         sinks.compact_snapshot(spark, path, partitions={"p": ["a"]})
+
+
+def test_bloom_composes_with_partition_spec(spark, tmp_path):
+    """partition_by + bloom_key on one table: per-partition-entry
+    sidecars (commit-prefixed names, no collisions across commits),
+    composed DELETE pruning, replace_where re-stamping fresh sidecars
+    on the replacement partitions, and retention reclaiming a
+    superseded partition subdir's sidecar with it."""
+    import os
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", k) for k in range(100)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "bp")
+    sinks.write_snapshot(df, path, partition_by="p", bloom_key="k")   # v1
+    sinks.write_snapshot(
+        df.withColumn("k", F.col("k") + 1000), path,
+        partition_by="p", bloom_key="k",
+    )                                                                  # v2
+    blooms = sorted(os.listdir(os.path.join(path, "_blooms")))
+    assert len(blooms) == 4  # 2 commits x 2 partition entries
+    assert all(".__part_p=" in b for b in blooms)
+    # composed pruning: partition identity drops the 2 'b' entries,
+    # blooms drop v2's 'a' entry (its keys are 1000+)
+    info = sinks.delete_from_snapshot(
+        spark, path, "k IN (1, 3)",
+        partitions={"p": ["a"]}, prune_keys={"k": [1, 3]},
+    )
+    assert info["n_deleted"] == 2
+    assert info["entries_pruned"] == 3 and info["entries_scanned"] == 1, info
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 198
+    # replace_where re-stamps a fresh bloom on the replacement partition
+    new_b = spark.createDataFrame(
+        [(5000 + k, "b", k) for k in range(10)], "k int, p string, v int"
+    )
+    sinks.replace_where(spark, path, new_b, "p", ["b"])
+    pruned = sinks.read_snapshot(spark, path, partitions={"p": ["b"]},
+                                 prune_keys={"k": [5003]})
+    files = pruned.inputFiles()
+    assert files and all("__part_p=b" in f for f in files)
+    assert pruned.where("k = 5003").count() == 1
+    # retention reclaims superseded 'b' subdirs AND their sidecars
+    before = set(os.listdir(os.path.join(path, "_blooms")))
+    sinks.expire_snapshots(path, keep_last=1)
+    after = set(os.listdir(os.path.join(path, "_blooms")))
+    assert after < before  # superseded partition sidecars died
+    # the live composed read still works post-retention
+    assert sinks.read_snapshot(spark, path).count() == 108
