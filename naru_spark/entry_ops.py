@@ -910,6 +910,100 @@ def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_replace_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN identity partition spec + composite replaceWhere
+    (sources.sinks.write_snapshot(partition_by=[c1, c2]) /
+    replace_where({c1: [...], c2: [...]}) — the Iceberg multi-field
+    spec): the corpus lands partitioned by (lang, bucket) — one
+    manifest entry per LEAF cell, stamped on BOTH columns — then (1) a
+    composite predicate replaces exactly the (en, 1) cell while every
+    other cell carries verbatim, and (2) a SUBSET-column predicate
+    replaces bucket=2 across ALL languages in one commit, re-committing
+    under the full two-column spec (asserted from the manifest). The
+    oracle replays both overwrites in plain SQL."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("bucket", F.col("doc_id") % 3)
+    )
+    path = _tmpdir(prefix="docs_snap_rwc_") + "/docs"
+    write_snapshot(docs, path, partition_by=["lang", "bucket"])        # v1
+    n_langs = docs.select("lang").distinct().count()
+    new_cell = (
+        docs.where((F.col("lang") == "en") & (F.col("bucket") == 1)
+                   & (F.col("doc_id") % 2 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 7000)
+    )
+    info = replace_where(spark, path, new_cell,
+                         {"lang": ["en"], "bucket": [1]})              # v2
+    assert info["partitions_replaced"] == 1, info
+    assert info["entries_carried"] == 3 * n_langs - 1, info
+    new_b2 = (
+        docs.where((F.col("bucket") == 2) & (F.col("doc_id") % 5 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 9000)
+    )
+    info2 = replace_where(spark, path, new_b2, {"bucket": [2]})        # v3
+    assert info2["partitions_replaced"] == n_langs, info2
+    # the subset replace re-committed under the FULL spec: every entry
+    # still stamps BOTH columns (manifest-only check)
+    with open(os.path.join(path, "_manifests", f"v{info2['version']}.json")) as fh:
+        man = json.load(fh)
+    assert all(
+        set(man["stats"][e]["partition"]) == {"bucket", "lang"}
+        for e in man["dirs"]
+    )
+    # composed two-column pruning plans exactly one cell, footer-free
+    pruned = read_snapshot(
+        spark, path, partitions={"lang": ["en"], "bucket": [0]}
+    )
+    assert all(
+        "__part_lang=en" in f and "__part_bucket=0" in f
+        for f in pruned.inputFiles()
+    )
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def sql_snapshot_replace_composite() -> str:
+    return """
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+final AS (
+  SELECT doc_id, lang, n_chars FROM base
+  WHERE NOT (lang = 'en' AND doc_id % 3 = 1) AND doc_id % 3 <> 2
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 7000 FROM base
+  WHERE lang = 'en' AND doc_id % 3 = 1 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 9000 FROM base
+  WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+)
+SELECT lang, CAST(doc_id % 3 AS BIGINT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM final
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
 def q_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta CHECK constraints on the snapshot table
     (sources.sinks.add_snapshot_constraint / write-time enforcement):
@@ -2454,6 +2548,7 @@ def build_ops_registry():
         "snapshot_rename_column": q_snapshot_rename_column,
         "snapshot_merge_pruned": q_snapshot_merge_pruned,
         "snapshot_replace_where": q_snapshot_replace_where,
+        "snapshot_replace_composite": q_snapshot_replace_composite,
         "snapshot_constraints": q_snapshot_constraints,
         "snapshot_restore": q_snapshot_restore,
         "snapshot_history": q_snapshot_history,
@@ -2509,6 +2604,7 @@ def build_ops_registry():
         "snapshot_rename_column": sql_snapshot_rename_column(),
         "snapshot_merge_pruned": sql_snapshot_merge_pruned(),
         "snapshot_replace_where": sql_snapshot_replace_where(),
+        "snapshot_replace_composite": sql_snapshot_replace_composite(),
         "snapshot_constraints": sql_snapshot_constraints(),
         "snapshot_restore": sql_snapshot_restore(),
         "snapshot_history": sql_snapshot_history(),

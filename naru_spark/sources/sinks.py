@@ -663,18 +663,20 @@ def _common_bloom_key(stats: dict, entries) -> str | None:
     return None
 
 
-def _common_partition_col(stats: dict, entries) -> str | None:
-    """The single identity-partition column shared by ALL given entries'
-    stamps, or None. Rewrite paths (delete survivors, merge output,
-    compaction) use it to re-commit their output under the SAME
-    partition spec, so a partitioned table stays partitioned — and
-    ``replace_where``-able — through its whole lifecycle."""
+def _common_partition_col(stats: dict, entries) -> list[str] | None:
+    """The identity-partition column list (single- or multi-column spec)
+    shared by ALL given entries' stamps, or None. Rewrite paths (delete
+    survivors, merge output, compaction) use it to re-commit their
+    output under the SAME partition spec, so a partitioned table stays
+    partitioned — and ``replace_where``-able — through its whole
+    lifecycle. Returned sorted for a deterministic nesting order across
+    rewrites."""
     cols = [
-        set(((stats.get(e) or {}).get("partition") or {}).keys())
+        tuple(sorted(((stats.get(e) or {}).get("partition") or {}).keys()))
         for e in entries
     ]
-    if cols and all(c == cols[0] and len(c) == 1 for c in cols):
-        return next(iter(cols[0]))
+    if cols and all(c == cols[0] and c for c in cols):
+        return list(cols[0])
     return None
 
 
@@ -863,11 +865,15 @@ def write_snapshot(
     one-time footer sweep (footers only, never data pages).
 
     ``partition_by`` (identity partition spec, Iceberg partition-field /
-    Delta partitionBy analog): the delta is written hive-partitioned on
-    a DUPLICATED column (``__part_<col>=<val>`` subdirs — the real
-    column stays in the data files, so each subdir reads back with the
-    full schema), and EVERY partition subdir becomes its own manifest
-    entry stamped ``stats[entry]["partition"] = {col: "<val>"}``.
+    Delta partitionBy analog; a column name or a LIST of them — the
+    Iceberg multi-field spec, e.g. ``["date", "source"]``): the delta
+    is written hive-partitioned on DUPLICATED columns
+    (``__part_<col>=<val>`` subdirs, nested in spec order — the real
+    columns stay in the data files, so each subdir reads back with the
+    full schema), and EVERY LEAF partition dir becomes its own manifest
+    entry stamped ``stats[entry]["partition"] = {col: "<val>", ...}``
+    with one key per spec column, so pruning and ``replace_where``
+    eliminate on any subset of the spec's columns.
     Partition-equality reads/deletes/``replace_where`` then eliminate
     entries on ONE manifest read — exact identity, no footer ever
     opened. Values are stamped as the directory-name STRING (compare
@@ -956,20 +962,32 @@ def write_snapshot(
             return int(rec["commit"])  # replayed batch: already committed
     n = base + 1
     data_dir = os.path.join(path, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
-    if partition_by is not None:
-        from urllib.parse import unquote
-
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by or [])
+    ) or None
+    if part_cols is not None:
         from pyspark.sql import functions as F
 
-        pcol = "__part_" + partition_by
-        (
-            df.withColumn(pcol, F.col(partition_by))
-            .write.mode("error").partitionBy(pcol).parquet(data_dir)
-        )
-        new_entries = sorted(
-            os.path.join(data_dir, d) for d in os.listdir(data_dir)
-            if d.startswith(pcol + "=")
-        )
+        pcols = ["__part_" + c for c in part_cols]
+        staged = df
+        for c, pc in zip(part_cols, pcols):
+            staged = staged.withColumn(pc, F.col(c))
+        staged.write.mode("error").partitionBy(*pcols).parquet(data_dir)
+
+        def _leaves(d: str, depth: int) -> list[str]:
+            # one manifest entry per LEAF partition dir (multi-column
+            # specs nest: __part_a=x/__part_b=y)
+            if depth == len(pcols):
+                return [d]
+            return [
+                leaf
+                for child in sorted(os.listdir(d))
+                if child.startswith(pcols[depth] + "=")
+                for leaf in _leaves(os.path.join(d, child), depth + 1)
+            ]
+
+        new_entries = _leaves(data_dir, 0)
         if not new_entries:
             # an EMPTY delta (e.g. replace_where clearing partitions)
             # writes no partition subdirs — remove the husk dir (only
@@ -1049,9 +1067,13 @@ def write_snapshot(
         stats[e] = s
     for e in new_entries:
         stats[e] = _entry_stats(e)
-        if partition_by is not None:
+        if part_cols is not None:
+            from urllib.parse import unquote
+
+            rel = os.path.relpath(e, data_dir).split(os.sep)
             stats[e]["partition"] = {
-                partition_by: unquote(os.path.basename(e).split("=", 1)[1])
+                part_cols[i]: unquote(seg.split("=", 1)[1])
+                for i, seg in enumerate(rel)
             }
     if bloom_key is not None:
         # key-membership sidecar for each NEW entry (Delta bloom index /
@@ -1070,9 +1092,10 @@ def write_snapshot(
             stats[e]["bloom"] = _write_entry_bloom(
                 df.sparkSession, e, bloom_key, path, stats[e]["n_rows"],
                 name=(
-                    None if partition_by is None else
+                    None if part_cols is None else
                     f"{os.path.basename(data_dir)}."
-                    f"{os.path.basename(e)}.bloom"
+                    + os.path.relpath(e, data_dir).replace(os.sep, ".")
+                    + ".bloom"
                 ),
             )
     change_dir = None
@@ -1721,7 +1744,9 @@ def compact_snapshot(
     # (re-)stamp a table whose entries mix specs: compact_snapshot(
     # full=True, partition_by=col).
     part_col = partition_by or _common_partition_col(stats, under)
-    if part_col is not None and part_col not in rewritten.columns:
+    if isinstance(part_col, str):
+        part_col = [part_col]
+    if part_col is not None and not set(part_col) <= set(rewritten.columns):
         part_col = None
     # ...and a bloom-indexed table's rewrite re-stamps fresh sidecars
     # for the compacted entries (Delta OPTIMIZE rebuilds bloom indexes),
@@ -2372,8 +2397,8 @@ def replace_where(
     spark: SparkSession,
     path: str,
     df: DataFrame,
-    col: str,
-    values,
+    col: str | dict | None = None,
+    values=None,
     txn_id: str | None = None,
     base_version: int | None = None,
 ) -> dict:
@@ -2399,6 +2424,16 @@ def replace_where(
     being silently superseded; ``txn_id`` gives foreachBatch replay
     idempotence. Refuses pending merge-on-read deletes / schema ops
     like every partial-rewrite path (write_snapshot's carry guard).
+
+    COMPOSITE predicates on multi-column specs: pass ``col`` as a dict
+    ``{col: [values], ...}`` (``values`` omitted) — an entry is
+    replaced when EVERY named column's stamped value matches (the
+    conjunctive ``replaceWhere date IN (...) AND source IN (...)``
+    shape), the constraint probe enforces the same conjunction on
+    ``df``, and the named columns may be any SUBSET of the table's spec
+    (replacing one date across all sources on a ``["date","source"]``
+    table). The replacement frame always re-commits under the table's
+    FULL spec.
 
     Returns {"version", "partitions_replaced", "entries_carried"}."""
     import json
@@ -2431,32 +2466,55 @@ def replace_where(
             return {"version": int(rec["commit"]),
                     "partitions_replaced": 0, "entries_carried": 0}
     stats = man.get("stats", {})
-    vals = list(values)
-    want = {str(v) for v in vals}
+    from functools import reduce
+
+    spec = (
+        {c: list(vs) for c, vs in col.items()} if isinstance(col, dict)
+        else {col: list(values)}
+    )
+    want = {c: {str(v) for v in vs} for c, vs in spec.items()}
+    # the replacement frame re-commits under the table's FULL spec (the
+    # predicate may name a subset of a multi-column spec); a predicate
+    # column outside the spec can never be entry-exact — refuse up front
+    table_spec = _common_partition_col(stats, man["dirs"])
+    if table_spec is not None and not set(spec) <= set(table_spec):
+        raise ValueError(
+            f"replace_where names column(s) "
+            f"{sorted(set(spec) - set(table_spec))!r} outside the "
+            f"table's partition spec {table_spec!r}"
+        )
     replaced, carried = [], []
     for e in man["dirs"]:
-        v = (stats.get(e) or {}).get("partition", {}).get(col)
-        if v is None:
+        stamp = (stats.get(e) or {}).get("partition", {})
+        missing = [c for c in spec if c not in stamp]
+        if missing:
             raise ValueError(
                 f"replace_where needs every entry partition-stamped on "
-                f"{col!r}, but {e} has no stamp — write the table with "
-                f"write_snapshot(partition_by={col!r}); compact_snapshot("
-                f"full=True, partition_by={col!r}) re-stamps a mixed table"
+                f"{sorted(spec)!r}, but {e} has no stamp for {missing!r} "
+                f"— write the table with write_snapshot(partition_by=...); "
+                f"compact_snapshot(full=True, partition_by=...) re-stamps "
+                "a mixed table"
             )
-        (replaced if v in want else carried).append(e)
+        hit = all(stamp[c] in want[c] for c in spec)
+        (replaced if hit else carried).append(e)
+    if table_spec is None:
+        table_spec = sorted(spec)
     # pin ONE evaluation of the replacement frame: the constraint probe
     # and the write are separate jobs, and a non-deterministic df could
     # otherwise pass the probe yet write a violating row
     df = df.localCheckpoint(eager=True)
     # the replaceWhere CONSTRAINT: every df row must fall in the named
-    # partitions — checked on a limit-1 job before any write
-    viol = (
-        df.where(~F.col(col).isin(vals) | F.col(col).isNull())
-        .limit(1).collect()
+    # partitions (conjunction over the spec) — a limit-1 job before any
+    # write; a NULL in any named column violates (it matches no value)
+    bad = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).isin(vs) | F.col(c).isNull()
+         for c, vs in spec.items()],
     )
+    viol = df.where(bad).limit(1).collect()
     if viol:
         raise ValueError(
-            f"replace_where(df, {col}={vals!r}): the replacement frame "
+            f"replace_where(df, {spec!r}): the replacement frame "
             f"contains out-of-set row {viol[0].asDict()!r} — Delta "
             "replaceWhere rejects rows outside the predicate rather than "
             "silently dropping or leaking them"
@@ -2468,9 +2526,10 @@ def replace_where(
         bkey = None
     version = write_snapshot(
         df, path, mode="replace", base_version=base_version,
-        carry=carried, partition_by=col, txn_id=txn_id, bloom_key=bkey,
-        op_meta={"name": "replace_where", "col": col,
-                 "values": [str(v) for v in vals]},
+        carry=carried, partition_by=table_spec, txn_id=txn_id,
+        bloom_key=bkey,
+        op_meta={"name": "replace_where",
+                 "where": {c: sorted(w) for c, w in want.items()}},
     )
     return {"version": version, "partitions_replaced": len(replaced),
             "entries_carried": len(carried)}

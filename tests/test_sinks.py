@@ -2326,3 +2326,89 @@ def test_bloom_composes_with_partition_spec(spark, tmp_path):
     assert after < before  # superseded partition sidecars died
     # the live composed read still works post-retention
     assert sinks.read_snapshot(spark, path).count() == 108
+
+
+def test_multi_column_partition_spec(spark, tmp_path):
+    """Iceberg-style multi-field identity spec: partition_by=["d","s"]
+    stamps one manifest entry per LEAF dir with one key per column;
+    pruning composes per-column; replace_where takes a composite
+    predicate (conjunction) or a subset-column predicate and re-commits
+    under the FULL spec; rewrites (delete survivors, compaction) keep
+    the multi-column spec."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, f"d{k % 2}", f"s{k % 3}", k) for k in range(120)],
+        "k int, d string, s string, v int",
+    )
+    path = str(tmp_path / "mc")
+    sinks.write_snapshot(df, path, partition_by=["d", "s"])           # v1
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifests", "v1.json")) as fh:
+        man = json.load(fh)
+    assert len(man["dirs"]) == 6  # 2 x 3 leaf cells
+    assert all(
+        set(man["stats"][e]["partition"]) == {"d", "s"}
+        for e in man["dirs"]
+    )
+    # per-column pruning composes: one cell plans one entry
+    pruned = sinks.read_snapshot(
+        spark, path, partitions={"d": ["d0"], "s": ["s1"]}
+    )
+    files = pruned.inputFiles()
+    assert files and all(
+        "__part_d=d0" in f and "__part_s=s1" in f for f in files
+    )
+    # composite replace: exactly the (d0, s1) cell
+    new_cell = spark.createDataFrame(
+        [(1000 + k, "d0", "s1", k) for k in range(5)],
+        "k int, d string, s string, v int",
+    )
+    info = sinks.replace_where(spark, path, new_cell,
+                               {"d": ["d0"], "s": ["s1"]})
+    assert info["partitions_replaced"] == 1 and info["entries_carried"] == 5
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 120 - 20 + 5  # the d0/s1 cell held 20 rows
+    assert out.where("d = 'd0' AND s = 's1'").count() == 5
+    # subset-column replace: one d value across ALL s cells
+    new_d1 = spark.createDataFrame(
+        [(2000 + k, "d1", f"s{k % 3}", k) for k in range(9)],
+        "k int, d string, s string, v int",
+    )
+    info2 = sinks.replace_where(spark, path, new_d1, {"d": ["d1"]})
+    assert info2["partitions_replaced"] == 3, info2
+    out2 = sinks.read_snapshot(spark, path)
+    assert out2.where("d = 'd1'").count() == 9
+    # the replacement re-committed under the FULL spec: another
+    # composite replace still finds every entry stamped on both columns
+    with open(os.path.join(
+        path, "_manifests", f"v{info2['version']}.json"
+    )) as fh:
+        man3 = json.load(fh)
+    assert all(
+        set(man3["stats"][e]["partition"]) == {"d", "s"}
+        for e in man3["dirs"]
+    )
+    # an out-of-conjunction row refuses
+    with pytest.raises(ValueError, match="out-of-set"):
+        sinks.replace_where(spark, path, new_cell, {"d": ["d1"]})
+    # a predicate column outside the spec refuses
+    with pytest.raises(ValueError, match="outside the table's partition"):
+        sinks.replace_where(spark, path, new_cell, {"v": [1]})
+    # a COW delete's survivors re-commit under the multi-column spec
+    sinks.delete_from_snapshot(spark, path, "k = 1000")
+    with open(os.path.join(
+        path, "_manifests",
+        f"v{sinks._latest_version(os.path.join(path, '_manifests'))}.json",
+    )) as fh:
+        man4 = json.load(fh)
+    assert all(
+        set(man4["stats"][e]["partition"]) == {"d", "s"}
+        for e in man4["dirs"]
+    ), man4["stats"]
+    # 120 - 20 (d0/s1 cell) + 5 - 60 (all of d1) + 9 - 1 (the delete)
+    assert sinks.read_snapshot(spark, path).count() == 53
