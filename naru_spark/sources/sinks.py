@@ -799,7 +799,7 @@ def write_snapshot(
     base_version: int | None = None,
     carry: list[str] | None = None,
     bloom_key: str | None = None,
-    partition_by: str | None = None,
+    partition_by: str | Sequence[str] | None = None,
     carry_partitions: dict | None = None,
     carry_blooms: dict | None = None,
     enforce_constraints: bool = True,
@@ -1611,7 +1611,7 @@ def compact_snapshot(
     zorder_by: Sequence[str] | None = None,
     min_file_bytes: int | None = None,
     full: bool = False,
-    partition_by: str | None = None,
+    partition_by: str | Sequence[str] | None = None,
     partitions: dict | None = None,
 ) -> dict:
     """Small-file compaction for a snapshot table (Iceberg
