@@ -784,6 +784,66 @@ ORDER BY source
 """
 
 
+def q_snapshot_delete_auto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE with AUTO-DERIVED entry elimination
+    (sources.sinks.delete_from_snapshot auto_prune /
+    _condition_prune_hints — Delta derives file skipping from the WHERE
+    clause the same way): the corpus lands as three disjoint doc_id
+    ranges, then a plain ``DELETE WHERE doc_id <= …`` with NO caller
+    hints eliminates the two out-of-range commits on the manifest
+    stats alone (asserted inline) — the hand-hint footgun (a too-small
+    box silently leaving matches alive) is gone because the box comes
+    from the condition itself. Oracle: the corpus minus the deleted
+    range."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_autoprune_") + "/docs"
+    t1 = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 3
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path)            # v1
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)),
+        path,
+    )                                                                  # v2
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)         # v3
+    cut = t1 // 2
+    info = delete_from_snapshot(spark, path, f"doc_id <= {cut}")       # v4
+    # the derived box eliminated the two out-of-range commits without
+    # a single hint (and without opening a footer)
+    assert info["entries_pruned"] >= 2, info
+    assert info["n_deleted"] > 0, info
+    assert read_snapshot(spark, path, version=3).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_delete_auto_prune() -> str:
+    return """
+WITH cut AS (SELECT (MAX(doc_id) // 3) // 2 AS c FROM documents)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents, cut
+WHERE doc_id > cut.c
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-PRUNED MERGE INTO the snapshot table
     (sources.sinks.merge_into_snapshot — Delta's MERGE execution shape,
@@ -2554,6 +2614,7 @@ def build_ops_registry():
         "snapshot_history": q_snapshot_history,
         "snapshot_cdf": q_snapshot_cdf,
         "snapshot_delete_bloom_partition": q_snapshot_delete_bloom_partition,
+        "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_maintain": q_snapshot_maintain,
@@ -2610,6 +2671,7 @@ def build_ops_registry():
         "snapshot_history": sql_snapshot_history(),
         "snapshot_cdf": sql_snapshot_cdf(),
         "snapshot_delete_bloom_partition": sql_snapshot_delete_bloom_partition(),
+        "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_stats": sql_snapshot_stats(),
         # content invariance: maintenance must never change answers

@@ -682,15 +682,178 @@ def _common_partition_col(stats: dict, entries) -> list[str] | None:
 
 def _entry_overlaps(stat: dict | None, prune: dict) -> bool:
     """Does an entry's stamped column range intersect the [lo, hi] box?
-    Missing stats (legacy manifests) or missing columns mean CANNOT
-    SKIP — the entry is treated as overlapping, never wrongly pruned."""
+    Missing stats (legacy manifests), missing columns, or un-comparable
+    stamped types mean CANNOT SKIP — the entry is treated as
+    overlapping, never wrongly pruned."""
     for c, (lo, hi) in prune.items():
         rng = (stat or {}).get("cols", {}).get(c)
         if rng is None:
             continue
-        if not (rng[1] >= lo and rng[0] <= hi):
-            return False
+        try:
+            if not (rng[1] >= lo and rng[0] <= hi):
+                return False
+        except TypeError:  # stamped str vs numeric box (or vice versa)
+            continue
     return True
+
+
+def _condition_prune_hints(condition: str) -> dict | None:
+    """Derive COVERING entry-elimination hints from a WHERE string —
+    Delta derives its file skipping from the predicate the same way,
+    which is what removes the hand-written-hint footgun (a too-small
+    hand box silently leaves matching rows alive).
+
+    Only conditions PROVABLY a conjunction of simple terms are used:
+    ``col op literal`` (op ∈ =, <, <=, >, >=), ``col IN (l1, l2, …)``,
+    ``col BETWEEN a AND b``, joined by top-level AND. Anything else —
+    OR, NOT, IS NULL, LIKE, parentheses, casts, functions, arithmetic,
+    column-to-column — returns None and the caller scans without
+    elimination; a parsed conjunction is covering BY CONSTRUCTION
+    (every row matching the whole condition matches each term, so
+    pruning on any term's box/keys never drops a match). Returns
+    {"prune": {col: (lo, hi)}, "keys": {col: [values]},
+    "partitions": {col: [strings]}}: boxes from every term (±inf for
+    one-sided numeric ranges; one-sided STRING ranges contribute
+    nothing — no total order vs ±inf), key lists and partition strings
+    from equality/IN terms only (partition values only for int/str
+    literals — float dir-name round-trips are not exact)."""
+    import math
+    import re
+
+    token_re = re.compile(
+        r"\s*("
+        r"'(?:[^']|'')*'"            # SQL string literal ('' escape)
+        r"|[A-Za-z_][A-Za-z_0-9]*"   # identifier / keyword
+        r"|-?\d+\.\d+|-?\d+"         # number
+        r"|<=|>=|!=|<>|=|<|>|\(|\)|,"
+        r")"
+    )
+    s = condition.strip()
+    toks, pos = [], 0
+    while pos < len(s):
+        m = token_re.match(s, pos)
+        if not m:
+            return None
+        toks.append(m.group(1))
+        pos = m.end()
+    if not toks:
+        return None
+
+    keywords = {"and", "or", "not", "in", "between", "is", "null",
+                "like", "true", "false"}
+
+    def is_ident(t: str) -> bool:
+        return bool(re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t)) and (
+            t.lower() not in keywords
+        )
+
+    def lit(t: str):
+        if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+            return t[1:-1].replace("''", "'")
+        try:
+            return int(t)
+        except ValueError:
+            try:
+                return float(t)
+            except ValueError:
+                return None
+
+    i, n = 0, len(toks)
+    terms: list = []  # (col, op, [literals])
+    while True:
+        if i >= n or not is_ident(toks[i]):
+            return None
+        col = toks[i]
+        if i + 1 >= n:
+            return None
+        op = toks[i + 1].lower()
+        if op in ("=", "<", "<=", ">", ">="):
+            if i + 2 >= n:
+                return None
+            v = lit(toks[i + 2])
+            if v is None:
+                return None
+            terms.append((col, op, [v]))
+            i += 3
+        elif op == "in":
+            if i + 2 >= n or toks[i + 2] != "(":
+                return None
+            j, vals = i + 3, []
+            while j < n and toks[j] != ")":
+                v = lit(toks[j])
+                if v is None:
+                    return None
+                vals.append(v)
+                j += 1
+                if j < n and toks[j] == ",":
+                    j += 1
+            if j >= n or not vals:
+                return None
+            terms.append((col, "in", vals))
+            i = j + 1
+        elif op == "between":
+            if i + 4 >= n:
+                return None
+            lo_, kw, hi_ = (lit(toks[i + 2]), toks[i + 3].lower(),
+                            lit(toks[i + 4]))
+            if lo_ is None or kw != "and" or hi_ is None:
+                return None
+            terms.append((col, "between", [lo_, hi_]))
+            i += 5
+        else:
+            return None
+        if i == n:
+            break
+        if toks[i].lower() != "and":
+            return None
+        i += 1
+
+    boxes: dict = {}
+    keys: dict = {}
+    parts: dict = {}
+    dropped: set = set()
+    for col, op, vals in terms:
+        numeric = all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        )
+        stringy = all(isinstance(v, str) for v in vals)
+        if not (numeric or stringy):
+            return None  # mixed literal types in one IN list
+        if op in ("=", "in"):
+            vs = sorted(set(vals))
+            if col in keys:
+                keys[col] = sorted(set(keys[col]) & set(vs))
+            else:
+                keys[col] = vs
+            if all(isinstance(v, (int, str)) for v in vs):
+                ps = sorted({str(v) for v in vs})
+                parts[col] = (
+                    sorted(set(parts[col]) & set(ps))
+                    if col in parts else ps
+                )
+            lo, hi = vs[0], vs[-1]
+        elif op == "between":
+            lo, hi = vals
+        elif op in ("<", "<="):
+            if not numeric:
+                continue  # one-sided string range: no usable box
+            lo, hi = -math.inf, vals[0]
+        else:  # > >=
+            if not numeric:
+                continue
+            lo, hi = vals[0], math.inf
+        if col in dropped:
+            continue
+        try:
+            if col in boxes:
+                lo = max(boxes[col][0], lo)
+                hi = min(boxes[col][1], hi)
+            boxes[col] = (lo, hi)
+        except TypeError:  # str term and numeric term on one column
+            boxes.pop(col, None)
+            dropped.add(col)
+    return {"prune": boxes, "keys": keys, "partitions": parts}
 
 
 def _manifest_stats(man: dict) -> dict:
@@ -1793,6 +1956,7 @@ def delete_from_snapshot(
     prune: dict | None = None,
     prune_keys: dict | None = None,
     partitions: dict | None = None,
+    auto_prune: bool = True,
 ) -> dict:
     """Row-level delete on a snapshot table (Delta ``DELETE FROM ...
     WHERE`` analog — the GDPR-delete shape): rows matching ``condition``
@@ -1847,7 +2011,22 @@ def delete_from_snapshot(
     inside it — derive it from the condition, as Delta derives skipping
     boxes from the WHERE clause); rows outside a too-small box would
     silently survive. Returns extra keys "entries_scanned" /
-    "entries_pruned" when given."""
+    "entries_pruned" when given.
+
+    PRUNE HINTS ARE AUTO-DERIVED FROM THE CONDITION ITSELF
+    (``auto_prune``, on by default, like MERGE's): when no hand hints
+    are passed and the condition parses as a conjunction of simple
+    terms (``_condition_prune_hints`` — covering BY CONSTRUCTION),
+    min/max boxes, identity-partition values, and bloom probe keys are
+    derived and applied automatically — ``DELETE WHERE day = '...'``
+    or ``key IN (...)`` eliminates entries on one manifest read with
+    no caller hints and no footgun. Conditions the parser cannot prove
+    conjunctive-simple (OR / NOT / functions / arithmetic) derive
+    nothing and scan as before; auto bloom probes that cannot
+    represent in a sidecar's stamped type skip bloom pruning instead
+    of raising (the raise is the contract for EXPLICIT prune_keys
+    only). Hand hints take precedence. The merge-on-read change-plane
+    scan (cdf tables) reuses the same derivation."""
     import json
     import os
 
@@ -1890,8 +2069,12 @@ def delete_from_snapshot(
             # only feed consumers pay for their own row-level view
             import uuid
 
+            h = (_condition_prune_hints(condition) if auto_prune
+                 else None) or {}
             change_df = (
-                read_snapshot(spark, path, version=latest)
+                read_snapshot(spark, path, version=latest,
+                              prune=h.get("prune") or None,
+                              partitions=h.get("partitions") or None)
                 .where(F.expr(condition))
                 .withColumn("_change_type", F.lit("delete"))
             )
@@ -1948,6 +2131,17 @@ def delete_from_snapshot(
     pruned: list[str] = []
     scan_entries = entries
     stats = man.get("stats", {})
+    auto_keys: dict | None = None
+    if (auto_prune and prune is None and prune_keys is None
+            and partitions is None):
+        # derive the hints from the condition itself (covering by
+        # construction — see _condition_prune_hints); hand hints above
+        # take precedence
+        hints = _condition_prune_hints(condition)
+        if hints:
+            prune = hints["prune"] or None
+            partitions = hints["partitions"] or None
+            auto_keys = hints["keys"] or None
     if partitions:
         # identity-partition elimination (``partitions={col: [values]}``,
         # same covering contract): exact dir-name-string match on the
@@ -1967,7 +2161,20 @@ def delete_from_snapshot(
             scan_entries = _bloom_surviving_entries(
                 spark, path, scan_entries, stats, col, list(values)
             )
-    hinted = bool(prune or prune_keys or partitions)
+    elif auto_keys:
+        # auto-derived bloom probes: a value unrepresentable in some
+        # sidecar's stamped dtype just skips bloom pruning (raising is
+        # the explicit-prune_keys contract, not the auto path's)
+        try:
+            for col, values in auto_keys.items():
+                if values:
+                    scan_entries = _bloom_surviving_entries(
+                        spark, path, scan_entries, stats, col,
+                        list(values),
+                    )
+        except ValueError:
+            pass
+    hinted = bool(prune or prune_keys or partitions or auto_keys)
     if hinted:
         pruned = [e for e in entries if e not in set(scan_entries)]
     extra = (

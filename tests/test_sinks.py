@@ -2412,3 +2412,65 @@ def test_multi_column_partition_spec(spark, tmp_path):
     ), man4["stats"]
     # 120 - 20 (d0/s1 cell) + 5 - 60 (all of d1) + 9 - 1 (the delete)
     assert sinks.read_snapshot(spark, path).count() == 53
+
+
+def test_delete_auto_prune_from_condition(spark, tmp_path):
+    """DELETE derives its own entry elimination from the WHERE string
+    (min/max boxes, partition values, bloom keys — covering by
+    construction), so a plain `DELETE WHERE k <= …` on a range-
+    clustered table or `WHERE p = … AND k IN (…)` on a partitioned+
+    bloomed table prunes with NO caller hints; unparseable conditions
+    (OR) scan everything but stay correct."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.sinks import _condition_prune_hints
+
+    # parser guardrails: conjunctions parse, anything else derives None
+    assert _condition_prune_hints("k <= 100")["prune"] == {"k": (-float("inf"), 100)}
+    assert _condition_prune_hints("k = 1 OR k = 2") is None
+    assert _condition_prune_hints("NOT k = 1") is None
+    assert _condition_prune_hints("k % 10 = 9") is None
+    assert _condition_prune_hints("substr(s, 1) = 'a'") is None
+    got = _condition_prune_hints("p = 'a' AND k IN (3, 7)")
+    assert got["partitions"] == {"p": ["a"], "k": ["3", "7"]}
+    assert got["keys"]["k"] == [3, 7]
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "k int, v int"
+    )
+    # range-committed table: a one-sided range hits ONE entry, no hints
+    path = str(tmp_path / "auto_box")
+    for lo in (0, 100, 200):
+        sinks.write_snapshot(mk(lo, lo + 100), path)
+    info = sinks.delete_from_snapshot(spark, path, "k <= 50")
+    assert info["entries_pruned"] == 2 and info["n_deleted"] == 51, info
+    assert sinks.read_snapshot(spark, path).count() == 249
+
+    # partitioned + bloomed table: equality + IN composes all three
+    # hint planes automatically
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", k) for k in range(100)],
+        "k int, p string, v int",
+    )
+    path2 = str(tmp_path / "auto_comp")
+    sinks.write_snapshot(df, path2, partition_by="p", bloom_key="k")
+    sinks.write_snapshot(df.withColumn("k", F.col("k") + 1000), path2,
+                         partition_by="p", bloom_key="k")
+    info2 = sinks.delete_from_snapshot(spark, path2,
+                                       "p = 'a' AND k IN (3, 7)")
+    assert info2["n_deleted"] == 2, info2
+    # partition identity drops both 'b' entries; box+bloom drop v2's 'a'
+    assert info2["entries_pruned"] == 3 and info2["entries_scanned"] == 1, info2
+
+    # an OR condition derives nothing but deletes correctly
+    info3 = sinks.delete_from_snapshot(spark, path2, "k = 9 OR k = 11")
+    assert "entries_pruned" not in info3 and info3["n_deleted"] == 2, info3
+    assert sinks.read_snapshot(spark, path2).count() == 196
+
+    # MoR + cdf: the change-plane scan reuses the derivation (content
+    # check only — the pruning there is a plan hint)
+    path3 = str(tmp_path / "auto_mor")
+    sinks.write_snapshot(df, path3, partition_by="p", cdf=True)
+    sinks.delete_from_snapshot(spark, path3, "p = 'a' AND k <= 9",
+                               mode="merge-on-read")
+    ch = sinks.read_snapshot_changes(spark, path3, 1, row_level=True)
+    assert ch.count() == 5 and ch.where("p = 'a'").count() == 5
