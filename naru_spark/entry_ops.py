@@ -1322,8 +1322,13 @@ def q_snapshot_delete_bloom_partition(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     OFFSET = 100_000_000
-    docs = _load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+    # two languages keep the fixture lean (bloom builds are one bounded
+    # Spark job per partition entry) while still exercising partition
+    # elimination, per-entry bloom probes, and their composition
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("lang").isin("de", "en"))
     )
     path = _tmpdir(prefix="docs_snap_bp_") + "/docs"
     write_snapshot(docs, path, partition_by="lang",
@@ -1377,13 +1382,16 @@ def q_snapshot_delete_bloom_partition(spark: SparkSession, sf_dir: str) -> DataF
 
 def sql_snapshot_delete_bloom_partition() -> str:
     return """
-WITH en2 AS (
-  SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 2
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('de', 'en')
+),
+en2 AS (
+  SELECT doc_id FROM base WHERE lang = 'en' ORDER BY doc_id LIMIT 2
 ),
 merged AS (
-  SELECT doc_id, lang, n_chars FROM documents
+  SELECT doc_id, lang, n_chars FROM base
   UNION ALL
-  SELECT doc_id + 100000000, lang, n_chars FROM documents
+  SELECT doc_id + 100000000, lang, n_chars FROM base
 ),
 kept AS (
   SELECT * FROM merged WHERE doc_id NOT IN (SELECT doc_id FROM en2)
@@ -1515,6 +1523,53 @@ SELECT v.version, (SELECT COUNT(*) FROM documents
                    WHERE doc_id % 3 < v.version) AS n_rows
 FROM (VALUES (1), (2), (3)) AS v(version)
 ORDER BY v.version
+"""
+
+
+def q_snapshot_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column statistics (sources.sinks.
+    snapshot_column_stats — Iceberg table.files / Delta stats-query
+    analog): the table-level per-column [min, max] folds from the
+    manifest's stamped per-entry column ranges on ONE manifest read —
+    zero data I/O, the surface an external CBO or freshness monitor
+    reads instead of scanning. Three slice commits, then the folded
+    ranges for the four short columns must equal the true MIN/MAX the
+    oracle computes by scanning."""
+    from naru_spark.sources.sinks import (
+        snapshot_column_stats,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_colstats_") + "/docs"
+    for k in range(3):
+        write_snapshot(docs.filter(F.col("doc_id") % 3 == k), path)
+    stats = snapshot_column_stats(path)
+    rows = [
+        (c, str(stats[c][0]), str(stats[c][1]))
+        for c in ("doc_id", "lang", "n_chars", "source")
+    ]
+    return spark.createDataFrame(
+        rows, "col string, lo string, hi string"
+    ).orderBy("col")
+
+
+def sql_snapshot_column_stats() -> str:
+    return """
+WITH s AS (
+  SELECT 'doc_id' AS col, CAST(MIN(doc_id) AS VARCHAR) AS lo,
+         CAST(MAX(doc_id) AS VARCHAR) AS hi FROM documents
+  UNION ALL
+  SELECT 'lang', MIN(lang), MAX(lang) FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(MIN(n_chars) AS VARCHAR),
+         CAST(MAX(n_chars) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'source', MIN(source), MAX(source) FROM documents
+)
+SELECT col, lo, hi FROM s ORDER BY col
 """
 
 
@@ -2617,6 +2672,7 @@ def build_ops_registry():
         "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_stats": q_snapshot_stats,
+        "snapshot_column_stats": q_snapshot_column_stats,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
         "snapshot_optimize_partition": q_snapshot_optimize_partition,
@@ -2674,6 +2730,7 @@ def build_ops_registry():
         "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_stats": sql_snapshot_stats(),
+        "snapshot_column_stats": sql_snapshot_column_stats(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),
         # clustering never changes content: same compaction oracle

@@ -2184,7 +2184,11 @@ def delete_from_snapshot(
     if not scan_entries:
         return {"version": latest, "n_deleted": 0,
                 "files_rewritten": 0, "files_carried": 0, **extra}
-    df = spark.read.parquet(*scan_entries)
+    # mergeSchema: the scan may span additively-evolved commits, and a
+    # condition naming a later-added column must resolve (pre-evolution
+    # files read NULL for it) instead of depending on footer-inference
+    # order — same reasoning as the compaction rewrite reads
+    df = spark.read.option("mergeSchema", "true").parquet(*scan_entries)
     cond = F.expr(condition)
     # one pushdown-pruned scan: which files hold matches, and how many
     per_file = (
@@ -2227,7 +2231,8 @@ def delete_from_snapshot(
         # change-data-feed: the deleted rows themselves, read back from
         # ONLY the matching files (one extra pushdown scan, O(touched))
         change_df = (
-            spark.read.parquet(*touched).where(cond)
+            spark.read.option("mergeSchema", "true").parquet(*touched)
+            .where(cond)
             .withColumn("_change_type", F.lit("delete"))
         )
     # rewrite ONLY the matching files' survivors; NULL condition survives;
@@ -2235,7 +2240,8 @@ def delete_from_snapshot(
     # of a bloom-indexed table under a fresh sidecar (pruning never
     # degrades through the rewrite)
     version = write_snapshot(
-        spark.read.parquet(*touched).where(~cond | cond.isNull()),
+        spark.read.option("mergeSchema", "true").parquet(*touched)
+        .where(~cond | cond.isNull()),
         path,
         mode="replace",
         base_version=latest,
@@ -2409,7 +2415,7 @@ def merge_into_snapshot(
     matching: set = set()
     if scan_entries:
         per_file = (
-            spark.read.parquet(*scan_entries)
+            spark.read.option("mergeSchema", "true").parquet(*scan_entries)
             # stamp the file BEFORE the join: input_file_name() is
             # ambiguous (and refused) once a second source joins in
             .withColumn("__f", F.input_file_name())
@@ -2440,8 +2446,12 @@ def merge_into_snapshot(
                     if bloom:  # ...and its (superset) bloom sidecar
                         carry_blooms[f] = bloom
     base_touched = (
-        spark.read.parquet(*touched) if touched
-        else spark.read.parquet(*entries).limit(0)  # pure-insert changeset
+        # mergeSchema: touched files may span evolved commits, and the
+        # merge output must keep every column
+        spark.read.option("mergeSchema", "true").parquet(*touched)
+        if touched
+        else spark.read.option("mergeSchema", "true")
+        .parquet(*entries).limit(0)  # pure-insert changeset
     )
     # validate=True forwards merge_into's one-changeset-row-per-key guard
     # (SQL MERGE's "multiple source rows matched" error) at the cost of
@@ -3037,6 +3047,48 @@ def snapshot_stats(path: str, version: int | None = None) -> dict:
         "n_entries": len(man["dirs"]),
         "n_delete_preds": len(man.get("deletes", [])),
     }
+
+
+def snapshot_column_stats(path: str, version: int | None = None) -> dict:
+    """Table-level per-column [min, max] for one snapshot version
+    (latest when None), folded from the manifest's stamped per-entry
+    column stats — ONE manifest read, zero data I/O (the Iceberg
+    ``table.files``/Delta stats-query analog; what an external
+    cost-based optimizer or a freshness monitor reads instead of
+    scanning). Only columns with a stamped range in EVERY entry
+    qualify (a single stats-less entry makes the table-level range
+    unknowable without I/O — such columns are omitted rather than
+    guessed); pending merge-on-read deletes do not tighten ranges
+    until compaction materializes them (file-level semantics, like
+    ``snapshot_stats``). Returns {col: [min, max]}."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    if version is None:
+        version = _latest_version(man_dir)
+    with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    stats = _manifest_stats(man)
+    out: dict = {}
+    first = True
+    for e in man["dirs"]:
+        cols = (stats.get(e) or {}).get("cols", {})
+        if first:
+            out = {c: [lo, hi] for c, (lo, hi) in
+                   ((c, tuple(v)) for c, v in cols.items())}
+            first = False
+            continue
+        for c in list(out):
+            rng = cols.get(c)
+            if rng is None:
+                del out[c]  # not stamped everywhere: unknowable
+                continue
+            try:
+                out[c] = [min(out[c][0], rng[0]), max(out[c][1], rng[1])]
+            except TypeError:  # mixed stamped types across entries
+                del out[c]
+    return out
 
 
 def restore_snapshot(path: str, version: int) -> int:

@@ -2474,3 +2474,37 @@ def test_delete_auto_prune_from_condition(spark, tmp_path):
                                mode="merge-on-read")
     ch = sinks.read_snapshot_changes(spark, path3, 1, row_level=True)
     assert ch.count() == 5 and ch.where("p = 'a'").count() == 5
+
+
+def test_cdf_and_delete_across_schema_evolution(spark, tmp_path):
+    """Additive schema evolution composes with the row-mutation paths:
+    a COW DELETE whose condition names a later-added column resolves
+    over the evolved scan (pre-evolution files read NULL — NULL never
+    matches, so their rows survive), its CDF change rows carry the
+    evolved column, and the row-level feed unions the epochs by name
+    (pre-evolution inserts surface NULL for the added column)."""
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "evo_cdf")
+    sinks.write_snapshot(
+        spark.createDataFrame([(i, i) for i in range(40)], "k int, v int"),
+        path, cdf=True,
+    )                                                                  # v1
+    sinks.write_snapshot(
+        spark.createDataFrame(
+            [(i, i, i * 2) for i in range(40, 80)], "k int, v int, w int"
+        ),
+        path,
+    )                                                                  # v2
+    info = sinks.delete_from_snapshot(spark, path, "w >= 150")         # v3
+    # w >= 150 -> k in 75..79; v1 rows have w NULL and all survive
+    assert info["n_deleted"] == 5, info
+    out = sinks.read_snapshot(spark, path, merge_schema=True)
+    assert out.count() == 75
+    ch = sinks.read_snapshot_changes(spark, path, 0, row_level=True)
+    assert ch.where("_commit_version = 3").count() == 5
+    assert ch.where(
+        "_commit_version = 3 AND _change_type = 'delete' AND w >= 150"
+    ).count() == 5
+    # pre-evolution insert rows union by name: w is NULL
+    assert ch.where("_commit_version = 1 AND w IS NULL").count() == 40
