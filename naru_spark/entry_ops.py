@@ -1880,6 +1880,64 @@ ORDER BY lang
 """
 
 
+def q_snapshot_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the change data feed
+    (sources.sinks.apply_cdf_to_aggregate — the CDF's raison d'être at
+    100 TB): a per-language COUNT+SUM view bootstraps from v1 and is
+    then refreshed ONLY from each version's row-level change rows (+1
+    for insert/update_postimage, -1 for delete/update_preimage) through
+    the MERGE, the replace_where REPLACE commit, and the metadata-only
+    merge-on-read delete — each refresh reads O(that commit's CHANGED
+    bytes) (change planes, or the replaced partition's entries for the
+    replace reconstruction), never a table rescan. Oracle: the plain
+    groupBy of the FINAL table state — the folds must converge to it
+    exactly (asserted inline against a live recompute too)."""
+    from naru_spark.sources.sinks import (
+        apply_cdf_to_aggregate,
+        read_snapshot,
+        read_snapshot_changes,
+    )
+
+    path = _tmpdir(prefix="docs_snap_cdfivm_") + "/docs"
+    latest = _build_cdf_table(spark, sf_dir, path)
+    view = (
+        read_snapshot(spark, path, version=1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").alias("sum_n_chars"))
+    ).localCheckpoint(eager=True)  # the bootstrap: the ONE full read
+    for v in range(2, latest + 1):
+        ch = read_snapshot_changes(spark, path, v - 1, to_version=v,
+                                   row_level=True)
+        view = apply_cdf_to_aggregate(
+            view, ch, keys=["lang"], sums=["n_chars"]
+        ).localCheckpoint(eager=True)  # pin each refresh (tiny: |langs|)
+    # the maintained view equals a full recompute of the final state
+    expect = {
+        (r["lang"]): (r["n"], r["s"])
+        for r in read_snapshot(spark, path).groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    got = {r["lang"]: (r["n"], r["sum_n_chars"]) for r in view.collect()}
+    assert got == expect, (got, expect)
+    return (
+        view.select(
+            "lang", F.col("n"),
+            F.col("sum_n_chars").alias("sum_chars"),
+        ).orderBy("lang")
+    )
+
+
+def sql_snapshot_cdf_ivm() -> str:
+    return _CDF_STAGES + """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM final
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_snapshot_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snapshot table's maintenance decision loop
     (sources.sinks.maintain_snapshot — Delta auto-OPTIMIZE shape,
@@ -2671,6 +2729,7 @@ def build_ops_registry():
         "snapshot_delete_bloom_partition": q_snapshot_delete_bloom_partition,
         "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
+        "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_column_stats": q_snapshot_column_stats,
         "snapshot_maintain": q_snapshot_maintain,
@@ -2729,6 +2788,7 @@ def build_ops_registry():
         "snapshot_delete_bloom_partition": sql_snapshot_delete_bloom_partition(),
         "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
+        "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),
         "snapshot_column_stats": sql_snapshot_column_stats(),
         # content invariance: maintenance must never change answers

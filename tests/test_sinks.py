@@ -2508,3 +2508,46 @@ def test_cdf_and_delete_across_schema_evolution(spark, tmp_path):
     ).count() == 5
     # pre-evolution insert rows union by name: w is NULL
     assert ch.where("_commit_version = 1 AND w IS NULL").count() == 40
+
+
+def test_apply_cdf_to_aggregate_sign_algebra(spark, tmp_path):
+    """The IVM fold's sign algebra: updates are count-neutral and
+    sum-exact, deletes subtract, inserts add, a group emptied by a
+    replace commit DROPS from the view (exactly a recompute), and the
+    fold over every commit type converges to the final table state."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.sinks import apply_cdf_to_aggregate
+
+    df = spark.createDataFrame(
+        [(k, "a" if k < 10 else "b", k) for k in range(20)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "ivm")
+    sinks.write_snapshot(df, path, partition_by="p", cdf=True)        # v1
+    changes = spark.createDataFrame(
+        [(1, "a", 100, "U"), (2, "a", None, "D"), (50, "b", 7, "U")],
+        "k int, p string, v int, op string",
+    )
+    sinks.merge_into_snapshot(spark, path, changes, key="k")          # v2
+    # clear partition a entirely: its group must DROP from the view
+    sinks.replace_where(spark, path, df.where("1 = 0"), "p", ["a"])   # v3
+    view = (
+        sinks.read_snapshot(spark, path, version=1)
+        .groupBy("p")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+    )
+    for v in (2, 3):
+        ch = sinks.read_snapshot_changes(spark, path, v - 1, v,
+                                         row_level=True)
+        view = apply_cdf_to_aggregate(view, ch, keys=["p"], sums=["v"])
+    got = {r["p"]: (r["n"], r["sum_v"]) for r in view.collect()}
+    expect = {
+        r["p"]: (r["n"], r["s"])
+        for r in sinks.read_snapshot(spark, path).groupBy("p")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    assert got == expect, (got, expect)
+    assert "a" not in got  # the emptied group dropped
+    # update at v2: count-neutral, sum moved by the value delta (+99 -2... )
+    # b group: 10 rows (10..19) + insert k=50 v=7 = 11 rows, sum 145+7+... 
+    assert got["b"][0] == 11
