@@ -162,6 +162,23 @@ def _zorder_cluster(
     from pyspark.sql import functions as F
 
     cols = list(cols)
+    # the Morton quantization is a cast-to-double linear map: a column
+    # whose cast yields NULL (string, date, binary…) would silently land
+    # every row in bucket 0 — no clustering, no error, and the caller
+    # believes the layout is skipping-friendly. Refuse loudly instead;
+    # timestamps cast to epoch seconds and are fine.
+    ok_prefixes = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal", "timestamp", "boolean")
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols
+           if not dtypes.get(c, "?").startswith(ok_prefixes)]
+    if bad:
+        raise ValueError(
+            f"zorder column(s) {bad!r} have non-numeric type(s) "
+            f"{[dtypes.get(c) for c in bad]!r} — the Morton quantization "
+            "needs an order-preserving numeric cast (cast dates to "
+            "timestamp, encode strings to a numeric rank first)"
+        )
     row = df.agg(
         *[F.min(c).alias(f"min_{c}") for c in cols],
         *[F.max(c).alias(f"max_{c}") for c in cols],
@@ -1516,7 +1533,14 @@ def read_snapshot_changes(
     man_dir = os.path.join(path, "_manifests")
 
     def man_of(v: int) -> dict:
-        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+        p = os.path.join(man_dir, f"v{v}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"version {v} of {path} is not retained (expired or "
+                "never committed) — change ranges must start at a "
+                "retained version (Delta raises the same way)"
+            )
+        with open(p) as fh:
             return json.load(fh)
 
     def dirs_of(v: int) -> list[str]:
@@ -3426,7 +3450,8 @@ def _referenced_subitems(man_dir: str, versions=None) -> dict:
     return refs
 
 
-def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(path: str, keep_last: int = 1,
+                     dry_run: bool = False) -> list[str]:
     """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
     but the last ``keep_last`` manifests, then delete every data
     directory no kept manifest references — and, inside surviving
@@ -3436,7 +3461,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     daily reprocess-one-partition loop would leak the replaced bytes
     forever). Time travel shrinks to the kept window; the CURRENT
     version is never touchable (keep_last >= 1 enforced). Returns the
-    deleted data dirs/subdirs (for audit logs)."""
+    deleted data dirs/subdirs (for audit logs).
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report exactly
+    what a real pass would delete — data dirs, partition subdirs, and
+    expired change planes — while touching NOTHING (manifests
+    included), so an operator can audit a retention change before
+    paying it."""
     import os
     import shutil
 
@@ -3457,8 +3488,9 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     for d in sorted(os.listdir(data_root)):
         full = os.path.join(data_root, d)
         if d not in referenced:
-            shutil.rmtree(full)
-            _drop_bloom(path, d)
+            if not dry_run:
+                shutil.rmtree(full)
+                _drop_bloom(path, d)
             deleted.append(full)
             continue
         live_subs = subrefs.get(d)
@@ -3469,16 +3501,24 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
             for child in sorted(os.listdir(full)):
                 cp = os.path.join(full, child)
                 if os.path.isdir(cp) and child not in live_subs:
-                    shutil.rmtree(cp)
-                    bf = os.path.join(path, "_blooms",
-                                      f"{d}.{child}.bloom")
-                    if os.path.exists(bf):  # the subdir's own sidecar
-                        os.remove(bf)
+                    if not dry_run:
+                        shutil.rmtree(cp)
+                        bf = os.path.join(path, "_blooms",
+                                          f"{d}.{child}.bloom")
+                        if os.path.exists(bf):  # the subdir's sidecar
+                            os.remove(bf)
                     deleted.append(cp)
     # change-data planes of expired versions die with their manifests
-    deleted += _sweep_change_dirs(
-        path, _referenced_change_dirs(man_dir, versions=set(keep))
-    )
+    ch_refs = _referenced_change_dirs(man_dir, versions=set(keep))
+    if dry_run:
+        ch_root = os.path.join(path, "_changes")
+        if os.path.isdir(ch_root):
+            deleted += [
+                os.path.join(ch_root, d)
+                for d in sorted(os.listdir(ch_root)) if d not in ch_refs
+            ]
+        return deleted
+    deleted += _sweep_change_dirs(path, ch_refs)
     for v in drop:
         os.remove(os.path.join(man_dir, f"v{v}.json"))
     return deleted

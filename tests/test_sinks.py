@@ -2551,3 +2551,41 @@ def test_apply_cdf_to_aggregate_sign_algebra(spark, tmp_path):
     # update at v2: count-neutral, sum moved by the value delta (+99 -2... )
     # b group: 10 rows (10..19) + insert k=50 v=7 = 11 rows, sum 145+7+... 
     assert got["b"][0] == 11
+
+
+def test_round12_robustness_guards(spark, tmp_path):
+    """Expired CDF ranges raise a clear retention error; VACUUM dry-run
+    reports exactly what a real pass deletes while touching nothing;
+    ZORDER refuses non-numeric cluster columns instead of silently
+    landing every row in bucket 0."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", k) for k in range(40)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "guards")
+    sinks.write_snapshot(df, path, cdf=True)                          # v1
+    sinks.delete_from_snapshot(spark, path, "k = 1")                  # v2
+    sinks.write_snapshot(df.withColumn("k", F.col("k") + 100), path)  # v3
+
+    # dry run: reports the doomed dirs, deletes nothing
+    planned = sinks.expire_snapshots(path, keep_last=1, dry_run=True)
+    assert planned, planned
+    assert all(os.path.exists(p) for p in planned)
+    assert os.path.exists(os.path.join(path, "_manifests", "v1.json"))
+    real = sinks.expire_snapshots(path, keep_last=1)
+    assert sorted(real) == sorted(planned)
+    assert not any(os.path.exists(p) for p in real)
+
+    # CDF range starting at an expired version raises a clear error
+    with pytest.raises(ValueError, match="not retained"):
+        sinks.read_snapshot_changes(spark, path, 1, row_level=True)
+
+    # ZORDER on a string column refuses loudly
+    with pytest.raises(ValueError, match="non-numeric"):
+        sinks.compact_snapshot(spark, path, zorder_by=["p"])
