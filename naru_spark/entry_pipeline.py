@@ -3736,6 +3736,134 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_snapshot_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming consumer loop CLOSED over the change data feed
+    (foreachBatch MERGE into a cdf-enabled snapshot table + a live
+    downstream view refreshed per commit — sources.sinks
+    apply_cdf_to_aggregate over read_snapshot_changes(row_level=True)):
+    the same deterministic CDC changeset as stream_merge_cdc arrives as
+    three key-disjoint micro-batches; every batch's MERGE persists its
+    row-level change plane in the SAME commit, and inside the SAME
+    foreachBatch tick the per-source COUNT+SUM view (bootstrapped once
+    from the pre-stream table) folds ONLY that commit's change rows —
+    updates count-neutral/sum-exact, deletes subtracting, inserts
+    adding. Per-tick consumer cost is O(that batch's change rows);
+    the view never re-reads the table after the bootstrap. Whatever the
+    batch boundaries, the maintained view must equal the final state's
+    recompute (asserted inline) — the oracle is the batch-merge final
+    state aggregated by source."""
+    from naru_spark.sources.sinks import (
+        apply_cdf_to_aggregate,
+        merge_into_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        write_snapshot,
+    )
+    from naru_spark.tmp import tmpdir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    base = tmpdir(prefix="snap_cdf_ivm_")
+    src, path = base + "/src", base + "/docs"
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    t1 = max_id // 3
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path, cdf=True)  # v1
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)),
+        path,
+    )                                                                  # v2
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)         # v3
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "source", "lang", "n_chars", F.lit("D").alias("op")
+    )
+    updates = (
+        docs.filter((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 7 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .select("doc_id", "source", "lang", "n_chars", F.lit("U").alias("op"))
+    )
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        F.lit("src_new").alias("source"), "lang", "n_chars",
+        F.lit("U").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    for lo_b, hi_b in ((None, t1), (t1, 2 * t1), (2 * t1, None)):
+        cond = F.lit(True)
+        if lo_b is not None:
+            cond = cond & (F.col("doc_id") > lo_b)
+        if hi_b is not None:
+            cond = cond & (F.col("doc_id") <= hi_b)
+        changes.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    # the view bootstrap: the ONE full read this consumer ever does
+    holder = {
+        "view": (
+            read_snapshot(spark, path)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("sum_n_chars"))
+            .localCheckpoint(eager=True)
+        ),
+        "ticks": 0,
+    }
+
+    def apply_and_refresh(bdf: DataFrame, bid: int) -> None:
+        info = merge_into_snapshot(spark, path, bdf, key="doc_id",
+                                   txn_id=f"cdfivm:{bid}")
+        v = info["version"]
+        if info["n_changes"] is None:
+            return  # replayed batch: already folded
+        ch = read_snapshot_changes(spark, path, v - 1, to_version=v,
+                                   row_level=True)
+        holder["view"] = apply_cdf_to_aggregate(
+            holder["view"], ch, keys=["source"], sums=["n_chars"]
+        ).localCheckpoint(eager=True)  # pinned: |sources| rows
+        holder["ticks"] += 1
+
+    q = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_and_refresh)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["ticks"] >= 2, holder["ticks"]  # really incremental
+    view = holder["view"]
+    expect = {
+        r["source"]: (r["n"], r["s"])
+        for r in read_snapshot(spark, path).groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    got = {r["source"]: (r["n"], r["sum_n_chars"]) for r in view.collect()}
+    assert got == expect, (got, expect)
+    return view.select(
+        "source", "n", F.col("sum_n_chars").alias("sum_chars")
+    ).orderBy("source")
+
+
+def sql_stream_snapshot_cdf_ivm() -> str:
+    return """
+WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+base AS (SELECT doc_id, source, lang, n_chars FROM documents),
+merged AS (
+  SELECT b.doc_id, b.source,
+         CASE WHEN b.doc_id % 7 = 0 THEN b.n_chars + 1000
+              ELSE b.n_chars END AS n_chars
+  FROM base b WHERE b.doc_id % 13 <> 0
+  UNION ALL
+  SELECT b.doc_id + m.mx + 1, 'src_new', b.n_chars
+  FROM base b, m WHERE b.doc_id % 11 = 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest INTO the maintained serving index (foreachBatch +
     pipeline.retrieval.bm25_maintain_index — the production shape for a
@@ -4444,6 +4572,7 @@ def build_pipeline_registry():
         "stream_ivfpq_index_ingest": q_stream_ivfpq_index_ingest,
         "stream_snapshot_follow": q_stream_snapshot_follow,
         "stream_ivm_running_totals": q_stream_ivm_running_totals,
+        "stream_snapshot_cdf_ivm": q_stream_snapshot_cdf_ivm,
         "quality_stream": q_quality_stream,
     }
     oracles = {
@@ -4579,6 +4708,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "similarity_ann_tune_nprobe": sql_similarity_ann_tune_nprobe(),
         "decontaminate_fuzzy": sql_decontaminate_fuzzy(),
         "stream_ivm_running_totals": sql_stream_ivm_running_totals(),
+        "stream_snapshot_cdf_ivm": sql_stream_snapshot_cdf_ivm(),
         # batch/stream parity: identical operator, identical oracle
         "quality_stream": sql_doc_quality(),
         # dedup_minhash_lsh / dedup_simhash / similarity_topk_lsh /
