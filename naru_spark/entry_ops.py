@@ -1495,6 +1495,104 @@ ORDER BY source
 """
 
 
+def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletion vectors (sources.sinks.delete_from_snapshot
+    mode="deletion-vector" — Delta DV / Iceberg v2 positional deletes):
+    two DV deletes stack over the corpus with an append in between —
+    each writes only a (file, row-index) sidecar (ZERO data files
+    rewritten, dirs byte-identical across the commit, asserted from the
+    manifests), reads drop the rows via one anti-join, the append's
+    rows are untouched by the EARLIER vector (positional pins, not
+    predicates), the overlapping second delete counts only newly-dead
+    rows, and the closing compaction MATERIALIZES the vectors without
+    changing content. Oracle: corpus + the insert batch minus both
+    delete predicates."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        compact_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000  # divisible by 5: shifted ids keep doc_id % 5
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_dv_") + "/docs"
+    mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    write_snapshot(docs.where(F.col("doc_id") <= mid), path)           # v1
+    write_snapshot(docs.where(F.col("doc_id") > mid), path)            # v2
+    info = delete_from_snapshot(spark, path, "doc_id % 7 = 0",
+                                mode="deletion-vector")                # v3
+    assert info["files_rewritten"] == 0 and info["n_deleted"] > 0, info
+    with open(os.path.join(path, "_manifests", "v3.json")) as fh:
+        man3 = json.load(fh)
+    with open(os.path.join(path, "_manifests", "v2.json")) as fh:
+        man2 = json.load(fh)
+    assert man3["dirs"] == man2["dirs"]  # zero data files touched
+    write_snapshot(
+        docs.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+            F.lit("src_new").alias("source"), "n_chars",
+        ),
+        path,
+    )                                                                  # v4
+    # the appended rows are ALL untouched by v3's vector (positional
+    # pins on pre-existing files, not predicates)
+    assert read_snapshot(spark, path).where(
+        F.col("doc_id") >= OFFSET  # doc_id 0 shifts to exactly OFFSET
+    ).count() == docs.where(F.col("doc_id") % 11 == 0).count()
+    info2 = delete_from_snapshot(spark, path, "doc_id % 5 = 0",
+                                 mode="deletion-vector")               # v5
+    # stacking: exactly the VISIBLE matching rows die — rows dead since
+    # v3 (doc_id % 35 = 0 originals) are not re-counted even though the
+    # raw files still hold them
+    n_visible5 = read_snapshot(spark, path, version=4).where(
+        "doc_id % 5 = 0").count()
+    n_raw5 = (docs.where("doc_id % 5 = 0").count()
+              + docs.where("doc_id % 11 = 0 AND doc_id % 5 = 0").count())
+    assert info2["n_deleted"] == n_visible5 < n_raw5, (info2, n_visible5,
+                                                       n_raw5)
+    # materialization: content-invariant, plane cleared
+    cinfo = compact_snapshot(spark, path)
+    assert cinfo["mode"] == "full", cinfo
+    with open(os.path.join(
+        path, "_manifests", f"v{cinfo['version']}.json"
+    )) as fh:
+        assert "dvs" not in json.load(fh)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_delete_dv() -> str:
+    return """
+WITH merged AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 100000000, 'src_new', n_chars FROM documents
+  WHERE doc_id % 11 = 0 AND doc_id % 5 <> 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only table stats per snapshot version
     (sources.sinks.snapshot_stats — Iceberg's snapshots metadata table):
@@ -2728,6 +2826,7 @@ def build_ops_registry():
         "snapshot_cdf": q_snapshot_cdf,
         "snapshot_delete_bloom_partition": q_snapshot_delete_bloom_partition,
         "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
+        "snapshot_delete_dv": q_snapshot_delete_dv,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
@@ -2787,6 +2886,7 @@ def build_ops_registry():
         "snapshot_cdf": sql_snapshot_cdf(),
         "snapshot_delete_bloom_partition": sql_snapshot_delete_bloom_partition(),
         "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
+        "snapshot_delete_dv": sql_snapshot_delete_dv(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),

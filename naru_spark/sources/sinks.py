@@ -926,7 +926,7 @@ def _carry_planes(src: dict, manifest: dict, exclude: tuple = ()) -> None:
     rewrite from the base manifest into the new one — ONE shared loop,
     so a newly added plane cannot be silently dropped by a missed copy
     site."""
-    for plane in ("deletes", "schema_ops", "constraints", "cdf"):
+    for plane in ("deletes", "schema_ops", "constraints", "cdf", "dvs"):
         if plane not in exclude and src.get(plane):
             manifest[plane] = src[plane]
 
@@ -1095,6 +1095,7 @@ def write_snapshot(
         )
         base = base_version
     prev, txns, prev_stats, prev_deletes = [], {}, {}, []
+    prev_dvs: list = []
     constraints: dict = {}
     cdf_on = cdf
     if base:
@@ -1103,6 +1104,7 @@ def write_snapshot(
         # change-data-feed is a TABLE PROPERTY: once on, every commit
         # carries it (Delta's enableChangeDataFeed semantics)
         cdf_on = cdf or bool(latest.get("cdf"))
+        prev_dvs = latest.get("dvs", [])
         txns = _normalize_txns(latest.get("txns", {}))
         prev_stats = latest.get("stats", {})
         prev_deletes = latest.get("deletes", [])
@@ -1123,6 +1125,19 @@ def write_snapshot(
             "merge-on-read delete(s) at " + path + " — carried files would "
             "resurrect logically-deleted rows; compact_snapshot first to "
             "materialize them"
+        )
+    # deletion vectors follow the same rules as predicate deletes: an
+    # append carries them (new files hold no DV rows), a replace is the
+    # new truth and clears them, and a partial rewrite would resurrect
+    # the positionally-deleted rows of its carried files once the plane
+    # clears — refuse, compaction materializes first
+    dvs = prev_dvs if mode == "append" else []
+    if carry is not None and prev_dvs:
+        raise ValueError(
+            f"partial-rewrite commit over {len(prev_dvs)} pending "
+            "deletion vector(s) at " + path + " — carried files would "
+            "resurrect positionally-deleted rows; compact_snapshot first "
+            "to materialize them"
         )
     prev_ops = latest.get("schema_ops", []) if base else []
     if carry is not None and prev_ops:
@@ -1305,6 +1320,8 @@ def write_snapshot(
         manifest["change_data"] = change_dir
     if deletes:
         manifest["deletes"] = deletes
+    if dvs:
+        manifest["dvs"] = dvs
     if schema_ops:
         manifest["schema_ops"] = schema_ops
     if constraints:
@@ -1439,8 +1456,32 @@ def read_snapshot(
         reader = reader.option("mergeSchema", "true")
     deletes = man.get("deletes", [])
     schema_ops = man.get("schema_ops", [])
+    dvs = man.get("dvs", [])
+
+    def dv_stamp(df: DataFrame) -> DataFrame:
+        # positional identity must come from the RAW scan (before any
+        # filter/union): (file, row-in-file) — Spark's parquet row
+        # tracking, the same key the DV sidecars store
+        return df.withColumn(
+            "__fp", F.col("_metadata.file_path")
+        ).withColumn("__ri", F.col("_metadata.row_index"))
+
+    def dv_apply(df: DataFrame) -> DataFrame:
+        # ONE anti-join against the union of the pending DV frames
+        # (Iceberg v2 positional-delete apply): O(rows + dv rows),
+        # pushed as a plain join — files without DV rows pay nothing
+        # but the join itself
+        dv_df = spark.read.parquet(*[d["dir"] for d in dvs]).select(
+            "__fp", "__ri"
+        )
+        return df.join(dv_df, ["__fp", "__ri"], "left_anti").drop(
+            "__fp", "__ri"
+        )
+
     if not deletes and not schema_ops:
         out = reader.parquet(*dirs)
+        if dvs:
+            out = dv_apply(dv_stamp(out))
         return out.limit(0) if limit0 else out
     d_applies = [set(d["dirs"]) for d in deletes]
     o_applies = [set(o["dirs"]) for o in schema_ops]
@@ -1454,6 +1495,8 @@ def read_snapshot(
     out = None
     for (dkey, okey), entries in groups.items():
         part = reader.parquet(*entries)
+        if dvs:
+            part = dv_stamp(part)  # before any filter: raw positions
         # replay this group's deletes AND rename/drop ops in COMMIT ORDER
         # (each item carries seq = its committing version): a delete
         # predicate references the LOGICAL schema of its own commit time,
@@ -1473,6 +1516,8 @@ def read_snapshot(
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=merge_schema
         )
+    if dvs:
+        out = dv_apply(out)
     return out.limit(0) if limit0 else out
 
 
@@ -1579,6 +1624,7 @@ def read_snapshot_changes(
         added = [d for d in cur_dirs if d not in set(prev_dirs)]
         mor_changed = (
             man.get("deletes", []) != prev_man.get("deletes", [])
+            or man.get("dvs", []) != prev_man.get("dvs", [])
         )
         prev_man = man
         frames: list[DataFrame] = []
@@ -1588,10 +1634,10 @@ def read_snapshot_changes(
             pass  # re-layout: no row changed (Delta dataChange=false)
         elif mor_changed:
             raise ValueError(
-                f"version {v} of {path} changed merge-on-read delete "
-                "state without a change plane (committed before cdf was "
-                "enabled, or a restore across pending deletes) — cannot "
-                "serve row-level changes for this range"
+                f"version {v} of {path} changed merge-on-read delete / "
+                "deletion-vector state without a change plane (committed "
+                "before cdf was enabled, or a restore across pending "
+                "deletes) — cannot serve row-level changes for this range"
             )
         elif not removed and not added:
             pass  # metadata-only (constraints, schema ops, txn replays)
@@ -1779,6 +1825,13 @@ def snapshot_stream_source(
             "merge-on-read delete(s) — a file stream reads raw files and "
             "would resurrect the deleted rows; compact_snapshot first"
         )
+    if man.get("dvs"):
+        raise ValueError(
+            f"snapshot at {path} has {len(man['dvs'])} pending deletion "
+            "vector(s) — a file stream reads raw files and would "
+            "resurrect the positionally-deleted rows; compact_snapshot "
+            "first"
+        )
     if man.get("schema_ops"):
         raise ValueError(
             f"snapshot at {path} has pending rename/drop schema ops — a "
@@ -1828,7 +1881,8 @@ def _compaction_plan(
     ops REFUSES: materialization must replay the whole log over every
     pinned entry, which a partial rewrite cannot."""
     dirs = man["dirs"]
-    pending = bool(man.get("deletes")) or bool(man.get("schema_ops"))
+    pending = (bool(man.get("deletes")) or bool(man.get("schema_ops"))
+               or bool(man.get("dvs")))
     if scope is not None and pending:
         raise ValueError(
             "partition-scoped compaction over pending merge-on-read "
@@ -2069,6 +2123,22 @@ def delete_from_snapshot(
     table. Returns {"version", "n_deleted", "files_rewritten",
     "files_carried"}.
 
+    ``mode="deletion-vector"`` (Delta deletion vectors / Iceberg v2
+    POSITIONAL deletes): one pushdown scan records the matched rows'
+    (file, row-index) pairs — Spark's parquet row tracking — as a
+    sidecar frame under ``path/_dv/``; ZERO data files rewritten at any
+    table size, and every read drops the rows with ONE anti-join on the
+    positional key. Compared to predicate-MoR the read cost is a keyed
+    join on O(dv rows) — independent of predicate complexity and of how
+    many deletes stack — and stacked DV deletes anti-join the prior
+    vectors so a row is never re-counted or re-reported to the change
+    data feed. Compaction materializes and clears the plane; the file
+    stream source and partial-rewrite commits refuse while vectors are
+    pending (raw files would resurrect the rows); pruning hints (hand
+    or auto-derived) eliminate entries before the scan exactly like
+    copy-on-write. Returns {"version", "n_deleted", "files_rewritten":
+    0, "files_carried": len(entries)}.
+
     ``mode="merge-on-read"`` (Iceberg v2 / Hudi MoR shape): the delete
     is a METADATA-ONLY commit — the predicate is recorded in the
     manifest pinned to the entries visible at delete time, ZERO data
@@ -2122,7 +2192,7 @@ def delete_from_snapshot(
 
     from pyspark.sql import functions as F
 
-    assert mode in ("copy-on-write", "merge-on-read"), mode
+    assert mode in ("copy-on-write", "merge-on-read", "deletion-vector"), mode
     man_dir = os.path.join(path, "_manifests")
     latest = _latest_version(man_dir)
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
@@ -2201,16 +2271,24 @@ def delete_from_snapshot(
                 "files_rewritten": 0, "files_carried": len(entries)}
     if man.get("schema_ops"):
         raise ValueError(
-            f"snapshot at {path} has pending rename/drop schema ops — the "
-            "copy-on-write delete scans raw files under stale physical "
+            f"snapshot at {path} has pending rename/drop schema ops — "
+            f"the {mode} delete scans raw files under stale physical "
             "names; compact_snapshot first to materialize, or use "
             'mode="merge-on-read" (which composes with pending ops)'
         )
     if man.get("deletes"):
         raise ValueError(
-            f"copy-on-write delete over {len(man['deletes'])} pending "
-            f"merge-on-read delete(s) at {path} — carried files would "
-            "resurrect logically-deleted rows; compact_snapshot first"
+            f"{mode} delete over {len(man['deletes'])} pending "
+            f"merge-on-read delete(s) at {path} — the raw-file scan "
+            "would see (and the rewrite/DV would re-report) logically-"
+            "deleted rows; compact_snapshot first"
+        )
+    if mode == "copy-on-write" and man.get("dvs"):
+        raise ValueError(
+            f"copy-on-write delete over {len(man['dvs'])} pending "
+            f"deletion vector(s) at {path} — carried files would "
+            "resurrect positionally-deleted rows; compact_snapshot "
+            'first, or stack another mode="deletion-vector" delete'
         )
     # manifest-stats entry elimination: entries whose stamped min/max
     # misses the caller's box — or whose bloom sidecar misses every
@@ -2274,6 +2352,75 @@ def delete_from_snapshot(
     if not scan_entries:
         return {"version": latest, "n_deleted": 0,
                 "files_rewritten": 0, "files_carried": 0, **extra}
+    if mode == "deletion-vector":
+        # POSITIONAL delete (Delta deletion vectors / Iceberg v2
+        # positional deletes): ONE pushdown scan records the matched
+        # rows' (file, row-index) pairs — Spark's parquet row tracking —
+        # as a sidecar frame under path/_dv/; ZERO data files rewritten
+        # at any table size, and readers drop the rows with one
+        # anti-join. Unlike predicate-MoR, the read-side cost is a keyed
+        # join on O(dv rows), independent of how complex the delete
+        # predicate was, and DV deletes STACK exactly: a second DV scan
+        # anti-joins the prior vectors so an already-deleted row is
+        # never re-counted (or re-reported to the change data feed).
+        import shutil
+        import uuid
+
+        raw = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*scan_entries)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .where(F.expr(condition))
+        )
+        prior = man.get("dvs", [])
+        if prior:
+            prior_df = spark.read.parquet(
+                *[d["dir"] for d in prior]
+            ).select("__fp", "__ri")
+            raw = raw.join(prior_df, ["__fp", "__ri"], "left_anti")
+        n = latest + 1
+        dv_dir = os.path.join(path, "_dv", f"v{n}-{uuid.uuid4().hex[:8]}")
+        raw.select("__fp", "__ri").write.mode("error").parquet(dv_dir)
+        n_deleted = int(_entry_stats(dv_dir)["n_rows"])  # footers only
+        if n_deleted == 0:
+            # Delta no-ops here too: nothing matched, nothing committed
+            shutil.rmtree(dv_dir)
+            return {"version": latest, "n_deleted": 0,
+                    "files_rewritten": 0, "files_carried": 0, **extra}
+        change_dir = None
+        if man.get("cdf"):
+            change_dir = os.path.join(
+                path, "_changes", f"v{n}-{uuid.uuid4().hex[:8]}"
+            )
+            (
+                raw.drop("__fp", "__ri")
+                .withColumn("_change_type", F.lit("delete"))
+                .write.mode("error").parquet(change_dir)
+            )
+        manifest = {
+            "version": n,
+            "dirs": entries,
+            "txns": _normalize_txns(man.get("txns", {})),
+            "stats": man.get("stats", {}),
+            "dvs": prior + [{"dir": dv_dir, "seq": n,
+                             "n_rows": n_deleted}],
+            "op": {"name": "delete", "mode": "deletion-vector",
+                   "condition": condition},
+        }
+        if change_dir is not None:
+            manifest["change_data"] = change_dir
+        _carry_planes(man, manifest, exclude=("dvs",))
+        try:
+            _publish_manifest(man_dir, n, manifest)
+        except SnapshotConflictError:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            if change_dir is not None:
+                shutil.rmtree(change_dir, ignore_errors=True)
+            raise
+        return {"version": n, "n_deleted": n_deleted,
+                "files_rewritten": 0, "files_carried": len(entries),
+                **extra}
     # mergeSchema: the scan may span additively-evolved commits, and a
     # condition naming a later-added column must resolve (pre-evolution
     # files read NULL for it) instead of depending on footer-inference
@@ -2424,6 +2571,7 @@ def merge_into_snapshot(
                     "files_rewritten": 0, "files_carried": 0,
                     "entries_scanned": 0, "entries_pruned": 0}
     for plane, msg in (("deletes", "merge-on-read delete(s)"),
+                       ("dvs", "deletion vector(s)"),
                        ("schema_ops", "rename/drop schema op(s)")):
         if man.get(plane):
             raise ValueError(
@@ -3136,6 +3284,7 @@ def snapshot_stats(path: str, version: int | None = None) -> dict:
         "n_files": sum(s["n_files"] for s in stats.values()),
         "n_entries": len(man["dirs"]),
         "n_delete_preds": len(man.get("deletes", [])),
+        "n_dvs": len(man.get("dvs", [])),
     }
 
 
@@ -3261,6 +3410,7 @@ def snapshot_history(path: str) -> list[dict]:
             "n_rows": int(sum(s["n_rows"] for s in stats.values())),
             "n_files": int(sum(s["n_files"] for s in stats.values())),
             "n_delete_preds": len(man.get("deletes", [])),
+            "n_dvs": len(man.get("dvs", [])),
             "n_schema_ops": len(man.get("schema_ops", [])),
             "n_constraints": len(man.get("constraints", {})),
         })
@@ -3312,10 +3462,14 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
             shutil.rmtree(full)
             _drop_bloom(path, d)
             deleted.append(full)
-    # change-data planes orphaned by lost races / crashed writers sweep
-    # under the same age gate (referenced by ANY manifest = live)
+    # change-data and deletion-vector planes orphaned by lost races /
+    # crashed writers sweep under the same age gate (referenced by ANY
+    # manifest = live)
     deleted += _sweep_change_dirs(
         path, _referenced_change_dirs(man_dir), older_than_s
+    )
+    deleted += _sweep_change_dirs(
+        path, _referenced_dv_dirs(man_dir), older_than_s, root_name="_dv"
     )
     return deleted
 
@@ -3391,16 +3545,36 @@ def _referenced_change_dirs(man_dir: str, versions=None) -> set:
     return names
 
 
+def _referenced_dv_dirs(man_dir: str, versions=None) -> set:
+    """Basenames of every deletion-vector dir the (given or all)
+    manifests reference — the sweep identity for ``path/_dv``."""
+    import json
+    import os
+
+    names: set = set()
+    for f in os.listdir(man_dir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        if versions is not None and int(f[1:-5]) not in versions:
+            continue
+        with open(os.path.join(man_dir, f)) as fh:
+            for d in json.load(fh).get("dvs", []):
+                names.add(os.path.basename(os.path.normpath(d["dir"])))
+    return names
+
+
 def _sweep_change_dirs(path: str, referenced: set,
-                       older_than_s: float = 0.0) -> list[str]:
-    """Delete change-data dirs under ``path/_changes`` referenced by no
-    given manifest set (age-gated like the data sweep — a change plane
-    lands before its manifest publish). Returns the deleted dirs."""
+                       older_than_s: float = 0.0,
+                       root_name: str = "_changes") -> list[str]:
+    """Delete sidecar-plane dirs (``path/_changes`` change data,
+    ``path/_dv`` deletion vectors) referenced by no given manifest set
+    (age-gated like the data sweep — a plane lands before its manifest
+    publish). Returns the deleted dirs."""
     import os
     import shutil
     import time
 
-    ch_root = os.path.join(path, "_changes")
+    ch_root = os.path.join(path, root_name)
     if not os.path.isdir(ch_root):
         return []
     deleted = []
@@ -3508,17 +3682,21 @@ def expire_snapshots(path: str, keep_last: int = 1,
                         if os.path.exists(bf):  # the subdir's sidecar
                             os.remove(bf)
                     deleted.append(cp)
-    # change-data planes of expired versions die with their manifests
+    # change-data and deletion-vector planes of expired versions die
+    # with their manifests
     ch_refs = _referenced_change_dirs(man_dir, versions=set(keep))
+    dv_refs = _referenced_dv_dirs(man_dir, versions=set(keep))
     if dry_run:
-        ch_root = os.path.join(path, "_changes")
-        if os.path.isdir(ch_root):
-            deleted += [
-                os.path.join(ch_root, d)
-                for d in sorted(os.listdir(ch_root)) if d not in ch_refs
-            ]
+        for root_name, refs in (("_changes", ch_refs), ("_dv", dv_refs)):
+            root = os.path.join(path, root_name)
+            if os.path.isdir(root):
+                deleted += [
+                    os.path.join(root, d)
+                    for d in sorted(os.listdir(root)) if d not in refs
+                ]
         return deleted
     deleted += _sweep_change_dirs(path, ch_refs)
+    deleted += _sweep_change_dirs(path, dv_refs, root_name="_dv")
     for v in drop:
         os.remove(os.path.join(man_dir, f"v{v}.json"))
     return deleted

@@ -2589,3 +2589,88 @@ def test_round12_robustness_guards(spark, tmp_path):
     # ZORDER on a string column refuses loudly
     with pytest.raises(ValueError, match="non-numeric"):
         sinks.compact_snapshot(spark, path, zorder_by=["p"])
+
+
+def test_deletion_vector_lifecycle(spark, tmp_path):
+    """Positional deletion vectors end-to-end: a DV delete rewrites ZERO
+    data files yet every read (plain, pruned, time-travel, grouped with
+    schema ops absent) drops exactly the matched rows; DV deletes STACK
+    without re-counting; appends after a DV commit are unaffected and
+    carry the plane; CDF reports the matched rows; compaction
+    materializes and clears; the stream source and partial rewrites
+    refuse while vectors are pending; expiry reclaims the sidecars."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "k int, v int"
+    )
+    path = str(tmp_path / "dv")
+    for lo in (0, 100):
+        sinks.write_snapshot(mk(lo, lo + 100), path, cdf=True)        # v1 v2
+    info = sinks.delete_from_snapshot(spark, path, "k % 10 = 3",
+                                      mode="deletion-vector")         # v3
+    assert info["n_deleted"] == 20 and info["files_rewritten"] == 0, info
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 180 and out.where("k % 10 = 3").count() == 0
+    # no data file changed: v2's dirs are byte-identical (same entries)
+    with open(os.path.join(path, "_manifests", "v3.json")) as fh:
+        man3 = json.load(fh)
+    with open(os.path.join(path, "_manifests", "v2.json")) as fh:
+        man2 = json.load(fh)
+    assert man3["dirs"] == man2["dirs"]
+    # time travel: the pre-delete version still shows everything
+    assert sinks.read_snapshot(spark, path, version=2).count() == 200
+    # stacking: an overlapping second DV delete counts only NEW rows
+    info2 = sinks.delete_from_snapshot(spark, path, "k % 5 = 3",
+                                       mode="deletion-vector")        # v4
+    assert info2["n_deleted"] == 20, info2  # k%5=3 is 40 rows, 20 were gone
+    assert sinks.read_snapshot(spark, path).count() == 160
+    # CDF reported exactly the per-commit matched rows
+    ch = sinks.read_snapshot_changes(spark, path, 2, row_level=True)
+    counts = {
+        r["_commit_version"]: r["n"]
+        for r in ch.groupBy("_commit_version")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {3: 20, 4: 20}, counts
+    assert {r["_change_type"] for r in ch.select("_change_type")
+            .distinct().collect()} == {"delete"}
+    # appends after DV commits are unaffected; the plane carries
+    sinks.write_snapshot(mk(200, 210), path)                          # v5
+    assert sinks.read_snapshot(spark, path).count() == 170
+    # raw-file consumers refuse while vectors are pending
+    with pytest.raises(ValueError, match="deletion vector"):
+        sinks.snapshot_stream_source(spark, path)
+    with pytest.raises(ValueError, match="deletion vector"):
+        sinks.delete_from_snapshot(spark, path, "k = 5")  # COW refuses
+    with pytest.raises(ValueError, match="deletion vector"):
+        sinks.merge_into_snapshot(
+            spark, path,
+            spark.createDataFrame([(1, -1, "U")], "k int, v int, op string"),
+            key="k",
+        )
+    # compaction materializes the vectors and clears the plane
+    cinfo = sinks.compact_snapshot(spark, path)
+    assert cinfo["mode"] == "full", cinfo
+    with open(os.path.join(
+        path, "_manifests", f"v{cinfo['version']}.json"
+    )) as fh:
+        man = json.load(fh)
+    assert "dvs" not in man
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 170
+    assert out.where("k % 10 = 3 AND k < 200").count() == 0
+    # stats/history surface the plane while it was pending
+    hist = {h["version"]: h["n_dvs"] for h in sinks.snapshot_history(path)}
+    assert hist[4] == 2 and hist[cinfo["version"]] == 0, hist
+    # expiry reclaims the dv sidecars with their manifests
+    assert os.path.isdir(os.path.join(path, "_dv"))
+    planned = sinks.expire_snapshots(path, keep_last=1, dry_run=True)
+    assert any("_dv" in p for p in planned)
+    sinks.expire_snapshots(path, keep_last=1)
+    assert os.listdir(os.path.join(path, "_dv")) == []

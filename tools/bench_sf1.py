@@ -354,6 +354,25 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-12c: POSITIONAL deletion vector — the delete writes only a
+    # (file, row-index) sidecar (wall = one pushdown scan + O(matched)
+    # write, zero data rewrites), and the post-DV read pays one
+    # anti-join on O(dv rows) over the table scan
+    t0 = time.time()
+    vinfo = delete_from_snapshot(spark, bpath, f"k <= {lo // 4}",
+                                 mode="deletion-vector")
+    timings["snapshot_delete_dv_probe"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n = read_snapshot(spark, bpath).count()
+    timings["snapshot_dv_read_probe"] = round(time.time() - t0, 3)
+    print(
+        f"# snapshot DV delete {timings['snapshot_delete_dv_probe']:.2f}s "
+        f"({vinfo['n_deleted']} rows positionally deleted, 0 files "
+        f"rewritten); post-DV full read "
+        f"{timings['snapshot_dv_read_probe']:.2f}s ({n} rows)",
+        file=sys.stderr,
+    )
+
 
 # contention canaries (VERDICT r07 item 9): if these two drift past 2x the
 # COMMITTED BENCH_sf1.json walls, the box is contended — the run is marked
