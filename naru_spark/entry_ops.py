@@ -1495,6 +1495,76 @@ ORDER BY source
 """
 
 
+def q_snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (sources.sinks.update_snapshot — Delta
+    ``UPDATE ... SET``, completing the DML quartet): the corpus lands as
+    three disjoint doc_id ranges, then ``UPDATE WHERE doc_id <= cut SET
+    n_chars = n_chars + 1000, source = concat(source, '_u')`` rewrites
+    ONLY the files holding matches — entry elimination AUTO-DERIVED
+    from the condition (two out-of-range commits never scanned,
+    asserted) — while unmatched neighbors copy and untouched files
+    carry verbatim. Assignments are simultaneous against the pre-update
+    row and cast back to the column types. Oracle: CASE WHEN over the
+    corpus."""
+    from naru_spark.sources.sinks import (
+        read_snapshot,
+        update_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_upd_") + "/docs"
+    t1 = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 3
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path)            # v1
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)),
+        path,
+    )                                                                  # v2
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)         # v3
+    cut = t1 // 2
+    info = update_snapshot(
+        spark, path, f"doc_id <= {cut}",
+        {"n_chars": "n_chars + 1000", "source": "concat(source, '_u')"},
+    )                                                                  # v4
+    assert info["n_updated"] > 0, info
+    # the derived box eliminated the two out-of-range commits
+    assert info["entries_pruned"] >= 2, info
+    # pre-update history intact
+    assert read_snapshot(spark, path, version=3).count() == docs.count()
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_update_where() -> str:
+    return """
+WITH cut AS (SELECT (MAX(doc_id) // 3) // 2 AS c FROM documents),
+updated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id <= cut.c THEN source || '_u' ELSE source END
+           AS source,
+         CASE WHEN doc_id <= cut.c THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+  FROM documents, cut
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM updated
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POSITIONAL deletion vectors (sources.sinks.delete_from_snapshot
     mode="deletion-vector" — Delta DV / Iceberg v2 positional deletes):
@@ -2827,6 +2897,7 @@ def build_ops_registry():
         "snapshot_delete_bloom_partition": q_snapshot_delete_bloom_partition,
         "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
         "snapshot_delete_dv": q_snapshot_delete_dv,
+        "snapshot_update_where": q_snapshot_update_where,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
@@ -2887,6 +2958,7 @@ def build_ops_registry():
         "snapshot_delete_bloom_partition": sql_snapshot_delete_bloom_partition(),
         "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
         "snapshot_delete_dv": sql_snapshot_delete_dv(),
+        "snapshot_update_where": sql_snapshot_update_where(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),

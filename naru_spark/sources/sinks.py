@@ -2499,6 +2499,191 @@ def delete_from_snapshot(
             **extra}
 
 
+def update_snapshot(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: dict | None = None,
+    prune_keys: dict | None = None,
+    partitions: dict | None = None,
+    auto_prune: bool = True,
+) -> dict:
+    """Row-level UPDATE (Delta ``UPDATE ... SET`` — the last of the DML
+    quartet next to append/DELETE/MERGE): rows matching ``condition``
+    are rewritten with each ``set_exprs`` column replaced by its SQL
+    expression (evaluated against the pre-update row, all assignments
+    simultaneous, cast back to the column's original type — Delta's
+    semantics); every row the condition does NOT match (including NULL
+    conditions) keeps its values.
+
+    FILE-PRUNED like the copy-on-write DELETE: one aggregate scan finds
+    the files holding at least one matching row, ONLY those files
+    rewrite (matched rows transformed, unmatched neighbors copied),
+    every untouched file carries into the replace commit verbatim — an
+    UPDATE touching 0.1% of a clustered 100 TB table pays for the
+    matching files. Entry elimination composes exactly like DELETE's:
+    hand ``prune``/``prune_keys``/``partitions`` hints, or hints
+    AUTO-DERIVED from the condition (``auto_prune``). Partition stamps
+    and bloom sidecars re-stamp through the rewrite; write-time CHECK
+    constraints are ENFORCED on the rewritten files (an UPDATE can
+    introduce violations, unlike DELETE's row subsets). With the change
+    data feed on, the commit persists update_preimage/update_postimage
+    pairs — O(matched). Refuses pending merge-on-read deletes /
+    deletion vectors / schema ops like every partial-rewrite path.
+
+    Returns {"version", "n_updated", "files_rewritten",
+    "files_carried"} (+ entry-elimination counters when hinted)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    man_dir = os.path.join(path, "_manifests")
+    latest = _latest_version(man_dir)
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        man = json.load(fh)
+    entries = man["dirs"]
+    for plane, msg in (("deletes", "merge-on-read delete(s)"),
+                       ("dvs", "deletion vector(s)"),
+                       ("schema_ops", "rename/drop schema op(s)")):
+        if man.get(plane):
+            raise ValueError(
+                f"UPDATE over pending {msg} at {path} — the raw-file "
+                "rewrite would bypass them; compact_snapshot first"
+            )
+    stats = man.get("stats", {})
+    scan_entries = entries
+    auto_keys: dict | None = None
+    if (auto_prune and prune is None and prune_keys is None
+            and partitions is None):
+        hints = _condition_prune_hints(condition)
+        if hints:
+            prune = hints["prune"] or None
+            partitions = hints["partitions"] or None
+            auto_keys = hints["keys"] or None
+    if partitions:
+        for col, values in partitions.items():
+            want = {str(v) for v in values}
+            scan_entries = [
+                e for e in scan_entries
+                if _entry_partition_match(stats.get(e), col, want)
+            ]
+    if prune:
+        scan_entries = [
+            e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
+        ]
+    if prune_keys:
+        for col, values in prune_keys.items():
+            scan_entries = _bloom_surviving_entries(
+                spark, path, scan_entries, stats, col, list(values)
+            )
+    elif auto_keys:
+        try:
+            for col, values in auto_keys.items():
+                if values:
+                    scan_entries = _bloom_surviving_entries(
+                        spark, path, scan_entries, stats, col,
+                        list(values),
+                    )
+        except ValueError:
+            pass
+    hinted = bool(prune or prune_keys or partitions or auto_keys)
+    pruned = (
+        [e for e in entries if e not in set(scan_entries)] if hinted else []
+    )
+    extra = (
+        {"entries_scanned": len(scan_entries), "entries_pruned": len(pruned)}
+        if hinted else {}
+    )
+    if not scan_entries:
+        return {"version": latest, "n_updated": 0,
+                "files_rewritten": 0, "files_carried": 0, **extra}
+    df = spark.read.option("mergeSchema", "true").parquet(*scan_entries)
+    for c in set_exprs:
+        if c not in df.columns:
+            raise ValueError(
+                f"UPDATE SET names unknown column {c!r} at {path} — "
+                f"the schema has {df.columns}"
+            )
+    cond = F.expr(condition)
+    per_file = (
+        df.where(cond)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_updated = int(sum(r["n"] for r in per_file))
+    if n_updated == 0:
+        return {"version": latest, "n_updated": 0,
+                "files_rewritten": 0, "files_carried": 0, **extra}
+    matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
+    carried, touched, touched_entries = list(pruned), [], []
+    carry_parts: dict = {}
+    carry_blooms: dict = {}
+    for e in scan_entries:
+        files = _entry_files(e)
+        hit = [f for f in files if os.path.realpath(f) in matching]
+        if not hit:
+            carried.append(e)
+        else:
+            touched.extend(hit)
+            touched_entries.append(e)
+            part = (stats.get(e) or {}).get("partition")
+            bloom = (stats.get(e) or {}).get("bloom")
+            for f in files:
+                if os.path.realpath(f) not in matching:
+                    carried.append(f)
+                    if part:
+                        carry_parts[f] = part
+                    if bloom:
+                        carry_blooms[f] = bloom
+    base_touched = spark.read.option("mergeSchema", "true").parquet(*touched)
+    dtypes = dict(base_touched.dtypes)
+    # evaluate the condition ONCE on the PRE-update row (a SET that
+    # changes a column the condition references must not flip matching
+    # after the fact), then assign simultaneously against the pre-image
+    # (SQL UPDATE semantics: SET a = b, b = a swaps), cast back to each
+    # column's original type
+    marked = base_touched.withColumn("__m", cond.eqNullSafe(F.lit(True)))
+    assigned = {
+        c: F.when(F.col("__m"), F.expr(e).cast(dtypes[c]))
+        .otherwise(F.col(c))
+        for c, e in set_exprs.items()
+    }
+    rewritten_m = marked.withColumns(assigned)
+    rewritten = rewritten_m.drop("__m")
+    change_df = None
+    if man.get("cdf"):
+        change_df = (
+            marked.where("__m").drop("__m")
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                rewritten_m.where("__m").drop("__m")
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+        )
+    version = write_snapshot(
+        rewritten,
+        path,
+        mode="replace",
+        base_version=latest,
+        carry=carried,
+        partition_by=_common_partition_col(stats, touched_entries),
+        carry_partitions=carry_parts or None,
+        carry_blooms=carry_blooms or None,
+        bloom_key=_common_bloom_key(stats, touched_entries),
+        # an UPDATE can introduce violations: keep write-time CHECKs ON
+        enforce_constraints=True,
+        op_meta={"name": "update", "condition": condition,
+                 "set": dict(set_exprs)},
+        change_df=change_df,
+    )
+    return {"version": version, "n_updated": n_updated,
+            "files_rewritten": len(touched), "files_carried": len(carried),
+            **extra}
+
+
 def merge_into_snapshot(
     spark: SparkSession,
     path: str,

@@ -2674,3 +2674,52 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     assert any("_dv" in p for p in planned)
     sinks.expire_snapshots(path, keep_last=1)
     assert os.listdir(os.path.join(path, "_dv")) == []
+
+
+def test_update_snapshot_semantics(spark, tmp_path):
+    """UPDATE ... SET: simultaneous assignment against the PRE-update
+    row (a=b, b=a swaps), a SET changing a condition column doesn't
+    flip matching mid-flight, NULL conditions leave rows untouched, CDF
+    persists exact pre/post pairs, and an UPDATE introducing a CHECK
+    violation refuses with nothing published."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "upd")
+    sinks.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10, 20), (2, 30, 40), (3, None, 5)], "k int, a int, b int"
+        ),
+        path, cdf=True,
+    )
+    # swap on matched rows; the NULL-condition row (a IS NULL -> NULL
+    # for k=3's `a < 25`... use explicit condition) stays untouched
+    info = sinks.update_snapshot(spark, path, "a < 25",
+                                 {"a": "b", "b": "a"})
+    assert info["n_updated"] == 1, info  # k=1 only; k=3's NULL a: no match
+    got = {r["k"]: (r["a"], r["b"])
+           for r in sinks.read_snapshot(spark, path).collect()}
+    assert got[1] == (20, 10) and got[2] == (30, 40) and got[3] == (None, 5)
+    # a SET that changes the condition column: matching decided on the
+    # pre-image (n stays 1 even though the new a no longer matches)
+    info2 = sinks.update_snapshot(spark, path, "a = 20", {"a": "a + 100"})
+    assert info2["n_updated"] == 1
+    assert sinks.read_snapshot(spark, path).where("a = 120").count() == 1
+    # CDF: exact pre/post pairs for both updates
+    ch = sinks.read_snapshot_changes(spark, path, 1, row_level=True)
+    pairs = {(r["_commit_version"], r["_change_type"], r["a"])
+             for r in ch.collect()}
+    assert (2, "update_preimage", 10) in pairs
+    assert (2, "update_postimage", 20) in pairs
+    assert (3, "update_preimage", 20) in pairs
+    assert (3, "update_postimage", 120) in pairs
+    # constraints: an UPDATE that would violate refuses, nothing commits
+    sinks.add_snapshot_constraint(spark, path, "b_pos", "b >= 0")
+    v_before = sinks.snapshot_stats(path)["version"]
+    with pytest.raises(ValueError, match="b_pos"):
+        sinks.update_snapshot(spark, path, "k = 2", {"b": "-1"})
+    assert sinks.snapshot_stats(path)["version"] == v_before
+    # unknown SET column refuses
+    with pytest.raises(ValueError, match="unknown column"):
+        sinks.update_snapshot(spark, path, "k = 1", {"zz": "1"})
