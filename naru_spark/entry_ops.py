@@ -1694,6 +1694,78 @@ ORDER BY v.version
 """
 
 
+def q_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sources.sinks.clone_snapshot — Delta SHALLOW
+    CLONE): the corpus table forks METADATA-ONLY into a second table —
+    zero bytes copied (the clone's data tree is empty, asserted), the
+    clone reads the source's files through its own v1 manifest, and the
+    two evolve independently afterwards (an append to the clone and a
+    DELETE on the source are invisible to each other, asserted). The
+    oracle replays corpus + the clone's own append; content equality
+    with the source AT THE CLONE POINT is asserted live."""
+    import os
+
+    from naru_spark.sources.sinks import (
+        clone_snapshot,
+        delete_from_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = _tmpdir(prefix="docs_snap_clone_")
+    src, dst = base + "/src", base + "/fork"
+    write_snapshot(docs, src)                                          # src v1
+    assert clone_snapshot(src, dst) == 1                               # dst v1
+    # zero data copied: the clone's own data tree is empty
+    assert os.listdir(os.path.join(dst, "data")) == []
+    assert read_snapshot(spark, dst).count() == docs.count()
+    # independent evolution: clone appends, source deletes — invisible
+    # to each other
+    write_snapshot(
+        docs.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+            F.lit("src_fork").alias("source"), "n_chars",
+        ),
+        dst,
+    )                                                                  # dst v2
+    delete_from_snapshot(spark, src, "doc_id % 2 = 0")                 # src v2
+    assert read_snapshot(spark, src).count() == docs.where(
+        "doc_id % 2 <> 0").count()
+    assert read_snapshot(spark, dst).where(
+        F.col("doc_id") < OFFSET).count() == docs.count()
+    return (
+        read_snapshot(spark, dst)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_clone() -> str:
+    return """
+WITH merged AS (
+  SELECT doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000000, 'src_fork', n_chars FROM documents
+  WHERE doc_id % 9 = 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only column statistics (sources.sinks.
     snapshot_column_stats — Iceberg table.files / Delta stats-query
@@ -2902,6 +2974,7 @@ def build_ops_registry():
         "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_column_stats": q_snapshot_column_stats,
+        "snapshot_clone": q_snapshot_clone,
         "snapshot_maintain": q_snapshot_maintain,
         "snapshot_optimize_zorder": q_snapshot_optimize_zorder,
         "snapshot_optimize_partition": q_snapshot_optimize_partition,
@@ -2963,6 +3036,7 @@ def build_ops_registry():
         "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),
         "snapshot_column_stats": sql_snapshot_column_stats(),
+        "snapshot_clone": sql_snapshot_clone(),
         # content invariance: maintenance must never change answers
         "snapshot_maintain": sql_snapshot_compaction(),
         # clustering never changes content: same compaction oracle

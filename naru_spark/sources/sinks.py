@@ -163,37 +163,77 @@ def _zorder_cluster(
 
     cols = list(cols)
     # the Morton quantization is a cast-to-double linear map: a column
-    # whose cast yields NULL (string, date, binary…) would silently land
-    # every row in bucket 0 — no clustering, no error, and the caller
-    # believes the layout is skipping-friendly. Refuse loudly instead;
-    # timestamps cast to epoch seconds and are fine.
+    # whose cast yields NULL would silently land every row in bucket 0 —
+    # no clustering, no error, and the caller believes the layout is
+    # skipping-friendly. STRING columns get their own order-preserving
+    # quantization (sampled boundaries, below); anything else
+    # non-castable (date, binary…) refuses loudly; timestamps cast to
+    # epoch seconds and are fine.
     ok_prefixes = ("tinyint", "smallint", "int", "bigint", "float",
                    "double", "decimal", "timestamp", "boolean")
     dtypes = dict(df.dtypes)
+    str_cols = [c for c in cols if dtypes.get(c) == "string"]
     bad = [c for c in cols
-           if not dtypes.get(c, "?").startswith(ok_prefixes)]
+           if c not in str_cols
+           and not dtypes.get(c, "?").startswith(ok_prefixes)]
     if bad:
         raise ValueError(
-            f"zorder column(s) {bad!r} have non-numeric type(s) "
+            f"zorder column(s) {bad!r} have non-orderable type(s) "
             f"{[dtypes.get(c) for c in bad]!r} — the Morton quantization "
             "needs an order-preserving numeric cast (cast dates to "
-            "timestamp, encode strings to a numeric rank first)"
+            "timestamp first)"
         )
+    # string quantization: up to 63 sampled boundary strings per column
+    # (64 buckets bounds the comparison-chain codegen); bucket = how
+    # many boundaries the value exceeds — order-preserving, so string
+    # range/equality predicates still map to bucket ranges and the
+    # per-file min/max stats skip files. Layout-only: a skewed or
+    # unlucky sample degrades clustering quality, never correctness.
+    str_bounds: dict = {}
+    for c in str_cols:
+        sample = [
+            r[0] for r in df.select(c).where(F.col(c).isNotNull())
+            .limit(100_000).collect()
+        ]
+        sample.sort()
+        n_b = min(63, max(1, len(set(sample)) - 1))
+        bnds = sorted({
+            sample[int(len(sample) * (i + 1) / (n_b + 1))]
+            for i in range(n_b)
+        }) if sample else []
+        str_bounds[c] = bnds
     row = df.agg(
-        *[F.min(c).alias(f"min_{c}") for c in cols],
-        *[F.max(c).alias(f"max_{c}") for c in cols],
-    ).collect()[0]
+        *[F.min(c).alias(f"min_{c}") for c in cols if c not in str_cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols if c not in str_cols],
+    ).collect()[0] if len(str_cols) < len(cols) else {}
     # empty input (or an all-NULL column) has no min/max: treat the span
     # as 0 so the column contributes bucket 0 — the rewrite still goes
     # through (e.g. compacting a table whose pending merge-on-read
     # deletes removed every row) instead of crashing on float(None)
     mins = {c: (0.0 if row[f"min_{c}"] is None else float(row[f"min_{c}"]))
-            for c in cols}
+            for c in cols if c not in str_cols}
     maxs = {c: (0.0 if row[f"max_{c}"] is None else float(row[f"max_{c}"]))
-            for c in cols}
+            for c in cols if c not in str_cols}
     n_buckets = 1 << bits
 
     def bucket(c: str):
+        if c in str_bounds:
+            bnds = str_bounds[c]
+            if not bnds:
+                return F.lit(0)
+            expr = F.lit(0)
+            for b in bnds:
+                expr = expr + (F.col(c) > F.lit(b)).cast("int")
+            # spread the (≤64) string buckets across the full 2^bits
+            # range so their SIGNIFICANT bits land in the same Morton
+            # positions as the numeric columns' — without this, the
+            # string column's constant-zero high bits would demote it
+            # and the interleave would cluster on the other columns only
+            spread = max(1, n_buckets // (len(bnds) + 1))
+            return F.least(
+                F.coalesce(expr, F.lit(0)) * F.lit(spread),
+                F.lit(n_buckets - 1),
+            )  # NULLs cluster in bucket 0
         span = maxs[c] - mins[c]
         if span <= 0:
             return F.lit(0)
@@ -3554,6 +3594,62 @@ def restore_snapshot(path: str, version: int) -> int:
     _carry_planes(target, manifest)  # the TARGET state's planes, whole
     _publish_manifest(man_dir, n, manifest)
     return n
+
+
+def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE`` /
+    Iceberg snapshot-ref analog): commit a NEW table at ``dst`` whose
+    v1 manifest references the SOURCE's data entries (and carries its
+    stamped stats and pending metadata planes — deletes, deletion
+    vectors, schema ops, constraints, cdf property) for ``version``
+    (source latest when None). METADATA-ONLY: zero bytes copied at any
+    table size — the instant dev/test fork of a 100 TB table.
+
+    The clone evolves independently (appends/deletes/compactions land
+    under ``dst``; the source never sees them), and its first
+    compaction naturally localizes the data. THE SHALLOW-CLONE CAVEAT
+    (same as Delta's): the clone references the source's FILES, so
+    retention on the SOURCE (``expire_snapshots`` / ``gc_orphans``)
+    can reclaim files the clone still needs — snapshot the source's
+    retention policy accordingly, or compact the clone (rewriting its
+    data into its own tree) before shrinking source retention. The
+    clone's own maintenance is safe from birth: its GC only ever
+    touches ``dst``'s trees, and carried source entries are absolute
+    paths outside them. The txn map is NOT carried (the clone is a new
+    table; replaying a source stream into it must re-deliver).
+
+    Returns the clone's committed version (1). ``dst`` must not
+    already be a snapshot table."""
+    import json
+    import os
+
+    src_man_dir = os.path.join(src, "_manifests")
+    if version is None:
+        version = _latest_version(src_man_dir)
+    with open(os.path.join(src_man_dir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    dst_man_dir = os.path.join(dst, "_manifests")
+    if os.path.isdir(dst_man_dir) and any(
+        f.startswith("v") and f.endswith(".json")
+        for f in os.listdir(dst_man_dir)
+    ):
+        raise ValueError(
+            f"{dst} is already a snapshot table — CLONE creates new "
+            "tables only (append/merge into the existing one instead)"
+        )
+    os.makedirs(dst_man_dir, exist_ok=True)
+    os.makedirs(os.path.join(dst, "data"), exist_ok=True)
+    manifest = {
+        "version": 1,
+        "dirs": list(man["dirs"]),
+        "txns": {},
+        "stats": man.get("stats", {}),
+        "op": {"name": "clone", "source": src,
+               "source_version": version},
+    }
+    _carry_planes(man, manifest)
+    _publish_manifest(dst_man_dir, 1, manifest)
+    return 1
 
 
 def snapshot_history(path: str) -> list[dict]:

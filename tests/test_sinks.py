@@ -2586,9 +2586,21 @@ def test_round12_robustness_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="not retained"):
         sinks.read_snapshot_changes(spark, path, 1, row_level=True)
 
-    # ZORDER on a string column refuses loudly
-    with pytest.raises(ValueError, match="non-numeric"):
-        sinks.compact_snapshot(spark, path, zorder_by=["p"])
+    # ZORDER on a string column CLUSTERS via sampled boundaries
+    # (content-invariant)...
+    n_before = sinks.read_snapshot(spark, path).count()
+    info = sinks.compact_snapshot(spark, path, zorder_by=["p", "k"])
+    assert info["mode"] == "full"
+    assert sinks.read_snapshot(spark, path).count() == n_before
+    # ...while genuinely non-orderable types still refuse loudly
+    path2 = str(tmp_path / "guards2")
+    sinks.write_snapshot(
+        spark.createDataFrame([(1, ["x"]), (2, ["y"])],
+                              "k int, tags array<string>"),
+        path2,
+    )
+    with pytest.raises(ValueError, match="non-orderable"):
+        sinks.compact_snapshot(spark, path2, zorder_by=["tags"])
 
 
 def test_deletion_vector_lifecycle(spark, tmp_path):
@@ -2723,3 +2735,67 @@ def test_update_snapshot_semantics(spark, tmp_path):
     # unknown SET column refuses
     with pytest.raises(ValueError, match="unknown column"):
         sinks.update_snapshot(spark, path, "k = 1", {"zz": "1"})
+
+
+def test_zorder_string_clustering_skips(spark, tmp_path):
+    """String ZORDER columns cluster via sampled order-preserving
+    boundaries: after the rewrite, a narrow string-range probe skips
+    most files on footer min/max stats alone (an unclustered layout
+    intersects every file), and content is invariant."""
+    from naru_spark.sources.sinks import file_skip_fraction, zorder_write
+
+    df = spark.createDataFrame(
+        [(f"word_{i % 20:02d}", i, i % 7) for i in range(20_000)],
+        "s string, k int, v int",
+    ).repartition(16)  # scatter so the input layout is unclustered
+    path = str(tmp_path / "zs")
+    zorder_write(df, path, ["s", "k"], n_files=10)
+    out = spark.read.parquet(path)
+    assert out.count() == 20_000
+    # a 2-of-20-words band: the clustered layout confines it to fewer
+    # files than the scattered input (where EVERY file holds all words)
+    raw_path = str(tmp_path / "raw")
+    df.repartition(10).write.parquet(raw_path)
+    raw_matching, raw_total = file_skip_fraction(
+        spark, raw_path, {"s": ("word_05", "word_06")}
+    )
+    assert raw_matching == raw_total == 10  # unclustered: no skipping
+    matching, total = file_skip_fraction(
+        spark, path, {"s": ("word_05", "word_06")}
+    )
+    assert total == 10
+    # the interleave shares bits with k, so the band maps to a z-band,
+    # not a single file — but most files must still skip
+    assert matching <= 6, (matching, total)
+
+
+def test_clone_snapshot_gc_safety(spark, tmp_path):
+    """A shallow clone's own maintenance never touches the SOURCE's
+    files: expire/gc on the clone reclaim only clone-local dirs, the
+    clone refuses to overwrite an existing table, and a clone
+    compaction localizes the data (after which source retention is
+    safe)."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i, i) for i in range(50)], "k int, v int")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sinks.write_snapshot(df, src)
+    sinks.clone_snapshot(src, dst)
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        sinks.clone_snapshot(src, dst)
+    # clone evolves: append + compact localizes everything
+    sinks.write_snapshot(df.withColumn("k", F.col("k") + 100), dst)
+    sinks.compact_snapshot(spark, dst, full=True)
+    # clone retention: reclaims only clone-local dirs; source intact
+    src_dirs = set(os.listdir(os.path.join(src, "data")))
+    deleted = sinks.expire_snapshots(dst, keep_last=1)
+    assert deleted and all(p.startswith(dst) for p in deleted)
+    assert set(os.listdir(os.path.join(src, "data"))) == src_dirs
+    assert sinks.gc_orphans(dst) == []
+    assert sinks.read_snapshot(spark, dst).count() == 100
+    assert sinks.read_snapshot(spark, src).count() == 50
