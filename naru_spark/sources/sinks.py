@@ -1508,9 +1508,12 @@ def read_snapshot(
 
     def dv_apply(df: DataFrame) -> DataFrame:
         # ONE anti-join against the union of the pending DV frames
-        # (Iceberg v2 positional-delete apply): O(rows + dv rows),
-        # pushed as a plain join — files without DV rows pay nothing
-        # but the join itself
+        # (Iceberg v2 positional-delete apply): the vectors BROADCAST
+        # (plan: BroadcastHashJoin LeftAnti BuildRight), so the table
+        # side never shuffles — O(rows) scan + O(dv rows) broadcast. A
+        # DV plane grown past the broadcast threshold degrades to a
+        # shuffled anti-join, which is the signal to compact (the same
+        # point Delta's tombstone-count heuristics trigger a rewrite)
         dv_df = spark.read.parquet(*[d["dir"] for d in dvs]).select(
             "__fp", "__ri"
         )
