@@ -1495,6 +1495,75 @@ ORDER BY source
 """
 
 
+def q_snapshot_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE
+    (sources.sinks.merge_into_snapshot not_matched_by_source /
+    operators.merge.merge_into — Delta's third MERGE clause, the CDC
+    full-sync shape): the target table converges to EXACTLY the
+    changeset — matched rows update, unmatched changeset rows insert
+    (none here), and base rows the changeset does not carry are
+    DELETED. Pruning is impossible by construction (every base row
+    participates — asserted: zero entries pruned) and the change data
+    feed reports the dropped rows as deletes alongside the update
+    pairs (asserted by count). Oracle: the changeset itself."""
+    from naru_spark.sources.sinks import (
+        merge_into_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_sync_") + "/docs"
+    write_snapshot(docs, path, cdf=True)                               # v1
+    source_now = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .withColumn("n_chars", F.col("n_chars") + 500)
+        .withColumn("op", F.lit("U"))
+    )
+    info = merge_into_snapshot(
+        spark, path, source_now, key="doc_id",
+        not_matched_by_source="delete",
+    )                                                                  # v2
+    assert info["entries_pruned"] == 0, info
+    n_gone = docs.where(F.col("doc_id") % 3 == 0).count()
+    n_kept = docs.count() - n_gone
+    assert read_snapshot(spark, path).count() == n_kept
+    ch = read_snapshot_changes(spark, path, 1, row_level=True)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"delete": n_gone, "update_preimage": n_kept,
+                      "update_postimage": n_kept}, counts
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_merge_sync() -> str:
+    return """
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(n_chars + 500) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 3 <> 0
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (sources.sinks.update_snapshot — Delta
     ``UPDATE ... SET``, completing the DML quartet): the corpus lands as
@@ -2970,6 +3039,7 @@ def build_ops_registry():
         "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
         "snapshot_delete_dv": q_snapshot_delete_dv,
         "snapshot_update_where": q_snapshot_update_where,
+        "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
@@ -3032,6 +3102,7 @@ def build_ops_registry():
         "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
         "snapshot_delete_dv": sql_snapshot_delete_dv(),
         "snapshot_update_where": sql_snapshot_update_where(),
+        "snapshot_merge_sync": sql_snapshot_merge_sync(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),

@@ -26,6 +26,7 @@ def merge_into(
     key: str,
     op_col: str = "op",
     validate: bool = True,
+    not_matched_by_source: str | None = None,
 ) -> DataFrame:
     """Apply the changeset to ``base``; returns the merged table with the
     base schema. Exactly one changeset row per key is required (the SQL
@@ -33,7 +34,13 @@ def merge_into(
     cheap aggregate over the changeset — a duplicate key raises like SQL
     MERGE's "multiple source rows matched" error instead of silently
     fanning base rows out through the join. Pass ``validate=False`` only
-    when the changeset is already deduped-by-latest upstream."""
+    when the changeset is already deduped-by-latest upstream.
+
+    ``not_matched_by_source="delete"`` (Delta's ``WHEN NOT MATCHED BY
+    SOURCE THEN DELETE``, the third MERGE clause): base rows whose key
+    the changeset does NOT carry are DROPPED — the CDC full-sync shape
+    (make target equal source). Default None keeps them (classic
+    upsert)."""
     if validate:
         dup = (
             changes.groupBy(key)
@@ -48,6 +55,7 @@ def merge_into(
                 f"{dup[0][key]!r} — SQL MERGE requires one changeset row "
                 "per key; dedup-by-latest upstream or pass validate=False"
             )
+    assert not_matched_by_source in (None, "delete"), not_matched_by_source
     cols = [c for c in base.columns if c != key]
     b = base.alias("b")
     c = changes.alias("c")
@@ -56,6 +64,9 @@ def merge_into(
         # matched delete drops the row; unmatched delete is a no-op row to drop
         ~(F.col(f"c.{op_col}") == "D").eqNullSafe(F.lit(True))
     )
+    if not_matched_by_source == "delete":
+        # base-only rows (no changeset key) drop: target syncs to source
+        keep = keep & F.col(f"c.{key}").isNotNull()
     out_key = F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)
     out_cols = [
         # matched update / unmatched insert take the changeset's value;

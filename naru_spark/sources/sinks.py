@@ -2739,6 +2739,7 @@ def merge_into_snapshot(
     validate: bool = False,
     auto_prune: bool = True,
     auto_prune_max_keys: int = 8192,
+    not_matched_by_source: str | None = None,
 ) -> dict:
     """FILE-PRUNED MERGE INTO (Delta's actual MERGE execution shape): one
     scan joined against the changeset's distinct keys finds the files
@@ -2775,9 +2776,14 @@ def merge_into_snapshot(
     partial-rewrite path. ``txn_id`` forwards replay idempotence (the
     streaming CDC shape) and is checked FIRST — a replayed batch
     returns the recorded version without evaluating the changeset at
-    all (n_changes None). Returns {"version", "n_changes",
-    "files_rewritten", "files_carried", "entries_scanned",
-    "entries_pruned"}."""
+    all (n_changes None). ``not_matched_by_source="delete"`` adds
+    Delta's third MERGE clause (WHEN NOT MATCHED BY SOURCE THEN
+    DELETE — the CDC full-sync shape: the target converges to exactly
+    the changeset's keys); it disables file pruning by construction
+    (every base row participates) and, with cdf on, reports the
+    dropped base rows as 'delete' change rows. Returns {"version",
+    "n_changes", "files_rewritten", "files_carried",
+    "entries_scanned", "entries_pruned"}."""
     import json
     import os
 
@@ -2815,6 +2821,18 @@ def merge_into_snapshot(
     n_changes = changes.count()
     keys = changes.select(key).distinct()
     scan_entries = entries
+    if not_matched_by_source == "delete":
+        # Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE (the CDC
+        # full-sync clause: make target equal source): EVERY base row
+        # participates — an unmatched base row must be SEEN to be
+        # deleted — so file pruning is impossible by construction and
+        # the full-outer merge rewrites the whole visible table as one
+        # replace commit. The extra cost over a plain merge is exactly
+        # the full scan the semantics demand; at 100 TB, sync a
+        # PARTITION-scoped mirror via replace_where instead when the
+        # source covers only some partitions.
+        auto_prune = False
+        prune = prune_keys = None
     if auto_prune and prune is None and prune_keys is None:
         key_vals = [
             r[key] for r in keys.limit(auto_prune_max_keys + 1).collect()
@@ -2879,7 +2897,12 @@ def merge_into_snapshot(
     extra = {"entries_scanned": len(scan_entries),
              "entries_pruned": len(pruned)}
     matching: set = set()
-    if scan_entries:
+    if not_matched_by_source == "delete":
+        matching = {
+            os.path.realpath(f) for e in scan_entries
+            for f in _entry_files(e)
+        }
+    elif scan_entries:
         per_file = (
             spark.read.option("mergeSchema", "true").parquet(*scan_entries)
             # stamp the file BEFORE the join: input_file_name() is
@@ -2923,7 +2946,8 @@ def merge_into_snapshot(
     # (SQL MERGE's "multiple source rows matched" error) at the cost of
     # one aggregate over the changeset
     merged = merge_into(base_touched, changes, key=key, op_col=op_col,
-                        validate=validate)
+                        validate=validate,
+                        not_matched_by_source=not_matched_by_source)
     change_df = None
     if man.get("cdf"):
         # change-data-feed rows (Delta MERGE CDC shape): matched deletes
@@ -2960,6 +2984,14 @@ def merge_into_snapshot(
                 .select(*[F.col(x) for x in bcols])
                 .withColumn("_change_type", F.lit("insert")))
         )
+        if not_matched_by_source == "delete":
+            # the sync clause's own deletions: base rows with no
+            # changeset key
+            change_df = change_df.unionByName(
+                base_touched.join(changes.select(key), key, "left_anti")
+                .select(*[F.col(x) for x in bcols])
+                .withColumn("_change_type", F.lit("delete"))
+            )
     # a partitioned table's merge output (matched rewrites + inserts)
     # re-commits under the same spec — but only when the WHOLE visible
     # table shares it (inserts may land in any partition)
@@ -2974,7 +3006,9 @@ def merge_into_snapshot(
         # the merge output (rewrites + inserts) gets a fresh sidecar when
         # the whole visible table is bloom-indexed on the merge key space
         bloom_key=_common_bloom_key(stats, entries) if entries else None,
-        op_meta={"name": "merge", "key": key},
+        op_meta={"name": "merge", "key": key,
+                 **({"not_matched_by_source": not_matched_by_source}
+                    if not_matched_by_source else {})},
         change_df=change_df,
     )
     return {"version": version, "n_changes": n_changes,

@@ -2799,3 +2799,39 @@ def test_clone_snapshot_gc_safety(spark, tmp_path):
     assert sinks.gc_orphans(dst) == []
     assert sinks.read_snapshot(spark, dst).count() == 100
     assert sinks.read_snapshot(spark, src).count() == 50
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """The third MERGE clause: base rows absent from the changeset drop
+    (target == source afterwards), matched rows update, unmatched
+    changeset rows insert — in ONE commit; plain merges keep base-only
+    rows as before."""
+    from naru_spark.operators.merge import merge_into
+    from naru_spark.sources import sinks
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"
+    )
+    src = spark.createDataFrame(
+        [(2, -2, "U"), (4, -4, "U")], "k int, v int, op string"
+    )
+    # operator level: sync drops k=1, k=3; updates k=2; inserts k=4
+    got = {r["k"]: r["v"] for r in merge_into(
+        base, src, key="k", not_matched_by_source="delete").collect()}
+    assert got == {2: -2, 4: -4}, got
+    # classic upsert unchanged
+    got2 = {r["k"]: r["v"] for r in merge_into(base, src, key="k").collect()}
+    assert got2 == {1: 10, 2: -2, 3: 30, 4: -4}, got2
+    # table level: one replace commit, no pruning by construction
+    path = str(tmp_path / "sync")
+    sinks.write_snapshot(base, path)
+    sinks.write_snapshot(
+        spark.createDataFrame([(10, 100)], "k int, v int"), path
+    )
+    info = sinks.merge_into_snapshot(
+        spark, path, src, key="k", not_matched_by_source="delete"
+    )
+    assert info["entries_pruned"] == 0 and info["files_carried"] == 0, info
+    got3 = {r["k"]: r["v"]
+            for r in sinks.read_snapshot(spark, path).collect()}
+    assert got3 == {2: -2, 4: -4}, got3
