@@ -2838,3 +2838,29 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
     got3 = {r["k"]: r["v"]
             for r in sinks.read_snapshot(spark, path).collect()}
     assert got3 == {2: -2, 4: -4}, got3
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    """UPDATE SET on the PARTITION column itself: rewritten rows land in
+    their new partition's subdirs (stamps recomputed from the new
+    values), partition-pruned reads see the moved rows, and
+    replace_where's every-entry-stamped invariant still holds after."""
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, "a" if k < 10 else "b", k) for k in range(20)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "mv")
+    sinks.write_snapshot(df, path, partition_by="p")
+    info = sinks.update_snapshot(spark, path, "k < 5", {"p": "'b'"})
+    assert info["n_updated"] == 5, info
+    pruned_b = sinks.read_snapshot(spark, path, partitions={"p": ["b"]})
+    assert all("__part_p=b" in f for f in pruned_b.inputFiles())
+    assert pruned_b.where("p = 'b'").count() == 15
+    assert sinks.read_snapshot(spark, path).where("p = 'a'").count() == 5
+    # the spec survived: replace_where still finds every entry stamped
+    new_a = spark.createDataFrame([(100, "a", 0)], "k int, p string, v int")
+    r = sinks.replace_where(spark, path, new_a, "p", ["a"])
+    assert r["partitions_replaced"] >= 1
+    assert sinks.read_snapshot(spark, path).where("p = 'a'").count() == 1
