@@ -1564,6 +1564,52 @@ def read_snapshot(
     return out.limit(0) if limit0 else out
 
 
+def read_snapshot_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Filtered snapshot read with AUTO-DERIVED entry elimination — the
+    read-side sibling of the auto-pruned DELETE: the condition is
+    parsed (``_condition_prune_hints``; provably-conjunctive terms
+    only) into covering min/max boxes, identity-partition values, and
+    bloom probe keys, the matching manifest entries are eliminated on
+    ONE manifest read, and the SAME condition is applied as the real
+    row filter on what remains (Catalyst pushes it into the scans). The
+    caller writes ``read_snapshot_where(spark, path, "day = '…' AND
+    key IN (…)")`` and gets Delta-style data skipping with no hint
+    plumbing and no covering-box footgun; unparseable conditions
+    simply scan unpruned (correct, just unskipped). Bloom probes that
+    cannot represent in a sidecar's stamped type skip bloom pruning
+    instead of raising (the auto contract)."""
+    from pyspark.sql import functions as F
+
+    hints = _condition_prune_hints(condition) or {}
+    prune = hints.get("prune") or None
+    partitions = hints.get("partitions") or None
+    keys = {c: v for c, v in (hints.get("keys") or {}).items() if v} or None
+    try:
+        out = read_snapshot(
+            spark, path, version=version, as_of=as_of,
+            merge_schema=merge_schema, prune=prune,
+            partitions=partitions, prune_keys=keys,
+        )
+    except ValueError:
+        if keys is None:
+            raise
+        # a probe value unrepresentable in some bloom's stamped dtype:
+        # AUTO mode skips bloom pruning rather than raising (any other
+        # ValueError — expired version, bad as_of — re-raises here)
+        out = read_snapshot(
+            spark, path, version=version, as_of=as_of,
+            merge_schema=merge_schema, prune=prune, partitions=partitions,
+        )
+    return out.where(F.expr(condition))
+
+
 def read_snapshot_changes(
     spark: SparkSession,
     path: str,

@@ -2864,3 +2864,33 @@ def test_update_moves_rows_across_partitions(spark, tmp_path):
     r = sinks.replace_where(spark, path, new_a, "p", ["a"])
     assert r["partitions_replaced"] >= 1
     assert sinks.read_snapshot(spark, path).where("p = 'a'").count() == 1
+
+
+def test_read_snapshot_where_auto_skipping(spark, tmp_path):
+    """read_snapshot_where: Delta-style data skipping straight from the
+    WHERE string — entry elimination on boxes + partition values +
+    bloom keys with zero hint plumbing, the real filter still applied;
+    unparseable conditions scan unpruned but stay correct."""
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", k) for k in range(100)],
+        "k int, p string, v int",
+    )
+    path = str(tmp_path / "rsw")
+    sinks.write_snapshot(df, path, partition_by="p", bloom_key="k")
+    sinks.write_snapshot(df.withColumn("k", F.col("k") + 1000), path,
+                         partition_by="p", bloom_key="k")
+    out = sinks.read_snapshot_where(spark, path, "p = 'a' AND k IN (3, 7)")
+    # composed elimination: only v1's 'a' entry is planned
+    files = out.inputFiles()
+    assert files and all("__part_p=a" in f for f in files)
+    assert len({f.rsplit("/", 2)[1] for f in files}) == 1
+    assert {r["k"] for r in out.collect()} == {3, 7}
+    # range condition: box pruning, exact rows
+    out2 = sinks.read_snapshot_where(spark, path, "k >= 1050")
+    assert out2.count() == 50 and len(out2.inputFiles()) < len(
+        sinks.read_snapshot(spark, path).inputFiles())
+    # unparseable: full scan, correct rows
+    out3 = sinks.read_snapshot_where(spark, path, "k = 3 OR k = 1003")
+    assert out3.count() == 2
