@@ -1613,9 +1613,11 @@ def read_snapshot_where(
 def read_snapshot_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
     row_level: bool = False,
+    from_ts: float | None = None,
+    to_ts: float | None = None,
 ) -> DataFrame:
     """Incremental scan (Iceberg incremental read / Delta CDF): changes
     committed AFTER ``from_version`` up to ``to_version`` (latest when
@@ -1656,6 +1658,13 @@ def read_snapshot_changes(
       flipped pending merge-on-read state) RAISES instead of silently
       under-reporting.
 
+    TIMESTAMP ranges (Delta ``startingTimestamp``/``endingTimestamp``;
+    each mutually exclusive with its version twin): ``from_ts`` resolves
+    to the last version committed AT OR BEFORE the given epoch seconds
+    (so the range serves everything committed strictly after that
+    moment; a time before the first commit means "from the beginning"),
+    ``to_ts`` to the last version committed at or before it.
+
     Cost scales with the CHANGED bytes of the range, never the table;
     schema evolution across the range unions by name (pre-evolution
     change rows surface NULL for later columns)."""
@@ -1680,6 +1689,35 @@ def read_snapshot_changes(
     def dirs_of(v: int) -> list[str]:
         return [] if v == 0 else man_of(v)["dirs"]
 
+    if from_ts is not None or to_ts is not None:
+        if (from_ts is not None and from_version is not None) or (
+            to_ts is not None and to_version is not None
+        ):
+            raise ValueError(
+                "version and timestamp bounds are mutually exclusive "
+                "per endpoint"
+            )
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        ts_of = {v: man_of(v).get("ts", 0.0) for v in versions}
+        if from_ts is not None:
+            from_version = 0
+            for v in versions:
+                if ts_of[v] <= from_ts:
+                    from_version = v
+        if to_ts is not None:
+            to_version = None
+            for v in versions:
+                if ts_of[v] <= to_ts:
+                    to_version = v
+            if to_version is None:
+                raise ValueError(
+                    f"to_ts={to_ts} predates every commit at {path}"
+                )
+    if from_version is None:
+        raise ValueError("one of from_version / from_ts is required")
     if to_version is None:
         to_version = _latest_version(man_dir)
     assert from_version < to_version, (from_version, to_version)

@@ -2894,3 +2894,48 @@ def test_read_snapshot_where_auto_skipping(spark, tmp_path):
     # unparseable: full scan, correct rows
     out3 = sinks.read_snapshot_where(spark, path, "k = 3 OR k = 1003")
     assert out3.count() == 2
+
+
+def test_cdf_timestamp_ranges(spark, tmp_path):
+    """Timestamp-bounded change ranges resolve to commit versions via
+    the stamped wall-clocks: from_ts serves everything committed
+    strictly after it, to_ts caps the range, bounds are exclusive with
+    their version twins, and a from_ts before the first commit means
+    'from the beginning'."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i, i) for i in range(30)], "k int, v int")
+    path = str(tmp_path / "tsr")
+    for lo in (0, 100, 200):
+        sinks.write_snapshot(
+            df.withColumn("k", F.col("k") + lo), path
+        )
+    man_dir = os.path.join(path, "_manifests")
+    ts = {}
+    for v in (1, 2, 3):
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            ts[v] = json.load(fh)["ts"]
+    # from v1's stamp: v2+v3's rows
+    out = sinks.read_snapshot_changes(spark, path, from_ts=ts[1],
+                                      row_level=True)
+    assert out.count() == 60
+    # capped at v2's stamp: only v2's rows
+    out2 = sinks.read_snapshot_changes(spark, path, from_ts=ts[1],
+                                       to_ts=ts[2], row_level=True)
+    assert out2.count() == 30
+    assert {r["_commit_version"] for r in
+            out2.select("_commit_version").distinct().collect()} == {2}
+    # before the first commit: everything
+    out3 = sinks.read_snapshot_changes(spark, path, from_ts=ts[1] - 10,
+                                       row_level=True)
+    assert out3.count() == 90
+    # file-level path works with ts bounds too
+    assert sinks.read_snapshot_changes(spark, path, from_ts=ts[2]).count() == 30
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sinks.read_snapshot_changes(spark, path, from_version=1,
+                                    from_ts=ts[1])
