@@ -913,6 +913,102 @@ def _condition_prune_hints(condition: str) -> dict | None:
     return {"prune": boxes, "keys": keys, "partitions": parts}
 
 
+def _lit_matches_dtype(v, dtype: str | None) -> bool:
+    """Does a parsed WHERE literal's Python type evaluate EXACTLY like
+    the column's Spark dtype — i.e. is a string-compare of the stamped
+    partition value / a bloom probe hashed under the stamped dtype
+    guaranteed to agree with Spark's own (coercing) evaluation of the
+    predicate? Spark evaluates ``string_col = 5`` by CASTING the column
+    (row '05' matches, but the stamp '05' != str(5)), ``int_col = '05'``
+    by casting the literal ('05' vs stamped '5'), and a timestamp
+    partition stamps '2024-01-01 00:00:00' where the literal says
+    '2024-01-01' — all silently prune entries that DO hold matching
+    rows. Only an exact type-family match is provably coercion-free;
+    anything else means the hint must be dropped (unpruned scan —
+    correct, just unskipped)."""
+    if dtype is None or isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return dtype in ("tinyint", "smallint", "int", "bigint")
+    if isinstance(v, float):
+        return dtype in ("float", "double")
+    if isinstance(v, str):
+        return dtype == "string"
+    return False
+
+
+def _first_entry_dtypes(entries) -> dict:
+    """{column: spark simple dtype} from ONE parquet footer (the first
+    data file of the first non-empty entry) — the cheapest source of
+    column types for hint type-checking: zero Spark jobs, zero data
+    pages. A column absent from this file (added by a later evolved
+    commit) simply has no dtype here, so its hints drop (conservative:
+    unpruned, never wrongly pruned)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for e in entries:
+        files = _entry_files(e)
+        if not files:
+            continue
+        out: dict = {}
+        for f in pq.ParquetFile(files[0]).schema_arrow:
+            t = f.type
+            if pa.types.is_int8(t):
+                d = "tinyint"
+            elif pa.types.is_int16(t):
+                d = "smallint"
+            elif pa.types.is_int32(t):
+                d = "int"
+            elif pa.types.is_int64(t):
+                d = "bigint"
+            elif pa.types.is_float32(t):
+                d = "float"
+            elif pa.types.is_float64(t):
+                d = "double"
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                d = "string"
+            else:
+                d = str(t)  # timestamp/date/binary/…: matches no literal
+            out[f.name] = d
+        return out
+    return {}
+
+
+def _typed_auto_hints(entries, hints: dict | None) -> dict | None:
+    """Type-check AUTO-DERIVED hints against the table's column dtypes
+    (ADVICE fix): partition-value and bloom-key hints are only kept for
+    columns whose dtype exactly matches the literal's type — SQL type
+    coercion makes any cross-type comparison unprovable from the stamp
+    (see ``_lit_matches_dtype``). Min/max boxes stay untouched: their
+    comparisons are numeric-vs-numeric (mathematically exact across
+    int/float widths) or die on the TypeError-keeps guard in
+    ``_entry_overlaps``. Hand-passed ``partitions``/``prune_keys``
+    keep their documented str(value)/raise contracts — this filter
+    guards only the hints nobody wrote down."""
+    if not hints:
+        return hints
+    if not (hints.get("keys") or hints.get("partitions")):
+        return hints
+    dtypes = _first_entry_dtypes(entries)
+    raw = hints.get("keys") or {}
+    return {
+        **hints,
+        "keys": {
+            c: vs for c, vs in raw.items()
+            if vs and all(_lit_matches_dtype(v, dtypes.get(c)) for v in vs)
+        },
+        # the partition hint was stringified by the parser — type-check
+        # it through the SAME column's raw equality literals (both come
+        # from the identical =/IN terms)
+        "partitions": {
+            c: vs for c, vs in (hints.get("partitions") or {}).items()
+            if vs and raw.get(c)
+            and all(_lit_matches_dtype(v, dtypes.get(c)) for v in raw[c])
+        },
+    }
+
+
 def _manifest_stats(man: dict) -> dict:
     """Per-entry stats for every entry of a loaded manifest, preferring
     the stats stamped at commit (metadata-only read) and falling back to
@@ -1585,9 +1681,22 @@ def read_snapshot_where(
     simply scan unpruned (correct, just unskipped). Bloom probes that
     cannot represent in a sidecar's stamped type skip bloom pruning
     instead of raising (the auto contract)."""
+    import json
+    import os
+
     from pyspark.sql import functions as F
 
     hints = _condition_prune_hints(condition) or {}
+    if hints.get("keys") or hints.get("partitions"):
+        # type-check partition/key hints against the column dtypes (one
+        # footer read) — coercion-unsafe hints drop, scan stays correct.
+        # as_of reads check against the LATEST version's files: column
+        # TYPES never change across versions (no type-change op), and a
+        # renamed column simply loses its hints (conservative)
+        man_dir = os.path.join(path, "_manifests")
+        v = version if version is not None else _latest_version(man_dir)
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            hints = _typed_auto_hints(json.load(fh)["dirs"], hints)
     prune = hints.get("prune") or None
     partitions = hints.get("partitions") or None
     keys = {c: v for c, v in (hints.get("keys") or {}).items() if v} or None
@@ -1720,7 +1829,17 @@ def read_snapshot_changes(
         raise ValueError("one of from_version / from_ts is required")
     if to_version is None:
         to_version = _latest_version(man_dir)
-    assert from_version < to_version, (from_version, to_version)
+    if from_version >= to_version:
+        # a from_ts at/after the last commit resolves here too — raise
+        # the same ValueError every other bad-bound case does (Delta's
+        # startingTimestamp-after-last-commit error), never a bare
+        # assert that python -O would strip
+        raise ValueError(
+            f"empty change range for {path}: resolved bounds "
+            f"{from_version}..{to_version} — the range must end strictly "
+            "after it starts (a from_ts at or after the last commit has "
+            "no changes to serve)"
+        )
     if not row_level:
         base, head = dirs_of(from_version), dirs_of(to_version)
         if not set(base) <= set(head):
@@ -1875,10 +1994,19 @@ def apply_cdf_to_aggregate(
         *keys,
         new_n.alias(count_col),
         *[
-            (
+            # a NULL side contributes 0 ONLY when the other side has a
+            # value: a group whose measures are all NULL (prior sum NULL,
+            # delta sum NULL) must surface NULL, exactly what the full
+            # recompute shows — coalescing both to 0 would fabricate a 0
+            F.when(
+                F.col(f"sum_{c}").isNull() & F.col(f"__d_{c}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(f"sum_{c}"), F.lit(0))
                 + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
-            ).alias(f"sum_{c}")
+            )
+            .alias(f"sum_{c}")
             for c in sums
         ],
     )
@@ -2356,8 +2484,10 @@ def delete_from_snapshot(
             # only feed consumers pay for their own row-level view
             import uuid
 
-            h = (_condition_prune_hints(condition) if auto_prune
-                 else None) or {}
+            h = _typed_auto_hints(
+                entries,
+                _condition_prune_hints(condition) if auto_prune else None,
+            ) or {}
             change_df = (
                 read_snapshot(spark, path, version=latest,
                               prune=h.get("prune") or None,
@@ -2430,9 +2560,10 @@ def delete_from_snapshot(
     if (auto_prune and prune is None and prune_keys is None
             and partitions is None):
         # derive the hints from the condition itself (covering by
-        # construction — see _condition_prune_hints); hand hints above
-        # take precedence
-        hints = _condition_prune_hints(condition)
+        # construction — see _condition_prune_hints), then type-check
+        # them against the column dtypes (coercion-unsafe hints drop);
+        # hand hints above take precedence
+        hints = _typed_auto_hints(entries, _condition_prune_hints(condition))
         if hints:
             prune = hints["prune"] or None
             partitions = hints["partitions"] or None
@@ -2684,7 +2815,7 @@ def update_snapshot(
     auto_keys: dict | None = None
     if (auto_prune and prune is None and prune_keys is None
             and partitions is None):
-        hints = _condition_prune_hints(condition)
+        hints = _typed_auto_hints(entries, _condition_prune_hints(condition))
         if hints:
             prune = hints["prune"] or None
             partitions = hints["partitions"] or None
@@ -3053,18 +3184,24 @@ def merge_into_snapshot(
             (F.col(f"b.{key}") if x == key else F.col(f"c.{x}")).alias(x)
             for x in bcols
         ]
+        # null-safe op test everywhere: merge_into applies a NULL-op row
+        # as an update (its keep-filter uses eqNullSafe), so the feed's
+        # branches must route it the same way — plain `ct != "D"` is
+        # false for NULL and such rows would vanish from the feed (a
+        # CDF-following replica would diverge from the table)
+        not_d = ~ct.eqNullSafe("D")
         change_df = (
-            j.where(ct == "D").select(*b_side)
+            j.where(ct.eqNullSafe("D")).select(*b_side)
             .withColumn("_change_type", F.lit("delete"))
             .unionByName(
-                j.where(ct != "D").select(*b_side)
+                j.where(not_d).select(*b_side)
                 .withColumn("_change_type", F.lit("update_preimage")))
             .unionByName(
-                j.where(ct != "D").select(*c_side)
+                j.where(not_d).select(*c_side)
                 .withColumn("_change_type", F.lit("update_postimage")))
             .unionByName(
                 changes.join(base_touched.select(key), key, "left_anti")
-                .where(F.col(op_col) != "D")
+                .where(~F.col(op_col).eqNullSafe("D"))
                 .select(*[F.col(x) for x in bcols])
                 .withColumn("_change_type", F.lit("insert")))
         )

@@ -334,8 +334,9 @@ def test_read_snapshot_changes_incremental(spark, tmp_path):
     assert d13 == [5, 6, 7, 8, 9]  # to_version defaults to latest
     d03 = sorted(r["k"] for r in read_snapshot_changes(spark, path, 0).collect())
     assert d03 == list(range(10))  # from 0 = full table
-    # degenerate range refused
-    with pytest.raises(AssertionError):
+    # degenerate range refused (ValueError like every bad-bound case —
+    # never a bare assert that python -O would strip)
+    with pytest.raises(ValueError, match="empty change range"):
         read_snapshot_changes(spark, path, 3, 3)
 
     # a replace commit breaks the append-superset invariant -> loud error
@@ -2939,3 +2940,92 @@ def test_cdf_timestamp_ranges(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         sinks.read_snapshot_changes(spark, path, from_version=1,
                                     from_ts=ts[1])
+
+
+def test_r13_advice_fixes(spark, tmp_path):
+    """The four round-12 ADVICE items, pinned: (1) auto-derived prune
+    hints are TYPE-CHECKED against the column dtypes, so SQL coercion
+    ('string_col = 5' matching row '05', 'int_col = '05'') can no longer
+    wrongly prune entries holding matching rows; (2) an all-NULL sum
+    group stays NULL through apply_cdf_to_aggregate; (3) an empty change
+    range raises ValueError (never a strippable assert); (4) MERGE CDF
+    routes NULL-op changeset rows as updates (null-safe branches)."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    # --- (1a) string partition column probed with an int literal
+    df = spark.createDataFrame(
+        [("05", 1), ("05", 2), ("7", 3)], "code string, v int"
+    )
+    p1 = str(tmp_path / "coerce_str")
+    sinks.write_snapshot(df, p1, partition_by="code")
+    # Spark coerces: '05' = 5 → the two '05' rows match; the stamp-string
+    # compare ('05' vs '5') must NOT prune their entry
+    assert sinks.read_snapshot_where(spark, p1, "code = 5").count() == 2
+    # --- (1b) int bloom key probed with a zero-padded string literal
+    df2 = spark.createDataFrame([(5, "a"), (6, "b")], "id int, s string")
+    p2 = str(tmp_path / "coerce_int")
+    sinks.write_snapshot(df2, p2, bloom_key="id")
+    assert sinks.read_snapshot_where(spark, p2, "id = '05'").count() == 1
+    # ...and the auto-pruned DELETE takes the same guard
+    info = sinks.delete_from_snapshot(spark, p1, "code = 5")
+    assert info["n_deleted"] == 2, info
+    # exact-type hints still prune (the guard costs nothing when safe)
+    p3 = str(tmp_path / "typed_ok")
+    sinks.write_snapshot(
+        spark.createDataFrame([("a", 1)], "k string, v int"), p3,
+        partition_by="k",
+    )
+    sinks.write_snapshot(
+        spark.createDataFrame([("b", 2)], "k string, v int"), p3,
+        partition_by="k",
+    )
+    d = sinks.delete_from_snapshot(spark, p3, "k = 'a'")
+    assert d["entries_pruned"] == 1, d
+
+    # --- (2) all-NULL sum group stays NULL through the IVM fold
+    agg = spark.createDataFrame(
+        [("g1", 2, None), ("g2", 1, 5)],
+        "k string, n bigint, sum_x bigint",
+    )
+    changes = spark.createDataFrame(
+        [("g1", "insert", None), ("g3", "insert", None)],
+        "k string, _change_type string, x bigint",
+    )
+    out = {
+        r["k"]: (r["n"], r["sum_x"])
+        for r in sinks.apply_cdf_to_aggregate(
+            agg, changes, keys=["k"], sums=["x"]
+        ).collect()
+    }
+    assert out["g1"] == (3, None)       # NULL + NULL delta stays NULL
+    assert out["g2"] == (1, 5)          # untouched group unchanged
+    assert out["g3"] == (1, None)       # new all-NULL group is NULL
+
+    # --- (3) empty change range raises ValueError
+    with pytest.raises(ValueError, match="empty change range"):
+        sinks.read_snapshot_changes(spark, p1, from_version=1,
+                                    to_version=1)
+    import json
+    import os
+
+    with open(os.path.join(p2, "_manifests", "v1.json")) as fh:
+        last_ts = json.load(fh)["ts"]
+    with pytest.raises(ValueError, match="empty change range"):
+        sinks.read_snapshot_changes(spark, p2, from_ts=last_ts + 1)
+
+    # --- (4) NULL-op changeset rows surface as update pre/post images
+    p4 = str(tmp_path / "null_op")
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id int, s string")
+    sinks.write_snapshot(base, p4, cdf=True)
+    ch = spark.createDataFrame(
+        [(1, "x2", None), (3, "z", None)],
+        "doc_id int, s string, op string",
+    )
+    sinks.merge_into_snapshot(spark, p4, ch, key="doc_id")
+    feed = sinks.read_snapshot_changes(spark, p4, from_version=1,
+                                       row_level=True)
+    kinds = {(r["doc_id"], r["_change_type"]) for r in feed.collect()}
+    assert (1, "update_preimage") in kinds and (1, "update_postimage") in kinds
+    assert (3, "insert") in kinds
