@@ -1634,6 +1634,181 @@ ORDER BY source
 """
 
 
+def q_snapshot_update_over_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-AWARE UPDATE (sources.sinks.update_snapshot composing with
+    pending deletion vectors — Delta's DV-aware DML): the corpus lands
+    as three doc_id-range commits with cdf on, a deletion-vector DELETE
+    kills ``doc_id % 7 = 0`` (zero files rewritten), then ``UPDATE WHERE
+    doc_id <= cut`` rewrites ONLY the in-range files — positionally-dead
+    rows neither match nor update (the rewrite materializes their
+    vectors out), the OUT-of-range commits carry byte-identical and
+    their vectors SURVIVE in the remainder plane, and the change feed
+    reports pre/post images for live rows only. Oracle: corpus minus the
+    %7 rows with the CASE update applied."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        update_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_upd_dv_") + "/docs"
+    t1 = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 3
+    write_snapshot(docs.where(F.col("doc_id") <= t1), path, cdf=True)  # v1
+    write_snapshot(
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= 2 * t1)),
+        path,
+    )                                                                  # v2
+    write_snapshot(docs.where(F.col("doc_id") > 2 * t1), path)         # v3
+    dinfo = delete_from_snapshot(spark, path, "doc_id % 7 = 0",
+                                 mode="deletion-vector")               # v4
+    assert dinfo["files_rewritten"] == 0 and dinfo["n_deleted"] > 0, dinfo
+    cut = t1 // 2
+    info = update_snapshot(
+        spark, path, f"doc_id <= {cut}", {"n_chars": "n_chars + 1000"}
+    )                                                                  # v5
+    # only LIVE in-range rows updated (dead %7 rows do not re-surface)
+    n_live = docs.where(
+        (F.col("doc_id") <= cut) & (F.col("doc_id") % 7 != 0)
+    ).count()
+    assert info["n_updated"] == n_live, (info, n_live)
+    # the out-of-range commits were never scanned — their files carry
+    # byte-identical AND their vectors survive in the remainder plane
+    assert info["entries_pruned"] >= 2, info
+    with open(os.path.join(path, "_manifests", "v5.json")) as fh:
+        assert json.load(fh).get("dvs"), "untouched vectors must survive"
+    # CDF exact through the composition: pre-images are live rows only
+    feed = read_snapshot_changes(spark, path, 4, 5, row_level=True)
+    assert feed.where(
+        "_change_type = 'update_preimage' AND doc_id % 7 = 0"
+    ).count() == 0
+    assert feed.where("_change_type = 'update_preimage'").count() == n_live
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_update_over_dv() -> str:
+    return """
+WITH cut AS (SELECT (MAX(doc_id) // 3) // 2 AS c FROM documents),
+final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id <= cut.c THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+  FROM documents, cut
+  WHERE doc_id % 7 <> 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_snapshot_merge_over_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-AWARE MERGE (merge_into_snapshot composing with pending
+    deletion vectors): two range commits, a deletion-vector DELETE kills
+    ``doc_id % 5 = 0``, then a changeset confined to the FIRST range
+    upserts ``% 11`` keys and deletes ``% 13`` keys. A positionally-dead
+    base row is NOT a live match — an upsert on a dead key re-INSERTS
+    the changeset row (never resurrects the old one), a delete on a
+    dead/absent key no-ops; the untouched second range carries
+    byte-identical with its vectors alive in the remainder plane.
+    Oracle: the same algebra over the raw corpus."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_mrg_dv_") + "/docs"
+    mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    write_snapshot(docs.where(F.col("doc_id") <= mid), path)           # v1
+    write_snapshot(docs.where(F.col("doc_id") > mid), path)            # v2
+    dinfo = delete_from_snapshot(spark, path, "doc_id % 5 = 0",
+                                 mode="deletion-vector")               # v3
+    assert dinfo["files_rewritten"] == 0 and dinfo["n_deleted"] > 0, dinfo
+    changes = (
+        docs.where(
+            (F.col("doc_id") <= mid)
+            & ((F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 13 == 0))
+        )
+        .select(
+            "doc_id",
+            F.lit("merged").alias("source"),
+            (F.col("n_chars") + 5000).alias("n_chars"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    minfo = merge_into_snapshot(spark, path, changes, key="doc_id")    # v4
+    assert minfo["n_changes"] > 0, minfo
+    # the untouched second range keeps its vectors in the remainder
+    with open(os.path.join(path, "_manifests", "v4.json")) as fh:
+        assert json.load(fh).get("dvs"), "untouched vectors must survive"
+    # a dead upserted key holds EXACTLY the changeset row (no resurrect)
+    probe = read_snapshot(spark, path).where(
+        f"doc_id <= {mid} AND doc_id % 55 = 0 AND doc_id % 13 <> 0"
+    )
+    assert probe.where("source <> 'merged'").count() == 0
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_merge_over_dv() -> str:
+    return """
+WITH mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id <= mid.m AND doc_id % 11 = 0
+              THEN 'merged' ELSE source END AS source,
+         CASE WHEN doc_id <= mid.m AND doc_id % 11 = 0
+              THEN n_chars + 5000 ELSE n_chars END AS n_chars
+  FROM documents, mid
+  WHERE (doc_id % 5 <> 0
+         OR (doc_id <= mid.m AND doc_id % 11 = 0 AND doc_id % 13 <> 0))
+    AND NOT (doc_id <= mid.m AND doc_id % 13 = 0)
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POSITIONAL deletion vectors (sources.sinks.delete_from_snapshot
     mode="deletion-vector" — Delta DV / Iceberg v2 positional deletes):
@@ -3038,6 +3213,8 @@ def build_ops_registry():
         "snapshot_delete_bloom_partition": q_snapshot_delete_bloom_partition,
         "snapshot_delete_auto_prune": q_snapshot_delete_auto_prune,
         "snapshot_delete_dv": q_snapshot_delete_dv,
+        "snapshot_update_over_dv": q_snapshot_update_over_dv,
+        "snapshot_merge_over_dv": q_snapshot_merge_over_dv,
         "snapshot_update_where": q_snapshot_update_where,
         "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
@@ -3101,6 +3278,8 @@ def build_ops_registry():
         "snapshot_delete_bloom_partition": sql_snapshot_delete_bloom_partition(),
         "snapshot_delete_auto_prune": sql_snapshot_delete_auto_prune(),
         "snapshot_delete_dv": sql_snapshot_delete_dv(),
+        "snapshot_update_over_dv": sql_snapshot_update_over_dv(),
+        "snapshot_merge_over_dv": sql_snapshot_merge_over_dv(),
         "snapshot_update_where": sql_snapshot_update_where(),
         "snapshot_merge_sync": sql_snapshot_merge_sync(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),

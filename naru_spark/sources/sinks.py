@@ -332,10 +332,15 @@ def _entry_files(entry: str) -> list[str]:
 
 
 def _strip_file_uri(uri: str) -> str:
-    """``input_file_name()``'s ``file:///...`` (URL-encoded) -> local path."""
+    """File URI (URL-encoded) -> local path. Handles BOTH spellings the
+    engine emits: ``input_file_name()``'s ``file:///...`` and
+    ``_metadata.file_path``'s single-slash ``file:/...``."""
+    import re
     from urllib.parse import unquote, urlparse
 
-    return unquote(urlparse(uri).path) if "://" in uri else uri
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", uri):
+        return unquote(urlparse(uri).path)
+    return uri
 
 
 def _entry_stats(entry: str) -> dict:
@@ -1009,6 +1014,47 @@ def _typed_auto_hints(entries, hints: dict | None) -> dict | None:
     }
 
 
+def _dv_frame(spark, dvs: list) -> DataFrame:
+    """Union of the pending deletion-vector sidecar frames — the
+    positional (file, row-index) keys every reader anti-joins away."""
+    return spark.read.parquet(*[d["dir"] for d in dvs]).select(
+        "__fp", "__ri"
+    )
+
+
+def _dv_remainder(
+    spark, path: str, dvs: list, touched_uris: list, n: int
+) -> tuple[list, str | None]:
+    """The deletion-vector plane that SURVIVES a DV-aware partial
+    rewrite (Delta's DV-aware DELETE/UPDATE/MERGE shape): the rewrite
+    materializes the touched files' vectors out (their survivors are
+    re-written without the dead rows), so only vectors pointing at
+    CARRIED (untouched) files remain live. One anti-join of the pending
+    vectors against the touched-file list — O(dv rows), never the table
+    — consolidated into ONE new sidecar dir (stacked vectors compact as
+    a side effect). Returns ``(carry_dvs, new_dir)``: an empty plane
+    returns ``([], None)`` (the commit clears the vectors), and the
+    caller must reclaim ``new_dir`` on a lost publish race."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    dv_all = _dv_frame(spark, dvs)
+    t_df = spark.createDataFrame(
+        [(u,) for u in touched_uris], "__fp string"
+    )
+    rem = dv_all.join(F.broadcast(t_df), "__fp", "left_anti")
+    new_dir = os.path.join(path, "_dv", f"v{n}-{uuid.uuid4().hex[:8]}")
+    rem.write.mode("error").parquet(new_dir)
+    k = int(_entry_stats(new_dir)["n_rows"])  # footers only
+    if k == 0:
+        shutil.rmtree(new_dir)
+        return [], None
+    return [{"dir": new_dir, "seq": n, "n_rows": k}], new_dir
+
+
 def _manifest_stats(man: dict) -> dict:
     """Per-entry stats for every entry of a loaded manifest, preferring
     the stats stamped at commit (metadata-only read) and falling back to
@@ -1122,6 +1168,8 @@ def write_snapshot(
     op_meta: dict | None = None,
     cdf: bool = False,
     change_df: DataFrame | None = None,
+    carry_dvs: list | None = None,
+    carry_partition_meta: dict | None = None,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -1264,11 +1312,17 @@ def write_snapshot(
         )
     # deletion vectors follow the same rules as predicate deletes: an
     # append carries them (new files hold no DV rows), a replace is the
-    # new truth and clears them, and a partial rewrite would resurrect
-    # the positionally-deleted rows of its carried files once the plane
-    # clears — refuse, compaction materializes first
+    # new truth and clears them. A partial rewrite (carry) would
+    # resurrect the positionally-deleted rows of its carried files once
+    # the plane clears — UNLESS the caller is a DV-AWARE rewrite
+    # (DELETE/UPDATE/MERGE composing over pending vectors): it passes
+    # ``carry_dvs``, the plane that remains after materializing the
+    # touched files' vectors out (possibly [] — all vectors consumed),
+    # and that list is committed verbatim.
     dvs = prev_dvs if mode == "append" else []
-    if carry is not None and prev_dvs:
+    if carry_dvs is not None:
+        dvs = carry_dvs
+    elif carry is not None and prev_dvs:
         raise ValueError(
             f"partial-rewrite commit over {len(prev_dvs)} pending "
             "deletion vector(s) at " + path + " — carried files would "
@@ -1393,6 +1447,11 @@ def write_snapshot(
         s = prev_stats.get(e) or _entry_stats(e)
         if carry_partitions and e in carry_partitions and "partition" not in s:
             s = {**s, "partition": carry_partitions[e]}
+        if (carry_partition_meta and e in carry_partition_meta
+                and "partition_meta" not in s):
+            # transformed-spec dtype meta travels with the stamp (split
+            # files inherit their parent's spec like the value itself)
+            s = {**s, "partition_meta": carry_partition_meta[e]}
         if carry_blooms and e in carry_blooms and "bloom" not in s:
             s = {**s, "bloom": carry_blooms[e]}
         stats[e] = s
@@ -2540,13 +2599,11 @@ def delete_from_snapshot(
             "would see (and the rewrite/DV would re-report) logically-"
             "deleted rows; compact_snapshot first"
         )
-    if mode == "copy-on-write" and man.get("dvs"):
-        raise ValueError(
-            f"copy-on-write delete over {len(man['dvs'])} pending "
-            f"deletion vector(s) at {path} — carried files would "
-            "resurrect positionally-deleted rows; compact_snapshot "
-            'first, or stack another mode="deletion-vector" delete'
-        )
+    # pending deletion vectors COMPOSE with the copy-on-write rewrite
+    # (Delta's DV-aware DELETE): the match scan and the survivor rewrite
+    # both anti-join the vectors (a positionally-dead row can neither
+    # re-match nor re-surface), touched files' vectors materialize out
+    # with the rewrite, untouched files keep theirs — see _dv_remainder.
     # manifest-stats entry elimination: entries whose stamped min/max
     # misses the caller's box — or whose bloom sidecar misses every
     # probe key (``prune_keys={col: [values]}``, the unclustered-layout
@@ -2682,13 +2739,24 @@ def delete_from_snapshot(
     # mergeSchema: the scan may span additively-evolved commits, and a
     # condition naming a later-added column must resolve (pre-evolution
     # files read NULL for it) instead of depending on footer-inference
-    # order — same reasoning as the compaction rewrite reads
-    df = spark.read.option("mergeSchema", "true").parquet(*scan_entries)
+    # order — same reasoning as the compaction rewrite reads. Positional
+    # identity (__fp/__ri) is stamped at scan level so pending deletion
+    # vectors anti-join away BEFORE matching: an already-dead row must
+    # not count as deleted (or reach the change feed) again.
+    dvs_pending = man.get("dvs", [])
+    df = (
+        spark.read.option("mergeSchema", "true").parquet(*scan_entries)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    if dvs_pending:
+        df = df.join(_dv_frame(spark, dvs_pending), ["__fp", "__ri"],
+                     "left_anti")
     cond = F.expr(condition)
     # one pushdown-pruned scan: which files hold matches, and how many
     per_file = (
         df.where(cond)
-        .groupBy(F.input_file_name().alias("f"))
+        .groupBy(F.col("__fp").alias("f"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -2721,37 +2789,63 @@ def delete_from_snapshot(
                         carry_parts[f] = part
                     if bloom:  # ...and its (superset) bloom sidecar
                         carry_blooms[f] = bloom
+    # the LIVE rows of the touched files: positionally-dead rows (pending
+    # DVs) drop before any branch — they neither survive the rewrite
+    # (that IS the materialization) nor reach the change feed
+    live_touched = (
+        spark.read.option("mergeSchema", "true").parquet(*touched)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    if dvs_pending:
+        live_touched = live_touched.join(
+            _dv_frame(spark, dvs_pending), ["__fp", "__ri"], "left_anti"
+        )
     change_df = None
     if man.get("cdf"):
         # change-data-feed: the deleted rows themselves, read back from
         # ONLY the matching files (one extra pushdown scan, O(touched))
         change_df = (
-            spark.read.option("mergeSchema", "true").parquet(*touched)
-            .where(cond)
+            live_touched.where(cond).drop("__fp", "__ri")
             .withColumn("_change_type", F.lit("delete"))
+        )
+    # the surviving DV plane: touched files' vectors materialized out by
+    # this very rewrite, untouched files keep theirs (consolidated)
+    carry_dvs, new_dv_dir = (None, None)
+    if dvs_pending:
+        carry_dvs, new_dv_dir = _dv_remainder(
+            spark, path, dvs_pending, [r["f"] for r in per_file],
+            latest + 1,
         )
     # rewrite ONLY the matching files' survivors; NULL condition survives;
     # survivors of a partitioned table re-commit under the same spec, and
     # of a bloom-indexed table under a fresh sidecar (pruning never
     # degrades through the rewrite)
-    version = write_snapshot(
-        spark.read.option("mergeSchema", "true").parquet(*touched)
-        .where(~cond | cond.isNull()),
-        path,
-        mode="replace",
-        base_version=latest,
-        carry=carried,
-        partition_by=_common_partition_col(stats, touched_entries),
-        carry_partitions=carry_parts or None,
-        carry_blooms=carry_blooms or None,
-        bloom_key=_common_bloom_key(stats, touched_entries),
-        # survivors are a subset of rows that already passed their
-        # write-time CHECKs (and add-time validation): no re-probe
-        enforce_constraints=False,
-        op_meta={"name": "delete", "mode": "copy-on-write",
-                 "condition": condition},
-        change_df=change_df,
-    )
+    try:
+        version = write_snapshot(
+            live_touched.where(~cond | cond.isNull()).drop("__fp", "__ri"),
+            path,
+            mode="replace",
+            base_version=latest,
+            carry=carried,
+            partition_by=_common_partition_col(stats, touched_entries),
+            carry_partitions=carry_parts or None,
+            carry_blooms=carry_blooms or None,
+            bloom_key=_common_bloom_key(stats, touched_entries),
+            # survivors are a subset of rows that already passed their
+            # write-time CHECKs (and add-time validation): no re-probe
+            enforce_constraints=False,
+            op_meta={"name": "delete", "mode": "copy-on-write",
+                     "condition": condition},
+            change_df=change_df,
+            carry_dvs=carry_dvs,
+        )
+    except SnapshotConflictError:
+        if new_dv_dir is not None:
+            import shutil
+
+            shutil.rmtree(new_dv_dir, ignore_errors=True)
+        raise
     return {"version": version, "n_deleted": n_deleted,
             "files_rewritten": len(touched), "files_carried": len(carried),
             **extra}
@@ -2802,8 +2896,9 @@ def update_snapshot(
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         man = json.load(fh)
     entries = man["dirs"]
+    # pending deletion vectors COMPOSE (DV-aware rewrite, like DELETE);
+    # predicate MoR deletes / schema ops still require materialization
     for plane, msg in (("deletes", "merge-on-read delete(s)"),
-                       ("dvs", "deletion vector(s)"),
                        ("schema_ops", "rename/drop schema op(s)")):
         if man.get(plane):
             raise ValueError(
@@ -2857,6 +2952,7 @@ def update_snapshot(
     if not scan_entries:
         return {"version": latest, "n_updated": 0,
                 "files_rewritten": 0, "files_carried": 0, **extra}
+    dvs_pending = man.get("dvs", [])
     df = spark.read.option("mergeSchema", "true").parquet(*scan_entries)
     for c in set_exprs:
         if c not in df.columns:
@@ -2864,10 +2960,19 @@ def update_snapshot(
                 f"UPDATE SET names unknown column {c!r} at {path} — "
                 f"the schema has {df.columns}"
             )
+    # positional identity stamped at scan level: pending deletion
+    # vectors anti-join away before matching (a dead row cannot match,
+    # update, or reach the change feed)
+    df = df.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
+        "__ri", F.col("_metadata.row_index")
+    )
+    if dvs_pending:
+        df = df.join(_dv_frame(spark, dvs_pending), ["__fp", "__ri"],
+                     "left_anti")
     cond = F.expr(condition)
     per_file = (
         df.where(cond)
-        .groupBy(F.input_file_name().alias("f"))
+        .groupBy(F.col("__fp").alias("f"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -2896,7 +3001,19 @@ def update_snapshot(
                         carry_parts[f] = part
                     if bloom:
                         carry_blooms[f] = bloom
-    base_touched = spark.read.option("mergeSchema", "true").parquet(*touched)
+    base_touched = (
+        spark.read.option("mergeSchema", "true").parquet(*touched)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    if dvs_pending:
+        # DV-aware rewrite: the touched files' dead rows materialize out
+        # here (they are simply not re-written), untouched files keep
+        # their vectors via the remainder plane below
+        base_touched = base_touched.join(
+            _dv_frame(spark, dvs_pending), ["__fp", "__ri"], "left_anti"
+        )
+    base_touched = base_touched.drop("__fp", "__ri")
     dtypes = dict(base_touched.dtypes)
     # evaluate the condition ONCE on the PRE-update row (a SET that
     # changes a column the condition references must not flip matching
@@ -2921,22 +3038,36 @@ def update_snapshot(
                 .withColumn("_change_type", F.lit("update_postimage"))
             )
         )
-    version = write_snapshot(
-        rewritten,
-        path,
-        mode="replace",
-        base_version=latest,
-        carry=carried,
-        partition_by=_common_partition_col(stats, touched_entries),
-        carry_partitions=carry_parts or None,
-        carry_blooms=carry_blooms or None,
-        bloom_key=_common_bloom_key(stats, touched_entries),
-        # an UPDATE can introduce violations: keep write-time CHECKs ON
-        enforce_constraints=True,
-        op_meta={"name": "update", "condition": condition,
-                 "set": dict(set_exprs)},
-        change_df=change_df,
-    )
+    carry_dvs, new_dv_dir = (None, None)
+    if dvs_pending:
+        carry_dvs, new_dv_dir = _dv_remainder(
+            spark, path, dvs_pending, [r["f"] for r in per_file],
+            latest + 1,
+        )
+    try:
+        version = write_snapshot(
+            rewritten,
+            path,
+            mode="replace",
+            base_version=latest,
+            carry=carried,
+            partition_by=_common_partition_col(stats, touched_entries),
+            carry_partitions=carry_parts or None,
+            carry_blooms=carry_blooms or None,
+            bloom_key=_common_bloom_key(stats, touched_entries),
+            # an UPDATE can introduce violations: keep write-time CHECKs ON
+            enforce_constraints=True,
+            op_meta={"name": "update", "condition": condition,
+                     "set": dict(set_exprs)},
+            change_df=change_df,
+            carry_dvs=carry_dvs,
+        )
+    except SnapshotConflictError:
+        if new_dv_dir is not None:
+            import shutil
+
+            shutil.rmtree(new_dv_dir, ignore_errors=True)
+        raise
     return {"version": version, "n_updated": n_updated,
             "files_rewritten": len(touched), "files_carried": len(carried),
             **extra}
@@ -3019,14 +3150,16 @@ def merge_into_snapshot(
             return {"version": int(rec["commit"]), "n_changes": None,
                     "files_rewritten": 0, "files_carried": 0,
                     "entries_scanned": 0, "entries_pruned": 0}
+    # pending deletion vectors COMPOSE (DV-aware rewrite, like DELETE /
+    # UPDATE); predicate MoR deletes / schema ops still materialize first
     for plane, msg in (("deletes", "merge-on-read delete(s)"),
-                       ("dvs", "deletion vector(s)"),
                        ("schema_ops", "rename/drop schema op(s)")):
         if man.get(plane):
             raise ValueError(
                 f"MERGE over pending {msg} at {path} — carried files would "
                 "bypass them; compact_snapshot first"
             )
+    dvs_pending = man.get("dvs", [])
     entries = man["dirs"]
     stats = man.get("stats", {})
     # pin ONE evaluation of the caller's plan: the changeset feeds the
@@ -3112,23 +3245,37 @@ def merge_into_snapshot(
     extra = {"entries_scanned": len(scan_entries),
              "entries_pruned": len(pruned)}
     matching: set = set()
+    matched_uris: list = []
     if not_matched_by_source == "delete":
         matching = {
             os.path.realpath(f) for e in scan_entries
             for f in _entry_files(e)
         }
     elif scan_entries:
-        per_file = (
+        # positional identity stamped at SCAN level (before any join —
+        # like input_file_name, _metadata is per-source); pending
+        # deletion vectors anti-join away so a positionally-dead row can
+        # neither mark its file touched nor count as a matched base row
+        probe = (
             spark.read.option("mergeSchema", "true").parquet(*scan_entries)
-            # stamp the file BEFORE the join: input_file_name() is
-            # ambiguous (and refused) once a second source joins in
-            .withColumn("__f", F.input_file_name())
-            .join(keys, key, "semi")
+            .withColumn("__f", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        if dvs_pending:
+            probe = probe.join(
+                _dv_frame(spark, dvs_pending).withColumnRenamed(
+                    "__fp", "__f"
+                ),
+                ["__f", "__ri"], "left_anti",
+            )
+        per_file = (
+            probe.join(keys, key, "semi")
             .groupBy("__f")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        matching = {os.path.realpath(_strip_file_uri(r["__f"])) for r in per_file}
+        matched_uris = [r["__f"] for r in per_file]
+        matching = {os.path.realpath(_strip_file_uri(u)) for u in matched_uris}
     carried, touched, touched_entries = list(pruned), [], []
     carry_parts: dict = {}
     carry_blooms: dict = {}
@@ -3149,14 +3296,28 @@ def merge_into_snapshot(
                         carry_parts[f] = part
                     if bloom:  # ...and its (superset) bloom sidecar
                         carry_blooms[f] = bloom
-    base_touched = (
+    if touched:
         # mergeSchema: touched files may span evolved commits, and the
-        # merge output must keep every column
-        spark.read.option("mergeSchema", "true").parquet(*touched)
-        if touched
-        else spark.read.option("mergeSchema", "true")
-        .parquet(*entries).limit(0)  # pure-insert changeset
-    )
+        # merge output must keep every column. Pending deletion vectors
+        # anti-join away: the merge must not resurrect (or "update") a
+        # positionally-dead base row — its vector materializes out with
+        # this very rewrite.
+        base_touched = (
+            spark.read.option("mergeSchema", "true").parquet(*touched)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        if dvs_pending:
+            base_touched = base_touched.join(
+                _dv_frame(spark, dvs_pending), ["__fp", "__ri"],
+                "left_anti",
+            )
+        base_touched = base_touched.drop("__fp", "__ri")
+    else:
+        base_touched = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*entries).limit(0)  # pure-insert changeset
+        )
     # validate=True forwards merge_into's one-changeset-row-per-key guard
     # (SQL MERGE's "multiple source rows matched" error) at the cost of
     # one aggregate over the changeset
@@ -3213,25 +3374,44 @@ def merge_into_snapshot(
                 .select(*[F.col(x) for x in bcols])
                 .withColumn("_change_type", F.lit("delete"))
             )
+    # the surviving DV plane: touched files' vectors materialized out by
+    # the rewrite; the full-sync clause rewrites every visible file, so
+    # its plane always clears outright
+    carry_dvs, new_dv_dir = (None, None)
+    if dvs_pending:
+        if not_matched_by_source == "delete":
+            carry_dvs = []
+        else:
+            carry_dvs, new_dv_dir = _dv_remainder(
+                spark, path, dvs_pending, matched_uris, latest + 1
+            )
     # a partitioned table's merge output (matched rewrites + inserts)
     # re-commits under the same spec — but only when the WHOLE visible
     # table shares it (inserts may land in any partition)
-    version = write_snapshot(
-        merged, path, mode="replace", base_version=latest, carry=carried,
-        txn_id=txn_id,
-        partition_by=(
-            _common_partition_col(stats, entries) if entries else None
-        ),
-        carry_partitions=carry_parts or None,
-        carry_blooms=carry_blooms or None,
-        # the merge output (rewrites + inserts) gets a fresh sidecar when
-        # the whole visible table is bloom-indexed on the merge key space
-        bloom_key=_common_bloom_key(stats, entries) if entries else None,
-        op_meta={"name": "merge", "key": key,
-                 **({"not_matched_by_source": not_matched_by_source}
-                    if not_matched_by_source else {})},
-        change_df=change_df,
-    )
+    try:
+        version = write_snapshot(
+            merged, path, mode="replace", base_version=latest, carry=carried,
+            txn_id=txn_id,
+            partition_by=(
+                _common_partition_col(stats, entries) if entries else None
+            ),
+            carry_partitions=carry_parts or None,
+            carry_blooms=carry_blooms or None,
+            # the merge output (rewrites + inserts) gets a fresh sidecar when
+            # the whole visible table is bloom-indexed on the merge key space
+            bloom_key=_common_bloom_key(stats, entries) if entries else None,
+            op_meta={"name": "merge", "key": key,
+                     **({"not_matched_by_source": not_matched_by_source}
+                        if not_matched_by_source else {})},
+            change_df=change_df,
+            carry_dvs=carry_dvs,
+        )
+    except SnapshotConflictError:
+        if new_dv_dir is not None:
+            import shutil
+
+            shutil.rmtree(new_dv_dir, ignore_errors=True)
+        raise
     return {"version": version, "n_changes": n_changes,
             "files_rewritten": len(touched), "files_carried": len(carried),
             **extra}

@@ -2656,17 +2656,11 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     # appends after DV commits are unaffected; the plane carries
     sinks.write_snapshot(mk(200, 210), path)                          # v5
     assert sinks.read_snapshot(spark, path).count() == 170
-    # raw-file consumers refuse while vectors are pending
+    # raw-file consumers refuse while vectors are pending (DML no longer
+    # does — COW DELETE/UPDATE/MERGE now COMPOSE with pending vectors,
+    # covered by test_dv_aware_dml_composition)
     with pytest.raises(ValueError, match="deletion vector"):
         sinks.snapshot_stream_source(spark, path)
-    with pytest.raises(ValueError, match="deletion vector"):
-        sinks.delete_from_snapshot(spark, path, "k = 5")  # COW refuses
-    with pytest.raises(ValueError, match="deletion vector"):
-        sinks.merge_into_snapshot(
-            spark, path,
-            spark.createDataFrame([(1, -1, "U")], "k int, v int, op string"),
-            key="k",
-        )
     # compaction materializes the vectors and clears the plane
     cinfo = sinks.compact_snapshot(spark, path)
     assert cinfo["mode"] == "full", cinfo
@@ -3029,3 +3023,91 @@ def test_r13_advice_fixes(spark, tmp_path):
     kinds = {(r["doc_id"], r["_change_type"]) for r in feed.collect()}
     assert (1, "update_preimage") in kinds and (1, "update_postimage") in kinds
     assert (3, "insert") in kinds
+
+
+def test_dv_aware_dml_composition(spark, tmp_path):
+    """DELETE / UPDATE / MERGE compose with PENDING deletion vectors
+    (Delta's DV-aware DML) instead of refusing: the rewrite anti-joins
+    the vectors (a positionally-dead row can neither match, update, nor
+    be resurrected by a merge), the touched files' vectors materialize
+    out with the rewrite, untouched DATA files stay byte-identical and
+    their dead rows stay dead, and the change feed reports only live
+    rows. A follow-up compaction still clears everything."""
+    import json
+    import os
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "dvdml")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 4), i * 10) for i in range(100)],
+        "id int, g string, v int",
+    )
+    # two commits so some files stay untouched by later DML
+    sinks.write_snapshot(df.where("id < 50"), path, cdf=True)     # v1
+    sinks.write_snapshot(df.where("id >= 50"), path)              # v2
+    # v3: DV delete — every multiple of 10 dies positionally
+    d = sinks.delete_from_snapshot(spark, path, "id % 10 = 0",
+                                   mode="deletion-vector")
+    assert d["files_rewritten"] == 0 and d["n_deleted"] == 10, d
+
+    # --- copy-on-write DELETE over the pending vectors (v4)
+    # deletes ids 5..14; id 10 is ALREADY dead → must not re-count
+    d2 = sinks.delete_from_snapshot(spark, path,
+                                    "id >= 5 AND id <= 14")
+    assert d2["n_deleted"] == 9, d2
+    with open(os.path.join(path, "_manifests", "v4.json")) as fh:
+        man4 = json.load(fh)
+    # the untouched half's vectors survive as a (consolidated) plane
+    assert man4.get("dvs"), man4.get("dvs")
+    out = sinks.read_snapshot(spark, path)
+    want = {i for i in range(100) if i % 10 != 0 and not (5 <= i <= 14)}
+    assert {r["id"] for r in out.select("id").collect()} == want
+    # v2's data files were never rewritten (byte-identical carry)
+    with open(os.path.join(path, "_manifests", "v2.json")) as fh:
+        man2 = json.load(fh)
+    assert any(e in man4["dirs"] for e in man2["dirs"])
+
+    # --- UPDATE over the pending vectors (v5): bump every id < 25;
+    # dead rows in that range (id 0,20,5..14 gone) must NOT update
+    u = sinks.update_snapshot(spark, path, "id < 25",
+                              {"v": "v + 100000"})
+    n_live_lt25 = len([i for i in want if i < 25])
+    assert u["n_updated"] == n_live_lt25, (u, n_live_lt25)
+    out5 = sinks.read_snapshot(spark, path)
+    assert out5.where("v >= 100000").count() == n_live_lt25
+    assert {r["id"] for r in out5.select("id").collect()} == want
+    # CDF through the composition: only live rows appear in the feed
+    feed = sinks.read_snapshot_changes(spark, path, 4, 5, row_level=True)
+    pre = {r["id"] for r in feed.where(
+        "_change_type = 'update_preimage'").collect()}
+    assert pre == {i for i in want if i < 25}
+
+    # --- MERGE over pending vectors: fresh table, DV delete, then a
+    # changeset that updates a live key AND upserts a dead key
+    p2 = str(tmp_path / "dvmerge")
+    base = spark.createDataFrame(
+        [(i, "s", i) for i in range(20)], "doc_id int, s string, v int"
+    )
+    sinks.write_snapshot(base, p2)                                 # v1
+    sinks.delete_from_snapshot(spark, p2, "doc_id = 7",
+                               mode="deletion-vector")             # v2
+    ch = spark.createDataFrame(
+        [(3, "upd", 333, "U"), (7, "res", 777, "U")],
+        "doc_id int, s string, v int, op string",
+    )
+    m = sinks.merge_into_snapshot(spark, p2, ch, key="doc_id")     # v3
+    assert m["n_changes"] == 2, m
+    got = {r["doc_id"]: (r["s"], r["v"])
+           for r in sinks.read_snapshot(spark, p2).collect()}
+    assert got[3] == ("upd", 333)
+    # the dead key RE-INSERTS as the changeset row (it was not a live
+    # match), never resurrects the old row
+    assert got[7] == ("res", 777)
+    assert len(got) == 20
+    # the touched-file vectors materialized out; plane state is exact:
+    # a full compaction still converges to the same content
+    sinks.compact_snapshot(spark, p2, full=True)
+    got2 = {r["doc_id"]: (r["s"], r["v"])
+            for r in sinks.read_snapshot(spark, p2).collect()}
+    assert got2 == got
