@@ -1170,6 +1170,7 @@ def write_snapshot(
     change_df: DataFrame | None = None,
     carry_dvs: list | None = None,
     carry_partition_meta: dict | None = None,
+    rebase_attempts: int = 10,
 ) -> int:
     """SNAPSHOT write (Iceberg/Delta-lite time travel): each call lands
     its data files under a WRITER-UNIQUE dir ``path/data/v{N}-{token}/``
@@ -1191,6 +1192,20 @@ def write_snapshot(
     is raised (the loser re-reads and retries); the winner's manifest is
     never clobbered. On a real object store the same atomic point is a
     conditional PUT (If-None-Match) on the manifest key.
+
+    APPEND REBASE (Delta WriteSerializable): a BLIND append (no
+    ``base_version``) that loses the race does NOT fail — its data dirs
+    are immutable and writer-unique, so it simply re-reads the new head
+    and re-publishes its already-written entries against it (planes,
+    txn map, constraints and the cdf property re-derived from the new
+    head; a concurrently-added CHECK re-probes the delta; a replayed
+    txn discovered on rebase reclaims the duplicate and no-ops), up to
+    ``rebase_attempts`` times. Two interleaved appenders — or an
+    appender racing a compaction — BOTH land without re-running either
+    job; DESCRIBE HISTORY shows the rebased commit with
+    ``op_params.rebased``. Read-modify-write commits (``base_version``
+    pinned, DV-plane rewrites) still raise: their CONTENT depends on
+    the state they read, so only the caller can safely retry.
 
     ``txn_id`` (the Delta txnAppId/txnVersion pattern, ``"app:version"``):
     an idempotence token recorded in the manifest's ``txns`` map, which
@@ -1521,17 +1536,93 @@ def write_snapshot(
         manifest["schema_ops"] = schema_ops
     if constraints:
         manifest["constraints"] = constraints
-    try:
-        _publish_manifest(man_dir, n, manifest)
-    except SnapshotConflictError:
+    new_stats = {e: stats[e] for e in new_entries}
+
+    def _reclaim() -> None:
         # loser's orphan data: ours, safe to drop (already gone for an
         # empty partitioned delta), plus any sidecar/change plane it wrote
         shutil.rmtree(data_dir, ignore_errors=True)
         _drop_bloom(path, os.path.basename(data_dir))
         if change_dir is not None:
             shutil.rmtree(change_dir, ignore_errors=True)
-        raise
-    return n
+
+    while True:
+        try:
+            _publish_manifest(man_dir, n, manifest)
+            return n
+        except SnapshotConflictError:
+            # APPEND REBASE (Delta WriteSerializable's non-conflicting-
+            # commit rule): a BLIND append that lost the publish race
+            # re-reads the new head and re-commits its already-written
+            # entries — data dirs are immutable and writer-unique, so
+            # only the manifest link ever races; two interleaved
+            # appenders (or an appender racing a compaction) BOTH land
+            # without re-running either job. Pinned commits
+            # (base_version — replace/DML/compaction reads a specific
+            # state) and DV-plane rewrites still raise: their content
+            # depends on the base they read, so the CALLER must re-read
+            # and re-run (maintain_snapshot's retry loop does).
+            if not (mode == "append" and base_version is None
+                    and carry_dvs is None and rebase_attempts > 0):
+                _reclaim()
+                raise
+            rebase_attempts -= 1
+            head = _latest_version(man_dir)
+            with open(os.path.join(man_dir, f"v{head}.json")) as fh:
+                latest = json.load(fh)
+            txns = _normalize_txns(latest.get("txns", {}))
+            if txn_id is not None:
+                rec = txns.get(app)
+                if rec is not None and ver <= int(rec["v"]):
+                    # the racer was our own replayed batch: already
+                    # committed — reclaim the duplicate delta, no-op
+                    _reclaim()
+                    return int(rec["commit"])
+                txns[app] = {"v": ver, "commit": head + 1}
+            new_constraints = latest.get("constraints", {})
+            if (new_constraints != constraints and new_constraints
+                    and enforce_constraints and new_entries):
+                # the interleaved commit changed the CHECK set: our
+                # already-written delta must satisfy the NEW truth
+                from functools import reduce
+
+                from pyspark.sql import functions as F
+
+                bad = (
+                    df.sparkSession.read.parquet(*new_entries)
+                    .where(reduce(
+                        lambda a, b: a | b,
+                        [~F.expr(e) for e in new_constraints.values()],
+                    ))
+                    .limit(1).collect()
+                )
+                if bad:
+                    _reclaim()
+                    raise ValueError(
+                        "a CHECK constraint added concurrently is "
+                        f"violated by appended row {bad[0].asDict()!r} — "
+                        "commit refused, data removed"
+                    )
+            constraints = new_constraints
+            cdf_on = cdf or bool(latest.get("cdf"))
+            prev = latest["dirs"]
+            prev_stats = latest.get("stats", {})
+            n = head + 1
+            stats = {e: prev_stats.get(e) or _entry_stats(e) for e in prev}
+            stats.update(new_stats)
+            op = dict(op_meta) if op_meta else {"name": mode}
+            op["rebased"] = True
+            manifest = {"version": n, "dirs": prev + new_entries,
+                        "txns": txns, "stats": stats, "op": op}
+            if cdf_on:
+                manifest["cdf"] = True
+            if change_dir is not None:
+                manifest["change_data"] = change_dir
+            for plane in ("deletes", "dvs", "schema_ops"):
+                if latest.get(plane):
+                    manifest[plane] = latest[plane]
+            if new_constraints:
+                manifest["constraints"] = new_constraints
 
 
 def read_snapshot(

@@ -3111,3 +3111,80 @@ def test_dv_aware_dml_composition(spark, tmp_path):
     got2 = {r["doc_id"]: (r["s"], r["v"])
             for r in sinks.read_snapshot(spark, p2).collect()}
     assert got2 == got
+
+
+def test_append_rebase_on_conflict(spark, tmp_path, monkeypatch):
+    """Two interleaved appenders BOTH land (Delta WriteSerializable):
+    the loser re-reads the head and re-publishes its already-written
+    entries instead of re-running the job; an appender racing a
+    compaction rebases onto the compacted head; a pinned commit
+    (base_version) still raises; DESCRIBE HISTORY shows both commits
+    with the rebased marker."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i) for i in range(lo, hi)], "k int, v int"
+    )
+    path = str(tmp_path / "rebase")
+    sinks.write_snapshot(mk(0, 100), path)                         # v1
+
+    real_pub = sinks._publish_manifest
+    state = {"fired": False}
+
+    def racy(man_dir, n, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            sinks.write_snapshot(mk(100, 110), path)  # competitor wins v2
+        return real_pub(man_dir, n, manifest)
+
+    monkeypatch.setattr(sinks, "_publish_manifest", racy)
+    v = sinks.write_snapshot(mk(200, 220), path)                   # loser
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+    assert v == 3, v                                   # rebased onto v2
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 130                          # BOTH appends live
+    hist = sinks.snapshot_history(path)
+    assert hist[-1]["op"] == "append"
+    assert hist[-1]["op_params"].get("rebased") is True
+    assert hist[-2]["op"] == "append"                  # the competitor
+
+    # appender racing a compaction: rebases onto the compacted head
+    state["fired"] = False
+
+    def racy2(man_dir, n, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            sinks.compact_snapshot(spark, path, full=True)
+        return real_pub(man_dir, n, manifest)
+
+    monkeypatch.setattr(sinks, "_publish_manifest", racy2)
+    v2 = sinks.write_snapshot(mk(300, 310), path)
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+    assert v2 == 5, v2                  # compact took v4, append rebased
+    assert sinks.read_snapshot(spark, path).count() == 140
+
+    # a PINNED append (read-modify-write contract) still raises
+    state["fired"] = False
+    monkeypatch.setattr(sinks, "_publish_manifest", racy)
+    with pytest.raises(sinks.SnapshotConflictError):
+        sinks.write_snapshot(mk(400, 410), path, base_version=v2)
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+
+    # a replayed txn discovered ON rebase reclaims and no-ops
+    pr = str(tmp_path / "rebase_txn")
+    sinks.write_snapshot(mk(0, 10), pr, txn_id="app:1")            # v1
+    state["fired"] = False
+
+    def racy3(man_dir, n, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            sinks.write_snapshot(mk(10, 20), pr, txn_id="app:2")
+        return real_pub(man_dir, n, manifest)
+
+    monkeypatch.setattr(sinks, "_publish_manifest", racy3)
+    v3 = sinks.write_snapshot(mk(10, 20), pr, txn_id="app:2")  # same batch
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+    assert v3 == 2, v3                       # the racer's commit, reused
+    assert sinks.read_snapshot(spark, pr).count() == 20  # no double rows
