@@ -1907,6 +1907,97 @@ ORDER BY source
 """
 
 
+def q_snapshot_days_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING, days transform (write_snapshot(
+    partition_by="days(o_orderdate)") — Iceberg's days() partition
+    field): January-1995 orders land day-partitioned with NO
+    materialized day column, then a DATE-RANGE read_snapshot_where
+    prunes the out-of-range day entries on the manifest alone —
+    counter-asserted via inputFiles (the pruned plan opens strictly
+    fewer files than the full table). Oracle: the same range filter in
+    SQL."""
+    from naru_spark.sources.sinks import (
+        read_snapshot,
+        read_snapshot_where,
+        write_snapshot,
+    )
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).where("o_orderdate >= '1995-01-01' AND o_orderdate <= '1995-01-31'")
+    path = _tmpdir(prefix="orders_snap_days_") + "/orders"
+    write_snapshot(orders, path, partition_by="days(o_orderdate)")
+    full_files = len(read_snapshot(spark, path).inputFiles())
+    q = read_snapshot_where(
+        spark, path,
+        "o_orderdate >= '1995-01-10' AND o_orderdate <= '1995-01-20'",
+    )
+    pruned_files = len(q.inputFiles())
+    assert 0 < pruned_files < full_files, (pruned_files, full_files)
+    return (
+        q.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_snapshot_days_transform() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*) AS n,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-10' AND o_orderdate <= DATE '1995-01-20'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_snapshot_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING, bucket transform (write_snapshot(
+    partition_by="bucket(16,doc_id)") — Iceberg's bucket() field for
+    high-cardinality keys): the corpus lands in 16 hash buckets, then a
+    point/IN-list read_snapshot_where prunes to the buckets holding the
+    probe keys (xxhash64 computed probe-side under the stamped dtype,
+    exactly like the bloom sidecars) — counter-asserted via inputFiles.
+    The auto-pruned DELETE composes on the same stamps. Oracle: the
+    IN-list in SQL."""
+    from naru_spark.sources.sinks import (
+        delete_from_snapshot,
+        read_snapshot,
+        read_snapshot_where,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_bucket_") + "/docs"
+    write_snapshot(docs, path, partition_by="bucket(16,doc_id)")
+    full_files = len(read_snapshot(spark, path).inputFiles())
+    q = read_snapshot_where(spark, path, "doc_id IN (3, 44, 171)")
+    pruned_files = len(q.inputFiles())
+    assert 0 < pruned_files < full_files, (pruned_files, full_files)
+    # DELETE rides the same bucket stamps (counter-asserted), and the
+    # survivors re-commit under the same transformed spec
+    info = delete_from_snapshot(spark, path, "doc_id = 9")
+    assert info["n_deleted"] == 1 and info["entries_pruned"] >= 1, info
+    out = read_snapshot_where(spark, path, "doc_id IN (3, 44, 171, 9)")
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+def sql_snapshot_bucket_transform() -> str:
+    return """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id IN (3, 44, 171)
+ORDER BY doc_id
+"""
+
+
 def q_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only table stats per snapshot version
     (sources.sinks.snapshot_stats — Iceberg's snapshots metadata table):
@@ -3215,6 +3306,8 @@ def build_ops_registry():
         "snapshot_delete_dv": q_snapshot_delete_dv,
         "snapshot_update_over_dv": q_snapshot_update_over_dv,
         "snapshot_merge_over_dv": q_snapshot_merge_over_dv,
+        "snapshot_days_transform": q_snapshot_days_transform,
+        "snapshot_bucket_transform": q_snapshot_bucket_transform,
         "snapshot_update_where": q_snapshot_update_where,
         "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
@@ -3280,6 +3373,8 @@ def build_ops_registry():
         "snapshot_delete_dv": sql_snapshot_delete_dv(),
         "snapshot_update_over_dv": sql_snapshot_update_over_dv(),
         "snapshot_merge_over_dv": sql_snapshot_merge_over_dv(),
+        "snapshot_days_transform": sql_snapshot_days_transform(),
+        "snapshot_bucket_transform": sql_snapshot_bucket_transform(),
         "snapshot_update_where": sql_snapshot_update_where(),
         "snapshot_merge_sync": sql_snapshot_merge_sync(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),

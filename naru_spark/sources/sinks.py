@@ -710,6 +710,244 @@ def _entry_partition_match(stat: dict | None, col: str, want: set) -> bool:
     return True if v is None else v in want
 
 
+def _parse_spec_string(s: str) -> dict | None:
+    """One partition-spec element (Iceberg hidden-partitioning syntax)
+    -> {"spec": canonical string, "col", "t", "param"}: a bare column
+    name (identity), ``days(col)`` (epoch-day of a timestamp/date),
+    ``bucket(n, col)`` (xxhash64 mod n), or ``truncate(w, col)`` (int
+    floor-to-width / string prefix). The CANONICAL spelling is the
+    per-entry stamp key, so writes, rewrites, and probes all compare
+    the same string. None for anything unparseable."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
+        return {"spec": s, "col": s, "t": "identity", "param": None}
+    m = re.fullmatch(r"days\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", s)
+    if m:
+        return {"spec": f"days({m.group(1)})", "col": m.group(1),
+                "t": "days", "param": None}
+    m = re.fullmatch(
+        r"bucket\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", s
+    )
+    if m:
+        return {"spec": f"bucket({int(m.group(1))},{m.group(2)})",
+                "col": m.group(2), "t": "bucket", "param": int(m.group(1))}
+    m = re.fullmatch(
+        r"truncate\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", s
+    )
+    if m:
+        return {"spec": f"truncate({int(m.group(1))},{m.group(2)})",
+                "col": m.group(2), "t": "truncate",
+                "param": int(m.group(1))}
+    return None
+
+
+def _parse_partition_spec(partition_by) -> list[dict]:
+    """Parse ``write_snapshot(partition_by=...)`` — a spec element or a
+    list of them — into spec dicts; raises on anything unparseable (a
+    typo'd transform must not silently become an identity column)."""
+    specs = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    out = []
+    for s in specs:
+        sp = _parse_spec_string(str(s).strip())
+        if sp is None:
+            raise ValueError(
+                f"unparseable partition spec element {s!r} — expected a "
+                "column name, days(col), bucket(n, col), or "
+                "truncate(w, col)"
+            )
+        out.append(sp)
+    return out
+
+
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _partition_transform_expr(sp: dict, dtype: str):
+    """The WRITE-side Spark expression for one spec element — the value
+    every row's partition directory is named by. Must stay in lockstep
+    with ``_transform_probe_values`` (the probe side) or pruning would
+    silently eliminate entries that hold matching rows."""
+    from pyspark.sql import functions as F
+
+    c = F.col(sp["col"])
+    t = sp["t"]
+    if t == "identity":
+        return c
+    if t == "days":
+        if not (dtype.startswith("timestamp") or dtype == "date"):
+            raise ValueError(
+                f"days({sp['col']}) needs a timestamp/date column, "
+                f"got {dtype!r}"
+            )
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if t == "bucket":
+        if dtype not in _INT_DTYPES + ("string",):
+            raise ValueError(
+                f"bucket(n, {sp['col']}) needs an int or string column, "
+                f"got {dtype!r} (float keys don't hash stably)"
+            )
+        return F.pmod(F.xxhash64(c), F.lit(sp["param"])).cast("int")
+    if t == "truncate":
+        if dtype in _INT_DTYPES:
+            return (c - F.pmod(c, F.lit(sp["param"]))).cast("bigint")
+        if dtype == "string":
+            return F.substring(c, 1, sp["param"])
+        raise ValueError(
+            f"truncate(w, {sp['col']}) needs an int or string column, "
+            f"got {dtype!r}"
+        )
+    raise AssertionError(t)
+
+
+def _parse_day(v) -> int | None:
+    """Epoch-day number of a probe value (datetime/date/ISO string) —
+    the Python twin of the ``days`` write expression (session runs UTC;
+    both sides take the literal's calendar date). None = unparseable
+    (the caller must keep the entry)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return (v.date() - datetime.date(1970, 1, 1)).days
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, str):
+        try:
+            dt = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        return (dt.date() - datetime.date(1970, 1, 1)).days
+    return None
+
+
+def _transform_probe_values(spark, t: str, param, dtype, values):
+    """Transformed probe values as dir-name strings, or None when any
+    probe cannot be SAFELY transformed (type mismatch / unparseable —
+    the caller keeps the entry, never wrongly prunes). ``bucket`` runs
+    one tiny Spark job so the JVM xxhash64 is bit-identical to the
+    write side, with probes cast to the STAMPED column dtype (xxhash64
+    is type-sensitive, exactly like the bloom sidecars)."""
+    from pyspark.sql import functions as F
+
+    if t == "days":
+        days = [_parse_day(v) for v in values]
+        if any(d is None for d in days):
+            return None
+        return {str(d) for d in days}
+    ints = all(
+        isinstance(v, int) and not isinstance(v, bool) for v in values
+    )
+    strs = all(isinstance(v, str) for v in values)
+    if t == "truncate":
+        if ints and dtype in _INT_DTYPES:
+            return {str(v - (v % param)) for v in values}
+        if strs and dtype == "string":
+            return {v[:param] for v in values}
+        return None
+    if t == "bucket":
+        if not ((ints and dtype in _INT_DTYPES)
+                or (strs and dtype == "string")):
+            return None
+        src = "bigint" if ints else "string"
+        rows = (
+            spark.createDataFrame([(v,) for v in values], f"v {src}")
+            .select(
+                F.pmod(F.xxhash64(F.col("v").cast(dtype)), F.lit(param))
+                .cast("int").alias("b")
+            )
+            .collect()
+        )
+        return {str(r["b"]) for r in rows}
+    return None
+
+
+def _entry_stamp_for(stat: dict | None, col: str):
+    """This entry's partition stamp for probe column ``col``: returns
+    (stamp_key, spec dict) — the identity key or the transformed spec
+    whose source column is ``col`` — or (None, None) when unstamped."""
+    part = (stat or {}).get("partition") or {}
+    if col in part:
+        return col, {"spec": col, "col": col, "t": "identity",
+                     "param": None}
+    for k in part:
+        sp = _parse_spec_string(k)
+        if sp is not None and sp["t"] != "identity" and sp["col"] == col:
+            return k, sp
+    return None, None
+
+
+def _partition_surviving_entries(
+    spark, entries, stats: dict, col: str, values
+) -> list:
+    """Entries that MAY hold rows with ``col`` equal to some probe
+    value, per their identity OR TRANSFORMED partition stamps (Iceberg
+    hidden partitioning: the probe is the SOURCE-column value, the
+    transform is applied here — the caller never materializes a derived
+    column). Identity stamps compare as ``str(value)`` (the documented
+    contract); transformed stamps transform the probes through the
+    stamped dtype, keeping the entry whenever the transform cannot be
+    applied safely. Unstamped entries always survive."""
+    want_ident = {str(v) for v in values}
+    cache: dict = {}
+    kept = []
+    for e in entries:
+        st = stats.get(e)
+        key, sp = _entry_stamp_for(st, col)
+        if key is None:
+            kept.append(e)
+            continue
+        if sp["t"] == "identity":
+            if st["partition"][key] in want_ident:
+                kept.append(e)
+            continue
+        dtype = (
+            ((st.get("partition_meta") or {}).get(key)) or {}
+        ).get("dtype")
+        ck = (sp["t"], sp["param"], dtype)
+        if ck not in cache:
+            cache[ck] = _transform_probe_values(
+                spark, sp["t"], sp["param"], dtype, list(values)
+            )
+        tw = cache[ck]
+        if tw is None or st["partition"][key] in tw:
+            kept.append(e)
+    return kept
+
+
+def _partition_range_surviving(entries, stats: dict, col: str, rng) -> list:
+    """Entries that may hold rows with ``col`` in the [lo, hi] range
+    (either side None = unbounded), per a ``days(col)`` transformed
+    stamp — the hint that lets a TIMESTAMP-RANGE read prune day
+    partitions without a materialized day column (``days`` is monotone,
+    so day(lo) <= stamped day <= day(hi) is covering by construction).
+    Entries with no days stamp for this column, and ranges that do not
+    parse as dates, keep everything (cannot skip)."""
+    lo, hi = rng
+    lo_d = _parse_day(lo) if lo is not None else None
+    hi_d = _parse_day(hi) if hi is not None else None
+    if (lo is not None and lo_d is None) or (
+        hi is not None and hi_d is None
+    ):
+        return list(entries)
+    kept = []
+    for e in entries:
+        key, sp = _entry_stamp_for(stats.get(e), col)
+        if key is None or sp["t"] != "days":
+            kept.append(e)
+            continue
+        try:
+            d = int((stats.get(e) or {}).get("partition", {})[key])
+        except (TypeError, ValueError):
+            kept.append(e)  # NULL partition dir etc.: cannot skip
+            continue
+        if (lo_d is None or d >= lo_d) and (hi_d is None or d <= hi_d):
+            kept.append(e)
+    return kept
+
+
 def _common_bloom_key(stats: dict, entries) -> str | None:
     """The single bloom key column shared by ALL given entries' sidecar
     metas, or None. Rewrite paths re-stamp their output under it, so a
@@ -774,11 +1012,14 @@ def _condition_prune_hints(condition: str) -> dict | None:
     (every row matching the whole condition matches each term, so
     pruning on any term's box/keys never drops a match). Returns
     {"prune": {col: (lo, hi)}, "keys": {col: [values]},
-    "partitions": {col: [strings]}}: boxes from every term (±inf for
-    one-sided numeric ranges; one-sided STRING ranges contribute
-    nothing — no total order vs ±inf), key lists and partition strings
-    from equality/IN terms only (partition values only for int/str
-    literals — float dir-name round-trips are not exact)."""
+    "partitions": {col: [strings]}, "ranges": {col: (lo|None,
+    hi|None)}}: boxes from every term (±inf for one-sided numeric
+    ranges; one-sided STRING ranges contribute nothing — no total
+    order vs ±inf), key lists and partition strings from equality/IN
+    terms only (partition values only for int/str literals — float
+    dir-name round-trips are not exact), and STRING-literal ranges
+    (one- and two-sided) for the ``days(col)`` transformed-stamp
+    pruning."""
     import math
     import re
 
@@ -874,6 +1115,19 @@ def _condition_prune_hints(condition: str) -> dict | None:
     keys: dict = {}
     parts: dict = {}
     dropped: set = set()
+    sranges: dict = {}
+
+    def srange(col: str, lo, hi) -> None:
+        # STRING-literal [lo, hi] (None = unbounded), intersected across
+        # terms — feeds the days(col) transformed-stamp range pruning
+        # (ISO timestamp/date strings order consistently with time, and
+        # days() is monotone, so the day window is covering)
+        if col in sranges:
+            plo, phi = sranges[col]
+            lo = plo if lo is None else (lo if plo is None else max(plo, lo))
+            hi = phi if hi is None else (hi if phi is None else min(phi, hi))
+        sranges[col] = (lo, hi)
+
     for col, op, vals in terms:
         numeric = all(
             isinstance(v, (int, float)) and not isinstance(v, bool)
@@ -894,15 +1148,21 @@ def _condition_prune_hints(condition: str) -> dict | None:
                     sorted(set(parts[col]) & set(ps))
                     if col in parts else ps
                 )
+            if stringy:
+                srange(col, vs[0], vs[-1])
             lo, hi = vs[0], vs[-1]
         elif op == "between":
+            if stringy:
+                srange(col, vals[0], vals[1])
             lo, hi = vals
         elif op in ("<", "<="):
             if not numeric:
+                srange(col, None, vals[0])
                 continue  # one-sided string range: no usable box
             lo, hi = -math.inf, vals[0]
         else:  # > >=
             if not numeric:
+                srange(col, vals[0], None)
                 continue
             lo, hi = vals[0], math.inf
         if col in dropped:
@@ -915,7 +1175,8 @@ def _condition_prune_hints(condition: str) -> dict | None:
         except TypeError:  # str term and numeric term on one column
             boxes.pop(col, None)
             dropped.add(col)
-    return {"prune": boxes, "keys": keys, "partitions": parts}
+    return {"prune": boxes, "keys": keys, "partitions": parts,
+            "ranges": sranges}
 
 
 def _lit_matches_dtype(v, dtype: str | None) -> bool:
@@ -1004,11 +1265,12 @@ def _typed_auto_hints(entries, hints: dict | None) -> dict | None:
             if vs and all(_lit_matches_dtype(v, dtypes.get(c)) for v in vs)
         },
         # the partition hint was stringified by the parser — type-check
-        # it through the SAME column's raw equality literals (both come
-        # from the identical =/IN terms)
+        # through (and re-emit as) the SAME column's RAW equality
+        # literals: identity stamps stringify them right back, while
+        # transformed stamps (bucket above all) need the typed values
         "partitions": {
-            c: vs for c, vs in (hints.get("partitions") or {}).items()
-            if vs and raw.get(c)
+            c: raw[c] for c in (hints.get("partitions") or {})
+            if raw.get(c)
             and all(_lit_matches_dtype(v, dtypes.get(c)) for v in raw[c])
         },
     }
@@ -1362,17 +1624,34 @@ def write_snapshot(
             return int(rec["commit"])  # replayed batch: already committed
     n = base + 1
     data_dir = os.path.join(path, "data", f"v{n}-{uuid.uuid4().hex[:8]}")
-    part_cols = (
-        [partition_by] if isinstance(partition_by, str)
-        else list(partition_by or [])
-    ) or None
-    if part_cols is not None:
-        from pyspark.sql import functions as F
-
-        pcols = ["__part_" + c for c in part_cols]
+    part_specs = (
+        _parse_partition_spec(partition_by) if partition_by else None
+    )
+    if part_specs is not None:
+        df_dtypes = dict(df.dtypes)
+        for sp in part_specs:
+            if sp["col"] not in df_dtypes:
+                raise ValueError(
+                    f"partition spec {sp['spec']!r} names unknown column "
+                    f"{sp['col']!r} — the frame has {sorted(df_dtypes)}"
+                )
+        # physical partition column: identity keeps the historical
+        # __part_<col> name; transforms sanitize the canonical spec
+        # (days(ts) -> __part_days_ts). The spec string itself is the
+        # STAMP key, mapped back positionally below.
+        pcols = [
+            "__part_" + (
+                sp["col"] if sp["t"] == "identity"
+                else sp["spec"].replace("(", "_").replace(")", "")
+                .replace(",", "_")
+            )
+            for sp in part_specs
+        ]
         staged = df
-        for c, pc in zip(part_cols, pcols):
-            staged = staged.withColumn(pc, F.col(c))
+        for sp, pc in zip(part_specs, pcols):
+            staged = staged.withColumn(
+                pc, _partition_transform_expr(sp, df_dtypes[sp["col"]])
+            )
         staged.write.mode("error").partitionBy(*pcols).parquet(data_dir)
 
         def _leaves(d: str, depth: int) -> list[str]:
@@ -1472,14 +1751,23 @@ def write_snapshot(
         stats[e] = s
     for e in new_entries:
         stats[e] = _entry_stats(e)
-        if part_cols is not None:
+        if part_specs is not None:
             from urllib.parse import unquote
 
             rel = os.path.relpath(e, data_dir).split(os.sep)
             stats[e]["partition"] = {
-                part_cols[i]: unquote(seg.split("=", 1)[1])
+                part_specs[i]["spec"]: unquote(seg.split("=", 1)[1])
                 for i, seg in enumerate(rel)
             }
+            # transformed specs stamp the SOURCE column dtype: probe
+            # transforms (bucket's xxhash64 above all) are type-
+            # sensitive and must cast probes to exactly this type
+            meta = {
+                sp["spec"]: {"dtype": df_dtypes[sp["col"]]}
+                for sp in part_specs if sp["t"] != "identity"
+            }
+            if meta:
+                stats[e]["partition_meta"] = meta
     if bloom_key is not None:
         # key-membership sidecar for each NEW entry (Delta bloom index /
         # Iceberg puffin shape): one pass over the just-written delta's
@@ -1497,7 +1785,7 @@ def write_snapshot(
             stats[e]["bloom"] = _write_entry_bloom(
                 df.sparkSession, e, bloom_key, path, stats[e]["n_rows"],
                 name=(
-                    None if part_cols is None else
+                    None if part_specs is None else
                     f"{os.path.basename(data_dir)}."
                     + os.path.relpath(e, data_dir).replace(os.sep, ".")
                     + ".bloom"
@@ -1634,6 +1922,7 @@ def read_snapshot(
     prune_keys: dict | None = None,
     partitions: dict | None = None,
     as_of: float | None = None,
+    partition_ranges: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
@@ -1676,13 +1965,21 @@ def read_snapshot(
     layouts where every entry's min/max box overlaps everything. Same
     hint contract; bloomless entries are never pruned.
 
-    ``partitions={col: [values]}``: identity-partition pruning for
-    tables written with ``write_snapshot(partition_by=col)`` — entries
-    whose STAMPED partition value (dir-name string, compared with
-    ``str(value)``) matches no probe value are skipped on the manifest
-    read alone, exact and footer-free; unstamped entries are never
-    pruned. Same hint contract: the caller still applies its real
-    predicate."""
+    ``partitions={col: [values]}``: partition pruning for tables
+    written with ``write_snapshot(partition_by=...)`` — entries whose
+    STAMPED partition value matches no probe value are skipped on the
+    manifest read alone, footer-free; unstamped entries are never
+    pruned. Probes are always SOURCE-column values: identity stamps
+    compare as ``str(value)`` (the documented contract), and HIDDEN-
+    PARTITIONING transforms (Iceberg ``days(ts)`` / ``bucket(n, key)``
+    / ``truncate(w, col)`` specs) apply the transform to the probes
+    here — the caller never materializes a derived column. Same hint
+    contract: the caller still applies its real predicate.
+
+    ``partition_ranges={col: (lo, hi)}`` (either side None): range
+    pruning against ``days(col)`` transformed stamps — a timestamp-
+    range read prunes day partitions because ``days`` is monotone;
+    stamps of any other kind ignore the hint (cannot skip)."""
     import json
     import os
 
@@ -1712,16 +2009,17 @@ def read_snapshot(
         man = json.load(fh)
     dirs = man["dirs"]
     limit0 = False
-    if prune or prune_keys or partitions:
+    if prune or prune_keys or partitions or partition_ranges:
         stats = man.get("stats", {})
         kept = list(dirs)
         if partitions:
             for col, values in partitions.items():
-                want = {str(v) for v in values}
-                kept = [
-                    e for e in kept
-                    if _entry_partition_match(stats.get(e), col, want)
-                ]
+                kept = _partition_surviving_entries(
+                    spark, kept, stats, col, list(values)
+                )
+        if partition_ranges:
+            for col, rng in partition_ranges.items():
+                kept = _partition_range_surviving(kept, stats, col, rng)
         if prune:
             kept = [e for e in kept if _entry_overlaps(stats.get(e), prune)]
         if prune_keys:
@@ -1849,12 +2147,14 @@ def read_snapshot_where(
             hints = _typed_auto_hints(json.load(fh)["dirs"], hints)
     prune = hints.get("prune") or None
     partitions = hints.get("partitions") or None
+    ranges = hints.get("ranges") or None
     keys = {c: v for c, v in (hints.get("keys") or {}).items() if v} or None
     try:
         out = read_snapshot(
             spark, path, version=version, as_of=as_of,
             merge_schema=merge_schema, prune=prune,
             partitions=partitions, prune_keys=keys,
+            partition_ranges=ranges,
         )
     except ValueError:
         if keys is None:
@@ -1865,6 +2165,7 @@ def read_snapshot_where(
         out = read_snapshot(
             spark, path, version=version, as_of=as_of,
             merge_schema=merge_schema, prune=prune, partitions=partitions,
+            partition_ranges=ranges,
         )
     return out.where(F.expr(condition))
 
@@ -2458,8 +2759,16 @@ def compact_snapshot(
     part_col = partition_by or _common_partition_col(stats, under)
     if isinstance(part_col, str):
         part_col = [part_col]
-    if part_col is not None and not set(part_col) <= set(rewritten.columns):
-        part_col = None
+    if part_col is not None:
+        # spec elements may be hidden-partitioning transforms — check
+        # their SOURCE columns against the rewrite frame
+        try:
+            srcs = {sp["col"] for sp in _parse_partition_spec(part_col)}
+        except ValueError:
+            part_col = None  # legacy/foreign stamp keys: re-commit plain
+        else:
+            if not srcs <= set(rewritten.columns):
+                part_col = None
     # ...and a bloom-indexed table's rewrite re-stamps fresh sidecars
     # for the compacted entries (Delta OPTIMIZE rebuilds bloom indexes),
     # so point-lookup pruning never degrades through maintenance —
@@ -2641,7 +2950,8 @@ def delete_from_snapshot(
             change_df = (
                 read_snapshot(spark, path, version=latest,
                               prune=h.get("prune") or None,
-                              partitions=h.get("partitions") or None)
+                              partitions=h.get("partitions") or None,
+                              partition_ranges=h.get("ranges") or None)
                 .where(F.expr(condition))
                 .withColumn("_change_type", F.lit("delete"))
             )
@@ -2705,6 +3015,7 @@ def delete_from_snapshot(
     scan_entries = entries
     stats = man.get("stats", {})
     auto_keys: dict | None = None
+    auto_ranges: dict | None = None
     if (auto_prune and prune is None and prune_keys is None
             and partitions is None):
         # derive the hints from the condition itself (covering by
@@ -2716,16 +3027,22 @@ def delete_from_snapshot(
             prune = hints["prune"] or None
             partitions = hints["partitions"] or None
             auto_keys = hints["keys"] or None
+            auto_ranges = hints.get("ranges") or None
     if partitions:
-        # identity-partition elimination (``partitions={col: [values]}``,
-        # same covering contract): exact dir-name-string match on the
-        # stamped partition value, zero I/O; unstamped entries survive
+        # partition elimination (``partitions={col: [values]}``, same
+        # covering contract): exact match on the stamped value —
+        # identity as the dir-name string, transformed specs through
+        # the transform — zero data I/O; unstamped entries survive
         for col, values in partitions.items():
-            want = {str(v) for v in values}
-            scan_entries = [
-                e for e in scan_entries
-                if _entry_partition_match(stats.get(e), col, want)
-            ]
+            scan_entries = _partition_surviving_entries(
+                spark, scan_entries, stats, col, list(values)
+            )
+    if auto_ranges:
+        # timestamp-range terms prune days(col) transformed stamps
+        for col, rng in auto_ranges.items():
+            scan_entries = _partition_range_surviving(
+                scan_entries, stats, col, rng
+            )
     if prune:
         scan_entries = [
             e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
@@ -2748,7 +3065,8 @@ def delete_from_snapshot(
                     )
         except ValueError:
             pass
-    hinted = bool(prune or prune_keys or partitions or auto_keys)
+    hinted = bool(prune or prune_keys or partitions or auto_keys
+                  or auto_ranges)
     if hinted:
         pruned = [e for e in entries if e not in set(scan_entries)]
     extra = (
@@ -2862,6 +3180,7 @@ def delete_from_snapshot(
     matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
     carried, touched, touched_entries = list(pruned), [], []
     carry_parts: dict = {}
+    carry_meta: dict = {}
     carry_blooms: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
@@ -2872,12 +3191,15 @@ def delete_from_snapshot(
             touched.extend(hit)
             touched_entries.append(e)
             part = (stats.get(e) or {}).get("partition")
+            pmeta = (stats.get(e) or {}).get("partition_meta")
             bloom = (stats.get(e) or {}).get("bloom")
             for f in files:
                 if os.path.realpath(f) not in matching:
                     carried.append(f)
                     if part:  # split files inherit the parent's partition
                         carry_parts[f] = part
+                    if pmeta:  # ...its transformed-spec dtype meta
+                        carry_meta[f] = pmeta
                     if bloom:  # ...and its (superset) bloom sidecar
                         carry_blooms[f] = bloom
     # the LIVE rows of the touched files: positionally-dead rows (pending
@@ -2921,6 +3243,7 @@ def delete_from_snapshot(
             carry=carried,
             partition_by=_common_partition_col(stats, touched_entries),
             carry_partitions=carry_parts or None,
+            carry_partition_meta=carry_meta or None,
             carry_blooms=carry_blooms or None,
             bloom_key=_common_bloom_key(stats, touched_entries),
             # survivors are a subset of rows that already passed their
@@ -2999,6 +3322,7 @@ def update_snapshot(
     stats = man.get("stats", {})
     scan_entries = entries
     auto_keys: dict | None = None
+    auto_ranges: dict | None = None
     if (auto_prune and prune is None and prune_keys is None
             and partitions is None):
         hints = _typed_auto_hints(entries, _condition_prune_hints(condition))
@@ -3006,13 +3330,17 @@ def update_snapshot(
             prune = hints["prune"] or None
             partitions = hints["partitions"] or None
             auto_keys = hints["keys"] or None
+            auto_ranges = hints.get("ranges") or None
     if partitions:
         for col, values in partitions.items():
-            want = {str(v) for v in values}
-            scan_entries = [
-                e for e in scan_entries
-                if _entry_partition_match(stats.get(e), col, want)
-            ]
+            scan_entries = _partition_surviving_entries(
+                spark, scan_entries, stats, col, list(values)
+            )
+    if auto_ranges:
+        for col, rng in auto_ranges.items():
+            scan_entries = _partition_range_surviving(
+                scan_entries, stats, col, rng
+            )
     if prune:
         scan_entries = [
             e for e in scan_entries if _entry_overlaps(stats.get(e), prune)
@@ -3032,7 +3360,8 @@ def update_snapshot(
                     )
         except ValueError:
             pass
-    hinted = bool(prune or prune_keys or partitions or auto_keys)
+    hinted = bool(prune or prune_keys or partitions or auto_keys
+                  or auto_ranges)
     pruned = (
         [e for e in entries if e not in set(scan_entries)] if hinted else []
     )
@@ -3074,6 +3403,7 @@ def update_snapshot(
     matching = {os.path.realpath(_strip_file_uri(r["f"])) for r in per_file}
     carried, touched, touched_entries = list(pruned), [], []
     carry_parts: dict = {}
+    carry_meta: dict = {}
     carry_blooms: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
@@ -3084,12 +3414,15 @@ def update_snapshot(
             touched.extend(hit)
             touched_entries.append(e)
             part = (stats.get(e) or {}).get("partition")
+            pmeta = (stats.get(e) or {}).get("partition_meta")
             bloom = (stats.get(e) or {}).get("bloom")
             for f in files:
                 if os.path.realpath(f) not in matching:
                     carried.append(f)
                     if part:
                         carry_parts[f] = part
+                    if pmeta:
+                        carry_meta[f] = pmeta
                     if bloom:
                         carry_blooms[f] = bloom
     base_touched = (
@@ -3144,6 +3477,7 @@ def update_snapshot(
             carry=carried,
             partition_by=_common_partition_col(stats, touched_entries),
             carry_partitions=carry_parts or None,
+            carry_partition_meta=carry_meta or None,
             carry_blooms=carry_blooms or None,
             bloom_key=_common_bloom_key(stats, touched_entries),
             # an UPDATE can introduce violations: keep write-time CHECKs ON
@@ -3369,6 +3703,7 @@ def merge_into_snapshot(
         matching = {os.path.realpath(_strip_file_uri(u)) for u in matched_uris}
     carried, touched, touched_entries = list(pruned), [], []
     carry_parts: dict = {}
+    carry_meta: dict = {}
     carry_blooms: dict = {}
     for e in scan_entries:
         files = _entry_files(e)
@@ -3379,12 +3714,15 @@ def merge_into_snapshot(
             touched.extend(hit)
             touched_entries.append(e)
             part = (stats.get(e) or {}).get("partition")
+            pmeta = (stats.get(e) or {}).get("partition_meta")
             bloom = (stats.get(e) or {}).get("bloom")
             for f in files:
                 if os.path.realpath(f) not in matching:
                     carried.append(f)
                     if part:  # split files inherit the parent's partition
                         carry_parts[f] = part
+                    if pmeta:  # ...its transformed-spec dtype meta
+                        carry_meta[f] = pmeta
                     if bloom:  # ...and its (superset) bloom sidecar
                         carry_blooms[f] = bloom
     if touched:
@@ -3487,6 +3825,7 @@ def merge_into_snapshot(
                 _common_partition_col(stats, entries) if entries else None
             ),
             carry_partitions=carry_parts or None,
+            carry_partition_meta=carry_meta or None,
             carry_blooms=carry_blooms or None,
             # the merge output (rewrites + inserts) gets a fresh sidecar when
             # the whole visible table is bloom-indexed on the merge key space
@@ -3681,6 +4020,15 @@ def replace_where(
         {c: list(vs) for c, vs in col.items()} if isinstance(col, dict)
         else {col: list(values)}
     )
+    for c in spec:
+        sp = _parse_spec_string(c)
+        if sp is None or sp["t"] != "identity":
+            raise ValueError(
+                f"replace_where needs IDENTITY partition columns; {c!r} "
+                "is a transformed spec — the replacement constraint "
+                "cannot be expressed on a derived value (partition the "
+                "table by the identity column to replace by it)"
+            )
     want = {c: {str(v) for v in vs} for c, vs in spec.items()}
     # the replacement frame re-commits under the table's FULL spec (the
     # predicate may name a subset of a multi-column spec); a predicate

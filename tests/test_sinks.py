@@ -3188,3 +3188,93 @@ def test_append_rebase_on_conflict(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
     assert v3 == 2, v3                       # the racer's commit, reused
     assert sinks.read_snapshot(spark, pr).count() == 20  # no double rows
+
+
+def test_hidden_partitioning_transforms(spark, tmp_path):
+    """Iceberg hidden-partitioning specs — days(ts), bucket(n, key),
+    truncate(w, col) — prune on SOURCE-column predicates with no
+    materialized derived column: a timestamp-range read prunes day
+    partitions (counter-asserted via inputFiles), a bucket point lookup
+    touches one bucket, truncate prefixes prune, and the auto-pruned
+    DELETE composes (entries_pruned counters). Unsafe probes keep
+    everything (never a wrong prune)."""
+    import datetime
+
+    from naru_spark.sources import sinks
+
+    # --- days(ts): 6 day-partitions, 8 rows each
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, 6 + h), d * 8 + h)
+        for d in range(6) for h in range(8)
+    ]
+    dfe = spark.createDataFrame(rows, "ts timestamp, v int")
+    p1 = str(tmp_path / "days")
+    sinks.write_snapshot(dfe, p1, partition_by="days(ts)")
+    full_files = len(sinks.read_snapshot(spark, p1).inputFiles())
+    q = sinks.read_snapshot_where(
+        spark, p1, "ts >= '2024-01-02 00:00:00' AND ts < '2024-01-04'"
+    )
+    assert q.count() == 16                      # days 2 and 3
+    assert 0 < len(q.inputFiles()) < full_files  # day entries pruned
+    # equality (a string literal on a timestamp col) prunes to one day
+    q2 = sinks.read_snapshot_where(spark, p1, "ts = '2024-01-03 06:00:00'")
+    assert q2.count() == 1
+    assert len(q2.inputFiles()) < full_files
+    # the auto-pruned DELETE takes the same day-range elimination
+    d = sinks.delete_from_snapshot(
+        spark, p1, "ts >= '2024-01-05' AND ts <= '2024-01-05 23:59:59'"
+    )
+    assert d["n_deleted"] == 8 and d["entries_pruned"] >= 4, d
+    assert sinks.read_snapshot(spark, p1).count() == 40
+
+    # --- bucket(8, k): point lookups touch one bucket
+    dfb = spark.createDataFrame(
+        [(i, "r%d" % i) for i in range(400)], "k int, s string"
+    )
+    p2 = str(tmp_path / "bucket")
+    sinks.write_snapshot(dfb, p2, partition_by="bucket(8,k)")
+    fullb = len(sinks.read_snapshot(spark, p2).inputFiles())
+    qb = sinks.read_snapshot_where(spark, p2, "k = 123")
+    assert qb.count() == 1 and {r["k"] for r in qb.collect()} == {123}
+    assert len(qb.inputFiles()) < fullb
+    db = sinks.delete_from_snapshot(spark, p2, "k IN (7, 8)")
+    assert db["n_deleted"] == 2 and db["entries_pruned"] >= 1, db
+    # a type-coercing probe (string literal on an int bucket key) must
+    # NOT prune — and still answers correctly
+    qc = sinks.read_snapshot_where(spark, p2, "k = '0123'")
+    assert qc.count() == 1 and len(qc.inputFiles()) == len(
+        sinks.read_snapshot(spark, p2).inputFiles()
+    )
+
+    # --- truncate(3, s): string-prefix partitions
+    dft = spark.createDataFrame(
+        [("abc%03d" % i, i) for i in range(50)]
+        + [("xyz%03d" % i, i) for i in range(50)],
+        "s string, v int",
+    )
+    p3 = str(tmp_path / "trunc")
+    sinks.write_snapshot(dft, p3, partition_by="truncate(3,s)")
+    fullt = len(sinks.read_snapshot(spark, p3).inputFiles())
+    qt = sinks.read_snapshot_where(spark, p3, "s = 'xyz007'")
+    assert qt.count() == 1
+    assert len(qt.inputFiles()) < fullt
+    # int truncate composes with DELETE pruning through a rewrite:
+    # survivors re-commit under the SAME transformed spec
+    p4 = str(tmp_path / "trunc_int")
+    dfi = spark.createDataFrame([(i, i) for i in range(300)], "k int, v int")
+    sinks.write_snapshot(dfi, p4, partition_by="truncate(100,k)")
+    di = sinks.delete_from_snapshot(spark, p4, "k = 250")
+    assert di["n_deleted"] == 1 and di["entries_pruned"] >= 2, di
+    # post-rewrite: stamps survived, a fresh point lookup still prunes
+    q4 = sinks.read_snapshot_where(spark, p4, "k = 50")
+    assert q4.count() == 1
+    assert len(q4.inputFiles()) < len(
+        sinks.read_snapshot(spark, p4).inputFiles()
+    )
+    # replace_where refuses transformed specs (constraint on a derived
+    # value is inexpressible) — loudly, not wrongly
+    import pytest
+
+    with pytest.raises(ValueError, match="IDENTITY"):
+        sinks.replace_where(spark, p4, dfi.limit(1),
+                            col="truncate(100,k)", values=["0"])
