@@ -1907,6 +1907,90 @@ ORDER BY source
 """
 
 
+def q_snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE SCHEMA EVOLUTION (merge_into_snapshot(schema_evolution=
+    True) — Delta withSchemaEvolution): the changeset carries a NEW
+    ``lang`` column; upserts stamp it on matched rows, inserts carry
+    it, every untouched/target-only row surfaces NULL (additive, like
+    the append path), and the change feed is exact through the evolved
+    commit (pre-images NULL, post-images typed). Oracle: the same
+    algebra in SQL with an explicit NULL lang for unmerged rows."""
+    from naru_spark.sources.sinks import (
+        merge_into_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        write_snapshot,
+    )
+
+    OFFSET = 100_000_000
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_mev_") + "/docs"
+    write_snapshot(docs, path, cdf=True)                           # v1
+    changes = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id", "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+            F.lit("xx").alias("lang"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+                F.lit("src_new").alias("source"), "n_chars",
+                F.lit("yy").alias("lang"), F.lit("U").alias("op"),
+            )
+        )
+    )
+    info = merge_into_snapshot(spark, path, changes, key="doc_id",
+                               schema_evolution=True)              # v2
+    assert info["n_changes"] > 0, info
+    # CDF exact through the evolved commit: pre-images NULL, post 'xx'
+    feed = read_snapshot_changes(spark, path, 1, 2, row_level=True)
+    assert feed.where(
+        "_change_type = 'update_preimage' AND lang IS NOT NULL"
+    ).count() == 0
+    assert feed.where(
+        "_change_type = 'update_postimage' AND lang <> 'xx'"
+    ).count() == 0
+    assert feed.where(
+        "_change_type = 'insert' AND lang <> 'yy'").count() == 0
+    return (
+        read_snapshot(spark, path, merge_schema=True)
+        # NULL group keys sort differently across engines: label them
+        .groupBy(F.coalesce(F.col("lang"), F.lit("none")).alias("lang"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_snapshot_merge_evolve() -> str:
+    return """
+WITH final AS (
+  SELECT doc_id, n_chars + 1 AS n_chars, 'xx' AS lang
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, n_chars, 'none' AS lang
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 100000000, n_chars, 'yy' AS lang
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM final
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_snapshot_days_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HIDDEN PARTITIONING, days transform (write_snapshot(
     partition_by="days(o_orderdate)") — Iceberg's days() partition
@@ -3306,6 +3390,7 @@ def build_ops_registry():
         "snapshot_delete_dv": q_snapshot_delete_dv,
         "snapshot_update_over_dv": q_snapshot_update_over_dv,
         "snapshot_merge_over_dv": q_snapshot_merge_over_dv,
+        "snapshot_merge_evolve": q_snapshot_merge_evolve,
         "snapshot_days_transform": q_snapshot_days_transform,
         "snapshot_bucket_transform": q_snapshot_bucket_transform,
         "snapshot_update_where": q_snapshot_update_where,
@@ -3373,6 +3458,7 @@ def build_ops_registry():
         "snapshot_delete_dv": sql_snapshot_delete_dv(),
         "snapshot_update_over_dv": sql_snapshot_update_over_dv(),
         "snapshot_merge_over_dv": sql_snapshot_merge_over_dv(),
+        "snapshot_merge_evolve": sql_snapshot_merge_evolve(),
         "snapshot_days_transform": sql_snapshot_days_transform(),
         "snapshot_bucket_transform": sql_snapshot_bucket_transform(),
         "snapshot_update_where": sql_snapshot_update_where(),

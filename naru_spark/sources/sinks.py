@@ -3511,6 +3511,7 @@ def merge_into_snapshot(
     auto_prune: bool = True,
     auto_prune_max_keys: int = 8192,
     not_matched_by_source: str | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """FILE-PRUNED MERGE INTO (Delta's actual MERGE execution shape): one
     scan joined against the changeset's distinct keys finds the files
@@ -3552,7 +3553,17 @@ def merge_into_snapshot(
     DELETE — the CDC full-sync shape: the target converges to exactly
     the changeset's keys); it disables file pruning by construction
     (every base row participates) and, with cdf on, reports the
-    dropped base rows as 'delete' change rows. Returns {"version",
+    dropped base rows as 'delete' change rows.
+
+    ``schema_evolution=True`` (Delta ``withSchemaEvolution()``):
+    changeset columns ABSENT from the target are added additively —
+    touched base rows surface NULL for them, carried files keep their
+    narrow schema exactly like the append path's additive evolution
+    (read the evolved table with ``merge_schema=True``), and the change
+    feed carries the new columns (pre-images NULL). A changeset column
+    whose TYPE conflicts with the target's refuses loudly. Off by
+    default: unknown changeset columns are then simply not applied
+    (the merge takes the target's schema). Returns {"version",
     "n_changes", "files_rewritten", "files_carried",
     "entries_scanned", "entries_pruned"}."""
     import json
@@ -3747,6 +3758,29 @@ def merge_into_snapshot(
             spark.read.option("mergeSchema", "true")
             .parquet(*entries).limit(0)  # pure-insert changeset
         )
+    evolved_cols: dict = {}
+    if schema_evolution:
+        bt = dict(base_touched.dtypes)
+        ct = {c: t for c, t in changes.dtypes if c != op_col}
+        conflicts = sorted(
+            c for c in ct if c in bt and ct[c] != bt[c]
+        )
+        if conflicts:
+            raise ValueError(
+                f"MERGE schema evolution at {path}: changeset column(s) "
+                f"{conflicts} conflict with the target's types "
+                f"({[(c, bt[c], ct[c]) for c in conflicts]}) — evolution "
+                "is ADDITIVE only; cast the changeset first"
+            )
+        evolved_cols = {c: t for c, t in ct.items() if c not in bt}
+        if evolved_cols:
+            # additive evolution, exactly the append path's shape: the
+            # touched base rows surface NULL for the new columns, the
+            # carried files keep their narrow schema (read the evolved
+            # table with merge_schema=True)
+            base_touched = base_touched.withColumns(
+                {c: F.lit(None).cast(t) for c, t in evolved_cols.items()}
+            )
     # validate=True forwards merge_into's one-changeset-row-per-key guard
     # (SQL MERGE's "multiple source rows matched" error) at the cost of
     # one aggregate over the changeset
@@ -3832,7 +3866,9 @@ def merge_into_snapshot(
             bloom_key=_common_bloom_key(stats, entries) if entries else None,
             op_meta={"name": "merge", "key": key,
                      **({"not_matched_by_source": not_matched_by_source}
-                        if not_matched_by_source else {})},
+                        if not_matched_by_source else {}),
+                     **({"evolved_columns": sorted(evolved_cols)}
+                        if evolved_cols else {})},
             change_df=change_df,
             carry_dvs=carry_dvs,
         )

@@ -3278,3 +3278,41 @@ def test_hidden_partitioning_transforms(spark, tmp_path):
     with pytest.raises(ValueError, match="IDENTITY"):
         sinks.replace_where(spark, p4, dfi.limit(1),
                             col="truncate(100,k)", values=["0"])
+
+
+def test_merge_schema_evolution_guards(spark, tmp_path):
+    """merge_into_snapshot(schema_evolution=True): additive columns land
+    (target rows NULL), TYPE conflicts refuse loudly, and with evolution
+    OFF an unknown changeset column is simply not applied."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "mev")
+    base = spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "doc_id int, s string")
+    sinks.write_snapshot(base, path)
+    ch = spark.createDataFrame(
+        [(2, "b2", 7, "U"), (3, "c", 9, "U")],
+        "doc_id int, s string, extra int, op string",
+    )
+    # evolution OFF: extra column not applied, schema unchanged
+    sinks.merge_into_snapshot(spark, path, ch, key="doc_id")
+    out = sinks.read_snapshot(spark, path, merge_schema=True)
+    assert "extra" not in out.columns and out.count() == 3
+    # evolution ON: the column lands additively
+    ch2 = spark.createDataFrame(
+        [(1, "a2", 5, "U")], "doc_id int, s string, extra int, op string"
+    )
+    sinks.merge_into_snapshot(spark, path, ch2, key="doc_id",
+                              schema_evolution=True)
+    out2 = sinks.read_snapshot(spark, path, merge_schema=True)
+    got = {r["doc_id"]: r["extra"] for r in out2.collect()}
+    assert got == {1: 5, 2: None, 3: None}
+    # a TYPE conflict refuses
+    bad = spark.createDataFrame(
+        [(1, 99, "U")], "doc_id int, s int, op string"
+    )
+    with pytest.raises(ValueError, match="conflict"):
+        sinks.merge_into_snapshot(spark, path, bad, key="doc_id",
+                                  schema_evolution=True)
