@@ -2539,6 +2539,67 @@ ORDER BY lang
 """
 
 
+def q_stream_snapshot_follow_cdf_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDF follower bootstrapped from a WALL-CLOCK, not a version
+    number (Delta ``startingTimestamp`` composed end-to-end): the
+    replica starts from ``read_snapshot(as_of=t1)`` (v1's commit
+    stamp), pulls ONE ``read_snapshot_changes(from_ts=t1,
+    row_level=True)`` frame, and applies it version-group by
+    version-group — no version identifiers anywhere in the consumer,
+    which is what a downstream system that only knows 'when it last
+    synced' actually does. Both endpoints resolve through the same
+    monotone commit stamps, so bootstrap and feed can never overlap or
+    gap. Shares stream_snapshot_follow_cdf's oracle (the final table
+    state)."""
+    import json
+    import os
+
+    from naru_spark.sources.sinks import (
+        read_snapshot,
+        read_snapshot_changes,
+    )
+
+    path = _tmpdir(prefix="docs_snap_cdfts_") + "/docs"
+    _build_cdf_table(spark, sf_dir, path)
+    with open(os.path.join(path, "_manifests", "v1.json")) as fh:
+        t1 = float(json.load(fh)["ts"])
+    replica = read_snapshot(spark, path, as_of=t1)
+    cols = replica.columns
+    ch_all = read_snapshot_changes(spark, path, from_ts=t1,
+                                   row_level=True)
+    versions = sorted(
+        r["_commit_version"]
+        for r in ch_all.select("_commit_version").distinct().collect()
+    )
+    for v in versions:
+        ch = ch_all.where(F.col("_commit_version") == v)
+        removals = ch.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("doc_id").distinct()
+        upserts = ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        replica = (
+            replica.join(removals, "doc_id", "left_anti")
+            .unionByName(upserts)
+        )
+    expect = read_snapshot(spark, path).count()
+    got = replica.count()
+    assert got == expect, (got, expect)
+    return (
+        replica.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_snapshot_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance from the change data feed
     (sources.sinks.apply_cdf_to_aggregate — the CDF's raison d'être at
@@ -3396,6 +3457,7 @@ def build_ops_registry():
         "snapshot_update_where": q_snapshot_update_where,
         "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
+        "stream_snapshot_follow_cdf_ts": q_stream_snapshot_follow_cdf_ts,
         "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_column_stats": q_snapshot_column_stats,
@@ -3464,6 +3526,8 @@ def build_ops_registry():
         "snapshot_update_where": sql_snapshot_update_where(),
         "snapshot_merge_sync": sql_snapshot_merge_sync(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
+        # wall-clock bootstrap is content-invariant: same oracle
+        "stream_snapshot_follow_cdf_ts": sql_stream_snapshot_follow_cdf(),
         "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),
         "snapshot_column_stats": sql_snapshot_column_stats(),

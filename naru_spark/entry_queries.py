@@ -2508,6 +2508,30 @@ for _rnd, _names in (
         "stream_snapshot_follow", "stream_stream_join",
         "user_totals_stateful", "workload_oracle_star4",
     )),
+    (12, (
+        "snapshot_replace_composite", "snapshot_cdf",
+        "snapshot_delete_bloom_partition", "snapshot_delete_auto_prune",
+        "snapshot_delete_dv", "snapshot_update_where",
+        "snapshot_merge_sync", "stream_snapshot_follow_cdf",
+        "snapshot_cdf_ivm", "snapshot_column_stats", "snapshot_clone",
+        "snapshot_optimize_partition", "stream_snapshot_cdf_ivm",
+        "snapshot_maintain", "bm25_topk_index_maintain",
+        "exact_substring_dedup", "quality_classifier",
+        "bpe_pack_manifest", "multimodal_audio_features",
+        "similarity_topk_ivfpq_index_maintain", "similarity_ann_recall",
+        "corpus_report", "knn_pagerank_oracle", "gopher_stream",
+        "stream_bm25_index_maintain", "stream_ivfpq_index_ingest",
+        "workload_oracle_counts", "workload_oracle_disjunctive",
+        "workload_oracle_join", "heuristic_estimates", "region_size",
+        "encode_returnflag", "encode_linestatus", "encode_shipdate",
+        "encoded_histogram", "value_counts_returnflag",
+        "value_counts_salted", "table_entropy", "pricing_summary_q1",
+        "revenue_by_priority", "volume_shipping_q7",
+        "priority_counts_q12", "promo_revenue_q14", "large_orders_q18",
+        "disjunctive_revenue_q19", "small_qty_revenue_q17",
+        "top_supplier_q15", "bucketed_join_agg", "hypertable_daily",
+        "moving_avg_daily_revenue",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

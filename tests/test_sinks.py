@@ -3316,3 +3316,69 @@ def test_merge_schema_evolution_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="conflict"):
         sinks.merge_into_snapshot(spark, path, bad, key="doc_id",
                                   schema_evolution=True)
+
+
+def test_clone_carries_evolved_planes(spark, tmp_path):
+    """SHALLOW CLONE over a source with LIVE deletion vectors, pending
+    merge-on-read deletes and rename schema ops: the clone serves the
+    same logical rows, its compaction MATERIALIZES the planes into the
+    clone's own tree without touching a single source byte, and the
+    source keeps its planes and content untouched."""
+    import json
+    import os
+
+    from naru_spark.sources import sinks
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i) for i in range(60)],
+        "id int, g string, v int",
+    )
+    sinks.write_snapshot(df, src)                                  # v1
+    sinks.delete_from_snapshot(spark, src, "id % 10 = 0",
+                               mode="deletion-vector")             # v2
+    sinks.delete_from_snapshot(spark, src, "id % 7 = 1",
+                               mode="merge-on-read")               # v3
+    sinks.alter_snapshot_schema(src, rename={"v": "val"})          # v4
+    want = {
+        (i, i) for i in range(60) if i % 10 != 0 and i % 7 != 1
+    }
+
+    dst = str(tmp_path / "dst")
+    sinks.clone_snapshot(src, dst)
+    got = {(r["id"], r["val"])
+           for r in sinks.read_snapshot(spark, dst).collect()}
+    assert got == want
+    # snapshot of every source byte before clone-local maintenance
+    def tree(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+        return out
+
+    before = tree(src)
+    cinfo = sinks.compact_snapshot(spark, dst)
+    assert cinfo["mode"] == "full", cinfo  # pending planes force it
+    assert tree(src) == before            # ZERO source bytes touched
+    with open(os.path.join(
+        dst, "_manifests", f"v{cinfo['version']}.json"
+    )) as fh:
+        man = json.load(fh)
+    assert not man.get("dvs") and not man.get("deletes")
+    assert not man.get("schema_ops")
+    # all clone entries now live under the clone's own tree
+    assert all(e.startswith(dst) for e in man["dirs"])
+    got2 = {(r["id"], r["val"])
+            for r in sinks.read_snapshot(spark, dst).collect()}
+    assert got2 == want
+    # the source still serves its own (plane-applied) rows
+    src_rows = {(r["id"], r["val"])
+                for r in sinks.read_snapshot(spark, src).collect()}
+    assert src_rows == want
+    # and the clone's GC/retention never reaches outside its tree
+    sinks.maintain_snapshot(spark, dst, keep_last=1, gc_older_than_s=0.0)
+    assert tree(src) == before
+    assert {(r["id"], r["val"])
+            for r in sinks.read_snapshot(spark, dst).collect()} == want
