@@ -1870,9 +1870,10 @@ def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
               + docs.where("doc_id % 11 = 0 AND doc_id % 5 = 0").count())
     assert info2["n_deleted"] == n_visible5 < n_raw5, (info2, n_visible5,
                                                        n_raw5)
-    # materialization: content-invariant, plane cleared
+    # materialization: content-invariant, plane cleared (DV-aware
+    # selective pass — every entry here is under-sized and rewrites)
     cinfo = compact_snapshot(spark, path)
-    assert cinfo["mode"] == "full", cinfo
+    assert cinfo["entries_carried"] == 0, cinfo
     with open(os.path.join(
         path, "_manifests", f"v{cinfo['version']}.json"
     )) as fh:

@@ -2576,7 +2576,12 @@ def _compaction_plan(
     clustering (a re-layout of every candidate); otherwise UNDER-SIZED
     candidates (stamped average file size below ``threshold``) are
     selected and a sub-2-file selection is a noop (nothing to merge —
-    Delta OPTIMIZE skips single-file bins the same way).
+    Delta OPTIMIZE skips single-file bins the same way). Pending
+    DELETION VECTORS force nothing: the selective pass is DV-AWARE
+    (rewritten entries materialize their vectors out, carried entries
+    keep theirs — Delta OPTIMIZE over DVs behaves the same), so a
+    100 TB table with a few vectors compacts its small files without a
+    full-table materialization.
 
     ``scope`` (Delta ``OPTIMIZE ... WHERE``) restricts the candidate
     set to the given entries — everything else carries verbatim, and
@@ -2585,10 +2590,10 @@ def _compaction_plan(
     so clustering one of them never interleaves with the others'
     layout). A scoped pass over pending merge-on-read deletes / schema
     ops REFUSES: materialization must replay the whole log over every
-    pinned entry, which a partial rewrite cannot."""
+    pinned entry, which a partial rewrite cannot (DVs compose — they
+    are positional, not log-replayed)."""
     dirs = man["dirs"]
-    pending = (bool(man.get("deletes")) or bool(man.get("schema_ops"))
-               or bool(man.get("dvs")))
+    pending = bool(man.get("deletes")) or bool(man.get("schema_ops"))
     if scope is not None and pending:
         raise ValueError(
             "partition-scoped compaction over pending merge-on-read "
@@ -2725,26 +2730,55 @@ def compact_snapshot(
         target_files = max(
             1, math.ceil(plan["rewrite_bytes"] / target_file_bytes)
         )
+    dvs_pending = man.get("dvs", [])
+    carry_dvs: list | None = None
+    new_dv_dir: str | None = None
     if force_full and scope is None:
         # read_snapshot (not a raw parquet read): pending merge-on-read
-        # deletes and rename/drop ops are APPLIED by the rewrite —
-        # compaction is the materialization point that clears both logs
-        # (the replace commit below writes them empty). merge_schema:
-        # the rewrite must see the UNION of the entries' schemas — a
-        # plain read lets one file's footer win inference and silently
-        # drops columns added by later (additively evolved) commits
+        # deletes, deletion vectors, and rename/drop ops are APPLIED by
+        # the rewrite — full compaction is the materialization point
+        # that clears every plane (the replace commit below writes them
+        # empty). merge_schema: the rewrite must see the UNION of the
+        # entries' schemas — a plain read lets one file's footer win
+        # inference and silently drops columns added by later
+        # (additively evolved) commits
         current = read_snapshot(spark, path, version=latest,
                                 merge_schema=True)
     else:
-        # no pending logs (checked above / refused for scoped passes):
-        # the rewrite set's raw files ARE their logical rows.
-        # mergeSchema for the same reason as the full path — the set may
-        # span commits with additively-evolved schemas, and the
-        # compacted entry must keep every column (pre-evolution rows
-        # surface NULL, exactly what a merge-schema read shows)
+        # no pending LOG planes (checked above / refused for scoped
+        # passes): the rewrite set's raw files ARE their logical rows —
+        # except pending deletion vectors, which COMPOSE (Delta
+        # OPTIMIZE over DVs): the rewritten entries' dead rows
+        # materialize out here, carried entries keep their vectors via
+        # the remainder plane. mergeSchema for the same reason as the
+        # full path — the set may span commits with additively-evolved
+        # schemas, and the compacted entry must keep every column
+        under_files = [f for e in under for f in _entry_files(e)]
         current = spark.read.option("mergeSchema", "true").parquet(
-            *[f for e in under for f in _entry_files(e)]
+            *under_files
         )
+        if dvs_pending:
+            from pyspark.sql import functions as F
+
+            current = (
+                current
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(_dv_frame(spark, dvs_pending), ["__fp", "__ri"],
+                      "left_anti")
+                .drop("__fp", "__ri")
+            )
+            # the rewrite set's file URIs, taken from the SAME engine
+            # column the vectors store (no path-spelling guesswork):
+            # one zero-data-column pass over files we rewrite anyway
+            uris = [
+                r["__fp"] for r in spark.read.parquet(*under_files)
+                .select(F.col("_metadata.file_path").alias("__fp"))
+                .distinct().collect()
+            ]
+            carry_dvs, new_dv_dir = _dv_remainder(
+                spark, path, dvs_pending, uris, latest + 1
+            )
     if zorder_by is not None:
         rewritten, _, _ = _zorder_cluster(current, zorder_by, target_files)
     else:
@@ -2779,24 +2813,32 @@ def compact_snapshot(
     # base_version pins the rewrite to the manifest we actually read: an
     # append landing between our read and our publish makes the commit
     # raise instead of silently superseding (and later expiring) its rows
-    version = write_snapshot(
-        rewritten,
-        path,
-        mode="replace",
-        base_version=latest,
-        carry=carried if carried else None,
-        partition_by=part_col,
-        bloom_key=bkey,
-        # content-identical rewrite: every row already passed its CHECKs
-        enforce_constraints=False,
-        op_meta={
-            "name": "compact",
-            "mode": "full" if force_full and scope is None else "selective",
-            **({"zorder_by": list(zorder_by)} if zorder_by else {}),
-            **({"partitions": {c: sorted(w) for c, w in want.items()}}
-               if partitions is not None else {}),
-        },
-    )
+    try:
+        version = write_snapshot(
+            rewritten,
+            path,
+            mode="replace",
+            base_version=latest,
+            carry=carried if carried else None,
+            partition_by=part_col,
+            bloom_key=bkey,
+            # content-identical rewrite: every row already passed its CHECKs
+            enforce_constraints=False,
+            op_meta={
+                "name": "compact",
+                "mode": "full" if force_full and scope is None else "selective",
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+                **({"partitions": {c: sorted(w) for c, w in want.items()}}
+                   if partitions is not None else {}),
+            },
+            carry_dvs=carry_dvs,
+        )
+    except SnapshotConflictError:
+        if new_dv_dir is not None:
+            import shutil
+
+            shutil.rmtree(new_dv_dir, ignore_errors=True)
+        raise
     with open(os.path.join(man_dir, f"v{version}.json")) as fh:
         after = sum(
             s["n_files"] for s in _manifest_stats(json.load(fh)).values()

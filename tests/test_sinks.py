@@ -2661,9 +2661,11 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     # covered by test_dv_aware_dml_composition)
     with pytest.raises(ValueError, match="deletion vector"):
         sinks.snapshot_stream_source(spark, path)
-    # compaction materializes the vectors and clears the plane
+    # compaction materializes the vectors and clears the plane (all
+    # entries here are under-sized, so the DV-aware SELECTIVE pass
+    # rewrites them all — no full-table materialization forced)
     cinfo = sinks.compact_snapshot(spark, path)
-    assert cinfo["mode"] == "full", cinfo
+    assert cinfo["entries_carried"] == 0, cinfo
     with open(os.path.join(
         path, "_manifests", f"v{cinfo['version']}.json"
     )) as fh:
@@ -3382,3 +3384,52 @@ def test_clone_carries_evolved_planes(spark, tmp_path):
     assert tree(src) == before
     assert {(r["id"], r["val"])
             for r in sinks.read_snapshot(spark, dst).collect()} == want
+
+
+def test_dv_aware_selective_compaction(spark, tmp_path):
+    """Delta OPTIMIZE over deletion vectors: a selective compaction no
+    longer forces a full-table materialization — the under-sized
+    entries rewrite with their dead rows materialized OUT, the
+    right-sized cold entry carries byte-identical with its vectors
+    ALIVE in the remainder plane, and content is exact throughout."""
+    import json
+    import os
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "dvopt")
+    df = spark.createDataFrame([(i, i) for i in range(2000)],
+                               "k int, v int")
+    sinks.write_snapshot(df.where("k < 1600").coalesce(4), path)  # cold
+    for lo in (1600, 1700, 1800, 1900):                    # fragments
+        sinks.write_snapshot(
+            df.where(f"k >= {lo} AND k < {lo + 100}").repartition(4),
+            path,
+        )
+    d = sinks.delete_from_snapshot(spark, path, "k % 100 = 5",
+                                   mode="deletion-vector")
+    assert d["n_deleted"] == 20, d
+    from naru_spark.sources.sinks import snapshot_stats
+
+    cold_bytes = snapshot_stats(path)["n_bytes"]
+    cinfo = sinks.compact_snapshot(
+        spark, path, min_file_bytes=max(1, cold_bytes // 4 // 2)
+    )
+    assert cinfo["mode"] == "selective", cinfo
+    assert cinfo["entries_carried"] >= 1, cinfo       # cold entry kept
+    man_dir = os.path.join(path, "_manifests")
+    with open(os.path.join(
+        man_dir, f"v{cinfo['version']}.json"
+    )) as fh:
+        man = json.load(fh)
+    # the cold entry's vectors survive (remainder plane), the rewritten
+    # fragments' vectors materialized out
+    assert man.get("dvs"), man.get("dvs")
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 2000 - 20
+    assert out.where("k % 100 = 5").count() == 0
+    # a later FULL pass clears the plane without changing content
+    f = sinks.compact_snapshot(spark, path, full=True)
+    with open(os.path.join(man_dir, f"v{f['version']}.json")) as fh:
+        assert "dvs" not in json.load(fh)
+    assert sinks.read_snapshot(spark, path).count() == 1980
