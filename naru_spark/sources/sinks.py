@@ -2848,6 +2848,37 @@ def compact_snapshot(
             "files_rewritten": rewrite_files, "entries_carried": len(carried)}
 
 
+def _occ_retry(fn):
+    """Optimistic-concurrency retry for BLIND read-modify-write DML
+    (Iceberg's optimistic rewrite loop / Delta's internal conflict
+    retry): on ``SnapshotConflictError`` the operation re-reads the
+    head and re-executes from scratch, up to ``retries`` more times
+    (kwarg added to every decorated op, default 2). Safe because each
+    attempt's partial state is reclaimed before the conflict propagates
+    (write_snapshot drops the loser's data dir; the DV/change planes
+    are rmtree'd by their writers), and each attempt re-reads the
+    latest manifest first — so a DELETE racing an append simply
+    re-plans over the new head and both land, serialized. An EXPLICIT
+    ``base_version`` (the caller pinned a state) disables the loop:
+    only the caller can decide whether its pinned read is still
+    meaningful. Plain appends don't need this — they REBASE without
+    re-running (see write_snapshot)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, retries: int = 2, **kwargs):
+        for attempt in range(retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except SnapshotConflictError:
+                if attempt == retries or kwargs.get("base_version") is not None:
+                    raise
+        raise AssertionError("unreachable")
+
+    return wrapper
+
+
+@_occ_retry
 def delete_from_snapshot(
     spark: SparkSession,
     path: str,
@@ -3307,6 +3338,7 @@ def delete_from_snapshot(
             **extra}
 
 
+@_occ_retry
 def update_snapshot(
     spark: SparkSession,
     path: str,
@@ -3540,6 +3572,7 @@ def update_snapshot(
             **extra}
 
 
+@_occ_retry
 def merge_into_snapshot(
     spark: SparkSession,
     path: str,
@@ -4019,6 +4052,7 @@ def drop_snapshot_constraint(path: str, name: str) -> int:
     return n
 
 
+@_occ_retry
 def replace_where(
     spark: SparkSession,
     path: str,

@@ -3433,3 +3433,72 @@ def test_dv_aware_selective_compaction(spark, tmp_path):
     with open(os.path.join(man_dir, f"v{f['version']}.json")) as fh:
         assert "dvs" not in json.load(fh)
     assert sinks.read_snapshot(spark, path).count() == 1980
+
+
+def test_dml_occ_retry_loops(spark, tmp_path, monkeypatch):
+    """DML-level optimistic retry (Delta's internal conflict loop): a
+    DELETE / UPDATE / MERGE / replace_where racing a concurrent append
+    re-reads the head and re-executes — BOTH land, serialized, with the
+    interleaved rows intact. retries=0 surfaces the conflict; an
+    explicit base_version disables the loop."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, i) for i in range(lo, hi)], "k int, v int"
+    )
+    path = str(tmp_path / "occdml")
+    sinks.write_snapshot(mk(0, 100), path)                         # v1
+
+    real_pub = sinks._publish_manifest
+    state = {"fired": False}
+
+    def racy(man_dir, n, manifest):
+        # the first publish from the DML loser is preceded by a winner
+        if not state["fired"] and manifest.get("op", {}).get("name") != "append":
+            state["fired"] = True
+            sinks.write_snapshot(mk(1000, 1010), path)
+        return real_pub(man_dir, n, manifest)
+
+    monkeypatch.setattr(sinks, "_publish_manifest", racy)
+    info = sinks.delete_from_snapshot(spark, path, "k < 10")
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+    assert info["n_deleted"] == 10, info
+    out = sinks.read_snapshot(spark, path)
+    # the interleaved append's rows survived the retried delete
+    assert out.count() == 100, out.count()
+    assert out.where("k >= 1000").count() == 10
+
+    # UPDATE retries the same way
+    state["fired"] = False
+    monkeypatch.setattr(sinks, "_publish_manifest", racy)
+    u = sinks.update_snapshot(spark, path, "k >= 1000",
+                              {"v": "v + 1"})
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+    # 20 rows match: the delete-race appender AND this race's appender
+    # both landed k>=1000 batches before the retried update ran
+    assert u["n_updated"] == 20, u
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 110  # both the append and the update landed
+
+    # retries=0: the conflict propagates
+    state["fired"] = False
+    monkeypatch.setattr(sinks, "_publish_manifest", racy)
+    with pytest.raises(sinks.SnapshotConflictError):
+        sinks.delete_from_snapshot(spark, path, "k = 42", retries=0)
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+
+    # MERGE retries
+    state["fired"] = False
+    monkeypatch.setattr(sinks, "_publish_manifest", racy)
+    m = sinks.merge_into_snapshot(
+        spark, path,
+        spark.createDataFrame([(42, -1, "U")], "k int, v int, op string"),
+        key="k",
+    )
+    monkeypatch.setattr(sinks, "_publish_manifest", real_pub)
+    assert m["n_changes"] == 1, m
+    out = sinks.read_snapshot(spark, path)
+    assert out.where("k = 42 AND v = -1").count() == 1
+    assert out.count() == 130  # two more interleaved appends landed
