@@ -2083,6 +2083,128 @@ ORDER BY doc_id
 """
 
 
+def q_snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``naru_snapshot`` Spark DataSource (sources/snapshot_source —
+    the Spark 4 Python DataSource API over the manifest protocol): the
+    corpus lands in two doc_id-range commits, then a plain
+    ``spark.read.format("naru_snapshot").load(path).where(...)`` read
+    lets CATALYST'S OWN pushed filters eliminate the out-of-range
+    manifest entry (counter-asserted via planned partitions) — data
+    skipping with zero hint plumbing, derived from the query plan
+    itself. Oracle: the same range filter in SQL."""
+    from naru_spark.sources.sinks import write_snapshot
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = _tmpdir(prefix="docs_snap_ds_") + "/docs"
+    mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    write_snapshot(docs.where(F.col("doc_id") <= mid), path)        # v1
+    write_snapshot(docs.where(F.col("doc_id") > mid), path)         # v2
+    # independent load() per frame: a filtered child shares its parent's
+    # reader instance, so the pushed-filter hints would contaminate the
+    # unfiltered baseline if measured afterwards
+    n_full = (
+        spark.read.format("naru_snapshot").load(path)
+        .rdd.getNumPartitions()
+    )
+    cut = mid // 2
+    q = spark.read.format("naru_snapshot").load(path).where(
+        f"doc_id <= {cut}"
+    )
+    assert q.rdd.getNumPartitions() < n_full, (
+        q.rdd.getNumPartitions(), n_full
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_datasource_read() -> str:
+    return """
+WITH cut AS (SELECT (MAX(doc_id) // 2) // 2 AS c FROM documents)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents, cut
+WHERE doc_id <= cut.c
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_stream_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM from a snapshot table through the ``naru_snapshot``
+    DataSource (``spark.readStream.format(...)``): offsets are manifest
+    VERSIONS checkpointed by Structured Streaming — the first
+    availableNow drain serves v1, the second serves exactly the commits
+    landed since (O(delta), exactly-once across restarts; a third drain
+    with no new commits emits nothing). Oracle: the final table
+    content, aggregated."""
+    from naru_spark.sources.sinks import write_snapshot
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    root = _tmpdir(prefix="docs_snap_dss_")
+    path = root + "/docs"
+    mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    write_snapshot(docs.where(F.col("doc_id") <= mid), path)        # v1
+    outp, ckpt = root + "/out", root + "/ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("naru_snapshot").load(path)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(outp)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(outp).count()
+    write_snapshot(docs.where(F.col("doc_id") > mid), path)         # v2
+    drain()
+    got = spark.read.parquet(outp)
+    n2 = got.count()
+    assert n1 < n2 == docs.count(), (n1, n2)
+    drain()  # no new commits: nothing re-served
+    assert spark.read.parquet(outp).count() == n2
+    return (
+        got.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_stream_snapshot_datasource() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only table stats per snapshot version
     (sources.sinks.snapshot_stats — Iceberg's snapshots metadata table):
@@ -3455,6 +3577,8 @@ def build_ops_registry():
         "snapshot_merge_evolve": q_snapshot_merge_evolve,
         "snapshot_days_transform": q_snapshot_days_transform,
         "snapshot_bucket_transform": q_snapshot_bucket_transform,
+        "snapshot_datasource_read": q_snapshot_datasource_read,
+        "stream_snapshot_datasource": q_stream_snapshot_datasource,
         "snapshot_update_where": q_snapshot_update_where,
         "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
@@ -3524,6 +3648,8 @@ def build_ops_registry():
         "snapshot_merge_evolve": sql_snapshot_merge_evolve(),
         "snapshot_days_transform": sql_snapshot_days_transform(),
         "snapshot_bucket_transform": sql_snapshot_bucket_transform(),
+        "snapshot_datasource_read": sql_snapshot_datasource_read(),
+        "stream_snapshot_datasource": sql_stream_snapshot_datasource(),
         "snapshot_update_where": sql_snapshot_update_where(),
         "snapshot_merge_sync": sql_snapshot_merge_sync(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),

@@ -1,0 +1,319 @@
+"""Spark-native DataSource for snapshot tables (``format("naru_snapshot")``)
+— the Spark 4 Python DataSource API (`pyspark.sql.datasource`) wired to
+the manifest protocol, so a snapshot table is a FIRST-CLASS source:
+
+    spark.dataSource.register(SnapshotDataSource)
+    spark.read.format("naru_snapshot").load(path)                # batch
+    spark.read.format("naru_snapshot").option("version", 3).load(path)
+    spark.readStream.format("naru_snapshot").load(path)          # stream
+
+What makes this Spark-first rather than a toy:
+
+- **Catalyst-driven data skipping**: ``pushFilters`` receives the query's
+  own pushed predicates (EqualTo / In / range filters) and eliminates
+  manifest entries against the stamped per-entry column min/max and
+  identity-partition values — ONE manifest read, zero footers, BEFORE
+  any partition is planned. Filters are returned un-consumed (Spark
+  re-applies them), so skipping can only reduce I/O, never change
+  results — exactly the ``read_snapshot(prune=...)`` hint contract,
+  but derived from the plan instead of the caller.
+- **Exactly-once streaming offsets = manifest versions**: the stream
+  reader's offset is ``{"version": N}`` — ``latestOffset`` polls the
+  manifest dir (O(new manifests), never a file listing of the data
+  tree), ``partitions(start, end)`` plans exactly the entries added in
+  the range, and a replace commit inside a range raises instead of
+  re-serving superseded files. This is the manifest-poll consumer the
+  docs always prescribed past ~10^5 files, packaged as a real
+  ``readStream`` source with checkpointed offsets.
+- **Arrow-batched reads**: ``read`` yields pyarrow RecordBatches
+  (never per-row Python), one InputPartition per data file.
+
+HONEST SCOPE: the data path crosses Python (the API's cost), so the
+JVM-native ``read_snapshot`` remains the throughput path for huge
+scans; and the source serves RAW-FILE-CORRECT tables only — pending
+merge-on-read deletes / deletion vectors / schema ops REFUSE at plan
+time (the same rule as ``snapshot_stream_source``), because applying
+those planes belongs to the JVM read path, not a per-file reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _man_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _load_manifest(path: str, version: int | None = None) -> dict:
+    from naru_spark.sources.sinks import _latest_version
+
+    v = _latest_version(_man_dir(path)) if version is None else version
+    with open(os.path.join(_man_dir(path), f"v{v}.json")) as fh:
+        man = json.load(fh)
+    return man
+
+
+def _refuse_pending(man: dict, path: str) -> None:
+    for plane, msg in (
+        ("deletes", "merge-on-read delete(s)"),
+        ("dvs", "deletion vector(s)"),
+        ("schema_ops", "rename/drop schema op(s)"),
+    ):
+        if man.get(plane):
+            raise ValueError(
+                f"naru_snapshot source: {path} has pending {msg} — raw "
+                "files are not the logical rows; read via read_snapshot "
+                "(which applies the planes) or compact_snapshot first"
+            )
+
+
+def _table_path(options) -> str:
+    p = options.get("path")
+    if not p:
+        raise ValueError(
+            'naru_snapshot needs a table path: .load("/path/to/table")'
+        )
+    return p
+
+
+def _arrow_spark_schema(man: dict) -> StructType:
+    """The table schema from ONE parquet footer of the manifest's first
+    non-empty entry (pyarrow -> Spark types via the engine's own
+    converter)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from naru_spark.sources.sinks import _entry_files
+
+    for e in man["dirs"]:
+        files = _entry_files(e)
+        if files:
+            return from_arrow_schema(
+                pq.ParquetFile(files[0]).schema_arrow
+            )
+    raise ValueError("naru_snapshot: the table holds no data files")
+
+
+def _filter_hints(filters) -> dict:
+    """Covering boxes / partition probes from Catalyst's pushed filters
+    — the plan-derived twin of ``_condition_prune_hints``. Only
+    attribute-vs-literal comparisons on top-level columns contribute;
+    anything else is ignored (unpruned, never wrong)."""
+    import math
+
+    boxes: dict = {}
+    parts: dict = {}
+    dropped: set = set()
+
+    def shrink(col, lo, hi):
+        if col in dropped:
+            return
+        try:
+            if col in boxes:
+                lo = max(boxes[col][0], lo)
+                hi = min(boxes[col][1], hi)
+            boxes[col] = (lo, hi)
+        except TypeError:
+            boxes.pop(col, None)
+            dropped.add(col)
+
+    for f in filters:
+        col = (
+            f.attribute[0]
+            if hasattr(f, "attribute") and len(f.attribute) == 1
+            else None
+        )
+        if col is None:
+            continue
+        if isinstance(f, EqualTo):
+            v = f.value
+            if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                continue
+            shrink(col, v, v)
+            ps = {str(v)} if isinstance(v, (int, str)) else None
+            if ps is not None:
+                parts[col] = (
+                    sorted(set(parts[col]) & ps) if col in parts
+                    else sorted(ps)
+                )
+        elif isinstance(f, In):
+            vs = [
+                v for v in f.values
+                if not isinstance(v, bool) and isinstance(v, (int, float, str))
+            ]
+            if len(vs) != len(f.values) or not vs:
+                continue
+            try:
+                shrink(col, min(vs), max(vs))
+            except TypeError:
+                continue
+            if all(isinstance(v, (int, str)) for v in vs):
+                ps = {str(v) for v in vs}
+                parts[col] = (
+                    sorted(set(parts[col]) & ps) if col in parts
+                    else sorted(ps)
+                )
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            if isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
+                shrink(col, f.value, math.inf)
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            if isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
+                shrink(col, -math.inf, f.value)
+    return {"prune": boxes, "partitions": parts}
+
+
+def _surviving_files(man: dict, hints: dict | None) -> list[str]:
+    """Entry elimination against the stamped stats, then the surviving
+    entries' files — identity partition probes compare as dir-name
+    strings only when the probe string round-trips exactly (int/str)."""
+    from naru_spark.sources.sinks import (
+        _entry_files,
+        _entry_overlaps,
+        _entry_partition_match,
+    )
+
+    entries = man["dirs"]
+    stats = man.get("stats", {})
+    if hints:
+        if hints.get("partitions"):
+            for col, values in hints["partitions"].items():
+                want = set(values)
+                entries = [
+                    e for e in entries
+                    if _entry_partition_match(stats.get(e), col, want)
+                ]
+        if hints.get("prune"):
+            entries = [
+                e for e in entries
+                if _entry_overlaps(stats.get(e), hints["prune"])
+            ]
+    return [f for e in entries for f in _entry_files(e)]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+def _read_file_batches(file: str):
+    import pyarrow.parquet as pq
+
+    yield from pq.ParquetFile(file).iter_batches()
+
+
+class SnapshotBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = _table_path(options)
+        v = options.get("version")
+        self.man = _load_manifest(self.path, int(v) if v else None)
+        _refuse_pending(self.man, self.path)
+        self.hints: dict | None = None
+
+    def pushFilters(self, filters):
+        # record the plan's own predicates for entry elimination; hand
+        # every filter BACK (Spark re-applies them — we only skip I/O)
+        self.hints = _filter_hints(filters)
+        return filters
+
+    def partitions(self):
+        return [
+            _FilePartition(f) for f in _surviving_files(self.man, self.hints)
+        ] or [_FilePartition("")]
+
+    def read(self, partition):
+        if partition.file:
+            yield from _read_file_batches(partition.file)
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = _table_path(options)
+        self.start_version = int(options.get("startingVersion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from naru_spark.sources.sinks import _latest_version
+
+        return {"version": _latest_version(_man_dir(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        if sv == ev:
+            return []
+        from naru_spark.sources.sinks import _entry_files
+
+        base = set(_load_manifest(self.path, sv)["dirs"]) if sv else set()
+        head_man = _load_manifest(self.path, ev)
+        _refuse_pending(head_man, self.path)
+        head = head_man["dirs"]
+        if not base <= set(head):
+            raise ValueError(
+                f"naru_snapshot stream: versions {sv}..{ev} of "
+                f"{self.path} include a replace commit — a file stream "
+                "would re-serve superseded data; consume row-level "
+                "changes (read_snapshot_changes) instead"
+            )
+        parts = [
+            _FilePartition(f)
+            for e in head if e not in base
+            for f in _entry_files(e)
+        ]
+        # metadata-only range (constraints, txn replays): one sentinel
+        # empty partition — a planned batch may not be partition-less
+        return parts or [_FilePartition("")]
+
+    def read(self, partition):
+        if partition.file:
+            yield from _read_file_batches(partition.file)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; manifests are immutable
+
+
+class SnapshotDataSource(DataSource):
+    """``naru_snapshot`` — manifest-protocol snapshot tables as a native
+    Spark format (see module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "naru_snapshot"
+
+    def schema(self) -> StructType:
+        path = _table_path(self.options)
+        v = self.options.get("version")
+        return _arrow_spark_schema(
+            _load_manifest(path, int(v) if v else None)
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SnapshotBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        return SnapshotStreamReader(self.options)
+
+
+def register_snapshot_source(spark) -> None:
+    """Idempotent registration: ``spark.read.format("naru_snapshot")``
+    becomes available for the session. Python-source filter pushdown is
+    enabled here — without it Spark refuses a reader that implements
+    ``pushFilters`` (and the manifest-level skipping is the point)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)

@@ -3502,3 +3502,84 @@ def test_dml_occ_retry_loops(spark, tmp_path, monkeypatch):
     out = sinks.read_snapshot(spark, path)
     assert out.where("k = 42 AND v = -1").count() == 1
     assert out.count() == 130  # two more interleaved appends landed
+
+
+def test_snapshot_datasource(spark, tmp_path):
+    """format("naru_snapshot") — the Spark 4 Python DataSource over the
+    manifest protocol: batch reads serve exactly the manifest's files
+    with Catalyst-pushed filters eliminating entries (counter-asserted
+    via planned partitions), version time travel works, streaming
+    offsets are manifest versions (exactly-once across restarts, a
+    replace commit in range raises), and pending planes refuse at plan
+    time."""
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 2) for i in range(100)],
+        "k int, g string, v int",
+    )
+    sinks.write_snapshot(df.where("k < 50").repartition(4), path)   # v1
+    sinks.write_snapshot(df.where("k >= 50").repartition(4), path)  # v2
+
+    out = spark.read.format("naru_snapshot").load(path)
+    assert out.count() == 100
+    assert sorted(out.columns) == ["g", "k", "v"]
+    # Catalyst's own pushed range filter eliminates v1's entry — the
+    # plan has half the partitions (one per surviving file)
+    filt = spark.read.format("naru_snapshot").load(path).where(
+        "k >= 50 AND k < 60"
+    )
+    assert filt.count() == 10
+    assert filt.rdd.getNumPartitions() < out.rdd.getNumPartitions()
+    # ...and the filter still applies exactly (skipping is I/O-only)
+    assert {r["k"] for r in filt.collect()} == set(range(50, 60))
+    # version time travel through the option
+    v1 = spark.read.format("naru_snapshot").option("version", 1).load(path)
+    assert v1.count() == 50
+
+    # streaming: offsets are manifest versions, exactly-once across
+    # restarts, O(delta) per trigger
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("naru_snapshot").load(path)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(outp)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(outp).count() == 100
+    sinks.write_snapshot(df.limit(7), path)                          # v3
+    drain()
+    assert spark.read.parquet(outp).count() == 107
+    drain()  # no new commits: no new rows
+    assert spark.read.parquet(outp).count() == 107
+
+    # pending planes refuse at plan time (raw files are not the rows)
+    sinks.delete_from_snapshot(spark, path, "k = 1",
+                               mode="deletion-vector")
+    with pytest.raises(Exception, match="deletion vector"):
+        spark.read.format("naru_snapshot").load(path).count()
+    # a replace commit inside a stream range raises instead of
+    # re-serving superseded files
+    sinks.compact_snapshot(spark, path, full=True)  # replace commit
+    q = (
+        spark.readStream.format("naru_snapshot").load(path)
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="replace commit"):
+        q.awaitTermination()
