@@ -2096,9 +2096,12 @@ def q_snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.sources.snapshot_source import register_snapshot_source
 
     register_snapshot_source(spark)
+    # a corpus QUARTER: the entry proves the integration (pushdown
+    # skipping, manifest reads) — the data path crosses Python by
+    # design, so don't pay the arrow transfer on the full corpus
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
-    )
+    ).where("doc_id % 4 = 0")
     path = _tmpdir(prefix="docs_snap_ds_") + "/docs"
     mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
     write_snapshot(docs.where(F.col("doc_id") <= mid), path)        # v1
@@ -2131,10 +2134,11 @@ def q_snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_snapshot_datasource_read() -> str:
     return """
-WITH cut AS (SELECT (MAX(doc_id) // 2) // 2 AS c FROM documents)
+WITH q AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+cut AS (SELECT (MAX(doc_id) // 2) // 2 AS c FROM q)
 SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-FROM documents, cut
+FROM q, cut
 WHERE doc_id <= cut.c
 GROUP BY source
 ORDER BY source
@@ -2155,7 +2159,7 @@ def q_stream_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_snapshot_source(spark)
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
-    )
+    ).where("doc_id % 4 = 0")  # integration proof, not a transfer bench
     root = _tmpdir(prefix="docs_snap_dss_")
     path = root + "/docs"
     mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
@@ -2200,6 +2204,70 @@ def sql_stream_snapshot_datasource() -> str:
 SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM documents
+WHERE doc_id % 4 = 0
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_stream_snapshot_datasource_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot tables as a Structured Streaming SINK
+    (``writeStream.format("naru_snapshot")`` — the write side of the
+    Python DataSource): a file stream of the corpus drains into a
+    snapshot table with each micro-batch committing one version under
+    a ``<app>:<batchId>`` txn id, so a re-drain with the same
+    checkpoint re-commits NOTHING (exactly-once by content, asserted)
+    — the foreachBatch ingest idiom with zero foreachBatch code.
+    Oracle: the corpus aggregated."""
+    from naru_spark.sources.sinks import read_snapshot, snapshot_history
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).where("doc_id % 4 = 0")  # integration proof, not a transfer bench
+    root = _tmpdir(prefix="docs_snap_dsw_")
+    src, sink, ckpt = root + "/src", root + "/sink", root + "/ckpt"
+    docs.write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("naru_snapshot")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = read_snapshot(spark, sink).count()
+    drain()  # same checkpoint: txn replay, zero new rows
+    assert read_snapshot(spark, sink).count() == n1 == docs.count()
+    assert all(h["op"] == "append" for h in snapshot_history(sink))
+    return (
+        read_snapshot(spark, sink)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_stream_snapshot_datasource_sink() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 4 = 0
 GROUP BY source
 ORDER BY source
 """
@@ -3579,6 +3647,7 @@ def build_ops_registry():
         "snapshot_bucket_transform": q_snapshot_bucket_transform,
         "snapshot_datasource_read": q_snapshot_datasource_read,
         "stream_snapshot_datasource": q_stream_snapshot_datasource,
+        "stream_snapshot_datasource_sink": q_stream_snapshot_datasource_sink,
         "snapshot_update_where": q_snapshot_update_where,
         "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
@@ -3650,6 +3719,7 @@ def build_ops_registry():
         "snapshot_bucket_transform": sql_snapshot_bucket_transform(),
         "snapshot_datasource_read": sql_snapshot_datasource_read(),
         "stream_snapshot_datasource": sql_stream_snapshot_datasource(),
+        "stream_snapshot_datasource_sink": sql_stream_snapshot_datasource_sink(),
         "snapshot_update_where": sql_snapshot_update_where(),
         "snapshot_merge_sync": sql_snapshot_merge_sync(),
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),

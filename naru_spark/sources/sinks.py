@@ -1913,6 +1913,115 @@ def write_snapshot(
                 manifest["constraints"] = new_constraints
 
 
+def commit_staged_dir(
+    path: str,
+    data_dir: str,
+    txn_id: str | None = None,
+    op_meta: dict | None = None,
+    rebase_attempts: int = 10,
+) -> int:
+    """The COMMIT half of ``write_snapshot``, factored for writers that
+    stage their data files themselves (the ``naru_snapshot`` DataSource
+    writer: executor tasks write parquet straight into ``data_dir``,
+    then the driver publishes here): a BLIND APPEND of the
+    already-written dir with the same semantics as write_snapshot —
+    txn replay no-ops (reclaiming the duplicate delta), CHECK
+    constraints probe the staged bytes before anything publishes,
+    planes/properties carry from the head, and a lost publish race
+    REBASES onto the new head (the staged dir is immutable; only the
+    manifest link races). An empty staged dir (a zero-row batch) is
+    reclaimed and returns the current version without committing.
+    Returns the committed version."""
+    import json
+    import os
+    import shutil
+
+    man_dir = os.path.join(path, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    files = _entry_files(data_dir) if os.path.isdir(data_dir) else []
+    if not files:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        versions = [
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else 0
+    new_stats = {data_dir: _entry_stats(data_dir)}
+    app = ver = None
+    if txn_id is not None:
+        app, ver = _parse_txn_id(txn_id)
+    probed: dict | None = None
+    attempts = rebase_attempts
+    while True:
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        head = versions[-1] if versions else 0
+        if head:
+            with open(os.path.join(man_dir, f"v{head}.json")) as fh:
+                latest = json.load(fh)
+        else:
+            latest = {}
+        txns = _normalize_txns(latest.get("txns", {}))
+        if txn_id is not None:
+            rec = txns.get(app)
+            if rec is not None and ver <= int(rec["v"]):
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return int(rec["commit"])
+            txns[app] = {"v": ver, "commit": head + 1}
+        constraints = latest.get("constraints", {})
+        if constraints and constraints != probed:
+            from functools import reduce
+
+            from pyspark.sql import SparkSession
+            from pyspark.sql import functions as F
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                # the DataSource commit worker has no Spark session to
+                # probe with — REFUSE rather than publish unverified
+                # rows into a constrained table (write_snapshot is the
+                # enforcing path)
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ValueError(
+                    f"table {path} carries CHECK constraint(s) "
+                    f"{sorted(constraints)} but this commit context has "
+                    "no Spark session to enforce them — append via "
+                    "write_snapshot instead"
+                )
+            bad = (
+                spark.read.parquet(*files)
+                .where(reduce(lambda a, b: a | b,
+                              [~F.expr(e) for e in constraints.values()]))
+                .limit(1).collect()
+            )
+            if bad:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ValueError(
+                    f"CHECK constraint violated by staged row "
+                    f"{bad[0].asDict()!r} — commit refused, data removed"
+                )
+            probed = constraints
+        n = head + 1
+        prev = latest.get("dirs", [])
+        prev_stats = latest.get("stats", {})
+        stats = {e: prev_stats.get(e) or _entry_stats(e) for e in prev}
+        stats.update(new_stats)
+        manifest = {"version": n, "dirs": prev + [data_dir],
+                    "txns": txns, "stats": stats,
+                    "op": op_meta or {"name": "append"}}
+        _carry_planes(latest, manifest)
+        try:
+            _publish_manifest(man_dir, n, manifest)
+            return n
+        except SnapshotConflictError:
+            if attempts <= 0:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            attempts -= 1
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,

@@ -43,7 +43,9 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -52,6 +54,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -288,6 +291,129 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets live in the checkpoint; manifests are immutable
 
 
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, file: str | None):
+        self.file = file
+
+
+class _StagedWriterMixin:
+    """Shared executor-side write: each task streams its RecordBatches
+    into ONE parquet file under a per-query staging dir inside the
+    table's data tree (uncommitted stages are unreferenced-by-manifest
+    debris that ``gc_orphans`` reclaims, exactly like a crashed
+    writer's). The driver-side commit moves the batch's files into a
+    final commit dir and publishes it via ``commit_staged_dir`` — the
+    same blind-append protocol (txn replay, CHECK probe, rebase on a
+    lost race) every other appender uses."""
+
+    def _init_stage(self, options) -> None:
+        import uuid
+
+        self.path = _table_path(options)
+        self.txn_app = options.get("txnappid")
+        self.stage = os.path.join(
+            self.path, "data", f"stage-{uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.stage, exist_ok=True)
+        fp = os.path.join(self.stage, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(fp, batch.schema)
+            writer.write_batch(batch)
+        if writer is None:
+            return _WroteFile(None)
+        writer.close()
+        return _WroteFile(fp)
+
+    def _commit_files(self, messages, txn_id: str | None,
+                      op_meta: dict) -> None:
+        import shutil
+        import uuid
+
+        from naru_spark.sources.sinks import commit_staged_dir
+
+        files = [m.file for m in messages if m is not None and m.file]
+        final = os.path.join(
+            self.path, "data", f"w-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(final, exist_ok=True)
+        for f in files:
+            os.replace(f, os.path.join(final, os.path.basename(f)))
+        try:
+            commit_staged_dir(self.path, final, txn_id=txn_id,
+                              op_meta=op_meta)
+        finally:
+            shutil.rmtree(self.stage, ignore_errors=True)
+
+    def abort(self, *args) -> None:
+        import shutil
+
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+
+class SnapshotWriter(_StagedWriterMixin, DataSourceArrowWriter):
+    """``df.write.format("naru_snapshot").mode("append").save(path)`` —
+    append-only by design: a replace is a semantic table rewrite that
+    belongs to the explicit ``write_snapshot(mode="replace")`` /
+    ``replace_where`` APIs, not a save-mode default."""
+
+    def __init__(self, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                'naru_snapshot writes are append-only; use mode("append")'
+                " — replaces go through write_snapshot/replace_where"
+            )
+        self._init_stage(options)
+
+    def commit(self, messages) -> None:
+        self._commit_files(
+            messages,
+            txn_id=None,
+            op_meta={"name": "append", "writer": "datasource"},
+        )
+
+
+class SnapshotStreamWriter(_StagedWriterMixin, DataSourceStreamArrowWriter):
+    """``writeStream.format("naru_snapshot")`` — snapshot tables as a
+    Structured Streaming SINK with exactly-once-by-content semantics:
+    each micro-batch commits as one snapshot version under a txn id of
+    ``<txnAppId>:<batchId>`` (option ``txnAppId``, default
+    "naru_snapshot_stream"), so Structured Streaming's at-least-once
+    batch replay de-duplicates exactly like the foreachBatch ingest
+    idiom — without writing any foreachBatch code."""
+
+    def __init__(self, options):
+        self._init_stage(options)
+
+    def commit(self, messages, batchId: int) -> None:
+        app = self.txn_app or "naru_snapshot_stream"
+        self._commit_files(
+            messages,
+            txn_id=f"{app}:{batchId}",
+            op_meta={"name": "append", "writer": "datasource_stream",
+                     "batch_id": int(batchId)},
+        )
+        # fresh stage per committed batch: the moved files are gone, and
+        # a shared dir across batches would mix committed entries
+        import uuid
+
+        self.stage = os.path.join(
+            self.path, "data", f"stage-{uuid.uuid4().hex[:8]}"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+
 class SnapshotDataSource(DataSource):
     """``naru_snapshot`` — manifest-protocol snapshot tables as a native
     Spark format (see module docstring)."""
@@ -308,6 +434,12 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotWriter:
+        return SnapshotWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return SnapshotStreamWriter(self.options)
 
 
 def register_snapshot_source(spark) -> None:

@@ -3583,3 +3583,78 @@ def test_snapshot_datasource(spark, tmp_path):
     )
     with pytest.raises(Exception, match="replace commit"):
         q.awaitTermination()
+
+
+def test_snapshot_datasource_writer(spark, tmp_path):
+    """The naru_snapshot WRITE side: df.write.format("naru_snapshot")
+    appends commit one snapshot version each (manifest protocol, CHECK
+    constraints enforced on the staged bytes, overwrite refused);
+    writeStream.format("naru_snapshot") is a Structured Streaming SINK
+    whose micro-batches commit under txn ids — exactly-once across
+    re-drains with zero foreachBatch code."""
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "k int, g string"
+    )
+    df.where("k < 50").write.format("naru_snapshot").mode("append").save(path)
+    df.where("k >= 50").write.format("naru_snapshot").mode("append").save(path)
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 100
+    assert {r["k"] for r in out.collect()} == set(range(100))
+    hist = sinks.snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert all(h["op"] == "append" for h in hist)
+    # overwrite is refused (replaces go through the explicit APIs)
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("naru_snapshot").mode("overwrite").save(path)
+    # a CONSTRAINED table refuses the datasource write path outright —
+    # the commit worker has no Spark session to probe CHECKs with, and
+    # publishing unverified rows would be worse than refusing
+    sinks.add_snapshot_constraint(spark, path, "k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraint"):
+        spark.createDataFrame([(-1, "g")], "k int, g string").write.format(
+            "naru_snapshot"
+        ).mode("append").save(path)
+    assert sinks.read_snapshot(spark, path).count() == 100  # no trace
+    sinks.drop_snapshot_constraint(path, "k_nonneg")
+    # time travel still works over datasource-written commits
+    assert sinks.read_snapshot(spark, path, version=1).count() == 50
+
+    # --- streaming sink: exactly-once micro-batch commits
+    src = str(tmp_path / "src")
+    df.where("k < 60").write.parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema("k int, g string").parquet(src)
+            .writeStream.format("naru_snapshot")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sinks.read_snapshot(spark, sink).count() == 60
+    drain()  # restart with the same checkpoint: nothing re-commits
+    assert sinks.read_snapshot(spark, sink).count() == 60
+    df.where("k >= 60").write.mode("append").parquet(src)
+    drain()
+    got = sinks.read_snapshot(spark, sink)
+    assert got.count() == 100
+    assert {r["k"] for r in got.collect()} == set(range(100))
+    # the commits carry the stream writer's op metadata + txn ids
+    hist = sinks.snapshot_history(sink)
+    assert all(
+        h["op"] == "append"
+        and h["op_params"].get("writer") == "datasource_stream"
+        for h in hist
+    )
