@@ -2791,6 +2791,77 @@ def q_stream_snapshot_follow_cdf_ts(
     )
 
 
+def q_stream_snapshot_cdf_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The change data feed as a REAL Structured Streaming source
+    (``readStream.format("naru_snapshot").option("readChangeFeed",
+    "true")`` — Delta's CDC-stream idiom): the full commit vocabulary
+    (append, MERGE with its persisted change plane, a replace_where
+    REPLACE commit served from the manifest diff, a metadata-only
+    merge-on-read delete served from its change plane) streams as typed
+    change rows with checkpointed version offsets. The consumer shape
+    is the real one: bootstrap from a snapshot read of v1, stream ONLY
+    the changes after it (``startingVersion`` — the feed carries
+    O(changes), the Python hop never carries the corpus), fold, and
+    converge to the table's final state. Shares the poll-based
+    follower's oracle (the final table, aggregated)."""
+    from naru_spark.sources.sinks import read_snapshot
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    root = _tmpdir(prefix="docs_snap_cdfsrc_")
+    path = root + "/docs"
+    _build_cdf_table(spark, sf_dir, path)
+    out, ckpt = root + "/feed", root + "/ckpt"
+    q = (
+        spark.readStream.format("naru_snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1).load(path)
+        .writeStream.foreachBatch(
+            lambda b, i: b.write.mode("append").parquet(out)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(out)
+    cols = ["doc_id", "lang", "n_chars"]
+    versions = sorted(
+        r["_commit_version"]
+        for r in feed.select("_commit_version").distinct().collect()
+    )
+    assert versions and versions[0] > 1, versions  # bootstrap not re-fed
+    # bootstrap from the snapshot, fold ONLY the streamed changes
+    replica = read_snapshot(spark, path, version=1).select(*cols)
+    for v in versions:
+        ch = feed.where(F.col("_commit_version") == v)
+        removals = ch.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("doc_id").distinct()
+        upserts = ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        replica = (
+            replica.join(removals, "doc_id", "left_anti")
+            .unionByName(upserts)
+        )
+    expect = read_snapshot(spark, path).count()
+    got = replica.count()
+    assert got == expect, (got, expect)
+    return (
+        replica.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_snapshot_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance from the change data feed
     (sources.sinks.apply_cdf_to_aggregate — the CDF's raison d'être at
@@ -3652,6 +3723,7 @@ def build_ops_registry():
         "snapshot_merge_sync": q_snapshot_merge_sync,
         "stream_snapshot_follow_cdf": q_stream_snapshot_follow_cdf,
         "stream_snapshot_follow_cdf_ts": q_stream_snapshot_follow_cdf_ts,
+        "stream_snapshot_cdf_source": q_stream_snapshot_cdf_source,
         "snapshot_cdf_ivm": q_snapshot_cdf_ivm,
         "snapshot_stats": q_snapshot_stats,
         "snapshot_column_stats": q_snapshot_column_stats,
@@ -3725,6 +3797,8 @@ def build_ops_registry():
         "stream_snapshot_follow_cdf": sql_stream_snapshot_follow_cdf(),
         # wall-clock bootstrap is content-invariant: same oracle
         "stream_snapshot_follow_cdf_ts": sql_stream_snapshot_follow_cdf(),
+        # the streamed feed folds to the same final state: same oracle
+        "stream_snapshot_cdf_source": sql_stream_snapshot_follow_cdf(),
         "snapshot_cdf_ivm": sql_snapshot_cdf_ivm(),
         "snapshot_stats": sql_snapshot_stats(),
         "snapshot_column_stats": sql_snapshot_column_stats(),

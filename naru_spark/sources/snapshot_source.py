@@ -214,6 +214,110 @@ class _FilePartition(InputPartition):
         self.file = file
 
 
+class _CDFPartition(InputPartition):
+    """One change-feed read unit: a data (or change-plane) file plus the
+    commit identity to stamp — ``label`` is the change type for files
+    whose rows ARE the change (appended/removed entries); None for
+    change-plane files that already carry ``_change_type``."""
+
+    def __init__(self, file: str, label: str | None, version: int,
+                 ts: float | None):
+        self.file = file
+        self.label = label
+        self.version = version
+        self.ts = ts
+
+
+def _cdf_commit_partitions(path: str, sv: int, ev: int) -> list:
+    """Per-commit change-feed planning, the streaming twin of
+    ``read_snapshot_changes(row_level=True)``: for each version in
+    (sv, ev], pick the cheapest exact source — the persisted change
+    plane, appended entries as inserts, whole-entry manifest diffs for
+    replace/restore, nothing for compaction — and RAISE for commits
+    that mutated rows without a change plane (never under-report)."""
+    from naru_spark.sources.sinks import _entry_files
+
+    out: list = []
+    prev = _load_manifest(path, sv) if sv else {}
+    for v in range(sv + 1, ev + 1):
+        man = _load_manifest(path, v)
+        op = man.get("op") or {}
+        ts = man.get("ts")
+        prev_dirs, cur_dirs = prev.get("dirs", []), man["dirs"]
+        removed = [d for d in prev_dirs if d not in set(cur_dirs)]
+        added = [d for d in cur_dirs if d not in set(prev_dirs)]
+        mor_changed = (
+            man.get("deletes", []) != prev.get("deletes", [])
+            or man.get("dvs", []) != prev.get("dvs", [])
+        )
+        prev = man
+
+        def files(entries, label):
+            return [
+                _CDFPartition(f, label, v, ts)
+                for e in entries for f in _entry_files(e)
+            ]
+
+        if man.get("change_data"):
+            out += files([man["change_data"]], None)
+        elif op.get("name") == "compact":
+            pass  # re-layout: no row changed (dataChange=false)
+        elif mor_changed:
+            raise ValueError(
+                f"version {v} of {path} changed merge-on-read / "
+                "deletion-vector state without a change plane — cannot "
+                "stream row-level changes for this range (enable cdf "
+                "before row-rewriting commits)"
+            )
+        elif not removed and not added:
+            pass  # metadata-only commit
+        elif not removed:
+            out += files(added, "insert")
+        elif (op.get("name") in ("replace", "replace_where", "restore")
+              and not op.get("carry")):
+            out += files(removed, "delete") + files(added, "insert")
+        else:
+            raise ValueError(
+                f"version {v} of {path} rewrote files without a change "
+                f"plane (op={op.get('name') or 'unknown'!r}) — enable "
+                "the change data feed before row-rewriting commits"
+            )
+    return out
+
+
+def _cdf_read_batches(partition: _CDFPartition, schema: StructType):
+    """Arrow batches of one CDF partition aligned to the declared read
+    schema: the table columns (missing evolved columns null-filled),
+    ``_change_type`` (the partition label, or the plane file's own
+    column), ``_commit_version``, ``_commit_timestamp``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    for batch in pq.ParquetFile(partition.file).iter_batches():
+        n = batch.num_rows
+        names = set(batch.schema.names)
+        cols = []
+        for field in schema:
+            at = to_arrow_type(field.dataType)
+            if field.name == "_change_type":
+                if partition.label is not None:
+                    cols.append(pa.array([partition.label] * n, type=at))
+                else:
+                    cols.append(batch.column("_change_type").cast(at))
+            elif field.name == "_commit_version":
+                cols.append(pa.array([partition.version] * n, type=at))
+            elif field.name == "_commit_timestamp":
+                cols.append(pa.array([partition.ts] * n, type=at))
+            elif field.name in names:
+                cols.append(batch.column(field.name).cast(at))
+            else:  # pre-evolution file: later-added column reads NULL
+                cols.append(pa.nulls(n, type=at))
+        yield pa.RecordBatch.from_arrays(
+            cols, names=[f.name for f in schema]
+        )
+
+
 def _read_file_batches(file: str):
     import pyarrow.parquet as pq
 
@@ -245,9 +349,13 @@ class SnapshotBatchReader(DataSourceReader):
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema: StructType):
         self.path = _table_path(options)
         self.start_version = int(options.get("startingVersion", 0))
+        self.cdf = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
+        self.read_schema = schema
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -261,6 +369,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         sv, ev = int(start["version"]), int(end["version"])
         if sv == ev:
             return []
+        if self.cdf:
+            # row-level CHANGE FEED stream (Delta readChangeFeed): each
+            # commit serves typed change rows from its cheapest exact
+            # source; metadata-only ranges plan a sentinel no-op
+            parts = _cdf_commit_partitions(self.path, sv, ev)
+            return parts or [_CDFPartition("", None, ev, None)]
         from naru_spark.sources.sinks import _entry_files
 
         base = set(_load_manifest(self.path, sv)["dirs"]) if sv else set()
@@ -272,7 +386,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"naru_snapshot stream: versions {sv}..{ev} of "
                 f"{self.path} include a replace commit — a file stream "
                 "would re-serve superseded data; consume row-level "
-                "changes (read_snapshot_changes) instead"
+                "changes (option('readChangeFeed', 'true')) instead"
             )
         parts = [
             _FilePartition(f)
@@ -284,7 +398,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return parts or [_FilePartition("")]
 
     def read(self, partition):
-        if partition.file:
+        if not partition.file:
+            return
+        if isinstance(partition, _CDFPartition):
+            yield from _cdf_read_batches(partition, self.read_schema)
+        else:
             yield from _read_file_batches(partition.file)
 
     def commit(self, end: dict) -> None:
@@ -423,17 +541,34 @@ class SnapshotDataSource(DataSource):
         return "naru_snapshot"
 
     def schema(self) -> StructType:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StringType,
+            StructField,
+        )
+
         path = _table_path(self.options)
         v = self.options.get("version")
-        return _arrow_spark_schema(
+        base = _arrow_spark_schema(
             _load_manifest(path, int(v) if v else None)
         )
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", IntegerType()),
+                    StructField("_commit_timestamp", DoubleType()),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SnapshotBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
-        return SnapshotStreamReader(self.options)
+        return SnapshotStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> SnapshotWriter:
         return SnapshotWriter(self.options, overwrite)

@@ -3658,3 +3658,61 @@ def test_snapshot_datasource_writer(spark, tmp_path):
         and h["op_params"].get("writer") == "datasource_stream"
         for h in hist
     )
+
+
+def test_snapshot_datasource_cdf_stream(spark, tmp_path):
+    """readStream.format("naru_snapshot").option("readChangeFeed") —
+    the change feed as a streaming source: the streamed rows match
+    read_snapshot_changes(row_level=True) exactly (types, versions),
+    a second drain serves only commits landed since, and a commit that
+    cannot be served row-level fails the stream loudly."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "cdfs")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k int, v int"
+    )
+    sinks.write_snapshot(df, path, cdf=True)                       # v1
+    sinks.delete_from_snapshot(spark, path, "k < 5")               # v2
+    sinks.update_snapshot(spark, path, "k >= 45", {"v": "v + 1"})  # v3
+
+    out, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("naru_snapshot")
+            .option("readChangeFeed", "true").load(path)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in sinks.read_snapshot_changes(
+            spark, path, 0, row_level=True
+        ).collect()
+    }
+    assert got == want and len(got) > 50
+    # incremental: only the new commit's changes stream on re-drain
+    sinks.write_snapshot(df.limit(3).selectExpr("k + 100 as k", "v"),
+                         path)                                     # v4
+    drain()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == len(want) + 3
+    assert got2.where("_commit_version = 4").count() == 3
+    assert {
+        r["_change_type"]
+        for r in got2.where("_commit_version = 4").collect()
+    } == {"insert"}
