@@ -848,6 +848,8 @@ def _transform_probe_values(spark, t: str, param, dtype, values):
             return {v[:param] for v in values}
         return None
     if t == "bucket":
+        if spark is None:
+            return None  # no session to hash with (DataSource planning)
         if not ((ints and dtype in _INT_DTYPES)
                 or (strs and dtype == "string")):
             return None
@@ -915,6 +917,44 @@ def _partition_surviving_entries(
         if tw is None or st["partition"][key] in tw:
             kept.append(e)
     return kept
+
+
+def _scope_entries(spark, dirs, stats: dict, partitions: dict) -> set:
+    """Entries IN SCOPE for a partition-scoped maintenance pass (Delta
+    ``OPTIMIZE ... WHERE``): probes are SOURCE-column values — identity
+    stamps compare as ``str(value)`` (the historical contract),
+    transformed stamps (days/bucket/truncate) transform the probes.
+    OPPOSITE default to read-side pruning: an entry with no stamp for a
+    probed column, or probes its transform cannot apply safely, is NOT
+    in scope — a maintenance op touches less when unsure."""
+    scope = set(dirs)
+    cache: dict = {}
+    for col, vals in partitions.items():
+        vals = list(vals)
+        ident = {str(v) for v in vals}
+        keep = set()
+        for e in scope:
+            st = stats.get(e)
+            key, sp = _entry_stamp_for(st, col)
+            if key is None:
+                continue
+            if sp["t"] == "identity":
+                if st["partition"][key] in ident:
+                    keep.add(e)
+                continue
+            dtype = (
+                ((st.get("partition_meta") or {}).get(key)) or {}
+            ).get("dtype")
+            ck = (sp["t"], sp["param"], dtype)
+            if ck not in cache:
+                cache[ck] = _transform_probe_values(
+                    spark, sp["t"], sp["param"], dtype, vals
+                )
+            tw = cache[ck]
+            if tw is not None and st["partition"][key] in tw:
+                keep.add(e)
+        scope = keep
+    return scope
 
 
 def _partition_range_surviving(entries, stats: dict, col: str, rng) -> list:
@@ -2818,13 +2858,9 @@ def compact_snapshot(
     scope = None
     if partitions is not None:
         want = {c: {str(v) for v in vals} for c, vals in partitions.items()}
-        scope = {
-            e for e in dirs
-            if all(
-                (stats.get(e) or {}).get("partition", {}).get(c) in w
-                for c, w in want.items()
-            )
-        }
+        # transform-aware scope: probes are SOURCE-column values on
+        # identity AND days/bucket/truncate specs alike
+        scope = _scope_entries(spark, dirs, stats, partitions)
     plan = _compaction_plan(man, stats, threshold, full=full,
                             zorder=zorder_by is not None, scope=scope)
     force_full, under, carried = (
@@ -4401,15 +4437,7 @@ def maintain_snapshot(
         # entries rewrite.
         scope = None
         if partitions is not None:
-            want = {c: {str(v) for v in vals}
-                    for c, vals in partitions.items()}
-            scope = {
-                e for e in man["dirs"]
-                if all(
-                    (stats.get(e) or {}).get("partition", {}).get(c) in w
-                    for c, w in want.items()
-                )
-            }
+            scope = _scope_entries(spark, man["dirs"], stats, partitions)
         plan = _compaction_plan(man, stats, threshold,
                                 zorder=zorder_by is not None, scope=scope)
         frag_target = max(

@@ -104,24 +104,39 @@ def _arrow_spark_schema(man: dict) -> StructType:
 
     from naru_spark.sources.sinks import _entry_files
 
+    import pyarrow as pa
+
     for e in man["dirs"]:
         files = _entry_files(e)
         if files:
-            return from_arrow_schema(
-                pq.ParquetFile(files[0]).schema_arrow
-            )
+            sch = pq.ParquetFile(files[0]).schema_arrow
+            fields = []
+            for f in sch:
+                t = f.type
+                if pa.types.is_timestamp(t) and t.unit == "ns":
+                    # Spark writes INT96 (surfacing as ns in arrow):
+                    # declare micros, reads cast batches to match
+                    f = pa.field(f.name, pa.timestamp("us", tz=t.tz))
+                fields.append(f)
+            return from_arrow_schema(pa.schema(fields))
     raise ValueError("naru_snapshot: the table holds no data files")
 
 
 def _filter_hints(filters) -> dict:
-    """Covering boxes / partition probes from Catalyst's pushed filters
-    — the plan-derived twin of ``_condition_prune_hints``. Only
-    attribute-vs-literal comparisons on top-level columns contribute;
-    anything else is ignored (unpruned, never wrong)."""
+    """Covering boxes / partition probes / date-time ranges from
+    Catalyst's pushed filters — the plan-derived twin of
+    ``_condition_prune_hints``. Only attribute-vs-literal comparisons
+    on top-level columns contribute; anything else is ignored
+    (unpruned, never wrong). Partition probes keep their RAW typed
+    values (identity stamps stringify them, transformed stamps need
+    the types); datetime/date literals collect into ``ranges`` for the
+    days(col) transformed-stamp pruning."""
+    import datetime
     import math
 
     boxes: dict = {}
     parts: dict = {}
+    ranges: dict = {}
     dropped: set = set()
 
     def shrink(col, lo, hi):
@@ -136,6 +151,16 @@ def _filter_hints(filters) -> dict:
             boxes.pop(col, None)
             dropped.add(col)
 
+    def trange(col, lo, hi):
+        if col in ranges:
+            plo, phi = ranges[col]
+            lo = plo if lo is None else (lo if plo is None else max(plo, lo))
+            hi = phi if hi is None else (hi if phi is None else min(phi, hi))
+        ranges[col] = (lo, hi)
+
+    def is_dt(v):
+        return isinstance(v, (datetime.datetime, datetime.date))
+
     for f in filters:
         col = (
             f.attribute[0]
@@ -146,15 +171,17 @@ def _filter_hints(filters) -> dict:
             continue
         if isinstance(f, EqualTo):
             v = f.value
+            if is_dt(v):
+                trange(col, v, v)
+                continue
             if isinstance(v, bool) or not isinstance(v, (int, float, str)):
                 continue
             shrink(col, v, v)
-            ps = {str(v)} if isinstance(v, (int, str)) else None
-            if ps is not None:
-                parts[col] = (
-                    sorted(set(parts[col]) & ps) if col in parts
-                    else sorted(ps)
-                )
+            ps = {v}
+            parts[col] = (
+                sorted(set(parts[col]) & ps) if col in parts
+                else sorted(ps)
+            )
         elif isinstance(f, In):
             vs = [
                 v for v in f.values
@@ -166,29 +193,39 @@ def _filter_hints(filters) -> dict:
                 shrink(col, min(vs), max(vs))
             except TypeError:
                 continue
-            if all(isinstance(v, (int, str)) for v in vs):
-                ps = {str(v) for v in vs}
+            ps = set(vs)
+            try:
                 parts[col] = (
                     sorted(set(parts[col]) & ps) if col in parts
                     else sorted(ps)
                 )
+            except TypeError:
+                parts.pop(col, None)
         elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-            if isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
+            if is_dt(f.value):
+                trange(col, f.value, None)
+            elif isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
                 shrink(col, f.value, math.inf)
         elif isinstance(f, (LessThan, LessThanOrEqual)):
-            if isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
+            if is_dt(f.value):
+                trange(col, None, f.value)
+            elif isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
                 shrink(col, -math.inf, f.value)
-    return {"prune": boxes, "partitions": parts}
+    return {"prune": boxes, "partitions": parts, "ranges": ranges}
 
 
 def _surviving_files(man: dict, hints: dict | None) -> list[str]:
     """Entry elimination against the stamped stats, then the surviving
-    entries' files — identity partition probes compare as dir-name
-    strings only when the probe string round-trips exactly (int/str)."""
+    entries' files: min/max boxes, identity AND transformed partition
+    stamps (days/truncate transform probe-side in pure Python; bucket
+    needs a Spark session the planning worker lacks, so such entries
+    just survive), and days-stamp pruning from pushed DATE/TIMESTAMP
+    range filters. Conservative throughout — unprovable means kept."""
     from naru_spark.sources.sinks import (
         _entry_files,
         _entry_overlaps,
-        _entry_partition_match,
+        _partition_range_surviving,
+        _partition_surviving_entries,
     )
 
     entries = man["dirs"]
@@ -196,11 +233,14 @@ def _surviving_files(man: dict, hints: dict | None) -> list[str]:
     if hints:
         if hints.get("partitions"):
             for col, values in hints["partitions"].items():
-                want = set(values)
-                entries = [
-                    e for e in entries
-                    if _entry_partition_match(stats.get(e), col, want)
-                ]
+                entries = _partition_surviving_entries(
+                    None, entries, stats, col, list(values)
+                )
+        if hints.get("ranges"):
+            for col, rng in hints["ranges"].items():
+                entries = _partition_range_surviving(
+                    entries, stats, col, rng
+                )
         if hints.get("prune"):
             entries = [
                 e for e in entries
@@ -324,13 +364,37 @@ def _read_file_batches(file: str):
     yield from pq.ParquetFile(file).iter_batches()
 
 
+def _aligned_batches(file: str, schema: StructType):
+    """Arrow batches of one file ALIGNED to the declared read schema:
+    columns reordered by name, cast to the declared arrow types (INT96
+    timestamps read back as ns and cast to the declared micros), and
+    columns a pre-evolution file lacks null-filled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    fields = [(f.name, to_arrow_type(f.dataType)) for f in schema]
+    for batch in pq.ParquetFile(file).iter_batches():
+        n = batch.num_rows
+        names = set(batch.schema.names)
+        cols = [
+            batch.column(name).cast(at) if name in names
+            else pa.nulls(n, type=at)
+            for name, at in fields
+        ]
+        yield pa.RecordBatch.from_arrays(
+            cols, names=[nm for nm, _ in fields]
+        )
+
+
 class SnapshotBatchReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema: StructType):
         self.path = _table_path(options)
         v = options.get("version")
         self.man = _load_manifest(self.path, int(v) if v else None)
         _refuse_pending(self.man, self.path)
         self.hints: dict | None = None
+        self.read_schema = schema
 
     def pushFilters(self, filters):
         # record the plan's own predicates for entry elimination; hand
@@ -345,7 +409,7 @@ class SnapshotBatchReader(DataSourceReader):
 
     def read(self, partition):
         if partition.file:
-            yield from _read_file_batches(partition.file)
+            yield from _aligned_batches(partition.file, self.read_schema)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -403,7 +467,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if isinstance(partition, _CDFPartition):
             yield from _cdf_read_batches(partition, self.read_schema)
         else:
-            yield from _read_file_batches(partition.file)
+            yield from _aligned_batches(partition.file, self.read_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; manifests are immutable
@@ -565,7 +629,7 @@ class SnapshotDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return SnapshotBatchReader(self.options)
+        return SnapshotBatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(self.options, schema)

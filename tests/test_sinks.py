@@ -3716,3 +3716,70 @@ def test_snapshot_datasource_cdf_stream(spark, tmp_path):
         r["_change_type"]
         for r in got2.where("_commit_version = 4").collect()
     } == {"insert"}
+
+
+def test_datasource_transform_pruning_and_scoped_optimize(spark, tmp_path):
+    """(a) The naru_snapshot batch reader prunes TRANSFORMED stamps from
+    Catalyst's own pushed filters: a timestamp-range WHERE on a days()
+    table and a prefix-equality on a truncate() table plan fewer
+    partitions (bucket needs a session the planning worker lacks — it
+    survives, never misprunes). (b) compact/maintain partition scoping
+    accepts SOURCE-column probes on transformed specs."""
+    import datetime
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    # --- (a) days() through the DataSource
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, 6 + h), d * 8 + h)
+        for d in range(6) for h in range(8)
+    ]
+    p1 = str(tmp_path / "dsdays")
+    sinks.write_snapshot(
+        spark.createDataFrame(rows, "ts timestamp, v int"), p1,
+        partition_by="days(ts)",
+    )
+    n_full = (
+        spark.read.format("naru_snapshot").load(p1).rdd.getNumPartitions()
+    )
+    q = spark.read.format("naru_snapshot").load(p1).where(
+        "ts >= timestamp'2024-01-03 00:00:00' "
+        "AND ts < timestamp'2024-01-05 00:00:00'"
+    )
+    assert q.count() == 16
+    assert q.rdd.getNumPartitions() < n_full
+    # truncate() prefix equality through the DataSource
+    p2 = str(tmp_path / "dstrunc")
+    sinks.write_snapshot(
+        spark.createDataFrame(
+            [("abc%02d" % i, i) for i in range(20)]
+            + [("xyz%02d" % i, i) for i in range(20)],
+            "s string, v int",
+        ),
+        p2, partition_by="truncate(3,s)",
+    )
+    n2 = spark.read.format("naru_snapshot").load(p2).rdd.getNumPartitions()
+    q2 = spark.read.format("naru_snapshot").load(p2).where("s = 'xyz07'")
+    assert q2.count() == 1
+    assert q2.rdd.getNumPartitions() < n2
+
+    # --- (b) scoped OPTIMIZE with source-column probes on days()
+    for d in range(3):  # fragment day 2024-01-02 with extra appends
+        sinks.write_snapshot(
+            spark.createDataFrame(
+                [(datetime.datetime(2024, 1, 2, 20 + d), 900 + d)],
+                "ts timestamp, v int",
+            ),
+            p1, partition_by="days(ts)",
+        )
+    info = sinks.compact_snapshot(
+        spark, p1, partitions={"ts": ["2024-01-02"]},
+        min_file_bytes=1 << 30,
+    )
+    assert info["mode"] == "selective", info
+    assert info["files_rewritten"] >= 2, info
+    assert info["entries_carried"] >= 5, info    # other days untouched
+    out = sinks.read_snapshot(spark, p1)
+    assert out.count() == 48 + 3                 # content unchanged
