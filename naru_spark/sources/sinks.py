@@ -4681,6 +4681,60 @@ def snapshot_column_stats(path: str, version: int | None = None) -> dict:
     return out
 
 
+def snapshot_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The per-entry metadata relation (Iceberg ``table.files`` / Delta
+    DESCRIBE DETAIL granularity) for one snapshot version (latest when
+    None), answered from the MANIFEST alone — one row per entry:
+    ``entry`` (path), ``is_file`` (a carried split file vs a dir),
+    ``n_rows`` / ``n_bytes`` / ``n_files`` (stamped at commit, zero
+    I/O), ``partition`` (the stamp as a ``spec -> value`` map, NULL for
+    unpartitioned entries), and ``bloom_key`` (the sidecar's key
+    column, NULL when none). What an operator or an external planner
+    joins against instead of listing 100 TB of files."""
+    import json
+    import os
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    man_dir = os.path.join(path, "_manifests")
+    if version is None:
+        version = _latest_version(man_dir)
+    with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    stats = _manifest_stats(man)
+    rows = []
+    for e in man["dirs"]:
+        s = stats.get(e) or {}
+        rows.append((
+            e,
+            e.endswith(".parquet"),
+            int(s.get("n_rows", 0)),
+            int(s.get("n_bytes", 0)),
+            int(s.get("n_files", 0)),
+            s.get("partition"),
+            (s.get("bloom") or {}).get("key"),
+        ))
+    schema = StructType([
+        StructField("entry", StringType()),
+        StructField("is_file", BooleanType()),
+        StructField("n_rows", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_files", LongType()),
+        StructField("partition", MapType(StringType(), StringType())),
+        StructField("bloom_key", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def restore_snapshot(path: str, version: int) -> int:
     """Delta ``RESTORE TABLE ... TO VERSION`` analog: commit the target
     version's exact state — entries, stamped stats, and its pending

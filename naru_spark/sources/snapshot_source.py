@@ -72,6 +72,43 @@ def _load_manifest(path: str, version: int | None = None) -> dict:
     return man
 
 
+def _version_at_ts(path: str, ts: float) -> int:
+    """The last version committed at or before epoch-seconds ``ts``
+    (Delta timestampAsOf resolution against the monotone commit
+    stamps); a time before the first commit raises."""
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(_man_dir(path))
+        if f.startswith("v") and f.endswith(".json")
+    )
+    pick = None
+    for v in versions:
+        if _load_manifest(path, v).get("ts", 0.0) <= ts:
+            pick = v
+    if pick is None:
+        raise ValueError(
+            f"naru_snapshot: timestamp {ts} predates every commit at "
+            f"{path}"
+        )
+    return pick
+
+
+def _resolve_version(options) -> int | None:
+    """The version pinned by ``version`` / ``timestampAsOf`` options
+    (mutually exclusive), or None = latest."""
+    v = options.get("version")
+    ts = options.get("timestampasof")
+    if v and ts:
+        raise ValueError(
+            "naru_snapshot: version and timestampAsOf are mutually "
+            "exclusive"
+        )
+    if v:
+        return int(v)
+    if ts:
+        return _version_at_ts(_table_path(options), float(ts))
+    return None
+
+
 def _refuse_pending(man: dict, path: str) -> None:
     for plane, msg in (
         ("deletes", "merge-on-read delete(s)"),
@@ -390,8 +427,7 @@ def _aligned_batches(file: str, schema: StructType):
 class SnapshotBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path = _table_path(options)
-        v = options.get("version")
-        self.man = _load_manifest(self.path, int(v) if v else None)
+        self.man = _load_manifest(self.path, _resolve_version(options))
         _refuse_pending(self.man, self.path)
         self.hints: dict | None = None
         self.read_schema = schema
@@ -415,7 +451,22 @@ class SnapshotBatchReader(DataSourceReader):
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
         self.path = _table_path(options)
-        self.start_version = int(options.get("startingVersion", 0))
+        st = options.get("startingtimestamp")
+        if st and options.get("startingversion"):
+            raise ValueError(
+                "naru_snapshot: startingVersion and startingTimestamp "
+                "are mutually exclusive"
+            )
+        if st:
+            # Delta startingTimestamp: serve everything committed
+            # STRICTLY AFTER the resolved version (a time before the
+            # first commit means "from the beginning")
+            try:
+                self.start_version = _version_at_ts(self.path, float(st))
+            except ValueError:
+                self.start_version = 0
+        else:
+            self.start_version = int(options.get("startingVersion", 0))
         self.cdf = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
@@ -613,9 +664,8 @@ class SnapshotDataSource(DataSource):
         )
 
         path = _table_path(self.options)
-        v = self.options.get("version")
         base = _arrow_spark_schema(
-            _load_manifest(path, int(v) if v else None)
+            _load_manifest(path, _resolve_version(self.options))
         )
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             return StructType(

@@ -3783,3 +3783,60 @@ def test_datasource_transform_pruning_and_scoped_optimize(spark, tmp_path):
     assert info["entries_carried"] >= 5, info    # other days untouched
     out = sinks.read_snapshot(spark, p1)
     assert out.count() == 48 + 3                 # content unchanged
+
+
+def test_datasource_time_options_and_snapshot_files(spark, tmp_path):
+    """timestampAsOf (batch) / startingTimestamp (stream) on the
+    DataSource resolve through the monotone commit stamps exactly like
+    the JVM read paths; snapshot_files answers the per-entry metadata
+    relation from one manifest read."""
+    import json
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "tt")
+    df = spark.createDataFrame([(i, "s%d" % (i % 2)) for i in range(40)],
+                               "k int, s string")
+    sinks.write_snapshot(df.where("k < 20"), path, partition_by="s",
+                         bloom_key="k")                            # v1
+    sinks.write_snapshot(df.where("k >= 20"), path, partition_by="s")  # v2
+    with open(os.path.join(path, "_manifests", "v1.json")) as fh:
+        t1 = json.load(fh)["ts"]
+    out = (
+        spark.read.format("naru_snapshot")
+        .option("timestampAsOf", t1).load(path)
+    )
+    assert out.count() == 20                       # v1's state
+    with pytest.raises(Exception, match="mutually exclusive"):
+        spark.read.format("naru_snapshot").option("timestampAsOf", t1) \
+            .option("version", 2).load(path).count()
+    # streaming from a wall-clock: only commits AFTER t1 stream
+    outp, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("naru_snapshot")
+        .option("startingTimestamp", t1).load(path)
+        .writeStream.foreachBatch(
+            lambda b, i: b.write.mode("append").parquet(outp)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(outp)
+    assert got.count() == 20 and got.agg({"k": "min"}).collect()[0][0] == 20
+
+    # snapshot_files: the metadata relation matches the stamped stats
+    files = sinks.snapshot_files(spark, path)
+    rows = files.collect()
+    assert len(rows) == 4                          # 2 commits x 2 langs
+    assert sum(r["n_rows"] for r in rows) == 40
+    assert all(r["partition"] and "s" in r["partition"] for r in rows)
+    assert {r["bloom_key"] for r in rows} == {"k", None}
+    # version-pinned metadata
+    assert sinks.snapshot_files(spark, path, version=1).count() == 2
