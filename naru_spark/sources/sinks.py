@@ -5086,7 +5086,8 @@ def _referenced_subitems(man_dir: str, versions=None) -> dict:
 
 
 def expire_snapshots(path: str, keep_last: int = 1,
-                     dry_run: bool = False) -> list[str]:
+                     dry_run: bool = False,
+                     keep_newer_than_s: float | None = None) -> list[str]:
     """Retention cleanup (Iceberg ``expire_snapshots`` analog): drop all
     but the last ``keep_last`` manifests, then delete every data
     directory no kept manifest references — and, inside surviving
@@ -5102,9 +5103,19 @@ def expire_snapshots(path: str, keep_last: int = 1,
     what a real pass would delete — data dirs, partition subdirs, and
     expired change planes — while touching NOTHING (manifests
     included), so an operator can audit a retention change before
-    paying it."""
+    paying it.
+
+    ``keep_newer_than_s`` (the TIME-based retention twin — Delta's
+    ``delta.logRetentionDuration`` / VACUUM-hours shape): every version
+    committed within the last N seconds survives IN ADDITION to the
+    last ``keep_last`` — "time travel to anywhere in the last 7 days"
+    is ``keep_last=1, keep_newer_than_s=7*86400`` on a scheduler,
+    whatever the commit rate; stamp-less legacy manifests count as
+    arbitrarily old (never age-kept)."""
+    import json
     import os
     import shutil
+    import time
 
     assert keep_last >= 1, "the current version must always survive"
     man_dir = os.path.join(path, "_manifests")
@@ -5112,7 +5123,15 @@ def expire_snapshots(path: str, keep_last: int = 1,
         int(f[1:-5]) for f in os.listdir(man_dir)
         if f.startswith("v") and f.endswith(".json")
     )
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    keep = set(versions[-keep_last:])
+    if keep_newer_than_s is not None:
+        cutoff = time.time() - keep_newer_than_s
+        for v in versions:
+            with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+                if json.load(fh).get("ts", 0.0) >= cutoff:
+                    keep.add(v)
+    keep = sorted(keep)
+    drop = [v for v in versions if v not in set(keep)]
     # basename comparison, like gc_orphans: manifests carry the writer's
     # path spelling, and a raw-string mismatch here would delete EVERY
     # data dir including the current version's

@@ -3840,3 +3840,43 @@ def test_datasource_time_options_and_snapshot_files(spark, tmp_path):
     assert {r["bloom_key"] for r in rows} == {"k", None}
     # version-pinned metadata
     assert sinks.snapshot_files(spark, path, version=1).count() == 2
+
+
+def test_expire_snapshots_age_retention(spark, tmp_path):
+    """keep_newer_than_s: versions committed within the window survive
+    in addition to keep_last — and expired ones reclaim exactly as
+    before."""
+    import json
+    import os
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "age")
+    for lo in (0, 10, 20, 30):
+        sinks.write_snapshot(
+            spark.createDataFrame([(i,) for i in range(lo, lo + 10)],
+                                  "k int"),
+            path,
+        )
+    man_dir = os.path.join(path, "_manifests")
+    # age v1/v2's stamps far into the past (manifests are plain JSON)
+    for v in (1, 2):
+        p = os.path.join(man_dir, f"v{v}.json")
+        with open(p) as fh:
+            man = json.load(fh)
+        man["ts"] = man["ts"] - 10_000
+        with open(p, "w") as fh:
+            json.dump(man, fh)
+    deleted = sinks.expire_snapshots(path, keep_last=1,
+                                     keep_newer_than_s=3600)
+    kept = sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    # v3/v4 are young (age-kept), v4 also keep_last; v1/v2 expired
+    assert kept == [3, 4], kept
+    # append-only history: the expired manifests' dirs stay referenced
+    # by the kept versions, so no data is (or may be) reclaimed
+    assert deleted == [], deleted
+    assert sinks.read_snapshot(spark, path).count() == 40
+    assert sinks.read_snapshot(spark, path, version=3).count() == 30
