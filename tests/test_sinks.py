@@ -3880,3 +3880,71 @@ def test_expire_snapshots_age_retention(spark, tmp_path):
     assert deleted == [], deleted
     assert sinks.read_snapshot(spark, path).count() == 40
     assert sinks.read_snapshot(spark, path, version=3).count() == 30
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg's signature SPEC EVOLUTION: a table whose commits carry
+    DIFFERENT partition specs (unpartitioned history, then identity,
+    then days(ts)) prunes each entry by ITS OWN stamp — a range read
+    eliminates the transformed entries it can prove and keeps the
+    unstamped history, always correct, increasingly skippy as the
+    table rewrites under the newest spec."""
+    import datetime
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "specevo")
+    rows = lambda d0, d1, tag: [
+        (datetime.datetime(2024, 1, d, 12), tag, d)
+        for d in range(d0, d1)
+    ]
+    df = lambda rs: spark.createDataFrame(rs, "ts timestamp, g string, v int")
+    sinks.write_snapshot(df(rows(1, 4, "a")), path)              # v1: none
+    sinks.write_snapshot(df(rows(4, 7, "b")), path,
+                         partition_by="g")                       # v2: ident
+    sinks.write_snapshot(df(rows(7, 13, "c")), path,
+                         partition_by="days(ts)")                # v3: days
+    full = sinks.read_snapshot(spark, path)
+    assert full.count() == 12
+    n_full = len(full.inputFiles())
+    # a day-range read: v3's out-of-range day entries prune, v1 (no
+    # stamp) and v2 (identity-on-g stamp) conservatively survive
+    q = sinks.read_snapshot_where(
+        spark, path, "ts >= '2024-01-08' AND ts <= '2024-01-09 23:59'"
+    )
+    assert q.count() == 2
+    assert len(q.inputFiles()) < n_full
+    # an identity probe on g prunes v2's entries only
+    q2 = sinks.read_snapshot_where(spark, path, "g = 'b' AND v = 5")
+    assert q2.count() == 1
+    assert len(q2.inputFiles()) < n_full
+    # DML across the mixed specs stays exact (no common spec: the
+    # rewrite re-commits unpartitioned, correctness before cleverness)
+    d = sinks.delete_from_snapshot(spark, path, "ts = '2024-01-08 12:00:00'")
+    assert d["n_deleted"] == 1, d
+    assert sinks.read_snapshot(spark, path).count() == 11
+
+
+def test_merge_evolution_composes_with_full_sync(spark, tmp_path):
+    """schema_evolution=True composes with WHEN NOT MATCHED BY SOURCE
+    THEN DELETE: the target converges to exactly the changeset's keys
+    AND gains the changeset's new column in one commit."""
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "mevsync")
+    sinks.write_snapshot(
+        spark.createDataFrame([(i, "s") for i in range(10)],
+                              "doc_id int, s string"),
+        path,
+    )
+    ch = spark.createDataFrame(
+        [(3, "s3", 30, "U"), (4, "s4", 40, "U"), (99, "s99", 990, "U")],
+        "doc_id int, s string, extra int, op string",
+    )
+    sinks.merge_into_snapshot(spark, path, ch, key="doc_id",
+                              schema_evolution=True,
+                              not_matched_by_source="delete")
+    got = {r["doc_id"]: (r["s"], r["extra"])
+           for r in sinks.read_snapshot(spark, path,
+                                        merge_schema=True).collect()}
+    assert got == {3: ("s3", 30), 4: ("s4", 40), 99: ("s99", 990)}
