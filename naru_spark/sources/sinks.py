@@ -1959,6 +1959,7 @@ def commit_staged_dir(
     txn_id: str | None = None,
     op_meta: dict | None = None,
     rebase_attempts: int = 10,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """The COMMIT half of ``write_snapshot``, factored for writers that
     stage their data files themselves (the ``naru_snapshot`` DataSource
@@ -1971,14 +1972,60 @@ def commit_staged_dir(
     REBASES onto the new head (the staged dir is immutable; only the
     manifest link races). An empty staged dir (a zero-row batch) is
     reclaimed and returns the current version without committing.
-    Returns the committed version."""
+
+    ``partition_by`` (IDENTITY column names only — a staging writer
+    cannot reproduce the JVM transforms): the staged dir holds
+    ``__part_<col>=<val>`` leaf subdirs (nested in spec order); each
+    leaf becomes its own stamped manifest entry exactly like
+    ``write_snapshot(partition_by=...)``, so partition pruning and
+    replace_where work on datasource-ingested tables too. Returns the
+    committed version."""
     import json
     import os
     import shutil
+    from urllib.parse import unquote
 
     man_dir = os.path.join(path, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
-    files = _entry_files(data_dir) if os.path.isdir(data_dir) else []
+    new_entries: list[str]
+    part_stamp: dict = {}
+    if partition_by:
+        specs = _parse_partition_spec(list(partition_by))
+        if any(sp["t"] != "identity" for sp in specs):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                "commit_staged_dir supports IDENTITY partition columns "
+                "only — transformed specs need the JVM write path "
+                "(write_snapshot)"
+            )
+        pcols = ["__part_" + sp["col"] for sp in specs]
+
+        def _leaves(d: str, depth: int) -> list[str]:
+            if depth == len(pcols):
+                return [d]
+            return [
+                leaf
+                for child in sorted(os.listdir(d))
+                if child.startswith(pcols[depth] + "=")
+                for leaf in _leaves(os.path.join(d, child), depth + 1)
+            ]
+
+        new_entries = (
+            _leaves(data_dir, 0) if os.path.isdir(data_dir) else []
+        )
+        for e in new_entries:
+            rel = os.path.relpath(e, data_dir).split(os.sep)
+            part_stamp[e] = {
+                specs[i]["col"]: unquote(seg.split("=", 1)[1])
+                for i, seg in enumerate(rel)
+            }
+    else:
+        new_entries = (
+            [data_dir]
+            if os.path.isdir(data_dir) and _entry_files(data_dir)
+            else []
+        )
+    files = [f for e in new_entries for f in _entry_files(e)]
     if not files:
         shutil.rmtree(data_dir, ignore_errors=True)
         versions = [
@@ -1986,7 +2033,11 @@ def commit_staged_dir(
             if f.startswith("v") and f.endswith(".json")
         ]
         return max(versions) if versions else 0
-    new_stats = {data_dir: _entry_stats(data_dir)}
+    new_stats = {}
+    for e in new_entries:
+        new_stats[e] = _entry_stats(e)
+        if e in part_stamp:
+            new_stats[e]["partition"] = part_stamp[e]
     app = ver = None
     if txn_id is not None:
         app, ver = _parse_txn_id(txn_id)
@@ -2048,7 +2099,7 @@ def commit_staged_dir(
         prev_stats = latest.get("stats", {})
         stats = {e: prev_stats.get(e) or _entry_stats(e) for e in prev}
         stats.update(new_stats)
-        manifest = {"version": n, "dirs": prev + [data_dir],
+        manifest = {"version": n, "dirs": prev + new_entries,
                     "txns": txns, "stats": stats,
                     "op": op_meta or {"name": "append"}}
         _carry_planes(latest, manifest)

@@ -524,26 +524,48 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets live in the checkpoint; manifests are immutable
 
 
-class _WroteFile(WriterCommitMessage):
-    def __init__(self, file: str | None):
-        self.file = file
+class _WroteFiles(WriterCommitMessage):
+    def __init__(self, files: list):
+        # [(file_path, partition_value_strings | None), ...]
+        self.files = files
 
 
 class _StagedWriterMixin:
     """Shared executor-side write: each task streams its RecordBatches
-    into ONE parquet file under a per-query staging dir inside the
-    table's data tree (uncommitted stages are unreferenced-by-manifest
-    debris that ``gc_orphans`` reclaims, exactly like a crashed
-    writer's). The driver-side commit moves the batch's files into a
-    final commit dir and publishes it via ``commit_staged_dir`` — the
-    same blind-append protocol (txn replay, CHECK probe, rebase on a
-    lost race) every other appender uses."""
+    into parquet files under a per-query staging dir inside the table's
+    data tree (uncommitted stages are unreferenced-by-manifest debris
+    that ``gc_orphans`` reclaims, exactly like a crashed writer's) —
+    ONE file per task, or one per partition combo under
+    ``option("partitionBy", "c1,c2")`` (identity columns; the task fans
+    its batches out arrow-side). The driver-side commit moves the
+    batch's files into a final commit dir (``__part_<col>=<val>`` leaf
+    subdirs when partitioned) and publishes via ``commit_staged_dir`` —
+    the same blind-append protocol (txn replay, CHECK probe, partition
+    stamps, rebase on a lost race) every other appender uses, so a
+    datasource-ingested table prunes and replace_where's like any
+    other."""
+
+    _NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
     def _init_stage(self, options) -> None:
         import uuid
 
         self.path = _table_path(options)
         self.txn_app = options.get("txnappid")
+        pb = options.get("partitionby")
+        self.part_cols = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else None
+        )
+        if self.part_cols:
+            from naru_spark.sources.sinks import _parse_partition_spec
+
+            specs = _parse_partition_spec(self.part_cols)
+            if any(sp["t"] != "identity" for sp in specs):
+                raise ValueError(
+                    "naru_snapshot partitionBy takes IDENTITY columns "
+                    "only — transformed specs need the JVM write path "
+                    "(write_snapshot)"
+                )
         self.stage = os.path.join(
             self.path, "data", f"stage-{uuid.uuid4().hex[:8]}"
         )
@@ -551,37 +573,72 @@ class _StagedWriterMixin:
     def write(self, iterator):
         import uuid
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         os.makedirs(self.stage, exist_ok=True)
-        fp = os.path.join(self.stage, f"part-{uuid.uuid4().hex}.parquet")
-        writer = None
+        writers: dict = {}  # combo (or None) -> (ParquetWriter, fp)
+
+        def sink_for(combo, schema):
+            if combo not in writers:
+                fp = os.path.join(
+                    self.stage, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                writers[combo] = (pq.ParquetWriter(fp, schema), fp)
+            return writers[combo][0]
+
         for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(fp, batch.schema)
-            writer.write_batch(batch)
-        if writer is None:
-            return _WroteFile(None)
-        writer.close()
-        return _WroteFile(fp)
+            if not self.part_cols:
+                sink_for(None, batch.schema).write_batch(batch)
+                continue
+            # identity fanout: partition columns to python once (they
+            # are low-cardinality by design), rows routed per combo
+            keys = list(zip(*[
+                batch.column(c).to_pylist() for c in self.part_cols
+            ]))
+            for combo in set(keys):
+                mask = pa.array([k == combo for k in keys])
+                sink_for(combo, batch.schema).write_batch(
+                    batch.filter(mask)
+                )
+        out = []
+        for combo, (w, fp) in writers.items():
+            w.close()
+            vals = (
+                None if combo is None
+                else [None if v is None else str(v) for v in combo]
+            )
+            out.append((fp, vals))
+        return _WroteFiles(out)
 
     def _commit_files(self, messages, txn_id: str | None,
                       op_meta: dict) -> None:
         import shutil
         import uuid
+        from urllib.parse import quote
 
         from naru_spark.sources.sinks import commit_staged_dir
 
-        files = [m.file for m in messages if m is not None and m.file]
         final = os.path.join(
             self.path, "data", f"w-{uuid.uuid4().hex[:8]}"
         )
         os.makedirs(final, exist_ok=True)
-        for f in files:
-            os.replace(f, os.path.join(final, os.path.basename(f)))
+        for m in messages:
+            for fp, vals in (m.files if m is not None else []):
+                dest = final
+                if vals is not None:
+                    for c, v in zip(self.part_cols, vals):
+                        seg = (
+                            self._NULL_DIR if v is None
+                            else quote(v, safe="")
+                        )
+                        dest = os.path.join(dest, f"__part_{c}={seg}")
+                os.makedirs(dest, exist_ok=True)
+                os.replace(fp, os.path.join(dest, os.path.basename(fp)))
         try:
             commit_staged_dir(self.path, final, txn_id=txn_id,
-                              op_meta=op_meta)
+                              op_meta=op_meta,
+                              partition_by=self.part_cols)
         finally:
             shutil.rmtree(self.stage, ignore_errors=True)
 

@@ -3948,3 +3948,66 @@ def test_merge_evolution_composes_with_full_sync(spark, tmp_path):
            for r in sinks.read_snapshot(spark, path,
                                         merge_schema=True).collect()}
     assert got == {3: ("s3", 30), 4: ("s4", 40), 99: ("s99", 990)}
+
+
+def test_datasource_partitioned_writes(spark, tmp_path):
+    """option("partitionBy", "col") on the naru_snapshot writer: each
+    task fans its batches out per identity value, the commit assembles
+    stamped __part leaf entries — the ingested table prunes,
+    replace_where's, and streams exactly like a write_snapshot-
+    partitioned one; transformed specs refuse loudly."""
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "pw")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 2) for i in range(90)],
+        "k int, g string, v int",
+    )
+    (df.write.format("naru_snapshot").option("partitionBy", "g")
+       .mode("append").save(path))
+    out = sinks.read_snapshot(spark, path)
+    assert out.count() == 90
+    # the commit stamped one entry per partition value
+    files = sinks.snapshot_files(spark, path)
+    stamps = {r["partition"]["g"] for r in files.collect()}
+    assert stamps == {"g0", "g1", "g2"}
+    # partition pruning works on the ingested stamps
+    d = sinks.delete_from_snapshot(spark, path, "g = 'g1' AND k = 1")
+    assert d["n_deleted"] == 1 and d["entries_pruned"] >= 2, d
+    # ...and replace_where does too
+    new_g0 = df.where("g = 'g0'").limit(5)
+    r = sinks.replace_where(spark, path, new_g0, "g", ["g0"])
+    assert r["partitions_replaced"] >= 1, r
+    assert sinks.read_snapshot(spark, path).where("g = 'g0'").count() == 5
+    # NULL partition values land in the hive default dir and read back
+    p2 = str(tmp_path / "pwnull")
+    (spark.createDataFrame([(1, None), (2, "x")], "k int, g string")
+     .write.format("naru_snapshot").option("partitionBy", "g")
+     .mode("append").save(p2))
+    got = {(r["k"], r["g"]) for r in sinks.read_snapshot(spark, p2).collect()}
+    assert got == {(1, None), (2, "x")}
+    # transformed specs refuse on the datasource path
+    with pytest.raises(Exception, match="IDENTITY|unparseable"):
+        (df.write.format("naru_snapshot")
+           .option("partitionBy", "days(ts)").mode("append")
+           .save(str(tmp_path / "pwbad")))
+    # the streaming sink partitions too
+    src, sink, ckpt = (str(tmp_path / "s"), str(tmp_path / "snk"),
+                       str(tmp_path / "ck"))
+    df.write.parquet(src)
+    q = (
+        spark.readStream.schema("k int, g string, v int").parquet(src)
+        .writeStream.format("naru_snapshot")
+        .option("partitionBy", "g")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination()
+    sf = sinks.snapshot_files(spark, sink)
+    assert {r["partition"]["g"] for r in sf.collect()} == {"g0", "g1", "g2"}
+    assert sinks.read_snapshot(spark, sink).count() == 90
