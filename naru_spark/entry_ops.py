@@ -2238,6 +2238,7 @@ def q_stream_snapshot_datasource_sink(
         q = (
             spark.readStream.schema(schema).parquet(src)
             .writeStream.format("naru_snapshot")
+            .option("partitionBy", "source")  # stamped identity leaves
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start(sink)
@@ -2249,6 +2250,14 @@ def q_stream_snapshot_datasource_sink(
     drain()  # same checkpoint: txn replay, zero new rows
     assert read_snapshot(spark, sink).count() == n1 == docs.count()
     assert all(h["op"] == "append" for h in snapshot_history(sink))
+    # the sink's commits carry partition stamps: reads prune on them
+    from naru_spark.sources.sinks import read_snapshot_where
+
+    one_src = docs.select("source").first()["source"]
+    pruned = read_snapshot_where(spark, sink, f"source = '{one_src}'")
+    assert 0 < len(pruned.inputFiles()) < len(
+        read_snapshot(spark, sink).inputFiles()
+    ), one_src
     return (
         read_snapshot(spark, sink)
         .groupBy("source")

@@ -129,7 +129,11 @@ def _table_path(options) -> str:
         raise ValueError(
             'naru_snapshot needs a table path: .load("/path/to/table")'
         )
-    return p
+    # SQL DDL (CREATE TABLE ... USING naru_snapshot OPTIONS (path ...))
+    # hands the option as a file:/ URI — normalize to a local path
+    from naru_spark.sources.sinks import _strip_file_uri
+
+    return _strip_file_uri(p)
 
 
 def _arrow_spark_schema(man: dict) -> StructType:
