@@ -2826,7 +2826,7 @@ def q_stream_snapshot_cdf_source(
     q = (
         spark.readStream.format("naru_snapshot")
         .option("readChangeFeed", "true")
-        .option("startingVersion", 1).load(path)
+        .option("startingVersion", 2).load(path)  # Delta-inclusive
         .writeStream.foreachBatch(
             lambda b, i: b.write.mode("append").parquet(out)
         )

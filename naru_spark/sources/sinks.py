@@ -701,15 +701,6 @@ def _entries_holding_keys_distributed(
     return [e for i, e in enumerate(plain) if i in hits or i in unboxed]
 
 
-def _entry_partition_match(stat: dict | None, col: str, want: set) -> bool:
-    """Does an entry's STAMPED identity-partition value match any probe
-    value (compared as the directory-name string)? Entries without a
-    partition stamp for this column are never pruned (conservative —
-    unpartitioned commits and legacy manifests read in full)."""
-    v = (stat or {}).get("partition", {}).get(col)
-    return True if v is None else v in want
-
-
 def _parse_spec_string(s: str) -> dict | None:
     """One partition-spec element (Iceberg hidden-partitioning syntax)
     -> {"spec": canonical string, "col", "t", "param"}: a bare column
@@ -1643,8 +1634,8 @@ def write_snapshot(
         raise ValueError(
             f"partial-rewrite commit over {len(prev_dvs)} pending "
             "deletion vector(s) at " + path + " — carried files would "
-            "resurrect positionally-deleted rows; compact_snapshot first "
-            "to materialize them"
+            "resurrect positionally-deleted rows; "
+            "compact_snapshot(full=True) materializes them"
         )
     prev_ops = latest.get("schema_ops", []) if base else []
     if carry is not None and prev_ops:
@@ -1916,14 +1907,25 @@ def write_snapshot(
 
                 from pyspark.sql import functions as F
 
-                bad = (
-                    df.sparkSession.read.parquet(*new_entries)
-                    .where(reduce(
-                        lambda a, b: a | b,
-                        [~F.expr(e) for e in new_constraints.values()],
-                    ))
-                    .limit(1).collect()
-                )
+                try:
+                    bad = (
+                        df.sparkSession.read.parquet(*new_entries)
+                        .where(reduce(
+                            lambda a, b: a | b,
+                            [~F.expr(e) for e in new_constraints.values()],
+                        ))
+                        .limit(1).collect()
+                    )
+                except Exception as exc:
+                    # unresolvable concurrently-added CHECK (or any
+                    # probe failure): reclaim like the primary path
+                    # instead of orphaning the delta with a raw error
+                    _reclaim()
+                    raise ValueError(
+                        "a CHECK constraint added concurrently does not "
+                        f"verify against the appended delta: {exc} — "
+                        "commit refused, data removed"
+                    ) from None
                 if bad:
                     _reclaim()
                     raise ValueError(
@@ -2735,8 +2737,8 @@ def snapshot_stream_source(
         raise ValueError(
             f"snapshot at {path} has {len(man['dvs'])} pending deletion "
             "vector(s) — a file stream reads raw files and would "
-            "resurrect the positionally-deleted rows; compact_snapshot "
-            "first"
+            "resurrect the positionally-deleted rows; "
+            "compact_snapshot(full=True) materializes them"
         )
     if man.get("schema_ops"):
         raise ValueError(

@@ -119,7 +119,8 @@ def _refuse_pending(man: dict, path: str) -> None:
             raise ValueError(
                 f"naru_snapshot source: {path} has pending {msg} — raw "
                 "files are not the logical rows; read via read_snapshot "
-                "(which applies the planes) or compact_snapshot first"
+                "(which applies the planes) or materialize with "
+                "compact_snapshot(full=True)"
             )
 
 
@@ -218,6 +219,8 @@ def _filter_hints(filters) -> dict:
             if isinstance(v, bool) or not isinstance(v, (int, float, str)):
                 continue
             shrink(col, v, v)
+            if isinstance(v, float):
+                continue  # float dir-name round-trips are not exact
             ps = {v}
             parts[col] = (
                 sorted(set(parts[col]) & ps) if col in parts
@@ -225,15 +228,17 @@ def _filter_hints(filters) -> dict:
             )
         elif isinstance(f, In):
             vs = [
-                v for v in f.values
+                v for v in f.value
                 if not isinstance(v, bool) and isinstance(v, (int, float, str))
             ]
-            if len(vs) != len(f.values) or not vs:
+            if len(vs) != len(f.value) or not vs:
                 continue
             try:
                 shrink(col, min(vs), max(vs))
             except TypeError:
                 continue
+            if any(isinstance(v, float) for v in vs):
+                continue  # float dir-name round-trips are not exact
             ps = set(vs)
             try:
                 parts[col] = (
@@ -462,15 +467,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "are mutually exclusive"
             )
         if st:
-            # Delta startingTimestamp: serve everything committed
-            # STRICTLY AFTER the resolved version (a time before the
-            # first commit means "from the beginning")
-            try:
-                self.start_version = _version_at_ts(self.path, float(st))
-            except ValueError:
-                self.start_version = 0
+            # Delta semantics, INCLUSIVE: serve from the first version
+            # committed at or after the timestamp (a time before the
+            # first commit means "from the beginning"; a time after the
+            # last commit serves only future commits)
+            from naru_spark.sources.sinks import _latest_version
+
+            t = float(st)
+            versions = sorted(
+                int(f[1:-5]) for f in os.listdir(_man_dir(self.path))
+                if f.startswith("v") and f.endswith(".json")
+            )
+            first = next(
+                (v for v in versions
+                 if _load_manifest(self.path, v).get("ts", 0.0) >= t),
+                None,
+            )
+            self.start_version = (
+                first - 1 if first is not None
+                else _latest_version(_man_dir(self.path))
+            )
         else:
-            self.start_version = int(options.get("startingVersion", 0))
+            # Delta semantics, INCLUSIVE: startingVersion=N serves
+            # version N's changes (the offset is the version BEFORE it)
+            sv = options.get("startingversion")
+            self.start_version = int(sv) - 1 if sv else 0
         self.cdf = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
@@ -615,6 +636,14 @@ class _StagedWriterMixin:
             out.append((fp, vals))
         return _WroteFiles(out)
 
+    @staticmethod
+    def _message_dirs(messages) -> set:
+        return {
+            os.path.dirname(fp)
+            for m in messages if m is not None
+            for fp, _ in m.files
+        }
+
     def _commit_files(self, messages, txn_id: str | None,
                       op_meta: dict) -> None:
         import shutil
@@ -644,11 +673,21 @@ class _StagedWriterMixin:
                               op_meta=op_meta,
                               partition_by=self.part_cols)
         finally:
+            # clean the EXECUTORS' stage dirs, identified from the
+            # commit messages themselves: the commit/abort runner
+            # constructs a FRESH writer instance, so self.stage is NOT
+            # the dir the pickled task instances wrote into (its own
+            # rmtree below is a harmless no-op on an empty path)
+            for d in self._message_dirs(messages):
+                shutil.rmtree(d, ignore_errors=True)
             shutil.rmtree(self.stage, ignore_errors=True)
 
-    def abort(self, *args) -> None:
+    def abort(self, messages=None, *args) -> None:
         import shutil
 
+        if messages:
+            for d in self._message_dirs(messages):
+                shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(self.stage, ignore_errors=True)
 
 
@@ -676,36 +715,33 @@ class SnapshotWriter(_StagedWriterMixin, DataSourceArrowWriter):
 
 class SnapshotStreamWriter(_StagedWriterMixin, DataSourceStreamArrowWriter):
     """``writeStream.format("naru_snapshot")`` — snapshot tables as a
-    Structured Streaming SINK with exactly-once-by-content semantics:
-    each micro-batch commits as one snapshot version under a txn id of
-    ``<txnAppId>:<batchId>`` (option ``txnAppId``, default
-    "naru_snapshot_stream"), so Structured Streaming's at-least-once
-    batch replay de-duplicates exactly like the foreachBatch ingest
-    idiom — without writing any foreachBatch code."""
+    Structured Streaming SINK: each micro-batch commits as one snapshot
+    version. Pass ``option("txnAppId", <unique-per-query>)`` for
+    exactly-once-by-content semantics (commits keyed
+    ``<txnAppId>:<batchId>``, so Structured Streaming's at-least-once
+    batch replay de-duplicates like the foreachBatch ingest idiom) —
+    OPT-IN like Delta's, because a shared default id would make two
+    different queries writing one table drop each other's batches as
+    replays."""
 
     def __init__(self, options):
         self._init_stage(options)
 
     def commit(self, messages, batchId: int) -> None:
-        app = self.txn_app or "naru_snapshot_stream"
+        # txn idempotence is OPT-IN (Delta's txnAppId model): a shared
+        # default app id would make two different queries writing one
+        # table silently drop each other's batches as replays. Without
+        # the option, batches commit un-keyed — the checkpoint still
+        # prevents re-processing; only the crash-between-write-and-
+        # checkpoint-commit window can then double-append.
         self._commit_files(
             messages,
-            txn_id=f"{app}:{batchId}",
+            txn_id=(
+                f"{self.txn_app}:{batchId}" if self.txn_app else None
+            ),
             op_meta={"name": "append", "writer": "datasource_stream",
                      "batch_id": int(batchId)},
         )
-        # fresh stage per committed batch: the moved files are gone, and
-        # a shared dir across batches would mix committed entries
-        import uuid
-
-        self.stage = os.path.join(
-            self.path, "data", f"stage-{uuid.uuid4().hex[:8]}"
-        )
-
-    def abort(self, messages, batchId: int) -> None:
-        import shutil
-
-        shutil.rmtree(self.stage, ignore_errors=True)
 
 
 class SnapshotDataSource(DataSource):

@@ -3815,11 +3815,12 @@ def test_datasource_time_options_and_snapshot_files(spark, tmp_path):
     with pytest.raises(Exception, match="mutually exclusive"):
         spark.read.format("naru_snapshot").option("timestampAsOf", t1) \
             .option("version", 2).load(path).count()
-    # streaming from a wall-clock: only commits AFTER t1 stream
+    # streaming from a wall-clock (Delta-INCLUSIVE): a timestamp just
+    # past v1's stamp serves v2 onward; exactly t1 would include v1
     outp, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
     q = (
         spark.readStream.format("naru_snapshot")
-        .option("startingTimestamp", t1).load(path)
+        .option("startingTimestamp", t1 + 1e-4).load(path)
         .writeStream.foreachBatch(
             lambda b, i: b.write.mode("append").parquet(outp)
         )
@@ -4011,3 +4012,27 @@ def test_datasource_partitioned_writes(spark, tmp_path):
     sf = sinks.snapshot_files(spark, sink)
     assert {r["partition"]["g"] for r in sf.collect()} == {"g0", "g1", "g2"}
     assert sinks.read_snapshot(spark, sink).count() == 90
+
+
+def test_datasource_float_partition_probe_never_prunes(spark, tmp_path):
+    """Review regression (r13): a FLOAT equality pushed into the
+    DataSource must not feed the identity-partition probe — the JVM
+    writes float partition dirs in Java repr ('1.0E-4'), so a str()
+    compare would wrongly prune entries holding matching rows."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "fl")
+    df = spark.createDataFrame(
+        [(0.0001, 1), (2.5, 2)], "price double, v int"
+    )
+    sinks.write_snapshot(df, path, partition_by="price")
+    out = spark.read.format("naru_snapshot").load(path).where(
+        "price = 0.0001"
+    )
+    assert out.count() == 1 and out.collect()[0]["v"] == 1
+    out2 = spark.read.format("naru_snapshot").load(path).where(
+        "price IN (0.0001, 2.5)"
+    )
+    assert out2.count() == 2
