@@ -2532,6 +2532,29 @@ for _rnd, _names in (
         "top_supplier_q15", "bucketed_join_agg", "hypertable_daily",
         "moving_avg_daily_revenue",
     )),
+    (13, (
+        "advised_star_join", "advisor_estimates", "bm25_topk",
+        "bm25_topk_index", "contrastive_triplets", "csv_roundtrip",
+        "customer_distribution_q13", "data_split", "dedup_canonical",
+        "dedup_incremental", "dedup_stream", "dedup_stream_static",
+        "distinct_counts", "doc_lm_bigram", "dup_span_fraction",
+        "embedding_random_projection", "events_hourly",
+        "events_json_props", "forecast_revenue_q6", "jsonl_roundtrip",
+        "knn_graph", "length_buckets", "market_share_q8",
+        "merge_into_cdc", "ngram_topk", "orc_roundtrip",
+        "order_priority_check_q4", "partitioned_sink_roundtrip",
+        "perplexity_buckets", "pii_redact", "product_profit_q9",
+        "quantiles_quantity", "shipping_priority_q3",
+        "snapshot_bucket_transform", "snapshot_datasource_read",
+        "snapshot_days_transform", "snapshot_merge_evolve",
+        "snapshot_merge_over_dv", "snapshot_merge_upsert",
+        "snapshot_time_travel", "snapshot_update_over_dv",
+        "stream_parquet_resume", "stream_snapshot_cdf_source",
+        "stream_snapshot_datasource", "stream_snapshot_datasource_sink",
+        "stream_snapshot_follow_cdf_ts", "text_normalize",
+        "top_orders_per_segment", "workload_oracle_limited",
+        "zorder_data_skipping",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
