@@ -3676,6 +3676,273 @@ def q_advised_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH change-feed read through the DataSource (``spark.read
+    .option("readChangeFeed", "true").option("startingVersion", 1)`` —
+    Delta's primary CDF idiom, the r13-advice gap): the cdf table's
+    full commit vocabulary reads back as typed change rows planned by
+    the same per-commit logic as the streaming CDF source, and a read
+    with NO version range REFUSES loudly instead of silently returning
+    current rows with NULL change columns. Shares
+    ``sql_snapshot_cdf``'s change-row replay oracle."""
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = _tmpdir(prefix="docs_snap_cdfbatch_") + "/docs"
+    latest = _build_cdf_table(spark, sf_dir, path)
+    try:
+        (spark.read.format("naru_snapshot")
+         .option("readChangeFeed", "true").load(path).count())
+        raise AssertionError("rangeless batch CDF read must refuse")
+    except AssertionError:
+        raise
+    except Exception as exc:
+        assert "startingVersion" in str(exc), exc
+    out = (
+        spark.read.format("naru_snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", latest)
+        .load(path)
+    )
+    return (
+        out.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+def q_snapshot_datasource_write_constrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints on the DataSource WRITE path: the session-less
+    commit worker probes the staged bytes with DuckDB in a whitelisted
+    dialect (sinks._duckdb_check_probe) — a violating batch REFUSES
+    with zero trace (no manifest, no rows, no orphan commit dir), a
+    clean batch commits; both counter-asserted. Oracle: the surviving
+    content in plain SQL."""
+    from naru_spark.sources.sinks import (
+        _latest_version,
+        add_snapshot_constraint,
+        read_snapshot,
+        write_snapshot,
+    )
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).where("doc_id % 7 = 0")
+    path = _tmpdir(prefix="docs_ds_check_") + "/docs"
+    write_snapshot(docs, path)                                     # v1
+    add_snapshot_constraint(spark, path, "chars_nonneg", "n_chars >= 0")
+    man_dir = path + "/_manifests"
+    v_before = _latest_version(man_dir)
+    n_before = read_snapshot(spark, path).count()
+    bad = docs.limit(1).select(
+        "doc_id", "source", F.lit(-5).cast("bigint").alias("n_chars")
+    )
+    try:
+        bad.write.format("naru_snapshot").mode("append").save(path)
+        raise AssertionError("violating batch must refuse")
+    except AssertionError:
+        raise
+    except Exception as exc:
+        assert "CHECK constraint" in str(exc), exc
+    assert _latest_version(man_dir) == v_before                # no commit
+    assert read_snapshot(spark, path).count() == n_before      # no rows
+    clean = docs.where("doc_id % 2 = 0").select(
+        (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+        "source", "n_chars",
+    )
+    clean.write.format("naru_snapshot").mode("append").save(path)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_datasource_write_constrained() -> str:
+    return """
+WITH q AS (SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id % 7 = 0),
+allr AS (
+  SELECT * FROM q
+  UNION ALL
+  SELECT doc_id + 100000000, source, n_chars FROM q WHERE doc_id % 2 = 0
+)
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM allr GROUP BY source ORDER BY source
+"""
+
+
+def q_snapshot_datasource_days_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSFORMED hidden partitioning through the DataSource WRITER
+    (``option("partitionBy", "days(o_orderdate)")``): the Python write
+    tasks compute UTC epoch-day values (bucket would go through the
+    XXH64 twin), the commit stamps canonical specs + partition_meta
+    dtypes exactly like write_snapshot — proven here by
+    ``read_snapshot_where`` pruning a timestamp-range read on the
+    ingested stamps (counter-asserted via inputFiles). Shares the JVM
+    days-transform entry's oracle."""
+    from naru_spark.sources.sinks import read_snapshot, read_snapshot_where
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).where("o_orderdate >= '1995-01-01' AND o_orderdate <= '1995-01-31'")
+    path = _tmpdir(prefix="orders_ds_days_") + "/orders"
+    (
+        orders.write.format("naru_snapshot")
+        .option("partitionBy", "days(o_orderdate)")
+        .mode("append").save(path)
+    )
+    full_files = len(read_snapshot(spark, path).inputFiles())
+    q = read_snapshot_where(
+        spark, path,
+        "o_orderdate >= '1995-01-10' AND o_orderdate <= '1995-01-20'",
+    )
+    pruned_files = len(q.inputFiles())
+    assert 0 < pruned_files < full_files, (pruned_files, full_files)
+    return (
+        q.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_stream_snapshot_cdf_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END composition of the three DataSource pieces in ONE
+    Structured Streaming query: ``readStream.format("naru_snapshot")
+    .option("readChangeFeed", "true")`` → stateless signed-delta
+    transform (+1·insert/update_postimage, −1·delete/update_preimage —
+    the IVM delta-table shape) → ``writeStream.format("naru_snapshot")``
+    sink under a ``txnAppId``, drained with availableNow across TWO
+    restarts from the same checkpoint (exactly-once: the re-drain with
+    no new commits appends nothing — counter-asserted on the derived
+    table's version). The derived delta table rolls up to the same
+    state ``apply_cdf_to_aggregate`` folds batch-side (asserted), and
+    the oracle is the final source state aggregated in plain SQL."""
+    from naru_spark.sources.sinks import (
+        _latest_version,
+        apply_cdf_to_aggregate,
+        delete_from_snapshot,
+        read_snapshot,
+        read_snapshot_changes,
+        write_snapshot,
+    )
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    root = _tmpdir(prefix="docs_cdf_pipe_")
+    src, dst, ckpt = root + "/src", root + "/delta", root + "/ckpt"
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_snapshot(docs, src, partition_by="lang", cdf=True)       # v1
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+    def drain():
+        q = (
+            spark.readStream.format("naru_snapshot")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1).load(src)
+            .select(
+                "lang",
+                sign.cast("bigint").alias("dn"),
+                (sign * F.col("n_chars")).cast("bigint").alias("dchars"),
+            )
+            .writeStream.format("naru_snapshot")
+            .option("txnAppId", "cdf_pipe")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination()
+
+    drain()                                      # serves v1's inserts
+    delete_from_snapshot(spark, src, "doc_id % 11 = 0")            # v2
+    write_snapshot(
+        docs.where("doc_id % 13 = 0").select(
+            (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+            "lang", "n_chars",
+        ),
+        src,
+    )                                                              # v3
+    drain()                  # restart from checkpoint: exactly v2..v3
+    v_done = _latest_version(dst + "/_manifests")
+    drain()                  # second restart, no new commits
+    assert _latest_version(dst + "/_manifests") == v_done  # no dup rows
+
+    derived = (
+        read_snapshot(spark, dst)
+        .groupBy("lang")
+        .agg(
+            F.sum("dn").alias("n"),
+            F.sum("dchars").alias("sum_chars"),
+        )
+        .where("n > 0")
+    )
+    # batch IVM twin: bootstrap v1, fold v2..v3 through the sign algebra
+    boot = (
+        read_snapshot(spark, src, version=1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").alias("sum_n_chars"))
+    )
+    folded = apply_cdf_to_aggregate(
+        boot,
+        read_snapshot_changes(spark, src, 1, row_level=True),
+        keys=["lang"], sums=["n_chars"],
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, folded.select("lang", "n", "sum_n_chars").collect())
+    )
+    return derived.orderBy("lang")
+
+
+def sql_stream_snapshot_cdf_pipeline() -> str:
+    return """
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+final AS (
+  SELECT * FROM base WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 100000000, lang, n_chars FROM base WHERE doc_id % 13 = 0
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
 def build_ops_registry():
     queries = {
         "join_card_estimates": q_join_card_estimates,
@@ -3726,6 +3993,11 @@ def build_ops_registry():
         "snapshot_days_transform": q_snapshot_days_transform,
         "snapshot_bucket_transform": q_snapshot_bucket_transform,
         "snapshot_datasource_read": q_snapshot_datasource_read,
+        "snapshot_cdf_batch": q_snapshot_cdf_batch,
+        "snapshot_datasource_write_constrained":
+            q_snapshot_datasource_write_constrained,
+        "snapshot_datasource_days_write": q_snapshot_datasource_days_write,
+        "stream_snapshot_cdf_pipeline": q_stream_snapshot_cdf_pipeline,
         "stream_snapshot_datasource": q_stream_snapshot_datasource,
         "stream_snapshot_datasource_sink": q_stream_snapshot_datasource_sink,
         "snapshot_update_where": q_snapshot_update_where,
@@ -3799,6 +4071,11 @@ def build_ops_registry():
         "snapshot_days_transform": sql_snapshot_days_transform(),
         "snapshot_bucket_transform": sql_snapshot_bucket_transform(),
         "snapshot_datasource_read": sql_snapshot_datasource_read(),
+        "snapshot_cdf_batch": sql_snapshot_cdf(),
+        "snapshot_datasource_write_constrained":
+            sql_snapshot_datasource_write_constrained(),
+        "snapshot_datasource_days_write": sql_snapshot_days_transform(),
+        "stream_snapshot_cdf_pipeline": sql_stream_snapshot_cdf_pipeline(),
         "stream_snapshot_datasource": sql_stream_snapshot_datasource(),
         "stream_snapshot_datasource_sink": sql_stream_snapshot_datasource_sink(),
         "snapshot_update_where": sql_snapshot_update_where(),

@@ -701,6 +701,109 @@ def _entries_holding_keys_distributed(
     return [e for i, e in enumerate(plain) if i in hits or i in unboxed]
 
 
+_ARROW_SPARK_DTYPES = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "string": "string", "large_string": "string",
+    "float": "float", "double": "double", "date32[day]": "date",
+    "bool": "boolean",
+}
+
+
+def _arrow_dtype_str(t) -> str | None:
+    """The Spark dtype string of an arrow type, for the types partition
+    transforms accept (None = not transformable)."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return _ARROW_SPARK_DTYPES.get(str(t))
+
+
+_SAFE_EXPR_TOKEN = None
+
+
+def _duckdb_safe_expr(expr: str) -> bool:
+    """Is a CHECK-constraint expression in the conservative dialect
+    where Spark SQL and DuckDB provably agree? Column refs, numeric and
+    string literals, comparisons, arithmetic, AND/OR/NOT, IN lists,
+    IS [NOT] NULL, BETWEEN, LIKE, TRUE/FALSE, and DATE/TIMESTAMP typed
+    literals — NO function calls (an identifier followed by ``(``), no
+    ``<=>``, no casts. Anything outside the whitelist returns False and
+    the session-less commit path REFUSES rather than risking a
+    cross-engine semantic drift."""
+    import re
+
+    global _SAFE_EXPR_TOKEN
+    if _SAFE_EXPR_TOKEN is None:
+        _SAFE_EXPR_TOKEN = re.compile(
+            r"\s+"
+            r"|'(?:[^']|'')*'"
+            r"|[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+            r"|[A-Za-z_][A-Za-z0-9_]*"
+            r"|<=>|<=|>=|<>|!=|[=<>+\-*/%(),]"
+        )
+    toks = []
+    pos = 0
+    while pos < len(expr):
+        m = _SAFE_EXPR_TOKEN.match(expr, pos)
+        if m is None:
+            return False
+        if not m.group().isspace():
+            toks.append(m.group())
+        pos = m.end()
+    for i, t in enumerate(toks):
+        if t == "<=>":
+            return False  # Spark null-safe equality: not ANSI
+        if (re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
+                and t.upper() not in ("DATE", "TIMESTAMP")
+                and i + 1 < len(toks) and toks[i + 1] == "("):
+            return False  # function call: engines may disagree
+    return True
+
+
+def _duckdb_check_probe(files: list[str], constraints: dict) -> None:
+    """CHECK-constraint probe of staged parquet WITHOUT a Spark session
+    (the ``naru_snapshot`` DataSource commit worker): every constraint
+    expression must pass ``_duckdb_safe_expr``, then DuckDB evaluates
+    ``NOT (expr)`` over the staged bytes — the same rows Spark's
+    ``where(~expr)`` selects (NULL predicates excluded by both).
+    Raises ValueError on a violation OR on anything un-probe-able
+    (fail closed, mirroring write_snapshot's enforcement)."""
+    unsafe = [n for n, e in constraints.items()
+              if not _duckdb_safe_expr(e)]
+    if unsafe:
+        raise ValueError(
+            f"CHECK constraint(s) {sorted(unsafe)} use syntax outside "
+            "the session-free probe dialect — append via write_snapshot "
+            "(which enforces them with Spark) instead"
+        )
+    import duckdb
+
+    flist = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    con = duckdb.connect()
+    try:
+        for name, expr in constraints.items():
+            try:
+                bad = con.execute(
+                    f"SELECT * FROM read_parquet([{flist}]) "
+                    f"WHERE NOT ({expr}) LIMIT 1"
+                ).fetchall()
+            except Exception as exc:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) could not be "
+                    f"probed session-free ({exc}) — append via "
+                    "write_snapshot instead"
+                ) from None
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"staged row {bad[0]!r} — commit refused, data "
+                    "removed"
+                )
+    finally:
+        con.close()
+
+
 def _parse_spec_string(s: str) -> dict | None:
     """One partition-spec element (Iceberg hidden-partitioning syntax)
     -> {"spec": canonical string, "col", "t", "param"}: a bare column
@@ -817,12 +920,13 @@ def _parse_day(v) -> int | None:
 def _transform_probe_values(spark, t: str, param, dtype, values):
     """Transformed probe values as dir-name strings, or None when any
     probe cannot be SAFELY transformed (type mismatch / unparseable —
-    the caller keeps the entry, never wrongly prunes). ``bucket`` runs
-    one tiny Spark job so the JVM xxhash64 is bit-identical to the
-    write side, with probes cast to the STAMPED column dtype (xxhash64
-    is type-sensitive, exactly like the bloom sidecars)."""
-    from pyspark.sql import functions as F
-
+    the caller keeps the entry, never wrongly prunes). ``bucket``
+    hashes through the pure-Python XXH64 twin (``sources/xxh64.py``,
+    bit-parity with the JVM asserted in tests), with probes cast to the
+    STAMPED column dtype (xxhash64 is type-sensitive, exactly like the
+    bloom sidecars) — no Spark job, so session-less contexts (the
+    ``naru_snapshot`` DataSource planning worker) prune bucket stamps
+    too; ``spark`` is accepted for signature stability only."""
     if t == "days":
         days = [_parse_day(v) for v in values]
         if any(d is None for d in days):
@@ -839,21 +943,15 @@ def _transform_probe_values(spark, t: str, param, dtype, values):
             return {v[:param] for v in values}
         return None
     if t == "bucket":
-        if spark is None:
-            return None  # no session to hash with (DataSource planning)
         if not ((ints and dtype in _INT_DTYPES)
                 or (strs and dtype == "string")):
             return None
-        src = "bigint" if ints else "string"
-        rows = (
-            spark.createDataFrame([(v,) for v in values], f"v {src}")
-            .select(
-                F.pmod(F.xxhash64(F.col("v").cast(dtype)), F.lit(param))
-                .cast("int").alias("b")
-            )
-            .collect()
-        )
-        return {str(r["b"]) for r in rows}
+        from naru_spark.sources.xxh64 import bucket_of
+
+        buckets = {bucket_of(v, dtype, param) for v in values}
+        if None in buckets:
+            return None
+        return {str(b) for b in buckets}
     return None
 
 
@@ -1666,6 +1764,22 @@ def write_snapshot(
                     f"partition spec {sp['spec']!r} names unknown column "
                     f"{sp['col']!r} — the frame has {sorted(df_dtypes)}"
                 )
+        if any(sp["t"] == "days" for sp in part_specs):
+            # days() write (datediff of a session-tz date cast) and
+            # probe (_parse_day: the literal's calendar date) only agree
+            # when the session runs UTC — a non-UTC session would stamp
+            # local-date day numbers and wrongly prune near-midnight
+            # timestamps, so FAIL CLOSED instead of mispruning later
+            tz = df.sparkSession.conf.get(
+                "spark.sql.session.timeZone", "UTC"
+            )
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    f"days(...) hidden partitioning requires a UTC "
+                    f"session (spark.sql.session.timeZone={tz!r}): the "
+                    "stamped day numbers are probed by calendar date, "
+                    "which only matches the write-side date cast in UTC"
+                )
         # physical partition column: identity keeps the historical
         # __part_<col> name; transforms sanitize the canonical spec
         # (days(ts) -> __part_days_ts). The spec string itself is the
@@ -1991,16 +2105,19 @@ def commit_staged_dir(
     os.makedirs(man_dir, exist_ok=True)
     new_entries: list[str]
     part_stamp: dict = {}
+    part_meta: dict = {}
     if partition_by:
         specs = _parse_partition_spec(list(partition_by))
-        if any(sp["t"] != "identity" for sp in specs):
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise ValueError(
-                "commit_staged_dir supports IDENTITY partition columns "
-                "only — transformed specs need the JVM write path "
-                "(write_snapshot)"
+        # physical leaf-dir names mirror write_snapshot's sanitization;
+        # the CANONICAL spec string is the stamp key (positional map)
+        pcols = [
+            "__part_" + (
+                sp["col"] if sp["t"] == "identity"
+                else sp["spec"].replace("(", "_").replace(")", "")
+                .replace(",", "_")
             )
-        pcols = ["__part_" + sp["col"] for sp in specs]
+            for sp in specs
+        ]
 
         def _leaves(d: str, depth: int) -> list[str]:
             if depth == len(pcols):
@@ -2018,9 +2135,42 @@ def commit_staged_dir(
         for e in new_entries:
             rel = os.path.relpath(e, data_dir).split(os.sep)
             part_stamp[e] = {
-                specs[i]["col"]: unquote(seg.split("=", 1)[1])
+                specs[i]["spec"]: unquote(seg.split("=", 1)[1])
                 for i, seg in enumerate(rel)
             }
+        if any(sp["t"] != "identity" for sp in specs):
+            # transformed specs stamp the SOURCE column dtype (probe
+            # transforms are type-sensitive); read from ONE staged
+            # footer — the stage is a single write, one schema
+            import pyarrow.parquet as pq
+
+            for e in new_entries:
+                efiles = _entry_files(e)
+                if not efiles:
+                    continue
+                sch = pq.ParquetFile(efiles[0]).schema_arrow
+                meta = {}
+                for sp in specs:
+                    if sp["t"] == "identity":
+                        continue
+                    fld = (
+                        sch.field(sp["col"])
+                        if sp["col"] in sch.names else None
+                    )
+                    dt = (
+                        _arrow_dtype_str(fld.type)
+                        if fld is not None else None
+                    )
+                    if dt is None:
+                        shutil.rmtree(data_dir, ignore_errors=True)
+                        raise ValueError(
+                            f"cannot stamp dtype for transformed spec "
+                            f"{sp['spec']!r}: column {sp['col']!r} "
+                            "missing or un-transformable in staged data"
+                        )
+                    meta[sp["spec"]] = {"dtype": dt}
+                if meta:
+                    part_meta[e] = meta
     else:
         new_entries = (
             [data_dir]
@@ -2040,6 +2190,8 @@ def commit_staged_dir(
         new_stats[e] = _entry_stats(e)
         if e in part_stamp:
             new_stats[e]["partition"] = part_stamp[e]
+        if e in part_meta:
+            new_stats[e]["partition_meta"] = part_meta[e]
     app = ver = None
     if txn_id is not None:
         app, ver = _parse_txn_id(txn_id)
@@ -2072,29 +2224,31 @@ def commit_staged_dir(
 
             spark = SparkSession.getActiveSession()
             if spark is None:
-                # the DataSource commit worker has no Spark session to
-                # probe with — REFUSE rather than publish unverified
-                # rows into a constrained table (write_snapshot is the
-                # enforcing path)
-                shutil.rmtree(data_dir, ignore_errors=True)
-                raise ValueError(
-                    f"table {path} carries CHECK constraint(s) "
-                    f"{sorted(constraints)} but this commit context has "
-                    "no Spark session to enforce them — append via "
-                    "write_snapshot instead"
+                # the DataSource commit worker has no Spark session —
+                # probe the staged bytes with DuckDB instead, in a
+                # conservative whitelisted dialect where the engines
+                # provably agree; anything outside it REFUSES (fail
+                # closed) rather than publishing unverified rows
+                try:
+                    _duckdb_check_probe(files, constraints)
+                except Exception:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise
+            else:
+                bad = (
+                    spark.read.parquet(*files)
+                    .where(reduce(
+                        lambda a, b: a | b,
+                        [~F.expr(e) for e in constraints.values()]))
+                    .limit(1).collect()
                 )
-            bad = (
-                spark.read.parquet(*files)
-                .where(reduce(lambda a, b: a | b,
-                              [~F.expr(e) for e in constraints.values()]))
-                .limit(1).collect()
-            )
-            if bad:
-                shutil.rmtree(data_dir, ignore_errors=True)
-                raise ValueError(
-                    f"CHECK constraint violated by staged row "
-                    f"{bad[0].asDict()!r} — commit refused, data removed"
-                )
+                if bad:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"CHECK constraint violated by staged row "
+                        f"{bad[0].asDict()!r} — commit refused, data "
+                        "removed"
+                    )
             probed = constraints
         n = head + 1
         prev = latest.get("dirs", [])
@@ -3031,7 +3185,11 @@ def compact_snapshot(
             },
             carry_dvs=carry_dvs,
         )
-    except SnapshotConflictError:
+    except Exception:
+        # reclaim the consolidated remainder-DV sidecar on ANY failed
+        # commit (lost race, CHECK violation, write error) — it is only
+        # referenced once the manifest publishes, so an un-published one
+        # is orphan debris gc_orphans would otherwise have to sweep
         if new_dv_dir is not None:
             import shutil
 
@@ -3525,7 +3683,11 @@ def delete_from_snapshot(
             change_df=change_df,
             carry_dvs=carry_dvs,
         )
-    except SnapshotConflictError:
+    except Exception:
+        # reclaim the consolidated remainder-DV sidecar on ANY failed
+        # commit (lost race, CHECK violation, write error) — it is only
+        # referenced once the manifest publishes, so an un-published one
+        # is orphan debris gc_orphans would otherwise have to sweep
         if new_dv_dir is not None:
             import shutil
 
@@ -3759,7 +3921,11 @@ def update_snapshot(
             change_df=change_df,
             carry_dvs=carry_dvs,
         )
-    except SnapshotConflictError:
+    except Exception:
+        # reclaim the consolidated remainder-DV sidecar on ANY failed
+        # commit (lost race, CHECK violation, write error) — it is only
+        # referenced once the manifest publishes, so an un-published one
+        # is orphan debris gc_orphans would otherwise have to sweep
         if new_dv_dir is not None:
             import shutil
 
@@ -4145,7 +4311,11 @@ def merge_into_snapshot(
             change_df=change_df,
             carry_dvs=carry_dvs,
         )
-    except SnapshotConflictError:
+    except Exception:
+        # reclaim the consolidated remainder-DV sidecar on ANY failed
+        # commit (lost race, CHECK violation, write error) — it is only
+        # referenced once the manifest publishes, so an un-published one
+        # is orphan debris gc_orphans would otherwise have to sweep
         if new_dv_dir is not None:
             import shutil
 

@@ -137,31 +137,59 @@ def _table_path(options) -> str:
     return _strip_file_uri(p)
 
 
-def _arrow_spark_schema(man: dict) -> StructType:
-    """The table schema from ONE parquet footer of the manifest's first
-    non-empty entry (pyarrow -> Spark types via the engine's own
-    converter)."""
+_SCHEMA_UNION_CAP = 64
+
+
+def _arrow_schema_of(man: dict) -> "pyarrow.Schema":
+    """The table's declared arrow schema: a UNION of one parquet footer
+    per manifest entry (first file of each — files within an entry are
+    one write, so they share a schema), in first-seen field order. An
+    additively-evolved table (columns added by later appends /
+    ``merge(schema_evolution=True)``) therefore declares the evolved
+    columns too — pre-evolution files null-fill them at read
+    (``_aligned_batches``), exactly like ``read_snapshot(merge_schema=
+    True)``. Beyond ``_SCHEMA_UNION_CAP`` entries only the first and
+    last non-empty entries are unioned (bounded plan-time footer reads;
+    additive evolution means the last write carries the widest schema).
+    A column appearing with CONFLICTING types across entries raises —
+    a silent cast would corrupt reads."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql.pandas.types import from_arrow_schema
 
     from naru_spark.sources.sinks import _entry_files
 
-    import pyarrow as pa
+    entries = [e for e in man["dirs"] if _entry_files(e)]
+    if not entries:
+        raise ValueError("naru_snapshot: the table holds no data files")
+    if len(entries) > _SCHEMA_UNION_CAP:
+        entries = [entries[0], entries[-1]]
+    fields: dict = {}
+    order: list = []
+    for e in entries:
+        sch = pq.ParquetFile(_entry_files(e)[0]).schema_arrow
+        for f in sch:
+            t = f.type
+            if pa.types.is_timestamp(t) and t.unit == "ns":
+                # Spark writes INT96 (surfacing as ns in arrow):
+                # declare micros, reads cast batches to match
+                t = pa.timestamp("us", tz=t.tz)
+            if f.name not in fields:
+                fields[f.name] = t
+                order.append(f.name)
+            elif fields[f.name] != t:
+                raise ValueError(
+                    f"naru_snapshot: column {f.name!r} has conflicting "
+                    f"types across entries ({fields[f.name]} vs {t}) — "
+                    "read via read_snapshot, which applies schema ops"
+                )
+    return pa.schema([pa.field(n, fields[n]) for n in order])
 
-    for e in man["dirs"]:
-        files = _entry_files(e)
-        if files:
-            sch = pq.ParquetFile(files[0]).schema_arrow
-            fields = []
-            for f in sch:
-                t = f.type
-                if pa.types.is_timestamp(t) and t.unit == "ns":
-                    # Spark writes INT96 (surfacing as ns in arrow):
-                    # declare micros, reads cast batches to match
-                    f = pa.field(f.name, pa.timestamp("us", tz=t.tz))
-                fields.append(f)
-            return from_arrow_schema(pa.schema(fields))
-    raise ValueError("naru_snapshot: the table holds no data files")
+
+def _arrow_spark_schema(man: dict) -> StructType:
+    """The declared Spark read schema (see ``_arrow_schema_of``)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(_arrow_schema_of(man))
 
 
 def _filter_hints(filters) -> dict:
@@ -260,15 +288,14 @@ def _filter_hints(filters) -> dict:
     return {"prune": boxes, "partitions": parts, "ranges": ranges}
 
 
-def _surviving_files(man: dict, hints: dict | None) -> list[str]:
-    """Entry elimination against the stamped stats, then the surviving
-    entries' files: min/max boxes, identity AND transformed partition
-    stamps (days/truncate transform probe-side in pure Python; bucket
-    needs a Spark session the planning worker lacks, so such entries
-    just survive), and days-stamp pruning from pushed DATE/TIMESTAMP
-    range filters. Conservative throughout — unprovable means kept."""
+def _surviving_entries(man: dict, hints: dict | None) -> list[str]:
+    """Entry elimination against the stamped stats: min/max boxes,
+    identity AND transformed partition stamps (days/truncate/bucket all
+    transform probe-side in pure Python — bucket through the XXH64 twin
+    in ``sources/xxh64.py``), and days-stamp pruning from pushed
+    DATE/TIMESTAMP range filters. Conservative throughout — unprovable
+    means kept."""
     from naru_spark.sources.sinks import (
-        _entry_files,
         _entry_overlaps,
         _partition_range_surviving,
         _partition_surviving_entries,
@@ -292,12 +319,79 @@ def _surviving_files(man: dict, hints: dict | None) -> list[str]:
                 e for e in entries
                 if _entry_overlaps(stats.get(e), hints["prune"])
             ]
-    return [f for e in entries for f in _entry_files(e)]
+    return list(entries)
+
+
+_DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+_DEFAULT_PARALLELISM = 32
+
+
+def _packed_file_groups(man: dict, entries: list[str],
+                        max_bytes: int,
+                        parallelism: int,
+                        open_cost: int = _OPEN_COST_BYTES) -> list[list[str]]:
+    """Surviving files PACKED into read units by Spark's own file-scan
+    split formula (``FilePartition.maxSplitBytes``): one file per
+    InputPartition under-parallelizes small-file tables and
+    over-schedules Python workers on large ones. Per-file size is the
+    manifest's stamped per-entry byte count divided across the entry's
+    files (footer-free planning); stats-less legacy entries stat the
+    files directly. ``maxSplit = min(maxBytesPerPartition,
+    max(openCost, totalBytes/parallelism))`` with Spark's 4 MiB open
+    cost padding each file — so small tables keep per-file parallelism
+    and huge tables pack toward the 128 MiB ceiling. Files sort by size
+    descending (Spark's packing order); a file larger than the split
+    gets its own group (never split: the row-group scan inside a file
+    already streams)."""
+    import os
+
+    from naru_spark.sources.sinks import _entry_files
+
+    stats = man.get("stats", {})
+    sized: list[tuple[str, int]] = []
+    for e in entries:
+        files = _entry_files(e)
+        if not files:
+            continue
+        st = stats.get(e)
+        if st and st.get("n_bytes") and st.get("n_files"):
+            per = max(1, int(st["n_bytes"]) // max(1, int(st["n_files"])))
+            sized += [(f, per) for f in files]
+        else:
+            sized += [(f, os.path.getsize(f)) for f in files]
+    if not sized:
+        return []
+    total = sum(sz for _, sz in sized)
+    max_split = min(
+        max_bytes,
+        max(open_cost, total // max(1, parallelism)),
+    )
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f, sz in sorted(sized, key=lambda t: -t[1]):
+        if cur and cur_bytes + sz > max_split:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz + open_cost
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 class _FilePartition(InputPartition):
     def __init__(self, file: str):
         self.file = file
+
+
+class _FilesPartition(InputPartition):
+    """A PACKED batch read unit: several data files scanned by one task
+    (see ``_packed_file_groups``)."""
+
+    def __init__(self, files: list):
+        self.files = files
 
 
 class _CDFPartition(InputPartition):
@@ -440,6 +534,17 @@ class SnapshotBatchReader(DataSourceReader):
         _refuse_pending(self.man, self.path)
         self.hints: dict | None = None
         self.read_schema = schema
+        self.target_bytes = int(
+            options.get("maxbytesperpartition", _DEFAULT_PARTITION_BYTES)
+        )
+        self.parallelism = int(
+            options.get("defaultparallelism", _DEFAULT_PARALLELISM)
+        )
+        # spark.sql.files.openCostInBytes analog: the per-file padding
+        # that bounds how many small files pack into one read unit
+        self.open_cost = int(
+            options.get("opencostinbytes", _OPEN_COST_BYTES)
+        )
 
     def pushFilters(self, filters):
         # record the plan's own predicates for entry elimination; hand
@@ -448,13 +553,122 @@ class SnapshotBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        return [
-            _FilePartition(f) for f in _surviving_files(self.man, self.hints)
-        ] or [_FilePartition("")]
+        groups = _packed_file_groups(
+            self.man,
+            _surviving_entries(self.man, self.hints),
+            self.target_bytes,
+            self.parallelism,
+            self.open_cost,
+        )
+        return [_FilesPartition(g) for g in groups] or [_FilesPartition([])]
+
+    def read(self, partition):
+        files = partition.files
+        if not files:
+            return
+        # fast path: when every file already matches the declared arrow
+        # schema, ONE pyarrow dataset scan covers the whole group
+        # (threaded column decode); mixed/evolved groups fall back to
+        # the per-file aligning reader
+        import pyarrow.dataset as pads
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        import pyarrow as pa
+
+        declared = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType))
+             for f in self.read_schema]
+        )
+        try:
+            ds = pads.dataset(files, format="parquet")
+            uniform = ds.schema == declared
+        except Exception:
+            uniform = False
+        if uniform:
+            yield from ds.to_batches()
+        else:
+            for f in files:
+                yield from _aligned_batches(f, self.read_schema)
+
+
+class SnapshotCDFBatchReader(DataSourceReader):
+    """BATCH change-feed read — Delta's primary CDF idiom::
+
+        spark.read.format("naru_snapshot")
+             .option("readChangeFeed", "true")
+             .option("startingVersion", 1)        # REQUIRED (or
+             .option("startingTimestamp", ...)    #  startingTimestamp)
+             .option("endingVersion", 5)          # optional; default =
+             .load(path)                          #  latest version
+
+    Serves exactly the rows ``read_snapshot_changes(row_level=True)``
+    would for the version range, via the same per-commit planning as
+    the streaming CDF source (``_cdf_commit_partitions`` — cheapest
+    exact source per commit, RAISE on un-feedable rewrites)."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = _table_path(options)
+        from naru_spark.sources.sinks import _latest_version
+
+        sv_opt = options.get("startingversion")
+        st_opt = options.get("startingtimestamp")
+        if sv_opt and st_opt:
+            raise ValueError(
+                "naru_snapshot: startingVersion and startingTimestamp "
+                "are mutually exclusive"
+            )
+        if not sv_opt and not st_opt:
+            raise ValueError(
+                "naru_snapshot batch CDF read needs option("
+                "'startingVersion', N) or option('startingTimestamp', "
+                "ts) — without a range the change feed is unbounded"
+            )
+        if st_opt:
+            t = float(st_opt)
+            versions = sorted(
+                int(f[1:-5]) for f in os.listdir(_man_dir(self.path))
+                if f.startswith("v") and f.endswith(".json")
+            )
+            first = next(
+                (v for v in versions
+                 if _load_manifest(self.path, v).get("ts", 0.0) >= t),
+                None,
+            )
+            if first is None:
+                raise ValueError(
+                    f"naru_snapshot: startingTimestamp {t} is after the "
+                    f"last commit of {self.path} — no changes to read"
+                )
+            self.sv = first - 1
+        else:
+            self.sv = int(sv_opt) - 1  # inclusive, Delta semantics
+        ev_opt = options.get("endingversion")
+        et_opt = options.get("endingtimestamp")
+        if ev_opt and et_opt:
+            raise ValueError(
+                "naru_snapshot: endingVersion and endingTimestamp are "
+                "mutually exclusive"
+            )
+        if et_opt:
+            self.ev = _version_at_ts(self.path, float(et_opt))
+        elif ev_opt:
+            self.ev = int(ev_opt)
+        else:
+            self.ev = _latest_version(_man_dir(self.path))
+        if self.ev <= self.sv:
+            raise ValueError(
+                f"naru_snapshot: empty CDF range — endingVersion "
+                f"{self.ev} precedes startingVersion {self.sv + 1}"
+            )
+        self.read_schema = schema
+
+    def partitions(self):
+        parts = _cdf_commit_partitions(self.path, self.sv, self.ev)
+        return parts or [_CDFPartition("", None, self.ev, None)]
 
     def read(self, partition):
         if partition.file:
-            yield from _aligned_batches(partition.file, self.read_schema)
+            yield from _cdf_read_batches(partition, self.read_schema)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -549,6 +763,27 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets live in the checkpoint; manifests are immutable
 
 
+def _split_spec_list(pb: str) -> list[str]:
+    """Split a ``partitionBy`` option string on TOP-LEVEL commas only —
+    ``"days(ts),bucket(8,k)"`` is two spec elements, the comma inside
+    ``bucket(8,k)`` is part of the transform."""
+    out, cur, depth = [], [], 0
+    for ch in pb:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 class _WroteFiles(WriterCommitMessage):
     def __init__(self, files: list):
         # [(file_path, partition_value_strings | None), ...]
@@ -578,22 +813,99 @@ class _StagedWriterMixin:
         self.path = _table_path(options)
         self.txn_app = options.get("txnappid")
         pb = options.get("partitionby")
-        self.part_cols = (
-            [c.strip() for c in pb.split(",") if c.strip()] if pb else None
-        )
-        if self.part_cols:
+        raw = _split_spec_list(pb) if pb else None
+        self.part_specs = None
+        self.pcol_names = None
+        if raw:
             from naru_spark.sources.sinks import _parse_partition_spec
 
-            specs = _parse_partition_spec(self.part_cols)
-            if any(sp["t"] != "identity" for sp in specs):
-                raise ValueError(
-                    "naru_snapshot partitionBy takes IDENTITY columns "
-                    "only — transformed specs need the JVM write path "
-                    "(write_snapshot)"
+            self.part_specs = _parse_partition_spec(raw)
+            # physical leaf-dir names mirror write_snapshot's sanitized
+            # spelling so commit_staged_dir maps them back positionally
+            self.pcol_names = [
+                "__part_" + (
+                    sp["col"] if sp["t"] == "identity"
+                    else sp["spec"].replace("(", "_").replace(")", "")
+                    .replace(",", "_")
                 )
+                for sp in self.part_specs
+            ]
         self.stage = os.path.join(
             self.path, "data", f"stage-{uuid.uuid4().hex[:8]}"
         )
+
+    def _part_values(self, batch) -> list:
+        """Per-row PARTITION VALUES (one tuple per row) with the spec's
+        transforms applied in pure Python, bit-identical to the JVM
+        write expressions (``days`` = UTC epoch-day, ``bucket`` =
+        pmod(xxhash64, n) via the XXH64 twin, ``truncate`` = int floor /
+        string prefix). NULL inputs transform to NULL (the hive default
+        partition), exactly like the JVM expressions."""
+        import datetime
+
+        from naru_spark.sources.sinks import _arrow_dtype_str
+        from naru_spark.sources.xxh64 import bucket_of
+
+        epoch = datetime.date(1970, 1, 1)
+        utc = datetime.timezone.utc
+        cols = []
+        for sp in self.part_specs:
+            if sp["col"] not in batch.schema.names:
+                raise ValueError(
+                    f"partition spec {sp['spec']!r} names column "
+                    f"{sp['col']!r} absent from the written batch"
+                )
+            arr = batch.column(sp["col"])
+            t = sp["t"]
+            vals = arr.to_pylist()
+            if t == "identity":
+                cols.append(vals)
+                continue
+            dtype = _arrow_dtype_str(arr.type)
+            if t == "days":
+                if dtype not in ("timestamp", "date"):
+                    raise ValueError(
+                        f"days({sp['col']}) needs a timestamp/date "
+                        f"column, got {arr.type}"
+                    )
+
+                def day_of(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, datetime.datetime):
+                        if v.tzinfo is not None:
+                            v = v.astimezone(utc)
+                        return (v.date() - epoch).days
+                    return (v - epoch).days
+
+                cols.append([day_of(v) for v in vals])
+            elif t == "bucket":
+                if dtype not in ("tinyint", "smallint", "int", "bigint",
+                                 "string"):
+                    raise ValueError(
+                        f"bucket(n, {sp['col']}) needs an int or string "
+                        f"column, got {arr.type}"
+                    )
+                cols.append([
+                    None if v is None else bucket_of(v, dtype, sp["param"])
+                    for v in vals
+                ])
+            else:  # truncate
+                w = sp["param"]
+                if dtype in ("tinyint", "smallint", "int", "bigint"):
+                    cols.append([
+                        None if v is None else v - (v % w) for v in vals
+                    ])
+                elif dtype == "string":
+                    cols.append([
+                        None if v is None else v[:w] for v in vals
+                    ])
+                else:
+                    raise ValueError(
+                        f"truncate(w, {sp['col']}) needs an int or "
+                        f"string column, got {arr.type}"
+                    )
+        return list(zip(*cols))
 
     def write(self, iterator):
         import uuid
@@ -613,14 +925,14 @@ class _StagedWriterMixin:
             return writers[combo][0]
 
         for batch in iterator:
-            if not self.part_cols:
+            if not self.part_specs:
                 sink_for(None, batch.schema).write_batch(batch)
                 continue
-            # identity fanout: partition columns to python once (they
-            # are low-cardinality by design), rows routed per combo
-            keys = list(zip(*[
-                batch.column(c).to_pylist() for c in self.part_cols
-            ]))
+            # partition fanout: spec values to python once (partition
+            # combos are low-cardinality by design — identity values or
+            # transformed day/bucket/prefix values), rows routed per
+            # combo
+            keys = self._part_values(batch)
             for combo in set(keys):
                 mask = pa.array([k == combo for k in keys])
                 sink_for(combo, batch.schema).write_batch(
@@ -660,18 +972,22 @@ class _StagedWriterMixin:
             for fp, vals in (m.files if m is not None else []):
                 dest = final
                 if vals is not None:
-                    for c, v in zip(self.part_cols, vals):
+                    for pc, v in zip(self.pcol_names, vals):
                         seg = (
                             self._NULL_DIR if v is None
                             else quote(v, safe="")
                         )
-                        dest = os.path.join(dest, f"__part_{c}={seg}")
+                        dest = os.path.join(dest, f"{pc}={seg}")
                 os.makedirs(dest, exist_ok=True)
                 os.replace(fp, os.path.join(dest, os.path.basename(fp)))
         try:
-            commit_staged_dir(self.path, final, txn_id=txn_id,
-                              op_meta=op_meta,
-                              partition_by=self.part_cols)
+            commit_staged_dir(
+                self.path, final, txn_id=txn_id, op_meta=op_meta,
+                partition_by=(
+                    [sp["spec"] for sp in self.part_specs]
+                    if self.part_specs else None
+                ),
+            )
         finally:
             # clean the EXECUTORS' stage dirs, identified from the
             # commit messages themselves: the commit/abort runner
@@ -776,6 +1092,8 @@ class SnapshotDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            return SnapshotCDFBatchReader(self.options, schema)
         return SnapshotBatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
@@ -790,8 +1108,25 @@ class SnapshotDataSource(DataSource):
 
 def register_snapshot_source(spark) -> None:
     """Idempotent registration: ``spark.read.format("naru_snapshot")``
-    becomes available for the session. Python-source filter pushdown is
-    enabled here — without it Spark refuses a reader that implements
-    ``pushFilters`` (and the manifest-level skipping is the point)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    becomes available for the session.
+
+    SIDE EFFECT (session-wide, documented): sets
+    ``spark.sql.python.filterPushdown.enabled=true`` when the conf is
+    UNSET — without it Spark refuses a reader that implements
+    ``pushFilters``, and the manifest-level skipping is the point of
+    this source. The conf applies to every Python DataSource in the
+    session, so a caller who has EXPLICITLY set it false keeps their
+    setting (this source's reads will then fail with Spark's own
+    pushFilters error, pointing back here) rather than having it
+    silently flipped."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        # RuntimeConfig.contains consults the EXPLICIT settings map only
+        # (Spark defaults don't count), which is exactly the distinction
+        # we need; absent (or non-classic session) -> treat as unset
+        explicit = bool(spark._jsparkSession.conf().contains(key))
+    except Exception:
+        explicit = False
+    if not explicit:
+        spark.conf.set(key, "true")
     spark.dataSource.register(SnapshotDataSource)

@@ -3613,15 +3613,20 @@ def test_snapshot_datasource_writer(spark, tmp_path):
     # overwrite is refused (replaces go through the explicit APIs)
     with pytest.raises(Exception, match="append-only"):
         df.write.format("naru_snapshot").mode("overwrite").save(path)
-    # a CONSTRAINED table refuses the datasource write path outright —
-    # the commit worker has no Spark session to probe CHECKs with, and
-    # publishing unverified rows would be worse than refusing
+    # a CONSTRAINED table: the session-less commit worker probes the
+    # staged bytes with DuckDB in the whitelisted dialect — a violating
+    # batch refuses with zero trace, a clean batch commits
     sinks.add_snapshot_constraint(spark, path, "k_nonneg", "k >= 0")
     with pytest.raises(Exception, match="CHECK constraint"):
         spark.createDataFrame([(-1, "g")], "k int, g string").write.format(
             "naru_snapshot"
         ).mode("append").save(path)
     assert sinks.read_snapshot(spark, path).count() == 100  # no trace
+    spark.createDataFrame([(500, "g")], "k int, g string").write.format(
+        "naru_snapshot"
+    ).mode("append").save(path)
+    assert sinks.read_snapshot(spark, path).count() == 101  # clean commit
+    sinks.delete_from_snapshot(spark, path, "k = 500")
     sinks.drop_snapshot_constraint(path, "k_nonneg")
     # time travel still works over datasource-written commits
     assert sinks.read_snapshot(spark, path, version=1).count() == 50
@@ -3991,8 +3996,8 @@ def test_datasource_partitioned_writes(spark, tmp_path):
      .mode("append").save(p2))
     got = {(r["k"], r["g"]) for r in sinks.read_snapshot(spark, p2).collect()}
     assert got == {(1, None), (2, "x")}
-    # transformed specs refuse on the datasource path
-    with pytest.raises(Exception, match="IDENTITY|unparseable"):
+    # a spec naming a column the frame lacks refuses loudly
+    with pytest.raises(Exception, match="absent|unknown"):
         (df.write.format("naru_snapshot")
            .option("partitionBy", "days(ts)").mode("append")
            .save(str(tmp_path / "pwbad")))
@@ -4036,3 +4041,278 @@ def test_datasource_float_partition_probe_never_prunes(spark, tmp_path):
         "price IN (0.0001, 2.5)"
     )
     assert out2.count() == 2
+
+
+def test_xxh64_twin_bit_parity(spark):
+    """The pure-Python XXH64 twin (sources/xxh64.py) is BIT-IDENTICAL
+    to Spark's F.xxhash64 for every dtype the bucket transform accepts
+    — negative/boundary ints, bigints, unicode/empty/long strings —
+    which is what lets session-less contexts (DataSource planning and
+    commit workers) compute bucket partition values that the JVM probe
+    side agrees with."""
+    from naru_spark.sources.xxh64 import bucket_of, spark_xxhash64
+
+    cases = {
+        "tinyint": [-128, -1, 0, 1, 127],
+        "smallint": [-32768, -7, 0, 9, 32767],
+        "int": [-2147483648, -1, 0, 42, 2147483647],
+        "bigint": [-(2**63), -1, 0, 1, 2**63 - 1, 123456789012345],
+        "string": ["", "a", "hello", "naïve-ünïcode-😀",
+                   "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 100],
+    }
+    for dtype, vals in cases.items():
+        src = "string" if dtype == "string" else "bigint"
+        rows = spark.createDataFrame([(v,) for v in vals], f"v {src}")
+        jvm = [
+            r["h"] for r in rows.select(
+                F.xxhash64(F.col("v").cast(dtype)).alias("h")
+            ).collect()
+        ]
+        ours = [spark_xxhash64(v, dtype) for v in vals]
+        assert ours == jvm, (dtype, list(zip(vals, ours, jvm)))
+        jvm_b = [
+            r["b"] for r in rows.select(
+                F.pmod(F.xxhash64(F.col("v").cast(dtype)), F.lit(16))
+                .cast("int").alias("b")
+            ).collect()
+        ]
+        assert [bucket_of(v, dtype, 16) for v in vals] == jvm_b, dtype
+
+
+def test_datasource_transformed_partitioned_writes(spark, tmp_path):
+    """option("partitionBy", "days(ts)" / "bucket(n,col)" /
+    "truncate(w,col)") on the naru_snapshot WRITER: the Python tasks
+    compute the transform values (UTC epoch-day; XXH64 twin; floor/
+    prefix) and the commit stamps canonical specs + partition_meta
+    dtypes EXACTLY like write_snapshot — proven by comparing stamps
+    against a write_snapshot twin of the same data, and by
+    read_snapshot_where pruning both tables identically."""
+    import datetime
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+
+    def stamps(path):
+        import json
+        import os
+
+        from naru_spark.sources.sinks import _latest_version
+
+        man_dir = os.path.join(path, "_manifests")
+        v = _latest_version(man_dir)
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            man = json.load(fh)
+        out = {}
+        for st in man.get("stats", {}).values():
+            if st and st.get("partition"):
+                meta = st.get("partition_meta") or {}
+                out[tuple(sorted(st["partition"].items()))] = (
+                    st["n_rows"],
+                    tuple(sorted(
+                        (k, v2["dtype"]) for k, v2 in meta.items()
+                    )),
+                )
+        return out
+
+    # --- days(ts) twin
+    rows = [
+        (datetime.datetime(2024, 3, 1 + d, 5 + h), d * 4 + h)
+        for d in range(4) for h in range(4)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    p_ds, p_jvm = str(tmp_path / "dsdays"), str(tmp_path / "jvmdays")
+    (df.write.format("naru_snapshot").option("partitionBy", "days(ts)")
+       .mode("append").save(p_ds))
+    sinks.write_snapshot(df, p_jvm, partition_by="days(ts)")
+    assert stamps(p_ds) == stamps(p_jvm)
+    # ...and the datasource-ingested table prunes on a timestamp range
+    full = len(sinks.read_snapshot(spark, p_ds).inputFiles())
+    q = sinks.read_snapshot_where(
+        spark, p_ds,
+        "ts >= '2024-03-02 00:00:00' AND ts < '2024-03-03 00:00:00'",
+    )
+    assert q.count() == 4
+    assert 0 < len(q.inputFiles()) < full
+
+    # --- bucket(8, k) twin: stamp parity IS hash bit-parity
+    df2 = spark.createDataFrame(
+        [(i * 37, "s%d" % i) for i in range(64)], "k bigint, s string"
+    )
+    p2_ds, p2_jvm = str(tmp_path / "dsbuck"), str(tmp_path / "jvmbuck")
+    (df2.write.format("naru_snapshot").option("partitionBy", "bucket(8,k)")
+        .mode("append").save(p2_ds))
+    sinks.write_snapshot(df2, p2_jvm, partition_by="bucket(8,k)")
+    assert stamps(p2_ds) == stamps(p2_jvm)
+    q2 = sinks.read_snapshot_where(spark, p2_ds, "k IN (37, 740)")
+    assert q2.count() == 2
+    assert len(q2.inputFiles()) < len(
+        sinks.read_snapshot(spark, p2_ds).inputFiles()
+    )
+
+    # --- truncate(2, s) twin + NULL transform input -> hive default dir
+    df3 = spark.createDataFrame(
+        [("ab%d" % i, i) for i in range(6)]
+        + [("cd%d" % i, i) for i in range(6)] + [(None, 99)],
+        "s string, v int",
+    )
+    p3_ds, p3_jvm = str(tmp_path / "dstrunc"), str(tmp_path / "jvmtrunc")
+    (df3.write.format("naru_snapshot")
+        .option("partitionBy", "truncate(2,s)").mode("append").save(p3_ds))
+    sinks.write_snapshot(df3, p3_jvm, partition_by="truncate(2,s)")
+    assert stamps(p3_ds) == stamps(p3_jvm)
+    got = {(r["s"], r["v"])
+           for r in sinks.read_snapshot(spark, p3_ds).collect()}
+    assert (None, 99) in got and len(got) == 13
+
+
+def test_datasource_batch_cdf_read(spark, tmp_path):
+    """spark.read.option("readChangeFeed","true") — the BATCH change
+    feed (Delta's primary CDF idiom): serves exactly the rows
+    read_snapshot_changes(row_level=True) serves for the version range;
+    startingVersion is REQUIRED, endingVersion bounds the range, and a
+    missing range raises instead of silently returning current rows
+    with NULL change columns (the r13 advice bug)."""
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "cdfb")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k int, v int"
+    )
+    sinks.write_snapshot(df, path, cdf=True)                      # v1
+    sinks.delete_from_snapshot(spark, path, "k < 5")              # v2
+    sinks.write_snapshot(
+        spark.createDataFrame([(100, 1), (101, 2)], "k int, v int"),
+        path,
+    )                                                             # v3
+
+    got = (
+        spark.read.format("naru_snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2).load(path)
+        .select("k", "v", "_change_type", "_commit_version")
+    )
+    ref = sinks.read_snapshot_changes(
+        spark, path, from_version=1, row_level=True
+    ).select("k", "v", "_change_type", "_commit_version")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # endingVersion bounds the range
+    only2 = (
+        spark.read.format("naru_snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2).option("endingVersion", 2)
+        .load(path)
+    )
+    assert {r["_commit_version"] for r in only2.collect()} == {2}
+    assert only2.count() == 5
+    # no range -> refuse loudly (never current-rows-with-NULLs)
+    with pytest.raises(Exception, match="startingVersion"):
+        (spark.read.format("naru_snapshot")
+         .option("readChangeFeed", "true").load(path).count())
+
+
+def test_datasource_schema_evolution_read(spark, tmp_path):
+    """The DataSource declares the UNION schema across entry footers:
+    an additively-evolved table (later append carries a new column)
+    reads the evolved column through batch AND stream paths, with
+    pre-evolution rows null-filled — matching read_snapshot(
+    merge_schema=True) instead of silently dropping the column (the
+    r13 advice bug)."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "evo")
+    sinks.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"),
+        path,
+    )
+    sinks.write_snapshot(
+        spark.createDataFrame([(3, "c", 30.0)],
+                              "k int, s string, score double"),
+        path,
+    )
+    out = spark.read.format("naru_snapshot").load(path)
+    assert sorted(out.columns) == ["k", "s", "score"]
+    got = {(r["k"], r["score"]) for r in out.collect()}
+    assert got == {(1, None), (2, None), (3, 30.0)}
+    ref = {
+        (r["k"], r["score"])
+        for r in sinks.read_snapshot(spark, path, merge_schema=True)
+        .select("k", "score").collect()
+    }
+    assert got == ref
+    # stream path declares the union too
+    outp = str(tmp_path / "evo_out")
+    q = (
+        spark.readStream.format("naru_snapshot").load(path)
+        .writeStream.foreachBatch(
+            lambda b, i: b.write.mode("append").parquet(outp)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "evo_ck"))
+        .start()
+    )
+    q.awaitTermination()
+    got_s = {
+        (r["k"], r["score"]) for r in spark.read.parquet(outp).collect()
+    }
+    assert got_s == got
+
+
+def test_datasource_partition_packing(spark, tmp_path):
+    """Batch reads pack surviving files into read units by Spark's own
+    split formula: tiny-file tables keep ~per-file parallelism (the
+    4 MiB open cost dominates), while forcing parallelism=1 packs
+    everything into one unit — result-identical either way."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "pack")
+    df = spark.createDataFrame([(i, i * 2) for i in range(64)],
+                               "k int, v int")
+    sinks.write_snapshot(df.repartition(8), path)
+    base = spark.read.format("naru_snapshot").load(path)
+    assert base.rdd.getNumPartitions() == 8  # open cost: per-file
+    packed = (
+        spark.read.format("naru_snapshot")
+        .option("defaultParallelism", 1)
+        .option("openCostInBytes", 0).load(path)
+    )
+    assert packed.rdd.getNumPartitions() == 1
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+def test_days_partitioning_requires_utc_session(spark, tmp_path):
+    """days() hidden partitioning FAILS CLOSED under a non-UTC session:
+    the write expression (session-tz date cast) and the probe side
+    (calendar date of the literal) only agree in UTC, so a non-UTC
+    session raises at write time instead of mispruning reads later."""
+    import datetime
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 23, 30), 1)], "ts timestamp, v int"
+    )
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            sinks.write_snapshot(
+                df, str(tmp_path / "tz"), partition_by="days(ts)"
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
