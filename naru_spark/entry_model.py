@@ -973,8 +973,81 @@ def q_psample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bn_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT inference on a MULTI-PARENT greedy BN structure — the last
+    reference inference nuance (pgmpy's ``VariableElimination`` handles
+    general graphs, estimators.py:846-997; the eval driver fits
+    ``max_parents=2``, eval_model.py:386): structure='greedy' with
+    max_parents=2 answers the seeded workload by generic sum-product
+    variable elimination (estimators/bayes.py ``variable_elimination``,
+    cliques stay pairs at max_parents=2), cross-checked against the
+    SAMPLING path on the same structure. Rows-only (the encoded sample
+    is seeded but not SQL-expressible); gates: exact is deterministic,
+    within [1, N], never worse than 1.5x the sampled path's median
+    q-error (it should be noise-free), and VE==brute-force is
+    pytest-gated at enumerable domains."""
+    import time
+
+    import numpy as np
+
+    from naru_spark.entry_queries import LINEITEM_COLS, workload
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.bayes import BayesNet
+
+    df, enc, meta, _ = _fitted(spark, sf_dir)
+    wl = list(workload())
+    truths = Oracle(df).query_batch(wl)
+
+    sample_rows = 100_000
+    sel = enc.transform(df.select(*LINEITEM_COLS)).select(
+        *[f"{c}__bin" for c in LINEITEM_COLS]
+    )
+    if meta.cardinality > sample_rows:
+        sel = sel.sample(
+            fraction=min(1.0, sample_rows / meta.cardinality * 1.1), seed=0
+        )
+    data = sel.toPandas().to_numpy(dtype="int64")
+
+    bn_e = BayesNet(
+        data, meta, LINEITEM_COLS, max_model_domain=64,
+        structure="greedy", max_parents=2, inference="exact",
+    )
+    bn_s = BayesNet(
+        data, meta, LINEITEM_COLS, max_model_domain=64,
+        structure="greedy", max_parents=2, num_samples=256, seed=7,
+    )
+    assert bn_e.parents == bn_s.parents
+    assert any(len(p) == 2 for p in bn_e.parents.values()), bn_e.parents
+    t0 = time.time()
+    exact = bn_e.query_batch(wl)
+    ms_exact = (time.time() - t0) * 1e3 / len(wl)
+    sampled = bn_s.query_batch(wl)
+    assert exact == bn_e.query_batch(wl)  # deterministic
+    rows = []
+    qe_e, qe_s = [], []
+    for q, e, s, t in zip(wl, exact, sampled, truths):
+        assert 0 <= e <= meta.cardinality * 1.001, (e, meta.cardinality)
+        if t > 0:
+            qe_e.append(q_error(max(e, 1.0), t))
+            qe_s.append(q_error(max(s, 1.0), t))
+            rows.append((len(rows), float(e), float(s), float(t),
+                         float(qe_e[-1]), float(qe_s[-1])))
+    med_e, med_s = float(np.median(qe_e)), float(np.median(qe_s))
+    # noise-free exact inference must not LOSE to its own sampler
+    assert med_e <= med_s * 1.5 + 0.05, (med_e, med_s)
+    assert med_e < 4.0, med_e  # the BN-family band on this workload
+    rows.append((-1, med_e, med_s, float(np.max(qe_e)),
+                 float(np.max(qe_s)), float(ms_exact)))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, est_exact double, est_sampled double,"
+        " true_or_qmax double, qerr_exact double, qerr_sampled double",
+    )
+
+
 def build_model_registry():
     return {
+        "bn_greedy_exact": q_bn_greedy_exact,
         "psample_estimates": q_psample_estimates,
         "psample_events": q_psample_events,
         "psample_disjunctive": q_psample_disjunctive,

@@ -115,6 +115,74 @@ def greedy_parent_tree(mi: np.ndarray) -> list[tuple[int, int]]:
     return edges
 
 
+def greedy_parent_dag(mi: np.ndarray, max_parents: int) -> dict[int, tuple]:
+    """K2-style greedy DAG with up to ``max_parents`` earlier columns per
+    node (the reference's pomegranate greedy shape — its eval driver fits
+    ``max_parents=2``, eval_model.py:386): column v takes the top-k
+    earlier columns by pairwise MI (ties broken by index; zero-MI
+    candidates contribute nothing and are skipped). Parents always
+    precede children in natural order, so 0..D-1 IS a topological
+    order."""
+    D = mi.shape[0]
+    parents: dict[int, tuple] = {0: ()}
+    for v in range(1, D):
+        cand = sorted(range(v), key=lambda u: (-mi[u, v], u))
+        parents[v] = tuple(sorted(
+            u for u in cand[:max_parents] if mi[u, v] > 1e-12
+        ))
+    return parents
+
+
+_VE_FACTOR_CAP = 50_000_000  # entries; ~400 MB of float64 — fail loudly
+
+
+def variable_elimination(factors: list, elim_order) -> float:
+    """Sum-product VARIABLE ELIMINATION over discrete factors — the
+    engine behind exact inference on multi-parent greedy structures
+    (the reference's pgmpy ``VariableElimination``, estimators.py:
+    885-886, reimplemented from the public algorithm). ``factors`` is a
+    list of ``(vars tuple, ndarray)`` with one axis per variable in
+    order; eliminating x multiplies every factor containing x (axes
+    aligned by broadcasting) and sums x out. With max_parents=2 and an
+    elimination order that is reverse-topological the induced factors
+    stay at most 2-variable (tiny cliques); a pathological blow-up past
+    ``_VE_FACTOR_CAP`` entries raises instead of thrashing."""
+    factors = list(factors)
+    for x in elim_order:
+        related = [f for f in factors if x in f[0]]
+        if not related:
+            continue
+        factors = [f for f in factors if x not in f[0]]
+        vars_all: list = sorted(set().union(*(set(f[0]) for f in related)))
+        dom = {}
+        for fv, arr in related:
+            for v, n in zip(fv, arr.shape):
+                dom[v] = n
+        size = 1
+        for v in vars_all:
+            size *= dom[v]
+        if size > _VE_FACTOR_CAP:
+            raise ValueError(
+                f"variable elimination induced a factor of {size} "
+                "entries — domain too large for exact inference; use "
+                "the sampling path"
+            )
+        prod = None
+        for fv, arr in related:
+            perm = [fv.index(v) for v in vars_all if v in fv]
+            a = np.transpose(arr, perm)
+            shape = [dom[v] if v in fv else 1 for v in vars_all]
+            a = a.reshape(shape)
+            prod = a if prod is None else prod * a
+        axis = vars_all.index(x)
+        rest = tuple(v for v in vars_all if v != x)
+        factors.append((rest, prod.sum(axis=axis)))
+    out = 1.0
+    for fv, arr in factors:
+        out *= float(np.asarray(arr).reshape(-1).sum()) if fv else float(arr)
+    return out
+
+
 class BayesNet(CardEst):
     name = "bayesnet"
 
@@ -131,6 +199,7 @@ class BayesNet(CardEst):
         structure: str = "chow_liu",
         inference: str = "sampling",
         root: int = 0,
+        max_parents: int = 1,
     ):
         """data: [N, D] dictionary-encoded (raw-bin) sample rows.
 
@@ -147,6 +216,12 @@ class BayesNet(CardEst):
         assert structure in ("chow_liu", "greedy"), structure
         assert inference in ("sampling", "exact"), inference
         assert 0 <= root < len(columns), root
+        assert max_parents >= 1, max_parents
+        # multi-parent structures come from the greedy K2-style search
+        # only (Chow-Liu is a tree by definition)
+        assert max_parents == 1 or structure == "greedy", (
+            "max_parents > 1 requires structure='greedy'"
+        )
         # greedy visits columns in natural order, so its tree is anchored
         # at column 0 by construction (root only re-routes the MST)
         assert root == 0 or structure == "chow_liu", "root requires chow_liu"
@@ -157,7 +232,10 @@ class BayesNet(CardEst):
         self.seed = seed
         self.structure = structure
         self.inference = inference
+        self.max_parents = max_parents
         tag = "chowliu" if structure == "chow_liu" else "greedy"
+        if structure == "greedy" and max_parents > 1:
+            tag += str(max_parents)
         if root != 0:
             tag += f"_r{root}"
         self.name = (
@@ -189,32 +267,59 @@ class BayesNet(CardEst):
                     joint = np.zeros((sizes[i], sizes[j]))
                     np.add.at(joint, (enc[:, i], enc[:, j]), 1.0)
                     mi[i, j] = mi[j, i] = mutual_information(joint)
-        self.edges = (
-            chow_liu_tree(mi, root) if structure == "chow_liu" else greedy_parent_tree(mi)
-        )
-        self.parent = {v: u for u, v in self.edges}  # the root has no parent
-
-        # topological order (root first, then BFS over edges)
-        order = [root]
-        added = {root}
-        while len(order) < D:
+        if structure == "greedy" and max_parents > 1:
+            # K2-style DAG: parents precede children in natural order,
+            # so 0..D-1 is already topological
+            self.parents = greedy_parent_dag(mi, max_parents)
+            self.edges = [
+                (u, v) for v in range(D) for u in self.parents[v]
+            ]
+            self.topo = list(range(D))
+        else:
+            self.edges = (
+                chow_liu_tree(mi, root) if structure == "chow_liu"
+                else greedy_parent_tree(mi)
+            )
+            self.parents = {v: () for v in range(D)}
             for u, v in self.edges:
-                if u in added and v not in added:
-                    order.append(v)
-                    added.add(v)
-        self.topo = order
+                self.parents[v] = (u,)
+            # topological order (root first, then BFS over edges)
+            order = [root]
+            added = {root}
+            while len(order) < D:
+                for u, v in self.edges:
+                    if u in added and v not in added:
+                        order.append(v)
+                        added.add(v)
+            self.topo = order
+        self.parent = {v: u for u, v in self.edges}  # roots have no parent
 
-        # CPDs with Laplace smoothing
+        # CPDs with Laplace smoothing: P(v | parents(v)) as an array with
+        # one leading axis per parent; parentless nodes get the marginal
         self.cpd: dict[int, np.ndarray] = {}
-        root_counts = np.bincount(enc[:, root], minlength=sizes[root]).astype(np.float64)
-        self.cpd[root] = (root_counts + laplace) / (
-            root_counts.sum() + laplace * sizes[root]
-        )
-        for u, v in self.edges:
-            joint = np.zeros((sizes[u], sizes[v]))
-            np.add.at(joint, (enc[:, u], enc[:, v]), 1.0)
+        for v in range(D):
+            ps = self.parents[v]
+            if not ps:
+                counts = np.bincount(
+                    enc[:, v], minlength=sizes[v]
+                ).astype(np.float64)
+                self.cpd[v] = (counts + laplace) / (
+                    counts.sum() + laplace * sizes[v]
+                )
+                continue
+            shape = tuple(sizes[p] for p in ps) + (sizes[v],)
+            n_cells = int(np.prod(shape))
+            if n_cells > 200_000_000:
+                raise ValueError(
+                    f"CPD for column {columns[v]!r} needs {n_cells} "
+                    "cells — lower max_model_domain or max_parents"
+                )
+            joint = np.zeros(shape)
+            np.add.at(
+                joint, tuple(enc[:, p] for p in ps) + (enc[:, v],), 1.0
+            )
             joint += laplace
-            self.cpd[v] = joint / joint.sum(axis=1, keepdims=True)  # P(v | u)
+            self.cpd[v] = joint / joint.sum(axis=-1, keepdims=True)
 
     def _masks(self, q: Query) -> list[np.ndarray | None]:
         masks: list[np.ndarray | None] = [None] * len(self.columns)
@@ -244,6 +349,8 @@ class BayesNet(CardEst):
 
         Root closes the telescope: p = sum_x0 mask_0(x_0) P(x_0) prod m.
         No sampling noise — the cross-check that gates the sampling path."""
+        if any(len(self.parents[v]) > 1 for v in range(len(self.columns))):
+            return self._sel_exact_ve(q)
         masks = self._masks(q)
         children: dict[int, list[int]] = {}
         for u, v in self.edges:
@@ -261,6 +368,23 @@ class BayesNet(CardEst):
                 return float(self.cpd[root] @ vec)
             msg[v] = self.cpd[v] @ vec  # [dom_parent]
         raise AssertionError("topo order did not end at the root")
+
+    def _sel_exact_ve(self, q: Query) -> float:
+        """EXACT P(predicate) on a MULTI-PARENT greedy DAG — generic
+        sum-product variable elimination (the reference's pgmpy
+        ``VariableElimination`` path for non-tree structures,
+        estimators.py:885-886): each node contributes one factor
+        P(v | parents) with its predicate mask folded into the v axis;
+        eliminating in reverse topological order keeps induced factors
+        at the moral-graph clique size (max_parents=2 -> pairs)."""
+        masks = self._masks(q)
+        factors = []
+        for v in range(len(self.columns)):
+            arr = self.cpd[v]
+            if masks[v] is not None:
+                arr = arr * masks[v]  # broadcasts over the v (last) axis
+            factors.append((tuple(self.parents[v]) + (v,), arr))
+        return variable_elimination(factors, list(reversed(self.topo)))
 
     def query(self, q) -> float:
         """Disjunctions (predicates.DisjunctiveQuery) expand by
@@ -283,10 +407,11 @@ class BayesNet(CardEst):
         samples = np.zeros((S, D), dtype=np.int64)
         p = np.ones(S, dtype=np.float64)
         for v in self.topo:
-            if v == self.root:
-                probs = np.tile(self.cpd[self.root][None, :], (S, 1))
+            ps = self.parents[v]
+            if not ps:
+                probs = np.tile(self.cpd[v][None, :], (S, 1))
             else:
-                probs = self.cpd[v][samples[:, self.parent[v]]]
+                probs = self.cpd[v][tuple(samples[:, p] for p in ps)]
             mask = masks[v]
             if mask is not None:
                 masked = probs * mask[None, :]

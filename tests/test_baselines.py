@@ -363,3 +363,72 @@ def test_catalyst_cbo_batch_matches_sequential(spark):
     assert cbo.fallback_count == 2 * fc  # same fallbacks fired again
     # no silent degradation: at least one estimate must differ from 1.0
     assert any(e != 1.0 for e in batch)
+
+
+def test_bn_greedy_multiparent_exact_ve(lineitem_setup):
+    """structure='greedy', max_parents=2 (the reference's pomegranate
+    greedy shape, eval_model.py:386) with inference='exact': generic
+    variable elimination must equal the BRUTE-FORCE masked sum over the
+    joint the CPDs define (enumerable at domain 8), and the sampling
+    path must converge on it — pgmpy-VariableElimination parity for
+    non-tree structures."""
+    import itertools
+
+    from naru_spark.estimators.bayes import BayesNet
+    from naru_spark.predicates import Query
+
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    sub = cols[:4]
+    idx = [cols.index(c) for c in sub]
+    bn = BayesNet(
+        data[:, idx], meta, sub, max_model_domain=8,
+        structure="greedy", max_parents=2, inference="exact",
+    )
+    assert bn.name == "bn_greedy2_exact"
+    assert any(len(bn.parents[v]) == 2 for v in range(len(sub))), bn.parents
+    sizes = [bn.binnings[c].model_size for c in sub]
+    joint = np.zeros(sizes)
+    for combo in itertools.product(*[range(s) for s in sizes]):
+        p = 1.0
+        for v in range(len(sub)):
+            ps = bn.parents[v]
+            p *= float(
+                bn.cpd[v][tuple(combo[pp] for pp in ps) + (combo[v],)]
+            )
+        joint[combo] = p
+    assert abs(joint.sum() - 1.0) < 1e-9  # the CPDs define a distribution
+
+    qs = []
+    for r in (10, 100, 400):
+        row = data[r]
+        vals = [
+            meta.dictionaries[c].bin_to_val(int(row[idx[i]]))
+            for i, c in enumerate(sub[:3])
+        ]
+        qs.append(Query("lineitem", sub[:2], ["<=", ">="], vals[:2]))
+        qs.append(Query("lineitem", sub[:3], ["<=", ">=", "<="], vals))
+    for q in qs:
+        masks = bn._masks(q)
+        m = joint.copy()
+        for i in range(len(sub)):
+            if masks[i] is not None:
+                shape = [1] * len(sub)
+                shape[i] = sizes[i]
+                m = m * masks[i].reshape(shape)
+        brute = float(m.sum())
+        ve = bn._sel_exact(q)
+        assert abs(ve - brute) < 1e-9, (q.cols, ve, brute)
+
+    # sampling on the SAME structure converges on the exact answer
+    bn_s = BayesNet(
+        data[:, idx], meta, sub, max_model_domain=8,
+        structure="greedy", max_parents=2, num_samples=4096, seed=0,
+    )
+    assert bn_s.parents == bn.parents
+    checked = 0
+    for q in qs:
+        e, s = bn.query(q), bn_s.query(q)
+        if e >= 50:
+            assert abs(s - e) / e < 0.25, (q.cols, e, s)
+            checked += 1
+    assert checked >= 2
