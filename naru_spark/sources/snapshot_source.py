@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -192,6 +193,11 @@ def _arrow_spark_schema(man: dict) -> StructType:
     return from_arrow_schema(_arrow_schema_of(man))
 
 
+# outbounds every stamped string value (_entry_stats caps stamps at 64
+# chars), giving string ranges an inclusive upper sentinel
+_STR_MAX = "\U0010FFFF" * 65
+
+
 def _filter_hints(filters) -> dict:
     """Covering boxes / partition probes / date-time ranges from
     Catalyst's pushed filters — the plan-derived twin of
@@ -278,13 +284,25 @@ def _filter_hints(filters) -> dict:
         elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
             if is_dt(f.value):
                 trange(col, f.value, None)
+            elif isinstance(f.value, str):
+                # string min/max boxes are stamped (<=64 chars), so a
+                # string range prunes ZORDER'd/clustered string layouts;
+                # _STR_MAX outbounds any stamped value
+                shrink(col, f.value, _STR_MAX)
             elif isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
                 shrink(col, f.value, math.inf)
         elif isinstance(f, (LessThan, LessThanOrEqual)):
             if is_dt(f.value):
                 trange(col, None, f.value)
+            elif isinstance(f.value, str):
+                shrink(col, "", f.value)
             elif isinstance(f.value, (int, float)) and not isinstance(f.value, bool):
                 shrink(col, -math.inf, f.value)
+        elif isinstance(f, StringStartsWith):
+            if isinstance(f.value, str) and f.value:
+                # every string with this prefix sorts in
+                # [prefix, prefix + _STR_MAX] against <=64-char stamps
+                shrink(col, f.value, f.value + _STR_MAX)
     return {"prune": boxes, "partitions": parts, "ranges": ranges}
 
 

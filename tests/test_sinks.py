@@ -4316,3 +4316,40 @@ def test_days_partitioning_requires_utc_session(spark, tmp_path):
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_datasource_string_range_pruning(spark, tmp_path):
+    """Pushed STRING ranges and LIKE-prefix filters prune the DataSource
+    plan against the stamped string min/max boxes on a string-clustered
+    layout (two commits with disjoint key ranges) — counter-asserted via
+    planned partitions; results stay exact (skipping is I/O-only)."""
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "sr")
+    lo = spark.createDataFrame(
+        [("a%03d" % i, i) for i in range(50)] +
+        [("m%03d" % i, i) for i in range(50)], "s string, v int"
+    )
+    hi = spark.createDataFrame(
+        [("n%03d" % i, i) for i in range(50)] +
+        [("z%03d" % i, i) for i in range(50)], "s string, v int"
+    )
+    sinks.write_snapshot(lo.coalesce(1), path)   # v1: ['a...', 'm...']
+    sinks.write_snapshot(hi.coalesce(1), path)   # v2: ['n...', 'z...']
+    full = spark.read.format("naru_snapshot").load(path)
+    n_full = full.rdd.getNumPartitions()
+    # range filter: only v2's box overlaps
+    q = spark.read.format("naru_snapshot").load(path).where("s >= 'p'")
+    assert q.rdd.getNumPartitions() < n_full
+    assert q.count() == 50
+    # LIKE prefix: only v1's box overlaps
+    q2 = spark.read.format("naru_snapshot").load(path).where("s LIKE 'm0%'")
+    assert q2.rdd.getNumPartitions() < n_full
+    assert q2.count() == 50
+    # a range straddling both boxes keeps everything and stays exact
+    q3 = spark.read.format("naru_snapshot").load(path).where(
+        "s >= 'm' AND s <= 'n999'"
+    )
+    assert q3.count() == 100
