@@ -58,6 +58,19 @@ def workload() -> tuple[Query, ...]:
 
 
 @lru_cache(maxsize=1)
+def paper_workload() -> tuple[Query, ...]:
+    """The reference's FULL 2000-query seeded workload
+    (eval_model.py:209-217, seed 1234) — same generator and seed
+    discipline as ``workload()``, at the paper's query count. Used by
+    the paper-budget entries; generated once per process."""
+    meta = _lineitem_meta_pandas()
+    return tuple(
+        generate_workload(WORKLOAD_SF, meta, "lineitem", 2000,
+                          seed=WORKLOAD_SEED)
+    )
+
+
+@lru_cache(maxsize=1)
 def disjunctive_workload() -> tuple:
     """IN / OR-of-conjunctions workload (beyond the reference's conjunctive
     surface — predicates.DisjunctiveQuery); same seeded-from-sf0.01
