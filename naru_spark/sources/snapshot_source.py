@@ -852,78 +852,127 @@ class _StagedWriterMixin:
             self.path, "data", f"stage-{uuid.uuid4().hex[:8]}"
         )
 
-    def _part_values(self, batch) -> list:
-        """Per-row PARTITION VALUES (one tuple per row) with the spec's
-        transforms applied in pure Python, bit-identical to the JVM
-        write expressions (``days`` = UTC epoch-day, ``bucket`` =
-        pmod(xxhash64, n) via the XXH64 twin, ``truncate`` = int floor /
-        string prefix). NULL inputs transform to NULL (the hive default
-        partition), exactly like the JVM expressions."""
-        import datetime
+    def _transformed_column(self, batch, sp):
+        """ONE spec element's per-row partition values as
+        ``(codes, uniques)``: int64 codes (0 = NULL) plus the value each
+        code stands for (``uniques[0] is None``). Transforms are
+        bit-identical to the JVM write expressions (``days`` = UTC
+        epoch-day floor; ``bucket`` = pmod(xxhash64, n), numpy-
+        vectorized for int keys via the XXH64 twin; ``truncate`` = int
+        floor / string prefix) and VECTORIZED — no per-row Python on
+        the int paths, one C-level factorize on the object paths."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
 
         from naru_spark.sources.sinks import _arrow_dtype_str
-        from naru_spark.sources.xxh64 import bucket_of
+        from naru_spark.sources.xxh64 import buckets_np, hash_bytes
 
-        epoch = datetime.date(1970, 1, 1)
-        utc = datetime.timezone.utc
-        cols = []
-        for sp in self.part_specs:
-            if sp["col"] not in batch.schema.names:
-                raise ValueError(
-                    f"partition spec {sp['spec']!r} names column "
-                    f"{sp['col']!r} absent from the written batch"
+        if sp["col"] not in batch.schema.names:
+            raise ValueError(
+                f"partition spec {sp['spec']!r} names column "
+                f"{sp['col']!r} absent from the written batch"
+            )
+        arr = batch.column(sp["col"])
+        t = sp["t"]
+        dtype = _arrow_dtype_str(arr.type)
+        n = len(arr)
+        valid = np.asarray(arr.is_valid())
+
+        def from_ints(ints: "np.ndarray"):
+            u, inv = (np.unique(ints[valid], return_inverse=True)
+                      if valid.any() else (np.array([], dtype=np.int64),
+                                           np.array([], dtype=np.int64)))
+            codes = np.zeros(n, dtype=np.int64)
+            codes[valid] = inv + 1
+            return codes, [None] + [int(x) for x in u]
+
+        def from_objects(vals: list):
+            pdc, uniq = pd.factorize(
+                pd.Series(vals, dtype=object), use_na_sentinel=True
+            )
+            return pdc.astype(np.int64) + 1, [None] + list(uniq)
+
+        if t == "identity":
+            return from_objects(arr.to_pylist())
+        if t == "days":
+            if dtype == "date":
+                days = np.asarray(
+                    arr.cast(pa.int32()).fill_null(0)
+                ).astype(np.int64)
+            elif dtype == "timestamp":
+                # arrow epoch value IS UTC for tz-aware, and the wall
+                # time read as UTC for naive — both match the enforced
+                # UTC-session JVM write expression; floor division
+                # handles pre-epoch timestamps like the date cast does
+                unit = arr.type.unit
+                per_day = {"s": 86_400, "ms": 86_400_000,
+                           "us": 86_400_000_000,
+                           "ns": 86_400_000_000_000}[unit]
+                epoch_v = np.asarray(
+                    arr.cast(pa.int64()).fill_null(0)
                 )
-            arr = batch.column(sp["col"])
-            t = sp["t"]
-            vals = arr.to_pylist()
-            if t == "identity":
-                cols.append(vals)
-                continue
-            dtype = _arrow_dtype_str(arr.type)
-            if t == "days":
-                if dtype not in ("timestamp", "date"):
-                    raise ValueError(
-                        f"days({sp['col']}) needs a timestamp/date "
-                        f"column, got {arr.type}"
-                    )
+                days = epoch_v // per_day
+            else:
+                raise ValueError(
+                    f"days({sp['col']}) needs a timestamp/date column, "
+                    f"got {arr.type}"
+                )
+            return from_ints(days)
+        if t == "bucket":
+            if dtype in ("tinyint", "smallint", "int", "bigint"):
+                ints = np.asarray(
+                    arr.cast(pa.int64()).fill_null(0)
+                ).astype(np.int64)
+                return from_ints(buckets_np(ints, dtype, sp["param"]))
+            if dtype == "string":
+                bs = [
+                    None if v is None
+                    else hash_bytes(v.encode("utf-8")) % sp["param"]
+                    for v in arr.to_pylist()
+                ]
+                return from_objects(bs)
+            raise ValueError(
+                f"bucket(n, {sp['col']}) needs an int or string "
+                f"column, got {arr.type}"
+            )
+        # truncate
+        w = sp["param"]
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            ints = np.asarray(
+                arr.cast(pa.int64()).fill_null(0)
+            ).astype(np.int64)
+            return from_ints(ints - (ints % w))
+        if dtype == "string":
+            return from_objects([
+                None if v is None else v[:w] for v in arr.to_pylist()
+            ])
+        raise ValueError(
+            f"truncate(w, {sp['col']}) needs an int or string column, "
+            f"got {arr.type}"
+        )
 
-                def day_of(v):
-                    if v is None:
-                        return None
-                    if isinstance(v, datetime.datetime):
-                        if v.tzinfo is not None:
-                            v = v.astimezone(utc)
-                        return (v.date() - epoch).days
-                    return (v - epoch).days
+    def _part_codes(self, batch):
+        """Per-row PARTITION COMBO codes for the fanout: ``(codes,
+        combos)`` where ``codes[i]`` indexes ``combos`` and each combo
+        is the tuple of per-spec partition values (None = NULL). Fully
+        vectorized: per-column codes from ``_transformed_column``, then
+        one ``np.unique(axis=0)`` over the stacked code matrix — no
+        per-row Python tuples."""
+        import numpy as np
 
-                cols.append([day_of(v) for v in vals])
-            elif t == "bucket":
-                if dtype not in ("tinyint", "smallint", "int", "bigint",
-                                 "string"):
-                    raise ValueError(
-                        f"bucket(n, {sp['col']}) needs an int or string "
-                        f"column, got {arr.type}"
-                    )
-                cols.append([
-                    None if v is None else bucket_of(v, dtype, sp["param"])
-                    for v in vals
-                ])
-            else:  # truncate
-                w = sp["param"]
-                if dtype in ("tinyint", "smallint", "int", "bigint"):
-                    cols.append([
-                        None if v is None else v - (v % w) for v in vals
-                    ])
-                elif dtype == "string":
-                    cols.append([
-                        None if v is None else v[:w] for v in vals
-                    ])
-                else:
-                    raise ValueError(
-                        f"truncate(w, {sp['col']}) needs an int or "
-                        f"string column, got {arr.type}"
-                    )
-        return list(zip(*cols))
+        col_codes, col_uniques = [], []
+        for sp in self.part_specs:
+            c, u = self._transformed_column(batch, sp)
+            col_codes.append(c)
+            col_uniques.append(u)
+        mat = np.stack(col_codes, axis=1)
+        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+        combos = [
+            tuple(col_uniques[j][row[j]] for j in range(len(col_uniques)))
+            for row in uniq
+        ]
+        return inv.reshape(-1), combos
 
     def write(self, iterator):
         import uuid
@@ -946,13 +995,13 @@ class _StagedWriterMixin:
             if not self.part_specs:
                 sink_for(None, batch.schema).write_batch(batch)
                 continue
-            # partition fanout: spec values to python once (partition
-            # combos are low-cardinality by design — identity values or
-            # transformed day/bucket/prefix values), rows routed per
-            # combo
-            keys = self._part_values(batch)
-            for combo in set(keys):
-                mask = pa.array([k == combo for k in keys])
+            # partition fanout, fully vectorized: per-row combo codes
+            # (one np.unique over the stacked per-spec code matrix),
+            # then one numpy equality mask per combo — never a per-row
+            # Python comparison loop
+            codes, combos = self._part_codes(batch)
+            for cid, combo in enumerate(combos):
+                mask = pa.array(codes == cid)
                 sink_for(combo, batch.schema).write_batch(
                     batch.filter(mask)
                 )

@@ -129,6 +129,58 @@ def spark_xxhash64(value, dtype: str) -> int | None:
     return None
 
 
+def hash_long_np(v, seed: int = SPARK_SEED):
+    """Vectorized ``hash_long`` over an int64 numpy array (uint64
+    wraparound arithmetic mirrors the scalar path bit-for-bit) — the
+    write-side fanout path for ``bucket(n, <bigint col>)`` over large
+    batches."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        u = v.astype(np.uint64)
+        P1, P2, P4, P5 = (np.uint64(_P1), np.uint64(_P2),
+                          np.uint64(_P4), np.uint64(_P5))
+        h = np.uint64((seed + _P5 + 8) & _M)
+        x = u * P2
+        x = ((x << np.uint64(31)) | (x >> np.uint64(33))) * P1
+        h = h ^ x
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+        return _fmix_np(h)
+
+
+def hash_int_np(v, seed: int = SPARK_SEED):
+    """Vectorized ``hash_int`` over an int32-valued numpy array."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        u = (v.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+        P1, P2, P3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+        h = np.uint64((seed + _P5 + 4) & _M)
+        h = h ^ (u * P1)
+        h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+        return _fmix_np(h)
+
+
+def _fmix_np(h):
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        P2, P3 = np.uint64(_P2), np.uint64(_P3)
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        h = h ^ (h >> np.uint64(32))
+        return h.astype(np.int64)  # two's-complement = Spark's signed view
+
+
+def buckets_np(v, dtype: str, n: int):
+    """Vectorized ``bucket_of`` over a numpy array of non-null ints —
+    int64 result array of pmod(xxhash64, n)."""
+    h = hash_long_np(v) if dtype == "bigint" else hash_int_np(v)
+    return h % n  # numpy % takes the divisor's sign: already pmod
+
+
 def bucket_of(value, dtype: str, n: int) -> int | None:
     """``pmod(xxhash64(value), n)`` — the bucket transform's partition
     value for one non-null input, bit-identical to the JVM write

@@ -4077,6 +4077,15 @@ def test_xxh64_twin_bit_parity(spark):
             ).collect()
         ]
         assert [bucket_of(v, dtype, 16) for v in vals] == jvm_b, dtype
+        if dtype != "string":
+            # the numpy-vectorized twin (the writer's fanout path)
+            # agrees with the JVM too
+            import numpy as np
+
+            from naru_spark.sources.xxh64 import buckets_np
+
+            got = buckets_np(np.array(vals, dtype=np.int64), dtype, 16)
+            assert list(got) == jvm_b, dtype
 
 
 def test_datasource_transformed_partitioned_writes(spark, tmp_path):
