@@ -766,9 +766,15 @@ def _duckdb_check_probe(files: list[str], constraints: dict) -> None:
     (the ``naru_snapshot`` DataSource commit worker): every constraint
     expression must pass ``_duckdb_safe_expr``, then DuckDB evaluates
     ``NOT (expr)`` over the staged bytes — the same rows Spark's
-    ``where(~expr)`` selects (NULL predicates excluded by both).
-    Raises ValueError on a violation OR on anything un-probe-able
-    (fail closed, mirroring write_snapshot's enforcement)."""
+    ``where(~expr)`` selects (NULL predicates excluded by both;
+    DuckDB's stricter arithmetic errors — division by zero, overflow —
+    surface as refusals, never silent accepts). Known divergence: an
+    arithmetic expression whose int64 product OVERFLOWS wraps in Spark
+    but promotes to HUGEINT here, so a wrap-induced Spark-side
+    "violation" could pass — constraints that can overflow 64 bits are
+    the caller's sharp edge on every engine. Raises ValueError on a
+    violation OR on anything un-probe-able (fail closed, mirroring
+    write_snapshot's enforcement)."""
     unsafe = [n for n, e in constraints.items()
               if not _duckdb_safe_expr(e)]
     if unsafe:

@@ -36,6 +36,7 @@ _TABLE_SIZED = {
     "snapshot_clustered_build",
     "snapshot_bloom_build",
     "snapshot_compact_cold_build",
+    "snapshot_datasource_part_build",  # hive fanout of the whole table
     "snapshot_delete_dv_probe",      # one pushdown scan of the table
     "snapshot_dv_read_probe",        # full count + anti-join (scan-bound)
 }
@@ -114,6 +115,43 @@ def probes(spark, timings: dict) -> None:
     write_snapshot(li.repartitionByRange(64, "l_orderkey"), dpath)
     timings["snapshot_clustered_build"] = round(time.time() - t0, 3)
     lo = li.agg({"l_orderkey": "max"}).collect()[0][0] // 100
+    # --- DataSource pruned read at 60M rows over a 16-entry
+    #     hidden-partitioned layout (truncate(W, key) — each leaf entry
+    #     gets its own stamped min/max box): Catalyst's own pushed range
+    #     filter eliminates the out-of-range ENTRIES in one manifest
+    #     read; the wall tracks the SELECTED bytes (the ~1-entry match
+    #     crosses Python), never the table. NB a single-commit table is
+    #     ONE entry — entry-level stats cannot skip inside it; range
+    #     layout is what makes manifests skippable, same as the JVM path
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    dspath = root + "/tbl_dsparts"
+    w = max(1, (lo * 100) // 16)
+    t0 = time.time()
+    write_snapshot(li, dspath, partition_by=f"truncate({w},l_orderkey)")
+    timings["snapshot_datasource_part_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dsq = (
+        spark.read.format("naru_snapshot").load(dspath)
+        .where(f"l_orderkey <= {lo}")
+    )
+    n_ds = dsq.count()
+    n_parts = dsq.rdd.getNumPartitions()
+    full_parts = (
+        spark.read.format("naru_snapshot").load(dspath)
+        .rdd.getNumPartitions()
+    )
+    timings["snapshot_datasource_pruned_probe"] = round(time.time() - t0, 3)
+    timings["snapshot_datasource_parts_planned"] = n_parts
+    timings["snapshot_datasource_parts_full"] = full_parts
+    print(
+        f"# datasource pruned read "
+        f"{timings['snapshot_datasource_pruned_probe']:.2f}s "
+        f"({n_ds} rows, {n_parts}/{full_parts} planned partitions; "
+        f"partitioned build {timings['snapshot_datasource_part_build']:.1f}s)",
+        file=sys.stderr,
+    )
     t0 = time.time()
     info = delete_from_snapshot(spark, dpath, f"l_orderkey <= {lo}")
     timings["snapshot_delete_selective_probe"] = round(time.time() - t0, 3)
@@ -184,6 +222,24 @@ def probes(spark, timings: dict) -> None:
     print(
         f"# CDF MoR delete {timings['snapshot_cdf_mor_delete_probe']:.1f}s; "
         f"row-level read {timings['snapshot_cdf_read_probe']:.2f}s "
+        f"({n} change rows)",
+        file=sys.stderr,
+    )
+    # --- batch CDF through the DataSource: the change plane alone
+    #     crosses Python — O(changes in the range), never the table
+    t0 = time.time()
+    n = (
+        spark.read.format("naru_snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", lv).load(path)
+        .count()
+    )
+    timings["snapshot_datasource_cdf_batch_probe"] = round(
+        time.time() - t0, 3
+    )
+    print(
+        f"# datasource batch CDF "
+        f"{timings['snapshot_datasource_cdf_batch_probe']:.2f}s "
         f"({n} change rows)",
         file=sys.stderr,
     )
