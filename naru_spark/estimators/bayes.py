@@ -349,7 +349,15 @@ class BayesNet(CardEst):
 
         Root closes the telescope: p = sum_x0 mask_0(x_0) P(x_0) prod m.
         No sampling noise — the cross-check that gates the sampling path."""
-        if any(len(self.parents[v]) > 1 for v in range(len(self.columns))):
+        if any(
+            len(self.parents[v]) != 1
+            for v in range(len(self.columns)) if v != self.root
+        ):
+            # multi-parent OR disconnected (a zero-MI greedy node with
+            # no parent): the tree message-passing below assumes every
+            # non-root node has exactly one parent — a parentless
+            # non-root's message would silently drop its mask factor —
+            # so anything else goes through generic VE
             return self._sel_exact_ve(q)
         masks = self._masks(q)
         children: dict[int, list[int]] = {}

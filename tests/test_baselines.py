@@ -432,3 +432,58 @@ def test_bn_greedy_multiparent_exact_ve(lineitem_setup):
             assert abs(s - e) / e < 0.25, (q.cols, e, s)
             checked += 1
     assert checked >= 2
+
+
+def test_bn_exact_disconnected_node_goes_through_ve():
+    """A greedy structure where a node ends up PARENTLESS (zero MI to
+    every earlier column) must answer exactly through VE — the tree
+    message-passing path would silently drop the disconnected node's
+    mask factor. Forced by monkeypatching the structure; the answer is
+    checked against brute-force joint enumeration."""
+    import itertools
+
+    from naru_spark.encoding import ColumnDictionary
+    from naru_spark.estimators.bayes import BayesNet
+    from naru_spark.meta import ColumnMeta, TableMeta
+    from naru_spark.predicates import Query
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 4, 3000)
+    b = (a + rng.randint(0, 2, 3000)) % 4      # correlated with a
+    c = rng.randint(0, 4, 3000)                # independent
+    data = np.stack([a, b, c], axis=1)
+    dicts = {
+        n: ColumnDictionary(n, np.arange(4, dtype=np.int64), has_null=False)
+        for n in ("a", "b", "c")
+    }
+    meta = TableMeta(
+        "t", [ColumnMeta(n, "bigint", 4, False) for n in ("a", "b", "c")],
+        3000, dicts,
+    )
+    bn = BayesNet(data, meta, ["a", "b", "c"], max_model_domain=8,
+                  structure="greedy", max_parents=2, inference="exact")
+    # force the disconnected shape: c has NO parent
+    bn.parents = {0: (), 1: (0,), 2: ()}
+    bn.edges = [(0, 1)]
+    sizes = [bn.binnings[n].model_size for n in ("a", "b", "c")]
+    bn.cpd[2] = np.full(sizes[2], 1.0 / sizes[2])
+    joint_ab = np.zeros((4, 4))
+    np.add.at(joint_ab, (data[:, 0], data[:, 1]), 1.0)
+    joint_ab += 1.0
+    bn.cpd[1] = joint_ab / joint_ab.sum(axis=1, keepdims=True)
+    # brute force over the forced structure
+    joint = np.zeros(sizes)
+    for combo in itertools.product(*[range(s) for s in sizes]):
+        p = float(bn.cpd[0][combo[0]]) * float(
+            bn.cpd[1][combo[0], combo[1]]
+        ) * float(bn.cpd[2][combo[2]])
+        joint[combo] = p
+    q = Query("t", ["b", "c"], ["=", "="], [1, 2])
+    masks = bn._masks(q)
+    m = joint.copy()
+    for i in range(3):
+        if masks[i] is not None:
+            shape = [1, 1, 1]
+            shape[i] = sizes[i]
+            m = m * masks[i].reshape(shape)
+    assert abs(bn._sel_exact(q) - float(m.sum())) < 1e-9
