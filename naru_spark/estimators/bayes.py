@@ -292,7 +292,12 @@ class BayesNet(CardEst):
                         order.append(v)
                         added.add(v)
             self.topo = order
-        self.parent = {v: u for u, v in self.edges}  # roots have no parent
+        # single-parent view for tree structures; None on multi-parent
+        # DAGs (a last-edge-wins dict there would be a silent trap)
+        self.parent = (
+            None if any(len(p) > 1 for p in self.parents.values())
+            else {v: u for u, v in self.edges}
+        )
 
         # CPDs with Laplace smoothing: P(v | parents(v)) as an array with
         # one leading axis per parent; parentless nodes get the marginal

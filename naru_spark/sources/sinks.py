@@ -722,15 +722,27 @@ def _arrow_dtype_str(t) -> str | None:
 _SAFE_EXPR_TOKEN = None
 
 
+_SAFE_EXPR_KEYWORDS = (
+    # grouping/list keywords that legitimately precede '(' — everything
+    # else followed by '(' is a function call and refuses
+    "AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL", "TRUE", "FALSE",
+    # typed-literal prefixes (DATE '2020-01-01') — never call syntax
+    "DATE", "TIMESTAMP",
+)
+
+
 def _duckdb_safe_expr(expr: str) -> bool:
     """Is a CHECK-constraint expression in the conservative dialect
     where Spark SQL and DuckDB provably agree? Column refs, numeric and
     string literals, comparisons, arithmetic, AND/OR/NOT, IN lists,
-    IS [NOT] NULL, BETWEEN, LIKE, TRUE/FALSE, and DATE/TIMESTAMP typed
-    literals — NO function calls (an identifier followed by ``(``), no
-    ``<=>``, no casts. Anything outside the whitelist returns False and
-    the session-less commit path REFUSES rather than risking a
-    cross-engine semantic drift."""
+    parenthesized groups, IS [NOT] NULL, BETWEEN, TRUE/FALSE, and
+    DATE/TIMESTAMP typed literals — NO function calls (a non-keyword
+    identifier followed by ``(``), no ``<=>``, no casts, and no LIKE
+    (Spark's LIKE treats backslash as an escape, DuckDB's does not — a
+    pattern with a backslash would pass the probe while violating the
+    Spark-semantics constraint). Anything outside the whitelist returns
+    False and the session-less commit path REFUSES rather than risking
+    a cross-engine semantic drift."""
     import re
 
     global _SAFE_EXPR_TOKEN
@@ -754,8 +766,11 @@ def _duckdb_safe_expr(expr: str) -> bool:
     for i, t in enumerate(toks):
         if t == "<=>":
             return False  # Spark null-safe equality: not ANSI
-        if (re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
-                and t.upper() not in ("DATE", "TIMESTAMP")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            continue
+        if t.upper() in ("LIKE", "RLIKE", "ILIKE"):
+            return False  # escape-semantics divergence (see docstring)
+        if (t.upper() not in _SAFE_EXPR_KEYWORDS
                 and i + 1 < len(toks) and toks[i + 1] == "("):
             return False  # function call: engines may disagree
     return True
@@ -905,12 +920,17 @@ def _partition_transform_expr(sp: dict, dtype: str):
 
 def _parse_day(v) -> int | None:
     """Epoch-day number of a probe value (datetime/date/ISO string) —
-    the Python twin of the ``days`` write expression (session runs UTC;
-    both sides take the literal's calendar date). None = unparseable
+    the Python twin of the ``days`` write expression. TZ-AWARE
+    datetimes (what Catalyst pushes to the DataSource planner: UTC
+    instants) convert to their UTC calendar date; naive values take the
+    literal's calendar date, which matches the stamps only under a UTC
+    session (``_non_utc_session`` guards that). None = unparseable
     (the caller must keep the entry)."""
     import datetime
 
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc)
         return (v.date() - datetime.date(1970, 1, 1)).days
     if isinstance(v, datetime.date):
         return (v - datetime.date(1970, 1, 1)).days
@@ -919,8 +939,29 @@ def _parse_day(v) -> int | None:
             dt = datetime.datetime.fromisoformat(v)
         except ValueError:
             return None
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(datetime.timezone.utc)
         return (dt.date() - datetime.date(1970, 1, 1)).days
     return None
+
+
+def _non_utc_session() -> bool:
+    """True when an ACTIVE Spark session runs a non-UTC timezone — the
+    regime where naive day-probe literals don't mean UTC calendar dates
+    and days-stamp pruning must stand down (keep everything; the real
+    filter still applies, so results stay correct — only skipping is
+    lost). No active session (the DataSource planning worker) returns
+    False: pushed values there are tz-aware UTC instants."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        return False
+    return tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
 
 
 def _transform_probe_values(spark, t: str, param, dtype, values):
@@ -934,6 +975,8 @@ def _transform_probe_values(spark, t: str, param, dtype, values):
     ``naru_snapshot`` DataSource planning worker) prune bucket stamps
     too; ``spark`` is accepted for signature stability only."""
     if t == "days":
+        if _non_utc_session():
+            return None  # naive probes aren't UTC days: cannot skip
         days = [_parse_day(v) for v in values]
         if any(d is None for d in days):
             return None
@@ -1061,6 +1104,10 @@ def _partition_range_surviving(entries, stats: dict, col: str, rng) -> list:
     Entries with no days stamp for this column, and ranges that do not
     parse as dates, keep everything (cannot skip)."""
     lo, hi = rng
+    if _non_utc_session():
+        # a naive range literal under a non-UTC session is not a UTC
+        # day range — stand down (correct, just unskipped)
+        return list(entries)
     lo_d = _parse_day(lo) if lo is not None else None
     hi_d = _parse_day(hi) if hi is not None else None
     if (lo is not None and lo_d is None) or (
@@ -2144,18 +2191,19 @@ def commit_staged_dir(
                 specs[i]["spec"]: unquote(seg.split("=", 1)[1])
                 for i, seg in enumerate(rel)
             }
-        if any(sp["t"] != "identity" for sp in specs):
+        if any(sp["t"] != "identity" for sp in specs) and new_entries:
             # transformed specs stamp the SOURCE column dtype (probe
-            # transforms are type-sensitive); read from ONE staged
-            # footer — the stage is a single write, one schema
+            # transforms are type-sensitive); the stage is ONE write
+            # with one schema, so read ONE footer and stamp every leaf
+            # entry with the same meta
             import pyarrow.parquet as pq
 
-            for e in new_entries:
-                efiles = _entry_files(e)
-                if not efiles:
-                    continue
-                sch = pq.ParquetFile(efiles[0]).schema_arrow
-                meta = {}
+            first = next(
+                (e for e in new_entries if _entry_files(e)), None
+            )
+            meta = {}
+            if first is not None:
+                sch = pq.ParquetFile(_entry_files(first)[0]).schema_arrow
                 for sp in specs:
                     if sp["t"] == "identity":
                         continue
@@ -2175,7 +2223,8 @@ def commit_staged_dir(
                             "missing or un-transformable in staged data"
                         )
                     meta[sp["spec"]] = {"dtype": dt}
-                if meta:
+            if meta:
+                for e in new_entries:
                     part_meta[e] = meta
     else:
         new_entries = (

@@ -163,7 +163,24 @@ def _arrow_schema_of(man: dict) -> "pyarrow.Schema":
     if not entries:
         raise ValueError("naru_snapshot: the table holds no data files")
     if len(entries) > _SCHEMA_UNION_CAP:
-        entries = [entries[0], entries[-1]]
+        # bounded plan-time footer reads: first + last, plus any MIDDLE
+        # entry whose stamped column stats introduce a name the picked
+        # set lacks (footer-free detection of mid-history evolution;
+        # only columns parquet can't stamp stats for — e.g. bool — can
+        # still hide in an unpicked middle entry)
+        stats = man.get("stats", {})
+
+        def stat_cols(e):
+            return set(((stats.get(e) or {}).get("cols") or {}))
+
+        pick = [entries[0], entries[-1]]
+        seen = stat_cols(entries[0]) | stat_cols(entries[-1])
+        for e in entries[1:-1]:
+            extra = stat_cols(e) - seen
+            if extra:
+                pick.append(e)
+                seen |= extra
+        entries = [e for e in entries if e in set(pick)]
     fields: dict = {}
     order: list = []
     for e in entries:

@@ -4362,3 +4362,91 @@ def test_datasource_string_range_pruning(spark, tmp_path):
         "s >= 'm' AND s <= 'n999'"
     )
     assert q3.count() == 100
+
+
+def test_duckdb_safe_expr_dialect():
+    """The session-free CHECK dialect: IN lists and parenthesized
+    groups are in (the r14 review found the function-call check refusing
+    them), LIKE is OUT (Spark treats backslash as the LIKE escape,
+    DuckDB does not — a probe would wrongly accept), functions/casts/
+    null-safe equality are out."""
+    from naru_spark.sources.sinks import _duckdb_safe_expr as safe
+
+    assert safe("k >= 0")
+    assert safe("status IN ('a','b','c')")
+    assert safe("qty > 0 AND (flag = 1 OR flag = 2)")
+    assert safe("v BETWEEN 1 AND 10")
+    assert safe("s IS NOT NULL")
+    assert safe("d >= DATE '2020-01-01'")
+    assert not safe("s LIKE 'a%'")
+    assert not safe("length(s) > 3")
+    assert not safe("CAST(s AS INT) > 0")
+    assert not safe("a <=> b")
+    assert not safe("k > 0; DROP TABLE x")
+
+
+def test_datasource_write_constrained_in_list(spark, tmp_path):
+    """End-to-end: a constrained table whose CHECK uses an IN list and
+    a parenthesized group accepts clean session-less DataSource writes
+    and refuses violating ones."""
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "inlist")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    sinks.write_snapshot(df, path)
+    sinks.add_snapshot_constraint(
+        spark, path, "s_ok", "s IN ('a','b','c') AND (k > 0 OR k < -10)"
+    )
+    spark.createDataFrame([(3, "c")], "k int, s string").write.format(
+        "naru_snapshot"
+    ).mode("append").save(path)
+    assert sinks.read_snapshot(spark, path).count() == 3
+    with pytest.raises(Exception, match="CHECK constraint"):
+        spark.createDataFrame([(4, "z")], "k int, s string").write.format(
+            "naru_snapshot"
+        ).mode("append").save(path)
+    assert sinks.read_snapshot(spark, path).count() == 3
+
+
+def test_days_pruning_non_utc_reader_stands_down(spark, tmp_path):
+    """A non-UTC READER session on a days()-stamped table gets CORRECT
+    results with pruning stood down: the naive day literal no longer
+    means a UTC calendar day, so day-stamp elimination keeps everything
+    (the real filter still applies) instead of mispruning near-midnight
+    rows — the r14 review's probe-side gap."""
+    import datetime
+
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "tzdays")
+    rows = [
+        (datetime.datetime(2024, 1, 2, h), h) for h in (0, 4, 12, 23)
+    ] + [(datetime.datetime(2024, 1, 3, 2), 99)]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    sinks.write_snapshot(df, path, partition_by="days(ts)")  # UTC session
+    cond = "ts <= '2024-01-02 23:00:00'"
+    utc_rows = sorted(
+        r["v"] for r in sinks.read_snapshot_where(spark, path, cond)
+        .collect()
+    )
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny = sinks.read_snapshot_where(spark, path, cond)
+        ny_files = len(ny.inputFiles())
+        ny_rows = sorted(r["v"] for r in ny.collect())
+        full_files = len(sinks.read_snapshot(spark, path).inputFiles())
+        # pruning stood down (kept every file), results match Spark's
+        # own evaluation of the literal under the NY session: the
+        # literal means NY wall time = 2024-01-03T04:00Z, so v=99
+        # (2024-01-03T02:00Z) is IN range — mispruning by stamped day
+        # would have dropped it
+        assert ny_files == full_files
+        assert 99 in ny_rows, ny_rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    assert 99 not in utc_rows  # UTC session: literal is a UTC instant
