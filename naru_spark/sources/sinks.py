@@ -362,6 +362,8 @@ def _entry_stats(entry: str) -> dict:
     files = _entry_files(entry)
     n_rows, n_bytes = 0, 0
     cols: dict = {}
+    nulls: dict = {}
+    nulls_dropped: set = set()
     dropped: set = set()
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -369,6 +371,22 @@ def _entry_stats(entry: str) -> dict:
         n_bytes += os.path.getsize(f)
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for name, i in names.items():
+            # per-column NULL counts (Delta nullCount analog): usable
+            # only when EVERY row group of EVERY file reports one —
+            # IS [NOT] NULL predicates then skip all-null / no-null
+            # entries from the manifest alone
+            if name not in nulls_dropped:
+                for rg in range(md.num_row_groups):
+                    try:
+                        st = md.row_group(rg).column(i).statistics
+                        nc = None if st is None else st.null_count
+                    except Exception:
+                        nc = None
+                    if nc is None:
+                        nulls_dropped.add(name)
+                        nulls.pop(name, None)
+                        break
+                    nulls[name] = nulls.get(name, 0) + int(nc)
             if name in dropped:
                 continue
             for rg in range(md.num_row_groups):
@@ -403,12 +421,15 @@ def _entry_stats(entry: str) -> dict:
                     cols.pop(name, None)
                     break
                 cols[name] = (min(lo, st.min), max(hi, st.max))
-    return {
+    out = {
         "n_rows": int(n_rows),
         "n_bytes": int(n_bytes),
         "n_files": len(files),
         "cols": {k: [v[0], v[1]] for k, v in cols.items()},
     }
+    if nulls:
+        out["nulls"] = {k: int(v) for k, v in nulls.items()}
+    return out
 
 
 def _bloom_positions_expr(key_col: str, m: int, k: int):

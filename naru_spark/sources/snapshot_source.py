@@ -52,6 +52,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -230,6 +232,8 @@ def _filter_hints(filters) -> dict:
     boxes: dict = {}
     parts: dict = {}
     ranges: dict = {}
+    notnull: set = set()
+    isnull: set = set()
     dropped: set = set()
 
     def shrink(col, lo, hi):
@@ -320,7 +324,12 @@ def _filter_hints(filters) -> dict:
                 # every string with this prefix sorts in
                 # [prefix, prefix + _STR_MAX] against <=64-char stamps
                 shrink(col, f.value, f.value + _STR_MAX)
-    return {"prune": boxes, "partitions": parts, "ranges": ranges}
+        elif isinstance(f, IsNotNull):
+            notnull.add(col)
+        elif isinstance(f, IsNull):
+            isnull.add(col)
+    return {"prune": boxes, "partitions": parts, "ranges": ranges,
+            "notnull": notnull, "isnull": isnull}
 
 
 def _surviving_entries(man: dict, hints: dict | None) -> list[str]:
@@ -353,6 +362,24 @@ def _surviving_entries(man: dict, hints: dict | None) -> list[str]:
             entries = [
                 e for e in entries
                 if _entry_overlaps(stats.get(e), hints["prune"])
+            ]
+        # stamped NULL counts (Delta nullCount analog): IS NOT NULL
+        # skips all-null entries, IS NULL skips entries with zero
+        # nulls; entries without the stamp (legacy manifests) survive
+        def null_count(e, col):
+            return ((stats.get(e) or {}).get("nulls") or {}).get(col)
+
+        for col in hints.get("notnull") or ():
+            entries = [
+                e for e in entries
+                if null_count(e, col) is None
+                or null_count(e, col) < (stats.get(e) or {}).get("n_rows", 0)
+                or not (stats.get(e) or {}).get("n_rows")
+            ]
+        for col in hints.get("isnull") or ():
+            entries = [
+                e for e in entries
+                if null_count(e, col) is None or null_count(e, col) > 0
             ]
     return list(entries)
 
@@ -541,15 +568,25 @@ def _read_file_batches(file: str):
 
 def _aligned_batches(file: str, schema: StructType):
     """Arrow batches of one file ALIGNED to the declared read schema:
-    columns reordered by name, cast to the declared arrow types (INT96
-    timestamps read back as ns and cast to the declared micros), and
-    columns a pre-evolution file lacks null-filled."""
+    only the declared columns are READ from disk (column pruning at the
+    parquet scan), reordered by name, cast to the declared arrow types
+    (INT96 timestamps read back as ns and cast to the declared micros),
+    and columns a pre-evolution file lacks null-filled."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
 
     fields = [(f.name, to_arrow_type(f.dataType)) for f in schema]
-    for batch in pq.ParquetFile(file).iter_batches():
+    pf = pq.ParquetFile(file)
+    present = [
+        nm for nm, _ in fields if nm in set(pf.schema_arrow.names)
+    ]
+    # no declared column present (a projection of purely-evolved
+    # columns over a pre-evolution file): read row counts only
+    batches = (
+        pf.iter_batches(columns=present) if present else pf.iter_batches()
+    )
+    for batch in batches:
         n = batch.num_rows
         names = set(batch.schema.names)
         cols = [
@@ -601,10 +638,11 @@ class SnapshotBatchReader(DataSourceReader):
         files = partition.files
         if not files:
             return
-        # fast path: when every file already matches the declared arrow
-        # schema, ONE pyarrow dataset scan covers the whole group
-        # (threaded column decode); mixed/evolved groups fall back to
-        # the per-file aligning reader
+        # fast path: when every DECLARED column matches the group's
+        # unified dataset schema, ONE pyarrow dataset scan covers the
+        # whole group (threaded column decode) with the projection
+        # pushed into the scan; mixed/evolved groups fall back to the
+        # per-file aligning reader
         import pyarrow.dataset as pads
         from pyspark.sql.pandas.types import to_arrow_type
 
@@ -616,11 +654,15 @@ class SnapshotBatchReader(DataSourceReader):
         )
         try:
             ds = pads.dataset(files, format="parquet")
-            uniform = ds.schema == declared
+            names = set(ds.schema.names)
+            uniform = all(
+                f.name in names and ds.schema.field(f.name) == f
+                for f in declared
+            )
         except Exception:
             uniform = False
         if uniform:
-            yield from ds.to_batches()
+            yield from ds.to_batches(columns=list(declared.names))
         else:
             for f in files:
                 yield from _aligned_batches(f, self.read_schema)
@@ -1164,6 +1206,22 @@ class SnapshotDataSource(DataSource):
         base = _arrow_spark_schema(
             _load_manifest(path, _resolve_version(self.options))
         )
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            # MANUAL projection: the Python DataSource API has no
+            # column-pruning hook (pushFilters only), so every declared
+            # column crosses the arrow IPC boundary — option("columns",
+            # "a,b") narrows the declared schema so only the named
+            # columns are read and shipped (order as listed)
+            want = [c.strip() for c in cols_opt.split(",") if c.strip()]
+            have = {f.name: f for f in base.fields}
+            missing = [c for c in want if c not in have]
+            if missing:
+                raise ValueError(
+                    f"naru_snapshot: option('columns') names unknown "
+                    f"column(s) {missing} — table has {sorted(have)}"
+                )
+            base = StructType([have[c] for c in want])
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             return StructType(
                 list(base.fields)

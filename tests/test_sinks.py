@@ -4450,3 +4450,48 @@ def test_days_pruning_non_utc_reader_stands_down(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
     assert 99 not in utc_rows  # UTC session: literal is a UTC instant
+
+
+def test_datasource_columns_option_and_null_count_pruning(spark, tmp_path):
+    """(a) option("columns", "a,b") narrows the declared schema — the
+    manual projection knob the Python DataSource API lacks a pruning
+    hook for; unknown names refuse. (b) Stamped per-entry NULL counts
+    (Delta nullCount analog) prune IS NULL / IS NOT NULL reads:
+    an all-null entry drops from an IS NOT NULL plan, a no-null entry
+    from an IS NULL plan — counter-asserted via planned partitions."""
+    import pytest
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    path = str(tmp_path / "nc")
+    some = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(20)], "k int, s string"
+    )
+    all_null = spark.createDataFrame(
+        [(100 + i, None) for i in range(20)], "k int, s string"
+    )
+    sinks.write_snapshot(some.coalesce(1), path)       # v1: zero nulls
+    sinks.write_snapshot(all_null.coalesce(1), path)   # v2: all null
+    # columns projection
+    proj = (
+        spark.read.format("naru_snapshot").option("columns", "k")
+        .load(path)
+    )
+    assert proj.columns == ["k"]
+    assert proj.count() == 40
+    with pytest.raises(Exception, match="unknown column"):
+        (spark.read.format("naru_snapshot").option("columns", "k,zz")
+         .load(path).count())
+    # null-count pruning
+    full = spark.read.format("naru_snapshot").load(path)
+    n_full = full.rdd.getNumPartitions()
+    nn = spark.read.format("naru_snapshot").load(path).where(
+        "s IS NOT NULL"
+    )
+    assert nn.count() == 20
+    assert nn.rdd.getNumPartitions() < n_full
+    isn = spark.read.format("naru_snapshot").load(path).where("s IS NULL")
+    assert isn.count() == 20
+    assert isn.rdd.getNumPartitions() < n_full
