@@ -1208,15 +1208,15 @@ def _condition_prune_hints(condition: str) -> dict | None:
 
     Only conditions PROVABLY a conjunction of simple terms are used:
     ``col op literal`` (op ∈ =, <, <=, >, >=), ``col IN (l1, l2, …)``,
-    ``col BETWEEN a AND b``, joined by top-level AND. Anything else —
-    OR, NOT, IS NULL, LIKE, parentheses, casts, functions, arithmetic,
-    column-to-column — returns None and the caller scans without
-    elimination; a parsed conjunction is covering BY CONSTRUCTION
+    ``col BETWEEN a AND b``, ``col IS [NOT] NULL``, joined by top-level
+    AND. Anything else — OR, NOT, LIKE, parentheses, casts, functions,
+    arithmetic, column-to-column — returns None and the caller scans
+    without elimination; a parsed conjunction is covering BY CONSTRUCTION
     (every row matching the whole condition matches each term, so
     pruning on any term's box/keys never drops a match). Returns
     {"prune": {col: (lo, hi)}, "keys": {col: [values]},
     "partitions": {col: [strings]}, "ranges": {col: (lo|None,
-    hi|None)}}: boxes from every term (±inf for one-sided numeric
+    hi|None)}, "nullness": {col: "isnull"|"notnull"}}: boxes from every term (±inf for one-sided numeric
     ranges; one-sided STRING ranges contribute nothing — no total
     order vs ±inf), key lists and partition strings from equality/IN
     terms only (partition values only for int/str literals — float
@@ -1306,6 +1306,17 @@ def _condition_prune_hints(condition: str) -> dict | None:
                 return None
             terms.append((col, "between", [lo_, hi_]))
             i += 5
+        elif op == "is":
+            # col IS NULL / col IS NOT NULL
+            if i + 2 < n and toks[i + 2].lower() == "null":
+                terms.append((col, "isnull", []))
+                i += 3
+            elif (i + 3 < n and toks[i + 2].lower() == "not"
+                    and toks[i + 3].lower() == "null"):
+                terms.append((col, "notnull", []))
+                i += 4
+            else:
+                return None
         else:
             return None
         if i == n:
@@ -1319,6 +1330,7 @@ def _condition_prune_hints(condition: str) -> dict | None:
     parts: dict = {}
     dropped: set = set()
     sranges: dict = {}
+    nullness: dict = {}
 
     def srange(col: str, lo, hi) -> None:
         # STRING-literal [lo, hi] (None = unbounded), intersected across
@@ -1332,6 +1344,14 @@ def _condition_prune_hints(condition: str) -> dict | None:
         sranges[col] = (lo, hi)
 
     for col, op, vals in terms:
+        if op in ("isnull", "notnull"):
+            # contradictory null terms on one column: drop the hint
+            # (the real filter yields the empty result either way)
+            if nullness.get(col, op) != op:
+                nullness.pop(col, None)
+            else:
+                nullness[col] = op
+            continue
         numeric = all(
             isinstance(v, (int, float)) and not isinstance(v, bool)
             for v in vals
@@ -1379,7 +1399,7 @@ def _condition_prune_hints(condition: str) -> dict | None:
             boxes.pop(col, None)
             dropped.add(col)
     return {"prune": boxes, "keys": keys, "partitions": parts,
-            "ranges": sranges}
+            "ranges": sranges, "nullness": nullness}
 
 
 def _lit_matches_dtype(v, dtype: str | None) -> bool:
@@ -2355,6 +2375,7 @@ def read_snapshot(
     partitions: dict | None = None,
     as_of: float | None = None,
     partition_ranges: dict | None = None,
+    null_preds: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
@@ -2441,9 +2462,30 @@ def read_snapshot(
         man = json.load(fh)
     dirs = man["dirs"]
     limit0 = False
-    if prune or prune_keys or partitions or partition_ranges:
+    if prune or prune_keys or partitions or partition_ranges or null_preds:
         stats = man.get("stats", {})
         kept = list(dirs)
+        if null_preds:
+            # ``null_preds={col: "isnull"|"notnull"}`` — the stamped
+            # per-entry NULL counts (Delta nullCount analog) skip
+            # no-null entries for IS NULL and all-null entries for
+            # IS NOT NULL; stampless entries always survive
+            def _nc(e, col):
+                return ((stats.get(e) or {}).get("nulls") or {}).get(col)
+
+            for col, kind in null_preds.items():
+                if kind == "notnull":
+                    kept = [
+                        e for e in kept
+                        if _nc(e, col) is None
+                        or not (stats.get(e) or {}).get("n_rows")
+                        or _nc(e, col) < (stats.get(e) or {})["n_rows"]
+                    ]
+                elif kind == "isnull":
+                    kept = [
+                        e for e in kept
+                        if _nc(e, col) is None or _nc(e, col) > 0
+                    ]
         if partitions:
             for col, values in partitions.items():
                 kept = _partition_surviving_entries(
@@ -2580,13 +2622,14 @@ def read_snapshot_where(
     prune = hints.get("prune") or None
     partitions = hints.get("partitions") or None
     ranges = hints.get("ranges") or None
+    nullness = hints.get("nullness") or None
     keys = {c: v for c, v in (hints.get("keys") or {}).items() if v} or None
     try:
         out = read_snapshot(
             spark, path, version=version, as_of=as_of,
             merge_schema=merge_schema, prune=prune,
             partitions=partitions, prune_keys=keys,
-            partition_ranges=ranges,
+            partition_ranges=ranges, null_preds=nullness,
         )
     except ValueError:
         if keys is None:
@@ -2597,7 +2640,7 @@ def read_snapshot_where(
         out = read_snapshot(
             spark, path, version=version, as_of=as_of,
             merge_schema=merge_schema, prune=prune, partitions=partitions,
-            partition_ranges=ranges,
+            partition_ranges=ranges, null_preds=nullness,
         )
     return out.where(F.expr(condition))
 

@@ -4495,3 +4495,34 @@ def test_datasource_columns_option_and_null_count_pruning(spark, tmp_path):
     isn = spark.read.format("naru_snapshot").load(path).where("s IS NULL")
     assert isn.count() == 20
     assert isn.rdd.getNumPartitions() < n_full
+
+
+def test_read_snapshot_where_null_predicates(spark, tmp_path):
+    """read_snapshot_where auto-derives IS [NOT] NULL elimination from
+    the WHERE string (the JVM twin of the DataSource's pushed
+    IsNull/IsNotNull skipping): a no-null entry drops from an IS NULL
+    read, an all-null entry from an IS NOT NULL read, composed with
+    ordinary terms; results stay exact."""
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "jnull")
+    some = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(20)], "k int, s string"
+    )
+    all_null = spark.createDataFrame(
+        [(100 + i, None) for i in range(20)], "k int, s string"
+    )
+    sinks.write_snapshot(some.coalesce(1), path)
+    sinks.write_snapshot(all_null.coalesce(1), path)
+    full = len(sinks.read_snapshot(spark, path).inputFiles())
+    q = sinks.read_snapshot_where(spark, path, "s IS NOT NULL AND k < 10")
+    assert q.count() == 10
+    assert len(q.inputFiles()) < full
+    q2 = sinks.read_snapshot_where(spark, path, "s IS NULL")
+    assert q2.count() == 20
+    assert len(q2.inputFiles()) < full
+    # contradictory null terms: hint dropped, result exact (empty)
+    q3 = sinks.read_snapshot_where(
+        spark, path, "s IS NULL AND s IS NOT NULL"
+    )
+    assert q3.count() == 0
