@@ -363,6 +363,7 @@ def _entry_stats(entry: str) -> dict:
     n_rows, n_bytes = 0, 0
     cols: dict = {}
     nulls: dict = {}
+    nulls_seen: dict = {}
     nulls_dropped: set = set()
     dropped: set = set()
     for f in files:
@@ -376,6 +377,7 @@ def _entry_stats(entry: str) -> dict:
             # IS [NOT] NULL predicates then skip all-null / no-null
             # entries from the manifest alone
             if name not in nulls_dropped:
+                nulls_seen[name] = nulls_seen.get(name, 0) + 1
                 for rg in range(md.num_row_groups):
                     try:
                         st = md.row_group(rg).column(i).statistics
@@ -427,6 +429,10 @@ def _entry_stats(entry: str) -> dict:
         "n_files": len(files),
         "cols": {k: [v[0], v[1]] for k, v in cols.items()},
     }
+    # a column missing from SOME file of the entry (mixed-schema files)
+    # would undercount: its null-filled rows read back NULL — drop the
+    # stamp unless every file carried the column
+    nulls = {k: v for k, v in nulls.items() if nulls_seen.get(k) == len(files)}
     if nulls:
         out["nulls"] = {k: int(v) for k, v in nulls.items()}
     return out
@@ -981,7 +987,7 @@ def _non_utc_session() -> bool:
     try:
         tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     except Exception:
-        return False
+        return True  # live session, unknown tz: stand down (fail closed)
     return tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
 
 
@@ -1538,6 +1544,27 @@ def _dv_remainder(
         shutil.rmtree(new_dir)
         return [], None
     return [{"dir": new_dir, "seq": n, "n_rows": k}], new_dir
+
+
+def _null_surviving_entries(entries, stats: dict, col: str,
+                            kind: str) -> list:
+    """Entries that may hold rows satisfying ``col IS [NOT] NULL`` per
+    the stamped per-entry null counts (Delta nullCount analog) — the
+    ONE implementation both read paths (read_snapshot's ``null_preds``
+    and the DataSource's pushed IsNull/IsNotNull) share. Stampless
+    entries and empty entries always survive."""
+    kept = []
+    for e in entries:
+        st = stats.get(e) or {}
+        nc = (st.get("nulls") or {}).get(col)
+        n_rows = st.get("n_rows")
+        if nc is None or not n_rows:
+            kept.append(e)
+        elif kind == "notnull" and nc < n_rows:
+            kept.append(e)
+        elif kind == "isnull" and nc > 0:
+            kept.append(e)
+    return kept
 
 
 def _manifest_stats(man: dict) -> dict:
@@ -2465,27 +2492,18 @@ def read_snapshot(
     if prune or prune_keys or partitions or partition_ranges or null_preds:
         stats = man.get("stats", {})
         kept = list(dirs)
-        if null_preds:
+        if null_preds and not man.get("schema_ops"):
             # ``null_preds={col: "isnull"|"notnull"}`` — the stamped
             # per-entry NULL counts (Delta nullCount analog) skip
             # no-null entries for IS NULL and all-null entries for
-            # IS NOT NULL; stampless entries always survive
-            def _nc(e, col):
-                return ((stats.get(e) or {}).get("nulls") or {}).get(col)
-
+            # IS NOT NULL; stampless entries always survive. STANDS
+            # DOWN under pending rename/drop schema ops: a dropped-
+            # then-re-added column reads back NULL for pre-op rows,
+            # so a pre-op zero-null stamp would misprune (min/max
+            # boxes are immune — NULL never matches a comparison)
             for col, kind in null_preds.items():
-                if kind == "notnull":
-                    kept = [
-                        e for e in kept
-                        if _nc(e, col) is None
-                        or not (stats.get(e) or {}).get("n_rows")
-                        or _nc(e, col) < (stats.get(e) or {})["n_rows"]
-                    ]
-                elif kind == "isnull":
-                    kept = [
-                        e for e in kept
-                        if _nc(e, col) is None or _nc(e, col) > 0
-                    ]
+                if kind in ("notnull", "isnull"):
+                    kept = _null_surviving_entries(kept, stats, col, kind)
         if partitions:
             for col, values in partitions.items():
                 kept = _partition_surviving_entries(

@@ -173,7 +173,10 @@ def _arrow_schema_of(man: dict) -> "pyarrow.Schema":
         stats = man.get("stats", {})
 
         def stat_cols(e):
-            return set(((stats.get(e) or {}).get("cols") or {}))
+            st = stats.get(e) or {}
+            # min/max stamps miss bool/long-string columns; the nulls
+            # stamps cover those too — union both for detection
+            return set(st.get("cols") or {}) | set(st.get("nulls") or {})
 
         pick = [entries[0], entries[-1]]
         seen = stat_cols(entries[0]) | stat_cols(entries[-1])
@@ -365,22 +368,15 @@ def _surviving_entries(man: dict, hints: dict | None) -> list[str]:
             ]
         # stamped NULL counts (Delta nullCount analog): IS NOT NULL
         # skips all-null entries, IS NULL skips entries with zero
-        # nulls; entries without the stamp (legacy manifests) survive
-        def null_count(e, col):
-            return ((stats.get(e) or {}).get("nulls") or {}).get(col)
+        # nulls — the sinks helper both read paths share (the
+        # DataSource refuses pending schema ops at plan time, so the
+        # dropped-column stand-down lives only on the JVM path)
+        from naru_spark.sources.sinks import _null_surviving_entries
 
         for col in hints.get("notnull") or ():
-            entries = [
-                e for e in entries
-                if null_count(e, col) is None
-                or null_count(e, col) < (stats.get(e) or {}).get("n_rows", 0)
-                or not (stats.get(e) or {}).get("n_rows")
-            ]
+            entries = _null_surviving_entries(entries, stats, col, "notnull")
         for col in hints.get("isnull") or ():
-            entries = [
-                e for e in entries
-                if null_count(e, col) is None or null_count(e, col) > 0
-            ]
+            entries = _null_surviving_entries(entries, stats, col, "isnull")
     return list(entries)
 
 
@@ -581,12 +577,10 @@ def _aligned_batches(file: str, schema: StructType):
     present = [
         nm for nm, _ in fields if nm in set(pf.schema_arrow.names)
     ]
-    # no declared column present (a projection of purely-evolved
-    # columns over a pre-evolution file): read row counts only
-    batches = (
-        pf.iter_batches(columns=present) if present else pf.iter_batches()
-    )
-    for batch in batches:
+    # columns=[] is valid: zero-column batches with correct row counts
+    # (a projection of purely-evolved columns over a pre-evolution
+    # file decodes NOTHING, just row-group metadata)
+    for batch in pf.iter_batches(columns=present):
         n = batch.num_rows
         names = set(batch.schema.names)
         cols = [

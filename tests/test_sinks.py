@@ -4526,3 +4526,52 @@ def test_read_snapshot_where_null_predicates(spark, tmp_path):
         spark, path, "s IS NULL AND s IS NOT NULL"
     )
     assert q3.count() == 0
+
+
+def test_null_pruning_stands_down_under_schema_ops(spark, tmp_path):
+    """null_preds elimination must STAND DOWN when pending rename/drop
+    schema ops exist: a dropped-then-re-added column reads back NULL
+    for pre-op rows, so a pre-op zero-null stamp would misprune
+    (the r14 second-review repro: silent data loss)."""
+    from naru_spark.sources import sinks
+
+    path = str(tmp_path / "sops")
+    sinks.write_snapshot(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "k int, d double"
+        ).coalesce(1),
+        path,
+    )
+    sinks.alter_snapshot_schema(path, drop=["d"])
+    sinks.write_snapshot(
+        spark.createDataFrame([(100, 7.0)], "k int, d double").coalesce(1),
+        path,
+    )
+    got = sorted(
+        r["k"] for r in sinks.read_snapshot_where(
+            spark, path, "d IS NULL", merge_schema=True
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3, 4], got
+
+
+def test_entry_stats_null_stamp_requires_column_in_every_file(tmp_path):
+    """A multi-file entry whose files MIX schemas must not stamp a null
+    count for the column some files lack — its null-filled rows read
+    back NULL, so a zero-null stamp would wrongly prune IS NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naru_spark.sources.sinks import _entry_stats
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": [1, 2], "s": ["a", "b"]}), str(d / "f1.parquet")
+    )
+    pq.write_table(pa.table({"k": [3, 4]}), str(d / "f2.parquet"))
+    st = _entry_stats(str(d))
+    assert st["n_rows"] == 4
+    nulls = st.get("nulls") or {}
+    assert "s" not in nulls, nulls       # mixed presence: no stamp
+    assert nulls.get("k") == 0           # present everywhere: stamped
