@@ -2568,6 +2568,28 @@ for _rnd, _names in (
         "top_orders_per_segment", "workload_oracle_limited",
         "zorder_data_skipping",
     )),
+    (14, (
+        "aqe_skew_join", "bloom_pruned_join", "bm25_topk_index_append",
+        "bm25_topk_index_delete", "bpe_encode", "bpe_learn",
+        "cumulative_revenue", "data_quality_checks", "dedup_components",
+        "dedup_embedding", "dedup_exact", "dedup_minhash_md5",
+        "dedup_ngram_jaccard", "dedup_simhash_md5", "doc_fingerprint",
+        "doc_lm_score", "doc_quality", "doc_repetition", "embedding_norms",
+        "excess_suppliers_q20", "frame_sample",
+        "global_sales_opportunity_q22", "important_parts_q11", "lang_id",
+        "like_estimates", "min_cost_supplier_q2", "parts_supplier_count_q16",
+        "semantic_dedup", "similarity_topk_ivf_oracle",
+        "similarity_topk_ivfpq_refined", "similarity_topk_lsh_oracle",
+        "snapshot_cdf_batch", "snapshot_compaction",
+        "snapshot_datasource_days_write",
+        "snapshot_datasource_write_constrained", "snapshot_delete_bloom",
+        "snapshot_delete_mor", "snapshot_incremental_read",
+        "snapshot_merge_pruned", "snapshot_optimize_zorder",
+        "snapshot_rename_column", "snapshot_stats", "source_mix",
+        "stream_snapshot_cdf_pipeline", "text_stats", "token_counts",
+        "token_histogram", "token_idf", "vocab_coverage",
+        "waiting_orders_q21",
+    )),
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
