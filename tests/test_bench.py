@@ -1,0 +1,83 @@
+"""Unit tests for bench.py's self-adjudicating regression watch.
+
+No Spark: adjudicate() takes a rerun callable, so the tests drive it with
+canned steady-state walls and assert the four behaviors that matter —
+load-artifact flags die, true regressions survive, the first-touch cost is
+preserved (never hidden), and the re-run budget is bounded-but-loud.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import adjudicate  # noqa: E402
+
+
+def test_load_artifact_flag_dies_on_steady_rerun():
+    # first-touch 4.5s vs baseline 1.6s flags (2.8x, +2.9s); steady re-run
+    # 1.7s clears the threshold -> NOT a regression, min reported.
+    timings = {"compact": 4.5}
+    regs, ft = adjudicate(timings, {}, {"compact": 1.6}, lambda n: 1.7)
+    assert regs == []
+    assert timings["compact"] == 1.7
+    assert ft == {"compact": 4.5}
+
+
+def test_true_regression_survives_rerun():
+    timings = {"q": 5.0}
+    regs, ft = adjudicate(timings, {}, {"q": 1.0}, lambda n: 4.8)
+    assert regs == [["q", 1.0, 4.8, 4.8]]
+    assert timings["q"] == 4.8
+    assert ft == {"q": 5.0}
+
+
+def test_absolute_guard_and_ratio_guard():
+    # 0.4s vs 0.2s is 2x but only +0.2s absolute -> never a suspect;
+    # 11s vs 10s is +1s but only 1.1x -> never a suspect. No re-runs happen.
+    calls = []
+
+    def rerun(n):
+        calls.append(n)
+        return 0.0
+
+    timings = {"small": 0.4, "big": 11.0}
+    regs, ft = adjudicate(timings, {}, {"small": 0.2, "big": 10.0}, rerun)
+    assert regs == [] and ft == {} and calls == []
+    assert timings == {"small": 0.4, "big": 11.0}
+
+
+def test_errored_and_unknown_entries_never_compared():
+    timings = {"boom": 9.0, "new_entry": 9.0}
+    regs, ft = adjudicate(
+        timings, {"boom": "RuntimeError: x"}, {"boom": 1.0}, lambda n: 1.0
+    )
+    assert regs == [] and ft == {}
+
+
+def test_rerun_cap_is_bounded_but_loud():
+    # 3 suspects, cap 2: two adjudicated (cleared), the third keeps its
+    # first-touch wall and STILL flags.
+    timings = {f"q{i}": 10.0 for i in range(3)}
+    prev = {f"q{i}": 1.0 for i in range(3)}
+    regs, ft = adjudicate(timings, {}, prev, lambda n: 1.2, cap=2)
+    assert len(ft) == 2
+    assert len(regs) == 1 and regs[0][2] == 10.0 and regs[0][3] == 10.0
+
+
+def test_rerun_failure_keeps_first_touch_flag():
+    def rerun(n):
+        raise RuntimeError("transient")
+
+    timings = {"q": 10.0}
+    regs, ft = adjudicate(timings, {}, {"q": 1.0}, rerun)
+    assert regs == [["q", 1.0, 10.0, 10.0]] and ft == {}
+
+
+def test_slower_rerun_keeps_first_wall():
+    # re-run slower than first (box got MORE loaded): keep min=first, no
+    # first_touch entry, still flagged.
+    timings = {"q": 5.0}
+    regs, ft = adjudicate(timings, {}, {"q": 1.0}, lambda n: 7.0)
+    assert timings["q"] == 5.0 and ft == {}
+    assert regs == [["q", 1.0, 5.0, 5.0]]
