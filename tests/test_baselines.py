@@ -434,6 +434,102 @@ def test_bn_greedy_multiparent_exact_ve(lineitem_setup):
     assert checked >= 2
 
 
+def test_bn_greedy3_exact_min_fill(lineitem_setup):
+    """max_parents=3 exact inference (VERDICT r14 item 4): the min-fill
+    elimination order must (a) equal brute-force masked enumeration of
+    the joint the CPDs define, (b) never trip _VE_FACTOR_CAP on the
+    seeded workload — the reverse-topological order it replaces can
+    blow past the cap at max_parents >= 3 by eliminating hub variables
+    early — and (c) cost no more than reverse-topo on every query
+    (tracked via the largest induced factor)."""
+    import itertools
+
+    from naru_spark.estimators import bayes as bayes_mod
+    from naru_spark.estimators.bayes import BayesNet, min_fill_order
+    from naru_spark.predicates import Query
+
+    df, enc, meta, data, cols, wl, truths = lineitem_setup
+    sub = cols[:6]
+    idx = [cols.index(c) for c in sub]
+    bn = BayesNet(
+        data[:, idx], meta, sub, max_model_domain=6,
+        structure="greedy", max_parents=3, inference="exact",
+    )
+    assert bn.name == "bn_greedy3_exact"
+    assert any(len(bn.parents[v]) == 3 for v in range(len(sub))), bn.parents
+
+    # brute-force joint (6^6 = 46k cells)
+    sizes = [bn.binnings[c].model_size for c in sub]
+    joint = np.zeros(sizes)
+    for combo in itertools.product(*[range(s) for s in sizes]):
+        p = 1.0
+        for v in range(len(sub)):
+            ps = bn.parents[v]
+            p *= float(bn.cpd[v][tuple(combo[pp] for pp in ps) + (combo[v],)])
+        joint[combo] = p
+    assert abs(joint.sum() - 1.0) < 1e-9
+
+    qs = []
+    for r in (10, 100, 400):
+        row = data[r]
+        vals = [
+            meta.dictionaries[c].bin_to_val(int(row[idx[i]]))
+            for i, c in enumerate(sub[:4])
+        ]
+        qs.append(Query("lineitem", sub[:2], ["<=", ">="], vals[:2]))
+        qs.append(Query("lineitem", sub[:4], ["<=", ">=", "<=", ">="], vals))
+    for q in qs:
+        masks = bn._masks(q)
+        m = joint.copy()
+        for i in range(len(sub)):
+            if masks[i] is not None:
+                shape = [1] * len(sub)
+                shape[i] = sizes[i]
+                m = m * masks[i].reshape(shape)
+        brute = float(m.sum())
+        ve = bn._sel_exact(q)
+        assert abs(ve - brute) < 1e-9, (q.cols, ve, brute)
+
+    # the seeded workload never hits the cap (bn.query raises ValueError
+    # past _VE_FACTOR_CAP; predicates on columns outside `sub` are
+    # projected onto the fitted subset)
+    for q in wl:
+        kept = [
+            (c, o, v) for c, o, v in zip(q.cols, q.ops, q.vals) if c in sub
+        ]
+        if not kept:
+            continue
+        qq = Query("lineitem", *[list(x) for x in zip(*kept)])
+        assert bn.query(qq) >= 0
+
+    # min-fill's worst induced factor never exceeds reverse-topo's
+    def max_induced(factors, order):
+        factors = list(factors)
+        worst = 0
+        for x in order:
+            related = [f for f in factors if x in f[0]]
+            if not related:
+                continue
+            factors = [f for f in factors if x not in f[0]]
+            vars_all = sorted(set().union(*(set(f[0]) for f in related)))
+            dom = {v: n for fv, a in related for v, n in zip(fv, a.shape)}
+            size = 1
+            for v in vars_all:
+                size *= dom[v]
+            worst = max(worst, size)
+            rest = tuple(v for v in vars_all if v != x)
+            factors.append((rest, np.zeros([dom[v] for v in rest])))
+        return worst
+
+    factors = [
+        (tuple(bn.parents[v]) + (v,), bn.cpd[v]) for v in range(len(sub))
+    ]
+    mf = max_induced(factors, min_fill_order(factors))
+    rt = max_induced(factors, list(reversed(bn.topo)))
+    assert mf <= rt, (mf, rt)
+    assert mf <= bayes_mod._VE_FACTOR_CAP
+
+
 def test_bn_exact_disconnected_node_goes_through_ve():
     """A greedy structure where a node ends up PARENTLESS (zero MI to
     every earlier column) must answer exactly through VE — the tree
