@@ -3930,6 +3930,87 @@ def q_stream_snapshot_cdf_pipeline(
     return derived.orderBy("lang")
 
 
+def q_stream_snapshot_days_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSFORMED hidden partitioning through the STREAMING sink
+    (VERDICT r14 item 5 — the r14 DataSource writer stamps
+    ``days()``/``bucket()`` specs, but the end-to-end streaming entry
+    sank with an identity spec only): a snapshot-source stream drains
+    into ``writeStream.format("naru_snapshot").option("partitionBy",
+    "days(o_orderdate)")`` across TWO checkpoint restarts (January
+    lands in drain 1, February in drain 2 — each micro-batch commits
+    day-partition stamps exactly like the batch writer), then a
+    downstream BATCH timestamp-range read PRUNES on those stamps —
+    counter-asserted via inputFiles, so a partition-blind read would
+    fail the entry. Exactly-once across an idle third drain asserted
+    on the derived table's version. Oracle: the same range filter in
+    plain SQL."""
+    from naru_spark.sources.sinks import (
+        _latest_version,
+        read_snapshot,
+        read_snapshot_where,
+        write_snapshot,
+    )
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).where("o_orderdate >= '1996-01-01' AND o_orderdate <= '1996-02-29'")
+    root = _tmpdir(prefix="orders_stream_days_")
+    src, dst, ckpt = root + "/src", root + "/days", root + "/ckpt"
+    write_snapshot(orders.where("o_orderdate <= '1996-01-31'"), src)  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("naru_snapshot").load(src)
+            .writeStream.format("naru_snapshot")
+            .option("txnAppId", "days_sink")
+            .option("partitionBy", "days(o_orderdate)")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination()
+
+    drain()                                       # January partitions
+    write_snapshot(orders.where("o_orderdate > '1996-01-31'"), src)  # v2
+    drain()          # restart from checkpoint: February partitions
+    v_done = _latest_version(dst + "/_manifests")
+    drain()          # third drain, no new commits
+    assert _latest_version(dst + "/_manifests") == v_done
+
+    full = read_snapshot(spark, dst)
+    full_files = len(full.inputFiles())
+    q = read_snapshot_where(
+        spark, dst,
+        "o_orderdate >= '1996-02-05' AND o_orderdate <= '1996-02-15'",
+    )
+    pruned_files = len(q.inputFiles())
+    assert 0 < pruned_files < full_files, (pruned_files, full_files)
+    return (
+        q.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_stream_snapshot_days_sink() -> str:
+    return """
+SELECT o_orderpriority, COUNT(*) AS n,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderdate >= '1996-02-05' AND o_orderdate <= '1996-02-15'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def sql_stream_snapshot_cdf_pipeline() -> str:
     return """
 WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
@@ -3998,6 +4079,7 @@ def build_ops_registry():
             q_snapshot_datasource_write_constrained,
         "snapshot_datasource_days_write": q_snapshot_datasource_days_write,
         "stream_snapshot_cdf_pipeline": q_stream_snapshot_cdf_pipeline,
+        "stream_snapshot_days_sink": q_stream_snapshot_days_sink,
         "stream_snapshot_datasource": q_stream_snapshot_datasource,
         "stream_snapshot_datasource_sink": q_stream_snapshot_datasource_sink,
         "snapshot_update_where": q_snapshot_update_where,
@@ -4076,6 +4158,7 @@ def build_ops_registry():
             sql_snapshot_datasource_write_constrained(),
         "snapshot_datasource_days_write": sql_snapshot_days_transform(),
         "stream_snapshot_cdf_pipeline": sql_stream_snapshot_cdf_pipeline(),
+        "stream_snapshot_days_sink": sql_stream_snapshot_days_sink(),
         "stream_snapshot_datasource": sql_stream_snapshot_datasource(),
         "stream_snapshot_datasource_sink": sql_stream_snapshot_datasource_sink(),
         "snapshot_update_where": sql_snapshot_update_where(),
