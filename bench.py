@@ -311,6 +311,14 @@ def main():
 
     if sf_dir in LAST_ESTIMATOR_TIMINGS:
         compact["estimator_report_split"] = LAST_ESTIMATOR_TIMINGS[sf_dir]
+    # per-micro-batch serve/maintain latency for the four streaming-index
+    # entries (VERDICT r14 item 6): their entry walls are micro-batch
+    # scheduling + oracle rebuilds — this is the number a serving user
+    # actually cares about.
+    from naru_spark.entry_pipeline import LAST_STREAM_SERVE_MS
+
+    if sf_dir in LAST_STREAM_SERVE_MS:
+        compact["stream_serve_ms_per_batch"] = LAST_STREAM_SERVE_MS[sf_dir]
     print(json.dumps(compact))
 
 

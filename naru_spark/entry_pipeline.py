@@ -17,6 +17,27 @@ from naru_spark.tmp import tmpdir as _tmpdir
 from naru_spark.pipeline.text import LANG_ORDER, LANG_STOPWORDS
 
 
+# Per-micro-batch serve/maintain latency side-channel (VERDICT r14 item 6):
+# the four streaming-index entries' walls are dominated by micro-batch
+# scheduling + oracle-rebuild comparison — fixed harness cost that swamps
+# the number a serving user cares about, the per-batch latency. Each entry
+# records {entry: {"ms_per_batch": median, "batches": n}} here, keyed by
+# sf_dir (mirrors entry_model.LAST_ESTIMATOR_TIMINGS); bench.py surfaces it
+# in the compact JSON line. A side-channel, not an output column: the
+# entries' DataFrames are hash-gated against DuckDB oracles, and a latency
+# value is nondeterministic by nature.
+LAST_STREAM_SERVE_MS: dict = {}
+
+
+def _record_stream_ms(sf_dir: str, entry: str, walls: list) -> None:
+    import statistics
+
+    LAST_STREAM_SERVE_MS.setdefault(sf_dir, {})[entry] = {
+        "ms_per_batch": round(1000 * statistics.median(walls), 1),
+        "batches": len(walls),
+    }
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from naru_spark.sources import load_table
 
@@ -3900,8 +3921,12 @@ def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     actions: list = []  # foreachBatch runs on the driver — plain list works
+    walls: list = []
 
     def ingest(bdf: DataFrame, bid: int) -> None:
+        import time
+
+        t0 = time.time()
         if not os.path.exists(os.path.join(path, "postings")):
             bm25_write_index(bdf, path)
             actions.append("bootstrap")
@@ -3909,6 +3934,7 @@ def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = bm25_maintain_index(bdf, path, merge_factor=2)
             assert res["n_replaced"] == 0, res  # stream ids never repeat
             actions.append(res["action"])
+        walls.append(time.time() - t0)
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -3918,6 +3944,7 @@ def q_stream_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     assert len(actions) >= 3 and actions[0] == "bootstrap", actions
+    _record_stream_ms(sf_dir, "stream_bm25_index_maintain", walls)
     return bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
 
 
@@ -3957,17 +3984,23 @@ def q_stream_bm25_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     probes: list = []
+    walls: list = []
 
     def ingest_and_serve(bdf: DataFrame, bid: int) -> None:
+        import time
+
         if not os.path.exists(os.path.join(path, "postings")):
             bm25_write_index(bdf, path)
         else:
             bm25_maintain_index(bdf, path, merge_factor=2)
         # serve a constrained query off the LIVE index (cheap interim
-        # probe: 1 query; the full set runs once at the end)
+        # probe: 1 query; the full set runs once at the end) — timed:
+        # the SERVE latency is the per-batch number a user cares about
+        t0 = time.time()
         hits = bm25_topk_from_index(
             spark, path, _BM25_QUERIES[:1], k=10, doc_filter=allowed
         ).collect()
+        walls.append(time.time() - t0)
         assert all(r["doc_id"] % 2 == 0 for r in hits), "filter leaked"
         per_q: dict = {}
         for r in hits:
@@ -3983,6 +4016,7 @@ def q_stream_bm25_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     assert len(probes) >= 3 and all(n > 0 for n in probes), probes
+    _record_stream_ms(sf_dir, "stream_bm25_serve_filtered", walls)
     return bm25_topk_from_index(
         spark, path, _BM25_QUERIES, k=10, doc_filter=allowed
     )
@@ -4035,17 +4069,22 @@ def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     actions: list = []
+    walls: list = []
 
     def ingest(bdf: DataFrame, bid: int) -> None:
+        import time
+
         # the stream maintains the vector source-of-truth too: codes
         # cannot be decoded back to floats, so a rebuild needs the source
         bdf.write.mode("append").parquet(staged)
         current = survivors.unionByName(spark.read.parquet(staged))
+        t0 = time.time()
         res = ivfpq_maintain_index(
             bdf, path, current,
             refit=lambda _corpus: _maintain_fit(sf_dir),
             policy="build",
         )
+        walls.append(time.time() - t0)
         actions.append(res["action"])
 
     q = (
@@ -4060,6 +4099,7 @@ def q_stream_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same deterministic fit — at some SFs a later drifted batch re-trips
     # the fresh anchor, which is correct behavior, not flake)
     assert len(actions) >= 3 and actions.count("rebuild") >= 1, actions
+    _record_stream_ms(sf_dir, "stream_ivfpq_index_ingest", walls)
     queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -4109,13 +4149,19 @@ def q_stream_ivfpq_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(src)
     )
     probes: list = []
+    walls: list = []
 
     def ingest_and_serve(bdf: DataFrame, bid: int) -> None:
+        import time
+
         ivfpq_append_index(bdf, path)
+        # timed serve: the per-batch latency a serving user cares about
+        t0 = time.time()
         hits = ivfpq_topk_from_index(
             spark, path, queries.limit(1), k=10, n_probe=8, decimals=6,
             candidate_filter=allowed,
         ).collect()
+        walls.append(time.time() - t0)
         assert hits and all(
             r["neighbor_id"] % 2 == 0 for r in hits
         ), "filter leaked"
@@ -4129,6 +4175,7 @@ def q_stream_ivfpq_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     assert len(probes) >= 2, probes
+    _record_stream_ms(sf_dir, "stream_ivfpq_serve_filtered", walls)
     return ivfpq_topk_from_index(
         spark, path, queries, k=10, n_probe=8, decimals=6,
         candidate_filter=allowed,
