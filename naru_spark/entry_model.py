@@ -34,6 +34,7 @@ def warm_model_cache(spark: SparkSession, sf_dir: str) -> float:
         _fitted_fanout(spark, sf_dir)
         _fitted_star3(spark, sf_dir)
         _fitted_star4(spark, sf_dir)
+        _fitted_star5(spark, sf_dir)
     except FileNotFoundError:
         # partial datasets (e.g. the sf1 scaling slice) may lack the
         # orders/customer tables — warming is best-effort, never fatal
@@ -885,6 +886,59 @@ def q_psample_star4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fitted_star5(spark: SparkSession, sf_dir: str):
+    """ResMADE over the 5-way star join lineitem x orders x customer x
+    supplier x part (VERDICT r14 item 7): the part chain is N:1 from
+    lineitem exactly like supplier — one part per line, fanout-free —
+    so the join-grain joint over the nine mixed columns trains with no
+    reweighting, the same machinery as star4 with one more dimension.
+    Four key joins paid ONCE at fit time on a bounded sample; at scale
+    the three dimension sides broadcast."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.entry_queries import STAR5_COLS, star5_view
+    from naru_spark.model.train import NaruEstimator
+
+    key = (sf_dir, "star5")
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    joined = star5_view(spark, sf_dir).cache()
+    enc = DictionaryEncoder(STAR5_COLS).fit(joined)
+    meta = enc.table_meta(joined, "li_orders_cust_supp_part")
+    model = NaruEstimator(
+        STAR5_COLS, hidden=64, blocks=2, max_model_domain=256, epochs=2,
+        batch_size=2048, lr=7e-3, sample_rows=60_000, seed=0,
+    ).fit(joined, meta, enc)
+    _MODEL_CACHE[key] = (joined, enc, meta, model)
+    return _MODEL_CACHE[key]
+
+
+def q_psample_star5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProgressiveSampling over the 5-table star model: join-grain
+    conjunctions over the mixed lineitem/orders/customer/supplier/part
+    workload. Rows-only (stochastic); q-error gated in
+    tests/test_model.py, exact counts hash-gated by
+    workload_oracle_star5. (Order-grain downscaling is proven on the
+    star4 twin — the part chain adds a dimension, not a new grain.)"""
+    from naru_spark.entry_queries import star5_view, star5_workload
+    from naru_spark.estimators import Oracle, q_error
+    from naru_spark.estimators.progressive import ProgressiveSampling
+
+    joined, enc, meta, model = _fitted_star5(spark, sf_dir)
+    ps = ProgressiveSampling(model, num_samples=256, seed=7)
+
+    wl = list(star5_workload())
+    truths = Oracle(star5_view(spark, sf_dir)).query_batch(wl)
+    rows = []
+    for i, (q, t) in enumerate(zip(wl, truths)):
+        e = float(ps.query(q))
+        rows.append(
+            (i, e, int(t), float(q_error(max(e, 1.0), t)) if t > 0 else None)
+        )
+    return spark.createDataFrame(
+        rows, "query_id int, est_card double, true_card bigint, q_err double"
+    )
+
+
 FANOUT_COLS = ["c_mktsegment", "c_nationkey", "o_orderpriority", "o_orderstatus", "fanout"]
 
 
@@ -1105,6 +1159,7 @@ def build_model_registry():
         "psample_distributed": q_psample_distributed,
         "psample_star3": q_psample_star3,
         "psample_star4": q_psample_star4,
+        "psample_star5": q_psample_star5,
         "estimator_report": q_estimator_report,
         "fit_distributed_report": q_fit_distributed_report,
         "fit_distributed_transformer_report": q_fit_distributed_transformer_report,

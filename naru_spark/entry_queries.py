@@ -230,6 +230,82 @@ def star4_workload() -> tuple[Query, ...]:
     )
 
 
+STAR5_COLS = STAR4_COLS + ["p_brand", "p_size"]
+
+
+@lru_cache(maxsize=1)
+def _star5_pdf_meta():
+    """The 5-way star frame (lineitem x orders x customer x supplier x
+    part), materialized engine-independently for workload generation.
+    The part edge is N:1 from the lineitem side exactly like supplier
+    (one part per line), so the join-grain joint over the nine
+    mixed-table columns still needs no fanout reweighting — the same
+    machinery as star4 with one more fanout-free chain."""
+    from naru_spark.workload import pdf_table_meta
+
+    li = load_table_pandas(
+        WORKLOAD_SF, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_partkey"]
+        + [c for c in STAR5_COLS if c.startswith("l_")],
+    )
+    orders = load_table_pandas(
+        WORKLOAD_SF, "orders",
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+    cust = load_table_pandas(
+        WORKLOAD_SF, "customer", ["c_custkey", "c_mktsegment", "c_nationkey"]
+    )
+    supp = load_table_pandas(WORKLOAD_SF, "supplier", ["s_suppkey", "s_nationkey"])
+    part = load_table_pandas(WORKLOAD_SF, "part", ["p_partkey", "p_brand", "p_size"])
+    joined = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(part, left_on="l_partkey", right_on="p_partkey")[STAR5_COLS]
+    )
+    return joined, pdf_table_meta(joined, "li_orders_cust_supp_part")
+
+
+@lru_cache(maxsize=1)
+def star5_workload() -> tuple[Query, ...]:
+    from naru_spark.workload import generate_workload_from_pdf
+
+    joined, meta = _star5_pdf_meta()
+    return tuple(
+        generate_workload_from_pdf(
+            joined, meta, "li_orders_cust_supp_part", WORKLOAD_N,
+            seed=WORKLOAD_SEED + 6,
+        )
+    )
+
+
+def star5_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the 5-way star 'table': four key joins projected to
+    STAR5_COLS — paid ONCE at fit time; the model then answers every
+    5-table conjunction without re-joining. At 100 TB the three
+    dimension sides (customer/supplier/part) broadcast; the one
+    fact-side shuffle is the orders key join."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        *[c for c in STAR5_COLS if c.startswith("l_")],
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(*STAR5_COLS)
+    )
+
+
 def star4_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the 4-way star 'table': three key joins projected to
     STAR4_COLS — paid ONCE at fit time; the model then answers every
@@ -373,6 +449,32 @@ def sql_workload_oracle_star4() -> str:
         f"JOIN customer ON o_custkey = c_custkey "
         f"JOIN supplier ON l_suppkey = s_suppkey WHERE {sql_predicate(q)}) AS card"
         for i, q in enumerate(star4_workload())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_workload_oracle_star5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact counts for the 5-TABLE star workload (conjunctions over
+    lineitem x orders x customer x supplier x part columns): one
+    conditional-aggregation scan over the four-key-join view. Full
+    DuckDB oracle — the exact-count twin that hash-gates the
+    psample_star5 model surface."""
+    from naru_spark.estimators import Oracle
+
+    cards = Oracle(star5_view(spark, sf_dir)).query_batch(list(star5_workload()))
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(cards)], "query_id int, card bigint"
+    )
+
+
+def sql_workload_oracle_star5() -> str:
+    parts = [
+        f"SELECT {i} AS query_id, (SELECT COUNT(*) FROM lineitem "
+        f"JOIN orders ON l_orderkey = o_orderkey "
+        f"JOIN customer ON o_custkey = c_custkey "
+        f"JOIN supplier ON l_suppkey = s_suppkey "
+        f"JOIN part ON l_partkey = p_partkey WHERE {sql_predicate(q)}) AS card"
+        for i, q in enumerate(star5_workload())
     ]
     return " UNION ALL ".join(parts)
 
@@ -2195,6 +2297,7 @@ def build_registry():
         "workload_oracle_join": q_workload_oracle_join,
         "workload_oracle_star3": q_workload_oracle_star3,
         "workload_oracle_star4": q_workload_oracle_star4,
+        "workload_oracle_star5": q_workload_oracle_star5,
         "heuristic_estimates": q_heuristic,
         "region_size": q_region_size,
         "encode_returnflag": _q_encode("l_returnflag"),
@@ -2241,6 +2344,7 @@ def build_registry():
         "workload_oracle_join": sql_workload_oracle_join(),
         "workload_oracle_star3": sql_workload_oracle_star3(),
         "workload_oracle_star4": sql_workload_oracle_star4(),
+        "workload_oracle_star5": sql_workload_oracle_star5(),
         "heuristic_estimates": sql_heuristic(),
         "region_size": sql_region_size(),
         "encode_returnflag": _sql_encode("l_returnflag"),

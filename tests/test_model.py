@@ -1489,3 +1489,20 @@ def test_psample_star4_calibrated_both_grains(spark):
     assert np.median(join_errs) <= 2.0, np.median(join_errs)
     assert np.median(order_errs) <= 2.0, np.median(order_errs)
     assert all(np.isfinite(e) for e in join_errs + order_errs)
+
+
+def test_psample_star5_calibrated(spark):
+    """The 5-table star model (star4 + the part dimension — one more N:1
+    fanout-free chain from lineitem) must drive ProgressiveSampling to
+    calibrated estimates on the mixed 5-table workload, at the star4
+    band (VERDICT r14 item 7: median <= 1.15)."""
+    import numpy as np
+
+    from naru_spark.entry_model import q_psample_star5
+    from tests.conftest import SF_T2
+
+    rows = q_psample_star5(spark, SF_T2).collect()
+    errs = [r["q_err"] for r in rows if r["q_err"] is not None]
+    assert len(errs) >= 20
+    assert np.median(errs) <= 1.15, np.median(errs)
+    assert all(np.isfinite(e) for e in errs)
