@@ -184,6 +184,34 @@ def min_fill_order(factors: list) -> list:
     return order
 
 
+def ve_order_cost(factors: list, order) -> int:
+    """Simulated total work of eliminating ``order`` over the factors'
+    VARIABLE SETS (array-free): sum over eliminations of (number of
+    participating factors) x (induced product size) — the broadcast
+    multiplies ``variable_elimination`` actually performs. Factor
+    structure is query-invariant for a fitted BN (masks change values,
+    never shapes), so candidate orders are costed once per structure."""
+    dom: dict = {}
+    sets = []
+    for fv, arr in factors:
+        for v, n in zip(fv, arr.shape):
+            dom[v] = n
+        sets.append(frozenset(fv))
+    cost = 0
+    for x in order:
+        related = [s for s in sets if x in s]
+        if not related:
+            continue
+        sets = [s for s in sets if x not in s]
+        vars_all = frozenset().union(*related)
+        size = 1
+        for v in vars_all:
+            size *= dom[v]
+        cost += size * len(related)
+        sets.append(vars_all - {x})
+    return cost
+
+
 def variable_elimination(factors: list, elim_order) -> float:
     """Sum-product VARIABLE ELIMINATION over discrete factors — the
     engine behind exact inference on multi-parent greedy structures
@@ -346,6 +374,9 @@ class BayesNet(CardEst):
             None if any(len(p) > 1 for p in self.parents.values())
             else {v: u for u, v in self.edges}
         )
+        # VE elimination order, chosen lazily at first exact query
+        # (cheaper of reverse-topo / min-fill by simulated work)
+        self._elim_order = None
 
         # CPDs with Laplace smoothing: P(v | parents(v)) as an array with
         # one leading axis per parent; parentless nodes get the marginal
@@ -436,10 +467,13 @@ class BayesNet(CardEst):
         ``VariableElimination`` path for non-tree structures,
         estimators.py:885-886): each node contributes one factor
         P(v | parents) with its predicate mask folded into the v axis;
-        the elimination order comes from the min-fill heuristic, which
-        keeps induced factors near the treewidth bound at any
-        max_parents (reverse-topological — the r14 default — is optimal
-        only up to max_parents=2)."""
+        the elimination order is the CHEAPER of reverse-topological and
+        min-fill by simulated total work (``ve_order_cost``), cached per
+        fitted structure: reverse-topo is optimal up to max_parents=2
+        (min-fill's different order measurably multiplies more there),
+        while min-fill keeps induced factors near the treewidth bound
+        when hub variables would blow reverse-topo up at
+        max_parents >= 3."""
         masks = self._masks(q)
         factors = []
         for v in range(len(self.columns)):
@@ -447,7 +481,15 @@ class BayesNet(CardEst):
             if masks[v] is not None:
                 arr = arr * masks[v]  # broadcasts over the v (last) axis
             factors.append((tuple(self.parents[v]) + (v,), arr))
-        return variable_elimination(factors, min_fill_order(factors))
+        if self._elim_order is None:
+            # structure (vars per factor, domain sizes) is query-invariant
+            # — choose once per fitted BN (lazily: tests monkeypatch
+            # parents/cpds between fit and first query)
+            self._elim_order = min(
+                (list(reversed(self.topo)), min_fill_order(factors)),
+                key=lambda o: ve_order_cost(factors, o),
+            )
+        return variable_elimination(factors, self._elim_order)
 
     def query(self, q) -> float:
         """Disjunctions (predicates.DisjunctiveQuery) expand by

@@ -529,6 +529,15 @@ def test_bn_greedy3_exact_min_fill(lineitem_setup):
     assert mf <= rt, (mf, rt)
     assert mf <= bayes_mod._VE_FACTOR_CAP
 
+    # the CACHED chosen order costs no more than either candidate (the
+    # engine picks the cheaper by simulated work — reverse-topo stays
+    # the pick at max_parents<=2 where it measurably multiplies less)
+    from naru_spark.estimators.bayes import ve_order_cost
+
+    chosen = ve_order_cost(factors, bn._elim_order)
+    assert chosen <= ve_order_cost(factors, list(reversed(bn.topo)))
+    assert chosen <= ve_order_cost(factors, min_fill_order(factors))
+
 
 def test_bn_exact_disconnected_node_goes_through_ve():
     """A greedy structure where a node ends up PARENTLESS (zero MI to
