@@ -161,6 +161,47 @@ class ProgressiveSampling(CardEst):
             made._write_bits(bits, c, choice)
         return float(np.ceil(p.mean() * self.model.meta.cardinality))
 
+    def query_batch(self, queries: list[Query], threads: int | None = None):
+        """THREADED batch scoring on one node (the reference evaluates its
+        2000-query sweeps in parallel workers, eval_model.py RunNParallel;
+        this is the single-process analog): MADE sampling keeps no
+        cross-query state beyond per-forward scratch slots
+        (``_x_in``/``_caches``, written even in nograd mode), so each
+        worker thread scores through a SHALLOW clone of the model —
+        weight arrays shared read-only, scratch slots private — and the
+        heavy matmuls release the GIL inside BLAS. Results are
+        BIT-IDENTICAL to the sequential loop (each query seeds its own
+        RandomState exactly as ``query`` does). Falls back to the
+        sequential loop for order-pinned estimators (``update_order``
+        mutates the shared masks), stateful samplers (the transformer's
+        KV caches — no ``sampling_stateless`` flag), and tiny batches."""
+        made = self.model.made
+        if (
+            self.order is not None
+            or not getattr(made, "sampling_stateless", False)
+            or len(queries) < 8
+        ):
+            return [self.query(q) for q in queries]
+        import copy
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = max(1, min(threads or 16, os.cpu_count() or 8, len(queries)))
+        results: list = [None] * len(queries)
+
+        def run(k: int) -> None:
+            m = copy.copy(self.model)
+            m.made = copy.copy(made)
+            w = ProgressiveSampling(
+                m, num_samples=self.num_samples, seed=self.seed
+            )
+            for i in range(k, len(queries), n):
+                results[i] = w.query(queries[i])
+
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            list(ex.map(run, range(n)))
+        return results
+
     def _sel_pinned(self, q: Query) -> float:
         rng = np.random.RandomState(self.seed)
         made = self.model.made

@@ -74,6 +74,11 @@ class ResMADE:
     output_encoding = "one_hot"
     embed_size = 0
     input_no_emb_if_leq = False
+    # Sampling keeps NO cross-query state (begin_sampling is a no-op;
+    # forwards only write per-call scratch slots) — a shallow clone per
+    # thread makes progressive sampling safely parallel. The transformer
+    # deliberately lacks this flag: its KV caches are per-sampling state.
+    sampling_stateless = True
     _emb_identity_any = False
     emb_widths = None
     hid_deg = None

@@ -1049,6 +1049,37 @@ def test_estimate_batch_distributed_matches_driver(spark):
     assert dist == driver
 
 
+def test_query_batch_threaded_matches_sequential(spark):
+    """The threaded query_batch (shallow model clones per worker thread,
+    weights shared read-only) must return BIT-IDENTICAL estimates to the
+    sequential loop — each query seeds its own RandomState — and must
+    fall back to sequential for order-pinned estimators (update_order
+    mutates shared masks)."""
+    from naru_spark.encoding import DictionaryEncoder
+    from naru_spark.estimators.progressive import ProgressiveSampling
+    from naru_spark.model.train import NaruEstimator
+    from naru_spark.sources import load_table
+    from naru_spark.workload import generate_workload
+    from tests.conftest import SF_SMOKE
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    df = load_table(spark, "lineitem", SF_SMOKE, cols)
+    enc = DictionaryEncoder(cols).fit(df)
+    meta = enc.table_meta(df, "lineitem")
+    model = NaruEstimator(cols, hidden=16, blocks=1, epochs=1, sample_rows=2000, seed=3).fit(
+        df, meta, enc
+    )
+    wl = list(generate_workload(SF_SMOKE, meta, "lineitem", 12, seed=11))
+    ps = ProgressiveSampling(model, num_samples=64, seed=5)
+    seq = [float(ps.query(q)) for q in wl]
+    assert ps.query_batch(wl, threads=4) == seq
+    assert getattr(model.made, "sampling_stateless", False)
+    # order-pinned: must take the sequential path (and stay correct)
+    pinned = ProgressiveSampling(model, num_samples=64, seed=5, order=[2, 1, 0])
+    pseq = [float(pinned.query(q)) for q in wl]
+    assert pinned.query_batch(wl, threads=4) == pseq
+
+
 def test_load_checkpoints_glob(spark, tmp_path):
     """E2 parity: save two differently-seeded checkpoints, glob them back,
     metadata parsed from the names."""

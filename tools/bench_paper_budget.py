@@ -11,10 +11,13 @@ Run it QUIET (same discipline as tools/bench_sf1.py). Prints one JSON
 line and writes BENCH_paper.json at the repo root:
 
     {"metric": "paper_budget", "rows": N, "fit_s": ..., "truths_s": ...,
-     "ms_per_query": ..., "q50": ..., "q95": ..., "q99": ..., "qmax": ...}
+     "ms_per_query": ..., "ms_per_query_spark": ..., "q50": ..., ...}
 
 The paper's bar (BASELINE.md): median q-error ~1.0, worst-of-2000 single
-digits to low tens, 5-15 ms/query on GPU. This proof is CPU-only.
+digits to low tens, 5-15 ms/query on GPU. This proof is CPU-only:
+``ms_per_query`` is sequential single-query latency; ``ms_per_query_spark``
+is the amortized per-query wall of the 32-way mapInPandas sweep (the
+reference's own eval parallelizes with Ray workers).
 """
 
 from __future__ import annotations
@@ -94,10 +97,22 @@ def main() -> None:
     truths_s = round(time.time() - t0, 2)
 
     est = ProgressiveSampling(model, num_samples=PSAMPLES, seed=7)
+    # single-query LATENCY: a strictly sequential 200-query slice — the
+    # per-query number a latency-sensitive user sees on CPU (the paper's
+    # 5-15 ms/q figure is GPU)
     t0 = time.time()
-    preds = est.query_batch(wl)
-    query_s = time.time() - t0
-    ms_per_query = round(query_s * 1e3 / len(wl), 3)
+    lat_preds = [est.query(q) for q in wl[:200]]
+    ms_per_query = round((time.time() - t0) * 1e3 / 200, 3)
+    # full-sweep THROUGHPUT: the Spark mapInPandas fan-out — the
+    # reference evaluates its 2000-query sweeps with parallel Ray
+    # workers (eval_model.py RunNParallel); estimate_batch is the Spark
+    # twin, parity-gated by the psample_distributed entry. Bit-identical
+    # to the sequential loop (asserted on the shared slice).
+    t0 = time.time()
+    preds = est.estimate_batch(spark, wl)
+    spark_s = time.time() - t0
+    ms_per_query_spark = round(spark_s * 1e3 / len(wl), 3)
+    assert preds[:200] == lat_preds, "distributed scoring diverged"
 
     errs = [q_error(max(p, 1.0), t) for p, t in zip(preds, truths) if t > 0]
     out = {
@@ -112,6 +127,7 @@ def main() -> None:
         "workload_s": wl_s,
         "truths_s": truths_s,
         "ms_per_query": ms_per_query,
+        "ms_per_query_spark": ms_per_query_spark,
         "q50": round(float(np.median(errs)), 4),
         "q95": round(float(np.quantile(errs, 0.95)), 4),
         "q99": round(float(np.quantile(errs, 0.99)), 4),
