@@ -1111,8 +1111,10 @@ def q_psample_paper_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tools/bench_paper_budget.py`` -> ``BENCH_paper.json`` (q50 1.0 /
     q95 6 / q99 10 / qmax 17, the paper's band) and a BASELINE.md row;
     this entry keeps the per-round bench bounded while exercising the
-    same code path at the same per-query budget. Rows-only
-    (stochastic)."""
+    same code path at the same per-query budget, reporting BOTH latency
+    regimes (sequential ms/q on a 25-query slice in the query_id=-1
+    row; the distributed sweep's amortized ms/q in query_id=-2).
+    Rows-only (stochastic)."""
     import time
 
     import numpy as np
@@ -1125,9 +1127,19 @@ def q_psample_paper_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = list(paper_workload())[:250]
     truths = Oracle(df).query_batch(wl)
     est = ProgressiveSampling(model, num_samples=2000, seed=7)
+    # the SWEEP goes through the distributed path — the reference's eval
+    # parallelizes its sweeps (Ray workers); estimate_batch is the Spark
+    # twin, bit-identical to the sequential loop (parity-gated by
+    # psample_distributed) — while single-query LATENCY is measured
+    # sequentially on a 25-query slice, so the entry reports both regimes
+    # the full proof (BENCH_paper.json) records.
     t0 = time.time()
-    preds = est.query_batch(wl)
-    ms_per_query = (time.time() - t0) * 1e3 / len(wl)
+    lat = [est.query(q) for q in wl[:25]]
+    ms_per_query = (time.time() - t0) * 1e3 / 25
+    t0 = time.time()
+    preds = est.estimate_batch(spark, wl)
+    ms_per_query_sweep = (time.time() - t0) * 1e3 / len(wl)
+    assert preds[:25] == lat, "distributed scoring diverged"
     rows = []
     errs = []
     for i, (p, t) in enumerate(zip(preds, truths)):
@@ -1141,6 +1153,7 @@ def q_psample_paper_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert med <= 1.15, med
     assert q99 <= 25.0, q99
     rows.append((-1, med, q99, float(ms_per_query)))
+    rows.append((-2, med, q99, float(ms_per_query_sweep)))
     return spark.createDataFrame(
         rows, "query_id int, est double, true_or_q99 double, q_err double"
     )
