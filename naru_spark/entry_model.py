@@ -1076,7 +1076,9 @@ def q_bn_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = bn_e.query_batch(wl)
     ms_exact = (time.time() - t0) * 1e3 / len(wl)
     sampled = bn_s.query_batch(wl)
-    assert exact == bn_e.query_batch(wl)  # deterministic
+    # deterministic: re-running a SLICE proves the property (exact VE has
+    # no RNG at all) without paying the full sweep twice
+    assert exact[:5] == bn_e.query_batch(wl[:5])
     rows = []
     qe_e, qe_s = [], []
     for q, e, s, t in zip(wl, exact, sampled, truths):
