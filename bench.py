@@ -79,10 +79,17 @@ def adjudicate(timings, errors, prev_q, rerun_fn, cap=16):
     # an errored entry's wall is its time-to-failure, not a measurement —
     # never compare it (the baseline writer excludes errored entries, so
     # prev values are always clean)
-    suspects = [
-        name for name, s in timings.items()
-        if name not in errors and _flagged(s, prev_q.get(name))
-    ]
+    # worst apparent ratio FIRST: the bounded re-run budget must be spent
+    # on the most suspicious entries, not whichever come first in
+    # registry order — an un-adjudicated 5x outlier behind sixteen mild
+    # 1.6x load artifacts would be the one flag that matters
+    suspects = sorted(
+        (
+            name for name, s in timings.items()
+            if name not in errors and _flagged(s, prev_q.get(name))
+        ),
+        key=lambda name: -(timings[name] / prev_q[name]),
+    )
     first_touch: dict[str, float] = {}
     for name in suspects[:cap]:
         try:
@@ -180,6 +187,12 @@ def main():
 
     only = set(entry_mod.oracle_sql()) if profile == "fast" else None
     if only_names is not None:
+        unknown = only_names - set(entry_mod.queries())
+        if unknown:
+            raise SystemExit(
+                f"--only names unknown entr{'ies' if len(unknown) > 1 else 'y'}: "
+                f"{sorted(unknown)}"
+            )
         only = only_names if only is None else (only & only_names)
     timings, errors = _run_block(spark, entry_mod, sf_dir, only=only)
 
@@ -237,9 +250,15 @@ def main():
             print(f"# regression compare skipped: {e}", file=sys.stderr)
             prev_q = {}
     if prev_q:
+        # registry built OUTSIDE the timed window: rebuilding the queries
+        # dict + every oracle SQL string inside the timer would inflate
+        # each steady-state re-run — the false-flag class this exists
+        # to kill
+        qmap = entry_mod.queries()
+
         def _rerun(name: str) -> float:
             t0 = time.time()
-            entry_mod.queries()[name](spark, sf_dir).count()
+            qmap[name](spark, sf_dir).count()
             return round(time.time() - t0, 3)
 
         regressions, first_touch = adjudicate(timings, errors, prev_q, _rerun)

@@ -184,13 +184,16 @@ def min_fill_order(factors: list) -> list:
     return order
 
 
-def ve_order_cost(factors: list, order) -> int:
-    """Simulated total work of eliminating ``order`` over the factors'
-    VARIABLE SETS (array-free): sum over eliminations of (number of
-    participating factors) x (induced product size) — the broadcast
-    multiplies ``variable_elimination`` actually performs. Factor
-    structure is query-invariant for a fitted BN (masks change values,
-    never shapes), so candidate orders are costed once per structure."""
+def ve_order_stats(factors: list, order) -> tuple:
+    """Simulated ``(max_induced_size, total_cost)`` of eliminating
+    ``order`` over the factors' VARIABLE SETS (array-free): total cost is
+    the sum over eliminations of (number of participating factors) x
+    (induced product size) — the broadcast multiplies
+    ``variable_elimination`` actually performs — and max_induced_size is
+    the largest single induced factor, the quantity ``_VE_FACTOR_CAP``
+    polices. Factor structure is query-invariant for a fitted BN (masks
+    change values, never shapes), so candidate orders are costed once
+    per structure."""
     dom: dict = {}
     sets = []
     for fv, arr in factors:
@@ -198,6 +201,7 @@ def ve_order_cost(factors: list, order) -> int:
             dom[v] = n
         sets.append(frozenset(fv))
     cost = 0
+    max_size = 0
     for x in order:
         related = [s for s in sets if x in s]
         if not related:
@@ -208,8 +212,14 @@ def ve_order_cost(factors: list, order) -> int:
         for v in vars_all:
             size *= dom[v]
         cost += size * len(related)
+        max_size = max(max_size, size)
         sets.append(vars_all - {x})
-    return cost
+    return max_size, cost
+
+
+def ve_order_cost(factors: list, order) -> int:
+    """Total simulated work of ``order`` (see ``ve_order_stats``)."""
+    return ve_order_stats(factors, order)[1]
 
 
 def variable_elimination(factors: list, elim_order) -> float:
@@ -484,10 +494,17 @@ class BayesNet(CardEst):
         if self._elim_order is None:
             # structure (vars per factor, domain sizes) is query-invariant
             # — choose once per fitted BN (lazily: tests monkeypatch
-            # parents/cpds between fit and first query)
+            # parents/cpds between fit and first query). Cap violation
+            # dominates the key: a total-cost-cheaper order whose single
+            # largest induced factor exceeds _VE_FACTOR_CAP would RAISE
+            # where the other candidate answers.
+            def _key(order):
+                max_size, cost = ve_order_stats(factors, order)
+                return (max_size > _VE_FACTOR_CAP, cost)
+
             self._elim_order = min(
                 (list(reversed(self.topo)), min_fill_order(factors)),
-                key=lambda o: ve_order_cost(factors, o),
+                key=_key,
             )
         return variable_elimination(factors, self._elim_order)
 

@@ -171,13 +171,19 @@ class ProgressiveSampling(CardEst):
         weight arrays shared read-only, scratch slots private — and the
         heavy matmuls release the GIL inside BLAS. Results are
         BIT-IDENTICAL to the sequential loop (each query seeds its own
-        RandomState exactly as ``query`` does). Falls back to the
-        sequential loop for order-pinned estimators (``update_order``
+        RandomState exactly as ``query`` does). OPT-IN via ``threads``:
+        the default stays the sequential loop so callers that time
+        ``query_batch`` as per-query LATENCY (the estimator reports'
+        mean_ms split) keep a comparable measurement regime — threading
+        would silently turn those into amortized throughput. Also falls
+        back to sequential for order-pinned estimators (``update_order``
         mutates the shared masks), stateful samplers (the transformer's
         KV caches — no ``sampling_stateless`` flag), and tiny batches."""
         made = self.model.made
         if (
-            self.order is not None
+            threads is None
+            or threads <= 1
+            or self.order is not None
             or not getattr(made, "sampling_stateless", False)
             or len(queries) < 8
         ):
@@ -186,7 +192,7 @@ class ProgressiveSampling(CardEst):
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        n = max(1, min(threads or 16, os.cpu_count() or 8, len(queries)))
+        n = max(1, min(threads, os.cpu_count() or 8, len(queries)))
         results: list = [None] * len(queries)
 
         def run(k: int) -> None:

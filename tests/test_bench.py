@@ -65,6 +65,23 @@ def test_rerun_cap_is_bounded_but_loud():
     assert len(regs) == 1 and regs[0][2] == 10.0 and regs[0][3] == 10.0
 
 
+def test_rerun_budget_spent_worst_ratio_first():
+    # cap=1 with two suspects: the 20x one gets the re-run (and clears);
+    # the 2x one keeps its first-touch wall and flags.
+    calls = []
+
+    def rerun(n):
+        calls.append(n)
+        return 1.1
+
+    timings = {"mild": 4.0, "wild": 20.0}
+    prev = {"mild": 2.0, "wild": 1.0}
+    regs, ft = adjudicate(timings, {}, prev, rerun, cap=1)
+    assert calls == ["wild"]
+    assert ft == {"wild": 20.0} and timings["wild"] == 1.1
+    assert regs == [["mild", 2.0, 4.0, 2.0]]
+
+
 def test_rerun_failure_keeps_first_touch_flag():
     def rerun(n):
         raise RuntimeError("transient")
