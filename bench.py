@@ -63,10 +63,13 @@ def adjudicate(timings, errors, prev_q, rerun_fn, cap=16):
     via ``rerun_fn`` (the steady-state measurement, in the same warmed
     session); the reported wall becomes min(first, rerun) — ``timings`` is
     mutated in place — and the displaced first-touch cost is returned in the
-    ``first_touch`` side-channel so nothing is hidden. Only an entry whose
-    steady-state wall STILL exceeds the threshold lands in ``regressions``.
-    Re-runs are bounded at ``cap`` per sweep (a fully contended box could
-    otherwise double the bench wall); overflow suspects keep their
+    ``first_touch`` side-channel so nothing is hidden. An entry that STILL
+    exceeds the threshold gets ONE confirmation re-run (its wall becomes the
+    min of all three) — sustained box load has to reproduce the slowdown
+    three times before the record says "regressed", while a real regression
+    re-measures at the same ratio every time and still flags. Re-runs (both
+    passes combined) are bounded at ``cap`` per sweep (a fully contended box
+    could otherwise double the bench wall); overflow suspects keep their
     first-touch wall and still flag — loud, not silent.
 
     Returns (regressions, first_touch): regressions is a ratio-descending
@@ -91,20 +94,38 @@ def adjudicate(timings, errors, prev_q, rerun_fn, cap=16):
         key=lambda name: -(timings[name] / prev_q[name]),
     )
     first_touch: dict[str, float] = {}
-    for name in suspects[:cap]:
+    budget = cap
+
+    def _rerun_once(name: str, pass_label: str) -> None:
+        nonlocal budget
+        budget -= 1
         try:
             rerun = rerun_fn(name)
         except Exception as e:  # noqa: BLE001 — isolation, as in _run_block
             print(f"# rerun {name} FAILED: {e}", file=sys.stderr)
-            continue
+            return
         first = timings[name]
         print(
-            f"# rerun {name}: first {first:.2f}s -> steady {rerun:.2f}s",
+            f"# {pass_label} {name}: first {first:.2f}s -> steady {rerun:.2f}s",
             file=sys.stderr,
         )
         if rerun < first:
-            first_touch[name] = first
+            first_touch.setdefault(name, first)
             timings[name] = rerun
+
+    for name in suspects[:budget]:
+        _rerun_once(name, "rerun")
+    # confirmation pass: still-flagged survivors get one more measurement
+    # out of the same bounded budget, worst ratio first
+    survivors = sorted(
+        (
+            name for name in suspects
+            if _flagged(timings[name], prev_q.get(name))
+        ),
+        key=lambda name: -(timings[name] / prev_q[name]),
+    )
+    for name in survivors[:max(0, budget)]:
+        _rerun_once(name, "confirm")
     if len(suspects) > cap:
         print(
             f"# adjudication capped: {len(suspects) - cap} suspect(s) "

@@ -91,6 +91,40 @@ def test_rerun_failure_keeps_first_touch_flag():
     assert regs == [["q", 1.0, 10.0, 10.0]] and ft == {}
 
 
+def test_sustained_load_clears_on_confirmation_rerun():
+    # Box load persists through the FIRST re-run (6.5s, still >1.5x of
+    # 4.25) but the confirmation re-run lands at true steady state: the
+    # flag dies, the reported wall is the min of all three, and the
+    # displaced first-touch is the ORIGINAL first wall.
+    walls = iter([6.5, 4.3])
+
+    def rerun(n):
+        return next(walls)
+
+    timings = {"psample": 6.7}
+    regs, ft = adjudicate(timings, {}, {"psample": 4.25}, rerun)
+    assert regs == []
+    assert timings["psample"] == 4.3
+    assert ft == {"psample": 6.7}
+
+
+def test_confirmation_pass_shares_the_bounded_budget():
+    # cap=2 with two suspects: both get their first re-run, the budget is
+    # exhausted, and NEITHER gets a confirmation pass even though both
+    # still flag — bounded-but-loud extends to the second pass.
+    calls = []
+
+    def rerun(n):
+        calls.append(n)
+        return 9.5
+
+    timings = {"a": 10.0, "b": 10.0}
+    prev = {"a": 1.0, "b": 1.0}
+    regs, ft = adjudicate(timings, {}, prev, rerun, cap=2)
+    assert len(calls) == 2 and set(calls) == {"a", "b"}
+    assert len(regs) == 2
+
+
 def test_slower_rerun_keeps_first_wall():
     # re-run slower than first (box got MORE loaded): keep min=first, no
     # first_touch entry, still flagged.
