@@ -77,7 +77,9 @@ def adjudicate(timings, errors, prev_q, rerun_fn, cap=16):
     displaced first-run wall.
     """
     def _flagged(s, p):
-        return p is not None and s > p * 1.5 and s - p > 1.0
+        # p > 0, not `is not None`: a zero/sub-ms stamp (hand-merged or
+        # truncated) must never become a divide-by-zero in the ratio sorts
+        return bool(p) and s > p * 1.5 and s - p > 1.0
 
     # an errored entry's wall is its time-to-failure, not a measurement —
     # never compare it (the baseline writer excludes errored entries, so
@@ -214,7 +216,18 @@ def main():
                 f"--only names unknown entr{'ies' if len(unknown) > 1 else 'y'}: "
                 f"{sorted(unknown)}"
             )
-        only = only_names if only is None else (only & only_names)
+        # --only WINS over the fast-profile oracle filter: the user named
+        # these entries explicitly, and intersecting (the old behavior)
+        # silently ran NOTHING when a named entry had no SQL twin — e.g.
+        # `--profile fast --only psample_star5` emitted an empty sweep
+        if only is not None and only_names - only:
+            print(
+                "# --only overrides --profile fast for non-oracle entr"
+                f"{'ies' if len(only_names - only) > 1 else 'y'}: "
+                f"{sorted(only_names - only)}",
+                file=sys.stderr,
+            )
+        only = only_names
     timings, errors = _run_block(spark, entry_mod, sf_dir, only=only)
 
     total = round(sum(timings.values()), 3)

@@ -502,24 +502,11 @@ def test_bn_greedy3_exact_min_fill(lineitem_setup):
         qq = Query("lineitem", *[list(x) for x in zip(*kept)])
         assert bn.query(qq) >= 0
 
-    # min-fill's worst induced factor never exceeds reverse-topo's
+    # min-fill's worst induced factor never exceeds reverse-topo's —
+    # sized by the production simulator itself (ve_order_stats()[0]), not
+    # a hand-rolled twin that could drift from the cap-size definition
     def max_induced(factors, order):
-        factors = list(factors)
-        worst = 0
-        for x in order:
-            related = [f for f in factors if x in f[0]]
-            if not related:
-                continue
-            factors = [f for f in factors if x not in f[0]]
-            vars_all = sorted(set().union(*(set(f[0]) for f in related)))
-            dom = {v: n for fv, a in related for v, n in zip(fv, a.shape)}
-            size = 1
-            for v in vars_all:
-                size *= dom[v]
-            worst = max(worst, size)
-            rest = tuple(v for v in vars_all if v != x)
-            factors.append((rest, np.zeros([dom[v] for v in rest])))
-        return worst
+        return bayes_mod.ve_order_stats(factors, order)[0]
 
     factors = [
         (tuple(bn.parents[v]) + (v,), bn.cpd[v]) for v in range(len(sub))

@@ -125,6 +125,23 @@ def test_confirmation_pass_shares_the_bounded_budget():
     assert len(regs) == 2
 
 
+def test_zero_baseline_never_flags_or_divides():
+    # A 0.0-stamped baseline (hand-merged or truncated) must neither flag
+    # nor reach the ratio sorts as a divide-by-zero — the sweep's "JSON
+    # line is ALWAYS emitted" invariant depends on adjudicate not raising.
+    calls = []
+
+    def rerun(n):
+        calls.append(n)
+        return 1.0
+
+    timings = {"zeroed": 5.0, "real": 5.0}
+    regs, ft = adjudicate(timings, {}, {"zeroed": 0.0, "real": 1.0}, rerun)
+    assert calls == ["real"]
+    assert regs == [] and timings["real"] == 1.0
+    assert timings["zeroed"] == 5.0  # untouched, unflagged
+
+
 def test_slower_rerun_keeps_first_wall():
     # re-run slower than first (box got MORE loaded): keep min=first, no
     # first_touch entry, still flagged.
