@@ -1850,6 +1850,70 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
 """
 
 
+def q_dedup_winnow_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap detection (MOSS scheme: rolling
+    character k-gram hashes, window-min selection) with the md5 base hash:
+    gram hashing, window selection, the max_df stop-gram filter, candidate
+    join, and the containment score are ALL reproduced by the DuckDB
+    oracle, so the whole fingerprinting pipeline is hash-verified.
+    Extraction is shuffle-free row-local expression work; candidates are
+    an equi-join on fp (#docs x #fps rows, never #docs^2)."""
+    from naru_spark.pipeline.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        k=8,
+        window=4,
+        threshold=0.8,
+        min_shared=3,
+        max_df=20,
+        base_hash="md5",
+    )
+
+
+def sql_dedup_winnow_md5(
+    k: int = 8, window: int = 4, threshold: float = 0.8,
+    min_shared: int = 3, max_df: int = 20,
+) -> str:
+    # DuckDB twin of text.winnow_fingerprints + dedup.winnow_overlap_pairs:
+    # same 60-bit md5 gram hash, same window-min selection, same stop-gram
+    # and containment semantics. range(a, b) is [a, b) hence the +2; list
+    # slicing is inclusive hence j+window-1.
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {k} + 2),
+           i -> CAST(CAST(('0x' || substr(md5(substring(text, CAST(i AS INT), {k})), 1, 15)) AS UBIGINT) AS BIGINT)) AS grams
+  FROM documents WHERE length(text) >= {k}
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {window}
+              THEN list_distinct(list_transform(range(1, len(grams) - {window} + 2),
+                     j -> list_min(grams[CAST(j AS INT):CAST(j + {window} - 1 AS INT)])))
+              ELSE [list_min(grams)] END AS fps
+  FROM g
+),
+fp0 AS (SELECT doc_id, UNNEST(fps) AS fp FROM sel),
+keep AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= {max_df}),
+fp AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN keep r ON f.fp = r.fp),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT s.id_a, s.id_b, s.shared, sa.n_fp AS size_a, sb.n_fp AS size_b,
+       ROUND(s.shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS containment
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE ROUND(s.shared / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6) >= {threshold}
+"""
+
+
 def q_similarity_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN with engine-reproducible signatures: dot products
     rounded to 6 decimals before the sign bit (signature_udf decimals=6),
@@ -4577,6 +4641,7 @@ def build_pipeline_registry():
         "semantic_dedup": q_semantic_dedup,
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash_md5": q_dedup_simhash_md5,
+        "dedup_winnow_md5": q_dedup_winnow_md5,
         "similarity_topk_lsh_oracle": q_similarity_lsh_oracle,
         "similarity_topk_ivf_oracle": q_similarity_ivf_oracle,
         "like_estimates": q_like_estimates,
@@ -4688,6 +4753,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
         "semantic_dedup": sql_semantic_dedup(),
         "dedup_minhash_md5": sql_dedup_minhash_md5(),
         "dedup_simhash_md5": sql_dedup_simhash_md5(),
+        "dedup_winnow_md5": sql_dedup_winnow_md5(),
         "similarity_topk_lsh_oracle": sql_similarity_lsh_oracle(),
         "similarity_topk_ivf_oracle": sql_similarity_ivf_oracle(),
         "like_estimates": sql_like_estimates(),

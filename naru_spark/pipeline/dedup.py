@@ -102,6 +102,76 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ----------------------------------------------------------------- winnowing
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.8,
+    min_shared: int = 3,
+    max_df: int | None = 20,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Document-overlap candidates via winnowing fingerprints (the MOSS
+    clone-detection scheme): fingerprint each document with
+    ``text.winnow_fingerprints`` (rolling k-gram hashes, window-min
+    selection — reference naru has no fingerprinting plane; this is the
+    training-data-pipeline surface), then pair documents sharing
+    fingerprints and score CONTAINMENT = |shared| / min(|fps_a|, |fps_b|)
+    — the asymmetric measure that catches a small document pasted inside
+    a big one, which symmetric Jaccard dilutes.
+
+    Scale design (100 TB): fingerprint extraction is shuffle-free row-local
+    expression work; candidate generation is an equi-join on the
+    fingerprint hash — shuffle volume is #docs x #fps/doc (~1/window the
+    k-gram count), never #docs^2. ``max_df`` drops fingerprints present in
+    more than that many documents BEFORE the join (boilerplate grams add
+    no identity signal and quadratic-blowup the hot keys — the same
+    stop-shingle discipline as ``ngram_jaccard_pairs``); containment is
+    then computed over the retained fingerprints on BOTH sides, so the
+    measure stays internally consistent. ``min_shared`` floors the
+    evidence: one cosmic shared gram on two tiny documents is noise.
+
+    Returns (id_a, id_b, shared, size_a, size_b, containment), a < b.
+    """
+    from naru_spark.pipeline.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k, window, base_hash).cache()
+    if max_df is not None:
+        hot = fp.groupBy("fp").agg(F.count("*").alias("df_cnt")).filter(
+            F.col("df_cnt") > max_df
+        )
+        fp = fp.join(hot.select("fp"), "fp", "left_anti")
+    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_fp", "size_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_fp", "size_b"),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least(F.col("size_a"), F.col("size_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "shared", "size_a", "size_b", "containment")
+    )
+
+
 # ------------------------------------------------------------------ minhash
 def minhash_signatures(
     df: DataFrame,

@@ -106,6 +106,62 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character k-gram with a rolling window over the
+    hash sequence, keep each window's minimum, and emit the DISTINCT
+    selected hashes as the document's fingerprint set. Guarantees every
+    shared substring of length >= k + window - 1 contributes at least one
+    shared fingerprint, at ~1/window the density of the full k-gram set.
+
+    Entirely JVM expression-level (transform/sequence/slice/array_min over
+    the row) — ZERO shuffle, no UDF, linear per-partition work; the
+    selection runs inside whole-stage codegen however long the documents
+    are. ``base_hash='md5'`` uses the first 15 hex chars of md5 as a 60-bit
+    integer, reproducible in any engine with an md5 function (DuckDB:
+    CAST('0x'||substr(md5(g),1,15) AS UBIGINT)); 'xxhash64' is the
+    Spark-native fast path, same plan shape.
+
+    Documents shorter than ``k`` characters have no k-gram and emit no
+    fingerprint; documents with fewer than ``window`` grams emit their
+    single minimum gram hash (the standard short-document degeneration).
+
+    Returns (id_col, fp) rows, distinct per document.
+    """
+    if base_hash == "md5":
+        gram_hash = (
+            f"CAST(conv(substring(md5(substring({text_col}, CAST(i AS INT), {k})),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        )
+    elif base_hash == "xxhash64":
+        gram_hash = f"xxhash64(substring({text_col}, CAST(i AS INT), {k}))"
+    else:  # pragma: no cover - guarded misuse
+        raise ValueError(f"base_hash must be 'md5' or 'xxhash64', got {base_hash!r}")
+    grams = (
+        f"transform(sequence(1, length({text_col}) - {k} + 1), i -> {gram_hash})"
+    )
+    # sequence(1, n-w+1) needs n >= w; shorter gram lists degrade to the
+    # single global minimum (CASE first — sequence(1, 0) would count DOWN)
+    fps = (
+        f"CASE WHEN size(__grams) >= {window} THEN "
+        f"array_distinct(transform(sequence(1, size(__grams) - {window} + 1), "
+        f"j -> array_min(slice(__grams, CAST(j AS INT), {window})))) "
+        "ELSE array(array_min(__grams)) END"
+    )
+    return (
+        df.filter(F.length(F.col(text_col)) >= k)
+        .withColumn("__grams", F.expr(grams))
+        .select(F.col(id_col), F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Global token frequency (explode -> groupBy): the canonical
     shuffle-bounded text aggregation; reduce side is |vocab|."""

@@ -112,6 +112,88 @@ def test_simhash_finds_neardups(spark, docs):
     assert len(exact & sh) / len(exact) >= 0.9
 
 
+def _winnow_ref(text, k, w, hash_fn):
+    """Pure-python winnowing reference (Schleimer et al.): k-gram hashes,
+    window-min selection, distinct set."""
+    if len(text) < k:
+        return set()
+    grams = [hash_fn(text[i : i + k]) for i in range(len(text) - k + 1)]
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+def test_winnow_fingerprints_vs_python_reference(spark, docs):
+    import hashlib
+
+    from naru_spark.pipeline.text import winnow_fingerprints
+
+    def md5_60(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    k, w = 8, 4
+    got = (
+        winnow_fingerprints(docs, k=k, window=w, base_hash="md5")
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .toPandas()
+    )
+    pdf = docs.select("doc_id", "text").toPandas().set_index("doc_id")
+    assert len(got) > 0
+    for _, row in got.sample(30, random_state=1).iterrows():
+        exp = _winnow_ref(pdf.loc[row.doc_id, "text"], k, w, md5_60)
+        assert set(row.fps) == exp, row.doc_id
+
+
+def test_winnow_short_and_sub_window_documents(spark):
+    import hashlib
+
+    from naru_spark.pipeline.text import winnow_fingerprints
+
+    def md5_60(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    # len < k -> no row at all; k <= len < k+w-1 -> single global min
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "exactly8"), (3, "ninechars")], ["doc_id", "text"]
+    )
+    rows = winnow_fingerprints(df, k=8, window=4, base_hash="md5").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, set()).add(r.fp)
+    assert 1 not in by_id
+    assert by_id[2] == {md5_60("exactly8")}
+    assert by_id[3] == {min(md5_60("ninechar"), md5_60("inechars"))}
+
+
+def test_winnow_overlap_finds_exact_dups_and_respects_max_df(spark):
+    from naru_spark.pipeline.dedup import winnow_overlap_pairs
+
+    boiler = "standard legal disclaimer attached to every document here. "
+    rows = [
+        (1, boiler + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, boiler + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, boiler + "completely different payload about spark shuffle plans"),
+        (4, boiler + "yet another unrelated body mentioning variable elimination"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # max_df=1 keeps only fps unique to a single doc -> nothing can pair
+    assert (
+        winnow_overlap_pairs(
+            df, "doc_id", threshold=0.5, min_shared=1, max_df=1
+        ).count()
+        == 0
+    )
+    # max_df=3 drops the boilerplate grams (present in all 4 docs) but
+    # keeps the payload grams: exactly the true dup pair survives, at
+    # containment 1.0, and the boiler-only pairs (1,3)/(3,4)/... do not
+    got = winnow_overlap_pairs(
+        df, "doc_id", threshold=0.8, min_shared=3, max_df=3
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    assert got[0].containment == 1.0
+
+
 def test_embedding_dups_vs_numpy(spark, emb):
     from naru_spark.pipeline.dedup import embedding_dup_pairs
 

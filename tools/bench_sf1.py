@@ -45,6 +45,9 @@ ENTRIES = [
     "psample_star3",
     # 4-table star capstone (three-key join data-bound, fit capped)
     "psample_star4",
+    # round-15: five-way star adds the part chain — the 4-key join is the
+    # data-bound part and must scale like star4's
+    "psample_star5",
     # round-8: the full index-maintenance decision loops at 10x — build +
     # upsert + imbalance/fragmentation checks + rebuild/merge + probe;
     # every pass is corpus- or index-sized at most once, so the composition
