@@ -62,6 +62,42 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -
     )
 
 
+def _unit_overlap_counts(
+    unit: DataFrame, min_shared: int = 1, max_df: int | None = None
+) -> DataFrame:
+    """Shared pair-generation scaffold for set-overlap dedup families:
+    ``unit`` is DISTINCT (id, unit) rows (shingles, fingerprints, ...).
+    Drops units present in more than ``max_df`` documents (stop-unit skew +
+    noise control — hot keys quadratic-blowup the self-join), counts
+    per-document retained units, equi-joins on unit (a < b), and returns
+    (id_a, id_b, shared, size_a, size_b) for pairs with >= ``min_shared``
+    shared units. Shuffle volume is #docs x #units/doc rows, never
+    #docs^2; the score formula (Jaccard, containment, ...) is the
+    caller's."""
+    unit = unit.cache()
+    if max_df is not None:
+        hot = unit.groupBy("unit").agg(F.count("*").alias("df_cnt")).filter(
+            F.col("df_cnt") > max_df
+        )
+        unit = unit.join(hot.select("unit"), "unit", "left_anti")
+    sizes = unit.groupBy("id").agg(F.count("*").alias("sz"))
+    a = unit.select(F.col("id").alias("id_a"), "unit")
+    b = unit.select(F.col("id").alias("id_b"), "unit")
+    shared = (
+        a.join(b, "unit")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    if min_shared > 1:
+        shared = shared.filter(F.col("shared") >= min_shared)
+    return shared.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -71,35 +107,27 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over token n-gram sets for all pairs with
-    jaccard >= threshold (a < b). Self-join on shingle; intersection by
-    groupBy pair; |A|,|B| joined back. ``max_df`` drops ubiquitous shingles
-    (skew + noise control at scale)."""
-    sh = shingle_df(df, id_col, text_col, n).cache()
-    if max_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt")).filter(
-            F.col("df_cnt") > max_df
-        )
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    jaccard >= threshold (a < b). Pair scaffold in ``_unit_overlap_counts``
+    (self-join on shingle, intersection by groupBy pair, |A|,|B| joined
+    back; ``max_df`` drops ubiquitous shingles)."""
+    sh = shingle_df(df, id_col, text_col, n).select(
+        "id", F.col("shingle").alias("unit")
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+    return (
+        _unit_overlap_counts(sh, max_df=max_df)
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
+            F.round(
+                F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+        .select(
+            "id_a", "id_b", F.col("shared").alias("inter"),
+            "size_a", "size_b", "jaccard",
+        )
     )
-    return out
 
 
 # ----------------------------------------------------------------- winnowing
@@ -138,31 +166,17 @@ def winnow_overlap_pairs(
     """
     from naru_spark.pipeline.text import winnow_fingerprints
 
-    fp = winnow_fingerprints(df, id_col, text_col, k, window, base_hash).cache()
-    if max_df is not None:
-        hot = fp.groupBy("fp").agg(F.count("*").alias("df_cnt")).filter(
-            F.col("df_cnt") > max_df
-        )
-        fp = fp.join(hot.select("fp"), "fp", "left_anti")
-    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
-    a = fp.select(F.col(id_col).alias("id_a"), "fp")
-    b = fp.select(F.col(id_col).alias("id_b"), "fp")
-    shared = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= min_shared)
+    # .distinct(): winnow_fingerprints is row-local (zero shuffle), so
+    # duplicate id rows in the input (e.g. a union of ingest batches)
+    # would duplicate fingerprints and inflate every downstream count —
+    # the same guard shingle_df gives the Jaccard path
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k, window, base_hash)
+        .select(F.col(id_col).alias("id"), F.col("fp").alias("unit"))
+        .distinct()
     )
     return (
-        shared.join(
-            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_fp", "size_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_fp", "size_b"),
-            "id_b",
-        )
+        _unit_overlap_counts(fp, min_shared=min_shared, max_df=max_df)
         .withColumn(
             "containment",
             F.round(F.col("shared") / F.least(F.col("size_a"), F.col("size_b")), 6),

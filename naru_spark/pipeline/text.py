@@ -133,7 +133,10 @@ def winnow_fingerprints(
     fingerprint; documents with fewer than ``window`` grams emit their
     single minimum gram hash (the standard short-document degeneration).
 
-    Returns (id_col, fp) rows, distinct per document.
+    Returns (id_col, fp) rows, distinct per input ROW (row-local work
+    cannot see a duplicated id across rows — callers joining on fp over
+    possibly-duplicated ids must .distinct() first, as
+    ``dedup.winnow_overlap_pairs`` does).
     """
     if base_hash == "md5":
         gram_hash = (

@@ -194,6 +194,31 @@ def test_winnow_overlap_finds_exact_dups_and_respects_max_df(spark):
     assert got[0].containment == 1.0
 
 
+def test_winnow_overlap_is_duplicate_row_safe(spark):
+    from naru_spark.pipeline.dedup import winnow_overlap_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "completely different payload about spark shuffle plans"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    clean = sorted(
+        tuple(r) for r in winnow_overlap_pairs(
+            df, "doc_id", threshold=0.8, min_shared=3, max_df=None
+        ).collect()
+    )
+    # the same corpus arriving as a union of two identical batches (dup id
+    # rows) must produce identical pairs — shared/size/df counts must not
+    # double
+    doubled = sorted(
+        tuple(r) for r in winnow_overlap_pairs(
+            df.union(df), "doc_id", threshold=0.8, min_shared=3, max_df=None
+        ).collect()
+    )
+    assert clean == doubled and len(clean) == 1
+
+
 def test_embedding_dups_vs_numpy(spark, emb):
     from naru_spark.pipeline.dedup import embedding_dup_pairs
 

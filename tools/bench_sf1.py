@@ -48,6 +48,10 @@ ENTRIES = [
     # round-15: five-way star adds the part chain — the 4-key join is the
     # data-bound part and must scale like star4's
     "psample_star5",
+    # round-15: winnowing fingerprints — extraction is row-local expression
+    # work (linear), the candidate join is bounded by max_df; the 10x
+    # corpus must not go super-linear
+    "dedup_winnow_md5",
     # round-8: the full index-maintenance decision loops at 10x — build +
     # upsert + imbalance/fragmentation checks + rebuild/merge + probe;
     # every pass is corpus- or index-sized at most once, so the composition
