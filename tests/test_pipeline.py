@@ -194,6 +194,52 @@ def test_winnow_overlap_finds_exact_dups_and_respects_max_df(spark):
     assert got[0].containment == 1.0
 
 
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """The winnowing theorem (Schleimer et al. §2): any common substring
+    of length >= k + window - 1 contains a full hash window, and winnowing
+    picks at least one fingerprint from every window — so two documents
+    sharing such a substring MUST share a fingerprint. Seeded random docs
+    over a small alphabet with planted common substrings; every case is
+    also cross-checked against the pure-python reference in ONE Spark job."""
+    import hashlib
+    import random
+
+    from naru_spark.pipeline.text import winnow_fingerprints
+
+    def md5_60(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    k, w = 8, 4
+    rng = random.Random(42)
+    alphabet = "ab "  # tiny alphabet: maximizes accidental gram repeats
+
+    def rand_text(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    rows, expect_pairs = [], []
+    doc_id = 0
+    for case in range(40):
+        shared = rand_text(rng.randint(k + w - 1, k + w + 20))
+        a = rand_text(rng.randint(0, 30)) + shared + rand_text(rng.randint(0, 30))
+        b = rand_text(rng.randint(0, 30)) + shared + rand_text(rng.randint(0, 30))
+        rows += [(doc_id, a), (doc_id + 1, b)]
+        expect_pairs.append((doc_id, doc_id + 1))
+        doc_id += 2
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        winnow_fingerprints(df, k=k, window=w, base_hash="md5")
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    )
+    fps = {r.doc_id: set(r.fps) for r in got}
+    texts = dict(rows)
+    for i, (a, b) in enumerate(expect_pairs):
+        assert fps[a] == _winnow_ref(texts[a], k, w, md5_60), a
+        assert fps[b] == _winnow_ref(texts[b], k, w, md5_60), b
+        assert fps[a] & fps[b], f"case {i}: planted substring yielded no shared fp"
+
+
 def test_winnow_overlap_is_duplicate_row_safe(spark):
     from naru_spark.pipeline.dedup import winnow_overlap_pairs
 
