@@ -676,6 +676,75 @@ ORDER BY source
 """
 
 
+def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on branch refs (sinks.create_branch /
+    publish_branch / create_tag — Iceberg branch refs + fast_forward;
+    the staging discipline production ingest pipelines run so main NEVER
+    serves unaudited data): main commits the even-doc corpus and tags
+    it; the odd-doc batch lands on a zero-copy STAGING BRANCH; the audit
+    finds quality violations (n_chars < 150) and row-level-deletes them
+    ON THE BRANCH; publish atomically fast-forwards main to the audited
+    state. Counter-asserted inline every run: main is unchanged while
+    the branch holds the unaudited batch, the pre-publish tag still
+    resolves to the old state AFTER publish, and a second publish of the
+    now-stale branch is refused (non-fast-forward guard). The oracle
+    replays the audit predicate in SQL."""
+    from naru_spark.sources.sinks import (
+        SnapshotConflictError,
+        create_branch,
+        create_tag,
+        delete_from_snapshot,
+        publish_branch,
+        read_snapshot,
+        resolve_tag,
+        write_snapshot,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _tmpdir(prefix="docs_snap_wap_") + "/docs"
+    n_main = docs.filter(F.col("doc_id") % 2 == 0).count()
+    write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), path)
+    create_tag(path, "pre-wap")
+
+    bpath = create_branch(path, "staging")
+    write_snapshot(docs.filter(F.col("doc_id") % 2 == 1), bpath)
+    # AUDIT on the branch: main must not have moved while staging holds
+    # the raw batch
+    assert read_snapshot(spark, path).count() == n_main
+    # scope the audit to the STAGED BATCH: the branch also references
+    # main's (already-audited) rows — an unscoped predicate would
+    # re-audit and delete them too
+    delete_from_snapshot(spark, bpath, "n_chars < 150 AND doc_id % 2 = 1")
+
+    publish_branch(path, "staging")
+    # the tag pins the pre-publish state forever
+    assert (
+        read_snapshot(spark, path, version=resolve_tag(path, "pre-wap")).count()
+        == n_main
+    )
+    # a published branch is stale: fast-forward refuses a second publish
+    try:
+        publish_branch(path, "staging")
+        raise AssertionError("stale publish must be refused")
+    except SnapshotConflictError:
+        pass
+    return (
+        read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def sql_snapshot_wap_publish() -> str:
+    return """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 2 = 0 OR n_chars >= 150
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (sources.sinks.compact_snapshot — Iceberg
     rewrite_data_files / Delta OPTIMIZE): three append commits land the
@@ -4053,6 +4122,7 @@ def build_ops_registry():
         "merge_into_cdc": q_merge_into_cdc,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_incremental_read": q_snapshot_incremental_read,
+        "snapshot_wap_publish": q_snapshot_wap_publish,
         "snapshot_compaction": q_snapshot_compaction,
         "snapshot_delete_where": q_snapshot_delete_where,
         "snapshot_delete_mor": q_snapshot_delete_mor,
@@ -4132,6 +4202,7 @@ def build_ops_registry():
         "merge_into_cdc": sql_merge_into_cdc(),
         "snapshot_time_travel": sql_snapshot_time_travel(),
         "snapshot_incremental_read": sql_snapshot_incremental_read(),
+        "snapshot_wap_publish": sql_snapshot_wap_publish(),
         "snapshot_compaction": sql_snapshot_compaction(),
         "snapshot_delete_where": sql_snapshot_delete_where(),
         "snapshot_delete_mor": sql_snapshot_delete_mor(),

@@ -5192,6 +5192,233 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
     return 1
 
 
+_REF_NAME_RE = None  # compiled lazily — keeps the module import light
+
+
+def _check_ref_name(name: str) -> None:
+    global _REF_NAME_RE
+    if _REF_NAME_RE is None:
+        import re
+
+        _REF_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+    if not _REF_NAME_RE.fullmatch(name):
+        raise ValueError(
+            f"ref name {name!r} invalid: letters/digits/._- only, "
+            "must start alphanumeric (it becomes a directory name)"
+        )
+
+
+def branch_path(path: str, name: str) -> str:
+    """The on-disk table path of branch ``name`` — itself a full snapshot
+    table: every reader/writer (read_snapshot, write_snapshot, delete,
+    merge, compaction, the DataSource) works on it unchanged."""
+    import os
+
+    _check_ref_name(name)
+    return os.path.join(path, "_refs", name)
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> str:
+    """Create branch ``name`` from ``version`` of the table (latest when
+    None) — an Iceberg branch-ref analog built as an IN-TREE SHALLOW
+    CLONE under ``<path>/_refs/<name>/``: the branch's v1 manifest
+    references the source version's data entries, ZERO bytes copied at
+    any table size. The branch then evolves independently through the
+    ordinary snapshot API; main never sees branch commits until
+    ``publish_branch``.
+
+    This is the isolation half of WRITE-AUDIT-PUBLISH (the staging
+    pattern large ingest pipelines run): write new data to a branch,
+    audit it there (constraints, quality checks, dedup alarms), and
+    publish atomically — readers of main see either none or all of it.
+
+    Retention caveat (same as SHALLOW CLONE, which this is):
+    ``expire_snapshots``/``gc_orphans`` on MAIN can reclaim files an
+    unpublished branch still references — age maintenance windows
+    accordingly, or compact the branch first. Main's GC never sweeps
+    ``_refs/`` itself (it only lists ``<path>/data``).
+
+    Returns the branch's table path."""
+    import os
+
+    bpath = branch_path(path, name)
+    if os.path.isdir(os.path.join(bpath, "_manifests")):
+        raise ValueError(f"branch {name!r} already exists at {bpath}")
+    clone_snapshot(path, bpath, version)
+    return bpath
+
+
+def list_branches(path: str) -> list[dict]:
+    """Every branch with its head version and the main version it forked
+    from (the clone commit's ``source_version``)."""
+    import json
+    import os
+
+    refs = os.path.join(path, "_refs")
+    out = []
+    if not os.path.isdir(refs):
+        return out
+    for name in sorted(os.listdir(refs)):
+        man_dir = os.path.join(refs, name, "_manifests")
+        if not os.path.isdir(man_dir):
+            continue
+        head = _latest_version(man_dir)
+        with open(os.path.join(man_dir, "v1.json")) as fh:
+            fork = json.load(fh).get("op", {}).get("source_version")
+        out.append({"name": name, "head_version": head, "fork_version": fork})
+    return out
+
+
+def publish_branch(path: str, name: str, force: bool = False) -> int:
+    """PUBLISH (Iceberg ``fast_forward`` / the P of write-audit-publish):
+    commit the branch head's exact state — entries, stats, pending
+    metadata planes — as main's next version, atomically via the same
+    create-exclusive manifest publish every writer uses. Metadata-only:
+    zero data I/O; the branch's data dirs live under ``_refs/<name>/``
+    and main's manifest references them absolutely (main's GC compares
+    dir basenames and never sweeps outside ``<path>/data``, so published
+    entries are safe — but ``drop_branch`` refuses while any retained
+    main manifest still references them).
+
+    NON-FAST-FORWARD GUARD: if main advanced past the branch's fork
+    version, publishing would silently discard those main commits from
+    the head (they stay time-travelable, but that is a replace, not a
+    publish) — refused unless ``force=True``. The txn idempotence map is
+    kept from MAIN's head, exactly like ``restore_snapshot``: a replayed
+    main stream batch must still no-op after a publish.
+
+    Returns main's new head version."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    bman_dir = os.path.join(branch_path(path, name), "_manifests")
+    if not os.path.isdir(bman_dir):
+        raise ValueError(f"no branch {name!r} under {path}")
+    bhead_v = _latest_version(bman_dir)
+    with open(os.path.join(bman_dir, f"v{bhead_v}.json")) as fh:
+        bhead = json.load(fh)
+    with open(os.path.join(bman_dir, "v1.json")) as fh:
+        fork_version = json.load(fh).get("op", {}).get("source_version")
+    latest = _latest_version(man_dir)
+    if latest != fork_version and not force:
+        raise SnapshotConflictError(
+            f"non-fast-forward: main is at v{latest} but branch {name!r} "
+            f"forked from v{fork_version} — rebase (re-branch and replay) "
+            "or pass force=True to replace main's head with the branch "
+            "state (intervening commits stay time-travelable)"
+        )
+    with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
+        head = json.load(fh)
+    n = latest + 1
+    manifest = {
+        "version": n,
+        "dirs": list(bhead["dirs"]),
+        "txns": _normalize_txns(head.get("txns", {})),
+        "stats": bhead.get("stats", {}),
+        "op": {
+            "name": "publish_branch",
+            "branch": name,
+            "branch_version": bhead_v,
+            "fork_version": fork_version,
+        },
+    }
+    _carry_planes(bhead, manifest)
+    _publish_manifest(man_dir, n, manifest)
+    return n
+
+
+def drop_branch(path: str, name: str, force: bool = False) -> str:
+    """Delete branch ``name``'s tree. REFUSES while any RETAINED main
+    manifest still references a data dir the branch owns (a published
+    branch's files serve main reads — including time-travel reads of the
+    publish commit itself; dropping them would corrupt the table). To
+    release the reference: compact main (localizes the head) AND expire
+    the older manifests (``expire_snapshots``), or pass ``force=True``.
+    Returns the removed path."""
+    import os
+    import shutil
+
+    bpath = branch_path(path, name)
+    if not os.path.isdir(os.path.join(bpath, "_manifests")):
+        raise ValueError(f"no branch {name!r} under {path}")
+    if not force:
+        bdata = os.path.join(bpath, "data")
+        owned = set(os.listdir(bdata)) if os.path.isdir(bdata) else set()
+        live = _referenced_dir_names(os.path.join(path, "_manifests"))
+        still = sorted(owned & live)
+        if still:
+            raise ValueError(
+                f"branch {name!r} owns data dirs main still references "
+                f"({still[:3]}{'...' if len(still) > 3 else ''}) — published "
+                "state would lose files; compact main or force=True"
+            )
+    shutil.rmtree(bpath)
+    return bpath
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Immutable named version pointer (Iceberg tag-ref analog): a tiny
+    create-exclusive JSON under ``<path>/_tags/`` — 'the snapshot we
+    trained run X on', resolvable forever (while the version is
+    retained). Tags never move; re-creating an existing name raises.
+    Returns the tagged version."""
+    import json
+    import os
+
+    _check_ref_name(name)
+    man_dir = os.path.join(path, "_manifests")
+    if version is None:
+        version = _latest_version(man_dir)
+    if not os.path.exists(os.path.join(man_dir, f"v{version}.json")):
+        raise ValueError(f"version {version} of {path} is not retained")
+    tdir = os.path.join(path, "_tags")
+    os.makedirs(tdir, exist_ok=True)
+    import time
+
+    try:
+        with open(os.path.join(tdir, f"{name}.json"), "x") as fh:
+            json.dump({"version": version, "ts": time.time()}, fh)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists (tags are immutable — pick a "
+            "new name or read the existing one via resolve_tag)"
+        ) from None
+    return version
+
+
+def resolve_tag(path: str, name: str) -> int:
+    """The version a tag points at — pass to ``read_snapshot(version=)``.
+    A tag whose version was expired raises there, not here (the pointer
+    is still honest history)."""
+    import json
+    import os
+
+    _check_ref_name(name)
+    p = os.path.join(path, "_tags", f"{name}.json")
+    if not os.path.exists(p):
+        raise ValueError(f"no tag {name!r} under {path}")
+    with open(p) as fh:
+        return int(json.load(fh)["version"])
+
+
+def list_tags(path: str) -> list[dict]:
+    import json
+    import os
+
+    tdir = os.path.join(path, "_tags")
+    out = []
+    if not os.path.isdir(tdir):
+        return out
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(tdir, f)) as fh:
+                d = json.load(fh)
+            out.append({"name": f[:-5], "version": int(d["version"]),
+                        "ts": d.get("ts")})
+    return out
+
+
 def snapshot_history(path: str) -> list[dict]:
     """Delta ``DESCRIBE HISTORY`` analog: one row per retained version —
     {"version", "ts", "op", "op_params", "n_entries", "n_rows",

@@ -2769,6 +2769,111 @@ def test_zorder_string_clustering_skips(spark, tmp_path):
     assert matching <= 8, (matching, total)
 
 
+def test_branch_write_audit_publish(spark, tmp_path):
+    """Branch refs: a branch is an in-tree zero-copy fork that evolves
+    independently; publish atomically fast-forwards main to the branch
+    state; the non-fast-forward guard refuses when main advanced."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "k int, g int")
+    path = str(tmp_path / "t")
+    sinks.write_snapshot(df, path)
+
+    bpath = sinks.create_branch(path, "staging")
+    assert bpath == sinks.branch_path(path, "staging")
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.create_branch(path, "staging")
+    with pytest.raises(ValueError, match="invalid"):
+        sinks.create_branch(path, "../escape")
+    # fork is zero-copy-equal; branch append is invisible to main
+    assert sinks.read_snapshot(spark, bpath).count() == 30
+    sinks.write_snapshot(
+        df.withColumn("k", F.col("k") + 100).filter(F.col("g") == 0), bpath
+    )
+    assert sinks.read_snapshot(spark, bpath).count() == 40
+    assert sinks.read_snapshot(spark, path).count() == 30
+    assert sinks.list_branches(path) == [
+        {"name": "staging", "head_version": 2, "fork_version": 1}
+    ]
+    # publish: main == branch state, one atomic commit
+    n = sinks.publish_branch(path, "staging")
+    assert n == 2
+    main = sinks.read_snapshot(spark, path)
+    assert main.count() == 40
+    assert (
+        sorted(r.k for r in main.collect())
+        == sorted(r.k for r in sinks.read_snapshot(spark, bpath).collect())
+    )
+    # pre-publish main stays time-travelable
+    assert sinks.read_snapshot(spark, path, version=1).count() == 30
+    # non-fast-forward: main advances past a new branch's fork -> refuse
+    sinks.create_branch(path, "late")
+    sinks.write_snapshot(df.select((F.col("k") + 500).alias("k"), "g"), path)
+    with pytest.raises(sinks.SnapshotConflictError, match="non-fast-forward"):
+        sinks.publish_branch(path, "late")
+    # force replaces the head; intervening commit stays in history
+    head = sinks.publish_branch(path, "late", force=True)
+    assert sinks.read_snapshot(spark, path).count() == 40  # branch state
+    assert sinks.read_snapshot(spark, path, version=head - 1).count() == 70
+
+
+def test_branch_drop_guard_and_gc_safety(spark, tmp_path):
+    """Main's GC never reclaims published branch-owned dirs; drop_branch
+    refuses while main references them and succeeds after a main
+    compaction localizes the data."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "k int")
+    path = str(tmp_path / "t")
+    sinks.write_snapshot(df, path)
+    bpath = sinks.create_branch(path, "b")
+    sinks.write_snapshot(df.select((F.col("k") + 100).alias("k")), bpath)
+    sinks.publish_branch(path, "b")
+    # gc on main: branch-owned published dirs are outside its sweep root
+    assert sinks.gc_orphans(path) == []
+    assert sinks.read_snapshot(spark, path).count() == 40
+    with pytest.raises(ValueError, match="still references"):
+        sinks.drop_branch(path, "b")
+    # compaction localizes the HEAD, but retained older manifests (the
+    # publish commit) still reference branch dirs — the guard protects
+    # time travel too, so expiry must release them first
+    sinks.compact_snapshot(spark, path, full=True)
+    with pytest.raises(ValueError, match="still references"):
+        sinks.drop_branch(path, "b")
+    sinks.expire_snapshots(path, keep_last=1)
+    sinks.drop_branch(path, "b")
+    assert sinks.list_branches(path) == []
+    assert sinks.read_snapshot(spark, path).count() == 40
+
+
+def test_tags_immutable_named_versions(spark, tmp_path):
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    path = str(tmp_path / "t")
+    sinks.write_snapshot(df, path)
+    sinks.write_snapshot(df.select((F.col("k") + 10).alias("k")), path)
+    v = sinks.create_tag(path, "train-run-1", version=1)
+    assert v == 1 and sinks.resolve_tag(path, "train-run-1") == 1
+    assert sinks.read_snapshot(
+        spark, path, version=sinks.resolve_tag(path, "train-run-1")
+    ).count() == 10
+    with pytest.raises(ValueError, match="immutable"):
+        sinks.create_tag(path, "train-run-1", version=2)
+    assert sinks.create_tag(path, "head") == 2  # defaults to latest
+    assert [t["name"] for t in sinks.list_tags(path)] == ["head", "train-run-1"]
+    with pytest.raises(ValueError, match="not retained"):
+        sinks.create_tag(path, "nope", version=99)
+    with pytest.raises(ValueError, match="no tag"):
+        sinks.resolve_tag(path, "missing")
+
+
 def test_clone_snapshot_gc_safety(spark, tmp_path):
     """A shallow clone's own maintenance never touches the SOURCE's
     files: expire/gc on the clone reclaim only clone-local dirs, the
