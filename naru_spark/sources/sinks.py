@@ -3047,6 +3047,23 @@ def snapshot_stream_source(
             f"orphan data dirs not referenced by the latest manifest at "
             f"{path}: {sorted(orphans)} — run expire_snapshots first"
         )
+    # a branch publish or shallow clone leaves the head referencing data
+    # OUTSIDE this table's data tree — a file stream rooted at data/
+    # would silently miss those rows (the exact failure class the checks
+    # above raise on). compact_snapshot(full=True) localizes the data.
+    real_root = os.path.realpath(data_root)
+    foreign = [
+        d for d in prev
+        if not os.path.realpath(_strip_file_uri(d)).startswith(real_root + os.sep)
+    ]
+    if foreign:
+        raise ValueError(
+            f"latest snapshot of {path} references data outside its data "
+            f"tree (e.g. {foreign[0]}) — a branch publish or shallow "
+            "clone; a file stream would miss those rows. "
+            "compact_snapshot(full=True) localizes the data, or poll "
+            "read_snapshot_changes per version instead"
+        )
     if schema is None:
         schema = spark.read.parquet(*prev).schema
     return (
@@ -5136,7 +5153,9 @@ def restore_snapshot(path: str, version: int) -> int:
     return n
 
 
-def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
+def clone_snapshot(
+    src: str, dst: str, version: int | None = None, carry_txns: bool = False
+) -> int:
     """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE`` /
     Iceberg snapshot-ref analog): commit a NEW table at ``dst`` whose
     v1 manifest references the SOURCE's data entries (and carries its
@@ -5155,8 +5174,11 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
     data into its own tree) before shrinking source retention. The
     clone's own maintenance is safe from birth: its GC only ever
     touches ``dst``'s trees, and carried source entries are absolute
-    paths outside them. The txn map is NOT carried (the clone is a new
-    table; replaying a source stream into it must re-deliver).
+    paths outside them. The txn map is NOT carried by default (the
+    clone is a new table; replaying a source stream into it must
+    re-deliver) — ``carry_txns=True`` (what ``create_branch`` uses)
+    inherits the source's replay protection, because a BRANCH continues
+    the source's ingest streams rather than starting new ones.
 
     Returns the clone's committed version (1). ``dst`` must not
     already be a snapshot table."""
@@ -5182,7 +5204,7 @@ def clone_snapshot(src: str, dst: str, version: int | None = None) -> int:
     manifest = {
         "version": 1,
         "dirs": list(man["dirs"]),
-        "txns": {},
+        "txns": _normalize_txns(man.get("txns", {})) if carry_txns else {},
         "stats": man.get("stats", {}),
         "op": {"name": "clone", "source": src,
                "source_version": version},
@@ -5241,17 +5263,49 @@ def create_branch(path: str, name: str, version: int | None = None) -> str:
     Returns the branch's table path."""
     import os
 
+    import json
+
     bpath = branch_path(path, name)
     if os.path.isdir(os.path.join(bpath, "_manifests")):
         raise ValueError(f"branch {name!r} already exists at {bpath}")
-    clone_snapshot(path, bpath, version)
+    # carry_txns: a branch CONTINUES main's ingest streams (the WAP loop
+    # stages the same stream's next batch each cycle) — without the map a
+    # crash-replayed batch would re-append on the fresh branch and the
+    # next publish would double-count it on main
+    if version is None:  # resolve BEFORE the clone: the sidecar below
+        version = _latest_version(os.path.join(path, "_manifests"))
+    clone_snapshot(path, bpath, version, carry_txns=True)
+    # fork metadata survives branch-side retention (expire_snapshots on
+    # the branch may drop the v1 clone manifest): publish_branch and
+    # list_branches read this sidecar first, v1.json as fallback
+    with open(os.path.join(bpath, ".fork.json"), "w") as fh:
+        json.dump({"fork_version": version}, fh)
     return bpath
+
+
+def _fork_version(bpath: str):
+    """A branch's fork point: the ``.fork.json`` sidecar (written at
+    create_branch, survives branch-side manifest expiry), with the v1
+    clone manifest's ``source_version`` as fallback for branches made
+    by hand via clone_snapshot. None when neither survives."""
+    import json
+    import os
+
+    p = os.path.join(bpath, ".fork.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(json.load(fh)["fork_version"])
+    v1 = os.path.join(bpath, "_manifests", "v1.json")
+    if os.path.exists(v1):
+        with open(v1) as fh:
+            return json.load(fh).get("op", {}).get("source_version")
+    return None
 
 
 def list_branches(path: str) -> list[dict]:
     """Every branch with its head version and the main version it forked
-    from (the clone commit's ``source_version``)."""
-    import json
+    from (None if the fork metadata was lost — pre-sidecar hand clones
+    whose v1 manifest expired)."""
     import os
 
     refs = os.path.join(path, "_refs")
@@ -5262,10 +5316,11 @@ def list_branches(path: str) -> list[dict]:
         man_dir = os.path.join(refs, name, "_manifests")
         if not os.path.isdir(man_dir):
             continue
-        head = _latest_version(man_dir)
-        with open(os.path.join(man_dir, "v1.json")) as fh:
-            fork = json.load(fh).get("op", {}).get("source_version")
-        out.append({"name": name, "head_version": head, "fork_version": fork})
+        out.append({
+            "name": name,
+            "head_version": _latest_version(man_dir),
+            "fork_version": _fork_version(os.path.join(refs, name)),
+        })
     return out
 
 
@@ -5292,14 +5347,20 @@ def publish_branch(path: str, name: str, force: bool = False) -> int:
     import os
 
     man_dir = os.path.join(path, "_manifests")
-    bman_dir = os.path.join(branch_path(path, name), "_manifests")
+    bpath = branch_path(path, name)
+    bman_dir = os.path.join(bpath, "_manifests")
     if not os.path.isdir(bman_dir):
         raise ValueError(f"no branch {name!r} under {path}")
     bhead_v = _latest_version(bman_dir)
     with open(os.path.join(bman_dir, f"v{bhead_v}.json")) as fh:
         bhead = json.load(fh)
-    with open(os.path.join(bman_dir, "v1.json")) as fh:
-        fork_version = json.load(fh).get("op", {}).get("source_version")
+    fork_version = _fork_version(bpath)
+    if fork_version is None and not force:
+        raise ValueError(
+            f"branch {name!r} has no fork metadata (hand clone whose v1 "
+            "manifest expired) — the non-fast-forward guard cannot run; "
+            "pass force=True to publish as a head replace"
+        )
     latest = _latest_version(man_dir)
     if latest != fork_version and not force:
         raise SnapshotConflictError(
@@ -5310,11 +5371,20 @@ def publish_branch(path: str, name: str, force: bool = False) -> int:
         )
     with open(os.path.join(man_dir, f"v{latest}.json")) as fh:
         head = json.load(fh)
+    # replay protection merges BOTH histories per-app (highest batch
+    # wins): the branch carried main's map at fork and advanced it with
+    # every staged batch — keeping only main's map would re-append a
+    # crash-replayed batch on the next WAP cycle (double-count on main)
+    txns = _normalize_txns(head.get("txns", {}))
+    for app, rec in _normalize_txns(bhead.get("txns", {})).items():
+        cur = txns.get(app)
+        if cur is None or int(rec["v"]) > int(cur["v"]):
+            txns[app] = dict(rec)
     n = latest + 1
     manifest = {
         "version": n,
         "dirs": list(bhead["dirs"]),
-        "txns": _normalize_txns(head.get("txns", {})),
+        "txns": txns,
         "stats": bhead.get("stats", {}),
         "op": {
             "name": "publish_branch",
@@ -5345,12 +5415,21 @@ def drop_branch(path: str, name: str, force: bool = False) -> str:
     if not force:
         bdata = os.path.join(bpath, "data")
         owned = set(os.listdir(bdata)) if os.path.isdir(bdata) else set()
+        # live refs from main AND every sibling branch: a branch created
+        # AFTER a publish forked a main state that references this
+        # branch's dirs — dropping them would corrupt the sibling
         live = _referenced_dir_names(os.path.join(path, "_manifests"))
+        for b in list_branches(path):
+            if b["name"] != name:
+                live |= _referenced_dir_names(
+                    os.path.join(branch_path(path, b["name"]), "_manifests")
+                )
         still = sorted(owned & live)
         if still:
             raise ValueError(
-                f"branch {name!r} owns data dirs main still references "
-                f"({still[:3]}{'...' if len(still) > 3 else ''}) — published "
+                f"branch {name!r} owns data dirs main or a sibling branch "
+                f"still references ({still[:3]}"
+                f"{'...' if len(still) > 3 else ''}) — published "
                 "state would lose files; compact main or force=True"
             )
     shutil.rmtree(bpath)
@@ -5497,11 +5576,23 @@ def gc_orphans(path: str, older_than_s: float = 0.0) -> list[str]:
     data_root = os.path.join(path, "data")
     on_disk = sorted(os.listdir(data_root))
     if on_disk and referenced and not (set(on_disk) & referenced):
-        raise ValueError(
-            f"no on-disk data dir under {data_root} matches ANY manifest "
-            "reference — a corrupted or foreign manifest set is far "
-            "likelier than a 100%-orphan table; refusing to delete"
-        )
+        # disjointness is LEGITIMATE when the manifests reference
+        # branch-owned dirs (a fully branch-backed head after a publish):
+        # only raise if the references resolve to no branch tree either
+        refs_root = os.path.join(path, "_refs")
+        branch_owned: set = set()
+        if os.path.isdir(refs_root):
+            for b in os.listdir(refs_root):
+                bdata = os.path.join(refs_root, b, "data")
+                if os.path.isdir(bdata):
+                    branch_owned.update(os.listdir(bdata))
+        if not (referenced & branch_owned):
+            raise ValueError(
+                f"no on-disk data dir under {data_root} matches ANY "
+                "manifest reference — a corrupted or foreign manifest set "
+                "is far likelier than a 100%-orphan table; refusing to "
+                "delete"
+            )
     deleted = []
     now = time.time()
     for d in on_disk:

@@ -2850,6 +2850,96 @@ def test_branch_drop_guard_and_gc_safety(spark, tmp_path):
     assert sinks.read_snapshot(spark, path).count() == 40
 
 
+def test_branch_publish_interactions(spark, tmp_path):
+    """Second-order interactions of publish with the rest of the plane:
+    the file-stream source refuses a branch-backed head (it would
+    silently miss the published rows), the drop guard also protects
+    SIBLING branches forked after a publish, fork metadata survives
+    branch-side retention, and gc_orphans still sweeps a crashed
+    writer's orphan when the head is fully branch-backed."""
+    import os
+
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "k int")
+
+    # 1) stream source refuses a branch-backed head, loudly
+    p1 = str(tmp_path / "t1")
+    sinks.write_snapshot(df, p1)
+    sinks.write_snapshot(df.select((F.col("k") + 100).alias("k")),
+                         sinks.create_branch(p1, "a"))
+    sinks.publish_branch(p1, "a")
+    with pytest.raises(ValueError, match="outside its data tree"):
+        sinks.snapshot_stream_source(spark, p1)
+
+    # 2) sibling-branch guard: B forks main AFTER A's publish, so B's
+    # manifests reference A's dirs even once main localizes + expires
+    sinks.create_branch(p1, "b")
+    sinks.compact_snapshot(spark, p1, full=True)
+    sinks.expire_snapshots(p1, keep_last=1)
+    with pytest.raises(ValueError, match="sibling"):
+        sinks.drop_branch(p1, "a")
+    sinks.drop_branch(p1, "b")
+    sinks.drop_branch(p1, "a")  # no sibling left -> clean
+    assert sinks.read_snapshot(spark, p1).count() == 40
+
+    # 3) fork metadata survives branch-side retention (v1 expired)
+    p2 = str(tmp_path / "t2")
+    sinks.write_snapshot(df, p2)
+    bpath = sinks.create_branch(p2, "s")
+    sinks.write_snapshot(df.select((F.col("k") + 100).alias("k")), bpath)
+    sinks.compact_snapshot(spark, bpath, full=True)
+    sinks.expire_snapshots(bpath, keep_last=1)
+    assert not os.path.exists(os.path.join(bpath, "_manifests", "v1.json"))
+    assert sinks.list_branches(p2)[0]["fork_version"] == 1
+    sinks.publish_branch(p2, "s")
+    assert sinks.read_snapshot(spark, p2).count() == 40
+
+    # 4) gc_orphans on a fully branch-backed head sweeps a real orphan
+    # instead of raising the foreign-manifest heuristic
+    # head is compacted-local at this point; make it fully branch-backed
+    # (publish a branch state, expire the local manifests), THEN plant
+    # the orphan — expire_snapshots would otherwise sweep it first
+    b2 = sinks.create_branch(p2, "s2")
+    sinks.compact_snapshot(spark, b2, full=True)
+    sinks.publish_branch(p2, "s2")
+    sinks.expire_snapshots(p2, keep_last=1)
+    orphan = os.path.join(p2, "data", "v9-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
+        fh.write("x")
+    deleted = sinks.gc_orphans(p2)
+    assert any(d.endswith("v9-deadbeef") for d in deleted)
+    assert sinks.read_snapshot(spark, p2).count() == 40
+
+
+def test_branch_carries_txn_replay_protection(spark, tmp_path):
+    """The WAP streaming loop is crash-safe: a branch inherits main's
+    txn idempotence map at fork, advances it with staged batches, and
+    publish merges it back — a replayed batch no-ops on the branch AND
+    on main after publish."""
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    path = str(tmp_path / "t")
+    sinks.write_snapshot(df, path, txn_id="ingest:1")
+    bpath = sinks.create_branch(path, "s")
+    # replaying batch 1 into the branch must NO-OP (map carried at fork)
+    sinks.write_snapshot(df, bpath, txn_id="ingest:1")
+    assert sinks.read_snapshot(spark, bpath).count() == 10
+    sinks.write_snapshot(
+        df.select((F.col("k") + 100).alias("k")), bpath, txn_id="ingest:2"
+    )
+    sinks.publish_branch(path, "s")
+    # replaying batch 2 into MAIN must no-op (map merged at publish)
+    sinks.write_snapshot(
+        df.select((F.col("k") + 100).alias("k")), path, txn_id="ingest:2"
+    )
+    assert sinks.read_snapshot(spark, path).count() == 20
+
+
 def test_tags_immutable_named_versions(spark, tmp_path):
     import pytest
 
