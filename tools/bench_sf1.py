@@ -193,6 +193,27 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
         file=sys.stderr,
     )
 
+    # round-15: branch refs — create_branch (zero-copy fork) and
+    # publish_branch (metadata-only fast-forward) must stay near-flat at
+    # ANY table size; the staged 10k-row batch is the only data cost
+    from naru_spark.sources.sinks import create_branch, publish_branch, read_snapshot
+
+    t0 = time.time()
+    bpath = create_branch(path, "wap")
+    timings["snapshot_branch_create_probe"] = round(time.time() - t0, 3)
+    write_snapshot(li.limit(10_000), bpath)
+    t0 = time.time()
+    publish_branch(path, "wap")
+    timings["snapshot_branch_publish_probe"] = round(time.time() - t0, 3)
+    n_pub = read_snapshot(spark, path).count()
+    print(
+        f"# snapshot branch: create "
+        f"{timings['snapshot_branch_create_probe']:.3f}s, publish "
+        f"{timings['snapshot_branch_publish_probe']:.3f}s "
+        f"({n_pub} rows visible post-publish)",
+        file=sys.stderr,
+    )
+
     # round-10: file-pruned DELETE WHERE — a selective delete on a
     # key-clustered layout must pay for the MATCHING files, not the table
     # (its wall tracks files_rewritten; compare snapshot_table_build, the
