@@ -2403,6 +2403,8 @@ def read_snapshot(
     as_of: float | None = None,
     partition_ranges: dict | None = None,
     null_preds: dict | None = None,
+    branch: str | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Time-travel read: open the manifest for ``version`` (latest when
     None) and read exactly its data directories — an old version stays
@@ -2465,6 +2467,19 @@ def read_snapshot(
 
     from pyspark.sql import functions as F
 
+    # named refs: branch reroutes to the branch table; tag pins a main
+    # version — a tag names one immutable main state, so combining it
+    # with any other selector is a contradiction
+    if tag is not None:
+        if branch is not None or version is not None or as_of is not None:
+            raise ValueError(
+                "tag is mutually exclusive with branch/version/as_of"
+            )
+        version = resolve_tag(path, tag)
+    if branch is not None:
+        path = branch_path(path, branch)
+        if not os.path.isdir(os.path.join(path, "_manifests")):
+            raise ValueError(f"no branch {branch!r} under the table")
     man_dir = os.path.join(path, "_manifests")
     if as_of is not None:
         if version is not None:

@@ -100,6 +100,19 @@ def _resolve_version(options) -> int | None:
     (mutually exclusive), or None = latest."""
     v = options.get("version")
     ts = options.get("timestampasof")
+    tag = options.get("tag")
+    if tag:
+        # a tag names one immutable MAIN state — any other selector
+        # contradicts it (and branch would resolve it against the wrong
+        # version chain)
+        if v or ts or options.get("branch"):
+            raise ValueError(
+                "naru_snapshot: tag is mutually exclusive with "
+                "version/timestampAsOf/branch"
+            )
+        from naru_spark.sources.sinks import resolve_tag
+
+        return resolve_tag(_table_path(options), tag)
     if v and ts:
         raise ValueError(
             "naru_snapshot: version and timestampAsOf are mutually "
@@ -137,7 +150,17 @@ def _table_path(options) -> str:
     # hands the option as a file:/ URI — normalize to a local path
     from naru_spark.sources.sinks import _strip_file_uri
 
-    return _strip_file_uri(p)
+    p = _strip_file_uri(p)
+    b = options.get("branch")
+    if b:
+        import os
+
+        from naru_spark.sources.sinks import branch_path
+
+        p = branch_path(p, b)
+        if not os.path.isdir(os.path.join(p, "_manifests")):
+            raise ValueError(f"naru_snapshot: no branch {b!r} under the table")
+    return p
 
 
 _SCHEMA_UNION_CAP = 64

@@ -2850,6 +2850,49 @@ def test_branch_drop_guard_and_gc_safety(spark, tmp_path):
     assert sinks.read_snapshot(spark, path).count() == 40
 
 
+def test_branch_tag_named_ref_reads(spark, tmp_path):
+    """Ergonomic named-ref selectors: read_snapshot(branch=/tag=) and the
+    DataSource's .option("branch"/"tag") resolve the same states as the
+    explicit path/version spellings; contradictory selectors refuse."""
+    import pytest
+
+    from naru_spark.sources import sinks
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    path = str(tmp_path / "t")
+    sinks.write_snapshot(df, path)
+    sinks.create_tag(path, "first")
+    sinks.write_snapshot(df.select((F.col("k") + 10).alias("k")), path)
+    bpath = sinks.create_branch(path, "exp")
+    sinks.write_snapshot(df.select((F.col("k") + 100).alias("k")), bpath)
+
+    assert sinks.read_snapshot(spark, path, tag="first").count() == 10
+    assert sinks.read_snapshot(spark, path, branch="exp").count() == 30
+    assert sinks.read_snapshot(spark, path).count() == 20
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sinks.read_snapshot(spark, path, tag="first", version=1)
+    with pytest.raises(ValueError, match="no branch"):
+        sinks.read_snapshot(spark, path, branch="nope")
+
+    # the format-string spelling sees the same states — including WRITES
+    # to a branch via .option("branch")
+    from naru_spark.sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    def fmt():
+        return spark.read.format("naru_snapshot")
+
+    assert fmt().option("tag", "first").load(path).count() == 10
+    assert fmt().option("branch", "exp").load(path).count() == 30
+    with pytest.raises(Exception, match="mutually exclusive"):
+        fmt().option("tag", "first").option("branch", "exp").load(path).count()
+    df.select((F.col("k") + 200).alias("k")).write.format(
+        "naru_snapshot"
+    ).option("branch", "exp").mode("append").save(path)
+    assert sinks.read_snapshot(spark, path, branch="exp").count() == 40
+    assert sinks.read_snapshot(spark, path).count() == 20  # main untouched
+
+
 def test_branch_publish_interactions(spark, tmp_path):
     """Second-order interactions of publish with the rest of the plane:
     the file-stream source refuses a branch-backed head (it would
