@@ -2477,9 +2477,7 @@ def read_snapshot(
             )
         version = resolve_tag(path, tag)
     if branch is not None:
-        path = branch_path(path, branch)
-        if not os.path.isdir(os.path.join(path, "_manifests")):
-            raise ValueError(f"no branch {branch!r} under the table")
+        path = resolved_branch_path(path, branch)
     man_dir = os.path.join(path, "_manifests")
     if as_of is not None:
         if version is not None:
@@ -5253,6 +5251,18 @@ def branch_path(path: str, name: str) -> str:
 
     _check_ref_name(name)
     return os.path.join(path, "_refs", name)
+
+
+def resolved_branch_path(path: str, name: str) -> str:
+    """``branch_path`` + existence check — the shared reroute every
+    named-ref entry point (read_snapshot, the DataSource) uses, so the
+    validation cannot drift between them."""
+    import os
+
+    bpath = branch_path(path, name)
+    if not os.path.isdir(os.path.join(bpath, "_manifests")):
+        raise ValueError(f"no branch {name!r} under {path}")
+    return bpath
 
 
 def create_branch(path: str, name: str, version: int | None = None) -> str:

@@ -153,14 +153,21 @@ def _table_path(options) -> str:
     p = _strip_file_uri(p)
     b = options.get("branch")
     if b:
-        import os
+        from naru_spark.sources.sinks import resolved_branch_path
 
-        from naru_spark.sources.sinks import branch_path
-
-        p = branch_path(p, b)
-        if not os.path.isdir(os.path.join(p, "_manifests")):
-            raise ValueError(f"naru_snapshot: no branch {b!r} under the table")
+        p = resolved_branch_path(p, b)
     return p
+
+
+def _refuse_tag(options, ctx: str) -> None:
+    """Tags name one immutable batch-readable state — a stream follows
+    the live head and a write moves it, so both must refuse the option
+    loudly rather than silently ignore it."""
+    if options.get("tag"):
+        raise ValueError(
+            f"naru_snapshot: the tag option selects an immutable version "
+            f"for BATCH READS only — a {ctx} cannot target a tag"
+        )
 
 
 _SCHEMA_UNION_CAP = 64
@@ -701,6 +708,7 @@ class SnapshotCDFBatchReader(DataSourceReader):
     exact source per commit, RAISE on un-feedable rewrites)."""
 
     def __init__(self, options, schema: StructType):
+        _refuse_tag(options, "change-feed read")
         self.path = _table_path(options)
         from naru_spark.sources.sinks import _latest_version
 
@@ -767,6 +775,7 @@ class SnapshotCDFBatchReader(DataSourceReader):
 
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
+        _refuse_tag(options, "stream")
         self.path = _table_path(options)
         st = options.get("startingtimestamp")
         if st and options.get("startingversion"):
@@ -904,6 +913,7 @@ class _StagedWriterMixin:
     def _init_stage(self, options) -> None:
         import uuid
 
+        _refuse_tag(options, "write")
         self.path = _table_path(options)
         self.txn_app = options.get("txnappid")
         pb = options.get("partitionby")

@@ -2891,6 +2891,25 @@ def test_branch_tag_named_ref_reads(spark, tmp_path):
     ).option("branch", "exp").mode("append").save(path)
     assert sinks.read_snapshot(spark, path, branch="exp").count() == 40
     assert sinks.read_snapshot(spark, path).count() == 20  # main untouched
+    # a tag is batch-read-only: writes and streams refuse it loudly
+    with pytest.raises(Exception, match="BATCH READS only"):
+        df.write.format("naru_snapshot").option("tag", "first").mode(
+            "append"
+        ).save(path)
+    with pytest.raises(Exception, match="BATCH READS only"):
+        q = (
+            spark.readStream.format("naru_snapshot")
+            .option("tag", "first")
+            .load(path)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "tag_ck"))
+            .start()
+        )
+        # the reader may instantiate asynchronously: surface its error
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
 
 
 def test_branch_publish_interactions(spark, tmp_path):

@@ -196,7 +196,11 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
     # round-15: branch refs — create_branch (zero-copy fork) and
     # publish_branch (metadata-only fast-forward) must stay near-flat at
     # ANY table size; the staged 10k-row batch is the only data cost
-    from naru_spark.sources.sinks import create_branch, publish_branch, read_snapshot
+    from naru_spark.sources.sinks import (
+        create_branch,
+        publish_branch,
+        snapshot_stats,
+    )
 
     t0 = time.time()
     bpath = create_branch(path, "wap")
@@ -205,7 +209,8 @@ def snapshot_plane_probes(spark, sf_dir: str, timings: dict) -> None:
     t0 = time.time()
     publish_branch(path, "wap")
     timings["snapshot_branch_publish_probe"] = round(time.time() - t0, 3)
-    n_pub = read_snapshot(spark, path).count()
+    # metadata-only count — a 6M-row scan has no place in the probe
+    n_pub = snapshot_stats(path)["n_rows"]
     print(
         f"# snapshot branch: create "
         f"{timings['snapshot_branch_create_probe']:.3f}s, publish "
