@@ -31,6 +31,8 @@ class MaskedLinear:
     """y = x @ (W*M) + b with cached masked weight (reference made.py:11-28
     caches mask-multiplied weights for inference: same trick here)."""
 
+    _wm = None  # pre-buffer pickles deserialize without the scratch attr
+
     def __init__(self, n_in: int, n_out: int, mask: np.ndarray, rng: np.random.RandomState, dtype=np.float64):
         assert mask.shape == (n_in, n_out)
         bound = np.sqrt(6.0 / (n_in + n_out))  # Xavier (train_model.py:322-327)
@@ -40,20 +42,51 @@ class MaskedLinear:
         self.dW = np.zeros_like(self.W)
         self.db = np.zeros_like(self.b)
         self._x = None
+        self._wm = np.empty_like(self.W)
+
+    # W stays DENSE on purpose: update_order/resample_masks swap M in place
+    # so one weight set serves K orderings — entries masked under the
+    # current M must keep their values for when a later M unmasks them.
 
     @property
     def Wm(self):
-        return self.W * self.M
+        # recompute W*M into a persistent buffer on every access: the old
+        # property allocated a fresh product per call (every training step
+        # AND every sampling forward), and first-touch page faults on those
+        # temporaries dominated the multiply itself. Recompute-on-access
+        # stays correct under every W/M mutation pattern (optimizer steps,
+        # mask cycling, direct assignment in tests). Callers consume the
+        # returned array immediately; none retain it across mutations.
+        wm = self._wm
+        if wm is None or wm.shape != self.W.shape or wm.dtype != self.W.dtype:
+            self._wm = wm = np.empty_like(self.W)
+        np.multiply(self.W, self.M, out=wm)
+        return wm
+
+    def __getstate__(self):
+        # scratch never travels: _wm is derived, _x is per-call state —
+        # dropping them keeps fitted-model pickles (executor fan-out,
+        # NaruModel.save) lean
+        d = self.__dict__.copy()
+        d["_wm"] = None
+        d["_x"] = None
+        return d
 
     def forward(self, x: np.ndarray) -> np.ndarray:
         self._x = x
-        return x @ self.Wm + self.b
+        y = x @ self.Wm
+        y += self.b
+        return y
 
     def forward_nograd(self, x: np.ndarray) -> np.ndarray:
-        return x @ self.Wm + self.b
+        y = x @ self.Wm
+        y += self.b
+        return y
 
     def backward(self, dy: np.ndarray) -> np.ndarray:
-        self.dW += (self._x.T @ dy) * self.M
+        g = self._x.T @ dy
+        g *= self.M
+        self.dW += g
         self.db += dy.sum(axis=0)
         return dy @ self.Wm.T
 
@@ -673,15 +706,32 @@ class Adam:
         self.t = 0
         self.m = [np.zeros_like(p) for l in model.layers() for p, _ in l.params_grads()]
         self.v = [np.zeros_like(p) for l in model.layers() for p, _ in l.params_grads()]
+        # persistent scratch: the naive step allocated ~8 fresh temporaries
+        # per parameter per step; every rewrite below is an in-place or
+        # commutative-swap equivalent, so updates are bit-identical
+        self._s1 = [np.zeros_like(p) for l in model.layers() for p, _ in l.params_grads()]
+        self._s2 = [np.zeros_like(p) for l in model.layers() for p, _ in l.params_grads()]
 
     def step(self):
         self.t += 1
+        bc1 = 1 - self.b1**self.t
+        bc2 = 1 - self.b2**self.t
         i = 0
         for l in self.model.layers():
             for p, g in l.params_grads():
-                self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
-                self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * (g * g)
-                mhat = self.m[i] / (1 - self.b1**self.t)
-                vhat = self.v[i] / (1 - self.b2**self.t)
-                p -= self.lr * mhat / (np.sqrt(vhat) + self.eps)
+                m, v, s1, s2 = self.m[i], self.v[i], self._s1[i], self._s2[i]
+                m *= self.b1
+                np.multiply(g, 1 - self.b1, out=s1)
+                m += s1  # b1*m + (1-b1)*g
+                v *= self.b2
+                np.multiply(g, g, out=s1)
+                s1 *= 1 - self.b2
+                v += s1  # b2*v + (1-b2)*(g*g)
+                np.divide(m, bc1, out=s1)  # mhat
+                s1 *= self.lr
+                np.divide(v, bc2, out=s2)  # vhat
+                np.sqrt(s2, out=s2)
+                s2 += self.eps
+                s1 /= s2  # (lr*mhat) / (sqrt(vhat)+eps)
+                p -= s1
                 i += 1

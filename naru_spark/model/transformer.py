@@ -40,16 +40,29 @@ def gelu(x):
 
 
 def gelu_grad(x):
+    # same expression as the straightforward form, restructured onto four
+    # reused buffers: at [S, T, d_ff] training shapes the ~11 fresh
+    # temporaries of the naive form cost more (first-touch page faults)
+    # than the arithmetic. Every reordering below is a commutative swap,
+    # so outputs are bit-identical.
     x2 = x * x
     inner = x2 * x
     inner *= 0.044715
     inner += x
     inner *= _SQRT_2_OVER_PI
-    t = np.tanh(inner)
-    dinner = x2 * (3 * 0.044715)
-    dinner += 1.0
-    dinner *= _SQRT_2_OVER_PI
-    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
+    np.tanh(inner, out=inner)  # t
+    x2 *= 3 * 0.044715  # dinner, reusing the x^2 buffer
+    x2 += 1.0
+    x2 *= _SQRT_2_OVER_PI
+    out = x * 0.5
+    t2 = inner * inner
+    np.subtract(1.0, t2, out=t2)
+    out *= t2  # (0.5*x) * (1 - t*t)
+    out *= x2  # ... * dinner
+    inner += 1.0
+    inner *= 0.5  # 0.5 * (1 + t)
+    out += inner
+    return out
 
 
 def relu(x):
@@ -276,7 +289,8 @@ class TransformerBlock:
 
     def backward(self, dy):
         dm = self.f2.backward(dy)
-        dff = dm * self._act_grad(self._ff_in)
+        dff = self._act_grad(self._ff_in)  # fresh buffer, safe to consume
+        dff *= dm
         dx2 = self.ln2.backward(self.f1.backward(dff))
         dy = dy + dx2 if self.do_residual else dx2
         da = self.attn.backward(dy)
@@ -674,13 +688,30 @@ class AdamT:
         self.t = 0
         self.m = [np.zeros_like(p.v) for p in model.params()]
         self.v = [np.zeros_like(p.v) for p in model.params()]
+        # persistent scratch (see Adam in made.py): in-place/commutative
+        # rewrite of the update — bit-identical, ~8 fewer allocations per
+        # parameter per step
+        self._s1 = [np.zeros_like(p.v) for p in model.params()]
+        self._s2 = [np.zeros_like(p.v) for p in model.params()]
 
     def step(self):
         self.t += 1
+        bc1 = 1 - self.b1**self.t
+        bc2 = 1 - self.b2**self.t
         for i, p in enumerate(self.model.params()):
             g = p.g
-            self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
-            self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * (g * g)
-            mhat = self.m[i] / (1 - self.b1**self.t)
-            vhat = self.v[i] / (1 - self.b2**self.t)
-            p.v -= self.lr * mhat / (np.sqrt(vhat) + self.eps)
+            m, v, s1, s2 = self.m[i], self.v[i], self._s1[i], self._s2[i]
+            m *= self.b1
+            np.multiply(g, 1 - self.b1, out=s1)
+            m += s1
+            v *= self.b2
+            np.multiply(g, g, out=s1)
+            s1 *= 1 - self.b2
+            v += s1
+            np.divide(m, bc1, out=s1)
+            s1 *= self.lr
+            np.divide(v, bc2, out=s2)
+            np.sqrt(s2, out=s2)
+            s2 += self.eps
+            s1 /= s2
+            p.v -= s1
