@@ -368,6 +368,13 @@ def bm25_append_index(
     try:
         (
             tf.withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+            # one batch-sized shuffle keyed like the layout: the persisted
+            # tf keeps its 32 post-aggregation partitions, and writing that
+            # through partitionBy fans out to #partitions x #buckets files
+            # (measured 662 files from one sf0.1 batch); repartitioned, an
+            # append lands ~one file per touched bucket — the Lucene
+            # segment-per-batch shape the maintain loop expects
+            .repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(os.path.join(path, "postings"))
@@ -520,8 +527,14 @@ def bm25_delete_from_index(
         # would need a manifest commit layer (the snapshot plane has one)
         # that the plain-directory index format deliberately avoids.
         _swap_in(new_df, df_dir)
+        # one shuffle keyed exactly like the layout (the merge path's own
+        # discipline): without it the survivor rewrite fans out to
+        # #scan-partitions x #buckets files — measured 682 files from a
+        # 20-file index at sf0.1 — and every later read/maintain pays the
+        # open/footer overhead. Content-identical: same rows, same
+        # partition values, fewer files.
         _swap_in(
-            remaining, post_dir,
+            remaining.repartition("bucket"), post_dir,
             writer=lambda df, tmp: df.write.partitionBy("bucket").parquet(tmp),
         )
     finally:

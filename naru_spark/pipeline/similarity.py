@@ -944,6 +944,10 @@ def ivfpq_append_index(
     codebooks = np.load(os.path.join(path, "_codebooks.npy"))
     (
         _ivfpq_encode(new_vectors, centroids, codebooks, id_col, vec_col, decimals)
+        # batch-sized shuffle keyed like the layout (see the BM25 append):
+        # unrepartitioned, the append fans out to #batch-partitions x
+        # #cells files and every later probe/maintain pays the open cost
+        .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
@@ -1029,7 +1033,11 @@ def ivfpq_delete_from_index(
             for f in sidecars:
                 shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
 
-        _swap_in(remaining, path, writer=write_with_sidecars)
+        # repartition by the layout key before the partitioned rewrite
+        # (same discipline as the BM25 merge path): otherwise the survivor
+        # tree fans out to #scan-partitions x #cells files and every later
+        # probe/maintain pays the open/footer overhead
+        _swap_in(remaining.repartition("cell"), path, writer=write_with_sidecars)
         return n_del
     finally:
         if victims is not None:
