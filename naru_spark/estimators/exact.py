@@ -49,8 +49,15 @@ def _conditional_counts(df: DataFrame, queries: list[Query], chunk: int = BATCH_
     chunks = [queries[lo : lo + chunk] for lo in range(0, len(queries), chunk)]
 
     def run(batch: list[Query]) -> list[int]:
+        # each aggregate rendered as ONE F.expr string (same Catalyst
+        # expression as the old coalesce/sum/when Column build, ~5x fewer
+        # py4j round-trips per aggregate — see spark_predicate)
+        from naru_spark.predicates import sql_predicate
+
         aggs = [
-            F.coalesce(F.sum(F.when(spark_predicate(q), F.lit(1))), F.lit(0)).alias(f"q{i}")
+            F.expr(
+                f"coalesce(sum(case when ({sql_predicate(q)}) then 1 end), 0)"
+            ).alias(f"q{i}")
             for i, q in enumerate(batch)
         ]
         row = df.agg(*aggs).collect()[0]
