@@ -213,22 +213,29 @@ def minhash_signatures(
     b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
     # base shingle hash reduced mod p so a*base < 2^62 (ANSI-safe)
     sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
+    # each of the k universal-hash columns rendered as ONE F.expr string —
+    # the old F.pmod/F.lit Column build cost ~5 py4j round-trips per hash
+    # (~300 per signature call); the parsed expression is identical
     if base_hash == "md5":
-        base = F.pmod(
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint"),
-            F.lit(_MERSENNE),
+        base_sql = (
+            "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint), "
+            f"{_MERSENNE})"
         )
     else:
         assert base_hash == "xxhash64", base_hash
-        base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+        base_sql = f"pmod(xxhash64(shingle), {_MERSENNE})"
     hashed = sh.select(
         "id",
         *[
-            F.pmod(F.lit(int(a[i])) * base + F.lit(int(b[i])), F.lit(_MERSENNE)).alias(f"h{i}")
+            F.expr(
+                f"pmod({int(a[i])} * {base_sql} + {int(b[i])}, {_MERSENNE})"
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
-    agg = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    agg = hashed.groupBy("id").agg(
+        *[F.expr(f"min(h{i})").alias(f"h{i}") for i in range(num_hashes)]
+    )
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -253,23 +260,21 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, shingles=sh, base_hash=base_hash
     )
+    # one F.expr per band struct (the F.struct/F.xxhash64/F.concat_ws
+    # Column build cost ~10 py4j round-trips per band; the parsed
+    # expression is identical)
+    band_sqls = [
+        f"struct({bi} as band, xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(sig[{bi * rows_per_band + r}] as string)"
+            for r in range(rows_per_band)
+        )
+        + ")) as bucket)"
+        for bi in range(bands)
+    ]
     banded = sig.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[bi * rows_per_band + r].cast("string") for r in range(rows_per_band)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.array(*[F.expr(s) for s in band_sqls])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     cand = (
         banded.alias("x")
@@ -323,19 +328,21 @@ def simhash_signatures(
         assert base_hash == "xxhash64", base_hash
         h = F.pmod(F.xxhash64("token"), F.lit(1 << bits)).alias("h")
     toks = toks.select("id", h)
+    # per-bit vote aggregates and the bit-reassembly sum rendered as
+    # F.expr strings (the Column build cost ~6 py4j round-trips per bit,
+    # x62 bits x2 passes; the parsed expressions are identical)
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.expr(
+                f"sum(case when (h & {1 << i}) != 0 then 1 else -1 end)"
             ).alias(f"b{i}")
             for i in range(bits)
         ]
     )
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return votes.select("id", sig.cast("long").alias("simhash"))
+    sig_sql = " + ".join(
+        f"(case when b{i} > 0 then {1 << i} else 0 end)" for i in range(bits)
+    )
+    return votes.select("id", F.expr(f"cast(({sig_sql}) as bigint)").alias("simhash"))
 
 
 def simhash_pairs(
