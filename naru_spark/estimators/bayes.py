@@ -22,6 +22,8 @@ ProgressiveSampling, with CPDs instead of a neural net.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -134,6 +136,21 @@ def greedy_parent_dag(mi: np.ndarray, max_parents: int) -> dict[int, tuple]:
 
 
 _VE_FACTOR_CAP = 50_000_000  # entries; ~400 MB of float64 — fail loudly
+
+# Reusable product buffer for variable_elimination, per thread (queries run
+# on the driver; a thread-local keeps any concurrent callers safe). Bounded
+# by _VE_FACTOR_CAP entries — the elimination raises before ever asking for
+# more. Grown geometrically so a sweep of mixed-size queries settles on one
+# allocation.
+_VE_SCRATCH = threading.local()
+
+
+def _ve_scratch(n: int) -> np.ndarray:
+    buf = getattr(_VE_SCRATCH, "buf", None)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n, 2 * (buf.size if buf is not None else 0)))
+        _VE_SCRATCH.buf = buf
+    return buf[:n]
 
 
 def min_fill_order(factors: list) -> list:
@@ -253,13 +270,31 @@ def variable_elimination(factors: list, elim_order) -> float:
                 "entries — domain too large for exact inference; use "
                 "the sampling path"
             )
-        prod = None
+        aligned = []
         for fv, arr in related:
             perm = [fv.index(v) for v in vars_all if v in fv]
             a = np.transpose(arr, perm)
             shape = [dom[v] if v in fv else 1 for v in vars_all]
-            a = a.reshape(shape)
-            prod = a if prod is None else prod * a
+            aligned.append(a.reshape(shape))
+        if len(aligned) == 1:
+            prod = aligned[0]
+        else:
+            # product accumulated IN PLACE into a reusable per-thread
+            # scratch buffer: the old progressive `prod * a` allocated a
+            # fresh union-shape array at every growth step — on a
+            # treewidth-3 elimination that is repeated ~130 MB
+            # allocations per query, and freshly mmap'd pages fault in
+            # at the OS's pace (measured: the FIRST two 16M-entry
+            # broadcast products cost 12.6 s + 22 s on a cold arena vs
+            # 50-300 ms once pages are warm). One buffer, faulted once
+            # per process, serves every elimination. Per-element values
+            # are bit-identical: the same left-to-right multiply chain,
+            # just written into a held buffer.
+            full_shape = tuple(dom[v] for v in vars_all)
+            prod = _ve_scratch(size).reshape(full_shape)
+            np.copyto(prod, aligned[0])
+            for a in aligned[1:]:
+                np.multiply(prod, a, out=prod)
         axis = vars_all.index(x)
         rest = tuple(v for v in vars_all if v != x)
         factors.append((rest, prod.sum(axis=axis)))
