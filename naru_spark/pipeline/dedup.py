@@ -464,7 +464,12 @@ def embedding_dup_pairs(
                 {"id_a": bids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
             )
 
-    return df.select(id_col, vec_col).repartition(32).mapInPandas(pairs, schema=_PAIR_SCHEMA)
+    # fan the batch side out to the cluster's width (NOT a constant: the
+    # driver benches at several core counts, and a 100 TB cluster is not
+    # 32-wide). Per-row outputs depend only on the broadcast corpus, so
+    # the partition count never changes the emitted pair set.
+    width = spark.sparkContext.defaultParallelism
+    return df.select(id_col, vec_col).repartition(width).mapInPandas(pairs, schema=_PAIR_SCHEMA)
 
 
 def embedding_dup_pairs_lsh(

@@ -512,7 +512,12 @@ def knn_graph(
                     )
             yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cosine", "rank"])
 
-    return df.select(id_col, vec_col).repartition(32).mapInPandas(blocks, schema=_KNN_SCHEMA)
+    # cluster-width fan-out, not a constant (the driver benches at several
+    # core counts; a production cluster is not 32-wide). Per-row outputs
+    # depend only on the broadcast corpus, so the partition count never
+    # changes the emitted neighbor set.
+    width = spark.sparkContext.defaultParallelism
+    return df.select(id_col, vec_col).repartition(width).mapInPandas(blocks, schema=_KNN_SCHEMA)
 
 
 # ------------------------------------------------------------------ PQ (ANN)
