@@ -52,11 +52,11 @@ def _conditional_counts(df: DataFrame, queries: list[Query], chunk: int = BATCH_
         # each aggregate rendered as ONE F.expr string (same Catalyst
         # expression as the old coalesce/sum/when Column build, ~5x fewer
         # py4j round-trips per aggregate — see spark_predicate)
-        from naru_spark.predicates import sql_predicate
+        from naru_spark.predicates import spark_where
 
         aggs = [
             F.expr(
-                f"coalesce(sum(case when ({sql_predicate(q)}) then 1 end), 0)"
+                f"coalesce(sum(case when ({spark_where(q)}) then 1 end), 0)"
             ).alias(f"q{i}")
             for i, q in enumerate(batch)
         ]

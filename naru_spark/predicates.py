@@ -179,8 +179,10 @@ def spark_predicate(q) -> SparkCol:
     before (reference ``Oracle`` mask fold, estimators.py:505-536);
     ``DisjunctiveQuery`` branches OR-join in the string and Catalyst
     still pushes the per-branch supersets where the source supports
-    disjunctive filters."""
-    return F.expr(sql_predicate(q))
+    disjunctive filters. Column names are backtick-quoted for Spark's
+    parser (the DuckDB oracle rendering stays bare — its strings are
+    hash-pinned), so schemas with spaces in names (DMV) keep working."""
+    return F.expr(spark_where(q))
 
 
 def sql_literal(v) -> str:
@@ -204,17 +206,35 @@ def sql_literal(v) -> str:
     return f"'{s}'"
 
 
+def _render_predicate(q, ident) -> str:
+    """Shared WHERE-string renderer; ``ident`` maps a column name to its
+    dialect spelling (bare for the DuckDB oracle strings, backticked for
+    Spark's parser so names with spaces — the DMV schema — stay valid)."""
+    if isinstance(q, DisjunctiveQuery):
+        return " OR ".join(f"({_render_predicate(b, ident)})" for b in q.branches)
+    parts = []
+    for c, op, v in zip(q.cols, q.ops, q.vals):
+        if op == "in":
+            parts.append(f"{ident(c)} IN ({', '.join(sql_literal(x) for x in v)})")
+        else:
+            parts.append(f"{ident(c)} {_SQL_OPS[op]} {sql_literal(v)}")
+    return " AND ".join(parts)
+
+
 def sql_predicate(q) -> str:
     """(cols, ops, vals) -> WHERE-clause string (reference
     ``QueryToPredicate``, estimators.py:93-111), ANSI so DuckDB and Spark SQL
     both accept it. ``'in'`` renders as ``c IN (...)``; a
     ``DisjunctiveQuery`` as parenthesized OR-joined branch conjunctions."""
-    if isinstance(q, DisjunctiveQuery):
-        return " OR ".join(f"({sql_predicate(b)})" for b in q.branches)
-    parts = []
-    for c, op, v in zip(q.cols, q.ops, q.vals):
-        if op == "in":
-            parts.append(f"{c} IN ({', '.join(sql_literal(x) for x in v)})")
-        else:
-            parts.append(f"{c} {_SQL_OPS[op]} {sql_literal(v)}")
-    return " AND ".join(parts)
+    return _render_predicate(q, lambda c: c)
+
+
+def _bq(c: str) -> str:
+    return f"`{c.replace('`', '``')}`"
+
+
+def spark_where(q) -> str:
+    """The predicate as a Spark-SQL WHERE string (backticked identifiers)
+    — for embedding in larger ``F.expr`` strings (conditional-count
+    aggregates); ``spark_predicate`` is this string parsed to a Column."""
+    return _render_predicate(q, _bq)
