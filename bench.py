@@ -30,6 +30,26 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _box_probe_ms() -> float:
+    """Box-health calibration (VERDICT r15 item 1): time a FRESH 128 MB
+    numpy allocation written through a ufunc (two fresh buffers, 256 MB of
+    first-touch page faults). On a healthy box this is ~100-200 ms; during
+    this sandbox's episodic host-level degradation the same probe measures
+    5,000-25,000+ ms (fresh pages fault at ~5-10 MB/s). `np.zeros` is NOT a
+    valid probe — it stays fast even in bad windows (kernel zero page).
+    Run before and after the sweep so weather is a measured field in the
+    artifact instead of a narrative.
+    """
+    import numpy as np
+
+    t0 = time.time()
+    a = np.full(16 * 1024 * 1024, 1.0)  # fresh 128 MB, written
+    b = a * 1.0000001                   # second fresh 128 MB via ufunc
+    ms = round((time.time() - t0) * 1000.0, 1)
+    del a, b
+    return ms
+
+
 def _run_block(spark, entry_mod, sf_dir: str, only: set | None = None):
     """Run every registry entry at one scale factor (or the ``only``
     subset, for --profile fast).
@@ -188,6 +208,9 @@ def main():
     from naru_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
+    probe_pre = _box_probe_ms()
+    print(f"# box probe (fresh 128MB multiply): {probe_pre:.1f} ms", file=sys.stderr)
+
     spark = get_spark("naru_spark_bench")
 
     # Warm the JVM + parquet footers so per-query times measure query work.
@@ -332,7 +355,39 @@ def main():
         }
         with open(last_path, "w") as fh:
             json.dump({"sf_blocks": clean_blocks, "model_warm_s": warm_s}, fh)
+    probe_post = _box_probe_ms()
+    print(f"# box probe (fresh 128MB multiply): {probe_post:.1f} ms", file=sys.stderr)
+    out["box_probe_ms"] = {"pre": probe_pre, "post": probe_post}
+
     print(json.dumps(out))
+
+    # FULL per-run record to a committed path (VERDICT r15 item 2): the
+    # driver's artifact keeps only a ~2000-char stdout tail, which truncates
+    # the full JSON line above — so per-query walls, error NAMES and the
+    # adjudication detail must also land on disk, on EVERY run including
+    # flagged ones (BENCH_LAST_FULL.json is only refreshed on clean runs —
+    # exactly the runs you least need to inspect). BENCH_RUN.json is the
+    # latest run; BENCH_RUN_c{cpus}.json keeps the per-core-count record so
+    # the driver's scaling comparison has per-query data for both runs.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    run_record = {
+        "cpus": cpus,
+        "sf_dir": sf_dir,
+        "profile": profile,
+        "box_probe_ms": out["box_probe_ms"],
+        "value": total,
+        "sf_blocks": sf_blocks,
+        "model_warm_s": warm_s,
+        **({"first_touch_s": first_touch} if first_touch else {}),
+        **({"regressions": regressions} if regressions else {}),
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_RUN.json", f"BENCH_RUN_c{cpus or 'NA'}.json"):
+        try:
+            with open(os.path.join(repo_dir, fname), "w") as fh:
+                json.dump(run_record, fh)
+        except OSError as e:
+            print(f"# BENCH_RUN write skipped ({fname}): {e}", file=sys.stderr)
 
     # Second, COMPACT summary line (VERDICT r03 item 2): the driver's BENCH
     # artifact keeps only the last ~2000 chars of stdout, and the full
@@ -351,6 +406,16 @@ def main():
             for k, v in sf_blocks.items()
         },
         "errors_count": {k: len(v.get("errors", {})) for k, v in sf_blocks.items()},
+        # error NAMES in the tail-surviving line (VERDICT r15 item 2): at the
+        # observed error rates (0-1 per sweep) this fits any tail capture —
+        # an anonymous errors_count was this contract's one blind spot.
+        **({"errors": {
+            k: {n: m[:80] for n, m in v["errors"].items()}
+            for k, v in sf_blocks.items() if v.get("errors")
+        }} if any(v.get("errors") for v in sf_blocks.values()) else {}),
+        # box-health calibration, ms for a fresh 128 MB numpy multiply before/
+        # after the sweep (~100-200 healthy; 5000+ = degraded window)
+        "box_probe_ms": out["box_probe_ms"],
         # model-cache warm seconds (excluded from entry walls, never hidden)
         "model_warm_s": warm_s,
         # first-touch walls for adjudicated suspects (steady-state re-run won)
