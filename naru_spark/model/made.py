@@ -20,6 +20,8 @@ Column 0's head connects to nothing — its distribution is the learned bias.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 
@@ -31,7 +33,8 @@ class MaskedLinear:
     """y = x @ (W*M) + b with cached masked weight (reference made.py:11-28
     caches mask-multiplied weights for inference: same trick here)."""
 
-    _wm = None  # pre-buffer pickles deserialize without the scratch attr
+    _wm = None  # pre-buffer pickles deserialize without the scratch attrs
+    _out_tl = None
 
     def __init__(self, n_in: int, n_out: int, mask: np.ndarray, rng: np.random.RandomState, dtype=np.float64):
         assert mask.shape == (n_in, n_out)
@@ -43,6 +46,26 @@ class MaskedLinear:
         self.db = np.zeros_like(self.b)
         self._x = None
         self._wm = np.empty_like(self.W)
+        self._out_tl = threading.local()
+
+    def _out_buf(self, rows: int, dtype) -> np.ndarray:
+        """Persistent matmul-output buffer, per (shape, dtype), THREAD-LOCAL
+        so the sampling_stateless shallow-clone contract holds: concurrent
+        threads driving clones that share this layer each get their own
+        buffer. ALIASING: the returned array is overwritten by this
+        thread's next same-shape forward — every call site consumes (or
+        copies) it first; backward never reads this layer's own output."""
+        tl = self._out_tl
+        if tl is None:  # pre-buffer pickle
+            self._out_tl = tl = threading.local()
+        outs = getattr(tl, "outs", None)
+        if outs is None:
+            tl.outs = outs = {}
+        key = (rows, dtype)
+        buf = outs.get(key)
+        if buf is None:
+            outs[key] = buf = np.empty((rows, self.W.shape[1]), dtype=dtype)
+        return buf
 
     # W stays DENSE on purpose: update_order/resample_masks swap M in place
     # so one weight set serves K orderings — entries masked under the
@@ -64,22 +87,25 @@ class MaskedLinear:
         return wm
 
     def __getstate__(self):
-        # scratch never travels: _wm is derived, _x is per-call state —
-        # dropping them keeps fitted-model pickles (executor fan-out,
-        # NaruModel.save) lean
+        # scratch never travels: _wm/_out_tl are derived, _x is per-call
+        # state — dropping them keeps fitted-model pickles (executor
+        # fan-out, NaruModel.save) lean
         d = self.__dict__.copy()
         d["_wm"] = None
         d["_x"] = None
+        d["_out_tl"] = None
         return d
 
     def forward(self, x: np.ndarray) -> np.ndarray:
         self._x = x
-        y = x @ self.Wm
+        y = self._out_buf(x.shape[0], np.result_type(x.dtype, self.W.dtype))
+        np.matmul(x, self.Wm, out=y)
         y += self.b
         return y
 
     def forward_nograd(self, x: np.ndarray) -> np.ndarray:
-        y = x @ self.Wm
+        y = self._out_buf(x.shape[0], np.result_type(x.dtype, self.W.dtype))
+        np.matmul(x, self.Wm, out=y)
         y += self.b
         return y
 

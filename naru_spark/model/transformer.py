@@ -121,11 +121,49 @@ class Param:
 
 
 class Linear:
+    # Pre-buffer pickles deserialize without the scratch attrs
+    _x = None
+    _out = None
+
     def __init__(self, n_in, n_out, rng, dtype):
         bound = np.sqrt(6.0 / (n_in + n_out))
         self.W = Param(rng.uniform(-bound, bound, (n_in, n_out)).astype(dtype))
         self.b = Param(np.zeros(n_out, dtype=dtype))
         self._x = None
+        # persistent matmul-output buffers, keyed by 2-D shape: every
+        # forward used to allocate a fresh [N, n_out] array (+ another for
+        # the bias add), and on this box first-touch page faults on those
+        # temporaries dominate the GEMM itself (guide §1.2 per-task work;
+        # measured 144 ms/call in degraded windows for a ~2 ms matmul).
+        # ALIASING CONTRACT: the returned array is overwritten by this
+        # layer's next same-shape forward — callers consume it (or copy
+        # into caches) before then, and a model instance is driven by ONE
+        # thread at a time (multiorder_nll threads use distinct models;
+        # there is no threaded transformer sampling).
+        self._out = {}
+
+    def __getstate__(self):
+        # scratch never travels: _out is derived, _x is per-call state —
+        # dropping them keeps model pickles (broadcast fan-out) lean
+        d = self.__dict__.copy()
+        d["_x"] = None
+        d["_out"] = None
+        return d
+
+    def _mm(self, x2):  # [N, n_in] @ W + b into a persistent buffer
+        outs = self._out
+        if outs is None:
+            self._out = outs = {}
+        shape = (x2.shape[0], self.W.v.shape[1])
+        # result dtype exactly as the old `x @ W + b` (a float64 input
+        # against float32 weights must still promote)
+        rd = np.result_type(x2.dtype, self.W.v.dtype)
+        buf = outs.get(shape)
+        if buf is None or buf.dtype != rd:
+            outs[shape] = buf = np.empty(shape, dtype=rd)
+        np.matmul(x2, self.W.v, out=buf)
+        buf += self.b.v
+        return buf
 
     def forward(self, x):  # x: [.., n_in]
         self._x = x
@@ -133,9 +171,8 @@ class Linear:
             # one [prod(lead), n_in] GEMM instead of a stack of tiny
             # batched matmuls (measured ~10x on [S, T, d] inputs)
             lead = x.shape[:-1]
-            out = x.reshape(-1, x.shape[-1]) @ self.W.v + self.b.v
-            return out.reshape(*lead, -1)
-        return x @ self.W.v + self.b.v
+            return self._mm(x.reshape(-1, x.shape[-1])).reshape(*lead, -1)
+        return self._mm(x)
 
     def backward(self, dy):
         x2 = self._x.reshape(-1, self._x.shape[-1])
@@ -149,17 +186,32 @@ class Linear:
 
 
 class LayerNorm:
+    _std = None  # per-call scratch; class default for pre-buffer pickles
+    _xhat = None
+
     def __init__(self, d, dtype):
         self.g = Param(np.ones(d, dtype=dtype))
         self.b = Param(np.zeros(d, dtype=dtype))
         self.eps = 1e-5
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_std", None)
+        d.pop("_xhat", None)
+        return d
+
     def forward(self, x):
+        # same expression as the naive form with two fewer fresh
+        # full-size temporaries (in-place divide/add — bit-identical)
         mu = x.mean(axis=-1, keepdims=True)
         var = x.var(axis=-1, keepdims=True)
         self._std = np.sqrt(var + self.eps)
-        self._xhat = (x - mu) / self._std
-        return self._xhat * self.g.v + self.b.v
+        xhat = x - mu
+        xhat /= self._std
+        self._xhat = xhat
+        out = xhat * self.g.v
+        out += self.b.v
+        return out
 
     def backward(self, dy):
         xhat, std = self._xhat, self._std
@@ -179,6 +231,12 @@ class CausalSelfAttention:
     """MHSA with additive -inf masking of future positions
     (transformer.py:140-208)."""
 
+    _p = None  # per-call scratch; class defaults for pre-buffer pickles
+    _qkv = None
+    _dquery = None
+    _used_query_input = False
+    _scr = None
+
     def __init__(self, d_model, n_heads, rng, dtype):
         assert d_model % n_heads == 0
         self.h = n_heads
@@ -187,6 +245,12 @@ class CausalSelfAttention:
         self.k = Linear(d_model, d_model, rng, dtype)
         self.v = Linear(d_model, d_model, rng, dtype)
         self.o = Linear(d_model, d_model, rng, dtype)
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        for n in ("_p", "_qkv", "_dquery", "_used_query_input", "_scr"):
+            d.pop(n, None)
+        return d
 
     def _split(self, x):  # [B,T,d] -> [B,h,T,dk]
         B, T, d = x.shape
@@ -210,17 +274,33 @@ class CausalSelfAttention:
         q = self._split(self.q.forward(q_src))
         k = self._split(self.k.forward(x))
         v = self._split(self.v.forward(x))
-        att = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(self.dk))  # [B,h,T,T]
+        # attention scores into a persistent buffer, then the whole
+        # mask/softmax chain IN PLACE: the old chain allocated five fresh
+        # [B,h,T,T] arrays per forward (matmul, where, subtract, exp,
+        # divide) — pure first-touch waste (guide §1.2). Every rewrite is
+        # the same op on the same values, so outputs are bit-identical.
+        # _p aliases the buffer; it stays valid until this attention's
+        # next same-shape forward (backward runs before that).
+        scr = getattr(self, "_scr", None)
+        if scr is None:
+            self._scr = scr = {}
+        shape = (B, self.h, T, T)
+        att = scr.get(shape)
+        if att is None or att.dtype != q.dtype:
+            scr[shape] = att = np.empty(shape, dtype=q.dtype)
+        np.matmul(q, k.transpose(0, 1, 3, 2), out=att)  # [B,h,T,T]
+        att /= np.float32(np.sqrt(self.dk))
         if allowed is None:
             blocked = np.triu(np.ones((T, T), dtype=bool), k=1)
         else:
             blocked = ~allowed
         # dtype-matched fill value: a python float here would silently
         # promote the whole attention tensor to float64
-        att = np.where(blocked[None, None], att.dtype.type(-1e10), att)
-        att = att - att.max(axis=-1, keepdims=True)
-        e = np.exp(att)
-        self._p = e / e.sum(axis=-1, keepdims=True)
+        att[:, :, blocked] = att.dtype.type(-1e10)
+        att -= att.max(axis=-1, keepdims=True)
+        np.exp(att, out=att)
+        att /= att.sum(axis=-1, keepdims=True)
+        self._p = att
         self._qkv = (q, k, v)
         out = self._p @ v  # [B,h,T,dk]
         return self.o.forward(self._merge(out))
@@ -261,6 +341,8 @@ class TransformerBlock:
     is attn/MLP only, with no skip path, so the destination position's own
     input embedding cannot leak past the input-layer attention mask."""
 
+    _ff_in = None  # per-call scratch; class default for pre-buffer pickles
+
     def __init__(self, d_model, d_ff, n_heads, rng, dtype, do_residual=True, activation="gelu"):
         self.ln1 = LayerNorm(d_model, dtype)
         self.attn = CausalSelfAttention(d_model, n_heads, rng, dtype)
@@ -271,6 +353,11 @@ class TransformerBlock:
         assert activation in _ACTIVATIONS, activation
         self.activation = activation
         self._act, self._act_grad = _ACTIVATIONS[activation]
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_ff_in", None)  # per-call scratch (aliases f1's buffer)
+        return d
 
     def __setstate__(self, state):
         # pre-activation-option checkpoints lack these attrs: gelu was the
@@ -317,6 +404,16 @@ class ARTransformer:
     ``fixed_ordering``); multi-order transformer ensembles use one model
     per ordering."""
 
+    # per-call / per-sampling scratch (dropped from pickles; class defaults
+    # let pre-buffer pickles and fresh unpickles resolve)
+    _x_bins = None
+    _observed = None
+    _h_final = None
+    _inc = None
+    _inc_buffer = None
+    _sampling_observed = None
+    _pending = None
+
     def __init__(
         self,
         domains: list[int],
@@ -361,6 +458,17 @@ class ARTransformer:
         if self.scheme == 1:
             self._allowed_in = order_respecting_mask(self.D, self.order, input_layer=True)
             self._allowed_hid = order_respecting_mask(self.D, self.order, input_layer=False)
+
+    def __getstate__(self):
+        # per-call / per-sampling scratch never travels (broadcast fan-out
+        # ships weights, not stale activations or KV caches)
+        d = self.__dict__.copy()
+        for n in (
+            "_x_bins", "_observed", "_h_final", "_inc", "_inc_buffer",
+            "_sampling_observed", "_pending",
+        ):
+            d.pop(n, None)
+        return d
 
     def update_order(self, order: list[int]):
         """The transformer's ordering is baked into its masks at
@@ -552,11 +660,13 @@ class ARTransformer:
         return xc
 
     def _lin_nograd(self, lin: Linear, v: np.ndarray) -> np.ndarray:
+        # same persistent-buffer GEMM as Linear.forward (aliasing contract
+        # there); does not touch lin._x, so it never disturbs a pending
+        # backward
         if v.ndim > 2:
             lead = v.shape[:-1]
-            out = v.reshape(-1, v.shape[-1]) @ lin.W.v + lin.b.v
-            return out.reshape(*lead, -1)
-        return v @ lin.W.v + lin.b.v
+            return lin._mm(v.reshape(-1, v.shape[-1])).reshape(*lead, -1)
+        return lin._mm(v)
 
     def _src_positions(self, layer: int, p: int) -> np.ndarray:
         """Source positions destination ``p`` may attend at ``layer``."""
