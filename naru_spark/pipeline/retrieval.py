@@ -94,7 +94,10 @@ def bm25_topk(
 
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     q_df = _query_terms_df(spark, queries)
-    return _score_topk(tf, q_df, df_t, n_docs, avgdl, k, k1, b)
+    # df_t is already term-filtered here, but passing the list keeps the
+    # probe-term restriction a no-op filter instead of a broadcast join
+    return _score_topk(tf, q_df, df_t, n_docs, avgdl, k, k1, b,
+                       probe_terms=q_term_list)
 
 
 def _score_topk(
@@ -106,6 +109,7 @@ def _score_topk(
     k: int,
     k1: float,
     b: float,
+    probe_terms: list[str] | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail (in-memory and from-index paths run the
     SAME expression, which is what lets the index entry share the plain
@@ -123,9 +127,19 @@ def _score_topk(
     contrib = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).cast(
         "decimal(18,6)"
     )
+    # restrict df(term) to the probe's terms. With the driver-side term
+    # list this is a PUSHED-DOWN scan filter (PushedFilters: In(term, ...))
+    # instead of a join against the broadcast query terms — one less join
+    # in the probe plan and a smaller broadcast build; rows are identical
+    # (df_t has unique terms; the join keyed on distinct probe terms was
+    # exactly this filter). Callers without the list keep the join form.
+    if probe_terms is not None:
+        df_probe = df_t.filter(F.col("term").isin(probe_terms))
+    else:
+        df_probe = df_t.join(F.broadcast(q_df.select("term").distinct()), "term")
     scored = (
         tf.join(F.broadcast(q_df), "term")  # inverted-index probe
-        .join(F.broadcast(df_t.join(F.broadcast(q_df.select("term").distinct()), "term")), "term")
+        .join(F.broadcast(df_probe), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("score_d"))
     )
@@ -142,6 +156,26 @@ def _score_topk(
             "rank",
         )
     )
+
+
+def _read_sidecar_rows(spark, path: str):
+    """Read a TINY sidecar parquet dir (the one-row stats table) without
+    launching a Spark job when the dir is driver-local: manifest-style
+    metadata belongs to the driver (the Delta/Iceberg discipline — a
+    distributed job to fetch one row is pure scheduling overhead, and the
+    maintain/serve loops pay it per batch). Falls back to a Spark read for
+    non-local paths (object stores) — same rows either way."""
+    import os
+
+    if os.path.isdir(path):
+        try:
+            import pyarrow.parquet as pq
+
+            # ParquetDataset's default ignore_prefixes skips _SUCCESS/.crc
+            return pq.read_table(path).to_pylist()
+        except Exception:  # noqa: BLE001 — any local-read surprise: use Spark
+            pass
+    return [r.asDict() for r in spark.read.parquet(path).collect()]
 
 
 def _query_terms_df(spark, queries: list[tuple[int, str]]) -> DataFrame:
@@ -393,7 +427,7 @@ def bm25_append_index(
         tf.unpersist()  # a failed write must not pin the cache for the session
 
     stats_dir = os.path.join(path, "stats")
-    old_row = spark.read.parquet(stats_dir).collect()[0]
+    old_row = _read_sidecar_rows(spark, stats_dir)[0]  # one-row sidecar
     _swap_in(
         spark.createDataFrame(
             [(int(old_row["n"] or 0) + int(add["n"]),
@@ -544,7 +578,7 @@ def bm25_delete_from_index(
             # micro-batch must not accumulate checkpointed id blocks
             ids_df.unpersist()
     stats_dir = os.path.join(path, "stats")
-    old = spark.read.parquet(stats_dir).collect()[0]
+    old = _read_sidecar_rows(spark, stats_dir)[0]  # one-row sidecar
     _swap_in(
         spark.createDataFrame(
             [(int(old["n"]) - n_del, int(old["sdl"]) - int(stats_del["sdl"]))],
@@ -718,7 +752,9 @@ def bm25_topk_from_index(
     import zlib
 
     n_buckets = _bm25_n_buckets(path, n_buckets)
-    row = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    # one-row sidecar: driver-local read, no Spark job (the serve loop
+    # pays this per probe)
+    row = _read_sidecar_rows(spark, os.path.join(path, "stats"))[0]
     n_docs, avgdl = int(row["n"]), float(row["sdl"]) / int(row["n"])
 
     q_df = _query_terms_df(spark, queries)
@@ -737,4 +773,5 @@ def bm25_topk_from_index(
             doc_filter.select("doc_id").distinct(), "doc_id", "semi"
         )
     df_t = spark.read.parquet(os.path.join(path, "df"))
-    return _score_topk(postings, q_df, df_t, n_docs, avgdl, k, k1, b)
+    return _score_topk(postings, q_df, df_t, n_docs, avgdl, k, k1, b,
+                       probe_terms=probe_terms)
