@@ -148,7 +148,11 @@ _VE_SCRATCH = threading.local()
 def _ve_scratch(n: int) -> np.ndarray:
     buf = getattr(_VE_SCRATCH, "buf", None)
     if buf is None or buf.size < n:
-        buf = np.empty(max(n, 2 * (buf.size if buf is not None else 0)))
+        # growth target clamped to the cap (ADVICE r15): the doubling
+        # heuristic must not transiently allocate ~2x the cap when
+        # successive queries straddle a near-cap size
+        grow = max(n, 2 * (buf.size if buf is not None else 0))
+        buf = np.empty(min(grow, max(n, _VE_FACTOR_CAP)))
         _VE_SCRATCH.buf = buf
     return buf[:n]
 

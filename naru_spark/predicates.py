@@ -194,7 +194,15 @@ def sql_literal(v) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, (float, np.floating)):
-        return repr(float(v))
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            # bare repr ('inf'/'nan') parses as a COLUMN REFERENCE in both
+            # dialects (ADVICE r15); the explicit cast is ANSI-portable and
+            # spells the value the way Spark's AND DuckDB's string->double
+            # casts both accept
+            s = "NaN" if f != f else ("Infinity" if f > 0 else "-Infinity")
+            return f"CAST('{s}' AS DOUBLE)"
+        return repr(f)
     if isinstance(v, (np.datetime64,)):
         ts = np.datetime_as_string(v, unit="us").replace("T", " ")
         return f"TIMESTAMP '{ts}'"
