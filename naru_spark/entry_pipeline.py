@@ -4049,14 +4049,17 @@ def q_stream_bm25_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes: list = []
     walls: list = []
+    maintain_walls: list = []
 
     def ingest_and_serve(bdf: DataFrame, bid: int) -> None:
         import time
 
+        t_m = time.time()
         if not os.path.exists(os.path.join(path, "postings")):
             bm25_write_index(bdf, path)
         else:
             bm25_maintain_index(bdf, path, merge_factor=2)
+        maintain_walls.append(time.time() - t_m)
         # serve a constrained query off the LIVE index (cheap interim
         # probe: 1 query; the full set runs once at the end) — timed:
         # the SERVE latency is the per-batch number a user cares about
@@ -4081,6 +4084,12 @@ def q_stream_bm25_serve_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert len(probes) >= 3 and all(n > 0 for n in probes), probes
     _record_stream_ms(sf_dir, "stream_bm25_serve_filtered", walls)
+    # wall split (VERDICT r15 item 8): the maintain share of each batch,
+    # reported beside the serve latency so the entry wall decomposes into
+    # serve vs index-maintenance vs streaming lifecycle
+    _record_stream_ms(
+        sf_dir, "stream_bm25_serve_filtered:maintain", maintain_walls
+    )
     return bm25_topk_from_index(
         spark, path, _BM25_QUERIES, k=10, doc_filter=allowed
     )
