@@ -222,10 +222,12 @@ def q_estimator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         MultiOrderEnsemble([model, reversed_made], num_samples=256, seed=7),
         SampleFromModel(model, num_samples=2000, seed=7),
         MaxDiffHistogram(data, meta, LINEITEM_COLS, limit=1000, scale=scale),
-        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256),
+        bn_chowliu := BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256),
         # exact sum-product on the same tree (reference's pgmpy exact path,
-        # estimators.py:846-997) and the greedy-structure variant
-        BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, inference="exact"),
+        # estimators.py:846-997) — SAME fitted structure/CPDs, so the fit
+        # is shared instead of re-run (bit-identical; guide §1.2) — and
+        # the greedy-structure variant
+        BayesNet.shared_fit(bn_chowliu, inference="exact"),
         BayesNet(data, meta, LINEITEM_COLS, max_model_domain=128, num_samples=256, structure="greedy"),
         CatalystCBO(spark, f"{sf_dir}/lineitem.parquet", "cbo_lineitem"),
     ]
@@ -1066,10 +1068,10 @@ def q_bn_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         data, meta, LINEITEM_COLS, max_model_domain=64,
         structure="greedy", max_parents=2, inference="exact",
     )
-    bn_s = BayesNet(
-        data, meta, LINEITEM_COLS, max_model_domain=64,
-        structure="greedy", max_parents=2, num_samples=256, seed=7,
-    )
+    # same data + params => the fit is deterministic and byte-identical;
+    # share it instead of re-running encode/MI/CPTs (guide §1.2). The
+    # sampling path still runs its own inference end-to-end below.
+    bn_s = BayesNet.shared_fit(bn_e, num_samples=256, seed=7)
     assert bn_e.parents == bn_s.parents
     assert any(len(p) == 2 for p in bn_e.parents.values()), bn_e.parents
     t0 = time.time()

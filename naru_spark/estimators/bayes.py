@@ -454,6 +454,45 @@ class BayesNet(CardEst):
             joint += laplace
             self.cpd[v] = joint / joint.sum(axis=-1, keepdims=True)
 
+    @classmethod
+    def shared_fit(
+        cls,
+        fitted: "BayesNet",
+        inference: str = "sampling",
+        num_samples: int = 512,
+        seed: int = 0,
+    ) -> "BayesNet":
+        """A second estimator over the SAME fitted structure/CPDs without
+        re-fitting (guide §1.2: don't compute things twice) — the report
+        entries pair an exact-inference and a sampling-inference estimator
+        on one structure, and the fit (encode + pairwise MI + CPTs over
+        the 100k-row sample) is deterministic given the constructor args,
+        so re-running it produced byte-identical arrays. Shallow-copies
+        the fitted state (read-only at query time: CPDs/binnings/masks are
+        never mutated by inference), overrides only the inference-mode
+        knobs, resets the per-instance CardEst telemetry lists (a shallow
+        copy would otherwise SHARE them) and the lazily-chosen
+        ``_elim_order``. Query results are bit-identical to a fresh
+        construction with the same arguments."""
+        import copy
+
+        assert inference in ("sampling", "exact"), inference
+        self = copy.copy(fitted)
+        CardEst.__init__(self)  # fresh telemetry lists, not shared ones
+        self.inference = inference
+        self.num_samples = num_samples
+        self.seed = seed
+        self._elim_order = None  # re-chosen lazily, exactly as a fresh fit
+        tag = "chowliu" if self.structure == "chow_liu" else "greedy"
+        if self.structure == "greedy" and self.max_parents > 1:
+            tag += str(self.max_parents)
+        if self.root != 0:
+            tag += f"_r{self.root}"
+        self.name = (
+            f"bn_{tag}_exact" if inference == "exact" else f"bn_{tag}_{num_samples}"
+        )
+        return self
+
     def _masks(self, q: Query) -> list[np.ndarray | None]:
         masks: list[np.ndarray | None] = [None] * len(self.columns)
         for c, op, v in zip(q.cols, q.ops, q.vals):

@@ -1180,7 +1180,9 @@ def ivfpq_maintain_index(
     Returns ``{"action": "rebuild"|"upsert", "imbalance_before": b,
     "imbalance_after": a, "imbalance_final": f, "baseline": anchor,
     "n_replaced": r, "trigger": None|"imbalance"|"recall",
-    "recall": mean_recall_or_None}``. ``imbalance_after`` is the
+    "recall": mean_recall_or_None}``. ``imbalance_before`` is None under
+    ``policy="build"`` — that policy's baseline is the _meta.json anchor,
+    so the pre-ingest index scan is skipped. ``imbalance_after`` is the
     POST-INGEST, PRE-REBUILD measurement — the value the trigger
     compared (kept so callers can audit the decision).
     ``imbalance_final`` is the state the call left behind: equal to
@@ -1207,7 +1209,11 @@ def ivfpq_maintain_index(
             "predates the balance sidecar; rebuild once to stamp it "
             "before using policy='build'"
         )
-    before = ivfpq_imbalance(spark, path)
+    # the pre-ingest scan only feeds the "ingest" policy's baseline; under
+    # "build" the anchor comes from _meta.json, so skipping the scan saves
+    # one index pass per batch (the streaming ingest entry pays this per
+    # micro-batch). Reported as None in the result dict in that case.
+    before = ivfpq_imbalance(spark, path) if policy == "ingest" else None
     n_replaced = ivfpq_upsert_index(batch, path, id_col=id_col, vec_col=vec_col)
     # re-read meta AFTER the upsert: a full-refresh batch routes through
     # ivfpq_write_index, which re-stamps imbalance_at_build — the anchor
