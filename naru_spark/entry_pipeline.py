@@ -3363,7 +3363,12 @@ def q_similarity_ann_tune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = brute_force_topk(emb, queries, k=10)
+    # the exact side is shared by all four recall branches of the union —
+    # unmaterialized, each branch re-runs the corpus-sized brute-force
+    # scan (4 scans for one curve). Materialize the queries x k result
+    # (50 rows) once; localCheckpoint stores the computed rows, so every
+    # branch reads the same exact ranking (guide §1.2 / §5).
+    exact = brute_force_topk(emb, queries, k=10).localCheckpoint(eager=True)
     curves = []
     for n_probe in (1, 2, 4, 8):
         approx = ivfpq_topk(

@@ -818,13 +818,23 @@ def ivfpq_write_index(
         imbalance_at_build = ivfpq_imbalance(spark, tmp)
     except Exception as e:
         # an empty corpus writes a partitioned dir with no part files and
-        # the read-back fails schema inference — refuse cleanly (an empty
-        # index is unreadable everywhere else too) and drop the side tree
+        # the Spark-fallback read fails schema inference — refuse cleanly
+        # (an empty index is unreadable everywhere else too) and drop the
+        # side tree
         shutil.rmtree(tmp, ignore_errors=True)
         raise ValueError(
             "refusing to build an IVF-PQ index over an empty corpus "
             "(no code rows written)"
         ) from e
+    if imbalance_at_build == 0.0:
+        # footer-based counts return 0.0 for a rowless tree instead of
+        # raising (n > 0 implies factor >= 1 by Cauchy-Schwarz, so 0.0
+        # is unambiguous) — same refusal as the read-failure path above
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            "refusing to build an IVF-PQ index over an empty corpus "
+            "(no code rows written)"
+        )
     # decimals is part of the encoding config exactly like the quantizers:
     # append must reuse it or borderline vectors drift from a rebuild
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
@@ -959,6 +969,30 @@ def ivfpq_append_index(
     )
 
 
+def _ivfpq_delete_stats(index, ids_df, broadcast_ids: bool) -> tuple[int, int]:
+    """(victims found, survivor rows) in ONE pass over the code rows: a
+    left join against the victim ids feeds both the distinct-victim count
+    (countDistinct, not row count — a precondition-violating double-append
+    can leave duplicate rows per id, and the contract counts VECTORS) and
+    the survivor-row count that guards the empty-index refusal. The
+    previous shape paid a second scan (``remaining.limit(1).count()``)
+    for a bit the same scan already knows."""
+    hit = ids_df.withColumn("_hit", F.lit(True))
+    if broadcast_ids:
+        hit = F.broadcast(hit)
+    row = (
+        index.join(hit, "vec_id", "left")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("_hit"), F.col("vec_id"))
+            ).alias("n_del"),
+            F.count(F.when(F.col("_hit").isNull(), F.lit(1))).alias("n_rem"),
+        )
+        .collect()[0]
+    )
+    return int(row["n_del"] or 0), int(row["n_rem"] or 0)
+
+
 def ivfpq_delete_from_index(
     spark,
     path: str,
@@ -999,26 +1033,22 @@ def ivfpq_delete_from_index(
         ids_df = victims.select(
             F.col(id_col).cast("long").alias("vec_id")
         ).distinct().localCheckpoint(eager=True)
-        join_side = ids_df  # corpus-fraction side: AQE picks the strategy
+        broadcast_ids = False  # corpus-fraction side: AQE picks the strategy
     else:
         ids_df = spark.createDataFrame(
             [(int(i),) for i in set(vec_ids)], "vec_id long"
         )
-        join_side = F.broadcast(ids_df)
+        broadcast_ids = True
     try:
         index = spark.read.parquet(path)
-        # countDistinct, not row count: a precondition-violating double-append
-        # can leave duplicate rows per id, and the contract counts VECTORS
-        n_del = int(
-            index.join(join_side, "vec_id")
-            .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
-        )
+        n_del, n_rem = _ivfpq_delete_stats(index, ids_df, broadcast_ids)
         if n_del == 0:
             return 0
+        join_side = F.broadcast(ids_df) if broadcast_ids else ids_df
         remaining = index.join(join_side, "vec_id", "left_anti").select(
             "vec_id", "codes", "cell"  # original schema order
         )
-        if remaining.limit(1).count() == 0:
+        if n_rem == 0:
             raise ValueError(
                 "delete would remove every indexed vector — an empty "
                 "partitioned index is unreadable; drop the index dir instead"
@@ -1051,29 +1081,59 @@ def ivfpq_delete_from_index(
             ids_df.unpersist()
 
 
+def _ivfpq_cell_counts(spark, path: str) -> list[int]:
+    """Per-cell row counts of the persisted index. ``cell`` is the hive
+    partition column, so the counts are pure parquet-footer METADATA —
+    read driver-locally (num_rows per file, zero data pages touched) when
+    the tree is local, exactly the ``_read_sidecar_rows`` discipline: a
+    distributed job to fetch what the footers already hold is pure
+    scheduling overhead, and the maintain loop pays it per micro-batch.
+    Spark fallback (one bytes-only scan) for object-store paths. Exact
+    integers either way, so every caller stays engine-deterministic."""
+    import os
+
+    if os.path.isdir(path):
+        try:
+            import pyarrow.parquet as pq
+
+            counts = []
+            for d in os.listdir(path):
+                if not d.startswith("cell="):
+                    continue
+                sub = os.path.join(path, d)
+                c = 0
+                for f in os.listdir(sub):
+                    if f.endswith(".parquet"):
+                        c += pq.ParquetFile(
+                            os.path.join(sub, f)
+                        ).metadata.num_rows
+                counts.append(c)
+            return counts
+        except Exception:  # noqa: BLE001 — any local-read surprise: use Spark
+            pass
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("cell").agg(F.count("*").alias("c"))
+        .collect()
+    )
+    return [int(r["c"]) for r in rows]
+
+
 def ivfpq_imbalance(spark, path: str) -> float:
     """FAISS ``imbalance_factor`` over the persisted index: ``k * sum(c_i^2)
     / n^2`` where ``c_i`` are per-cell row counts and ``k`` the CONFIGURED
     cell count (from the saved centroids — empty cells count, exactly as in
-    FAISS). 1.0 = perfectly uniform; k = everything in one cell. ONE
-    bytes-only scan of the code rows; counts are exact integers, so the
-    factor is engine-deterministic."""
+    FAISS). 1.0 = perfectly uniform; k = everything in one cell. Counts
+    come from parquet footers (``_ivfpq_cell_counts``) — exact integers,
+    no data read, so the factor is engine-deterministic."""
     import os
 
     k = int(np.load(os.path.join(path, "_centroids.npy")).shape[0])
-    row = (
-        spark.read.parquet(path)
-        .groupBy("cell").agg(F.count("*").alias("c"))
-        .agg(
-            F.sum("c").alias("n"),
-            F.sum(F.col("c") * F.col("c")).alias("ss"),
-        )
-        .collect()[0]
-    )
-    n = int(row["n"] or 0)
+    counts = _ivfpq_cell_counts(spark, path)
+    n = sum(counts)
     if n == 0:
         return 0.0
-    return k * int(row["ss"]) / (n * n)
+    return k * sum(c * c for c in counts) / (n * n)
 
 
 def ivfpq_upsert_index(
@@ -1093,33 +1153,70 @@ def ivfpq_upsert_index(
     A batch covering EVERY indexed id (the full re-embedding refresh) is
     legal here even though the bare delete refuses it: the index is
     rebuilt from the batch under the SAVED quantizers via the crash-safe
-    side-tree swap, so the transient empty tree never exists."""
+    side-tree swap, so the transient empty tree never exists.
+
+    The replace path is FUSED: survivors and the encoded batch land in
+    ONE partitioned side-tree write (identical rows to the former
+    delete-rewrite-then-append, one fewer index write + commit per
+    call — the maintain loop pays this per micro-batch)."""
     import json
     import os
+    import shutil
+
+    from naru_spark.pipeline.retrieval import _swap_in
 
     spark = batch.sparkSession
+    # pin ONE evaluation of the batch's id set (same discipline as the
+    # delete path): the ids feed the stats agg AND the survivor anti-join
+    ids_df = batch.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct().localCheckpoint(eager=True)
     try:
-        n_replaced = ivfpq_delete_from_index(
-            spark, path, victims=batch.select(id_col), id_col=id_col
-        )
-    except ValueError as e:
-        if "every indexed vector" not in str(e):
-            raise
-        n_replaced = int(
-            spark.read.parquet(path)
-            .agg(F.countDistinct("vec_id").alias("n")).collect()[0]["n"]
-        )
+        index = spark.read.parquet(path)
+        n_replaced, n_rem = _ivfpq_delete_stats(index, ids_df, False)
+        if n_replaced == 0:
+            # nothing to expunge: pure O(|batch|) append, no rewrite
+            ivfpq_append_index(batch, path, id_col=id_col, vec_col=vec_col)
+            return 0
         with open(os.path.join(path, "_meta.json")) as fh:
             decimals = json.load(fh).get("decimals")
         centroids = np.load(os.path.join(path, "_centroids.npy"))
         codebooks = np.load(os.path.join(path, "_codebooks.npy"))
-        ivfpq_write_index(
-            batch, path, centroids, codebooks,
-            id_col=id_col, vec_col=vec_col, decimals=decimals,
+        if n_rem == 0:
+            # full refresh — route through the build so _meta.json is
+            # re-stamped with the fresh tree's own imbalance anchor
+            ivfpq_write_index(
+                batch, path, centroids, codebooks,
+                id_col=id_col, vec_col=vec_col, decimals=decimals,
+            )
+            return n_replaced
+        encoded = _ivfpq_encode(
+            batch, centroids, codebooks, id_col, vec_col, decimals
+        )
+        remaining = index.join(ids_df, "vec_id", "left_anti").select(
+            "vec_id", "codes", "cell"  # original schema order
+        )
+        sidecars = [
+            f for f in ("_centroids.npy", "_codebooks.npy", "_meta.json")
+            if os.path.exists(os.path.join(path, f))
+        ]
+
+        def write_with_sidecars(df: DataFrame, tmp: str) -> None:
+            df.write.partitionBy("cell").parquet(tmp)
+            for f in sidecars:
+                shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+
+        # one shuffle keyed like the layout (the delete path's own
+        # discipline), one side-tree write carrying survivors + batch
+        _swap_in(
+            remaining.unionByName(encoded).repartition("cell"),
+            path, writer=write_with_sidecars,
         )
         return n_replaced
-    ivfpq_append_index(batch, path, id_col=id_col, vec_col=vec_col)
-    return n_replaced
+    finally:
+        # per-micro-batch upsert loops must not accumulate checkpointed
+        # id blocks
+        ids_df.unpersist()
 
 
 def ivfpq_maintain_index(
