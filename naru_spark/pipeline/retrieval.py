@@ -509,13 +509,17 @@ def bm25_delete_from_index(
     ).persist()
     try:
         stats_del = (
-            victim_rows.select("doc_id", "dl").distinct()
+            victim_rows.groupBy("doc_id", "dl").agg(F.count("*").alias("_r"))
             # countDistinct on doc_id, not pair count: a precondition-
             # violating double-append with changed text leaves two
             # (doc_id, dl) pairs for one document, and the contract
-            # counts DOCUMENTS
+            # counts DOCUMENTS. _r carries the victim POSTING-ROW count
+            # in the same aggregate — with the footer-derived total below
+            # it decides the empty-index refusal without the extra
+            # remaining.limit(1).count() scan this path used to pay.
             .agg(F.countDistinct("doc_id").alias("n"),
-                 F.sum("dl").alias("sdl"))
+                 F.sum("dl").alias("sdl"),
+                 F.sum("_r").alias("vrows"))
             .collect()[0]
         )
         n_del = int(stats_del["n"] or 0)
@@ -542,7 +546,18 @@ def bm25_delete_from_index(
         remaining = postings.join(
             join_side, "doc_id", "left_anti"
         ).select("doc_id", "dl", "term", "tf", "bucket")  # original schema order
-        if remaining.limit(1).count() == 0:
+        # posting rows partition exactly into victim + survivor rows, and
+        # the tree's total row count is parquet-footer METADATA (driver
+        # walk, zero data read, zero jobs) — so the empty-index refusal
+        # needs no extra scan of the survivors. Object-store paths the
+        # driver cannot walk fall back to the short-circuit probe.
+        total_rows = _parquet_rows_under(post_dir)
+        survivors_empty = (
+            total_rows - int(stats_del["vrows"] or 0) == 0
+            if total_rows is not None
+            else remaining.limit(1).count() == 0
+        )
+        if survivors_empty:
             raise ValueError(
                 "delete would remove every indexed document — an empty "
                 "partitioned index is unreadable; drop the index dir instead"
@@ -643,6 +658,32 @@ def bm25_upsert_index(
         return n_replaced
     bm25_append_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
     return n_replaced
+
+
+def _parquet_rows_under(path: str) -> int | None:
+    """Total rows under a parquet tree from file FOOTERS only — a driver
+    metadata walk (num_rows per footer, no data pages), the same
+    discipline as the one-row sidecar reads. Exact integers; used where a
+    distributed count would be pure scheduling overhead. Returns None for
+    a path the driver cannot walk (object stores) — callers fall back to
+    a Spark-side probe."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 — any local-read surprise: use Spark
+        return None
 
 
 def bm25_postings_file_count(path: str) -> int:
