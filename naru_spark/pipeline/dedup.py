@@ -79,7 +79,12 @@ def _unit_overlap_counts(
         hot = unit.groupBy("unit").agg(F.count("*").alias("df_cnt")).filter(
             F.col("df_cnt") > max_df
         )
-        unit = unit.join(hot.select("unit"), "unit", "left_anti")
+        # cache the RETAINED set too: it feeds three consumers (sizes +
+        # both join sides), and uncached each would re-run the hot
+        # aggregate + anti-join from the base cache (guide §1.2). The
+        # base cache above still matters — extraction (md5 k-grams,
+        # shingling) is the expensive part and feeds hot + this join.
+        unit = unit.join(hot.select("unit"), "unit", "left_anti").cache()
     sizes = unit.groupBy("id").agg(F.count("*").alias("sz"))
     a = unit.select(F.col("id").alias("id_a"), "unit")
     b = unit.select(F.col("id").alias("id_b"), "unit")
