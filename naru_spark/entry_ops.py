@@ -3697,22 +3697,41 @@ def q_join_card_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact inputs (row counts, distinct keys), the estimate
     N_L*N_R/max(d_L,d_R), and the true join size — all exact integers, so
     the estimator itself is oracle-verified, not just sanity-checked."""
-    from naru_spark.plans.joinplan import estimate_join_rows
-
-    rows = []
+    # one LAZY frame per join — exact-count aggregates on each side, the
+    # true join size, and the containment estimate composed with integer
+    # `div` (bit-identical to the old driver-side // on these positive
+    # bigints) — unioned so the whole entry evaluates as ONE action
+    # instead of 9 driver-synchronized collect/count round-trips
+    # (guide §5: the driver should do almost no work). Same integers,
+    # same formula as plans/joinplan.estimate_join_rows.
+    parts = []
     for name, lt, lk, rt, rk in _JOIN_SPECS:
         left, right = _load(spark, sf_dir, lt), _load(spark, sf_dir, rt)
-        e = estimate_join_rows(left, right, lk, rk)
-        true_rows = left.join(right, left[lk] == right[rk]).count()
-        rows.append(
-            (name, e["n_left"], e["n_right"], e["d_left"], e["d_right"],
-             e["est_rows"], int(true_rows))
+        ls = left.agg(
+            F.count("*").alias("n_left"),
+            F.count_distinct(F.col(lk)).alias("d_left"),
         )
-    return spark.createDataFrame(
-        rows,
-        "join_name string, n_left long, n_right long, d_left long, d_right long, "
-        "est_rows long, true_rows long",
-    )
+        rs = right.agg(
+            F.count("*").alias("n_right"),
+            F.count_distinct(F.col(rk)).alias("d_right"),
+        )
+        tr = left.join(right, left[lk] == right[rk]).agg(
+            F.count("*").alias("true_rows")
+        )
+        parts.append(
+            ls.crossJoin(rs).crossJoin(tr).select(
+                F.lit(name).alias("join_name"),
+                "n_left", "n_right", "d_left", "d_right",
+                F.expr(
+                    "(n_left * n_right) div greatest(d_left, d_right, 1)"
+                ).alias("est_rows"),
+                "true_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sql_join_card_estimates() -> str:

@@ -1507,10 +1507,13 @@ def _typed_auto_hints(entries, hints: dict | None) -> dict | None:
 
 def _dv_frame(spark, dvs: list) -> DataFrame:
     """Union of the pending deletion-vector sidecar frames — the
-    positional (file, row-index) keys every reader anti-joins away."""
-    return spark.read.parquet(*[d["dir"] for d in dvs]).select(
-        "__fp", "__ri"
-    )
+    positional (file, row-index) keys every reader anti-joins away.
+    The sidecar schema is fixed by the writer (``__fp`` string /
+    ``__ri`` bigint), so it is passed explicitly — no footer-inference
+    job per read."""
+    return spark.read.schema("__fp string, __ri bigint").parquet(
+        *[d["dir"] for d in dvs]
+    ).select("__fp", "__ri")
 
 
 def _dv_remainder(
@@ -1625,12 +1628,91 @@ def _carry_planes(src: dict, manifest: dict, exclude: tuple = ()) -> None:
             manifest[plane] = src[plane]
 
 
+def _normalized_schema_json(schema) -> dict:
+    """A StructType as the json dict a parquet FOOTER inference would
+    produce for the same files: every nullability flag forced true
+    (footers do not record Spark nullability) and field metadata
+    stripped. This is the manifest's ``schema`` stamp format — the
+    Delta/Iceberg discipline of serving the table schema from the
+    transaction log, so stamp-valid readers skip the footer-inference
+    Spark job entirely and read EXACTLY what inference would have
+    returned."""
+
+    def norm(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": f["name"],
+                            "type": norm(f["type"]),
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                        for f in t.get("fields", [])
+                    ],
+                }
+            if k == "array":
+                return {
+                    "type": "array",
+                    "elementType": norm(t["elementType"]),
+                    "containsNull": True,
+                }
+            if k == "map":
+                return {
+                    "type": "map",
+                    "keyType": norm(t["keyType"]),
+                    "valueType": norm(t["valueType"]),
+                    "valueContainsNull": True,
+                }
+            if k == "udt":
+                return t  # leave user-defined types verbatim
+        return t
+
+    return norm(schema.jsonValue())
+
+
+def _stamped_schema(man: dict):
+    """The manifest's schema stamp as a StructType, or None. Callers
+    must apply their own guards (e.g. pending schema ops change LOGICAL
+    names; the stamp is always the PHYSICAL file schema)."""
+    js = man.get("schema")
+    if not js:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(js)
+
+
+def _entry_covered(entry: str, prev_entries: list[str]) -> bool:
+    """True when ``entry`` is a previous manifest entry verbatim or a
+    FILE/SUBDIR inside one (a partial rewrite splits files out of a dir
+    entry — their physical schema is the parent's)."""
+    import os
+
+    for p in prev_entries:
+        if entry == p or entry.startswith(p.rstrip(os.sep) + os.sep):
+            return True
+    return False
+
+
 def _publish_manifest(man_dir: str, n: int, manifest: dict) -> None:
     """Atomic create-exclusive manifest publish shared by every commit
     path: write a hidden temp file, hard-link it to ``v{n}.json`` (the
     atomic claim — a concurrent winner makes the link fail), raise
     ``SnapshotConflictError`` for the loser. The caller cleans up any
-    data it wrote before re-raising decisions."""
+    data it wrote before re-raising decisions.
+
+    SCHEMA STAMP CARRY: a manifest that does not set ``schema`` itself
+    inherits the predecessor's stamp when every entry it references is
+    covered by the predecessor (metadata-only commits — constraints,
+    MoR-delete predicates, DV planes, txn replays — and partial
+    rewrites that only re-reference or split previous entries keep the
+    physical schema by construction). Commits introducing uncovered
+    entries publish WITHOUT a stamp — readers fall back to footer
+    inference, never to a wrong schema."""
     import json
     import os
     import time
@@ -1646,9 +1728,16 @@ def _publish_manifest(man_dir: str, n: int, manifest: dict) -> None:
     if n > 1 and os.path.exists(prev_p):
         try:
             with open(prev_p) as fh:
-                prev_ts = float(json.load(fh).get("ts", 0.0))
+                prev_man = json.load(fh)
+            prev_ts = float(prev_man.get("ts", 0.0))
         except Exception:
-            prev_ts = 0.0
+            prev_man, prev_ts = {}, 0.0
+        if "schema" not in manifest and prev_man.get("schema"):
+            prev_dirs = prev_man.get("dirs", [])
+            if all(
+                _entry_covered(e, prev_dirs) for e in manifest.get("dirs", [])
+            ):
+                manifest["schema"] = prev_man["schema"]
     manifest.setdefault("ts", max(time.time(), prev_ts))
     tmp = os.path.join(man_dir, f".v{n}.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
@@ -1808,6 +1897,7 @@ def write_snapshot(
     prev, txns, prev_stats, prev_deletes = [], {}, {}, []
     prev_dvs: list = []
     constraints: dict = {}
+    prev_schema = None
     cdf_on = cdf
     if base:
         with open(os.path.join(man_dir, f"v{base}.json")) as fh:
@@ -1818,6 +1908,7 @@ def write_snapshot(
         prev_dvs = latest.get("dvs", [])
         txns = _normalize_txns(latest.get("txns", {}))
         prev_stats = latest.get("stats", {})
+        prev_schema = latest.get("schema")
         prev_deletes = latest.get("deletes", [])
         # CHECK constraints are a TABLE property: every commit carries
         # them, append or replace alike (Delta semantics)
@@ -1961,7 +2052,11 @@ def write_snapshot(
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        written = spark.read.parquet(*new_entries)
+        # the delta was just written FROM df — its schema is known, so
+        # the probe skips the footer-inference job
+        written = spark.read.schema(
+            _stamped_schema({"schema": _normalized_schema_json(df.schema)})
+        ).parquet(*new_entries)
         try:
             any_bad = written.where(
                 reduce(lambda a, b: a | b,
@@ -2072,16 +2167,38 @@ def write_snapshot(
     # its mode (plus whether a replace carried entries — the marker the
     # CDF reader uses to tell a pure overwrite, whose changes reconstruct
     # from the manifest diff, from a partial rewrite, whose cannot).
+    # TABLE-SCHEMA STAMP (Delta/Iceberg log-serves-the-schema): vouch for
+    # the stamp only when every referenced entry provably shares the
+    # just-written delta's physical schema — first commit / pure replace
+    # (delta is the whole table), or every prior entry already stamped
+    # with the SAME schema. Anything else (evolving append, carry over an
+    # unstamped base) publishes without a stamp and readers fall back to
+    # footer inference. Stamp-valid reads skip the inference job.
+    delta_schema = _normalized_schema_json(df.schema) if new_entries else None
+    schema_stamp = None
+    if new_entries:
+        if not prev:
+            schema_stamp = delta_schema
+        elif prev_schema is not None and prev_schema == delta_schema:
+            schema_stamp = delta_schema
+    else:
+        schema_stamp = prev_schema  # empty delta: entries unchanged
     manifest = {"version": n, "dirs": prev + new_entries, "txns": txns,
                 "stats": stats,
                 "op": op_meta or (
                     {"name": mode} if carry is None
                     else {"name": mode, "carry": True}
                 )}
+    if schema_stamp is not None:
+        manifest["schema"] = schema_stamp
     if cdf_on:
         manifest["cdf"] = True
     if change_dir is not None:
         manifest["change_data"] = change_dir
+        # per-commit change-plane schema (no propagation: each commit's
+        # plane is its own files) — read_snapshot_changes skips the
+        # footer job on every CDF tick
+        manifest["change_schema"] = _normalized_schema_json(change_df.schema)
     if deletes:
         manifest["deletes"] = deletes
     if dvs:
@@ -2144,7 +2261,9 @@ def write_snapshot(
 
                 try:
                     bad = (
-                        df.sparkSession.read.parquet(*new_entries)
+                        df.sparkSession.read.schema(_stamped_schema(
+                            {"schema": _normalized_schema_json(df.schema)}
+                        )).parquet(*new_entries)
                         .where(reduce(
                             lambda a, b: a | b,
                             [~F.expr(e) for e in new_constraints.values()],
@@ -2179,10 +2298,22 @@ def write_snapshot(
             op["rebased"] = True
             manifest = {"version": n, "dirs": prev + new_entries,
                         "txns": txns, "stats": stats, "op": op}
+            # re-vouch the schema stamp against the NEW head (same rule
+            # as the primary path; a rebase is a blind append, so prev
+            # is never empty here)
+            prev_schema = latest.get("schema")
+            if (new_entries and prev_schema is not None
+                    and prev_schema == delta_schema):
+                manifest["schema"] = delta_schema
+            elif not new_entries and prev_schema is not None:
+                manifest["schema"] = prev_schema
             if cdf_on:
                 manifest["cdf"] = True
             if change_dir is not None:
                 manifest["change_data"] = change_dir
+                manifest["change_schema"] = _normalized_schema_json(
+                    change_df.schema
+                )
             for plane in ("deletes", "dvs", "schema_ops"):
                 if latest.get(plane):
                     manifest[plane] = latest[plane]
@@ -2540,12 +2671,22 @@ def read_snapshot(
             limit0 = True
         else:
             dirs = kept
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
     deletes = man.get("deletes", [])
     schema_ops = man.get("schema_ops", [])
     dvs = man.get("dvs", [])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    elif not schema_ops:
+        # manifest-served schema (Delta/Iceberg: the log, not the
+        # footers, is the schema authority): a stamp-valid read skips
+        # the footer-inference Spark job. The stamp is the PHYSICAL
+        # schema, so pending rename/drop ops (applied below from
+        # physical names) keep the inference path; merge_schema
+        # requests footer unioning explicitly.
+        stamped = _stamped_schema(man)
+        if stamped is not None:
+            reader = reader.schema(stamped)
 
     def dv_stamp(df: DataFrame) -> DataFrame:
         # positional identity must come from the RAW scan (before any
@@ -2563,9 +2704,7 @@ def read_snapshot(
         # DV plane grown past the broadcast threshold degrades to a
         # shuffled anti-join, which is the signal to compact (the same
         # point Delta's tombstone-count heuristics trigger a rewrite)
-        dv_df = spark.read.parquet(*[d["dir"] for d in dvs]).select(
-            "__fp", "__ri"
-        )
+        dv_df = _dv_frame(spark, dvs)
         return df.join(dv_df, ["__fp", "__ri"], "left_anti").drop(
             "__fp", "__ri"
         )
@@ -2812,10 +2951,15 @@ def read_snapshot_changes(
             return spark.read.parquet(*head).limit(0)
         return spark.read.parquet(*delta)
 
-    def entry_rows(entries: list[str]) -> DataFrame:
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[f for e in entries for f in _entry_files(e)]
+    def entry_rows(entries: list[str], src_man: dict | None = None) -> DataFrame:
+        # manifest-served schema when the owning manifest is stamped
+        # (skips the footer-inference job); footer unioning otherwise
+        st = _stamped_schema(src_man) if src_man else None
+        r = (
+            spark.read.schema(st) if st is not None
+            else spark.read.option("mergeSchema", "true")
         )
+        return r.parquet(*[f for e in entries for f in _entry_files(e)])
 
     prev_man = man_of(from_version) if from_version else {}
     pieces: list[DataFrame] = []
@@ -2829,10 +2973,15 @@ def read_snapshot_changes(
             man.get("deletes", []) != prev_man.get("deletes", [])
             or man.get("dvs", []) != prev_man.get("dvs", [])
         )
+        old_man = prev_man
         prev_man = man
         frames: list[DataFrame] = []
         if man.get("change_data"):
-            frames.append(spark.read.parquet(man["change_data"]))
+            ch_reader = (
+                spark.read.schema(_stamped_schema({"schema": man["change_schema"]}))
+                if man.get("change_schema") else spark.read
+            )
+            frames.append(ch_reader.parquet(man["change_data"]))
         elif op.get("name") == "compact":
             pass  # re-layout: no row changed (Delta dataChange=false)
         elif mor_changed:
@@ -2846,20 +2995,20 @@ def read_snapshot_changes(
             pass  # metadata-only (constraints, schema ops, txn replays)
         elif not removed:
             frames.append(
-                entry_rows(added).withColumn("_change_type",
-                                             F.lit("insert"))
+                entry_rows(added, man).withColumn("_change_type",
+                                                  F.lit("insert"))
             )
         elif (op.get("name") in ("replace", "replace_where", "restore")
               and not op.get("carry")):
             # whole-entry moves: the manifest diff IS the row-level diff
             frames.append(
-                entry_rows(removed).withColumn("_change_type",
-                                               F.lit("delete"))
+                entry_rows(removed, old_man).withColumn("_change_type",
+                                                        F.lit("delete"))
             )
             if added:
                 frames.append(
-                    entry_rows(added).withColumn("_change_type",
-                                                 F.lit("insert"))
+                    entry_rows(added, man).withColumn("_change_type",
+                                                      F.lit("insert"))
                 )
         else:
             raise ValueError(
@@ -2877,14 +3026,15 @@ def read_snapshot_changes(
                 )
             )
     if not pieces:
-        anchor = dirs_of(to_version) or dirs_of(from_version)
+        anchor_v = to_version if dirs_of(to_version) else from_version
+        anchor = dirs_of(anchor_v)
         if not anchor:
             raise ValueError(
                 f"versions {from_version}..{to_version} of {path} hold no "
                 "data entries to anchor an empty change frame's schema"
             )
         return (
-            entry_rows(anchor).limit(0)
+            entry_rows(anchor, man_of(anchor_v)).limit(0)
             .withColumn("_change_type", F.lit(""))
             .withColumn("_commit_version", F.lit(0))
             .withColumn("_commit_timestamp", F.lit(None).cast("double"))
@@ -3078,7 +3228,8 @@ def snapshot_stream_source(
             "read_snapshot_changes per version instead"
         )
     if schema is None:
-        schema = spark.read.parquet(*prev).schema
+        # manifest-served schema when stamped; footer inference otherwise
+        schema = _stamped_schema(man) or spark.read.parquet(*prev).schema
     return (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -3695,10 +3846,8 @@ def delete_from_snapshot(
         )
         prior = man.get("dvs", [])
         if prior:
-            prior_df = spark.read.parquet(
-                *[d["dir"] for d in prior]
-            ).select("__fp", "__ri")
-            raw = raw.join(prior_df, ["__fp", "__ri"], "left_anti")
+            raw = raw.join(_dv_frame(spark, prior), ["__fp", "__ri"],
+                           "left_anti")
         n = latest + 1
         dv_dir = os.path.join(path, "_dv", f"v{n}-{uuid.uuid4().hex[:8]}")
         raw.select("__fp", "__ri").write.mode("error").parquet(dv_dir)
@@ -4204,10 +4353,25 @@ def merge_into_snapshot(
     dvs_pending = man.get("dvs", [])
     entries = man["dirs"]
     stats = man.get("stats", {})
+    # manifest-served schema when stamped (skips footer inference per
+    # read); fall back to footer unioning for unstamped/evolved tables.
+    # MERGE refuses pending schema ops above, so the stamp (physical
+    # schema) is also the logical one here.
+    _stamp = _stamped_schema(man)
+
+    def _tbl_reader():
+        return (
+            spark.read.schema(_stamp) if _stamp is not None
+            else spark.read.option("mergeSchema", "true")
+        )
     # pin ONE evaluation of the caller's plan: the changeset feeds the
     # key scan, the merge, and the count as separate jobs — evaluated
-    # twice, a non-deterministic changeset would desynchronize them
-    changes = changes.localCheckpoint(eager=True)
+    # twice, a non-deterministic changeset would desynchronize them.
+    # Lazy checkpoint + count: the count() action is what materializes
+    # the checkpoint, so pinning and counting share ONE Spark job
+    # instead of an eager-materialize job followed by a count job
+    # (guide §1.2 — same guarantee, one fewer action per MERGE).
+    changes = changes.localCheckpoint(eager=False)
     n_changes = changes.count()
     keys = changes.select(key).distinct()
     scan_entries = entries
@@ -4299,7 +4463,7 @@ def merge_into_snapshot(
         # deletion vectors anti-join away so a positionally-dead row can
         # neither mark its file touched nor count as a matched base row
         probe = (
-            spark.read.option("mergeSchema", "true").parquet(*scan_entries)
+            _tbl_reader().parquet(*scan_entries)
             .withColumn("__f", F.col("_metadata.file_path"))
             .withColumn("__ri", F.col("_metadata.row_index"))
         )
@@ -4349,7 +4513,7 @@ def merge_into_snapshot(
         # positionally-dead base row — its vector materializes out with
         # this very rewrite.
         base_touched = (
-            spark.read.option("mergeSchema", "true").parquet(*touched)
+            _tbl_reader().parquet(*touched)
             .withColumn("__fp", F.col("_metadata.file_path"))
             .withColumn("__ri", F.col("_metadata.row_index"))
         )
@@ -4361,8 +4525,7 @@ def merge_into_snapshot(
         base_touched = base_touched.drop("__fp", "__ri")
     else:
         base_touched = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*entries).limit(0)  # pure-insert changeset
+            _tbl_reader().parquet(*entries).limit(0)  # pure-insert changeset
         )
     evolved_cols: dict = {}
     if schema_evolution:
@@ -4397,52 +4560,61 @@ def merge_into_snapshot(
     if man.get("cdf"):
         # change-data-feed rows (Delta MERGE CDC shape): matched deletes
         # as 'delete' pre-images, matched updates as 'update_preimage' +
-        # 'update_postimage' pairs, unmatched non-deletes as 'insert'.
-        # One extra keyed join over ONLY the touched files' rows and the
-        # pinned changeset — O(delta), never the table; a key absent
-        # from every touched file is absent everywhere (the key scan
-        # found no file holding it), so the anti-join insert test
-        # against base_touched alone is exact.
+        # 'update_postimage' pairs, unmatched non-deletes as 'insert'
+        # (and, under the full-sync clause, unmatched base rows as
+        # 'delete'). Emitted in ONE keyed full-outer join over ONLY the
+        # touched files' rows and the pinned changeset — O(delta), never
+        # the table; a key absent from every touched file is absent
+        # everywhere (the key scan found no file holding it), so judging
+        # inserts against base_touched alone is exact. Each joined row
+        # explodes into its branch's change rows via an array, instead
+        # of five separate join subtrees (three reuses of the matched
+        # join + two anti-joins) that re-scanned the touched files and
+        # re-broadcast the changeset once per branch (guide §1.2/§2.4);
+        # the emitted row set is identical branch by branch.
         bcols = base_touched.columns
+        # presence markers, not key-null tests: a NULL-key row on either
+        # side never equality-matches, and must still be classified as
+        # "unmatched" on its own side
+        b = base_touched.withColumn("__bm", F.lit(1)).alias("b")
+        c = changes.withColumn("__cm", F.lit(1)).alias("c")
+        j = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
         ct = F.col(f"c.{op_col}")
-        j = base_touched.alias("b").join(
-            changes.alias("c"), F.col(f"b.{key}") == F.col(f"c.{key}"),
-            "inner",
-        )
-        b_side = [F.col(f"b.{x}").alias(x) for x in bcols]
-        c_side = [
+        b_row = F.struct(*[F.col(f"b.{x}").alias(x) for x in bcols])
+        c_row = F.struct(*[
             (F.col(f"b.{key}") if x == key else F.col(f"c.{x}")).alias(x)
             for x in bcols
-        ]
+        ])
+        i_row = F.struct(*[F.col(f"c.{x}").alias(x) for x in bcols])
+        matched = F.col("b.__bm").isNotNull() & F.col("c.__cm").isNotNull()
         # null-safe op test everywhere: merge_into applies a NULL-op row
         # as an update (its keep-filter uses eqNullSafe), so the feed's
         # branches must route it the same way — plain `ct != "D"` is
         # false for NULL and such rows would vanish from the feed (a
         # CDF-following replica would diverge from the table)
-        not_d = ~ct.eqNullSafe("D")
-        change_df = (
-            j.where(ct.eqNullSafe("D")).select(*b_side)
-            .withColumn("_change_type", F.lit("delete"))
-            .unionByName(
-                j.where(not_d).select(*b_side)
-                .withColumn("_change_type", F.lit("update_preimage")))
-            .unionByName(
-                j.where(not_d).select(*c_side)
-                .withColumn("_change_type", F.lit("update_postimage")))
-            .unionByName(
-                changes.join(base_touched.select(key), key, "left_anti")
-                .where(~F.col(op_col).eqNullSafe("D"))
-                .select(*[F.col(x) for x in bcols])
-                .withColumn("_change_type", F.lit("insert")))
+        is_d = ct.eqNullSafe("D")
+        ev = (
+            F.when(matched & is_d, F.array(F.struct(
+                F.lit("delete").alias("t"), b_row.alias("r"))))
+            .when(matched, F.array(
+                F.struct(F.lit("update_preimage").alias("t"),
+                         b_row.alias("r")),
+                F.struct(F.lit("update_postimage").alias("t"),
+                         c_row.alias("r"))))
+            # unmatched changeset row: insert unless it is a (no-op)
+            # unmatched delete
+            .when(F.col("b.__bm").isNull() & ~is_d, F.array(F.struct(
+                F.lit("insert").alias("t"), i_row.alias("r"))))
         )
         if not_matched_by_source == "delete":
             # the sync clause's own deletions: base rows with no
             # changeset key
-            change_df = change_df.unionByName(
-                base_touched.join(changes.select(key), key, "left_anti")
-                .select(*[F.col(x) for x in bcols])
-                .withColumn("_change_type", F.lit("delete"))
-            )
+            ev = ev.when(F.col("c.__cm").isNull(), F.array(F.struct(
+                F.lit("delete").alias("t"), b_row.alias("r"))))
+        exploded = j.select(F.explode(ev.otherwise(F.array())).alias("e"))
+        change_df = exploded.select(
+            "e.r.*", F.col("e.t").alias("_change_type")
+        )
     # the surviving DV plane: touched files' vectors materialized out by
     # the rewrite; the full-sync clause rewrites every visible file, so
     # its plane always clears outright
