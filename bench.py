@@ -382,7 +382,14 @@ def main():
         **({"regressions": regressions} if regressions else {}),
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    for fname in ("BENCH_RUN.json", f"BENCH_RUN_c{cpus or 'NA'}.json"):
+    # subset (--only) and fast-profile runs must not clobber the latest
+    # FULL per-run record the driver/judge reads — they land in their own
+    # file instead
+    if profile != "full" or only_names is not None:
+        record_names = ("BENCH_RUN_subset.json",)
+    else:
+        record_names = ("BENCH_RUN.json", f"BENCH_RUN_c{cpus or 'NA'}.json")
+    for fname in record_names:
         try:
             with open(os.path.join(repo_dir, fname), "w") as fh:
                 json.dump(run_record, fh)

@@ -236,13 +236,25 @@ def bm25_write_index(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    (
-        spark.read.parquet(os.path.join(path, "postings"))
+    # schema stamps for _meta.json: exactly what footer inference would
+    # return — the postings files carry tf's columns, plus the ``bucket``
+    # partition column which directory-name inference types as int
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from naru_spark.sources.sinks import _normalized_schema_json
+
+    postings_schema = _normalized_schema_json(
+        StructType(list(tf.schema.fields)
+                   + [StructField("bucket", IntegerType())])
+    )
+    df_frame = (
+        spark.read.schema(StructType.fromJson(postings_schema))
+        .parquet(os.path.join(path, "postings"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "df"))
     )
+    df_frame.write.mode("overwrite").parquet(os.path.join(path, "df"))
+    df_schema = _normalized_schema_json(df_frame.schema)
     (
         docs.select(F.size(_NONEMPTY_TOKENS).alias("dl"))
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
@@ -255,23 +267,59 @@ def bm25_write_index(
     # under the wrong crc32 modulus and pruned probes would silently
     # miss them. Written LAST (and removed FIRST, above) so a crashed
     # build or rebuild has no meta rather than a stale or torn one.
-    _write_bm25_meta(path, n_buckets)
+    _write_bm25_meta(path, n_buckets, schemas={
+        "postings_schema": postings_schema, "df_schema": df_schema,
+    })
     return {"path": path, "n_buckets": n_buckets}
 
 
-def _write_bm25_meta(path: str, n_buckets: int) -> None:
+def _write_bm25_meta(path: str, n_buckets: int, schemas: dict | None = None) -> None:
     """Atomic ``_meta.json`` publish — tmp file + ``os.replace``, the same
     swap discipline as the index trees: a crash mid-write must leave
     either no meta or a complete one, never truncated JSON that every
-    later ``_bm25_n_buckets`` call would choke on."""
+    later ``_bm25_n_buckets`` call would choke on.
+
+    ``schemas`` (build path only): ``postings_schema`` / ``df_schema``
+    stamps — the Spark schemas of the index trees, recorded once at
+    build time so every later read (probe, delete, append, merge) passes
+    an explicit schema instead of paying a footer-inference Spark job.
+    Maintenance rewrites preserve the tree schemas by construction, so
+    the stamps stay valid for the index's lifetime; a legacy meta
+    without them simply keeps the inference path."""
     import json
     import os
     import uuid
 
+    meta = {"n_buckets": int(n_buckets)}
+    if schemas:
+        meta.update(schemas)
     tmp = os.path.join(path, f"._meta.{uuid.uuid4().hex[:8]}.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"n_buckets": int(n_buckets)}, fh)
+        json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, "_meta.json"))
+
+
+def _bm25_read(spark, path: str, which: str):
+    """Read an index tree (``postings`` / ``df``) with the schema stamped
+    in ``_meta.json`` when present (no footer-inference job); falls back
+    to plain inference for legacy indexes."""
+    import json
+    import os
+
+    schema = None
+    meta_p = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_p):
+        try:
+            with open(meta_p) as fh:
+                js = json.load(fh).get(f"{which}_schema")
+        except (json.JSONDecodeError, OSError):
+            js = None
+        if js:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(js)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(os.path.join(path, which))
 
 
 def _bm25_n_buckets(path: str, n_buckets: int | None) -> int:
@@ -344,6 +392,7 @@ def bm25_append_index(
     id_col: str = "doc_id",
     n_buckets: int | None = None,
     validate: bool = False,
+    _deleted: dict | None = None,
 ) -> None:
     """Incremental index maintenance (Lucene segment-add analog): tokenize
     ONLY the new documents, append their posting rows into the existing
@@ -365,11 +414,19 @@ def bm25_append_index(
     ONCE: the (doc, term, tf) rows are persisted across the postings
     write and the df-delta aggregate (the build path's single-heavy-pass
     discipline, applied to the delta). An EMPTY batch is a legal no-op —
-    Structured Streaming delivers them routinely."""
+    Structured Streaming delivers them routinely.
+
+    ``_deleted`` (internal, the upsert path): the deferred deltas of the
+    delete half — its negated df delta joins this append's df delta in
+    ONE sidecar merge, and its n/sdl decrements fold into the SAME stats
+    swap, so an upsert pays one df swap and one stats swap instead of
+    two of each. Exact integer folds; identical sidecar content."""
     import os
 
     spark = new_docs.sparkSession
     n_buckets = _bm25_n_buckets(path, n_buckets)
+    del_n = int(_deleted["n_del"]) if _deleted else 0
+    del_sdl = int(_deleted["sdl_del"]) if _deleted else 0
     # the empty-batch stats row sums to NULL — coalesce, and skip the
     # sidecar swaps entirely for a no-op batch
     add = (
@@ -378,10 +435,13 @@ def bm25_append_index(
         .collect()[0]
     )
     if int(add["n"]) == 0:
+        # an empty batch cannot have replaced anything (victims are the
+        # batch's own ids)
+        assert del_n == 0, del_n
         return
     if validate:
         clash = (
-            spark.read.parquet(os.path.join(path, "postings"))
+            _bm25_read(spark, path, "postings")
             .join(
                 F.broadcast(new_docs.select(F.col(id_col).alias("doc_id")).distinct()),
                 "doc_id",
@@ -416,12 +476,23 @@ def bm25_append_index(
 
         df_dir = os.path.join(path, "df")
         delta_df = tf.groupBy("term").agg(F.count("*").alias("df"))
-        merged = (
-            spark.read.parquet(df_dir)
-            .unionByName(delta_df)
-            .groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"))
+        merged = _bm25_read(spark, path, "df").unionByName(delta_df)
+        if del_n:
+            # fold the delete's decrement into the same merge: posting
+            # rows partition exactly into victim + survivor rows, so
+            # old - victim + batch equals the sequential subtract-then-
+            # add for every term (a term netting 0 rows drops, exactly
+            # as the sequential delete would have dropped it)
+            merged = merged.unionByName(
+                _deleted["df_delta"].select(
+                    "term", (-F.col("ddf")).cast("long").alias("df")
+                )
+            )
+        merged = merged.groupBy("term").agg(
+            F.sum("df").cast("long").alias("df")
         )
+        if del_n:
+            merged = merged.filter(F.col("df") > 0)
         _swap_in(merged, df_dir)
     finally:
         tf.unpersist()  # a failed write must not pin the cache for the session
@@ -430,8 +501,8 @@ def bm25_append_index(
     old_row = _read_sidecar_rows(spark, stats_dir)[0]  # one-row sidecar
     _swap_in(
         spark.createDataFrame(
-            [(int(old_row["n"] or 0) + int(add["n"]),
-              int(old_row["sdl"] or 0) + int(add["sdl"] or 0))],
+            [(int(old_row["n"] or 0) - del_n + int(add["n"]),
+              int(old_row["sdl"] or 0) - del_sdl + int(add["sdl"] or 0))],
             "n long, sdl long",
         ),
         stats_dir,
@@ -444,7 +515,8 @@ def bm25_delete_from_index(
     doc_ids: list[int] | None = None,
     victims: DataFrame | None = None,
     id_col: str = "doc_id",
-) -> int:
+    _defer_sidecars: bool = False,
+) -> int | dict:
     """Delete documents from the persisted index (Lucene's
     delete-then-expunge, done eagerly). Victims are given EITHER as an
     id list (``doc_ids``, the FAISS/Lucene-shaped API, broadcast-joined)
@@ -477,7 +549,12 @@ def bm25_delete_from_index(
     Returns the number of documents actually deleted.
 
     The bucket layout is carried unchanged from the existing rows, so no
-    bucket-count parameter exists to get wrong."""
+    bucket-count parameter exists to get wrong.
+
+    ``_defer_sidecars`` (internal, the upsert path): skip the df/stats
+    sidecar swaps and return ``{"n_del", "sdl_del", "df_delta"}`` so the
+    caller folds them together with its append's deltas — one sidecar
+    merge per upsert instead of two, exact integers either way."""
     import os
 
     post_dir = os.path.join(path, "postings")
@@ -491,16 +568,20 @@ def bm25_delete_from_index(
         # postings. Eager localCheckpoint severs the lineage, so a lost
         # block fails the job loudly instead of silently recomputing a
         # different draw.
+        # lazy checkpoint: the FIRST action over the victim rows (the
+        # stats_del collect below) is what materializes the pin, so the
+        # pin and the first measurement share one Spark job — same
+        # single-evaluation guarantee, one fewer action per delete
         ids_df = victims.select(
             F.col(id_col).cast("long").alias("doc_id")
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct().localCheckpoint(eager=False)
         join_side = ids_df  # corpus-fraction side: AQE picks the strategy
     else:
         ids_df = spark.createDataFrame(
             [(int(i),) for i in set(doc_ids)], "doc_id long"
         )
         join_side = F.broadcast(ids_df)
-    postings = spark.read.parquet(post_dir)
+    postings = _bm25_read(spark, path, "postings")
     # the victims' own posting rows: victim-sized, cached because they feed
     # BOTH the stats decrement and the df delta, and must be materialized
     # BEFORE the survivor swap deletes their source files
@@ -524,7 +605,8 @@ def bm25_delete_from_index(
         )
         n_del = int(stats_del["n"] or 0)
         if n_del == 0:
-            return 0
+            return {"n_del": 0, "sdl_del": 0, "df_delta": None} \
+                if _defer_sidecars else 0
         # per-term victim ROW counts (count(*), not countDistinct: the df
         # sidecar is defined as posting-row counts, and rows partition into
         # victim + survivor, so subtraction is exact even for pathological
@@ -533,16 +615,6 @@ def bm25_delete_from_index(
             F.count("*").alias("ddf")
         )
         df_dir = os.path.join(path, "df")
-        new_df = (
-            spark.read.parquet(df_dir)
-            .join(df_delta, "term", "left")
-            .select(
-                "term",
-                (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0)))
-                .cast("long").alias("df"),
-            )
-            .filter(F.col("df") > 0)  # a term wholly deleted has no row
-        )
         remaining = postings.join(
             join_side, "doc_id", "left_anti"
         ).select("doc_id", "dl", "term", "tf", "bucket")  # original schema order
@@ -562,20 +634,39 @@ def bm25_delete_from_index(
                 "delete would remove every indexed document — an empty "
                 "partitioned index is unreadable; drop the index dir instead"
             )
-        # df first: its merge reads only the old sidecar + the victim rows —
-        # never the rewritten postings (that second index-sized pass is the
-        # whole cost this path avoids) — and doing it before the postings
-        # swap means an evicted victim_rows partition recomputes against the
-        # UNTOUCHED postings, never the survivor tree.
-        # CRASH WINDOW: a crash between the two swaps leaves df decremented
-        # while victim postings survive (probes under-score until repaired),
-        # and RE-RUNNING the delete does NOT repair it — the df would be
-        # decremented twice. Recovery after a torn delete is a rebuild (or
-        # bm25_upsert_index full refresh), the Lucene fsck answer. The three
-        # sidecar swaps are not atomic as a group by design: making them so
-        # would need a manifest commit layer (the snapshot plane has one)
-        # that the plain-directory index format deliberately avoids.
-        _swap_in(new_df, df_dir)
+        if _defer_sidecars:
+            # the caller (upsert) folds this delta together with its
+            # append's delta into ONE df merge and ONE stats swap — pin
+            # the delta NOW (eager, vocabulary-bounded) so it can never
+            # recompute against the post-swap survivor tree
+            df_delta = df_delta.localCheckpoint(eager=True)
+        else:
+            # df first: its merge reads only the old sidecar + the victim
+            # rows — never the rewritten postings (that second index-sized
+            # pass is the whole cost this path avoids) — and doing it
+            # before the postings swap means an evicted victim_rows
+            # partition recomputes against the UNTOUCHED postings, never
+            # the survivor tree.
+            # CRASH WINDOW: a crash between the two swaps leaves df
+            # decremented while victim postings survive (probes
+            # under-score until repaired), and RE-RUNNING the delete does
+            # NOT repair it — the df would be decremented twice. Recovery
+            # after a torn delete is a rebuild (or bm25_upsert_index full
+            # refresh), the Lucene fsck answer. The three sidecar swaps
+            # are not atomic as a group by design: making them so would
+            # need a manifest commit layer (the snapshot plane has one)
+            # that the plain-directory index format deliberately avoids.
+            new_df = (
+                _bm25_read(spark, path, "df")
+                .join(df_delta, "term", "left")
+                .select(
+                    "term",
+                    (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0)))
+                    .cast("long").alias("df"),
+                )
+                .filter(F.col("df") > 0)  # a term wholly deleted has no row
+            )
+            _swap_in(new_df, df_dir)
         # one shuffle keyed exactly like the layout (the merge path's own
         # discipline): without it the survivor rewrite fans out to
         # #scan-partitions x #buckets files — measured 682 files from a
@@ -592,6 +683,9 @@ def bm25_delete_from_index(
             # best-effort: a foreachBatch loop calling delete/upsert per
             # micro-batch must not accumulate checkpointed id blocks
             ids_df.unpersist()
+    if _defer_sidecars:
+        return {"n_del": n_del, "sdl_del": int(stats_del["sdl"] or 0),
+                "df_delta": df_delta}
     stats_dir = os.path.join(path, "stats")
     old = _read_sidecar_rows(spark, stats_dir)[0]  # one-row sidecar
     _swap_in(
@@ -633,8 +727,9 @@ def bm25_upsert_index(
     spark = new_docs.sparkSession
     n_buckets = _bm25_n_buckets(path, n_buckets)
     try:
-        n_replaced = bm25_delete_from_index(
-            spark, path, victims=new_docs.select(id_col), id_col=id_col
+        dinfo = bm25_delete_from_index(
+            spark, path, victims=new_docs.select(id_col), id_col=id_col,
+            _defer_sidecars=True,
         )
     except ValueError as e:
         if "every indexed document" not in str(e):
@@ -643,7 +738,7 @@ def bm25_upsert_index(
         import uuid
 
         n_replaced = int(
-            spark.read.parquet(os.path.join(path, "postings"))
+            _bm25_read(spark, path, "postings")
             .agg(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
         )
         # crash-safe full refresh: build into a side tree and swap the
@@ -656,8 +751,11 @@ def bm25_upsert_index(
         os.rename(tmp, path)
         shutil.rmtree(old)
         return n_replaced
-    bm25_append_index(new_docs, path, id_col=id_col, n_buckets=n_buckets)
-    return n_replaced
+    # the delete deferred its df/stats swaps; the append folds them in —
+    # one sidecar merge per upsert instead of two (exact integer folds)
+    bm25_append_index(new_docs, path, id_col=id_col, n_buckets=n_buckets,
+                      _deleted=dinfo)
+    return int(dinfo["n_del"])
 
 
 def _parquet_rows_under(path: str) -> int | None:
@@ -731,7 +829,7 @@ def bm25_maintain_index(
     if before > merge_factor * n_buckets:
         post_dir = os.path.join(path, "postings")
         merged = (
-            spark.read.parquet(post_dir)
+            _bm25_read(spark, path, "postings")
             .repartition("bucket")  # one shuffle keyed exactly like the layout
             .select("doc_id", "dl", "term", "tf", "bucket")
         )
@@ -802,7 +900,7 @@ def bm25_topk_from_index(
     probe_terms = sorted({t for _, qs in queries for t in qs.split() if t})
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in probe_terms})
     postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _bm25_read(spark, path, "postings")
         .filter(F.col("bucket").isin(buckets))  # partition-pruned read
         .filter(F.col("term").isin(probe_terms))
         .select("doc_id", "term", "tf", "dl")
@@ -813,6 +911,6 @@ def bm25_topk_from_index(
         postings = postings.join(
             doc_filter.select("doc_id").distinct(), "doc_id", "semi"
         )
-    df_t = spark.read.parquet(os.path.join(path, "df"))
+    df_t = _bm25_read(spark, path, "df")
     return _score_topk(postings, q_df, df_t, n_docs, avgdl, k, k1, b,
                        probe_terms=probe_terms)

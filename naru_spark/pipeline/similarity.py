@@ -896,6 +896,16 @@ def _ivfpq_encode(
 _META_AUTO = "auto"
 
 
+_IVFPQ_CODES_SCHEMA = "vec_id long, codes array<int>, cell int"
+
+
+def _ivfpq_read(spark, path: str):
+    """Read the IVF-PQ codes tree with its FIXED schema (declared by the
+    encode mapInPandas and preserved by every rewrite; ``cell`` is the
+    int partition column) — no footer-inference job per read."""
+    return spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(path)
+
+
 def ivfpq_append_index(
     new_vectors: DataFrame,
     path: str,
@@ -1030,9 +1040,12 @@ def ivfpq_delete_from_index(
         # separate jobs; a non-deterministic victims frame evaluated twice
         # would count one draw and delete another). Eager localCheckpoint
         # severs lineage: a lost block fails loudly, never re-draws.
+        # lazy pin: the delete-stats aggregate (the first action over
+        # the ids) materializes the checkpoint — same guarantee, one
+        # fewer Spark job per delete
         ids_df = victims.select(
             F.col(id_col).cast("long").alias("vec_id")
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct().localCheckpoint(eager=False)
         broadcast_ids = False  # corpus-fraction side: AQE picks the strategy
     else:
         ids_df = spark.createDataFrame(
@@ -1040,7 +1053,7 @@ def ivfpq_delete_from_index(
         )
         broadcast_ids = True
     try:
-        index = spark.read.parquet(path)
+        index = _ivfpq_read(spark, path)
         n_del, n_rem = _ivfpq_delete_stats(index, ids_df, broadcast_ids)
         if n_del == 0:
             return 0
@@ -1112,7 +1125,7 @@ def _ivfpq_cell_counts(spark, path: str) -> list[int]:
         except Exception:  # noqa: BLE001 — any local-read surprise: use Spark
             pass
     rows = (
-        spark.read.parquet(path)
+        _ivfpq_read(spark, path)
         .groupBy("cell").agg(F.count("*").alias("c"))
         .collect()
     )
@@ -1168,11 +1181,12 @@ def ivfpq_upsert_index(
     spark = batch.sparkSession
     # pin ONE evaluation of the batch's id set (same discipline as the
     # delete path): the ids feed the stats agg AND the survivor anti-join
+    # lazy pin: materialized by the delete-stats aggregate (first action)
     ids_df = batch.select(
         F.col(id_col).cast("long").alias("vec_id")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     try:
-        index = spark.read.parquet(path)
+        index = _ivfpq_read(spark, path)
         n_replaced, n_rem = _ivfpq_delete_stats(index, ids_df, False)
         if n_replaced == 0:
             # nothing to expunge: pure O(|batch|) append, no rewrite
@@ -1446,7 +1460,7 @@ def ivfpq_topk_from_index(
     }
     tab_bc = spark.sparkContext.broadcast(tables)
 
-    index = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    index = _ivfpq_read(spark, path).filter(F.col("cell").isin(needed))
     if candidate_filter is not None:
         index = index.join(
             candidate_filter.select("vec_id").distinct(), "vec_id", "semi"
