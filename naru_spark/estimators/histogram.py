@@ -78,15 +78,21 @@ class MaxDiffHistogram(CardEst):
         dom_sizes = [self.meta.dictionaries[c].distribution_size for c in self.columns]
         root = _Partition(bounds=[(0, dom_sizes[i] - 1, True) for i in range(self.D)], rows=data)
         parts = [root]
-        # priority: recompute stats lazily per partition
-        stats = [[self._maxdiff_stat(root.rows[:, c]) for c in range(self.D)]]
+        # best-split search as one numpy argmax per round instead of a
+        # pure-Python O(#parts x D) scan (the scan was O(limit^2 x D)
+        # overall — ~11M comparisons at limit=1000, and cProfile put over
+        # half the build wall in it). np.argmax over the C-ordered
+        # (pid, cid) matrix returns the FIRST occurrence of the max —
+        # exactly the old scan's strict-> tie-break — so the split
+        # sequence, partitions and estimates are bit-identical.
+        st0 = [self._maxdiff_stat(root.rows[:, c]) for c in range(self.D)]
+        diffs = np.zeros((max(self.limit, 1), self.D))
+        diffs[0] = [s[0] for s in st0]
+        splits = [[s[1] for s in st0]]
         while len(parts) < self.limit:
-            best = (0.0, -1, -1, None)  # (diff, pid, cid, split_val)
-            for pid, st in enumerate(stats):
-                for cid, (diff, split) in enumerate(st):
-                    if diff > best[0]:
-                        best = (diff, pid, cid, split)
-            diff, pid, cid, split = best
+            flat = int(np.argmax(diffs[: len(parts)]))
+            pid, cid = divmod(flat, self.D)
+            diff, split = float(diffs[pid, cid]), splits[pid][cid]
             if diff == 0 or split is None:
                 break
             old = parts[pid]
@@ -98,8 +104,12 @@ class MaxDiffHistogram(CardEst):
             right.bounds[cid] = (split, hi, True)
             parts[pid] = left
             parts.append(right)
-            stats[pid] = [self._maxdiff_stat(left.rows[:, c]) for c in range(self.D)]
-            stats.append([self._maxdiff_stat(right.rows[:, c]) for c in range(self.D)])
+            st_l = [self._maxdiff_stat(left.rows[:, c]) for c in range(self.D)]
+            st_r = [self._maxdiff_stat(right.rows[:, c]) for c in range(self.D)]
+            diffs[pid] = [s[0] for s in st_l]
+            splits[pid] = [s[1] for s in st_l]
+            diffs[len(parts) - 1] = [s[0] for s in st_r]
+            splits.append([s[1] for s in st_r])
 
         # condense: uniform spreads + density (estimators.py:1131-1170)
         for p in parts:

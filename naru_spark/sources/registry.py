@@ -93,6 +93,38 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     return df
 
 
+# (realpath, mtime) -> Spark schema json of the INFERRED read schema —
+# an in-process metadata memo only (recomputed every process from the
+# parquet input; the testdata files are immutable within a run). Each
+# spark.read.parquet(path) without a schema runs a footer-inference
+# Spark job; with 242 bench entries each loading 1-3 tables that is
+# hundreds of jobs per sweep for schemas inferred identically every time.
+_READ_SCHEMA_MEMO: dict = {}
+
+
+def _parquet_scan(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the inference memo: the first read of a
+    file infers (and records) the schema; later reads pass it explicitly
+    — byte-identical schema, no inference job."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    try:
+        key = (_os.path.realpath(path), _os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    js = _READ_SCHEMA_MEMO.get(key)
+    if js is not None:
+        return spark.read.schema(
+            StructType.fromJson(_json.loads(js))
+        ).parquet(path)
+    df = spark.read.parquet(path)
+    _READ_SCHEMA_MEMO[key] = df.schema.json()
+    return df
+
+
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan that tolerates TIMESTAMP(NANOS) columns, which Spark
     rejects by default ([PARQUET_TYPE_ILLEGAL]). With
@@ -110,11 +142,11 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
         if str(typ) == "timestamp[ns]"
     ]
     if not nanos_cols:
-        return spark.read.parquet(path)
+        return _parquet_scan(spark, path)
     # Leave the conf set: it is read again at scan execution time, and it
     # only affects how TIMESTAMP(NANOS) columns surface (as long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = _parquet_scan(spark, path)
     for c in nanos_cols:
         # integer `div`, NOT float division: nanosecond epochs (~1.7e18)
         # exceed double's 53-bit mantissa, so a/1000.cast(long) is off by
