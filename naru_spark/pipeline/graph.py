@@ -75,11 +75,23 @@ def pagerank(
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
         base = (1.0 - damping) / n
         for t in range(iters):
+            # one union + one aggregate instead of contribs + a second
+            # nodes-side join per round: every node rides into the same
+            # groupBy as a 0.0 contribution, so nodes with no in-edges
+            # still surface (exactly what the left join provided) and one
+            # broadcast build + join drops from every iteration. Adding
+            # 0.0 to an IEEE sum is an identity, so in_mass is unchanged;
+            # the per-iteration rounding (round_decimals) quenches fold-
+            # order effects exactly as before (oracle hash-gated).
             contribs = (
                 contrib_edges.join(
                     ranks.withColumnRenamed("node", "src"), "src"
                 )
                 .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .unionByName(
+                    nodes.select(F.col("node").alias("dst"),
+                                 F.lit(0.0).alias("c"))
+                )
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_mass"))
             )
@@ -98,9 +110,8 @@ def pagerank(
             )
             if round_decimals is not None:
                 rank_expr = F.round(rank_expr, round_decimals)
-            new_ranks = (
-                nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-                .select("node", rank_expr.alias("rank"))
+            new_ranks = contribs.select(
+                F.col("dst").alias("node"), rank_expr.alias("rank")
             )
             if (t + 1) % checkpoint_every == 0 or t == iters - 1:
                 new_ranks = new_ranks.localCheckpoint(eager=True)
