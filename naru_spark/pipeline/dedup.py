@@ -579,25 +579,33 @@ def connected_components(
     sym = fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
     labels = sym.select("u").distinct().withColumn("label", F.col("u")).cache()
 
+    label_t = dict(labels.dtypes)["label"]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
             .select(F.col("u"), F.col("label"))
         )
-        new_labels = (
-            labels.unionAll(nbr_min)
+        # the previous label rides through the SAME aggregate (exactly one
+        # labels row per node, so min(__old) recovers it; neighbor rows
+        # carry NULL, which min ignores) — the convergence check then
+        # reads the checkpointed result instead of re-joining new labels
+        # against old, dropping one join + broadcast build per round.
+        # Labels per round are identical: same min over the same rows.
+        merged = (
+            labels.withColumn("__old", F.col("label"))
+            .unionAll(
+                nbr_min.withColumn("__old", F.lit(None).cast(label_t))
+            )
             .groupBy("u")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"),
+                 F.min("__old").alias("__old"))
             .localCheckpoint(eager=True)
         )
         n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            merged.filter(F.col("label") != F.col("__old")).count()
         )
         labels.unpersist()
-        labels = new_labels
+        labels = merged.select("u", "label")
         if n_changed == 0:
             break
     sym.unpersist()
